@@ -1,0 +1,109 @@
+"""EPSS-domain composite API — the Spark rewrite of the reference's
+PolarsClient (epss/client.py). The reference's get_scores is a driver-side
+loop: thread-pool per-day reads, pairwise diffs, concat (epss/client.py:
+202-237). Here the same lifecycle is ONE lazy plan over a date-partitioned
+dataset: pruned scan -> window lag-diff -> filter -> sort. Catalyst handles
+partition pruning, shuffle planning, and codegen; execution crosses
+driver->executor once, at the action.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epss_spark.functions.scalars import TIME, parse_date
+from epss_spark.operators.quantize import quantize
+from epss_spark.plans.query import Query, apply_query
+
+# Model-version epochs (reference: epss/constants.py:11-14, NOTES.md:9-11)
+EPOCHS: dict[str, tuple[dt.date, dt.date | None]] = {
+    "v1": (dt.date(2021, 4, 14), dt.date(2022, 2, 3)),
+    "v2": (dt.date(2022, 2, 4), dt.date(2023, 3, 6)),
+    "v3": (dt.date(2023, 3, 7), None),  # max resolved at runtime
+}
+
+
+def get_date_range(
+    version: str = "v3",
+    min_date: TIME | None = None,
+    max_date: TIME | None = None,
+    max_date_resolver: Callable[[], dt.date] | None = None,
+) -> tuple[dt.date, dt.date]:
+    """Clamp a user date range into the model-version epoch
+    (reference: epss/client.py:100-117, :333-421). The reference resolves
+    the v3 max date with a live HTTP HEAD (epss/client.py:386-402);
+    here that is an injectable resolver so nothing analytical touches the
+    network. Default: today."""
+    lo, hi = EPOCHS[version]
+    if hi is None:
+        hi = max_date_resolver() if max_date_resolver else dt.date.today()
+    lo_req = parse_date(min_date) if min_date is not None else lo
+    hi_req = parse_date(max_date) if max_date is not None else hi
+    return max(lo, lo_req), min(hi, hi_req)
+
+
+class EPSSClient:
+    """Query API over a `date=`-partitioned canonical score dataset."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        scores_path: str,
+        version: str = "v3",
+        max_date_resolver: Callable[[], dt.date] | None = None,
+    ):
+        self.spark = spark
+        self.scores_path = scores_path
+        self.version = version
+        self.max_date_resolver = max_date_resolver
+
+    def _scan(self) -> DataFrame:
+        return self.spark.read.parquet(self.scores_path)
+
+    def get_scores(
+        self,
+        min_date: TIME | None = None,
+        max_date: TIME | None = None,
+        query: Query | None = None,
+        drop_unchanged: bool = False,
+    ) -> DataFrame:
+        """The composite query (reference: epss/client.py:202-237) as one
+        lazy plan. With drop_unchanged, scans one extra day BEFORE min_date
+        for real first-day deltas (intended semantics per reference
+        TODO.md:3; the reference's +1day at epss/client.py:212-214 is a
+        sign bug — divergence pinned in tests/test_client.py)."""
+        lo, hi = get_date_range(self.version, min_date, max_date, self.max_date_resolver)
+        df = self._scan()
+        if drop_unchanged:
+            out = quantize(df, key="cve", time="date", value="epss", min_time=lo, max_time=hi)
+            out = out.drop("delta")
+        else:
+            out = df.filter((F.col("date") >= F.lit(lo)) & (F.col("date") <= F.lit(hi)))
+        if query is not None:
+            out = apply_query(out, query)
+        # canonical sort: date asc, cve desc (reference: epss/client.py:235-236)
+        return out.orderBy(F.col("date").asc(), F.col("cve").desc())
+
+    def get_scores_by_date(self, date: TIME, query: Query | None = None) -> DataFrame:
+        """Single-snapshot path (reference: epss/client.py:239-268): one
+        pruned partition read + predicate stack + canonical order."""
+        d = parse_date(date)
+        out = self._scan().filter(F.col("date") == F.lit(d))
+        if query is not None:
+            out = apply_query(out, query)
+        return out.select("date", "cve", "epss", "percentile").orderBy(
+            F.col("cve").desc(), F.col("date").asc()
+        )
+
+    def get_changed_scores(
+        self,
+        min_date: TIME | None = None,
+        max_date: TIME | None = None,
+        query: Query | None = None,
+    ) -> DataFrame:
+        """Quantized view (reference: epss/client.py:453-475)."""
+        return self.get_scores(min_date, max_date, query, drop_unchanged=True)

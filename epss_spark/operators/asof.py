@@ -1,0 +1,60 @@
+"""As-of join — for each left row, the most recent right row at-or-before
+its timestamp, per key. The reference's prior-day score lookup
+(epss/client.py:462-470) is the degenerate daily-grid case of this.
+
+Spark has no native ASOF JOIN; the scalable formulation is the union-sort
+trick: tag both sides, union on (key, time), and carry the right side's
+latest values forward with last_value(ignoreNulls) over a single window.
+One shuffle on `key`, no range-explosion, no per-row probes — this is the
+shape that survives 100 TB (contrast: a naive theta join t_left >= t_right
+is O(n*m) per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str | None = None,
+    right_values: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: latest right row with right_time <= left_time per key.
+
+    Right-side duplicates at the same (key, time) are resolved by taking the
+    last after an ascending sort of the remaining columns — deterministic.
+    """
+    right_time = right_time or left_time
+    right_values = right_values or [c for c in right.columns if c not in (key, right_time)]
+
+    l_tag = left.withColumn("__is_left", F.lit(1)).withColumn("__t", F.col(left_time))
+    r_cols = [F.col(key), F.col(right_time).alias("__t"), F.lit(0).alias("__is_left")]
+    r_tag = right.select(
+        *r_cols, *[F.col(c).alias(f"__r_{c}") for c in right_values]
+    )
+    for c in right_values:
+        l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(r_tag.schema[f"__r_{c}"].dataType))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # Right rows sort before left rows at equal time (__is_left asc) so an
+    # exactly-simultaneous right row is visible to the left row (>= semantics).
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for c in right_values:
+        filled = filled.withColumn(
+            f"__r_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
+        )
+    out = filled.filter(F.col("__is_left") == 1).drop("__is_left", "__t")
+    for c in right_values:
+        out = out.withColumnRenamed(f"__r_{c}", f"{c}{suffix}" if c in left.columns else c)
+    return out

@@ -1,0 +1,159 @@
+"""Text analysis operators for training-data pipelines: normalization,
+token/quality stats, language-ID (stopword-overlap heuristic), and document
+fingerprinting (md5 + rolling-hash winnowing).
+
+All hot-path ops are built-in Catalyst expressions (no Python UDFs): lower /
+regexp_replace / split / higher-order array functions run inside
+whole-stage codegen, so a 100 TB documents scan stays JVM-side. The only
+Python crossing is winnowing, which is an Arrow-batched mapInPandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "for"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est"),
+    "es": ("el", "la", "los", "las", "y", "de", "un", "una"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu"),
+}
+_CJK_RE = "[一-鿿]"  # Java regex; oracle uses RE2's \x{4e00} spelling
+
+
+def normalize(col: Column | str = "text") -> Column:
+    """lower -> strip non-alnum -> squeeze spaces -> trim. Matches the
+    `_NORM_SQL` oracle fragment character-for-character."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+
+def tokens(col: Column | str = "text") -> Column:
+    return F.filter(F.split(normalize(col), " "), lambda x: x != "")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (n=3); degenerate docs (<n tokens) contribute
+    their whole token string as one shingle."""
+    assert n == 3, "oracle fragment is specialized to 3-grams"
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def with_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = tokens(text_col)
+    return docs.select(id_col, F.array_distinct(shingles(toks)).alias("shingles"))
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality-scoring signals: lengths, token counts, stopword fraction,
+    punctuation count. One projection, zero shuffles."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
+    return docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stopword_frac"),
+        F.regexp_count(F.col(text_col), F.lit("[.,;:!?]")).alias("n_punct"),
+    )
+
+
+def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram-free language ID: stopword-overlap scores per language with a
+    CJK codepoint check, fixed precedence for ties (en > fr > es > de)."""
+    toks = tokens(text_col)
+
+    def marker_count(markers: tuple[str, ...]):
+        # single-arg lambda factory — F.filter dispatches on lambda arity,
+        # so the marker tuple must be closed over, not a default arg
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    has_cjk = F.col(text_col).rlike(_CJK_RE)
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(
+            (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"]),
+            F.lit("en"),
+        )
+        .when((scores["fr"] >= scores["es"]) & (scores["fr"] >= scores["de"]), F.lit("fr"))
+        .when(scores["es"] >= scores["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.withColumn("lang_pred", pred)
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-dup fingerprint: md5 of the normalized text."""
+    return docs.select(id_col, F.md5(normalize(text_col)).alias("fp"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    base: int = 257,
+    mod: int = (1 << 61) - 1,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    polynomial rolling hash over character k-grams of the normalized text,
+    then the rightmost-minimum hash of each sliding window of `window`
+    hashes. Arrow-batched mapInPandas — the per-row loop is pure numpy-free
+    Python but runs per Arrow batch, partition-parallel, no shuffle.
+    """
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("pos", LongType()),
+            StructField("fp", LongType()),
+        ]
+    )
+    norm_docs = docs.select(id_col, normalize(text_col).alias("__norm"))
+
+    def _winnow(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_pos, out_fp = [], [], []
+            for doc_id, s in zip(pdf[id_col], pdf["__norm"]):
+                if s is None or len(s) < k:
+                    continue
+                # rolling k-gram hashes
+                h = 0
+                power = pow(base, k - 1, mod)
+                hashes = []
+                for i, ch in enumerate(s):
+                    h = (h * base + ord(ch)) % mod
+                    if i >= k:
+                        h = (h - ord(s[i - k]) * power * base) % mod
+                    if i >= k - 1:
+                        hashes.append(h)
+                # winnow: rightmost min per window, dedup consecutive picks
+                picked: dict[int, int] = {}
+                for w0 in range(0, max(0, len(hashes) - window + 1)):
+                    win = hashes[w0 : w0 + window]
+                    m = min(win)
+                    pos = w0 + max(i for i, v in enumerate(win) if v == m)
+                    picked[pos] = m
+                for pos, fp in sorted(picked.items()):
+                    out_ids.append(doc_id)
+                    out_pos.append(pos)
+                    out_fp.append(fp)
+            yield pd.DataFrame({id_col: out_ids, "pos": out_pos, "fp": out_fp})
+
+    return norm_docs.mapInPandas(_winnow, schema=schema)

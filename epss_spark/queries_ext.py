@@ -1,0 +1,256 @@
+"""Extension query registry — the large-scale training-data operators
+(SURVEY.md §7 phase 5): dedup (exact / MinHash-LSH / n-gram Jaccard /
+SimHash), similarity search over embeddings, and text analysis. These are
+first-class engine components for the 100 TB use case; each SQL-expressible
+one carries a DuckDB oracle built from the SAME deterministic primitives
+(md5, list ops, exact arithmetic) so results match bit-for-bit.
+
+Implementations live in epss_spark.operators.{dedup,similarity,text}; this
+module wires them to testdata tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from epss_spark.operators import dedup, similarity, text
+from epss_spark.queries_core import T
+from epss_spark.registry import register
+
+# Shared SQL fragments for the oracle side. Normalization must match
+# operators/text.py::normalize exactly: lower, non-alnum -> space, squeeze.
+_NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+_TOKS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+_SHINGLES_SQL = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+# MinHash signature/band SQL, generated to avoid engine-specific list
+# comprehensions. Must mirror operators/dedup.py::minhash_lsh_pairs.
+_NUM_HASHES, _BANDS, _BAND_ROWS = 12, 4, 3
+_SIG_TERMS = ",\n             ".join(
+    f"list_aggregate(list_transform(shingles, s -> md5('{h}|' || s)), 'min')"
+    for h in range(_NUM_HASHES)
+)
+_BAND_TERMS = ",\n             ".join(
+    f"md5('{b}|' || sig[{3*b+1}] || sig[{3*b+2}] || sig[{3*b+3}])" for b in range(_BANDS)
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH base AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+             / greatest(len(toks), 1) AS stopword_frac,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+    FROM base
+    """,
+)
+def text_stats(spark, sf_dir):
+    return text.text_stats(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH base AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','for'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','de','un','une','est'))) AS s_fr,
+        len(list_filter(toks, x -> x IN ('el','la','los','las','y','de','un','una'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','eine','zu'))) AS s_de,
+        CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 1 ELSE 0 END AS has_cjk
+      FROM base
+    )
+    SELECT doc_id, lang,
+           CASE WHEN has_cjk = 1 THEN 'zh'
+                WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS lang_pred
+    FROM scored
+    """,
+)
+def text_langid(spark, sf_dir):
+    return text.langid(T(spark, sf_dir, "documents")).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    return text.fingerprint(T(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+@register("text_winnow_fingerprint")  # rolling-hash winnowing — not SQL-expressible, rows-only
+def text_winnow_fingerprint(spark, sf_dir):
+    return text.winnow_fingerprints(T(spark, sf_dir, "documents"), k=5, window=4)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY fp
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    return dedup.exact_groups(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM base),
+    ex AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.a_id, p.b_id,
+           CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.a_id = sa.doc_id
+    JOIN sizes sb ON p.b_id = sb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@register(
+    "dedup_minhash",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM base),
+    sig AS (
+      SELECT doc_id,
+             [{_SIG_TERMS}] AS sig
+      FROM sh
+    ),
+    bandkeys AS (
+      SELECT doc_id,
+             [{_BAND_TERMS}] AS band_keys
+      FROM sig
+    ),
+    bands AS (
+      SELECT doc_id, b, band_keys[b+1] AS band_key
+      FROM bandkeys, range(0, {_BANDS}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.b = b.b AND a.doc_id < b.doc_id
+    ),
+    ex AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+    FROM cand c
+    JOIN sizes sa ON c.a_id = sa.doc_id
+    JOIN sizes sb ON c.b_id = sb.doc_id
+    LEFT JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+    WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.i, 0)) >= 0.5
+    """,
+)
+def dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        threshold=0.5,
+    )
+
+
+@register("dedup_simhash")  # xxhash64-based simhash — engine-specific hash, rows-only check
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_groups(T(spark, sf_dir, "documents"), bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+)
+_NORM_Q = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+_NORM_C = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) AS cos
+      FROM q, c WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, cand_id, cos, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(queries, emb, k=5)
+
+
+@register(
+    "ann_threshold",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+             round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) AS cos
+      FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+    )
+    SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.4
+    """,
+)
+def ann_threshold(spark, sf_dir):
+    # embedding-cosine similar-pairs within label buckets (the bucketed/blocked
+    # formulation — at scale the bucket key comes from LSH, here from label)
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_blocked(emb, block_col="label", threshold=0.4)
+
+
+@register("ann_lsh_bucketed")  # random-hyperplane LSH — seeded planes driver-side, rows-only
+def ann_lsh_bucketed(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(queries, emb, k=5, n_planes=8, seed=42)

@@ -1,0 +1,79 @@
+"""HTTP ingestion of upstream daily snapshots, driver-side.
+
+Mirrors the reference's download layer (epss/client.py:126-194): fetch
+`epss_scores-{date}.csv.gz`, idempotently skip files that already exist,
+fan out over a thread pool. Network code is import-guarded and injectable so
+tests and the correctness harness never touch the network
+(reference quirk: max-date discovery does a live HTTP HEAD,
+epss/client.py:386-402 — here it is an injectable resolver).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import os
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable
+
+from epss_spark.functions.scalars import TIME, parse_date
+
+BASE_URL = "https://epss.cyentia.com"
+
+
+def snapshot_url(date: TIME) -> str:
+    """URL builder (reference: epss/client.py:317-330)."""
+    return f"{BASE_URL}/epss_scores-{parse_date(date).isoformat()}.csv.gz"
+
+
+def iter_dates(min_date: TIME, max_date: TIME) -> Iterable[dt.date]:
+    """One date per day in [min, max] (reference: epss/util.py:256-262)."""
+    d, end = parse_date(min_date), parse_date(max_date)
+    while d <= end:
+        yield d
+        d += dt.timedelta(days=1)
+
+
+def _default_fetch(url: str, dest: str) -> None:
+    import urllib.request
+
+    with urllib.request.urlopen(url) as resp, open(dest, "wb") as f:  # noqa: S310
+        shutil.copyfileobj(resp, f)
+
+
+def download_snapshot(
+    workdir: str,
+    date: TIME,
+    fetch: Callable[[str, str], None] = _default_fetch,
+    decompress: bool = True,
+) -> str:
+    """Idempotent single-day download (reference: epss/client.py:163-194):
+    skip if the target file already exists."""
+    date = parse_date(date)
+    os.makedirs(workdir, exist_ok=True)
+    dest = os.path.join(workdir, f"epss_scores-{date.isoformat()}.csv")
+    if os.path.exists(dest):
+        return dest
+    tmp = dest + ".gz"
+    fetch(snapshot_url(date), tmp)
+    if decompress:
+        with gzip.open(tmp, "rb") as src, open(dest, "wb") as out:
+            shutil.copyfileobj(src, out)
+        os.remove(tmp)
+    return dest
+
+
+def download_snapshots(
+    workdir: str,
+    min_date: TIME,
+    max_date: TIME,
+    fetch: Callable[[str, str], None] = _default_fetch,
+    max_workers: int = 8,
+) -> list[str]:
+    """Thread-pooled multi-date fetch (reference: epss/client.py:126-161).
+    I/O-bound driver work; the analytical parallelism lives in Spark tasks,
+    not here."""
+    dates = list(iter_dates(min_date, max_date))
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(lambda d: download_snapshot(workdir, d, fetch=fetch), dates))
