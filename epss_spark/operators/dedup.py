@@ -76,15 +76,21 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 12
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    ex: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: for permutation h, min(md5('h|' || shingle)).
 
     Computed on the exploded (doc, shingle) set in ONE pass — num_hashes
     min-aggregates over one shuffle, instead of num_hashes array traversals.
     md5-as-permutation keeps the signature engine-portable (oracle parity).
+    Pass a pre-built (cached) `ex` to share the shingle scan across stages.
     """
-    ex = _exploded_shingles(docs, id_col, text_col)
+    if ex is None:
+        ex = _exploded_shingles(docs, id_col, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"sig_{h}")
         for h in range(num_hashes)
@@ -102,9 +108,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection, with exact-Jaccard
     verification of candidates. Returns (a_id, b_id, jaccard >= threshold).
+
+    The exploded (doc, shingle) set feeds three consumers (signatures,
+    verification join, sizes) — persist it once; regex-normalizing and
+    re-shingling the corpus per consumer is the difference between one
+    scan and six at 100 TB.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes)
+    ex_shared = _exploded_shingles(docs, id_col, text_col).persist()
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, ex=ex_shared)
     band_cols = [
         F.md5(
             F.concat(F.lit(f"{b}|"), *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
@@ -132,8 +144,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact Jaccard over the shingle sets
-    ex = _exploded_shingles(docs, id_col, text_col)
+    # verify candidates with exact Jaccard over the (shared) shingle sets
+    ex = ex_shared
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = ex.select(F.col(id_col).alias("a_id"), "sh")
     b = ex.select(F.col(id_col).alias("b_id"), "sh")

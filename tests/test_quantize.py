@@ -1,0 +1,126 @@
+"""Golden semantic tests for the quantization kernel (FIXTURES.md §1.3).
+
+The reference's behavior (epss/client.py:453-475) pinned on hand-computed
+tiny histories: every-day changers, never-changers, return-to-prior-value,
+mid-range appearance, single-day ranges, and the first-day prefetch
+semantics (intended behavior per reference TODO.md:3).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from epss_spark.operators.quantize import changed_scores, densify, quantize
+
+D = dt.date
+
+
+def _scores(spark, rows):
+    return spark.createDataFrame(rows, "date date, cve string, epss double")
+
+
+def test_changed_scores_golden(spark):
+    df = _scores(
+        spark,
+        [
+            # changes every day -> all rows kept
+            (D(2024, 1, 1), "CVE-A", 0.1),
+            (D(2024, 1, 2), "CVE-A", 0.2),
+            (D(2024, 1, 3), "CVE-A", 0.3),
+            # never changes -> only first observation kept
+            (D(2024, 1, 1), "CVE-B", 0.5),
+            (D(2024, 1, 2), "CVE-B", 0.5),
+            (D(2024, 1, 3), "CVE-B", 0.5),
+            # returns to a prior value -> the return IS a change
+            (D(2024, 1, 1), "CVE-C", 0.7),
+            (D(2024, 1, 2), "CVE-C", 0.9),
+            (D(2024, 1, 3), "CVE-C", 0.7),
+            # appears mid-range -> lag null -> kept as a change
+            (D(2024, 1, 3), "CVE-D", 0.4),
+        ],
+    )
+    out = changed_scores(df).select("date", "cve", "epss").collect()
+    got = {(r.date, r.cve): r.epss for r in out}
+    assert got == {
+        (D(2024, 1, 1), "CVE-A"): 0.1,
+        (D(2024, 1, 2), "CVE-A"): 0.2,
+        (D(2024, 1, 3), "CVE-A"): 0.3,
+        (D(2024, 1, 1), "CVE-B"): 0.5,
+        (D(2024, 1, 1), "CVE-C"): 0.7,
+        (D(2024, 1, 2), "CVE-C"): 0.9,
+        (D(2024, 1, 3), "CVE-C"): 0.7,
+        (D(2024, 1, 3), "CVE-D"): 0.4,
+    }
+
+
+def test_quantize_first_day_prefetch(spark):
+    """min_time scans one day earlier for diffing, then drops warm-up rows:
+    a value unchanged across the boundary must NOT appear on min_date."""
+    df = _scores(
+        spark,
+        [
+            (D(2024, 1, 1), "CVE-A", 0.5),
+            (D(2024, 1, 2), "CVE-A", 0.5),  # unchanged on min_date -> dropped
+            (D(2024, 1, 3), "CVE-A", 0.6),
+            (D(2024, 1, 1), "CVE-B", 0.1),
+            (D(2024, 1, 2), "CVE-B", 0.2),  # changed on min_date -> kept
+        ],
+    )
+    out = quantize(df, min_time=D(2024, 1, 2), max_time=D(2024, 1, 3))
+    got = {(r.date, r.cve) for r in out.collect()}
+    assert got == {(D(2024, 1, 3), "CVE-A"), (D(2024, 1, 2), "CVE-B")}
+
+
+def test_quantize_single_day(spark):
+    df = _scores(spark, [(D(2024, 1, 2), "CVE-A", 0.5), (D(2024, 1, 2), "CVE-B", 0.1)])
+    out = quantize(df, min_time=D(2024, 1, 2), max_time=D(2024, 1, 2))
+    assert out.count() == 2  # degenerates to the plain snapshot
+
+
+def test_densify_roundtrip(spark):
+    """densify(quantize(dense)) == dense on the observed grid."""
+    rows = []
+    for i, cve in enumerate(["CVE-A", "CVE-B", "CVE-C"]):
+        vals = {
+            "CVE-A": [0.1, 0.1, 0.3, 0.3, 0.3],
+            "CVE-B": [0.5, 0.5, 0.5, 0.5, 0.5],
+            "CVE-C": [0.2, 0.4, 0.2, 0.2, 0.9],
+        }[cve]
+        for d, v in enumerate(vals):
+            rows.append((D(2024, 1, 1 + d), cve, v))
+    dense = _scores(spark, rows)
+    q = changed_scores(dense).select("date", "cve", "epss")
+    dates = spark.createDataFrame([(D(2024, 1, 1 + i),) for i in range(5)], "date date")
+    back = densify(q, dates)
+    got = {(r.date, r.cve): r.epss for r in back.collect()}
+    want = {(r[0], r[1]): r[2] for r in rows}
+    assert got == want
+
+
+def test_quantize_compression_property(spark):
+    """Quantized output is never larger than the dense input, and each key
+    keeps at least its first observation."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for k in range(20):
+        v = 0.5
+        for d in range(30):
+            if rng.random() < 0.3:
+                v = round(rng.random(), 2)
+            rows.append((D(2024, 1, 1) + dt.timedelta(days=d), f"CVE-{k}", v))
+    dense = _scores(spark, rows)
+    q = changed_scores(dense)
+    n_q, n_d = q.count(), dense.count()
+    assert n_q <= n_d
+    assert q.select("cve").distinct().count() == 20
+    # consecutive rows per key never repeat a value
+    w_rows = q.orderBy("cve", "date").collect()
+    prev = {}
+    for r in w_rows:
+        if r.cve in prev:
+            assert r.epss != prev[r.cve], f"unchanged row survived for {r.cve}"
+        prev[r.cve] = r.epss
