@@ -520,24 +520,37 @@ def window_range_frame(spark, sf_dir):
 @register(
     "window_running_sum",
     """
+    WITH per_line AS (
+      SELECT l_orderkey, l_linenumber,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_price
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    )
     SELECT l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+           CAST(SUM(line_price) OVER (
                  PARTITION BY l_orderkey ORDER BY l_linenumber
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_price
-    FROM lineitem
+    FROM per_line
     """,
 )
 def window_running_sum(spark, sf_dir):
+    # (l_orderkey, l_linenumber) is not unique in the testdata, and a ROWS
+    # frame over a non-unique order is nondeterministic — pre-aggregate to
+    # one row per line so the running sum has a total order.
+    per_line = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum(dec2("l_extendedprice")).alias("line_price"))
+    )
     w = (
         Window.partitionBy("l_orderkey")
         .orderBy("l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return T(spark, sf_dir, "lineitem").select(
+    return per_line.select(
         "l_orderkey",
         "l_linenumber",
-        F.sum(dec2("l_extendedprice")).over(w).cast("double").alias("running_price"),
+        F.sum("line_price").over(w).cast("double").alias("running_price"),
     )
 
 
