@@ -85,8 +85,11 @@ class EPSSClient:
             out = df.filter((F.col("date") >= F.lit(lo)) & (F.col("date") <= F.lit(hi)))
         if query is not None:
             out = apply_query(out, query)
-        # canonical sort: date asc, cve desc (reference: epss/client.py:235-236)
-        return out.orderBy(F.col("date").asc(), F.col("cve").desc())
+        # canonical column order (reference: epss/client.py:264) + canonical
+        # sort: date asc, cve desc (reference: epss/client.py:235-236)
+        return out.select("date", "cve", "epss", "percentile").orderBy(
+            F.col("date").asc(), F.col("cve").desc()
+        )
 
     def get_scores_by_date(self, date: TIME, query: Query | None = None) -> DataFrame:
         """Single-snapshot path (reference: epss/client.py:239-268): one

@@ -1,0 +1,95 @@
+"""Sinks (SURVEY §2.2, reference epss/util.py:33-52, epss/cli.py:166-182).
+
+Distributed writers go through Spark (parquet/csv/jsonl); JSON-array and
+Excel are driver-side conversions of bounded result sets, exactly like the
+reference (its Excel path is toPandas-equivalent, reference
+examples/get-excel-workbook-of-changed-epss-scores.py:43-49). Console
+renderers mirror the reference CLI's table/json/jsonl/csv output modes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import IO
+
+from pyspark.sql import DataFrame, SparkSession
+
+from epss_spark.sources.readers import infer_format, read_any, write_any
+
+
+def write_json_array(df: DataFrame, path: str) -> None:
+    """Row-oriented JSON array file (reference epss/util.py:41-44) —
+    driver-side; use only on bounded (post-aggregation/quantization)
+    results."""
+    records = [row.asDict(recursive=True) for row in df.collect()]
+    with open(path, "w") as f:
+        json.dump(records, f, default=str)
+
+
+def write_excel(df: DataFrame, path: str, sheet_name: str = "data") -> None:
+    """Excel workbook sink (reference README.md:285-290). Driver-side,
+    bounded results only; engine availability is environment-dependent."""
+    pdf = df.toPandas()
+    try:
+        pdf.to_excel(path, sheet_name=sheet_name, index=False)
+    except ImportError as e:  # no openpyxl/xlsxwriter in this environment
+        raise NotImplementedError(
+            "Excel output requires openpyxl or xlsxwriter; write CSV/JSON instead"
+        ) from e
+
+
+def render_console(df: DataFrame, fmt: str = "table", n: int | None = None, file: IO | None = None) -> None:
+    """Console render modes (reference epss/cli.py:166-182): table shows the
+    full frame like the reference's set_tbl_rows(-1); json/jsonl/csv collect
+    to the driver with ISO dates (reference epss/json_encoder.py:5-9)."""
+    out = file or sys.stdout
+    if fmt == "table":
+        df.show(n=n if n is not None else df.count(), truncate=False)
+        return
+    rows = [r.asDict(recursive=True) for r in (df.limit(n) if n else df).collect()]
+    if fmt == "json":
+        json.dump(rows, out, default=str)
+        out.write("\n")
+    elif fmt == "jsonl":
+        for r in rows:
+            json.dump(r, out, default=str)
+            out.write("\n")
+    elif fmt == "csv":
+        import csv as _csv
+
+        if rows:
+            w = _csv.DictWriter(out, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+    else:
+        raise ValueError(f"unknown console format {fmt!r}")
+
+
+def convert(spark: SparkSession, src: str, dst: str, schema=None) -> None:
+    """Format conversion (reference epss/util.py:69-119 converts file-by-file
+    in a thread pool; here one distributed read -> write over the whole
+    dataset)."""
+    df = read_any(spark, src, schema=schema)
+    if infer_format(dst) == "json":
+        write_json_array(df, dst)
+    else:
+        write_any(df, dst)
+
+
+def merge(spark: SparkSession, src_glob: str, dst: str, schema=None, fmt: str | None = None) -> None:
+    """Merge many per-day files into one dataset (reference
+    scripts/merge-dir.sh:1-38). coalesce(1) only at the final write — the
+    scan and any transforms stay parallel."""
+    df = read_any(spark, src_glob, fmt=fmt, schema=schema)
+    out_fmt = infer_format(dst)
+    writer = df.coalesce(1).write.mode("overwrite")
+    if out_fmt == "csv":
+        writer.option("header", True).csv(dst)
+    elif out_fmt == "parquet":
+        writer.parquet(dst)
+    elif out_fmt == "jsonl":
+        writer.json(dst)
+    else:
+        raise ValueError(f"unsupported merge format {out_fmt!r}")

@@ -1,0 +1,92 @@
+"""Structured Streaming ingest (SURVEY §2.12 — a Spark-native extension; the
+reference is strictly batch, its "incremental" mode being idempotent
+re-download of missing dates, reference epss/client.py:126-161).
+
+The natural streaming shape for this domain: a file-source stream over the
+snapshot directory (new daily files appear -> new micro-batch), watermarked
+event-time aggregation for the volume/stats tables the reference planned in
+NOTES.md:15-31, and applyInPandasWithState-free design — the quantization
+delta itself stays a batch window (per-key history), while streams maintain
+the per-day rollups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epss_spark.schemas import RAW_SNAPSHOT_SCHEMA
+from epss_spark.functions.scalars import filename_date
+
+
+def stream_scores(spark: SparkSession, path: str, fmt: str = "csv") -> DataFrame:
+    """readStream over a snapshot directory; date recovered from filenames
+    exactly as in the batch scan. One new file per day -> one micro-batch."""
+    if fmt == "csv":
+        df = (
+            spark.readStream.schema(RAW_SNAPSHOT_SCHEMA)
+            .option("header", True)
+            .option("comment", "#")
+            .option("maxFilesPerTrigger", 31)
+            .csv(path)
+        )
+    elif fmt == "parquet":
+        df = spark.readStream.schema(RAW_SNAPSHOT_SCHEMA).parquet(path)
+    else:
+        raise ValueError(f"unsupported stream format {fmt!r}")
+    return df.withColumn("date", filename_date())
+
+
+def daily_volume(scores: DataFrame) -> DataFrame:
+    """Per-day snapshot volume stats (reference NOTES.md:15-31) as a
+    streaming aggregation. Keyed by the snapshot date; late files are
+    bounded by a 7-day watermark."""
+    return (
+        scores.withColumn("ts", F.col("date").cast("timestamp"))
+        .withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "1 day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_scores"),
+            F.min("epss").alias("min_epss"),
+            F.max("epss").alias("max_epss"),
+            F.avg("epss").alias("mean_epss"),
+        )
+        .select(F.col("day.start").cast("date").alias("date"), "n_scores", "min_epss", "max_epss", "mean_epss")
+    )
+
+
+def daily_change_counts(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming tumbling-window event counts with watermarked late-data
+    handling over the events extension table (TIMESTAMP(NANOS) parquet is
+    read as long and truncated to micros, as in the batch path)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        ).parquet(events_path)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("day.start").cast("date").alias("date"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
+    """Drain all currently-available input into an in-memory table (test &
+    backfill harness): availableNow processes the full backlog then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -1,0 +1,176 @@
+"""Sinks, streaming, multimodal plumbing, and CLI tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from epss_spark.operators import multimodal
+from epss_spark.sources import sinks
+from epss_spark.sources.readers import read_any, read_snapshots
+from epss_spark.streaming import scores_stream
+
+D = dt.date
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+
+def test_write_json_array_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = str(tmp_path / "out.json")
+    sinks.write_json_array(df, path)
+    back = read_any(spark, path, "json", df.schema)
+    assert sorted(r.id for r in back.collect()) == [1, 2]
+
+
+def test_render_console_formats(spark):
+    df = spark.createDataFrame([(D(2024, 1, 1), "x", 1.5)], "d date, s string, v double")
+    for fmt, probe in [("json", '"s": "x"'), ("jsonl", '"v": 1.5'), ("csv", "d,s,v")]:
+        buf = io.StringIO()
+        sinks.render_console(df, fmt=fmt, file=buf)
+        assert probe in buf.getvalue(), (fmt, buf.getvalue())
+    # dates serialize as ISO strings (reference json_encoder behavior)
+    buf = io.StringIO()
+    sinks.render_console(df, fmt="json", file=buf)
+    assert "2024-01-01" in buf.getvalue()
+
+
+def test_convert_and_merge(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(10)], "id long, s string")
+    src = str(tmp_path / "src.csv")
+    df.coalesce(1).write.option("header", True).csv(src)
+    dst = str(tmp_path / "dst.jsonl")
+    sinks.convert(spark, src, dst, schema=df.schema)
+    assert read_any(spark, dst, "jsonl", df.schema).count() == 10
+    merged = str(tmp_path / "merged.parquet")
+    sinks.merge(spark, dst, merged, schema=df.schema, fmt="jsonl")
+    assert spark.read.parquet(merged).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# snapshot scan: filename-date recovery + comment header skip
+# ---------------------------------------------------------------------------
+
+
+def test_read_snapshots_filename_date_and_header(spark, tmp_path):
+    for d, rows in [
+        ("2024-01-01", [("CVE-1", 0.5, 0.9), ("CVE-2", 0.1, 0.2)]),
+        ("2024-01-02", [("CVE-1", 0.6, 0.9)]),
+    ]:
+        with open(tmp_path / f"epss_scores-{d}.csv", "w") as f:
+            f.write("#model_version:v3,score_date:" + d + "\n")
+            f.write("cve,epss,percentile\n")
+            for r in rows:
+                f.write(",".join(map(str, r)) + "\n")
+    df = read_snapshots(spark, str(tmp_path), fmt="csv")
+    got = {(r.date, r.cve): r.epss for r in df.collect()}
+    assert got == {
+        (D(2024, 1, 1), "CVE-1"): 0.5,
+        (D(2024, 1, 1), "CVE-2"): 0.1,
+        (D(2024, 1, 2), "CVE-1"): 0.6,
+    }
+    assert df.columns == ["date", "cve", "epss", "percentile"]
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+def test_stream_scores_daily_volume(spark, tmp_path):
+    for d, scores in [("2024-01-01", [0.1, 0.3]), ("2024-01-02", [0.2, 0.4, 0.6])]:
+        with open(tmp_path / f"epss_scores-{d}.csv", "w") as f:
+            f.write("cve,epss,percentile\n")
+            for i, s in enumerate(scores):
+                f.write(f"CVE-{i},{s},0.5\n")
+    stream = scores_stream.stream_scores(spark, str(tmp_path))
+    assert stream.isStreaming
+    agg = scores_stream.daily_volume(stream)
+    scores_stream.run_to_memory(agg, "daily_volume_test")
+    got = {r.date: (r.n_scores, r.min_epss, r.max_epss) for r in spark.sql(
+        "SELECT * FROM daily_volume_test").collect()}
+    assert got == {
+        D(2024, 1, 1): (2, 0.1, 0.3),
+        D(2024, 1, 2): (3, 0.2, 0.6),
+    }
+
+
+def test_stream_events_window_counts(spark, tmp_path):
+    # file-source streams read directories; stage the single-file table
+    import shutil
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", events_dir / "events.parquet")
+    agg = scores_stream.daily_change_counts(spark, str(events_dir))
+    scores_stream.run_to_memory(agg, "event_counts_test")
+    rows = spark.sql("SELECT * FROM event_counts_test").collect()
+    assert sum(r.n for r in rows) == 1000  # all events land in some window
+    assert {r.event_type for r in rows} == {"click", "view", "purchase", "signup", "error"}
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", "image/png", 4, 4, None, bytes(range(64))),
+        (1, "image", "image/png", 4, 4, None, bytes(range(64))),  # duplicate payload
+        (2, "image", "image/jpeg", 8, 8, None, bytes(reversed(range(64)))),
+        (3, "video", "video/mp4", 64, 48, 3500, b"\x00" * 128),
+        (4, "audio", "audio/wav", None, None, 2000, b"\x01\x02" * 32),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_deterministic_dedup(spark, media):
+    out = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert len(out) == 5
+    assert out[0].content_hash == out[1].content_hash  # identical payloads
+    assert out[0].features == out[1].features
+    assert out[0].content_hash != out[2].content_hash
+    assert all(len(r.features) == 8 for r in out.values())
+    assert out[3].n_bytes == 128
+
+
+def test_sample_frames(spark, media):
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    ms = sorted(r.frame_ms for r in frames)
+    assert ms == [0, 1000, 2000, 3000]  # 3500ms video, 1s sampling
+    assert {r.media_id for r in frames} == {3}
+
+
+def test_resize_stub_updates_metadata(spark, media):
+    out = multimodal.resize_images(media.filter(F.col("kind") == "image"), 16, 16)
+    assert {(r.width, r.height) for r in out.collect()} == {(16, 16)}
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def test_cli_date_range_and_urls(capsys):
+    from epss_spark.cli import main
+
+    assert main(["date-range", "--version", "v2"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out == "2022-02-04 2023-03-06"
+
+    assert main(["urls", "-a", "2023-03-07", "-b", "2023-03-08"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == [
+        "https://epss.cyentia.com/epss_scores-2023-03-07.csv.gz",
+        "https://epss.cyentia.com/epss_scores-2023-03-08.csv.gz",
+    ]
