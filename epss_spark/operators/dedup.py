@@ -105,6 +105,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    prune_verification: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection, with exact-Jaccard
     verification of candidates. Returns (a_id, b_id, jaccard >= threshold).
@@ -143,12 +144,30 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
+    if prune_verification:
+        # candidates feed both the doc-pruning broadcast and the final
+        # assembly — persist so the banding pipeline runs once, not twice
+        cand = cand.persist()
 
-    # verify candidates with exact Jaccard over the (shared) shingle sets
+    # verify candidates with exact Jaccard over the (shared) shingle sets.
+    # Prune the verification self-join to candidate documents first: the
+    # LSH banding already shrank the pair space, so intersections only need
+    # computing among docs that appear in some candidate pair — at scale
+    # this is the difference between a corpus-wide shingle self-join and a
+    # join over a few thousand near-dup suspects.
     ex = ex_shared
+    if prune_verification:
+        cand_docs = (
+            cand.select(F.col("a_id").alias(id_col))
+            .unionByName(cand.select(F.col("b_id").alias(id_col)))
+            .distinct()
+        )
+        ex_cand = ex.join(F.broadcast(cand_docs), id_col, "left_semi")
+    else:
+        ex_cand = ex
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = ex.select(F.col(id_col).alias("a_id"), "sh")
-    b = ex.select(F.col(id_col).alias("b_id"), "sh")
+    a = ex_cand.select(F.col(id_col).alias("a_id"), "sh")
+    b = ex_cand.select(F.col(id_col).alias("b_id"), "sh")
     inter = (
         a.join(b, "sh")
         .filter(F.col("a_id") < F.col("b_id"))

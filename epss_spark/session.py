@@ -37,6 +37,13 @@ def get_spark(app_name: str = "epss-spark", master: str | None = None) -> SparkS
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing instead of parallelism-first: small shuffles
+        # collapse to few tasks (kills tiny-task scheduling overhead), large
+        # shuffles still split by the advisory byte size — same config is
+        # right at sf0.001 and at 100 TB.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus or "32")
         .config("spark.sql.session.timeZone", "UTC")
@@ -58,4 +65,7 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
     return spark
