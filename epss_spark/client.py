@@ -85,11 +85,17 @@ class EPSSClient:
             out = df.filter((F.col("date") >= F.lit(lo)) & (F.col("date") <= F.lit(hi)))
         if query is not None:
             out = apply_query(out, query)
+        out = out.select("date", "cve", "epss", "percentile")
+        if drop_unchanged:
+            # The global sort below range-partitions, and its sampling pass
+            # would re-execute the whole scan+window pipeline a second time.
+            # The quantized result is ~100x smaller than the input
+            # (reference NOTES.md:38) — persist it so sampling and the sort
+            # read the materialized change events, not the raw matrix.
+            out = out.persist()
         # canonical column order (reference: epss/client.py:264) + canonical
         # sort: date asc, cve desc (reference: epss/client.py:235-236)
-        return out.select("date", "cve", "epss", "percentile").orderBy(
-            F.col("date").asc(), F.col("cve").desc()
-        )
+        return out.orderBy(F.col("date").asc(), F.col("cve").desc())
 
     def get_scores_by_date(self, date: TIME, query: Query | None = None) -> DataFrame:
         """Single-snapshot path (reference: epss/client.py:239-268): one
