@@ -136,12 +136,28 @@ def minhash_lsh_pairs(
             )
         ).alias("e"),
     ).select(id_col, F.col("e.b").alias("b"), F.col("e.band_key").alias("band_key"))
-    la = melted.select(F.col(id_col).alias("a_id"), "b", "band_key")
-    lb = melted.select(F.col(id_col).alias("b_id"), "b", "band_key")
+    # Candidate pairs per bucket via groupBy + in-bucket pair expansion
+    # (nested array transform) instead of a self-join: one shuffle on
+    # band_key, no duplicate scan of the banded side. Bucket pair counts
+    # are quadratic in bucket size by definition of LSH; buckets are
+    # hash-keyed so the groupBy has no skewed reducers.
+    buckets = (
+        melted.groupBy("b", "band_key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform("ids", lambda y: F.struct(x.alias("a_id"), y.alias("b_id"))),
+            )
+        ),
+        lambda p: p["a_id"] < p["b_id"],
+    )
     cand = (
-        la.join(lb, ["band_key", "b"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
     if prune_verification:

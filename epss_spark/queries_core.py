@@ -856,3 +856,97 @@ def epss_quantize_daily(spark, sf_dir):
     )
     out = changed_scores(daily, key="user_id", time="d", value="value", prev_col="prev_value")
     return out.select("user_id", "d", "value", "prev_value")
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    # A4 companion: full cube (rollup covers the hierarchy case)
+    return (
+        T(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "window_lead_ntile",
+    """
+    SELECT event_id, user_id, value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+    FROM events
+    """,
+)
+def window_lead_ntile(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "scalar_math",
+    """
+    SELECT p_partkey,
+           abs(p_size - 25) AS size_dev,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           round(sqrt(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+           p_size % 7 AS size_mod,
+           greatest(p_size, 10) AS size_clamped,
+           CASE WHEN p_size > 25 THEN 'large' WHEN p_size > 10 THEN 'medium'
+                ELSE 'small' END AS size_class
+    FROM part
+    """,
+)
+def scalar_math(spark, sf_dir):
+    # numeric scalar suite: sqrt of small ints + round(6) is exact in both
+    # engines (same doubles in, same rounding of well-separated values)
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.greatest(F.col("p_size"), F.lit(10)).alias("size_clamped"),
+        F.when(F.col("p_size") > 25, "large")
+        .when(F.col("p_size") > 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    # explicit grouping sets via the SQL surface (the DataFrame API only
+    # exposes rollup/cube); same string runs on both engines
+    configure_runtime(spark)
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -1,0 +1,89 @@
+"""End-to-end ingestion lifecycle with a stubbed network: fake upstream
+gz-CSV snapshots -> idempotent download cache -> snapshot scan (filename
+date + header skip) -> date-partitioned parquet -> EPSSClient quantized
+query. Mirrors the reference lifecycle (epss/client.py:126-194 download,
+:202-237 query) with zero live network."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import os
+
+import pytest
+
+from epss_spark.client import EPSSClient
+from epss_spark.sources.ingest import download_snapshot, download_snapshots, snapshot_url
+from epss_spark.sources.readers import date_partitioned_write, read_snapshots
+
+D = dt.date
+
+SNAPSHOTS = {
+    "2023-03-07": [("CVE-A", 0.10, 0.5), ("CVE-B", 0.90, 0.99)],
+    "2023-03-08": [("CVE-A", 0.10, 0.5), ("CVE-B", 0.95, 0.99)],
+    "2023-03-09": [("CVE-A", 0.20, 0.6), ("CVE-B", 0.95, 0.99)],
+}
+
+
+def fake_fetch(url: str, dest: str) -> None:
+    """Serves the gzipped upstream format incl. the post-2022 comment
+    header (reference epss/client.py:185-189)."""
+    date = url.split("epss_scores-")[1].split(".csv")[0]
+    body = f"#model_version:v3,score_date:{date}T00:00:00+0000\n"
+    body += "cve,epss,percentile\n"
+    for cve, epss, pct in SNAPSHOTS[date]:
+        body += f"{cve},{epss},{pct}\n"
+    with gzip.open(dest, "wb") as f:
+        f.write(body.encode())
+
+
+def test_ingest_to_quantized_query(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    calls = []
+
+    def counting_fetch(url, dest):
+        calls.append(url)
+        fake_fetch(url, dest)
+
+    paths = download_snapshots(raw, "2023-03-07", "2023-03-09", fetch=counting_fetch)
+    assert len(paths) == 3 and len(calls) == 3
+    # idempotence: second download fetches nothing (reference :142,:173-175)
+    download_snapshots(raw, "2023-03-07", "2023-03-09", fetch=counting_fetch)
+    assert len(calls) == 3
+
+    scores = read_snapshots(spark, raw, fmt="csv")
+    assert scores.count() == 6
+    assert scores.columns == ["date", "cve", "epss", "percentile"]
+
+    root = str(tmp_path / "scores")
+    date_partitioned_write(scores, root)
+    # physical layout: one partition directory per day
+    assert sorted(d for d in os.listdir(root) if d.startswith("date=")) == [
+        "date=2023-03-07",
+        "date=2023-03-08",
+        "date=2023-03-09",
+    ]
+
+    client = EPSSClient(spark, root, max_date_resolver=lambda: D(2023, 3, 9))
+    out = client.get_changed_scores("2023-03-08", "2023-03-09").collect()
+    got = {(r.date, r.cve): r.epss for r in out}
+    # CVE-A unchanged on 03-08 (vs prefetched 03-07) -> only the 03-09 change;
+    # CVE-B changed on 03-08, unchanged on 03-09
+    assert got == {
+        (D(2023, 3, 9), "CVE-A"): 0.2,
+        (D(2023, 3, 8), "CVE-B"): 0.95,
+    }
+
+
+def test_snapshot_url_pattern():
+    assert (
+        snapshot_url("2024-01-15")
+        == "https://epss.cyentia.com/epss_scores-2024-01-15.csv.gz"
+    )
+
+
+def test_download_snapshot_skips_existing(tmp_path):
+    p1 = download_snapshot(str(tmp_path), "2023-03-07", fetch=fake_fetch)
+    mtime = os.path.getmtime(p1)
+    p2 = download_snapshot(str(tmp_path), "2023-03-07", fetch=lambda u, d: 1 / 0)
+    assert p1 == p2 and os.path.getmtime(p2) == mtime
