@@ -1,0 +1,66 @@
+"""Physical-layout operators for scale: skew salting and bucketed layouts.
+
+These don't change query semantics — they change WHERE rows live so the
+shuffles that dominate 100 TB plans either disappear (bucketing) or stop
+stalling on hot keys (salting). AQE's skew-join splitting handles the
+join case automatically; explicit salting is for skewed AGGREGATIONS,
+which AQE does not rebalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: list[Column],
+    merge_aggs: list[Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: partial-agg on (key, salt),
+    then final-agg on key. Decomposable aggregates only (sum/count/min/max —
+    the caller supplies the matching merge expressions). Example:
+
+        salted_agg(ev, "user_id",
+                   aggs=[F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")],
+                   merge_aggs=[F.sum("n").alias("n"), F.sum("s").alias("s")])
+
+    The salt is a deterministic hash of the full row, spreading one hot key
+    over `salt_buckets` reducers; the second shuffle moves only
+    buckets x distinct-keys partial rows.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    partial = df.withColumn("__salt", salt).groupBy(key, "__salt").agg(*aggs)
+    return partial.groupBy(key).agg(*merge_aggs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    num_buckets: int = 64,
+    sort_key: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist a bucketed (and optionally sorted) table so future equi-joins
+    and groupBys on `bucket_key` skip the shuffle entirely — both sides
+    co-located by bucket. The reference's repeated change-queries over the
+    same score matrix are the canonical win (SURVEY §4: pre-bucketing by cve
+    avoids re-shuffles across repeated quantizations)."""
+    writer = df.write.mode("overwrite").format("parquet")
+    if path:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(num_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    writer.saveAsTable(table)
+
+
+def repartition_for_window(df: DataFrame, key: str, partitions: int | None = None) -> DataFrame:
+    """Pre-shuffle on the window key so N chained window ops over the same
+    key reuse one exchange (Catalyst already collapses same-key windows;
+    this pins the layout across cache/checkpoint boundaries too)."""
+    return df.repartition(partitions, key) if partitions else df.repartition(key)

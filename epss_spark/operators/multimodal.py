@@ -76,7 +76,18 @@ def extract_features(
     Dedup-before-decode: payloads are grouped by content hash inside each
     batch so identical bytes decode once. decode_fn=None uses the
     deterministic fake (no media libs in this environment)."""
-    fn = decode_fn or _fake_decode
+    # bind the default decoder as a local lambda so the UDF closure pickles
+    # by value — workers then don't need this package on their PYTHONPATH
+    if decode_fn is None:
+        dim = 8
+
+        def decode_fn(payload: bytes) -> list[float]:
+            if not payload:
+                return [0.0] * dim
+            step = max(1, len(payload) // dim)
+            return [sum(payload[i : i + step]) / (255.0 * step) for i in range(0, step * dim, step)]
+
+    fn = decode_fn
 
     def _extract(batches: Iterator) -> Iterator:
         import hashlib

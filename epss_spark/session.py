@@ -29,6 +29,14 @@ def get_spark(app_name: str = "epss-spark", master: str | None = None) -> SparkS
       (required for cross-engine oracle parity).
     - Arrow on: vectorized toPandas / pandas_udf transfers.
     """
+    # Python workers (mapInPandas / applyInPandasWithState) unpickle
+    # functions that reference this package by module name; make sure the
+    # repo root is importable in workers regardless of the caller's cwd.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_root + (os.pathsep + existing if existing else "")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"

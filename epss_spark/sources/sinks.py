@@ -93,3 +93,26 @@ def merge(spark: SparkSession, src_glob: str, dst: str, schema=None, fmt: str | 
         writer.json(dst)
     else:
         raise ValueError(f"unsupported merge format {out_fmt!r}")
+
+
+def sort_file(spark: SparkSession, path: str, by: list[str], descending: bool = False, schema=None) -> None:
+    """File-level sort-in-place (reference epss/util.py:122-139): read ->
+    total order -> rewrite. Composite keys are one orderBy, not successive
+    single-key stable sorts (Polars semantics note, SURVEY §2.8)."""
+    import shutil
+    import tempfile
+
+    df = read_any(spark, path, schema=schema)
+    cols = [getattr(df[c], "desc" if descending else "asc")() for c in by]
+    fmt = infer_format(path)
+    tmp = tempfile.mkdtemp(prefix="sortfile_")
+    out = os.path.join(tmp, "out")
+    write_any(df.orderBy(*cols).coalesce(1), out, fmt)
+    shutil.rmtree(path, ignore_errors=True) if os.path.isdir(path) else os.remove(path)
+    shutil.move(out, path)
+
+
+def expand_path(path: str) -> str:
+    """Path expansion (reference epss/util.py:250-253): env vars + ~ +
+    realpath."""
+    return os.path.realpath(os.path.expanduser(os.path.expandvars(path)))
