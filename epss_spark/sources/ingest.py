@@ -77,3 +77,28 @@ def download_snapshots(
     dates = list(iter_dates(min_date, max_date))
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         return list(pool.map(lambda d: download_snapshot(workdir, d, fetch=fetch), dates))
+
+
+def resolve_max_date_http(timeout: float = 10.0) -> "dt.date":
+    """Live max-date discovery (reference epss/client.py:386-402): HEAD the
+    bare scores URL and regex the date out of the redirect Location header.
+    Network-touching — production callers inject this as EPSSClient's
+    max_date_resolver; tests and the correctness harness never call it."""
+    import re
+    import urllib.request
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, *args, **kwargs):
+            return None
+
+    opener = urllib.request.build_opener(_NoRedirect)
+    req = urllib.request.Request(f"{BASE_URL}/epss_scores-current.csv.gz", method="HEAD")
+    try:
+        opener.open(req, timeout=timeout)
+        location = ""
+    except urllib.error.HTTPError as e:  # 30x lands here with redirects disabled
+        location = e.headers.get("Location", "")
+    m = re.search(r"(\d{4}-\d{2}-\d{2})", location)
+    if not m:
+        raise ValueError(f"could not resolve max date from redirect {location!r}")
+    return dt.date.fromisoformat(m.group(1))
