@@ -1,0 +1,302 @@
+"""EPSS-domain roadmap queries + multimodal registry surface.
+
+The reference's declared-but-unbuilt scope (TODO.md:8-20 per-CVE summary /
+current score, TODO.md:33-34 trending detection, NOTES.md:15-31 daily volume
+stats) made first-class here over the driver's `events` table, with the
+standard domain mapping: user_id <-> cve, day(ts) <-> date, value <-> epss.
+The dense<->quantized inverse (reconstruction by forward-fill) closes the
+loop on the flagship kernel: quantize (operators/quantize.py::changed_scores)
+compresses, densify reconstructs, and the oracle proves both directions.
+
+Scale posture: every query here is one or two hash exchanges on
+high-cardinality keys (user_id, day); the reconstruction grid is
+keys x days with the tiny day list broadcast, so the big side never
+shuffles twice. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epss_spark.operators import multimodal
+from epss_spark.operators.quantize import changed_scores, densify
+from epss_spark.operators.similarity import cosine_pairs_blocked
+from epss_spark.queries_core import T, dec2
+from epss_spark.registry import register
+
+# Shared oracle CTE: daily snapshot = last value per (user, day), the same
+# construction as epss_quantize_daily (reference lifecycle epss/client.py:202-237).
+_DAILY_SQL = """
+    daily AS (
+      SELECT user_id, d, value FROM (
+        SELECT user_id, CAST(ts AS DATE) AS d, value,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+"""
+
+_DIFFED_SQL = """
+    diffed AS (
+      SELECT user_id, d, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY d) AS prev_value
+      FROM daily
+    )
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of _DAILY_SQL: latest event value per (user_id, day)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.to_date("ts").alias("d"), "value")
+    )
+
+
+@register(
+    "epss_current_scores",
+    f"""
+    WITH {_DAILY_SQL}
+    SELECT user_id, max(d) AS as_of, max_by(value, d) AS value
+    FROM daily GROUP BY user_id
+    """,
+)
+def epss_current_scores(spark, sf_dir):
+    # TODO.md:8 "current score per CVE": latest daily snapshot per key.
+    # max_by/min_by are exact picks (no float accumulation) -> hash-safe.
+    return _daily(spark, sf_dir).groupBy("user_id").agg(
+        F.max("d").alias("as_of"), F.max_by("value", "d").alias("value")
+    )
+
+
+@register(
+    "epss_summary",
+    f"""
+    WITH {_DAILY_SQL}
+    SELECT user_id,
+           COUNT(*) AS n_days,
+           MIN(d) AS first_date, MAX(d) AS last_date,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           min_by(value, d) AS first_val, max_by(value, d) AS last_val
+    FROM daily GROUP BY user_id
+    """,
+)
+def epss_summary(spark, sf_dir):
+    # TODO.md:8-13 per-key lifetime summary (first/last/min/max/count).
+    # All aggregates are picks or counts — no cross-engine float-sum drift.
+    return _daily(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("d").alias("first_date"),
+        F.max("d").alias("last_date"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min_by("value", "d").alias("first_val"),
+        F.max_by("value", "d").alias("last_val"),
+    )
+
+
+@register(
+    "epss_volume_stats",
+    f"""
+    WITH {_DAILY_SQL},
+    {_DIFFED_SQL},
+    q AS (
+      SELECT user_id, d FROM diffed
+      WHERE prev_value IS NULL OR value - prev_value <> 0
+    ),
+    chg AS (SELECT d, COUNT(*) AS n_changed FROM q GROUP BY d)
+    SELECT dy.d, dy.n_scores, dy.min_value, dy.max_value,
+           COALESCE(c.n_changed, 0) AS n_changed
+    FROM (SELECT d, COUNT(*) AS n_scores, MIN(value) AS min_value,
+                 MAX(value) AS max_value
+          FROM daily GROUP BY d) dy
+    LEFT JOIN chg c ON dy.d = c.d
+    """,
+)
+def epss_volume_stats(spark, sf_dir):
+    # NOTES.md:15-31 daily volume table: per-day score counts + change counts.
+    daily = _daily(spark, sf_dir)
+    per_day = daily.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_scores"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    chg = (
+        changed_scores(daily, key="user_id", time="d", value="value")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_changed"))
+    )
+    # the per-day aggregates are tiny (one row per day) — broadcast the join
+    return per_day.join(F.broadcast(chg), "d", "left").select(
+        "d", "n_scores", "min_value", "max_value",
+        F.coalesce("n_changed", F.lit(0)).alias("n_changed"),
+    )
+
+
+@register(
+    "epss_top_movers",
+    f"""
+    WITH {_DAILY_SQL},
+    {_DIFFED_SQL},
+    moves AS (
+      SELECT user_id, d, value, value - prev_value AS delta
+      FROM diffed WHERE prev_value IS NOT NULL AND value - prev_value <> 0
+    )
+    SELECT user_id, d, value, delta, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY d ORDER BY abs(delta) DESC, user_id) AS rk
+      FROM moves
+    ) WHERE rk <= 3
+    """,
+)
+def epss_top_movers(spark, sf_dir):
+    # TODO.md:33-34 trending detection: biggest per-day |delta|, top-3.
+    # delta is the same double subtraction on both engines -> bit-identical.
+    moves = changed_scores(
+        _daily(spark, sf_dir), key="user_id", time="d", value="value", keep_first=False
+    )
+    w = Window.partitionBy("d").orderBy(F.abs(F.col("delta")).desc(), F.col("user_id"))
+    return (
+        moves.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "d", "value", "delta", "rk")
+    )
+
+
+@register(
+    "epss_reconstruct_dense",
+    f"""
+    WITH {_DAILY_SQL},
+    {_DIFFED_SQL},
+    q AS (
+      SELECT user_id, d, value FROM diffed
+      WHERE prev_value IS NULL OR value - prev_value <> 0
+    ),
+    days AS (SELECT DISTINCT d FROM daily),
+    keys AS (SELECT DISTINCT user_id FROM q),
+    grid AS (SELECT k.user_id, dy.d FROM keys k CROSS JOIN days dy),
+    joined AS (
+      SELECT g.user_id, g.d, q.value
+      FROM grid g LEFT JOIN q ON g.user_id = q.user_id AND g.d = q.d
+    ),
+    filled AS (
+      SELECT user_id, d,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM joined
+    )
+    SELECT user_id, d, value FROM filled WHERE value IS NOT NULL
+    """,
+)
+def epss_reconstruct_dense(spark, sf_dir):
+    # The inverse of the flagship: quantize then forward-fill back to the
+    # dense per-(key, day) matrix (operators/quantize.py::densify). The
+    # oracle proves quantization is lossless over the observed day grid.
+    daily = _daily(spark, sf_dir)
+    quantized = changed_scores(daily, key="user_id", time="d", value="value").select(
+        "user_id", "d", "value"
+    )
+    return densify(quantized, daily.select("d"), key="user_id", time="d", value="value")
+
+
+@register(
+    "dedup_embedding",
+    """
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+             round(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+               6) AS cos
+      FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+    )
+    SELECT b_id AS dup_id, MIN(a_id) AS keep_id
+    FROM pairs WHERE cos >= 0.3 GROUP BY b_id
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    # Embedding-cosine near-dup with canonical-keep selection: any vector
+    # with a sufficiently-similar lower-id neighbor is a duplicate; the
+    # kept canonical is the smallest such neighbor. Blocked on `label`
+    # (at scale the block key comes from LSH bucketing).
+    emb = T(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_blocked(emb, block_col="label", threshold=0.3)
+    return pairs.groupBy(F.col("b_id").alias("dup_id")).agg(F.min("a_id").alias("keep_id"))
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    # A4 companion: pivot with an explicit value list (no extra pass to
+    # discover pivot keys; single shuffle, map-side partial aggregation).
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(dec2("l_quantity")).cast("double"))
+    )
+
+
+def _media(spark, sf_dir) -> DataFrame:
+    """Deterministic media table derived from `documents`: text bytes as the
+    opaque payload, kind cycling image/audio/video, duration from length."""
+    docs = T(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(kind, F.lit("/x-test")).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars").cast("bigint") * 10).alias("duration_ms"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+@register("multimodal_features")  # Arrow-batched decode stub — rows-only check
+def multimodal_features(spark, sf_dir):
+    # mapInPandas feature extraction with dedup-before-decode; the decode
+    # itself is the documented deterministic stub (no media libs here).
+    return multimodal.extract_features(_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_frames",
+    """
+    SELECT doc_id AS media_id, 'video/x-test' AS mime, frame_ms
+    FROM (
+      SELECT doc_id, n_chars,
+             unnest(generate_series(0, (n_chars * 10 // 1000) * 1000, 1000)) AS frame_ms
+      FROM documents
+    ) WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    # video frame-sampling plumbing: pure Catalyst sequence+explode, no decode
+    return multimodal.sample_frames(_media(spark, sf_dir), every_ms=1000)

@@ -41,6 +41,7 @@ def load_all() -> None:
     if _LOADED:
         return
     import epss_spark.queries_core  # noqa: F401
+    import epss_spark.queries_domain  # noqa: F401
     import epss_spark.queries_ext  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,67 @@
+"""Domain-query invariants beyond the DuckDB oracle gate: structural
+properties that must hold at any scale (the oracle pins values at sf0.01;
+these pin the semantics)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from epss_spark import queries_domain as qd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def daily(spark):
+    return qd._daily(spark, SF).cache()
+
+
+def test_daily_snapshot_is_one_row_per_user_day(spark, daily):
+    dup = daily.groupBy("user_id", "d").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+
+
+def test_reconstruction_matches_dense_daily(spark, daily):
+    """densify(quantize(daily)) == daily on every observed (user, day):
+    quantization is lossless (SURVEY §5.3 property, as a fixed test)."""
+    dense = qd.epss_reconstruct_dense(spark, SF)
+    joined = daily.alias("a").join(
+        dense.alias("b"), ["user_id", "d"], "inner"
+    )
+    assert joined.filter(F.col("a.value") != F.col("b.value")).count() == 0
+    # every daily observation is present in the reconstruction
+    assert daily.join(dense, ["user_id", "d"], "left_anti").count() == 0
+
+
+def test_volume_stats_totals(spark, daily):
+    vs = qd.epss_volume_stats(spark, SF)
+    row = vs.agg(
+        F.sum("n_scores").alias("n"), F.sum("n_changed").alias("c")
+    ).first()
+    assert row["n"] == daily.count()
+    # changed rows are a subset of all rows, and include each user's first day
+    n_users = daily.select("user_id").distinct().count()
+    assert n_users <= row["c"] <= row["n"]
+
+
+def test_top_movers_rank_bounds(spark):
+    tm = qd.epss_top_movers(spark, SF)
+    assert tm.filter((F.col("rk") < 1) | (F.col("rk") > 3)).count() == 0
+    assert tm.filter(F.col("delta") == 0).count() == 0
+
+
+def test_dedup_embedding_keeps_lower_id(spark):
+    out = qd.dedup_embedding(spark, SF)
+    assert out.filter(F.col("keep_id") >= F.col("dup_id")).count() == 0
+    # a kept canonical is never itself listed as a duplicate of something
+    # with an id >= it (keep_id is the minimum similar neighbor)
+    assert out.select("dup_id").distinct().count() == out.count()
+
+
+def test_multimodal_features_shape(spark):
+    out = qd.multimodal_features(spark, SF)
+    row = out.filter(F.col("n_bytes") > 0).first()
+    assert row is not None and len(row["features"]) == 8
+    # dedup-before-decode: identical payloads share a content hash
+    assert out.select("content_hash").distinct().count() <= out.count()
