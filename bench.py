@@ -72,13 +72,17 @@ def main() -> None:
     from epss_spark.operators.quantize import changed_scores
     from epss_spark.tables import load_table
 
-    reps = 16
+    # Replicate the events table 64x with shifted keys via ONE scan +
+    # explode (a 64-branch self-union re-reads the file 64 times and
+    # measures plan overhead, not the kernel). 6.4M rows is where the
+    # window's per-row cost dominates fixed job overhead on this machine.
+    reps = 64
     ev = load_table(spark, target, "events").select("event_id", "user_id", "ts", "value")
-    big = ev
-    for i in range(1, reps):
-        big = big.unionByName(
-            ev.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
-        )
+    big = (
+        ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .withColumn("user_id", F.col("user_id") + F.col("rep").cast("bigint") * 1_000_000)
+        .drop("rep")
+    )
     t0 = time.perf_counter()
     force(changed_scores(big, key="user_id", time="ts", value="value", tiebreak="event_id"))
     scaled_sec = time.perf_counter() - t0
@@ -86,8 +90,10 @@ def main() -> None:
     # The reference's own benchmark workload (BASELINE.md): quantize a dense
     # date-partitioned score matrix. Built once into .scratch (idempotent),
     # sized so fixed overhead amortizes: 40 days x 50k CVEs = 2M rows.
-    scores_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench_scores")
-    n_days, n_cves = 40, 50_000
+    n_days, n_cves = 100, 100_000
+    scores_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", f"bench_scores_{n_days}x{n_cves}"
+    )
     if not os.path.exists(os.path.join(scores_root, "_SUCCESS")):
         from pyspark.sql import functions as F
 
@@ -116,12 +122,13 @@ def main() -> None:
 
     from epss_spark.client import EPSSClient
 
-    client = EPSSClient(spark, scores_root, max_date_resolver=lambda: dt.date(2023, 4, 15))
+    hi = dt.date(2023, 3, 7) + dt.timedelta(days=n_days - 1)
+    client = EPSSClient(spark, scores_root, max_date_resolver=lambda: hi)
     t0 = time.perf_counter()
-    force(client.get_changed_scores("2023-03-08", "2023-04-15"))
+    force(client.get_changed_scores("2023-03-08", hi))
     epss_cold_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
-    force(client.get_changed_scores("2023-03-08", "2023-04-15"))
+    force(client.get_changed_scores("2023-03-08", hi))
     epss_sec = time.perf_counter() - t0  # steady state: I/O+JIT warmed
     epss_rows = n_days * n_cves
 

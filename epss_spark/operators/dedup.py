@@ -82,10 +82,12 @@ def minhash_signatures(
     num_hashes: int = 12,
     ex: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per doc: for permutation h, min(md5('h|' || shingle)).
+    """MinHash signature per doc: for permutation h, min(md5('h|' || shingle)),
+    plus the fused shingle-set size as `n_shingles`.
 
     Computed on the exploded (doc, shingle) set in ONE pass — num_hashes
-    min-aggregates over one shuffle, instead of num_hashes array traversals.
+    min-aggregates + the count over one shuffle, instead of num_hashes array
+    traversals and a separate sizing pass.
     md5-as-permutation keeps the signature engine-portable (oracle parity).
     Pass a pre-built (cached) `ex` to share the shingle scan across stages.
     """
@@ -95,6 +97,10 @@ def minhash_signatures(
         F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"sig_{h}")
         for h in range(num_hashes)
     ]
+    # fuse the shingle-set size into the same hash aggregation: callers that
+    # need |shingles(doc)| (Jaccard verification) get it for free instead of
+    # running a second groupBy over the exploded set
+    aggs.append(F.count(F.lit(1)).alias("n_shingles"))
     return ex.groupBy(id_col).agg(*aggs)
 
 
@@ -117,7 +123,7 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     ex_shared = _exploded_shingles(docs, id_col, text_col).persist()
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, ex=ex_shared)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, ex=ex_shared).persist()
     band_cols = [
         F.md5(
             F.concat(F.lit(f"{b}|"), *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
@@ -181,7 +187,9 @@ def minhash_lsh_pairs(
         ex_cand = ex.join(F.broadcast(cand_docs), id_col, "left_semi")
     else:
         ex_cand = ex
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    # shingle-set sizes come fused out of the signature aggregation — no
+    # second pass over the exploded set
+    sizes = sig.select(id_col, F.col("n_shingles").alias("n"))
     a = ex_cand.select(F.col(id_col).alias("a_id"), "sh")
     b = ex_cand.select(F.col(id_col).alias("b_id"), "sh")
     inter = (
