@@ -1,0 +1,119 @@
+"""Physical-plan assertions — pin the execution properties the engine is
+designed around, so a regression that silently de-optimizes a plan (lost
+pushdown, broadcast turned shuffle, sort not replaced by top-k) fails CI
+even though results stay correct. These are the properties that decide
+whether a plan survives a 100x scale-up.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from epss_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    registry.load_all()
+
+
+def plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    # F1: range predicates must appear as PushedFilters on the parquet scan
+    p = plan(spark, "filter_range")
+    assert "PushedFilters:" in p
+    assert "GreaterThanOrEqual(l_discount" in p or "GreaterThanOrEqual(l_quantity" in p
+
+
+def test_projection_prunes_columns(spark):
+    # P1: a 3-column projection must not read the other 5 customer columns
+    p = plan(spark, "project_select")
+    assert "ReadSchema" in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_address" not in read_schema and "c_comment" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    # §2.5: all dimension sides broadcast — the fact table never shuffles
+    # before aggregation
+    p = plan(spark, "join_multi")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_plans_take_ordered(spark):
+    # O5: orderBy().limit() must plan as TakeOrderedAndProject, not a
+    # global sort
+    p = plan(spark, "topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_quantization_is_single_window_exchange(spark):
+    # W1 flagship: exactly one hash-partition exchange (the window key);
+    # rangepartitioning exchanges would mean an unwanted global sort
+    p = plan(spark, "window_lag_diff")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_whole_stage_codegen_covers_hot_path(spark):
+    # the flagship pipeline must stay inside JVM codegen (no Python
+    # row-at-a-time evaluation anywhere in the plan). AQE only reports
+    # codegen spans on the finalized plan, so execute first.
+    df = registry.QUERIES["window_lag_diff"](spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert re.search(r"\*\(\d+\)", p)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_partition_pruning_on_date_partitioned_scores(spark, tmp_path):
+    # S8/F4: a date-window predicate over a date=-partitioned dataset must
+    # prune partitions at planning time, not filter post-scan
+    import datetime as dt
+
+    from epss_spark.client import EPSSClient
+
+    root = str(tmp_path / "scores")
+    (
+        spark.range(100)
+        .select(
+            F.concat(F.lit("CVE-2024-"), F.col("id")).alias("cve"),
+            (F.col("id") / 100).cast("double").alias("epss"),
+            F.lit(0.5).alias("percentile"),
+        )
+        .crossJoin(
+            spark.createDataFrame(
+                [(dt.date(2023, 3, 7) + dt.timedelta(days=i),) for i in range(10)], "date date"
+            )
+        )
+        .write.partitionBy("date")
+        .parquet(root)
+    )
+    client = EPSSClient(spark, root, max_date_resolver=lambda: dt.date(2023, 3, 16))
+    df = client.get_scores_by_date("2023-03-10")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p
+    # exactly one of the ten date partitions survives pruning
+    files = df._jdf.queryExecution().executedPlan().toString()
+    assert "date#" in files  # partition column materialized from the path
+
+
+def test_rlike_not_pushed_but_scan_still_pruned(spark):
+    # F3: rlike evaluates post-scan (expected), but column pruning must
+    # still hold on the scan under it
+    p = plan(spark, "filter_rlike")
+    assert "rlike" in p.lower()
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_comment" not in read_schema
