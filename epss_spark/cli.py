@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_range_flags(s)
     s.add_argument("--scores-path", required=True, help="date-partitioned parquet root")
     s.add_argument("--cve-id", action="append", dest="cve_ids")
+    s.add_argument(
+        "--cve-id-file",
+        help="file of CVE ids, one per line, blank lines skipped (F6)",
+    )
     s.add_argument("--min-epss", type=float)
     s.add_argument("--max-epss", type=float)
     s.add_argument("--min-percentile", type=float)
@@ -75,8 +79,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("epss-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
     client = EPSSClient(spark, args.scores_path, version=args.version)
+    ids = list(args.cve_ids or [])
+    if args.cve_id_file:
+        from epss_spark.functions.iters import iter_nonblank_lines
+
+        ids.extend(iter_nonblank_lines(args.cve_id_file))
     query = Query(
-        ids=tuple(args.cve_ids) if args.cve_ids else None,
+        ids=tuple(ids) if ids else None,
         min_value=args.min_epss,
         max_value=args.max_epss,
         min_percentile=args.min_percentile,

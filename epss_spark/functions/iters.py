@@ -27,6 +27,20 @@ def iter_pairwise(iterable: Iterable[T]) -> Iterator[tuple[T, T]]:
     return zip(a, b)
 
 
+def iter_nonblank_lines(path: str) -> Iterator[str]:
+    """Stripped, non-blank lines of a text file — the reference's id-list
+    reader semantics (reference epss/util.py:377-382, SURVEY §2.4 F6).
+
+    Used by the CLI's --cve-id-file flag; stays a driver helper because a
+    watch-list is bounded input, not a dataset.
+    """
+    with open(path) as f:
+        for line in f:
+            stripped = line.strip()
+            if stripped:
+                yield stripped
+
+
 def iter_chunks(iterable: Iterable[T], chunk_size: int) -> Iterator[list[T]]:
     """Fixed-size chunks, last one ragged (reference epss/util.py:360-374).
 

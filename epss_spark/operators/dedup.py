@@ -39,8 +39,10 @@ def exact_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from epss_spark.operators.layout import ensure_parallelism
+
     return (
-        with_shingles(docs, id_col, text_col)
+        with_shingles(ensure_parallelism(docs), id_col, text_col)
         .select(id_col, F.explode("shingles").alias("sh"))
         .distinct()
     )
@@ -218,7 +220,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     Stays fully JVM-side: explode tokens -> one hash per token -> `bits`
     conditional-sum aggregates -> recombine. One shuffle on doc_id.
     """
-    tok = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    from epss_spark.operators.layout import ensure_parallelism
+
+    tok = ensure_parallelism(docs).select(id_col, F.explode(tokens(text_col)).alias("tok"))
     h = F.xxhash64("tok")
     bit_aggs = [
         F.sum(

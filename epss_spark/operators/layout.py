@@ -13,6 +13,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than cores —
+    the small-file trap: a CPU-heavy projection (regex normalization,
+    shingling, hashing) over a single small parquet split runs on one task
+    no matter how many executors exist. At real scale a 100 TB scan has
+    thousands of splits and this is a no-op; the guard means we never pay
+    a shuffle that isn't buying parallelism.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    # getNumPartitions is plan metadata — no job is triggered
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def salted_agg(
     df: DataFrame,
     key: str,

@@ -19,3 +19,11 @@ def test_pairwise():
 def test_chunks():
     assert list(iter_chunks(range(7), 3)) == [[0, 1, 2], [3, 4, 5], [6]]
     assert list(iter_chunks(range(6), 3)) == [[0, 1, 2], [3, 4, 5]]
+
+
+def test_iter_nonblank_lines(tmp_path):
+    from epss_spark.functions.iters import iter_nonblank_lines
+
+    p = tmp_path / "ids.txt"
+    p.write_text("CVE-2021-1\n\n  CVE-2021-2  \n\t\nCVE-2021-3")
+    assert list(iter_nonblank_lines(str(p))) == ["CVE-2021-1", "CVE-2021-2", "CVE-2021-3"]
