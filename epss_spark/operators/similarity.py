@@ -134,3 +134,90 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+def _centroid_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by squared L2 distance. Plan-time
+    constant centroids -> pure codegen expressions; argmin via array_min
+    over (distance, index) structs (struct ordering is field-order)."""
+    dists = []
+    for i, cent in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        diff = F.zip_with(vec, c, lambda a, b: a.cast("double") - b)
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*dists))["i"]
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_lists: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: seeded KMeans over the corpus (or a sample
+    at scale). The centroid table is a tiny model that lives on the driver
+    and compiles into the assignment expression."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: candidates are inverted-list-partitioned by
+    nearest centroid; each query probes its n_probe nearest lists only.
+
+    Scale story: the candidate side is written partitioned/bucketed by
+    `list_id` once, so a query scans n_probe/n_lists of the corpus; the
+    probe join is an equi-join on list_id with the (tiny) query side
+    broadcast. With n_probe == n_lists this degrades gracefully to exact
+    brute force — pinned as the parity oracle in tests/test_queries_domain.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(candidates, n_lists, seed, vec_col)
+
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        _centroid_assign(F.col(vec_col), centroids).alias("list_id"),
+    )
+    # per-query probe lists: n_probe nearest centroids, exploded to rows
+    dists = []
+    for i, cent in enumerate(centroids):
+        cc = F.array(*[F.lit(float(x)) for x in cent])
+        diff = F.zip_with(F.col(vec_col), cc, lambda a, b: a.cast("double") - b)
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    probe = F.slice(F.array_sort(F.array(*dists)), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(F.transform(probe, lambda s: s["i"])).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )

@@ -254,3 +254,33 @@ def ann_lsh_bucketed(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(queries, emb, k=5, n_planes=8, seed=42)
+
+
+@register("ann_ivf")  # seeded-KMeans coarse quantizer — rows-only; exact-parity
+def ann_ivf(spark, sf_dir):  # at n_probe=n_lists pinned in tests/test_queries_domain.py
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(queries, emb, k=5, n_lists=8, n_probe=2, seed=42)
+
+
+@register(
+    "text_tokens_bpe",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_tokens_bpe(spark, sf_dir):
+    # token counting two ways: whitespace split and a BPE-ish pre-tokenizer
+    # regex (letter runs / digit runs / single punctuation), both pure
+    # codegen expressions over the scan
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).alias("n_bpe_tokens"),
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("n_ws_tokens"),
+    )

@@ -43,6 +43,7 @@ def test_registry_consistency():
         "text_winnow_fingerprint",
         "dedup_simhash",
         "ann_lsh_bucketed",
+        "ann_ivf",
         "multimodal_features",
     }
 

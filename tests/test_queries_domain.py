@@ -65,3 +65,33 @@ def test_multimodal_features_shape(spark):
     assert row is not None and len(row["features"]) == 8
     # dedup-before-decode: identical payloads share a content hash
     assert out.select("content_hash").distinct().count() <= out.count()
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """IVF with n_probe == n_lists degrades to exact search — the built-in
+    parity oracle for the approximate path (every candidate is in exactly
+    one inverted list, so probing all lists scans each candidate once)."""
+    from epss_spark.operators import similarity
+    from epss_spark.queries_core import T
+
+    emb = T(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    ivf_full = similarity.ivf_topk(queries, emb, k=5, n_lists=4, n_probe=4, seed=42)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, ivf_full.collect()))
+
+
+def test_ivf_partial_probe_recall(spark):
+    """n_probe=2 of 4 lists must still recover most true neighbors on
+    clustered data (label-clustered embeddings -> lists align with labels)."""
+    from epss_spark.operators import similarity
+    from epss_spark.queries_core import T
+
+    emb = T(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.cand_id) for r in similarity.cosine_topk(queries, emb, k=5).collect()}
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in similarity.ivf_topk(queries, emb, k=5, n_lists=4, n_probe=2, seed=42).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
