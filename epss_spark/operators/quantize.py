@@ -100,18 +100,28 @@ def densify(
     per-(key, time) matrix. `dates` is a one-column DataFrame of the target
     time points (e.g. from F.sequence+explode).
 
-    Plan: keys × dates (broadcast the small dates side) left-join the change
-    events, then last_value(ignoreNulls) over an unbounded-preceding window.
+    Plan: keys × dates (broadcast the small dates side) UNIONed with the
+    change events, then one last_value(ignoreNulls) window per key — change
+    rows sort immediately before their grid row at the same time point, so
+    the fill sees them without any join. One hash exchange on `key` over
+    the dense side, versus a composite-key join shuffle + a window shuffle
+    for the join formulation — at scale the dense grid dominates, so the
+    saved shuffle is the whole game.
     Used by the property tests: densify(quantize(x)) == x.
     """
     time_points = dates.select(F.col(dates.columns[0]).alias(time)).distinct()
     keys = quantized.select(key).distinct()
-    grid = keys.join(F.broadcast(time_points))
-    joined = grid.join(quantized.select(key, time, value), [key, time], "left")
+    grid = (
+        keys.join(F.broadcast(time_points))
+        .withColumn(value, F.lit(None).cast("double"))
+        .withColumn("__src", F.lit(1))
+    )
+    real = quantized.select(key, time, value).withColumn("__src", F.lit(0))
+    unioned = grid.unionByName(real)
     w = (
         Window.partitionBy(key)
-        .orderBy(time)
+        .orderBy(time, "__src")  # at equal time, the real row precedes its grid row
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = joined.withColumn(value, F.last(F.col(value), ignorenulls=True).over(w))
-    return filled.filter(F.col(value).isNotNull())
+    filled = unioned.withColumn(value, F.last(F.col(value), ignorenulls=True).over(w))
+    return filled.filter((F.col("__src") == 1) & F.col(value).isNotNull()).drop("__src")
