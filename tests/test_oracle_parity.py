@@ -1,0 +1,61 @@
+"""Oracle-differential coverage for queries NOT on the driver surface.
+
+The driver's CORRECTNESS artifact caps at 50 entries, so the registry
+(epss_spark/registry.py:DRIVER_SURFACE) hands the driver a curated 50-query
+surface. Every demoted query is a near-duplicate of a surfaced sibling, but
+it still gets the exact same rows + columns + order-insensitive value check
+here, at sf0.001, against its DuckDB oracle — so a regression in any of the
+15 demoted operators fails CI even though the driver never sees them.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from check_oracles import compare, duck_con  # noqa: E402
+
+from epss_spark import registry  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def demoted_names():
+    allq = registry.get_all_queries()
+    surfaced = registry.get_queries()
+    return sorted(set(allq) - set(surfaced))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_con(SF_DIR)
+    yield con
+    con.close()
+
+
+def test_surface_is_exactly_50():
+    assert len(registry.get_queries()) == 50
+    # and ordered as declared, so the driver's first-50 cut takes all of it
+    assert list(registry.get_queries()) == list(registry.DRIVER_SURFACE)
+
+
+def test_every_demoted_query_has_an_oracle():
+    oracles = registry.get_all_oracles()
+    missing = [n for n in demoted_names() if n not in oracles]
+    assert not missing, f"demoted queries without oracle coverage: {missing}"
+
+
+@pytest.mark.parametrize("name", demoted_names())
+def test_demoted_query_matches_oracle(name, spark, duck):
+    fn = registry.get_all_queries()[name]
+    sql = registry.get_all_oracles()[name]
+    spark_pdf = fn(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(sql).fetchdf()
+    problems = compare(name, spark_pdf, duck_pdf)
+    assert not problems, f"{name}: {problems}"
