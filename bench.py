@@ -102,7 +102,7 @@ def main() -> None:
     # sized so fixed overhead amortizes: 40 days x 50k CVEs = 2M rows.
     n_days, n_cves = 100, 100_000
     scores_root = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".scratch", f"bench_scores_{n_days}x{n_cves}"
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", f"bench_scores_{n_days}x{n_cves}_1fpd"
     )
     if not os.path.exists(os.path.join(scores_root, "_SUCCESS")):
         from pyspark.sql import functions as F
@@ -125,7 +125,11 @@ def main() -> None:
             .withColumn("percentile", F.lit(0.5))
             .select("date", "cve", "epss", "percentile")
         )
-        dense.write.mode("overwrite").partitionBy("date").parquet(scores_root)
+        # one file per day (reference layout: 328 daily files, NOTES.md:38);
+        # without the repartition each of 32 write tasks emits a sliver into
+        # every date dir -> 3200 tiny files and a scan dominated by footer
+        # reads instead of row decoding
+        dense.repartition("date").write.mode("overwrite").partitionBy("date").parquet(scores_root)
         open(os.path.join(scores_root, "_SUCCESS"), "a").close()
 
     import datetime as dt
@@ -134,12 +138,27 @@ def main() -> None:
 
     hi = dt.date(2023, 3, 7) + dt.timedelta(days=n_days - 1)
     client = EPSSClient(spark, scores_root, max_date_resolver=lambda: hi)
+    # Parity workload: the reference's ~10s measures "load 328 parquet files
+    # + drop unchanged" ONLY (reference NOTES.md:39) — no final sort, no
+    # console render. sort=False is that exact workload.
     t0 = time.perf_counter()
-    force(client.get_changed_scores("2023-03-08", hi))
+    force(client.get_changed_scores("2023-03-08", hi, sort=False))
     epss_cold_sec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    force(client.get_changed_scores("2023-03-08", hi))
-    epss_sec = time.perf_counter() - t0  # steady state: I/O+JIT warmed
+    epss_sec = None
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        force(client.get_changed_scores("2023-03-08", hi, sort=False))
+        s = time.perf_counter() - t0  # steady state: I/O+JIT warmed
+        epss_sec = s if epss_sec is None else min(epss_sec, s)
+    # Full pipeline including the canonical (date asc, cve desc) output sort.
+    epss_full_sec = None
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        force(client.get_changed_scores("2023-03-08", hi))
+        s = time.perf_counter() - t0
+        epss_full_sec = s if epss_full_sec is None else min(epss_full_sec, s)
     epss_rows = n_days * n_cves
 
     total = round(sum(timings.values()), 4)
@@ -161,6 +180,10 @@ def main() -> None:
                 "epss_pipeline_cold_sec": round(epss_cold_sec, 4),
                 "epss_pipeline_sec": round(epss_sec, 4),
                 "epss_pipeline_rows_per_sec": round(epss_rows / epss_sec) if epss_sec else None,
+                "epss_pipeline_full_sec": round(epss_full_sec, 4),
+                "epss_pipeline_full_rows_per_sec": round(epss_rows / epss_full_sec)
+                if epss_full_sec
+                else None,
             }
         )
     )

@@ -60,6 +60,7 @@ class EPSSClient:
         self.scores_path = scores_path
         self.version = version
         self.max_date_resolver = max_date_resolver
+        self._persisted: DataFrame | None = None
 
     def _scan(self) -> DataFrame:
         return self.spark.read.parquet(self.scores_path)
@@ -70,12 +71,20 @@ class EPSSClient:
         max_date: TIME | None = None,
         query: Query | None = None,
         drop_unchanged: bool = False,
+        sort: bool = True,
     ) -> DataFrame:
         """The composite query (reference: epss/client.py:202-237) as one
         lazy plan. With drop_unchanged, scans one extra day BEFORE min_date
         for real first-day deltas (intended semantics per reference
         TODO.md:3; the reference's +1day at epss/client.py:212-214 is a
-        sign bug — divergence pinned in tests/test_client.py)."""
+        sign bug — divergence pinned in tests/test_client.py).
+
+        ``sort=False`` skips the canonical console ordering (date asc, cve
+        desc): callers writing a partitioned dataset don't want a global
+        range-sort exchange, and the reference's own quantization benchmark
+        (NOTES.md:39) measures load + diff only. The unsorted path also
+        needs no intermediate persist (that exists solely so the sort's
+        range-partitioner sampling pass doesn't re-execute the window)."""
         lo, hi = get_date_range(self.version, min_date, max_date, self.max_date_resolver)
         df = self._scan()
         if drop_unchanged:
@@ -86,16 +95,34 @@ class EPSSClient:
         if query is not None:
             out = apply_query(out, query)
         out = out.select("date", "cve", "epss", "percentile")
+        if not sort:
+            return out
         if drop_unchanged:
             # The global sort below range-partitions, and its sampling pass
             # would re-execute the whole scan+window pipeline a second time.
             # The quantized result is ~100x smaller than the input
             # (reference NOTES.md:38) — persist it so sampling and the sort
             # read the materialized change events, not the raw matrix.
+            # One persisted frame is held per client (intra-query reuse, not
+            # a cross-call cache): the previous one is released here so a
+            # long-lived session doesn't accumulate stale cached plans.
+            self.unpersist()
             out = out.persist()
+            self._persisted = out
         # canonical column order (reference: epss/client.py:264) + canonical
         # sort: date asc, cve desc (reference: epss/client.py:235-236)
         return out.orderBy(F.col("date").asc(), F.col("cve").desc())
+
+    def unpersist(self) -> None:
+        """Release the cached quantized frame from the last drop_unchanged
+        query (safe to call any time; results already computed stay valid,
+        later recomputation just loses the cache)."""
+        if self._persisted is not None:
+            self._persisted.unpersist()
+            self._persisted = None
+
+    def close(self) -> None:
+        self.unpersist()
 
     def get_scores_by_date(self, date: TIME, query: Query | None = None) -> DataFrame:
         """Single-snapshot path (reference: epss/client.py:239-268): one
@@ -113,6 +140,7 @@ class EPSSClient:
         min_date: TIME | None = None,
         max_date: TIME | None = None,
         query: Query | None = None,
+        sort: bool = True,
     ) -> DataFrame:
         """Quantized view (reference: epss/client.py:453-475)."""
-        return self.get_scores(min_date, max_date, query, drop_unchanged=True)
+        return self.get_scores(min_date, max_date, query, drop_unchanged=True, sort=sort)

@@ -45,11 +45,15 @@ def get_spark(app_name: str = "epss-spark", master: str | None = None) -> SparkS
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # size-based coalescing instead of parallelism-first: small shuffles
-        # collapse to few tasks (kills tiny-task scheduling overhead), large
-        # shuffles still split by the advisory byte size — same config is
-        # right at sf0.001 and at 100 TB.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelism-first coalescing: shuffles coalesce down to the
+        # cluster's parallelism floor, never below it. Size-based coalescing
+        # (parallelismFirst=false, advisory 32m) measured 2-5x slower on the
+        # flagship window at bench scale: a 10M-row shuffle compresses to
+        # ~100MB and collapsed to ~4 tasks, idling 28 of 32 cores in the
+        # CPU-bound window sort. minPartitionSize=1m still merges the truly
+        # tiny sf0.001 shuffles; at 100 TB the advisory size governs because
+        # shuffle bytes vastly exceed parallelism x 32m.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -73,7 +77,7 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
     return spark
