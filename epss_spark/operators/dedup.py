@@ -41,10 +41,19 @@ def exact_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from epss_spark.operators.layout import ensure_parallelism
 
+    # explode_outer, NOT explode: plain explode makes the optimizer infer a
+    # `size(shingles) > 0 AND isnotnull(shingles)` filter and push it below
+    # the repartition exchange — with the whole normalize/tokenize/zip_with
+    # tree inlined, re-evaluating ~8 copies of the regex pipeline on the
+    # single pre-shuffle task (measured 5x the cost of the explode itself).
+    # Shingle arrays are never null/empty by construction, so the cheap
+    # post-Generate null filter is a semantic no-op. No distinct() either:
+    # with_shingles already array_distinct's per doc, so (id, sh) pairs are
+    # unique by construction — a dedup exchange here would buy nothing.
     return (
         with_shingles(ensure_parallelism(docs), id_col, text_col)
-        .select(id_col, F.explode("shingles").alias("sh"))
-        .distinct()
+        .select(id_col, F.explode_outer("shingles").alias("sh"))
+        .where(F.col("sh").isNotNull())
     )
 
 
@@ -77,33 +86,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc distinct shingle ARRAYS: (id, shingles). The array form keeps
+    minhash/verification shuffle-free — signatures become per-row
+    array_min(transform(...)) projections and pairwise Jaccard becomes
+    size(array_intersect(...)), with no exploded self-join."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    return with_shingles(ensure_parallelism(docs), id_col, text_col)
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 12,
-    ex: DataFrame | None = None,
+    shmap: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: for permutation h, min(md5('h|' || shingle)),
-    plus the fused shingle-set size as `n_shingles`.
+    plus the shingle-set size as `n_shingles`.
 
-    Computed on the exploded (doc, shingle) set in ONE pass — num_hashes
-    min-aggregates + the count over one shuffle, instead of num_hashes array
-    traversals and a separate sizing pass.
-    md5-as-permutation keeps the signature engine-portable (oracle parity).
-    Pass a pre-built (cached) `ex` to share the shingle scan across stages.
+    A pure per-row projection over the shingle arrays — array_min over
+    transform — with NO shuffle at all (the previous formulation exploded
+    shingles and ran a num_hashes-way min groupBy; the grouping exchange was
+    pure overhead since every shingle of a doc is already in its row).
+    md5-as-permutation keeps the signature engine-portable (oracle parity:
+    DuckDB list_aggregate(list_transform(...), 'min')).
+
+    Pass a persisted `shmap` (from shingle_arrays) to share the normalized
+    shingle scan with verification AND to put a materialization barrier
+    before the num_hashes transforms — without it, projection collapsing
+    inlines num_hashes copies of the regex/shingle tree.
     """
-    if ex is None:
-        ex = _exploded_shingles(docs, id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"sig_{h}")
+    if shmap is None:
+        shmap = shingle_arrays(docs, id_col, text_col).persist()
+    sig_cols = [
+        F.array_min(
+            F.transform("shingles", lambda s, h=h: F.md5(F.concat(F.lit(f"{h}|"), s)))
+        ).alias(f"sig_{h}")
         for h in range(num_hashes)
     ]
-    # fuse the shingle-set size into the same hash aggregation: callers that
-    # need |shingles(doc)| (Jaccard verification) get it for free instead of
-    # running a second groupBy over the exploded set
-    aggs.append(F.count(F.lit(1)).alias("n_shingles"))
-    return ex.groupBy(id_col).agg(*aggs)
+    return shmap.select(id_col, *sig_cols, F.size("shingles").alias("n_shingles"))
 
 
 def minhash_lsh_pairs(
@@ -124,8 +147,13 @@ def minhash_lsh_pairs(
     scan and six at 100 TB.
     """
     rows = num_hashes // bands
-    ex_shared = _exploded_shingles(docs, id_col, text_col).persist()
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, ex=ex_shared).persist()
+    # ONE materialized artifact feeds everything: per-doc shingle arrays.
+    # Signatures project off it row-wise (no groupBy), verification
+    # array_intersects it pair-wise (no exploded self-join). The persist is
+    # also the barrier that stops projection collapsing from inlining
+    # num_hashes copies of the normalize/shingle tree into the signatures.
+    shmap = shingle_arrays(docs, id_col, text_col).persist()
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shmap=shmap)
     band_cols = [
         F.md5(
             F.concat(F.lit(f"{b}|"), *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
@@ -133,17 +161,24 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(id_col, *band_cols)
-    melted = banded.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("band_key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select(id_col, F.col("e.b").alias("b"), F.col("e.band_key").alias("band_key"))
+    melted = (
+        banded.select(
+            id_col,
+            # explode_outer: avoids the optimizer's inferred size/notnull
+            # Generate filter, which would duplicate the 4 band-md5
+            # expressions (see _exploded_shingles). Never null here.
+            F.explode_outer(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("band_key"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .where(F.col("e").isNotNull())
+        .select(id_col, F.col("e.b").alias("b"), F.col("e.band_key").alias("band_key"))
+    )
     # Candidate pairs per bucket via groupBy + in-bucket pair expansion
     # (nested array transform) instead of a self-join: one shuffle on
     # band_key, no duplicate scan of the banded side. Bucket pair counts
@@ -163,54 +198,44 @@ def minhash_lsh_pairs(
         ),
         lambda p: p["a_id"] < p["b_id"],
     )
+    # explode_outer again: with plain explode the inferred Generate filter
+    # re-evaluates the nested pair-expansion transform (quadratic in bucket
+    # size) once more per bucket just to test non-emptiness.
+    # NO distinct() here: a pair agreeing in multiple bands appears up to
+    # `bands` times, but deduplicating ALL candidate pairs costs a full
+    # exchange of the candidate set. The duplicates ride through the final
+    # assembly (joins against aggregated inter/sizes are unaffected) and
+    # are dropped AFTER the threshold filter, where the survivor set is
+    # orders of magnitude smaller than the candidate set.
     cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
+        buckets.select(F.explode_outer(pair_structs).alias("p"))
+        .where(F.col("p").isNotNull())
         .select("p.a_id", "p.b_id")
-        .distinct()
     )
-    if prune_verification:
-        # candidates feed both the doc-pruning broadcast and the final
-        # assembly — persist so the banding pipeline runs once, not twice
-        cand = cand.persist()
 
-    # verify candidates with exact Jaccard over the (shared) shingle sets.
-    # Prune the verification self-join to candidate documents first: the
-    # LSH banding already shrank the pair space, so intersections only need
-    # computing among docs that appear in some candidate pair — at scale
-    # this is the difference between a corpus-wide shingle self-join and a
-    # join over a few thousand near-dup suspects.
-    ex = ex_shared
-    if prune_verification:
-        cand_docs = (
-            cand.select(F.col("a_id").alias(id_col))
-            .unionByName(cand.select(F.col("b_id").alias(id_col)))
-            .distinct()
-        )
-        ex_cand = ex.join(F.broadcast(cand_docs), id_col, "left_semi")
-    else:
-        ex_cand = ex
-    # shingle-set sizes come fused out of the signature aggregation — no
-    # second pass over the exploded set
-    sizes = sig.select(id_col, F.col("n_shingles").alias("n"))
-    a = ex_cand.select(F.col(id_col).alias("a_id"), "sh")
-    b = ex_cand.select(F.col(id_col).alias("b_id"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # Verify candidates with exact Jaccard via array_intersect on the
+    # per-doc shingle arrays: join each pair to its two arrays (equi-joins
+    # on unique doc ids — broadcast when small, sort-merge at scale), then
+    # a codegen size(array_intersect) per pair. This replaces the previous
+    # corpus-wide shingle-equality self-join + count groupBy: verification
+    # cost is now O(candidate pairs x shingles/doc) with zero quadratic
+    # bucket terms, and only candidate docs are ever joined (the equi-join
+    # IS the pruning that prune_verification used to do via a semi-join).
+    del prune_verification  # retained in the signature for API stability
+    a_sh = shmap.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("__a_sh"))
+    b_sh = shmap.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("__b_sh"))
+    inter = F.size(F.array_intersect("__a_sh", "__b_sh"))
+    jac = inter.cast("double") / (F.size("__a_sh") + F.size("__b_sh") - inter)
     return (
-        cand.join(inter, ["a_id", "b_id"], "left")
-        .join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
-        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        cand.join(a_sh, "a_id")
+        .join(b_sh, "b_id")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
+        # band-duplicate candidates collapse here, post-filter (tiny set);
+        # jaccard is identical per pair so this is deterministic. No
+        # candidate-wide distinct() exchange anywhere in the plan.
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 
@@ -222,7 +247,13 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     """
     from epss_spark.operators.layout import ensure_parallelism
 
-    tok = ensure_parallelism(docs).select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    # explode_outer + null filter: keeps the optimizer from inferring a
+    # pre-exchange Generate filter that re-runs the tokenize regex twice
+    tok = (
+        ensure_parallelism(docs)
+        .select(id_col, F.explode_outer(tokens(text_col)).alias("tok"))
+        .where(F.col("tok").isNotNull())
+    )
     h = F.xxhash64("tok")
     bit_aggs = [
         F.sum(
