@@ -44,9 +44,22 @@ def asof_join(
 
     # Right rows sort before left rows at equal time (__is_left asc) so an
     # exactly-simultaneous right row is visible to the left row (>= semantics).
+    # The __r_* value columns complete the order: with multiple right rows at
+    # the same (key, time), the forward-fill takes the last row of the
+    # ascending value sort (i.e. the maximum), the same on every run and
+    # partitioning — without them the pick would be partition order, i.e.
+    # nondeterministic. Map-typed columns are unorderable in Spark and are
+    # left out (ties then resolve on the orderable columns only).
+    from pyspark.sql.types import MapType
+
+    tiebreaks = [
+        F.col(f"__r_{c}").asc()
+        for c in right_values
+        if not isinstance(r_tag.schema[f"__r_{c}"].dataType, MapType)
+    ]
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), *tiebreaks)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned

@@ -27,8 +27,14 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def test_normalize():
-    pass  # normalization is pinned via the oracle sweep (text_fingerprint)
+def test_normalize(spark):
+    rows = [(0, "  Hello,   WORLD!! 42  "), (1, "déjà-vu"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n for r in df.select("doc_id", text.normalize("text").alias("n")).collect()}
+    assert got[0] == "hello world 42"  # lower, punct stripped, spaces squeezed
+    assert got[1] == "d j vu"  # non-ascii -> space (normalization is [a-z0-9] only)
+    assert got[2] == ""
+    assert got[3] is None
 
 
 def test_exact_groups(docs):
@@ -104,3 +110,34 @@ def test_asof_join_semantics(spark):
     assert got["a"] == 100.0  # equal timestamps included (>= semantics)
     assert got["b"] == 150.0  # latest at-or-before
     assert got["c"] is None  # nothing at-or-before -> null
+
+
+def test_asof_join_tie_determinism(spark):
+    """Multiple right rows at the same (key, time): the docstring promises
+    the last row of an ascending value sort (the max), on every run and
+    partitioning. Cross-checked against DuckDB ASOF JOIN on the equivalent
+    tie-resolved (max per (key, time)) right side."""
+    left = spark.createDataFrame([(1, 10, "a"), (1, 30, "b")], "k long, t long, tag string")
+    dup_rows = [(1, 10, v) for v in (70.0, 300.0, 150.0, 20.0)] + [(1, 25, 999.0)]
+    expected = {"a": 300.0, "b": 999.0}  # max of the t=10 ties; lone row at t=25
+
+    for nparts in (1, 3, 7):
+        right = spark.createDataFrame(dup_rows, "k long, t long, v double").repartition(nparts)
+        out = asof_join(left, right, key="k", left_time="t", right_values=["v"])
+        got = {r.tag: r.v for r in out.collect()}
+        assert got == expected, f"nondeterministic tie at {nparts} partitions: {got}"
+
+    import duckdb
+
+    con = duckdb.connect()
+    oracle = con.execute(
+        """
+        WITH l(k, t, tag) AS (VALUES (1, 10, 'a'), (1, 30, 'b')),
+             r_raw(k, t, v) AS (VALUES (1, 10, 70.0), (1, 10, 300.0),
+                                       (1, 10, 150.0), (1, 10, 20.0), (1, 25, 999.0)),
+             r AS (SELECT k, t, max(v) AS v FROM r_raw GROUP BY k, t)
+        SELECT l.tag, r.v FROM l ASOF LEFT JOIN r
+          ON l.k = r.k AND l.t >= r.t
+        """
+    ).fetchall()
+    assert {tag: v for tag, v in oracle} == expected
