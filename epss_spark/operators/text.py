@@ -117,6 +117,28 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(id_col, F.md5(normalize(text_col)).alias("fp"))
 
 
+def winnow_reference(s: str, k: int = 5, window: int = 4, base: int = 257, mod: int = (1 << 61) - 1):
+    """Pure-Python winnowing of ONE string — the executable semantic spec
+    for winnow_fingerprints (tests assert the vectorized kernel matches it
+    value-for-value). Returns sorted (pos, fp) pairs."""
+    if s is None or len(s) < k:
+        return []
+    h, power, hashes = 0, pow(base, k - 1, mod), []
+    for i, ch in enumerate(s):
+        h = (h * base + ord(ch)) % mod
+        if i >= k:
+            h = (h - ord(s[i - k]) * power * base) % mod
+        if i >= k - 1:
+            hashes.append(h)
+    picked: dict[int, int] = {}
+    for w0 in range(0, max(0, len(hashes) - window + 1)):
+        win = hashes[w0 : w0 + window]
+        m = min(win)
+        pos = w0 + max(i for i, v in enumerate(win) if v == m)
+        picked[pos] = m
+    return sorted(picked.items())
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -129,9 +151,21 @@ def winnow_fingerprints(
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     polynomial rolling hash over character k-grams of the normalized text,
     then the rightmost-minimum hash of each sliding window of `window`
-    hashes. Arrow-batched mapInPandas — the per-row loop is pure numpy-free
-    Python but runs per Arrow batch, partition-parallel, no shuffle.
+    hashes. Arrow-batched mapInPandas, no shuffle.
+
+    The kernel is numpy-vectorized at BATCH granularity: every document in
+    an Arrow batch is concatenated into one codepoint array, the k-gram
+    hashes are computed with Mersenne-61 modular arithmetic in uint64
+    vector ops, and window minima come from one sliding_window_view pass;
+    windows and k-grams that span a document boundary are masked out.
+    (The previous per-character Python loop was the engine's slowest
+    operator by orders of magnitude at scale.) Value-identical to
+    winnow_reference, pinned by tests.
     """
+    if mod != (1 << 61) - 1:
+        raise ValueError("vectorized winnowing is specialized to the Mersenne prime 2^61-1")
+    if not (2 <= base < 2**31):
+        raise ValueError("base must be in [2, 2^31) for overflow-free uint64 mulmod")
     schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -142,34 +176,80 @@ def winnow_fingerprints(
     norm_docs = docs.select(id_col, normalize(text_col).alias("__norm"))
 
     def _winnow(batches):
+        import numpy as np
         import pandas as pd
 
+        P = np.uint64(mod)
+        S61, S32, S29 = np.uint64(61), np.uint64(32), np.uint64(29)
+        M32, M29 = np.uint64(0xFFFFFFFF), np.uint64((1 << 29) - 1)
+        B = np.uint64(base)
+
+        def red(x):
+            # x < 2^64 -> x mod 2^61-1, exact (two folds + final subtract)
+            x = (x & P) + (x >> S61)
+            x = (x & P) + (x >> S61)
+            return np.where(x >= P, x - P, x)
+
+        def mulmod_base(h):
+            # h < p: h*base mod p without 128-bit ints. h = h1*2^32 + h0;
+            # h*b = (h1*b)*2^32 + h0*b; fold the *2^32 term through 2^61.
+            h1, h0 = h >> S32, h & M32
+            a = h1 * B  # < 2^61
+            c = h0 * B  # < 2^63
+            a1, a0 = a >> S29, a & M29
+            return red(a1 + (a0 << S32) + c)
+
+        empty = pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"), "pos": pd.Series([], dtype="int64"),
+             "fp": pd.Series([], dtype="int64")}
+        )
         for pdf in batches:
-            out_ids, out_pos, out_fp = [], [], []
-            for doc_id, s in zip(pdf[id_col], pdf["__norm"]):
-                if s is None or len(s) < k:
-                    continue
-                # rolling k-gram hashes
-                h = 0
-                power = pow(base, k - 1, mod)
-                hashes = []
-                for i, ch in enumerate(s):
-                    h = (h * base + ord(ch)) % mod
-                    if i >= k:
-                        h = (h - ord(s[i - k]) * power * base) % mod
-                    if i >= k - 1:
-                        hashes.append(h)
-                # winnow: rightmost min per window, dedup consecutive picks
-                picked: dict[int, int] = {}
-                for w0 in range(0, max(0, len(hashes) - window + 1)):
-                    win = hashes[w0 : w0 + window]
-                    m = min(win)
-                    pos = w0 + max(i for i, v in enumerate(win) if v == m)
-                    picked[pos] = m
-                for pos, fp in sorted(picked.items()):
-                    out_ids.append(doc_id)
-                    out_pos.append(pos)
-                    out_fp.append(fp)
-            yield pd.DataFrame({id_col: out_ids, "pos": out_pos, "fp": out_fp})
+            texts = pdf["__norm"].fillna("").tolist()
+            ids = pdf[id_col].to_numpy()
+            if not texts:
+                yield empty
+                continue
+            lens = np.array([len(s) for s in texts], dtype=np.int64)
+            joined = "".join(texts)
+            n = len(joined)
+            if n < k:
+                yield empty
+                continue
+            codes = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            docidx = np.repeat(np.arange(len(texts)), lens)
+
+            # k-gram hash at char position g: poly hash of codes[g:g+k]
+            nh = n - k + 1
+            h = codes[0:nh].copy()
+            for m in range(1, k):
+                h = red(mulmod_base(h) + codes[m : nh + m])
+            # hash validity: k-gram must not cross a document boundary
+            hv = docidx[0:nh] == docidx[k - 1 : n]
+
+            nw = nh - window + 1
+            if nw <= 0:
+                yield empty
+                continue
+            W = np.lib.stride_tricks.sliding_window_view(h, window)
+            mins = W.min(axis=1)
+            # rightmost occurrence of the min within each window
+            idx = window - 1 - np.argmax(W[:, ::-1] == mins[:, None], axis=1)
+            # window validity: first and last hash in the same doc (hash
+            # validity is contiguous per doc, so the middle follows)
+            wv = hv[0:nw] & hv[window - 1 : nh] & (docidx[0:nw] == docidx[window - 1 : nh])
+            pos_g = (np.arange(nw) + idx)[wv]
+            if pos_g.size == 0:
+                yield empty
+                continue
+            pos_g = np.unique(pos_g)  # dedup repicked positions, sorted
+            d = docidx[pos_g]
+            yield pd.DataFrame(
+                {
+                    id_col: ids[d],
+                    "pos": (pos_g - starts[d]).astype("int64"),
+                    "fp": h[pos_g].astype("int64"),
+                }
+            )
 
     return norm_docs.mapInPandas(_winnow, schema=schema)

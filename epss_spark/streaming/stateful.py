@@ -61,6 +61,14 @@ def streaming_changed_values(events: DataFrame) -> DataFrame:
         # Rows inside a micro-batch are processed in event-time order; the
         # cross-batch contract holds as long as the source replays in order
         # per key (true for date-partitioned snapshot drops).
+        #
+        # Within a chunk the change test is vectorized (shift/compare over
+        # numpy arrays): only the chunk BOUNDARY carries scalar state.
+        # "Changed" is a consecutive comparison, so after sorting, row i
+        # changes iff v[i] != v[i-1] (with the state's last value standing
+        # in at i=0) — the running last-emitted value always equals the
+        # last-seen value, so no sequential dependency survives.
+        import numpy as np
         import pandas as _pd
 
         (user_id,) = key
@@ -68,27 +76,40 @@ def streaming_changed_values(events: DataFrame) -> DataFrame:
             last_ts, last_value = state.get
         else:
             last_ts, last_value = None, None
+        has_state = last_value is not None
 
-        out_ts, out_val, out_prev = [], [], []
+        outs = []
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values(["ts", "event_id"] if "event_id" in pdf else ["ts"])
-            for ts, value in zip(pdf["ts"], pdf["value"]):
-                if last_value is None or value != last_value:
-                    out_ts.append(ts)
-                    out_val.append(value)
-                    out_prev.append(last_value)
-                    last_value = value
-                last_ts = int(_pd.Timestamp(ts).value // 1000)
+            v = pdf["value"].to_numpy()
+            n = len(v)
+            mask = np.empty(n, dtype=bool)
+            np.not_equal(v[1:], v[:-1], out=mask[1:])
+            # NaN semantics match the scalar spec: NaN != anything is True
+            mask[0] = (not has_state) or bool(v[0] != last_value)
+            prev = np.empty(n, dtype=object)
+            prev[1:] = v[:-1]
+            prev[0] = last_value if has_state else None
+            keep = np.flatnonzero(mask)
+            if keep.size:
+                sub = pdf.iloc[keep]
+                outs.append(
+                    _pd.DataFrame(
+                        {
+                            "user_id": np.full(keep.size, user_id, dtype="int64"),
+                            "ts": sub["ts"].to_numpy(),
+                            "value": sub["value"].to_numpy(),
+                            "prev_value": _pd.Series(prev[keep], dtype="float64"),
+                        }
+                    )
+                )
+            last_value = float(v[-1])
+            has_state = True
+            last_ts = int(_pd.Timestamp(pdf["ts"].iloc[-1]).value // 1000)
         state.update((last_ts, last_value))
-        if out_ts:
-            yield _pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(out_ts),
-                    "ts": out_ts,
-                    "value": out_val,
-                    "prev_value": out_prev,
-                }
-            )
+        yield from outs
 
     return (
         events.withWatermark("ts", "1 day")

@@ -71,6 +71,38 @@ def test_simhash_identical_docs_same_fp(spark, docs):
     assert ham <= 8
 
 
+def test_winnow_matches_pure_python_reference(spark):
+    """The numpy kernel must be value-identical to the scalar spec,
+    including boundary cases: doc shorter than k, doc with hashes but no
+    full window, empty/None text, and multi-doc batches (no cross-doc
+    contamination of k-grams or windows)."""
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "abcd"),  # len < k=5 -> no rows
+        (2, "abcdefg"),  # 3 hashes < window=4 -> no rows
+        (3, ""),
+        (4, None),
+        (5, "aaaaaaaaaaaaaaa"),  # all-equal hashes: rightmost-min ties
+        (6, "zyxwvutsrqponmlkjihgfedcba 0123456789 repeated zyxwvutsrqponmlkjihgfedcba"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in text.winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, []).append((r.pos, r.fp))
+    for d in got:
+        got[d].sort()
+    expected = {}
+    for doc_id, t in texts:
+        # the operator winnows NORMALIZED text; mirror that here
+        norm = df.filter(F.col("doc_id") == doc_id).select(
+            text.normalize("text").alias("n")
+        ).first().n
+        ref = text.winnow_reference(norm)
+        if ref:
+            expected[doc_id] = ref
+    assert got == expected
+
+
 def test_winnow_shared_fingerprints(spark, docs):
     out = text.winnow_fingerprints(docs).groupBy("doc_id").agg(
         F.collect_set("fp").alias("fps")
