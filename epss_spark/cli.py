@@ -6,6 +6,8 @@ this environment), same shape.
 Usage:
     python -m epss_spark.cli scores --scores-path PATH [-a DATE] [-b DATE]
         [--cve-id ID ...] [--min-epss X] [--drop-unchanged] [--output-format F]
+        [--download --workdir DIR]
+    python -m epss_spark.cli ingest --workdir DIR --scores-path PATH -a DATE -b DATE
     python -m epss_spark.cli urls [-a DATE] [-b DATE]
     python -m epss_spark.cli date-range [--version v3]
 """
@@ -20,7 +22,8 @@ from epss_spark.client import EPSSClient, get_date_range
 from epss_spark.functions.scalars import parse_date
 from epss_spark.plans.query import Query
 from epss_spark.session import get_spark
-from epss_spark.sources.ingest import iter_dates, snapshot_url
+from epss_spark.sources.ingest import download_snapshots, iter_dates, snapshot_url
+from epss_spark.sources.readers import date_partitioned_write, read_snapshots
 from epss_spark.sources.sinks import render_console, write_any
 
 
@@ -52,6 +55,22 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument(
         "--output-format", default="table", choices=["table", "json", "jsonl", "csv"]
     )
+    s.add_argument(
+        "--download",
+        action="store_true",
+        help="download snapshots into the dataset instead of querying "
+        "(reference epss/cli.py:90-103)",
+    )
+    s.add_argument("--workdir", help="raw snapshot dir for --download")
+
+    i = sub.add_parser(
+        "ingest",
+        help="fetch raw daily snapshots and build/extend the date-partitioned "
+        "parquet dataset (reference download path epss/client.py:126-194)",
+    )
+    _add_range_flags(i)
+    i.add_argument("--workdir", required=True, help="raw snapshot download dir")
+    i.add_argument("--scores-path", required=True, help="date-partitioned parquet root")
 
     u = sub.add_parser("urls", help="print snapshot URLs (reference epss/cli.py:117-139)")
     _add_range_flags(u)
@@ -73,6 +92,27 @@ def main(argv: list[str] | None = None) -> int:
         lo, hi = get_date_range(args.version, args.min_date, args.max_date)
         for d in iter_dates(lo, hi):
             print(snapshot_url(d))
+        return 0
+
+    if args.command == "ingest" or (args.command == "scores" and args.download):
+        if not args.workdir:
+            print("--download requires --workdir", file=sys.stderr)
+            return 2
+        resolver = None
+        if args.max_date is None:
+            # live max-date discovery, exactly like the reference's HEAD probe
+            # (epss/client.py:386-402) — only on the explicit download path
+            from epss_spark.sources.ingest import resolve_max_date_http
+
+            resolver = resolve_max_date_http
+        lo, hi = get_date_range(args.version, args.min_date, args.max_date, resolver)
+        paths = download_snapshots(args.workdir, lo, hi)
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        df = read_snapshots(spark, paths)
+        # dynamic overwrite: re-ingesting a range replaces only those days
+        date_partitioned_write(df, args.scores_path, dynamic=True)
+        print(f"ingested {len(paths)} day(s) into {args.scores_path}")
         return 0
 
     # scores
@@ -101,7 +141,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.output_file:
         write_any(df, args.output_file)
     else:
-        render_console(df, fmt=args.output_format)
+        # full=True: the reference CLI prints the whole frame
+        # (set_tbl_rows(-1)); boundedness is the library default, the CLI
+        # keeps reference parity on explicit user action
+        render_console(df, fmt=args.output_format, full=True)
     return 0
 
 

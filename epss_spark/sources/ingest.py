@@ -45,18 +45,20 @@ def _default_fetch(url: str, dest: str) -> None:
 def download_snapshot(
     workdir: str,
     date: TIME,
-    fetch: Callable[[str, str], None] = _default_fetch,
+    fetch: Callable[[str, str], None] | None = None,
     decompress: bool = True,
 ) -> str:
     """Idempotent single-day download (reference: epss/client.py:163-194):
-    skip if the target file already exists."""
+    skip if the target file already exists. `fetch` resolves at call time
+    (None -> module-level _default_fetch) so tests can monkeypatch the
+    module attribute and exercise the full CLI path without network."""
     date = parse_date(date)
     os.makedirs(workdir, exist_ok=True)
     dest = os.path.join(workdir, f"epss_scores-{date.isoformat()}.csv")
     if os.path.exists(dest):
         return dest
     tmp = dest + ".gz"
-    fetch(snapshot_url(date), tmp)
+    (fetch or _default_fetch)(snapshot_url(date), tmp)
     if decompress:
         with gzip.open(tmp, "rb") as src, open(dest, "wb") as out:
             shutil.copyfileobj(src, out)
@@ -68,7 +70,7 @@ def download_snapshots(
     workdir: str,
     min_date: TIME,
     max_date: TIME,
-    fetch: Callable[[str, str], None] = _default_fetch,
+    fetch: Callable[[str, str], None] | None = None,
     max_workers: int = 8,
 ) -> list[str]:
     """Thread-pooled multi-date fetch (reference: epss/client.py:126-161).

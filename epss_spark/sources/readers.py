@@ -103,8 +103,18 @@ def read_snapshots(
     return df.select("date", "cve", F.col("epss").cast("double"), F.col("percentile").cast("double"))
 
 
-def date_partitioned_write(df: DataFrame, root: str, mode: str = "overwrite") -> None:
+def date_partitioned_write(
+    df: DataFrame, root: str, mode: str = "overwrite", dynamic: bool = False
+) -> None:
     """Persist the score table as Hive-style `date=`-partitioned Parquet —
     the physical layout that turns the reference's filename-driven file
-    enumeration (epss/util.py:320-335) into Catalyst partition pruning."""
-    df.write.mode(mode).partitionBy("date").parquet(root)
+    enumeration (epss/util.py:320-335) into Catalyst partition pruning.
+
+    ``dynamic=True``: overwrite only the partitions present in `df`
+    (incremental ingest — re-running a date range replaces those days and
+    leaves the rest of the dataset untouched, matching the reference's
+    idempotent per-day file drops)."""
+    writer = df.write.mode(mode).partitionBy("date")
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(root)

@@ -40,12 +40,29 @@ def write_excel(df: DataFrame, path: str, sheet_name: str = "data") -> None:
         ) from e
 
 
-def render_console(df: DataFrame, fmt: str = "table", n: int | None = None, file: IO | None = None) -> None:
-    """Console render modes (reference epss/cli.py:166-182): table shows the
-    full frame like the reference's set_tbl_rows(-1); json/jsonl/csv collect
-    to the driver with ISO dates (reference epss/json_encoder.py:5-9)."""
+DEFAULT_CONSOLE_ROWS = 1000
+
+
+def render_console(
+    df: DataFrame,
+    fmt: str = "table",
+    n: int | None = None,
+    file: IO | None = None,
+    full: bool = False,
+) -> None:
+    """Console render modes (reference epss/cli.py:166-182); json/jsonl/csv
+    collect to the driver with ISO dates (reference epss/json_encoder.py:5-9).
+
+    Bounded by default (DEFAULT_CONSOLE_ROWS) — an unbounded collect of an
+    arbitrary frame is a driver OOM waiting to happen. ``full=True`` opts
+    into the reference's whole-frame behavior (set_tbl_rows(-1)); the CLI
+    passes it for parity, a library caller must ask for it."""
     out = file or sys.stdout
+    if n is None and not full:
+        n = DEFAULT_CONSOLE_ROWS
     if fmt == "table":
+        # full=True needs the exact row count for show(); that is one extra
+        # job, paid only on explicit opt-in
         df.show(n=n if n is not None else df.count(), truncate=False)
         return
     rows = [r.asDict(recursive=True) for r in (df.limit(n) if n else df).collect()]
@@ -98,18 +115,38 @@ def merge(spark: SparkSession, src_glob: str, dst: str, schema=None, fmt: str | 
 def sort_file(spark: SparkSession, path: str, by: list[str], descending: bool = False, schema=None) -> None:
     """File-level sort-in-place (reference epss/util.py:122-139): read ->
     total order -> rewrite. Composite keys are one orderBy, not successive
-    single-key stable sorts (Polars semantics note, SURVEY §2.8)."""
+    single-key stable sorts (Polars semantics note, SURVEY §2.8).
+
+    Honors the reference's file-in/file-out contract: a plain input FILE is
+    replaced by a plain sorted file (the single part-file is moved out of
+    the Spark output dir), atomically via os.replace — the original is
+    never removed before its replacement is fully staged, so a failure
+    mid-way leaves the input intact."""
+    import glob as _glob
     import shutil
     import tempfile
 
     df = read_any(spark, path, schema=schema)
     cols = [getattr(df[c], "desc" if descending else "asc")() for c in by]
     fmt = infer_format(path)
-    tmp = tempfile.mkdtemp(prefix="sortfile_")
-    out = os.path.join(tmp, "out")
-    write_any(df.orderBy(*cols).coalesce(1), out, fmt)
-    shutil.rmtree(path, ignore_errors=True) if os.path.isdir(path) else os.remove(path)
-    shutil.move(out, path)
+    tmp = tempfile.mkdtemp(prefix="sortfile_", dir=os.path.dirname(os.path.abspath(path)) or ".")
+    try:
+        out = os.path.join(tmp, "out")
+        write_any(df.orderBy(*cols).coalesce(1), out, fmt)
+        if os.path.isdir(path):
+            # dataset-dir input: swap the whole directory, old dir last
+            old = os.path.join(tmp, "old")
+            os.rename(path, old)
+            shutil.move(out, path)
+        else:
+            parts = _glob.glob(os.path.join(out, "part-*"))
+            if len(parts) != 1:  # coalesce(1) guarantees this; fail safe
+                raise RuntimeError(f"expected one part file, found {parts}")
+            staged = os.path.join(tmp, "staged")
+            shutil.move(parts[0], staged)
+            os.replace(staged, path)  # atomic on POSIX; original intact until here
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def expand_path(path: str) -> str:

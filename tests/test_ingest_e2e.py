@@ -75,6 +75,55 @@ def test_ingest_to_quantized_query(spark, tmp_path):
     }
 
 
+def test_cli_ingest_then_quantized_scores(spark, tmp_path, monkeypatch, capsys):
+    """Full CLI bootstrap (reference epss/cli.py:90-103 --download parity):
+    `ingest` with a stubbed network builds the partitioned dataset, then
+    `scores --drop-unchanged` over it returns quantized rows."""
+    import epss_spark.cli as cli
+    import epss_spark.sources.ingest as ingest_mod
+
+    monkeypatch.setattr(ingest_mod, "_default_fetch", fake_fetch)
+    raw, root = str(tmp_path / "raw"), str(tmp_path / "scores")
+
+    rc = cli.main(
+        ["ingest", "--workdir", raw, "--scores-path", root,
+         "-a", "2023-03-07", "-b", "2023-03-09"]
+    )
+    assert rc == 0
+    assert "ingested 3 day(s)" in capsys.readouterr().out
+    assert sorted(d for d in os.listdir(root) if d.startswith("date=")) == [
+        "date=2023-03-07", "date=2023-03-08", "date=2023-03-09",
+    ]
+
+    # re-ingest one day: dynamic overwrite touches only that partition
+    rc = cli.main(
+        ["ingest", "--workdir", raw, "--scores-path", root,
+         "-a", "2023-03-08", "-b", "2023-03-08"]
+    )
+    assert rc == 0
+    assert sorted(d for d in os.listdir(root) if d.startswith("date=")) == [
+        "date=2023-03-07", "date=2023-03-08", "date=2023-03-09",
+    ]
+
+    rc = cli.main(
+        ["scores", "--scores-path", root, "-a", "2023-03-08", "-b", "2023-03-09",
+         "--drop-unchanged", "--output-format", "csv"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "2023-03-09,CVE-A,0.2" in out
+    assert "2023-03-08,CVE-B,0.95" in out
+    assert "CVE-A,0.1" not in out  # unchanged row quantized away
+
+    # scores --download is the same ingest path (reference parity flag)
+    rc = cli.main(
+        ["scores", "--scores-path", root, "--download", "--workdir", raw,
+         "-a", "2023-03-07", "-b", "2023-03-09"]
+    )
+    assert rc == 0
+    assert "ingested 3 day(s)" in capsys.readouterr().out
+
+
 def test_snapshot_url_pattern():
     assert (
         snapshot_url("2024-01-15")

@@ -55,6 +55,28 @@ def test_convert_and_merge(spark, tmp_path):
     assert spark.read.parquet(merged).count() == 10
 
 
+def test_sort_file_plain_file_contract(spark, tmp_path):
+    """Reference parity (epss/util.py:122-139): a plain FILE in means a
+    plain sorted FILE out at the same path — not a Spark part-dir."""
+    p = str(tmp_path / "data.csv")
+    with open(p, "w") as f:
+        f.write("id,v\n3,c\n1,a\n2,b\n")
+    sinks.sort_file(spark, p, by=["id"], descending=True, schema="id long, v string")
+    assert os.path.isfile(p)
+    lines = open(p).read().strip().splitlines()
+    assert lines[0] == "id,v" and [ln.split(",")[0] for ln in lines[1:]] == ["3", "2", "1"]
+
+
+def test_render_console_bounded_by_default(spark):
+    df = spark.range(3000).selectExpr("id", "id * 2 AS v")
+    buf = io.StringIO()
+    sinks.render_console(df, fmt="jsonl", file=buf)
+    assert len(buf.getvalue().strip().splitlines()) == sinks.DEFAULT_CONSOLE_ROWS
+    buf = io.StringIO()
+    sinks.render_console(df, fmt="jsonl", file=buf, full=True)
+    assert len(buf.getvalue().strip().splitlines()) == 3000
+
+
 # ---------------------------------------------------------------------------
 # snapshot scan: filename-date recovery + comment header skip
 # ---------------------------------------------------------------------------
