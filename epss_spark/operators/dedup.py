@@ -11,11 +11,11 @@ Scale design notes (the point of each algorithm, not just its output):
   map-side distinct. Quadratic only within identical-shingle groups; used as
   the verifier behind LSH candidates (and standalone at moderate scale).
 - simhash_groups: 1-shuffle near-dup clustering by a 32/64-bit majority-vote
-  fingerprint of token hashes (xxhash64 JVM-side).
+  fingerprint of token hashes.
 
-Hashes for the oracle-checked ops are md5 (identical across engines); simhash
-uses Spark's native xxhash64 (JVM-vectorized, no cross-engine twin — checked
-rows-only + by pytest golden fixtures).
+All hashes are md5-derived by default (bit-identical across engines, so
+every dedup op is oracle-checked); simhash also offers xxhash64
+(JVM-vectorized, engine-specific) as its scale mode.
 """
 
 from __future__ import annotations
@@ -239,11 +239,25 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """Per-doc SimHash fingerprint: majority vote over token xxhash64 bits.
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Per-doc SimHash fingerprint: majority vote over per-token hash bits.
 
     Stays fully JVM-side: explode tokens -> one hash per token -> `bits`
     conditional-sum aggregates -> recombine. One shuffle on doc_id.
+
+    hash_mode:
+    - "md5" (default): 60-bit int from the md5 hex prefix — identical in
+      every engine (DuckDB: CAST('0x'||substr(md5(t),1,15) AS BIGINT)),
+      so results are oracle-checkable bit-for-bit.
+    - "xxhash64": Spark's native vectorized hash — faster (no hex
+      round-trip), engine-specific; the scale mode when cross-engine
+      reproducibility isn't needed.
     """
     from epss_spark.operators.layout import ensure_parallelism
 
@@ -254,7 +268,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         .select(id_col, F.explode_outer(tokens(text_col)).alias("tok"))
         .where(F.col("tok").isNotNull())
     )
-    h = F.xxhash64("tok")
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    elif hash_mode == "xxhash64":
+        h = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     bit_aggs = [
         F.sum(
             F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -271,11 +290,15 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
 
 
 def simhash_groups(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Cluster docs by identical SimHash fingerprint (near-dup buckets)."""
     return (
-        simhash(docs, id_col, text_col, bits)
+        simhash(docs, id_col, text_col, bits, hash_mode=hash_mode)
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
     )

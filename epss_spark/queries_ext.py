@@ -191,7 +191,33 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
-@register("dedup_simhash")  # xxhash64-based simhash — engine-specific hash, rows-only check
+# SimHash majority-vote bit sums and fingerprint fold, generated per bit.
+# The token hash is a 60-bit int off the md5 hex prefix — identical in both
+# engines (Spark: conv(substr(md5,1,15),16,10); DuckDB: 0x-prefix CAST).
+_SIMHASH_BITS = 32
+_SIMHASH_BIT_SUMS = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_FOLD = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+    bits AS (SELECT doc_id,
+           {_SIMHASH_BIT_SUMS}
+    FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({_SIMHASH_FOLD} AS BIGINT) AS simhash FROM bits)
+    SELECT simhash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+    FROM fp GROUP BY simhash
+    """,
+)
 def dedup_simhash(spark, sf_dir):
     return dedup.simhash_groups(T(spark, sf_dir, "documents"), bits=32)
 
