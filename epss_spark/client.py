@@ -87,13 +87,20 @@ class EPSSClient:
         range-partitioner sampling pass doesn't re-execute the window)."""
         lo, hi = get_date_range(self.version, min_date, max_date, self.max_date_resolver)
         df = self._scan()
+        if query is not None:
+            # Predicates apply BEFORE quantization, matching the reference,
+            # which filters each day's snapshot and then diffs the survivors
+            # (epss/client.py:219-231 via filter_scores). The order matters
+            # for value/percentile bounds: with history 0.5, 0.5, 0.3, 0.5
+            # and min_value=0.4, the final 0.5 is UNCHANGED relative to the
+            # last surviving row and is dropped — filtering after the diff
+            # would emit it. Pinned by test_client.py::test_query_filters_before_diff.
+            df = apply_query(df, query)
         if drop_unchanged:
             out = quantize(df, key="cve", time="date", value="epss", min_time=lo, max_time=hi)
             out = out.drop("delta")
         else:
             out = df.filter((F.col("date") >= F.lit(lo)) & (F.col("date") <= F.lit(hi)))
-        if query is not None:
-            out = apply_query(out, query)
         out = out.select("date", "cve", "epss", "percentile")
         if not sort:
             return out

@@ -42,6 +42,16 @@ def changed_scores(
     Mirrors the reference's get_changed_scores (epss/client.py:453-475) as a
     single window plan. `tiebreak` adds a deterministic secondary sort key
     for time ties (the reference has none — daily data can't tie).
+
+    NULL policy (value is nullable in the score schema): a NULL-valued row
+    is dropped UNLESS it is the key's first in-range row — its delta is
+    NULL, failing `delta != 0`, but the first row passes the
+    first-observation branch regardless of value. lag() also yields NULL
+    for the row AFTER a NULL, so that row restarts as a first observation.
+    Net effect: x -> NULL -> x emits x twice and swallows the mid-stream
+    NULL; a key that STARTS with NULL emits that NULL row. The DuckDB
+    oracles encode the same condition, so this is pinned cross-engine;
+    also pinned by tests/test_quantize.py::test_null_value_policy.
     """
     order = [F.col(time).asc()]
     if tiebreak:

@@ -89,6 +89,31 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _derive_dim(df: DataFrame, vec_col: str, op: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row.d is None:
+        raise ValueError(f"{op}: cannot derive embedding dim (empty input); pass dim=")
+    return int(row.d)
+
+
+def _dim_guard(vec: Column, dim: int, op: str) -> Column:
+    """Adds 0 when `vec` has the expected length; raises AT EXECUTION on a
+    mismatch. Without this, zip_with against fixed-dim plane/centroid
+    constants null-pads, every dot product null-poisons, and the operator
+    silently degrades (e.g. all vectors landing in LSH bucket 0 = an
+    un-pruned brute-force join)."""
+    return F.when(
+        F.size(vec) != F.lit(dim),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: embedding dim "),
+                F.size(vec).cast("string"),
+                F.lit(f" != expected {dim}"),
+            )
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit i = (vec . plane_i >= 0). Plan-time constant
     planes — the dot products are codegen'd expressions, no UDF."""
@@ -107,21 +132,31 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     At scale the candidate side is bucketed/partitioned by `bucket`, so a
-    query touches 1/2^n_planes of the data."""
-    dim = 64
+    query touches 1/2^n_planes of the data.
+
+    `dim` defaults to the candidates' observed embedding length (one
+    first() probe); rows whose vectors differ from it raise at execution
+    instead of silently collapsing into one bucket (see _dim_guard)."""
+    if dim is None:
+        dim = _derive_dim(candidates, vec_col, "lsh_topk")
     planes = _hyperplanes(dim, n_planes, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        (lsh_bucket(F.col(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_topk")).alias(
+            "bucket"
+        ),
     )
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        (lsh_bucket(F.col(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_topk")).alias(
+            "bucket"
+        ),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -205,10 +240,14 @@ def ivf_topk(
         d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
         dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
     probe = F.slice(F.array_sort(F.array(*dists)), 1, n_probe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(F.transform(probe, lambda s: s["i"])).alias("list_id"),
+    dim = len(centroids[0])
+    q = (
+        queries.where(_dim_guard(F.col(vec_col), dim, "ivf_topk") == 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(F.transform(probe, lambda s: s["i"])).alias("list_id"),
+        )
     )
     scored = (
         c.join(F.broadcast(q), "list_id")

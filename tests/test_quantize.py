@@ -55,6 +55,32 @@ def test_changed_scores_golden(spark):
     }
 
 
+def test_null_value_policy(spark):
+    """Documented NULL semantics: mid-stream NULL-valued rows are dropped
+    (NULL delta fails `!= 0`) and the next row restarts as a first
+    observation — x -> NULL -> x emits x twice, not the NULL. A key whose
+    FIRST in-range row is NULL emits it (first-observation branch keeps
+    the first row regardless of value)."""
+    df = _scores(
+        spark,
+        [
+            (D(2024, 1, 1), "CVE-N", 0.3),
+            (D(2024, 1, 2), "CVE-N", None),
+            (D(2024, 1, 3), "CVE-N", 0.3),  # same value, but after a NULL gap
+            (D(2024, 1, 4), "CVE-N", 0.3),  # genuinely unchanged -> dropped
+            (D(2024, 1, 1), "CVE-O", None),  # starts with NULL
+            (D(2024, 1, 2), "CVE-O", 0.7),
+        ],
+    )
+    got = [(r.date, r.cve, r.epss) for r in changed_scores(df).orderBy("cve", "date").collect()]
+    assert got == [
+        (D(2024, 1, 1), "CVE-N", 0.3),
+        (D(2024, 1, 3), "CVE-N", 0.3),
+        (D(2024, 1, 1), "CVE-O", None),  # first-row NULL kept as first obs
+        (D(2024, 1, 2), "CVE-O", 0.7),
+    ]
+
+
 def test_quantize_first_day_prefetch(spark):
     """min_time scans one day earlier for diffing, then drops warm-up rows:
     a value unchanged across the boundary must NOT appear on min_date."""
