@@ -28,16 +28,99 @@ def write_json_array(df: DataFrame, path: str) -> None:
         json.dump(records, f, default=str)
 
 
+def _col_letter(i: int) -> str:
+    """0-based column index -> A1-style letters (0->A, 25->Z, 26->AA)."""
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def _write_xlsx_minimal(pdf, path: str, sheet_name: str) -> None:
+    """Single-sheet OOXML workbook with only the stdlib (zipfile + XML):
+    numbers as native cells, everything else as inline strings (dates
+    render as ISO strings, like the console JSON encoder). Covers the
+    reference's Excel sink without requiring openpyxl/xlsxwriter."""
+    import numbers
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell(r: int, c: int, v) -> str:
+        ref = f"{_col_letter(c)}{r + 1}"
+        if v is None or (isinstance(v, float) and v != v):
+            return f'<c r="{ref}"/>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, numbers.Number):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+    lines = ['<sheetData>']
+    lines.append(
+        "<row r=\"1\">" + "".join(cell(0, c, str(col)) for c, col in enumerate(pdf.columns)) + "</row>"
+    )
+    for r, (_, row) in enumerate(pdf.iterrows(), start=1):
+        lines.append(
+            f'<row r="{r + 1}">' + "".join(cell(r, c, v) for c, v in enumerate(row)) + "</row>"
+        )
+    lines.append("</sheetData>")
+    sheet_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(lines)
+        + "</worksheet>"
+    )
+    workbook_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" '
+        'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook_xml)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+
+
 def write_excel(df: DataFrame, path: str, sheet_name: str = "data") -> None:
-    """Excel workbook sink (reference README.md:285-290). Driver-side,
-    bounded results only; engine availability is environment-dependent."""
+    """Excel workbook sink (reference README.md:285-290; the reference ships
+    xlsxwriter). Driver-side, bounded results only. Uses pandas.to_excel
+    when an engine is installed, else falls back to the stdlib minimal
+    OOXML writer — the sink always works."""
     pdf = df.toPandas()
     try:
         pdf.to_excel(path, sheet_name=sheet_name, index=False)
-    except ImportError as e:  # no openpyxl/xlsxwriter in this environment
-        raise NotImplementedError(
-            "Excel output requires openpyxl or xlsxwriter; write CSV/JSON instead"
-        ) from e
+    except ImportError:  # no openpyxl/xlsxwriter in this environment
+        _write_xlsx_minimal(pdf, path, sheet_name)
 
 
 DEFAULT_CONSOLE_ROWS = 1000
@@ -93,6 +176,58 @@ def convert(spark: SparkSession, src: str, dst: str, schema=None) -> None:
         write_json_array(df, dst)
     else:
         write_any(df, dst)
+
+
+def convert_files_in_dir(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    out_format: str = "parquet",
+    schema=None,
+    max_workers: int = 4,
+) -> list[str]:
+    """Per-file format conversion preserving the one-file-per-day layout
+    (reference epss/util.py:69-119: convert every file in a dir, thread
+    pooled, skip-if-exists). Each output is a single plain file named after
+    its source with the extension swapped — external tools that expect the
+    daily-file layout keep working. For whole-dataset conversion (one
+    distributed read -> write) use `convert` instead."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    os.makedirs(dst_dir, exist_ok=True)
+    srcs = [f for f in sorted(os.listdir(src_dir)) if not f.startswith((".", "_"))]
+
+    def one(fname: str) -> str:
+        base = fname[:-3] if fname.endswith(".gz") else fname
+        stem = os.path.splitext(base)[0]
+        dst = os.path.join(dst_dir, f"{stem}.{out_format}")
+        if os.path.exists(dst):  # idempotent (reference epss/util.py:85-90)
+            return dst
+        df = read_any(spark, os.path.join(src_dir, fname), schema=schema)
+        if out_format == "json":
+            write_json_array(df, dst)
+            return dst
+        tmp = tempfile.mkdtemp(prefix="convdir_", dir=dst_dir)
+        try:
+            out = os.path.join(tmp, "out")
+            write_any(df.coalesce(1), out, out_format)
+            parts = _glob.glob(os.path.join(out, "part-*"))
+            if len(parts) != 1:
+                raise RuntimeError(f"expected one part file for {fname}, found {parts}")
+            staged = os.path.join(tmp, "staged")
+            shutil.move(parts[0], staged)
+            os.replace(staged, dst)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return dst
+
+    # driver-side thread pool issues concurrent small Spark jobs — the
+    # scheduler interleaves them; per-file data is one daily snapshot
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(one, srcs))
 
 
 def merge(spark: SparkSession, src_glob: str, dst: str, schema=None, fmt: str | None = None) -> None:

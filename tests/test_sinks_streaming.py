@@ -67,6 +67,50 @@ def test_sort_file_plain_file_contract(spark, tmp_path):
     assert lines[0] == "id,v" and [ln.split(",")[0] for ln in lines[1:]] == ["3", "2", "1"]
 
 
+def test_write_excel_stdlib_fallback(spark, tmp_path):
+    """No xlsx engine is installed here, so this exercises the stdlib OOXML
+    writer end-to-end: valid zip, expected parts, values present."""
+    import zipfile
+
+    df = spark.createDataFrame(
+        [(1, "a & b", 0.5, dt.date(2024, 1, 1)), (2, None, None, dt.date(2024, 1, 2))],
+        "id long, s string, v double, d date",
+    )
+    p = str(tmp_path / "out.xlsx")
+    sinks.write_excel(df.orderBy("id"), p)
+    with zipfile.ZipFile(p) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml", "xl/worksheets/sheet1.xml"} <= names
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "a &amp; b" in sheet  # XML escaping
+    assert "<v>0.5</v>" in sheet  # numeric cell
+    assert "2024-01-01" in sheet  # date as ISO inline string
+    assert '<c r="A1" t="inlineStr"><is><t>id</t></is></c>' in sheet  # header row
+
+
+def test_convert_files_in_dir_per_file_layout(spark, tmp_path):
+    """Reference epss/util.py:69-119 parity: one output file per input
+    file, names preserved with swapped extension, idempotent skip."""
+    src = tmp_path / "daily"
+    src.mkdir()
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        (src / f"epss_scores-{d}.csv").write_text(f"cve,epss\nCVE-1,0.5\nCVE-2,0.7\n")
+    dst = str(tmp_path / "parquet")
+    out = sinks.convert_files_in_dir(
+        spark, str(src), dst, "parquet", schema="cve string, epss double"
+    )
+    assert sorted(os.path.basename(p) for p in out) == [
+        "epss_scores-2024-01-01.parquet",
+        "epss_scores-2024-01-02.parquet",
+        "epss_scores-2024-01-03.parquet",
+    ]
+    assert all(os.path.isfile(p) for p in out)  # plain files, not part-dirs
+    assert spark.read.parquet(dst + "/*.parquet").count() == 6
+    mtimes = {p: os.path.getmtime(p) for p in out}
+    sinks.convert_files_in_dir(spark, str(src), dst, "parquet", schema="cve string, epss double")
+    assert {p: os.path.getmtime(p) for p in out} == mtimes  # skip-if-exists
+
+
 def test_render_console_bounded_by_default(spark):
     df = spark.range(3000).selectExpr("id", "id * 2 AS v")
     buf = io.StringIO()
