@@ -110,6 +110,39 @@ def test_partition_pruning_on_date_partitioned_scores(spark, tmp_path):
     assert "date#" in files  # partition column materialized from the path
 
 
+def test_minhash_has_no_pre_band_aggregation_exchange(spark):
+    """The array-form MinHash plan: signatures are per-row projections off
+    the shingle arrays, so the ONLY hash aggregations are the bucket
+    groupBy (+ the tiny post-threshold pair dedup) — a reappearing
+    signature groupBy or corpus-wide candidate distinct() would show up as
+    extra aggregate exchanges."""
+    p = plan(spark, "dedup_minhash")
+    # exchanges: ensure_parallelism round-robin, bucket groupBy, the two
+    # pair->shingle-array joins, final dedup. No exchange for signatures.
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # bucket agg + post-threshold pair dedup, partial+final = 4; the old
+    # formulation (signature groupBy + candidate distinct + inter groupBy
+    # + sizes) planned 10+
+    assert p.count("HashAggregate") <= 4
+    assert "array_min" in p  # signatures as per-row projections
+
+
+def test_simhash_single_aggregation_exchange(spark):
+    # 1 shuffle on doc_id for the bit sums + 1 for the fingerprint groupBy
+    p = plan(spark, "dedup_simhash")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in p
+
+
+def test_lsh_and_ivf_broadcast_query_side(spark):
+    # the probe side must broadcast; a shuffle join here would move the
+    # whole candidate corpus per query batch
+    for name in ("ann_lsh_bucketed", "ann_ivf", "ann_cosine_topk"):
+        p = plan(spark, name)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
 def test_rlike_not_pushed_but_scan_still_pruned(spark):
     # F3: rlike evaluates post-scan (expected), but column pruning must
     # still hold on the scan under it
