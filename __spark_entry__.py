@@ -38,7 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query; non-SQL-expressible ops
-    (seeded LSH, xxhash simhash, winnowing) are intentionally omitted and get
-    the driver's rows-only check."""
+    """DuckDB-runnable ANSI SQL twin for each query. Only two queries are
+    intentionally oracle-less: ann_ivf (MLlib KMeans coarse quantizer has no
+    SQL twin; exact-parity is pinned at n_probe=n_lists in pytest) and
+    multimodal_features (decode is a documented stub)."""
     return registry.get_oracles()

@@ -98,7 +98,39 @@ def text_fingerprint(spark, sf_dir):
     return text.fingerprint(T(spark, sf_dir, "documents")).select("doc_id", "fp")
 
 
-@register("text_winnow_fingerprint")  # rolling-hash winnowing — not SQL-expressible, rows-only
+# Winnowing IS SQL-expressible for k=5, base=257: every 5-gram polynomial
+# hash is < 2^57 (codepoint < 2^21 times 257^4 < 2^33, five terms), i.e.
+# below the 2^61-1 modulus — so the "rolling hash mod p" is just the plain
+# polynomial sum, computable positionally. Window picks = rightmost-min of
+# each 4-hash window; DISTINCT collapses repicked positions like the
+# kernel's dict does. 257^2=66049, 257^3=16974593, 257^4=4362470401.
+_WLEAST = "least(hs[w], hs[w+1], hs[w+2], hs[w+3])"
+
+
+@register(
+    "text_winnow_fingerprint",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+    ok AS (SELECT doc_id, s, length(s) AS L FROM n WHERE s IS NOT NULL AND length(s) >= 5),
+    h AS (SELECT doc_id, L - 4 AS nh,
+            list_transform(range(1, L - 3), i ->
+                unicode(substr(s, CAST(i AS INT), 1)) * 4362470401
+              + unicode(substr(s, CAST(i + 1 AS INT), 1)) * 16974593
+              + unicode(substr(s, CAST(i + 2 AS INT), 1)) * 66049
+              + unicode(substr(s, CAST(i + 3 AS INT), 1)) * 257
+              + unicode(substr(s, CAST(i + 4 AS INT), 1))) AS hs
+          FROM ok),
+    wins AS (SELECT doc_id, hs, unnest(range(1, nh - 2)) AS w FROM h WHERE nh >= 4),
+    picks AS (SELECT doc_id, {_WLEAST} AS fp,
+                w + (CASE WHEN hs[w+3] = {_WLEAST} THEN 3
+                          WHEN hs[w+2] = {_WLEAST} THEN 2
+                          WHEN hs[w+1] = {_WLEAST} THEN 1
+                          ELSE 0 END) AS pos1
+              FROM wins)
+    SELECT DISTINCT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+    FROM picks
+    """,
+)
 def text_winnow_fingerprint(spark, sf_dir):
     return text.winnow_fingerprints(T(spark, sf_dir, "documents"), k=5, window=4)
 
@@ -275,7 +307,36 @@ def ann_threshold(spark, sf_dir):
     return similarity.cosine_pairs_blocked(emb, block_col="label", threshold=0.4)
 
 
-@register("ann_lsh_bucketed")  # random-hyperplane LSH — seeded planes driver-side, rows-only
+# The hyperplanes are plan-time constants (seeded numpy, identical floats on
+# both engines), so the LSH oracle embeds the SAME plane literals and
+# reproduces bucket assignment + in-bucket top-k exactly. Sign flips from
+# summation-order float drift are astronomically unlikely (|dot| >> 1e-15)
+# and would fail loudly in the hash compare.
+_LSH_PLANES = similarity._hyperplanes(64, 8, 42)
+_BUCKET_TERMS = " + ".join(
+    "(CASE WHEN list_sum(list_transform(range(1, 65), "
+    f"j -> CAST(embedding[j] AS DOUBLE) * ([{', '.join(repr(float(x)) for x in p)}])[j]"
+    f")) >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_LSH_PLANES)
+)
+
+
+@register(
+    "ann_lsh_bucketed",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_BUCKET_TERMS} AS bucket FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) AS cos
+      FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, cand_id, cos, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
 def ann_lsh_bucketed(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)

@@ -38,14 +38,11 @@ def test_registry_consistency():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert len(qs) >= 50
     assert set(os_) <= set(qs)
-    # the intentionally oracle-less ops are the non-SQL-expressible ones
-    # (seeded hyperplanes/centroids, rolling-hash winnowing, decode stub)
-    assert set(qs) - set(os_) == {
-        "text_winnow_fingerprint",
-        "ann_lsh_bucketed",
-        "ann_ivf",
-        "multimodal_features",
-    }
+    # the intentionally oracle-less ops are the genuinely non-portable ones:
+    # ann_ivf's coarse quantizer is MLlib KMeans (no SQL twin; exact-parity
+    # pinned at n_probe=n_lists in tests instead) and multimodal_features'
+    # decode is a documented stub
+    assert set(qs) - set(os_) == {"ann_ivf", "multimodal_features"}
 
 
 @pytest.fixture(scope="module")
