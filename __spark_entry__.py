@@ -38,8 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query. Only two queries are
-    intentionally oracle-less: ann_ivf (MLlib KMeans coarse quantizer has no
-    SQL twin; exact-parity is pinned at n_probe=n_lists in pytest) and
-    multimodal_features (decode is a documented stub)."""
+    """DuckDB-runnable ANSI SQL twin for each query. Exactly one query is
+    intentionally oracle-less: multimodal_features, whose decode path is a
+    documented stub (no image/audio libs in this environment)."""
     return registry.get_oracles()

@@ -343,11 +343,63 @@ def ann_lsh_bucketed(spark, sf_dir):
     return similarity.lsh_topk(queries, emb, k=5, n_planes=8, seed=42)
 
 
-@register("ann_ivf")  # seeded-KMeans coarse quantizer — rows-only; exact-parity
-def ann_ivf(spark, sf_dir):  # at n_probe=n_lists pinned in tests/test_queries_domain.py
+# IVF with deterministic sampled-point coarse centers: the centroids are
+# the embeddings of 8 fixed vec_ids, so BOTH engines share them exactly and
+# the whole index (assignment argmin, probe ranking, in-list top-k) is
+# SQL-checkable. The KMeans-trained quantizer (train_ivf_centroids) remains
+# the library's scale path, pinned separately by tests/test_queries_domain
+# (exact parity at n_probe=n_lists + recall bound).
+_IVF_CENT_IDS = [0, 61, 122, 183, 244, 305, 366, 427]
+_IVF_CENT_VALUES = ", ".join(f"({i}, {cid})" for i, cid in enumerate(_IVF_CENT_IDS))
+_IVF_D2 = (
+    "list_sum(list_transform(range(1, 65), j -> "
+    "(CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE)) * "
+    "(CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))))"
+)
+
+
+@register(
+    "ann_ivf",
+    f"""
+    WITH cents AS (
+      SELECT t.i, e.embedding AS cv
+      FROM (VALUES {_IVF_CENT_VALUES}) t(i, cid)
+      JOIN embeddings e ON e.vec_id = t.cid
+    ),
+    asg AS (
+      SELECT cand_id, embedding, list_id FROM (
+        SELECT e.vec_id AS cand_id, e.embedding, c.i AS list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_D2}, c.i) AS arn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT e.vec_id AS query_id, e.embedding, c.i AS list_id,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_D2}, c.i) AS pr
+      FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, c.cand_id,
+             round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) AS cos
+      FROM (SELECT query_id, embedding, list_id FROM probes WHERE pr <= 2) q
+      JOIN (SELECT cand_id, embedding, list_id FROM asg) c
+        ON q.list_id = c.list_id AND q.query_id <> c.cand_id
+    )
+    SELECT query_id, cand_id, cos, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ann_ivf(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
+    by_id = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(_IVF_CENT_IDS)).collect()
+    }
+    centroids = [by_id[cid] for cid in _IVF_CENT_IDS]
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(queries, emb, k=5, n_lists=8, n_probe=2, seed=42)
+    return similarity.ivf_topk(queries, emb, k=5, n_lists=8, n_probe=2, centroids=centroids)
 
 
 @register(

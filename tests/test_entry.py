@@ -38,11 +38,9 @@ def test_registry_consistency():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert len(qs) >= 50
     assert set(os_) <= set(qs)
-    # the intentionally oracle-less ops are the genuinely non-portable ones:
-    # ann_ivf's coarse quantizer is MLlib KMeans (no SQL twin; exact-parity
-    # pinned at n_probe=n_lists in tests instead) and multimodal_features'
-    # decode is a documented stub
-    assert set(qs) - set(os_) == {"ann_ivf", "multimodal_features"}
+    # the single intentionally oracle-less op: multimodal_features, whose
+    # decode path is a documented stub (no image libs in the environment)
+    assert set(qs) - set(os_) == {"multimodal_features"}
 
 
 @pytest.fixture(scope="module")
