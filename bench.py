@@ -53,53 +53,10 @@ def main() -> None:
     for warm_q in ["topk", "window_lag_diff", "dedup_minhash", "ann_cosine_topk"]:
         force(registry.QUERIES[warm_q](spark, warm_sf))
 
-    # Three passes, keep the per-query minimum: single-run numbers on a
-    # shared machine carry ±20% scheduler noise, which would read as
-    # regressions/improvements that aren't there. The minimum is the
-    # engine's repeatable steady-state cost.
-    timings: dict[str, float] = {}
-    for _ in range(3):
-        # drop persisted frames between passes: Spark's CacheManager matches
-        # by logical plan, so a repeated query would silently reuse the
-        # previous pass's materialized intermediates and under-report cost
-        spark.catalog.clearCache()
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            force(registry.QUERIES[name](spark, target))
-            sec = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, sec), sec)
-
-    # flagship throughput: input rows consumed by the quantization kernel.
-    # Fixed job overhead (~0.3-0.5s local) dominates at 100k rows, so also
-    # measure a 16x-replicated input where throughput amortizes — the number
-    # that actually predicts cluster-scale behavior.
-    n_events = spark.read.parquet(os.path.join(target, "events.parquet")).count()
-    t0 = time.perf_counter()
-    force(registry.QUERIES["window_lag_diff"](spark, target))
-    steady = time.perf_counter() - t0
-
-    from pyspark.sql import functions as F
-    from epss_spark.operators.quantize import changed_scores
-    from epss_spark.tables import load_table
-
-    # Replicate the events table 64x with shifted keys via ONE scan +
-    # explode (a 64-branch self-union re-reads the file 64 times and
-    # measures plan overhead, not the kernel). 6.4M rows is where the
-    # window's per-row cost dominates fixed job overhead on this machine.
-    reps = 64
-    ev = load_table(spark, target, "events").select("event_id", "user_id", "ts", "value")
-    big = (
-        ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
-        .withColumn("user_id", F.col("user_id") + F.col("rep").cast("bigint") * 1_000_000)
-        .drop("rep")
-    )
-    t0 = time.perf_counter()
-    force(changed_scores(big, key="user_id", time="ts", value="value", tiebreak="event_id"))
-    scaled_sec = time.perf_counter() - t0
-
     # The reference's own benchmark workload (BASELINE.md): quantize a dense
-    # date-partitioned score matrix. Built once into .scratch (idempotent),
-    # sized so fixed overhead amortizes: 40 days x 50k CVEs = 2M rows.
+    # date-partitioned score matrix. Built once into .scratch (idempotent).
+    # Measured FIRST, on a quiet JVM — running it after the headline loop
+    # was worth ±25% of noise from accumulated shuffle files and GC debt.
     n_days, n_cves = 100, 100_000
     scores_root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scratch", f"bench_scores_{n_days}x{n_cves}_1fpd"
@@ -160,6 +117,51 @@ def main() -> None:
         s = time.perf_counter() - t0
         epss_full_sec = s if epss_full_sec is None else min(epss_full_sec, s)
     epss_rows = n_days * n_cves
+    client.unpersist()
+
+    # Three passes, keep the per-query minimum: single-run numbers on a
+    # shared machine carry ±20% scheduler noise, which would read as
+    # regressions/improvements that aren't there. The minimum is the
+    # engine's repeatable steady-state cost.
+    timings: dict[str, float] = {}
+    for _ in range(3):
+        # drop persisted frames between passes: Spark's CacheManager matches
+        # by logical plan, so a repeated query would silently reuse the
+        # previous pass's materialized intermediates and under-report cost
+        spark.catalog.clearCache()
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            force(registry.QUERIES[name](spark, target))
+            sec = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, sec), sec)
+
+    # flagship throughput: input rows consumed by the quantization kernel.
+    # Fixed job overhead (~0.3-0.5s local) dominates at 100k rows, so also
+    # measure a 16x-replicated input where throughput amortizes — the number
+    # that actually predicts cluster-scale behavior.
+    n_events = spark.read.parquet(os.path.join(target, "events.parquet")).count()
+    t0 = time.perf_counter()
+    force(registry.QUERIES["window_lag_diff"](spark, target))
+    steady = time.perf_counter() - t0
+
+    from pyspark.sql import functions as F
+    from epss_spark.operators.quantize import changed_scores
+    from epss_spark.tables import load_table
+
+    # Replicate the events table 64x with shifted keys via ONE scan +
+    # explode (a 64-branch self-union re-reads the file 64 times and
+    # measures plan overhead, not the kernel). 6.4M rows is where the
+    # window's per-row cost dominates fixed job overhead on this machine.
+    reps = 64
+    ev = load_table(spark, target, "events").select("event_id", "user_id", "ts", "value")
+    big = (
+        ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .withColumn("user_id", F.col("user_id") + F.col("rep").cast("bigint") * 1_000_000)
+        .drop("rep")
+    )
+    t0 = time.perf_counter()
+    force(changed_scores(big, key="user_id", time="ts", value="value", tiebreak="event_id"))
+    scaled_sec = time.perf_counter() - t0
 
     total = round(sum(timings.values()), 4)
     print(
