@@ -153,7 +153,14 @@ def main() -> None:
     # measures plan overhead, not the kernel). 6.4M rows is where the
     # window's per-row cost dominates fixed job overhead on this machine.
     reps = 64
-    ev = load_table(spark, target, "events").select("event_id", "user_id", "ts", "value")
+    # events.parquet is one split at this sf, so without a repartition the
+    # 64x explode generates 6.4M rows on ONE task before the window shuffle
+    # — measuring generation serialism, not the kernel (2.5s -> 1.3s).
+    ev = (
+        load_table(spark, target, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .repartition(32)
+    )
     big = (
         ev.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
         .withColumn("user_id", F.col("user_id") + F.col("rep").cast("bigint") * 1_000_000)
