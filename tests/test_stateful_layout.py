@@ -7,7 +7,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-from epss_spark.operators.layout import repartition_for_window, salted_agg
+from epss_spark.operators.layout import repartition_for_window, salted_agg, write_bucketed
 from epss_spark.operators.quantize import changed_scores
 from epss_spark.tables import load_table
 
@@ -77,6 +77,30 @@ def test_salted_agg_equals_plain_agg(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_write_bucketed_aggregation_skips_shuffle(spark, tmp_path):
+    """The bucketed-layout scale claim, verified on the physical plan: a
+    groupBy on the bucket key over a bucketed table plans with NO hash
+    exchange — the scan itself satisfies the required distribution. This
+    is what makes repeated per-cve quantizations shuffle-free at 100 TB."""
+    # k must be non-unique: on a provably-unique key Catalyst removes the
+    # aggregation shuffle outright and the unbucketed control is vacuous
+    df = spark.range(10_000).selectExpr("id % 50 AS k", "id % 7 AS v")
+    try:
+        write_bucketed(df, "bt_test", "k", num_buckets=8, sort_key="k", path=str(tmp_path / "bt"))
+        agg = spark.table("bt_test").groupBy("k").agg(F.sum("v").alias("s"))
+        assert agg.count() == 50
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        # and the unbucketed equivalent DOES shuffle (the test would be
+        # vacuous if the agg were exchange-free for other reasons) — AQE
+        # only materializes exchanges in the executed plan, so run it first
+        plain = df.groupBy("k").agg(F.sum("v").alias("s"))
+        plain.collect()
+        assert "Exchange hashpartitioning" in plain._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_test")
 
 
 def test_repartition_for_window_single_exchange(spark):
