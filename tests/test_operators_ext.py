@@ -103,6 +103,33 @@ def test_winnow_matches_pure_python_reference(spark):
     assert got == expected
 
 
+def test_winnow_fuzz_vs_reference(spark):
+    """Seeded random fuzz: 200 strings of varied length/alphabet (including
+    spaces, digits, boundary lengths around k and k+window-1) must match
+    the scalar reference exactly after normalization."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abcdefgh 0123456789  zz"
+    texts = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.choice([0, 3, 5, 7, 8, 20, 50, 200]))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    norm = {r.doc_id: r.n for r in df.select("doc_id", text.normalize("text").alias("n")).collect()}
+    expected = {}
+    for doc_id, _ in texts:
+        ref = text.winnow_reference(norm[doc_id])
+        if ref:
+            expected[doc_id] = ref
+    got = {}
+    for r in text.winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, []).append((r.pos, r.fp))
+    for d in got:
+        got[d].sort()
+    assert got == expected
+
+
 def test_winnow_shared_fingerprints(spark, docs):
     out = text.winnow_fingerprints(docs).groupBy("doc_id").agg(
         F.collect_set("fp").alias("fps")
