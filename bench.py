@@ -119,6 +119,33 @@ def main() -> None:
     epss_rows = n_days * n_cves
     client.unpersist()
 
+    # The engine's recommended REPEATED-quantization layout: cve-bucketed,
+    # (cve, date)-sorted table. Bucketing satisfies the window's clustering
+    # requirement, so the quantize plan has ZERO exchanges — the number
+    # that matters when the same matrix is re-queried daily at 100 TB.
+    # The in-memory catalog doesn't persist across runs, so the table is
+    # rebuilt each bench run (build time excluded from the metric).
+    from epss_spark.operators.layout import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS bench_scores_bucketed")
+    write_bucketed(
+        spark.read.parquet(scores_root).repartition(32, "cve"),
+        "bench_scores_bucketed",
+        "cve",
+        num_buckets=32,
+        sort_key=["cve", "date"],
+        path=os.path.join(os.path.dirname(scores_root), "bench_scores_bucketed"),
+    )
+    bclient = EPSSClient(spark, table="bench_scores_bucketed", max_date_resolver=lambda: hi)
+    force(bclient.get_changed_scores("2023-03-08", hi, sort=False))
+    epss_bucketed_sec = None
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        force(bclient.get_changed_scores("2023-03-08", hi, sort=False))
+        s = time.perf_counter() - t0
+        epss_bucketed_sec = s if epss_bucketed_sec is None else min(epss_bucketed_sec, s)
+
     # Three passes, keep the per-query minimum: single-run numbers on a
     # shared machine carry ±20% scheduler noise, which would read as
     # regressions/improvements that aren't there. The minimum is the
@@ -192,6 +219,10 @@ def main() -> None:
                 "epss_pipeline_full_sec": round(epss_full_sec, 4),
                 "epss_pipeline_full_rows_per_sec": round(epss_rows / epss_full_sec)
                 if epss_full_sec
+                else None,
+                "epss_pipeline_bucketed_sec": round(epss_bucketed_sec, 4),
+                "epss_pipeline_bucketed_rows_per_sec": round(epss_rows / epss_bucketed_sec)
+                if epss_bucketed_sec
                 else None,
             }
         )

@@ -58,7 +58,7 @@ def write_bucketed(
     table: str,
     bucket_key: str,
     num_buckets: int = 64,
-    sort_key: str | None = None,
+    sort_key: str | list[str] | None = None,
     path: str | None = None,
 ) -> None:
     """Persist a bucketed (and optionally sorted) table so future equi-joins
@@ -71,7 +71,8 @@ def write_bucketed(
         writer = writer.option("path", path)
     writer = writer.bucketBy(num_buckets, bucket_key)
     if sort_key:
-        writer = writer.sortBy(sort_key)
+        keys = [sort_key] if isinstance(sort_key, str) else list(sort_key)
+        writer = writer.sortBy(*keys)
     writer.saveAsTable(table)
 
 

@@ -103,6 +103,45 @@ def test_write_bucketed_aggregation_skips_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_test")
 
 
+def test_bucketed_quantization_zero_exchanges(spark, tmp_path):
+    """The repeated-quantization layout: over a cve-bucketed,
+    (cve, date)-sorted table the flagship window needs NO exchange at all
+    — the scan satisfies the window's clustering requirement. Client table
+    mode must produce identical results to the path mode."""
+    import datetime as dt
+
+    from epss_spark.client import EPSSClient
+
+    rows = [
+        (dt.date(2023, 3, 7) + dt.timedelta(days=d), f"CVE-{k}", (k + d) % 3 / 10.0, 0.5)
+        for k in range(20)
+        for d in range(5)
+    ]
+    df = spark.createDataFrame(rows, "date date, cve string, epss double, percentile double")
+    root = str(tmp_path / "scores")
+    df.repartition("date").write.partitionBy("date").parquet(root)
+    try:
+        write_bucketed(
+            df.repartition(4, "cve"),
+            "bt_scores_q",
+            "cve",
+            num_buckets=4,
+            sort_key=["cve", "date"],
+            path=str(tmp_path / "bt_scores"),
+        )
+        hi = dt.date(2023, 3, 11)
+        pc = EPSSClient(spark, root, max_date_resolver=lambda: hi)
+        bc = EPSSClient(spark, table="bt_scores_q", max_date_resolver=lambda: hi)
+        out = bc.get_changed_scores("2023-03-08", hi, sort=False)
+        assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+        key = lambda r: (r.date, r.cve, r.epss, r.percentile)  # noqa: E731
+        assert sorted(map(key, out.collect())) == sorted(
+            map(key, pc.get_changed_scores("2023-03-08", hi, sort=False).collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_scores_q")
+
+
 def test_repartition_for_window_single_exchange(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     pre = repartition_for_window(ev, "user_id", 8)
