@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from epss_spark.operators.text import normalize, tokens, with_shingles
@@ -84,6 +84,43 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def dedup_corpus(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The dedup ACTION: return the corpus with exact duplicates removed,
+    keeping the min-id representative of each normalized-text fingerprint
+    group. One row_number window over the fingerprint — at scale this is
+    one shuffle of (fp, row), no join back against the group table."""
+    w = Window.partitionBy(F.md5(normalize(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def train_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment: bucket by
+    the first 15 hex chars of md5(salt|id) — stable across runs, engines,
+    partitionings, and appends (a doc's split never changes when the
+    corpus grows, unlike sample()/randomSplit). Pure projection, no
+    shuffle, no RNG state."""
+    lo = int((1 << 60) * weights[0])
+    mid = int((1 << 60) * (weights[0] + weights[1]))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(h < lo, F.lit("train")).when(h < mid, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return docs.withColumn("split", split)
 
 
 def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

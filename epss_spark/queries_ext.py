@@ -223,6 +223,44 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
+# Off-surface queries (the driver records only DRIVER_SURFACE's 50): these
+# register for library users and are oracle-checked by
+# tests/test_oracle_parity.py, which parametrizes over every demoted query.
+_SPLIT_LO = int((1 << 60) * 0.8)
+_SPLIT_MID = int((1 << 60) * 0.9)
+
+
+@register(
+    "dedup_keep_docs",
+    f"""
+    WITH fp AS (SELECT *, md5({_NORM_SQL}) AS f FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
+    SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_docs(spark, sf_dir):
+    """The dedup ACTION: the corpus minus exact duplicates."""
+    return dedup.dedup_corpus(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_split",
+    f"""
+    SELECT doc_id, text, lang, source, n_chars,
+           CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     < {_SPLIT_LO} THEN 'train'
+                WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     < {_SPLIT_MID} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment (stable under
+    corpus growth, unlike randomSplit)."""
+    return dedup.train_split(T(spark, sf_dir, "documents"), weights=(0.8, 0.1, 0.1))
+
+
 # SimHash majority-vote bit sums and fingerprint fold, generated per bit.
 # The token hash is a 60-bit int off the md5 hex prefix — identical in both
 # engines (Spark: conv(substr(md5,1,15),16,10); DuckDB: 0x-prefix CAST).
