@@ -36,6 +36,25 @@ def cosine(a: Column, b: Column, dp: int = 6) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), dp)
 
 
+def normalize_vectors(
+    vectors: DataFrame, vec_col: str = "embedding", out_col: str | None = None, dp: int = 6
+) -> DataFrame:
+    """L2-normalize an embedding column (the standard pre-index step: after
+    this, cosine == dot product and index structures need no norm term).
+    Pure projection via transform — no shuffle, no UDF. Zero vectors pass
+    through unchanged (norm 0 guard). Components rounded to `dp` for
+    cross-engine stability."""
+    c = F.col(vec_col)
+    n = _norm(c)
+    # one-arg lambda (a two-arg lambda would receive the element INDEX as
+    # its second argument); closing over the outer norm column is fine —
+    # this is plan construction, not worker-side pickling
+    normed = F.when(
+        n == 0, c.cast("array<double>")
+    ).otherwise(F.transform(c, lambda x: F.round(x.cast("double") / n, dp)))
+    return vectors.withColumn(out_col or vec_col, normed)
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,

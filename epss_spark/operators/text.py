@@ -85,6 +85,31 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_stopword_frac: float = 0.6,
+    min_distinct_frac: float = 0.3,
+) -> DataFrame:
+    """Heuristic quality gate for training corpora: drop documents that are
+    too short, stopword-saturated, or highly repetitive. All signals are
+    codegen projections over one pass of the text — zero shuffles; the
+    filter pushes into the scan's surviving-row stream."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_frac = n_stop.cast("double") / F.greatest(n_tok, F.lit(1))
+    distinct_frac = n_distinct.cast("double") / F.greatest(n_tok, F.lit(1))
+    return docs.filter(
+        (n_tok >= min_tokens)
+        & (stop_frac <= max_stopword_frac)
+        & (distinct_frac >= min_distinct_frac)
+    )
+
+
 def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """N-gram-free language ID: stopword-overlap scores per language with a
     CJK codepoint check, fixed precedence for ties (en > fr > es > de)."""

@@ -261,6 +261,49 @@ def sample_split(spark, sf_dir):
     return dedup.train_split(T(spark, sf_dir, "documents"), weights=(0.8, 0.1, 0.1))
 
 
+@register(
+    "text_quality_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text, lang, source, n_chars, len(toks) AS n_tok,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM s
+    WHERE n_tok >= 5
+      AND CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) <= 0.6
+      AND CAST(n_distinct AS DOUBLE) / greatest(n_tok, 1) >= 0.3
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    return text.quality_filter(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_normalize",
+    """
+    SELECT vec_id, label,
+           CASE WHEN sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) = 0
+                THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+                ELSE list_transform(embedding, x -> round(CAST(x AS DOUBLE) /
+                     sqrt(list_sum(list_transform(range(1, 65),
+                          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6))
+           END AS embedding
+    FROM embeddings
+    """,
+)
+def ann_normalize(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return similarity.normalize_vectors(emb)
+
+
 # SimHash majority-vote bit sums and fingerprint fold, generated per bit.
 # The token hash is a 60-bit int off the md5 hex prefix — identical in both
 # engines (Spark: conv(substr(md5,1,15),16,10); DuckDB: 0x-prefix CAST).
