@@ -3,10 +3,13 @@ opaque `binary` columns with typed metadata, processed via Arrow-batched
 mapInPandas.
 
 The Spark-side plumbing (schemas, batch iteration, partition parallelism,
-metadata propagation) is real and tested; the actual media decoding is
-STUBBED — this environment has no image/audio libraries, so `decode_fn`
-defaults to a deterministic fake that derives pseudo-pixels from the bytes.
-Swap in a real decoder (PIL / torchaudio / pyav) by passing `decode_fn`.
+metadata propagation) is real and tested. Decoding: UNCOMPRESSED images
+(24-bit BMP, binary PPM) decode and resize for real in pure numpy
+(decode_image / nn_resize — no imaging libraries needed); compressed
+codecs (JPEG/PNG/audio/video) have no decoder in this environment, so
+feature extraction's `decode_fn` defaults to a deterministic fake and
+resize passes those payloads through (strict=True raises instead). Swap
+in a real decoder (PIL / torchaudio / pyav) via `decode_fn`.
 
 Design notes for 100 TB:
 - binary payloads ride in the same parquet row group as their metadata —
@@ -113,20 +116,110 @@ def extract_features(
     return media.select("media_id", "payload").mapInPandas(_extract, schema=FEATURES_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: metadata is updated JVM-side; the pixel
-    transform is a stub (no imaging libs here). The returned frame carries
-    the target dims so downstream schema contracts hold."""
+def decode_image(payload: bytes):
+    """Pure-numpy decode of UNCOMPRESSED image formats — 24-bit BI_RGB BMP
+    and binary PPM (P6, maxval 255). Returns an HxWx3 uint8 RGB array, or
+    None for anything else (JPEG/PNG/etc need a real codec). No external
+    imaging libraries required."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        off, _hdr, w, h, _planes, bpp = struct.unpack_from("<IIiiHH", payload, 10)
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0:
+            return None
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        if len(payload) < off + stride * h:
+            return None
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+        arr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR->RGB
+        return arr[::-1] if flip else arr
+    if payload[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single-ws> raster
+        pos, fields = 2, []
+        while len(fields) < 3 and pos < len(payload):
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to EOL
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255 or len(payload) < pos + w * h * 3:
+            return None
+        return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+            h, w, 3
+        )
+    return None
+
+
+def encode_ppm(arr) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as binary PPM (P6)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def nn_resize(arr, width: int, height: int):
+    """Nearest-neighbor resize via integer index maps — two gather ops."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return arr[rows][:, cols]
+
+
+def resize_images(media: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
+    """Image resize over Arrow batches. Uncompressed payloads (24-bit BMP,
+    binary PPM) are REALLY decoded, nearest-neighbor resized in numpy, and
+    re-encoded as PPM with width/height metadata updated. Compressed
+    formats (JPEG/PNG/...) need a codec this environment doesn't ship:
+    they pass through unchanged keeping their original metadata — or raise
+    when ``strict=True``. Dedup-before-decode applies per batch (identical
+    payloads resize once)."""
 
     def _resize(batches: Iterator) -> Iterator:
-        for pdf in batches:
-            raise NotImplementedError(
-                "image decode/resize requires an imaging library (e.g. PIL); "
-                "this environment stubs the pixel path"
-            )
+        import pandas as pd
 
-    _ = _resize  # the real path would be media.mapInPandas(_resize, MEDIA_SCHEMA)
-    return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+        for pdf in batches:
+            cache: dict[bytes, tuple] = {}
+            out = {c: [] for c in ("media_id", "kind", "mime", "width", "height", "duration_ms", "payload")}
+            for row in pdf.itertuples(index=False):
+                b = bytes(row.payload) if row.payload is not None else b""
+                if b not in cache:
+                    arr = decode_image(b) if b else None
+                    if arr is not None:
+                        resized = nn_resize(arr, width, height)
+                        cache[b] = (encode_ppm(resized), "image/x-portable-pixmap", width, height)
+                    elif strict:
+                        raise NotImplementedError(
+                            f"cannot decode payload (mime={row.mime!r}): only uncompressed "
+                            "BMP/PPM decode without an imaging library; pass strict=False "
+                            "to pass compressed payloads through"
+                        )
+                    else:
+                        cache[b] = (row.payload, row.mime, row.width, row.height)
+                payload, mime, w, h = cache[b]
+                out["media_id"].append(row.media_id)
+                out["kind"].append(row.kind)
+                out["mime"].append(mime)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(row.duration_ms)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+    return media.select(*cols).mapInPandas(_resize, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -217,9 +217,51 @@ def test_sample_frames(spark, media):
     assert {r.media_id for r in frames} == {3}
 
 
-def test_resize_stub_updates_metadata(spark, media):
-    out = multimodal.resize_images(media.filter(F.col("kind") == "image"), 16, 16)
-    assert {(r.width, r.height) for r in out.collect()} == {(16, 16)}
+def test_resize_real_pixels_for_uncompressed(spark):
+    """PPM payloads are genuinely decoded, nearest-neighbor resized, and
+    re-encoded; compressed formats pass through with original metadata
+    (or raise under strict=True)."""
+    import numpy as np
+    import pytest as _pytest
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    rows = [
+        (0, "image", "image/x-portable-pixmap", 4, 4, None, multimodal.encode_ppm(arr)),
+        (1, "image", "image/png", 4, 4, None, bytes(range(64))),  # no codec: pass-through
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.resize_images(df, 8, 8).collect()}
+    assert (out[0].width, out[0].height) == (8, 8)
+    dec = multimodal.decode_image(bytes(out[0].payload))
+    assert dec.shape == (8, 8, 3)
+    # nearest-neighbor keeps the corner pixels
+    assert (dec[0, 0] == arr[0, 0]).all() and (dec[-1, -1] == arr[-1, -1]).all()
+    assert (out[1].width, out[1].height) == (4, 4)
+    assert bytes(out[1].payload) == bytes(range(64))
+    with _pytest.raises(Exception, match="cannot decode payload"):
+        multimodal.resize_images(
+            df.filter(F.col("media_id") == 1), 8, 8, strict=True
+        ).collect()
+
+
+def test_decode_bmp_bottom_up_with_padding():
+    """24-bit BI_RGB BMP: bottom-up row order, 4-byte row padding, BGR."""
+    import struct
+
+    import numpy as np
+
+    w, h, stride = 3, 2, 12  # (3*3 + 3) & ~3 == 12
+    # rows stored bottom-up: file row 0 is image row 1
+    img = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    raster = b""
+    for r in range(h - 1, -1, -1):
+        row = img[r][..., ::-1].tobytes()  # RGB -> BGR
+        raster += row + b"\x00" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    dec = multimodal.decode_image(header + info + raster)
+    assert dec is not None and (dec == img).all()
+    assert multimodal.decode_image(b"\x89PNG....") is None  # unknown magic
 
 
 # ---------------------------------------------------------------------------
