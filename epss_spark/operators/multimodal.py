@@ -222,6 +222,91 @@ def resize_images(media: DataFrame, width: int, height: int, strict: bool = Fals
     return media.select(*cols).mapInPandas(_resize, schema=MEDIA_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("zero_crossing_rate", DoubleType(), True),
+        StructField("spectral_centroid_hz", DoubleType(), True),
+    ]
+)
+
+
+def decode_audio_wav(payload: bytes):
+    """Pure-stdlib decode of PCM WAV payloads (the `wave` module + numpy):
+    returns (mono float32 array in [-1, 1], sample_rate), or None for
+    non-WAV / compressed audio. 8/16/32-bit PCM supported."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate, width, nch = w.getframerate(), w.getsampwidth(), w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        return None
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        return None
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real signal features for PCM WAV payloads (RMS, zero-crossing rate,
+    FFT spectral centroid), numpy over Arrow batches, no shuffle.
+    Non-WAV payloads yield NULL features (their metadata row remains, so
+    coverage accounting stays possible downstream)."""
+
+    def _extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {c: [] for c in ("media_id", "sample_rate", "n_samples", "rms",
+                                   "zero_crossing_rate", "spectral_centroid_hz")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                decoded = decode_audio_wav(b) if b else None
+                if decoded is None or len(decoded[0]) == 0:
+                    vals = (None, None, None, None, None)
+                else:
+                    x, rate = decoded
+                    mag = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+                    msum = float(mag.sum())
+                    vals = (
+                        rate,
+                        len(x),
+                        float(np.sqrt(np.mean(x * x))),
+                        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+                        float((freqs * mag).sum() / msum) if msum > 0 else 0.0,
+                    )
+                out["media_id"].append(mid)
+                for k, v in zip(("sample_rate", "n_samples", "rms",
+                                 "zero_crossing_rate", "spectral_centroid_hz"), vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(_extract, schema=AUDIO_FEATURES_SCHEMA)
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: emits one metadata row per sampled
     timestamp via an exploded sequence — pure Catalyst, no decode. The frame

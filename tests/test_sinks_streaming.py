@@ -244,6 +244,41 @@ def test_resize_real_pixels_for_uncompressed(spark):
         ).collect()
 
 
+def test_audio_features_real_wav(spark):
+    """A generated 440 Hz sine WAV must yield the right sample count, RMS
+    (~1/sqrt2 of amplitude), zero-crossing rate (~2f/rate), and spectral
+    centroid (~440 Hz); non-WAV audio rows survive with NULL features."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    rate, secs, freq, amp = 8000, 1, 440, 0.5
+    t = np.arange(rate * secs) / rate
+    x = (amp * np.sin(2 * math.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    rows = [
+        (0, "audio", "audio/wav", None, None, 1000, buf.getvalue()),
+        (1, "audio", "audio/mp3", None, None, 1000, b"\xff\xfbnotreal"),
+        (2, "image", "image/png", 4, 4, None, b"ignored"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.audio_features(df).collect()}
+    assert set(out) == {0, 1}  # images filtered out; mp3 kept with NULLs
+    r0 = out[0]
+    assert r0.sample_rate == rate and r0.n_samples == rate * secs
+    assert abs(r0.rms - amp / math.sqrt(2)) < 0.01
+    assert abs(r0.zero_crossing_rate - 2 * freq / rate) < 0.005
+    assert abs(r0.spectral_centroid_hz - freq) < 15
+    assert out[1].rms is None and out[1].sample_rate is None
+
+
 def test_decode_bmp_bottom_up_with_padding():
     """24-bit BI_RGB BMP: bottom-up row order, 4-byte row padding, BGR."""
     import struct
