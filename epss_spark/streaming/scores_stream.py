@@ -79,6 +79,21 @@ def daily_change_counts(spark: SparkSession, events_path: str) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within the
+    watermark horizon (`dropDuplicatesWithinWatermark`, the at-least-once ->
+    effectively-once repair step in an ingest pipeline). State holds one
+    entry per distinct key seen inside the horizon and is evicted as the
+    watermark advances — bounded state, unlike a plain dropDuplicates on a
+    stream, which accumulates keys forever."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
     """Drain all currently-available input into an in-memory table (test &
     backfill harness): availableNow processes the full backlog then stops."""

@@ -183,6 +183,31 @@ def test_stream_events_window_counts(spark, tmp_path):
     assert {r.event_type for r in rows} == {"click", "view", "purchase", "signup", "error"}
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered (duplicate-key) events collapse to one row; distinct
+    keys all survive. append output + availableNow drains the backlog."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    src = tmp_path / "dupev"
+    src.mkdir()
+    rows = [(i % 6, dt.datetime(2024, 1, 1, 12, 0, i % 6)) for i in range(18)]
+    spark.createDataFrame(rows, "k long, ts timestamp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    stream = spark.readStream.schema("k long, ts timestamp").parquet(str(src))
+    deduped = scores_stream.dedup_stream(stream, ["k"], ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT k FROM dedup_stream_test").collect()
+    assert sorted(r.k for r in got) == [0, 1, 2, 3, 4, 5]
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
