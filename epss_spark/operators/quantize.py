@@ -99,6 +99,45 @@ def quantize(
     return out
 
 
+def incremental_changed_scores(
+    prev_changes: DataFrame,
+    new_rows: DataFrame,
+    since,
+    key: str = "cve",
+    time: str = "date",
+    value: str = "epss",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Append-only quantization: given the EXISTING quantized store (change
+    events through `since`) and the raw snapshots for days AFTER `since`,
+    emit only the new change events — without touching the dense history.
+
+    This is the operation a daily 100 TB deployment actually runs: the
+    quantized store is ~1% of the matrix (reference NOTES.md:38), so the
+    per-key seed (each key's latest change row, which by construction
+    carries its last known value) is a window over that small store; the
+    new days diff against the seed in the same single-exchange
+    changed_scores plan, and seed rows are dropped by the `> since`
+    filter. Appending the result to the store preserves the invariant
+    that the store equals full quantization of the dense history —
+    pinned by tests/test_quantize.py::test_incremental_equals_full.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(time).desc())
+    seed = (
+        prev_changes.filter(F.col(time) <= F.lit(since).cast("date"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    fresh = new_rows.filter(F.col(time) > F.lit(since).cast("date"))
+    # the store carries bookkeeping columns (delta) the raw snapshots lack;
+    # seed rows only need the raw schema
+    seed = seed.select(*fresh.columns)
+    unioned = seed.unionByName(fresh, allowMissingColumns=False)
+    out = changed_scores(unioned, key=key, time=time, value=value, tiebreak=tiebreak)
+    return out.filter(F.col(time) > F.lit(since).cast("date"))
+
+
 def densify(
     quantized: DataFrame,
     dates: DataFrame,

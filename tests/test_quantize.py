@@ -12,7 +12,12 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from epss_spark.operators.quantize import changed_scores, densify, quantize
+from epss_spark.operators.quantize import (
+    changed_scores,
+    densify,
+    incremental_changed_scores,
+    quantize,
+)
 
 D = dt.date
 
@@ -123,6 +128,34 @@ def test_densify_roundtrip(spark):
     got = {(r.date, r.cve): r.epss for r in back.collect()}
     want = {(r[0], r[1]): r[2] for r in rows}
     assert got == want
+
+
+def test_incremental_equals_full(spark):
+    """Append-only invariant: quantized(days 1..6) + incremental(days 7..10)
+    == quantized(days 1..10), on a randomized 20-key history that includes
+    keys changing at / across / only-after the boundary."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for k in range(20):
+        v = 0.5
+        start = rng.choice([0, 0, 0, 7])  # some keys first appear after the boundary
+        for d in range(start, 10):
+            if rng.random() < 0.4:
+                v = round(rng.random(), 2)
+            rows.append((D(2024, 1, 1) + dt.timedelta(days=d), f"CVE-{k}", v))
+    dense = _scores(spark, rows)
+    boundary = D(2024, 1, 6)
+    full = changed_scores(dense)
+    prev = changed_scores(dense.filter(F.col("date") <= F.lit(boundary)))
+    inc = incremental_changed_scores(
+        prev, dense.filter(F.col("date") > F.lit(boundary)), since=boundary
+    )
+    key = lambda r: (r.date, r.cve, r.epss)  # noqa: E731
+    want = sorted(map(key, full.filter(F.col("date") > F.lit(boundary)).collect()))
+    got = sorted(map(key, inc.collect()))
+    assert got == want and len(got) > 0
 
 
 def test_quantize_compression_property(spark):
