@@ -63,9 +63,17 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle."""
-    ex = _exploded_shingles(docs, id_col, text_col).cache()
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    """Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle.
+
+    Same single-artifact design as minhash_lsh_pairs: one persisted
+    shingle-array frame feeds the exploded discovery join (inherent here —
+    pairs are DEFINED by shared shingles) and supplies set sizes as
+    F.size projections, with no separate counting groupBy."""
+    shmap = shingle_arrays(docs, id_col, text_col).persist()
+    ex = (
+        shmap.select(id_col, F.explode_outer("shingles").alias("sh"))
+        .where(F.col("sh").isNotNull())
+    )
     a = ex.select(F.col(id_col).alias("a_id"), "sh")
     b = ex.select(F.col(id_col).alias("b_id"), "sh")
     inter = (
@@ -74,6 +82,7 @@ def ngram_jaccard_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sizes = shmap.select(id_col, F.size("shingles").alias("n"))
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
