@@ -16,6 +16,12 @@ Scale design notes (the point of each algorithm, not just its output):
 All hashes are md5-derived by default (bit-identical across engines, so
 every dedup op is oracle-checked); simhash also offers xxhash64
 (JVM-vectorized, engine-specific) as its scale mode.
+
+Note on caching: minhash_lsh_pairs / ngram_jaccard_pairs persist the
+shared shingle-array frame for the lifetime of the returned (lazy) plan —
+Spark gives a library function no sound point to unpersist it. Sessions
+running many dedup passes over different corpora should call
+spark.catalog.clearCache() between passes.
 """
 
 from __future__ import annotations

@@ -3,8 +3,17 @@
 These don't change query semantics — they change WHERE rows live so the
 shuffles that dominate 100 TB plans either disappear (bucketing) or stop
 stalling on hot keys (salting). AQE's skew-join splitting handles the
-join case automatically; explicit salting is for skewed AGGREGATIONS,
-which AQE does not rebalance.
+join case automatically.
+
+Salting, honestly scoped (measured, PERF.md §20): for decomposable
+aggregates (sum/count/min/max) Spark's map-side partial aggregation
+already collapses a hot key to one row per task — salting only adds a
+second shuffle and LOSES locally. Its real case is aggregates whose
+partial state grows with group size (collect_list/set, exact distinct):
+there a hot key concentrates its entire state on one reducer, which on a
+cluster means a straggler or an OOM — salting bounds per-reducer state at
+the price of the extra shuffle. Use it for feasibility under extreme
+skew, not as a default speedup.
 """
 
 from __future__ import annotations
