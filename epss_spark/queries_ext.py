@@ -262,6 +262,31 @@ def sample_split(spark, sf_dir):
 
 
 @register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition, so
+    this is value-checkable — unlike approx_count_distinct/percentile_approx
+    whose sketches are engine-specific). The 4-dp round absorbs the one
+    float add in the interpolation midpoint."""
+    li = T(spark, sf_dir, "lineitem")
+    p = lambda q: F.round(  # noqa: E731
+        F.percentile(F.col("l_extendedprice").cast("double"), F.lit(q)), 4
+    )
+    return li.groupBy("l_returnflag").agg(
+        p(0.5).alias("p50"), p(0.9).alias("p90"), p(0.99).alias("p99")
+    )
+
+
+@register(
     "text_quality_filter",
     f"""
     WITH t AS (
