@@ -23,5 +23,20 @@ Layout:
 
 from epss_spark.session import get_spark
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+
+def __getattr__(name):
+    # lazy top-level convenience exports: `from epss_spark import EPSSClient`
+    # without importing pyspark-heavy modules at package import time
+    if name in ("EPSSClient", "get_date_range"):
+        from epss_spark import client
+
+        return getattr(client, name)
+    if name == "Query":
+        from epss_spark.plans.query import Query
+
+        return Query
+    raise AttributeError(f"module 'epss_spark' has no attribute {name!r}")
+
+
+__all__ = ["get_spark", "EPSSClient", "Query", "get_date_range"]
+__version__ = "0.2.0"
