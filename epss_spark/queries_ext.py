@@ -262,6 +262,43 @@ def sample_split(spark, sf_dir):
 
 
 @register(
+    "session_stats",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                  THEN 1 ELSE 0 END AS st
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM m
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start_ts, MAX(ts) AS session_end_ts,
+           COUNT(*) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_sec
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_stats(spark, sf_dir):
+    """Gap-based sessionization (1h gap) — one exchange for both the
+    session numbering windows and the per-session rollup."""
+    from epss_spark.operators import sessionize as sz
+
+    return sz.session_stats(
+        T(spark, sf_dir, "events"), gap_seconds=3600, tiebreak="event_id"
+    )
+
+
+@register(
     "agg_percentiles",
     """
     SELECT l_returnflag,

@@ -171,6 +171,35 @@ def test_lsh_topk_derives_dim_and_raises_on_mismatch(spark):
         similarity.lsh_topk(bad, emb, k=2).collect()
 
 
+def test_sessionize_known_gaps(spark):
+    import datetime as dt
+
+    from epss_spark.operators import sessionize as sz
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two sessions split by a 2h gap; 30min gaps stay together
+        (1, t0, 1),
+        (1, t0 + dt.timedelta(minutes=30), 2),
+        (1, t0 + dt.timedelta(hours=3), 3),
+        # exact-gap boundary: 1800s gap with gap_seconds=1800 is NOT a split
+        (2, t0, 4),
+        (2, t0 + dt.timedelta(seconds=1800), 5),
+        (2, t0 + dt.timedelta(seconds=1800 * 2 + 1), 6),  # 1801s -> split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = sz.sessionize(df, gap_seconds=1800, tiebreak="event_id").collect()
+    sid = {r.event_id: r.session_id for r in out}
+    assert sid[1] == sid[2] == 1 and sid[3] == 2
+    assert sid[4] == sid[5] == 1 and sid[6] == 2
+    stats = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_sec)
+        for r in sz.session_stats(df, gap_seconds=1800, tiebreak="event_id").collect()
+    }
+    assert stats[(1, 1)] == (2, 1800.0) and stats[(1, 2)] == (1, 0.0)
+    assert stats[(2, 1)] == (2, 1800.0) and stats[(2, 2)] == (1, 0.0)
+
+
 def test_asof_join_semantics(spark):
     left = spark.createDataFrame(
         [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, t long, tag string"
