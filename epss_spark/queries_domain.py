@@ -47,6 +47,27 @@ _DIFFED_SQL = """
 """
 
 
+@register(
+    "epss_new_keys",
+    f"""
+    WITH {_DAILY_SQL.strip()},
+    f AS (SELECT user_id, MIN(d) AS d FROM daily GROUP BY user_id)
+    SELECT d, COUNT(*) AS n_new FROM f GROUP BY d
+    """,
+)
+def epss_new_keys(spark, sf_dir):
+    """First-appearance analytics (reference roadmap TODO.md:33-34 trending
+    detection): how many keys are first seen on each day — one aggregation
+    for each key's min date, one rollup by that date."""
+    return (
+        _daily(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+
+
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of _DAILY_SQL: latest event value per (user_id, day)."""
     ev = T(spark, sf_dir, "events")

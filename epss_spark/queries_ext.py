@@ -262,6 +262,33 @@ def sample_split(spark, sf_dir):
 
 
 @register(
+    "json_parse_typed",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def json_parse_typed(spark, sf_dir):
+    """Schema-full JSON parsing (from_json -> typed struct), the production
+    path for structured props: the struct parses ONCE per row and both the
+    filter and the aggregation read fields from it — unlike per-path
+    get_json_object, which re-parses the string per extraction."""
+    from pyspark.sql.types import LongType, StructField as SF_, StructType as ST_
+
+    ev = T(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", ST_([SF_("k", LongType())])))
+    return (
+        parsed.filter(F.col("p.k") > 50)
+        .groupBy("event_type")
+        .agg(F.sum("p.k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "session_stats",
     """
     WITH o AS (
