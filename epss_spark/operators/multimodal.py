@@ -125,40 +125,50 @@ def decode_image(payload: bytes):
 
     import numpy as np
 
-    if payload[:2] == b"BM" and len(payload) >= 54:
-        off, _hdr, w, h, _planes, bpp = struct.unpack_from("<IIiiHH", payload, 10)
-        comp = struct.unpack_from("<I", payload, 30)[0]
-        if bpp != 24 or comp != 0:
-            return None
-        flip = h > 0  # positive height = bottom-up row order
-        h = abs(h)
-        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
-        if len(payload) < off + stride * h:
-            return None
-        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
-        arr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR->RGB
-        return arr[::-1] if flip else arr
-    if payload[:2] == b"P6":
-        # header: P6 <ws> width <ws> height <ws> maxval <single-ws> raster
-        pos, fields = 2, []
-        while len(fields) < 3 and pos < len(payload):
-            while pos < len(payload) and payload[pos : pos + 1].isspace():
-                pos += 1
-            if payload[pos : pos + 1] == b"#":  # comment to EOL
-                while pos < len(payload) and payload[pos] != 0x0A:
+    # A 100 TB corpus WILL contain malformed media: every parse failure must
+    # yield None (so resize_images(strict=False) passes the payload through)
+    # rather than raising and killing the stage.
+    try:
+        if payload[:2] == b"BM" and len(payload) >= 54:
+            off, _hdr, w, h, _planes, bpp = struct.unpack_from("<IIiiHH", payload, 10)
+            comp = struct.unpack_from("<I", payload, 30)[0]
+            if bpp != 24 or comp != 0:
+                return None
+            flip = h > 0  # positive height = bottom-up row order
+            h = abs(h)
+            if w <= 0 or h == 0:  # hostile negative/zero width, zero height
+                return None
+            stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+            if len(payload) < off + stride * h:
+                return None
+            rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+            arr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR->RGB
+            return arr[::-1] if flip else arr
+        if payload[:2] == b"P6":
+            # header: P6 <ws> width <ws> height <ws> maxval <single-ws> raster
+            pos, fields = 2, []
+            while len(fields) < 3 and pos < len(payload):
+                while pos < len(payload) and payload[pos : pos + 1].isspace():
                     pos += 1
-                continue
-            start = pos
-            while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(payload[start:pos]))
-        pos += 1  # the single whitespace after maxval
-        w, h, maxval = fields
-        if maxval != 255 or len(payload) < pos + w * h * 3:
-            return None
-        return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
-            h, w, 3
-        )
+                if payload[pos : pos + 1] == b"#":  # comment to EOL
+                    while pos < len(payload) and payload[pos] != 0x0A:
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                    pos += 1
+                fields.append(int(payload[start:pos]))  # non-numeric -> ValueError -> None
+            if len(fields) < 3:  # truncated header
+                return None
+            pos += 1  # the single whitespace after maxval
+            w, h, maxval = fields
+            if maxval != 255 or w <= 0 or h <= 0 or len(payload) < pos + w * h * 3:
+                return None
+            return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+                h, w, 3
+            )
+    except (ValueError, struct.error):
+        return None
     return None
 
 

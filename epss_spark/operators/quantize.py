@@ -107,6 +107,7 @@ def incremental_changed_scores(
     time: str = "date",
     value: str = "epss",
     tiebreak: str | None = None,
+    raw_tail: DataFrame | None = None,
 ) -> DataFrame:
     """Append-only quantization: given the EXISTING quantized store (change
     events through `since`) and the raw snapshots for days AFTER `since`,
@@ -114,25 +115,48 @@ def incremental_changed_scores(
 
     This is the operation a daily 100 TB deployment actually runs: the
     quantized store is ~1% of the matrix (reference NOTES.md:38), so the
-    per-key seed (each key's latest change row, which by construction
-    carries its last known value) is a window over that small store; the
-    new days diff against the seed in the same single-exchange
-    changed_scores plan, and seed rows are dropped by the `> since`
-    filter. Appending the result to the store preserves the invariant
-    that the store equals full quantization of the dense history —
-    pinned by tests/test_quantize.py::test_incremental_equals_full.
+    per-key seed is a window over small inputs; the new days diff against
+    the seed in the same single-exchange changed_scores plan, and seed rows
+    are dropped by the `> since` filter. Appending the result to the store
+    preserves the invariant that the store equals full quantization of the
+    dense history — pinned by tests/test_quantize.py::test_incremental_equals_full.
+
+    Seeding: full quantization diffs each key's first post-`since` row
+    against the key's last RAW row, and changed_scores swallows NULL-valued
+    rows — so the store alone cannot tell "last raw value was x" apart from
+    "last raw value was NULL (after x)", and the restart-after-NULL row
+    would be lost. `raw_tail` closes that gap: pass any raw suffix that
+    contains each key's last raw row at/before `since` (for a daily-dense
+    feed, the single day-`since` snapshot qualifies) and the seed is taken
+    from it, giving exact parity including NULL gaps at the boundary. Keys
+    absent from `raw_tail` (and, when it is None, all keys) fall back to
+    the store's latest change row — correct whenever the key's last raw
+    value was non-NULL.
     """
-    w = Window.partitionBy(key).orderBy(F.col(time).desc())
-    seed = (
-        prev_changes.filter(F.col(time) <= F.lit(since).cast("date"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
     fresh = new_rows.filter(F.col(time) > F.lit(since).cast("date"))
-    # the store carries bookkeeping columns (delta) the raw snapshots lack;
-    # seed rows only need the raw schema
-    seed = seed.select(*fresh.columns)
+    order = [F.col(time).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(key).orderBy(*order)
+
+    def _last_per_key(df: DataFrame) -> DataFrame:
+        # the store carries bookkeeping columns (delta) the raw snapshots
+        # lack; seed rows only need the raw schema
+        return (
+            df.filter(F.col(time) <= F.lit(since).cast("date"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .select(*fresh.columns)
+        )
+
+    seed = _last_per_key(prev_changes)
+    if raw_tail is not None:
+        raw_seed = _last_per_key(raw_tail)
+        # raw seed wins; store seed only covers keys the tail doesn't
+        seed = raw_seed.unionByName(
+            seed.join(raw_seed.select(key).distinct(), on=key, how="left_anti")
+        )
     unioned = seed.unionByName(fresh, allowMissingColumns=False)
     out = changed_scores(unioned, key=key, time=time, value=value, tiebreak=tiebreak)
     return out.filter(F.col(time) > F.lit(since).cast("date"))

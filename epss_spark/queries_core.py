@@ -242,8 +242,10 @@ def filter_date_window(spark, sf_dir):
     """,
 )
 def join_inner(spark, sf_dir):
+    # customer scales with the data — no explicit broadcast hint; AQE picks
+    # broadcast at small scale and sort-merge once it outgrows the threshold.
     o, c = T(spark, sf_dir, "orders"), T(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "c_name", "o_totalprice"
     )
 
@@ -265,16 +267,20 @@ def join_inner(spark, sf_dir):
     """,
 )
 def join_multi(spark, sf_dir):
-    # TPC-H Q5 shape: fact-to-dims star join. All dims are broadcast — zero
-    # shuffles until the final aggregation, which AQE coalesces.
+    # TPC-H Q5 shape. Only the genuinely fixed-size dims (nation: 25 rows,
+    # region: 5 rows) carry explicit broadcast hints. orders and customer
+    # scale with the data — lineitem⋈orders is fact-fact — so their strategy
+    # is left to AQE: broadcast while under the threshold at small SF,
+    # sort-merge (with skew splitting) at cluster scale. An explicit hint
+    # there would force a multi-TB broadcast at 100 TB and OOM the executors.
     l = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name").isin("ASIA", "EUROPE"))
@@ -328,10 +334,11 @@ def join_anti(spark, sf_dir):
 )
 def join_theta(spark, sf_dir):
     # equi key + theta residual: stays a hash join with a post-probe filter,
-    # never a cartesian — the shape that survives scale.
+    # never a cartesian — the shape that survives scale. customer is a fact
+    # table (scales with SF), so no broadcast hint: AQE decides per size.
     o, c = T(spark, sf_dir, "orders"), T(spark, sf_dir, "customer")
     return o.join(
-        F.broadcast(c),
+        c,
         (o.o_custkey == c.c_custkey) & (o.o_totalprice > c.c_acctbal),
     ).select("o_orderkey", "c_custkey", "o_totalprice", "c_acctbal")
 

@@ -300,11 +300,47 @@ def _media(spark, sf_dir) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # Arrow-batched decode stub — rows-only check
+@register(
+    "multimodal_features",
+    # Full oracle: the media payload is encode(text,'UTF-8') (see _media), so
+    # content_hash == md5(text) and n_bytes == octet_length. feat_digest
+    # reproduces the deterministic fake decoder (multimodal._fake_decode) in
+    # pure SQL: per-chunk byte sums over the UTF-8 payload (testdata text is
+    # ASCII, so unicode(char) == byte value), each divided by 255*step, then
+    # left-folded — the same double-addition order as F.aggregate, so the
+    # comparison is bit-exact with no rounding tolerance.
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             md5(text) AS content_hash,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             text,
+             greatest(1, octet_length(encode(text)) // 8) AS step
+      FROM documents
+    )
+    SELECT media_id, content_hash, n_bytes,
+           list_sum(list_transform(range(0, 8), c ->
+             CAST(COALESCE(list_sum(list_transform(
+               range(c*step, least(c*step + step, n_bytes)),
+               i -> unicode(substr(text, CAST(i AS INT) + 1, 1)))), 0) AS DOUBLE)
+             / (255.0 * step)
+           )) AS feat_digest
+    FROM m
+    """,
+)
 def multimodal_features(spark, sf_dir):
     # mapInPandas feature extraction with dedup-before-decode; the decode
-    # itself is the documented deterministic stub (no media libs here).
-    return multimodal.extract_features(_media(spark, sf_dir))
+    # itself is the documented deterministic stub (no media libs here). The
+    # registered projection folds the features array to a scalar digest —
+    # the driver's canonicalizer cannot sort an array<double> column — while
+    # still certifying every feature value (the fold is order-sensitive).
+    feats = multimodal.extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "content_hash",
+        "n_bytes",
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("feat_digest"),
+    )
 
 
 @register(

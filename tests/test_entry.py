@@ -38,9 +38,9 @@ def test_registry_consistency():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert len(qs) >= 50
     assert set(os_) <= set(qs)
-    # the single intentionally oracle-less op: multimodal_features, whose
-    # decode path is a documented stub (no image libs in the environment)
-    assert set(qs) - set(os_) == {"multimodal_features"}
+    # every surfaced query carries a full DuckDB oracle (multimodal_features
+    # joined in round 4: scalar feat_digest + md5/octet_length/byte-sum SQL)
+    assert set(qs) - set(os_) == set()
 
 
 @pytest.fixture(scope="module")

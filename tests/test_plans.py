@@ -50,6 +50,27 @@ def test_star_join_broadcasts_dimensions(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_no_explicit_broadcast_hint_on_fact_tables(spark):
+    # §2.5 scale guard: an explicit F.broadcast() on orders/customer would
+    # override the autoBroadcast threshold and force a multi-TB broadcast at
+    # cluster scale. Only the fixed-size dims (nation 25 rows / region 5
+    # rows) may carry hints; the fact-fact joins must be left to AQE.
+    def qe(name):
+        return registry.QUERIES[name](spark, SF)._jdf.queryExecution()
+
+    opt = qe("join_multi").optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "Hint=" in line:
+            assert "n_nationkey" in line or "r_regionkey" in line, (
+                f"broadcast hint on a non-dim join: {line.strip()}"
+            )
+    # exactly the two dim hints survive analysis
+    assert qe("join_multi").analyzed().toString().count("ResolvedHint") == 2
+    # theta + inner joins against customer: no hints at all
+    for name in ("join_theta", "join_inner"):
+        assert "ResolvedHint" not in qe(name).analyzed().toString(), name
+
+
 def test_topk_plans_take_ordered(spark):
     # O5: orderBy().limit() must plan as TakeOrderedAndProject, not a
     # global sort

@@ -158,6 +158,77 @@ def test_incremental_equals_full(spark):
     assert got == want and len(got) > 0
 
 
+def test_incremental_null_gap_at_boundary(spark):
+    """The store swallows mid-stream NULL rows, so a history 0.5, NULL, 0.5
+    split after the NULL cannot be seeded from the store alone: full
+    quantization emits the post-gap restart row (lag over the NULL row is
+    NULL -> first observation). Seeding from `raw_tail` (the raw day-`since`
+    snapshot) restores exact parity."""
+    dense = _scores(
+        spark,
+        [
+            # NULL gap exactly at the boundary; value returns unchanged
+            (D(2024, 1, 1), "CVE-G", 0.5),
+            (D(2024, 1, 2), "CVE-G", None),
+            (D(2024, 1, 3), "CVE-G", 0.5),
+            # control: no gap, unchanged across the boundary -> no emission
+            (D(2024, 1, 1), "CVE-H", 0.4),
+            (D(2024, 1, 2), "CVE-H", 0.4),
+            (D(2024, 1, 3), "CVE-H", 0.4),
+            # gap then a genuinely new value
+            (D(2024, 1, 1), "CVE-I", 0.2),
+            (D(2024, 1, 2), "CVE-I", None),
+            (D(2024, 1, 3), "CVE-I", 0.9),
+        ],
+    )
+    boundary = D(2024, 1, 2)
+    full = changed_scores(dense)
+    prev = changed_scores(dense.filter(F.col("date") <= F.lit(boundary)))
+    inc = incremental_changed_scores(
+        prev,
+        dense.filter(F.col("date") > F.lit(boundary)),
+        since=boundary,
+        raw_tail=dense.filter(F.col("date") == F.lit(boundary)),
+    )
+    key = lambda r: (r.date, r.cve, r.epss)  # noqa: E731
+    want = sorted(map(key, full.filter(F.col("date") > F.lit(boundary)).collect()))
+    got = sorted(map(key, inc.collect()))
+    assert got == want
+    assert (D(2024, 1, 3), "CVE-G", 0.5) in got  # the restart row survives
+
+
+def test_incremental_equals_full_with_nulls(spark):
+    """Randomized invariant including NULL-valued rows: with raw_tail
+    covering each key's last raw row at the boundary, incremental ==
+    full re-quantization even across NULL gaps."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for k in range(20):
+        v = 0.5
+        for d in range(10):
+            if rng.random() < 0.35:
+                v = round(rng.random(), 2)
+            rows.append(
+                (D(2024, 1, 1) + dt.timedelta(days=d), f"CVE-{k}", None if rng.random() < 0.2 else v)
+            )
+    dense = _scores(spark, rows)
+    boundary = D(2024, 1, 6)
+    full = changed_scores(dense)
+    prev = changed_scores(dense.filter(F.col("date") <= F.lit(boundary)))
+    inc = incremental_changed_scores(
+        prev,
+        dense.filter(F.col("date") > F.lit(boundary)),
+        since=boundary,
+        raw_tail=dense.filter(F.col("date") <= F.lit(boundary)),
+    )
+    key = lambda r: (r.date, r.cve, r.epss)  # noqa: E731
+    want = sorted(map(key, full.filter(F.col("date") > F.lit(boundary)).collect()))
+    got = sorted(map(key, inc.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_quantize_compression_property(spark):
     """Quantized output is never larger than the dense input, and each key
     keeps at least its first observation."""

@@ -60,9 +60,20 @@ def test_dedup_embedding_keeps_lower_id(spark):
 
 
 def test_multimodal_features_shape(spark):
-    out = qd.multimodal_features(spark, SF)
-    row = out.filter(F.col("n_bytes") > 0).first()
+    # the registered query folds features to a scalar digest (the driver's
+    # canonicalizer can't sort array columns); the raw array shape is still
+    # pinned here through the underlying operator
+    from epss_spark.operators import multimodal
+    from epss_spark.queries_domain import _media
+
+    raw = multimodal.extract_features(_media(spark, SF))
+    row = raw.filter(F.col("n_bytes") > 0).first()
     assert row is not None and len(row["features"]) == 8
+
+    out = qd.multimodal_features(spark, SF)
+    assert out.columns == ["media_id", "content_hash", "n_bytes", "feat_digest"]
+    d = out.filter(F.col("n_bytes") > 0).first()
+    assert d is not None and d["feat_digest"] > 0.0
     # dedup-before-decode: identical payloads share a content hash
     assert out.select("content_hash").distinct().count() <= out.count()
 

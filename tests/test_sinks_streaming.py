@@ -324,6 +324,43 @@ def test_decode_bmp_bottom_up_with_padding():
     assert multimodal.decode_image(b"\x89PNG....") is None  # unknown magic
 
 
+def test_decode_malformed_payloads_return_none(spark):
+    """Malformed media must decode to None, never raise — one bad
+    byte-string in a 100 TB corpus must not kill the stage. All of these
+    also have to ride through resize_images(strict=False) unchanged."""
+    import struct
+
+    bad = {
+        "p6_truncated_header": b"P6\n3",  # header cut mid-field
+        "p6_non_numeric": b"P6\nxx yy\n255\n" + b"\x00" * 64,
+        "p6_zero_dims": b"P6\n0 0\n255\n",
+        "p6_negative_dims": b"P6\n-3 2\n255\n" + b"\x00" * 64,
+        "p6_header_only": b"P6",
+        "bmp_negative_width": (
+            struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, -3, 2, 1, 24, 0, 0, 0, 0, 0, 0)
+            + b"\x00" * 64
+        ),
+        "bmp_zero_dims": (
+            struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 0, 0, 1, 24, 0, 0, 0, 0, 0, 0)
+        ),
+        "empty": b"",
+    }
+    for name, payload in bad.items():
+        assert multimodal.decode_image(payload) is None, name
+
+    rows = [
+        (i, "image", "image/x-test", None, None, None, p)
+        for i, p in enumerate(bad.values())
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.resize_images(df, 8, 8).collect()}
+    assert len(out) == len(bad)  # nothing raised, everything passed through
+    for i, p in enumerate(bad.values()):
+        assert bytes(out[i].payload or b"") == p
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
