@@ -33,41 +33,48 @@ def asof_join(
     right_time = right_time or left_time
     right_values = right_values or [c for c in right.columns if c not in (key, right_time)]
 
-    l_tag = left.withColumn("__is_left", F.lit(1)).withColumn("__t", F.col(left_time))
-    r_cols = [F.col(key), F.col(right_time).alias("__t"), F.lit(0).alias("__is_left")]
+    # The right-side values travel as ONE packed struct, and the forward
+    # fill is a single last(ignorenulls) over that struct — so every output
+    # row's values come from the SAME right row. (A per-column fill would
+    # look past a NULL field to an OLDER right row for that column only,
+    # stitching together values that never co-occurred.)
+    from pyspark.sql.types import MapType
+
     r_tag = right.select(
-        *r_cols, *[F.col(c).alias(f"__r_{c}") for c in right_values]
+        F.col(key),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*[F.col(c).alias(c) for c in right_values]).alias("__r"),
     )
-    for c in right_values:
-        l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(r_tag.schema[f"__r_{c}"].dataType))
+    r_type = r_tag.schema["__r"].dataType
+    l_tag = (
+        left.withColumn("__is_left", F.lit(1))
+        .withColumn("__t", F.col(left_time))
+        .withColumn("__r", F.lit(None).cast(r_type))
+    )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     # Right rows sort before left rows at equal time (__is_left asc) so an
     # exactly-simultaneous right row is visible to the left row (>= semantics).
-    # The __r_* value columns complete the order: with multiple right rows at
-    # the same (key, time), the forward-fill takes the last row of the
-    # ascending value sort (i.e. the maximum), the same on every run and
-    # partitioning — without them the pick would be partition order, i.e.
-    # nondeterministic. Map-typed columns are unorderable in Spark and are
-    # left out (ties then resolve on the orderable columns only).
-    from pyspark.sql.types import MapType
-
+    # The value fields complete the order: with multiple right rows at the
+    # same (key, time), the forward-fill takes the last row of the ascending
+    # value sort (i.e. the field-wise maximum row), the same on every run
+    # and partitioning — without them the pick would be partition order,
+    # i.e. nondeterministic. Map-typed fields are unorderable in Spark and
+    # are skipped in the ORDER (ties then resolve on the orderable fields)
+    # but still ride in the fill struct, so they are returned consistently.
     tiebreaks = [
-        F.col(f"__r_{c}").asc()
-        for c in right_values
-        if not isinstance(r_tag.schema[f"__r_{c}"].dataType, MapType)
+        F.col("__r").getField(f.name).asc()
+        for f in r_type.fields
+        if not isinstance(f.dataType, MapType)
     ]
     w = (
         Window.partitionBy(key)
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), *tiebreaks)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for c in right_values:
-        filled = filled.withColumn(
-            f"__r_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        )
+    filled = unioned.withColumn("__r", F.last(F.col("__r"), ignorenulls=True).over(w))
     out = filled.filter(F.col("__is_left") == 1).drop("__is_left", "__t")
     for c in right_values:
-        out = out.withColumnRenamed(f"__r_{c}", f"{c}{suffix}" if c in left.columns else c)
-    return out
+        out = out.withColumn(f"{c}{suffix}" if c in left.columns else c, F.col("__r").getField(c))
+    return out.drop("__r")

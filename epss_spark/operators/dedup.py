@@ -20,12 +20,19 @@ every dedup op is oracle-checked); simhash also offers xxhash64
 Note on caching: minhash_lsh_pairs / ngram_jaccard_pairs persist the
 shared shingle-array frame for the lifetime of the returned (lazy) plan —
 Spark gives a library function no sound point to unpersist it. Sessions
-running many dedup passes over different corpora should call
-spark.catalog.clearCache() between passes.
+running many dedup passes should scope the cache themselves:
+
+    with shingle_cache(docs) as shmap:
+        pairs = minhash_lsh_pairs(docs, shmap=shmap).collect()
+    # the shingle cache is released here
+
+Passing `shmap` makes the caller the owner of the persist lifecycle; the
+default (shmap=None) keeps the old fire-and-forget behavior.
 """
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -68,14 +75,17 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
+    shmap: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle.
 
     Same single-artifact design as minhash_lsh_pairs: one persisted
     shingle-array frame feeds the exploded discovery join (inherent here —
     pairs are DEFINED by shared shingles) and supplies set sizes as
-    F.size projections, with no separate counting groupBy."""
-    shmap = shingle_arrays(docs, id_col, text_col).persist()
+    F.size projections, with no separate counting groupBy. Pass `shmap`
+    (e.g. from `shingle_cache`) to own the persist lifecycle."""
+    if shmap is None:
+        shmap = shingle_arrays(docs, id_col, text_col).persist()
     ex = (
         shmap.select(id_col, F.explode_outer("shingles").alias("sh"))
         .where(F.col("sh").isNotNull())
@@ -148,6 +158,66 @@ def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return with_shingles(ensure_parallelism(docs), id_col, text_col)
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination scan: for each training document, how many of
+    its distinct word 3-gram shingles also occur anywhere in the benchmark
+    corpus — the standard decontamination signal before training on scraped
+    data (a doc overlapping an eval set must be dropped or down-weighted).
+
+    Returns (id, n_shingles, n_contaminated, contamination_frac) for EVERY
+    doc, zero-hit docs included.
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus
+    (eval suites are MBs, corpora are TBs) — distinct it and broadcast-join
+    against the exploded corpus shingles, so the 100 TB side never
+    shuffles; the only exchange is the per-doc hit count groupBy."""
+    doc_sh = shingle_arrays(docs, id_col, text_col)
+    bench_sh = (
+        shingle_arrays(benchmark, id_col, text_col)
+        .select(F.explode_outer("shingles").alias("sh"))
+        .where(F.col("sh").isNotNull())
+        .distinct()
+    )
+    ex = doc_sh.select(id_col, F.explode_outer("shingles").alias("sh")).where(
+        F.col("sh").isNotNull()
+    )
+    hits = ex.join(F.broadcast(bench_sh), "sh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    sizes = doc_sh.select(id_col, F.size("shingles").alias("n_shingles"))
+    n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return sizes.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        n_hit.alias("n_contaminated"),
+        (n_hit.cast("double") / F.col("n_shingles")).alias("contamination_frac"),
+    )
+
+
+@contextmanager
+def shingle_cache(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Scope the persisted shingle-array frame to a `with` block:
+
+        with shingle_cache(docs) as shmap:
+            pairs = minhash_lsh_pairs(docs, shmap=shmap).collect()
+            verified = ngram_jaccard_pairs(docs, shmap=shmap).collect()
+        # cache released here — repeated dedup passes in one long-lived
+        # session no longer accumulate executor storage
+
+    Actions on the returned plans must happen INSIDE the block; after exit
+    the plans still compute, but re-scan instead of hitting the cache."""
+    shmap = shingle_arrays(docs, id_col, text_col).persist()
+    try:
+        yield shmap
+    finally:
+        shmap.unpersist()
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -189,6 +259,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     prune_verification: bool = True,
+    shmap: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection, with exact-Jaccard
     verification of candidates. Returns (a_id, b_id, jaccard >= threshold).
@@ -196,7 +267,8 @@ def minhash_lsh_pairs(
     The exploded (doc, shingle) set feeds three consumers (signatures,
     verification join, sizes) — persist it once; regex-normalizing and
     re-shingling the corpus per consumer is the difference between one
-    scan and six at 100 TB.
+    scan and six at 100 TB. Pass `shmap` (e.g. from `shingle_cache`) to
+    own the persist lifecycle across repeated passes.
     """
     rows = num_hashes // bands
     # ONE materialized artifact feeds everything: per-doc shingle arrays.
@@ -204,7 +276,8 @@ def minhash_lsh_pairs(
     # array_intersects it pair-wise (no exploded self-join). The persist is
     # also the barrier that stops projection collapsing from inlining
     # num_hashes copies of the normalize/shingle tree into the signatures.
-    shmap = shingle_arrays(docs, id_col, text_col).persist()
+    if shmap is None:
+        shmap = shingle_arrays(docs, id_col, text_col).persist()
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shmap=shmap)
     band_cols = [
         F.md5(

@@ -55,6 +55,57 @@ def normalize_vectors(
     return vectors.withColumn(out_col or vec_col, normed)
 
 
+def quantize_int8(
+    vectors: DataFrame, vec_col: str = "embedding", out_col: str = "q", scale_col: str = "scale"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4x storage /
+    bandwidth reduction for embedding indexes (reconstruct x ~= q * scale).
+
+    q_i = floor(x_i / scale + 0.5) with scale = max|x| / 127: explicit
+    floor(+0.5) instead of round() so the rule is identical in every
+    engine (round() half-tie behavior differs across implementations).
+    All-zero vectors quantize to all-zero with scale 0.
+
+    Pure per-row projection, no shuffle, no UDF. The inputs are bound as
+    real columns BEFORE the transform — inlining the max-abs tree into the
+    per-element lambda would re-evaluate it once per element (the
+    element_at trap documented at operators/text.py::shingles)."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    staged = vectors.withColumn("__x", x).withColumn(
+        scale_col, F.array_max(F.transform(F.col("__x"), F.abs)) / F.lit(127.0)
+    )
+    s = F.col(scale_col)
+    q = F.when(
+        s == 0, F.transform(F.col("__x"), lambda v: F.lit(0).cast("long"))
+    ).otherwise(F.transform(F.col("__x"), lambda v: F.floor(v / s + F.lit(0.5))))
+    return staged.withColumn(out_col, q).drop("__x")
+
+
+def dequantize_error(
+    vectors: DataFrame, vec_col: str = "embedding", dp: int = 6
+) -> DataFrame:
+    """Quantization round-trip diagnostics: per vector, the saturation
+    count (|q| == 127) and the max absolute reconstruction error
+    |q * scale - x|, rounded to `dp` for cross-engine stability. Used to
+    validate that int8 is safe for a given embedding distribution before
+    converting an index."""
+    staged = quantize_int8(vectors, vec_col=vec_col)
+    err = F.array_max(
+        F.zip_with(
+            F.col("q"),
+            F.col(vec_col),
+            lambda qi, xi: F.abs(qi * F.col("scale") - xi.cast("double")),
+        )
+    )
+    return staged.select(
+        *[c for c in vectors.columns if c != vec_col],
+        F.col("scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")).alias("q_sum"),
+        F.size(F.filter("q", lambda v: F.abs(v) == 127)).alias("n_saturated"),
+        F.round(err, dp).alias("recon_err"),
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,

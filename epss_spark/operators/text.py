@@ -110,6 +110,61 @@ def quality_filter(
     )
 
 
+def bigrams(toks: Column) -> Column:
+    """Word 2-gram arrays via zip_with over shifted slices (same
+    O(tokens) construction rationale as `shingles`). Docs with < 2 tokens
+    yield an empty array."""
+    cnt = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, cnt), F.slice(toks, 2, cnt), lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals for corpus filtering: per document,
+    the fraction of word bigrams occupied by the single most frequent
+    bigram (top_bigram_frac) and the fraction occupied by any repeated
+    bigram (dup_bigram_frac). High values mark boilerplate / templated /
+    looping text that length and stopword heuristics miss.
+
+    Scale shape: explode bigrams -> count per (doc, gram) -> fold per doc.
+    Two hash exchanges, both with map-side partial aggregation; per-gram
+    state is ~(id, hash, count), never the text. The per-row alternative
+    (transform over distinct grams x count filter) is O(tokens^2) per
+    document — fine for tweets, quadratic death for long documents, which
+    are exactly where repetition filtering matters.
+
+    Only documents with at least one bigram (>= 2 tokens) appear in the
+    output — a repetition score is undefined on shorter docs."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    # small-file guard: the regex tokenize + explode is CPU-heavy; over a
+    # single parquet split it would run on one task (no-op at real scale)
+    toked = ensure_parallelism(docs).select(id_col, tokens(text_col).alias("__toks"))
+    grams = (
+        toked.select(id_col, F.explode_outer(bigrams(F.col("__toks"))).alias("g"))
+        # explode_outer + null filter: see _exploded_shingles in dedup.py —
+        # avoids the optimizer's inferred Generate filter re-evaluating the
+        # tokenize tree pre-exchange
+        .where(F.col("g").isNotNull())
+    )
+    counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("__top"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("__dup"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.col("__top").cast("double") / F.col("n_bigrams")).alias("top_bigram_frac"),
+            (F.col("__dup").cast("double") / F.col("n_bigrams")).alias("dup_bigram_frac"),
+        )
+    )
+
+
 def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """N-gram-free language ID: stopword-overlap scores per language with a
     CJK codepoint check, fixed precedence for ties (en > fr > es > de)."""

@@ -593,3 +593,88 @@ def text_tokens_bpe(spark, sf_dir):
         ).alias("n_bpe_tokens"),
         F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: repetition quality, decontamination, int8 quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END) AS g
+      FROM base
+    ),
+    c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+    a AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top,
+                 SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(top AS DOUBLE) / n_bigrams AS top_bigram_frac,
+           CAST(dup AS DOUBLE) / n_bigrams AS dup_bigram_frac
+    FROM a
+    """,
+)
+def text_repetition(spark, sf_dir):
+    # Gopher-style repetition signals (top-bigram / duplicate-bigram
+    # fractions) — the boilerplate detector length heuristics miss
+    return text.repetition_stats(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_contamination",
+    f"""
+    WITH n AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM n),
+    bench AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id < 10),
+    cand AS (SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id >= 10),
+    hits AS (SELECT doc_id, COUNT(*) AS n_contaminated
+             FROM cand JOIN bench USING (sh) GROUP BY doc_id),
+    sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh WHERE doc_id >= 10)
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / s.n_shingles AS contamination_frac
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+)
+def dedup_contamination(spark, sf_dir):
+    # benchmark decontamination: docs 0-9 stand in for an eval suite; every
+    # other doc reports its distinct-3-gram overlap with that suite
+    docs = T(spark, sf_dir, "documents")
+    return dedup.benchmark_contamination(
+        docs.filter(F.col("doc_id") >= 10), docs.filter(F.col("doc_id") < 10)
+    )
+
+
+@register(
+    "ann_quantize_int8",
+    """
+    WITH x AS (SELECT vec_id, label,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+               FROM embeddings),
+    s AS (SELECT vec_id, label, x,
+                 list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale FROM x),
+    q AS (SELECT vec_id, label, x, scale,
+            CASE WHEN scale = 0 THEN list_transform(x, v -> CAST(0 AS BIGINT))
+                 ELSE list_transform(x, v -> CAST(floor(v / scale + 0.5) AS BIGINT)) END AS q
+          FROM s)
+    SELECT vec_id, label, scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           len(list_filter(q, v -> abs(v) = 127)) AS n_saturated,
+           round(list_max(list_transform(range(1, 65), i -> abs(q[i] * scale - x[i]))), 6)
+             AS recon_err
+    FROM q
+    """,
+)
+def ann_quantize_int8(spark, sf_dir):
+    # int8 embedding quantization diagnostics: scale, quantized checksum,
+    # saturation count, max reconstruction error — scalar projections of
+    # the full quantize/dequantize round trip (floor(x/scale+0.5) rule,
+    # engine-identical; see operators/similarity.py::quantize_int8)
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return similarity.dequantize_error(emb)

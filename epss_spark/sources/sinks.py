@@ -49,8 +49,13 @@ def _write_xlsx_minimal(pdf, path: str, sheet_name: str) -> None:
 
     def cell(r: int, c: int, v) -> str:
         ref = f"{_col_letter(c)}{r + 1}"
-        if v is None or (isinstance(v, float) and v != v):
-            return f'<c r="{ref}"/>'
+        if type(v).__module__ == "numpy":
+            # pandas iterrows yields numpy scalars; under numpy >= 2 their
+            # repr is 'np.float64(0.5)', which corrupts the <v> literal —
+            # unwrap to the plain Python value first (also fixes np.bool_)
+            v = v.item()
+        if v is None or (isinstance(v, float) and (v != v or v in (float("inf"), float("-inf")))):
+            return f'<c r="{ref}"/>'  # NaN/inf have no xlsx numeric literal
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
         if isinstance(v, numbers.Number):

@@ -200,6 +200,89 @@ def test_sessionize_known_gaps(spark):
     assert stats[(2, 1)] == (2, 1800.0) and stats[(2, 2)] == (1, 0.0)
 
 
+def test_repetition_stats_golden(spark):
+    """Hand-computed Gopher-style repetition fractions."""
+    from epss_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a"),  # bigrams: ab, ba, ab, ba -> top 2/4, dup 4/4
+            (1, "a b c"),  # bigrams: ab, bc -> top 1/2, dup 0
+            (2, "x"),  # < 2 tokens: no bigrams, absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.repetition_stats(docs).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_bigrams == 4
+    assert out[0].top_bigram_frac == 0.5 and out[0].dup_bigram_frac == 1.0
+    assert out[1].n_bigrams == 2
+    assert out[1].top_bigram_frac == 0.5 and out[1].dup_bigram_frac == 0.0
+
+
+def test_benchmark_contamination_golden(spark):
+    """Docs sharing a 3-gram with the benchmark get counted; clean docs
+    stay in the output with zero hits."""
+    from epss_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares 'alpha beta gamma' and 'beta gamma delta' (2 of 3 shingles)
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "one two three four"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.benchmark_contamination(docs, bench).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_shingles == 3 and out[0].n_contaminated == 2
+    assert abs(out[0].contamination_frac - 2 / 3) < 1e-12
+    assert out[1].n_contaminated == 0 and out[1].contamination_frac == 0.0
+
+
+def test_quantize_int8_roundtrip(spark):
+    from epss_spark.operators import similarity
+
+    rows = [
+        (0, [127.0, 64.0, -32.0, 0.0]),  # scale 1.0, exact quantization
+        (1, [0.0, 0.0, 0.0, 0.0]),  # all-zero: scale 0, q all zero
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = {r.vec_id: r for r in similarity.quantize_int8(df).collect()}
+    assert q[0].scale == 1.0 and q[0].q == [127, 64, -32, 0]
+    assert q[0].embedding == [127.0, 64.0, -32.0, 0.0]  # original preserved
+    assert q[1].scale == 0.0 and q[1].q == [0, 0, 0, 0]
+
+    err = {r.vec_id: r for r in similarity.dequantize_error(df).collect()}
+    assert err[0].q_sum == 159 and err[0].n_saturated == 1 and err[0].recon_err == 0.0
+    assert err[1].q_sum == 0 and err[1].n_saturated == 0 and err[1].recon_err == 0.0
+    assert "embedding" not in err[0].asDict()  # arrays projected away
+
+
+def test_shingle_cache_releases_on_exit(spark):
+    """The context-managed shingle cache must be persisted inside the block
+    (shared by both dedup passes) and released on exit, so long-lived
+    sessions running repeated passes don't accumulate executor storage."""
+    from epss_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    baseline = len(spark.sparkContext._jsc.getPersistentRDDs())
+    with dedup.shingle_cache(docs) as shmap:
+        assert shmap.storageLevel.useMemory
+        pairs = dedup.minhash_lsh_pairs(docs, shmap=shmap, threshold=0.5).collect()
+        verified = dedup.ngram_jaccard_pairs(docs, shmap=shmap, threshold=0.5).collect()
+        assert len(pairs) > 0 and len(verified) > 0
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) >= baseline + 1
+    assert not shmap.storageLevel.useMemory  # released
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == baseline
+
+
 def test_asof_join_semantics(spark):
     left = spark.createDataFrame(
         [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, t long, tag string"
@@ -243,3 +326,35 @@ def test_asof_join_tie_determinism(spark):
         """
     ).fetchall()
     assert {tag: v for tag, v in oracle} == expected
+
+
+def test_asof_join_whole_row_consistency_with_nulls(spark):
+    """All returned right-side values must come from the SAME right row.
+    With NULL-bearing tied rows, a per-column fill would mix fields from
+    different rows; the packed-struct fill cannot."""
+    left = spark.createDataFrame([(1, 20, "a")], "k long, t long, tag string")
+    # two tied right rows, complementary NULLs: (v=1.0,u=NULL) sorts after
+    # (v=NULL,u=5.0) in the ascending struct order, so it must win WHOLE —
+    # a column-wise fill would emit the never-co-occurring (1.0, 5.0)
+    right = spark.createDataFrame(
+        [(1, 10, None, 5.0), (1, 10, 1.0, None)], "k long, t long, v double, u double"
+    )
+    for nparts in (1, 3):
+        out = asof_join(
+            left, right.repartition(nparts), key="k", left_time="t", right_values=["v", "u"]
+        )
+        r = out.collect()[0]
+        assert (r.v, r.u) == (1.0, None), f"mixed-row fill at {nparts} partitions"
+
+
+def test_asof_join_latest_row_wins_even_if_null(spark):
+    """As-of semantics: the LATEST at-or-before right row's value is
+    returned even when it is NULL — the fill must not reach past it to an
+    older row (matches DuckDB ASOF JOIN, which picks rows, not values)."""
+    left = spark.createDataFrame([(1, 20, "a")], "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 2.0, 1.0), (1, 15, None, 3.0)], "k long, t long, v double, u double"
+    )
+    out = asof_join(left, right, key="k", left_time="t", right_values=["v", "u"])
+    r = out.collect()[0]
+    assert (r.v, r.u) == (None, 3.0)  # the t=15 row, verbatim

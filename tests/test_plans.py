@@ -164,6 +164,27 @@ def test_lsh_and_ivf_broadcast_query_side(spark):
         assert "SortMergeJoin" not in p, name
 
 
+def test_contamination_broadcasts_benchmark_side(spark):
+    # the benchmark shingle set is tiny vs the corpus: it must broadcast so
+    # the (100 TB) corpus side never shuffles for the join; the only hash
+    # exchanges are the per-doc hit count + the small bench distinct
+    p = plan(spark, "dedup_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_repetition_is_two_aggregation_exchanges(spark):
+    # explode -> count(doc,gram) -> fold(doc): two hash exchanges with
+    # map-side partial aggregation, plus the small-file parallelism
+    # round-robin; a per-row O(tokens^2) formulation would show zero
+    # exchanges (and die on long documents)
+    p = plan(spark, "text_repetition")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert p.count("HashAggregate") == 4  # partial+final per groupBy
+    assert "BatchEvalPython" not in p
+
+
 def test_rlike_not_pushed_but_scan_still_pruned(spark):
     # F3: rlike evaluates post-scan (expected), but column pruning must
     # still hold on the scan under it

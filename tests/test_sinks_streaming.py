@@ -73,8 +73,8 @@ def test_write_excel_stdlib_fallback(spark, tmp_path):
     import zipfile
 
     df = spark.createDataFrame(
-        [(1, "a & b", 0.5, dt.date(2024, 1, 1)), (2, None, None, dt.date(2024, 1, 2))],
-        "id long, s string, v double, d date",
+        [(1, "a & b", 0.5, dt.date(2024, 1, 1), True), (2, None, None, dt.date(2024, 1, 2), False)],
+        "id long, s string, v double, d date, flag boolean",
     )
     p = str(tmp_path / "out.xlsx")
     sinks.write_excel(df.orderBy("id"), p)
@@ -86,6 +86,42 @@ def test_write_excel_stdlib_fallback(spark, tmp_path):
     assert "<v>0.5</v>" in sheet  # numeric cell
     assert "2024-01-01" in sheet  # date as ISO inline string
     assert '<c r="A1" t="inlineStr"><is><t>id</t></is></c>' in sheet  # header row
+    # every numeric/bool <v> literal must be a plain decimal — pandas
+    # iterrows yields numpy scalars whose repr under numpy >= 2 would be
+    # 'np.float64(0.5)' without the .item() unwrap
+    import re
+
+    for lit in re.findall(r"<c[^>]*>(?:<v>([^<]*)</v>)?", sheet):
+        if lit:
+            assert re.fullmatch(r"-?\d+(\.\d+)?([eE][-+]?\d+)?", lit), lit
+
+
+def test_xlsx_cell_literals_for_numpy_scalars():
+    """The minimal OOXML writer must render numpy scalar cells as plain
+    literals (np.float64/np.int64/np.bool_), empty cells for NaN/inf."""
+    import zipfile
+
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "f": np.array([0.5, np.nan, np.inf], dtype=np.float64),
+            "i": np.array([7, -3, 0], dtype=np.int64),
+            "b": np.array([True, False, True]),
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "np.xlsx")
+        sinks._write_xlsx_minimal(pdf, p, "data")
+        with zipfile.ZipFile(p) as z:
+            sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "<v>0.5</v>" in sheet and "<v>7</v>" in sheet and "<v>-3</v>" in sheet
+    assert 't="b"><v>1</v>' in sheet and 't="b"><v>0</v>' in sheet
+    assert "np.float64" not in sheet and "np.int64" not in sheet and "np.True_" not in sheet
+    assert '<c r="A3"/>' in sheet and '<c r="A4"/>' in sheet  # NaN, inf -> empty
 
 
 def test_convert_files_in_dir_per_file_layout(spark, tmp_path):
