@@ -148,6 +148,57 @@ def train_split(
     return docs.withColumn("split", split)
 
 
+def dedup_corpus_near(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The near-dup ACTION: given verified similar pairs (a_id < b_id, e.g.
+    from minhash_lsh_pairs), return the corpus minus every doc that has a
+    smaller-id near-duplicate — one-pass greedy keep-lowest-id, the
+    standard LSH dedup policy (NOT transitive closure: a chain 1~3, 3~5
+    with 1!~5 drops both 3 and 5; full connected components would need an
+    iterative algorithm and rarely changes the outcome on near-dup graphs,
+    which are overwhelmingly cliques of boilerplate).
+
+    Scale shape: the drop set is the b_id side of the SURVIVING pairs —
+    orders of magnitude smaller than the corpus — so the anti-join
+    broadcasts it and the corpus never shuffles."""
+    drop = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixing primitive
+    (e.g. keep 100% of books, 10% of web crawl): a row survives iff the
+    60-bit md5 hash of (salt|id) falls under its stratum's threshold.
+
+    Unlike df.sampleBy, the decision is a pure function of (salt, id):
+    stable across runs, engines, partitionings, and corpus appends (a
+    kept doc stays kept when data grows), with no RNG state. Thresholds
+    are integer literals computed once at plan time, so the whole thing
+    is a codegen filter projection — no shuffle, pushes to the scan's
+    surviving-row stream. Same hash family as train_split, different salt
+    domain, so sampling and splitting are independent."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    thr = None
+    for s, r in rates.items():
+        lit = F.lit(int((1 << 60) * r))
+        thr = F.when(F.col(stratum_col) == s, lit) if thr is None else thr.when(
+            F.col(stratum_col) == s, lit
+        )
+    default_lit = F.lit(int((1 << 60) * default_rate))
+    thr = thr.otherwise(default_lit) if thr is not None else default_lit
+    return docs.filter(h < thr)
+
+
 def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc distinct shingle ARRAYS: (id, shingles). The array form keeps
     minhash/verification shuffle-free — signatures become per-row
@@ -242,10 +293,19 @@ def minhash_signatures(
     """
     if shmap is None:
         shmap = shingle_arrays(docs, id_col, text_col).persist()
+    # single-arg lambda FACTORY, not a default-arg closure: F.transform
+    # dispatches on lambda arity, so `lambda s, h=h:` would be called as a
+    # TWO-arg (element, index) lambda — h silently becomes the index Column
+    # and f"{h}|" stringifies its auto-generated variable name, which varies
+    # per plan build (same trap documented at text.py::langid). That made
+    # signatures plan-unique garbage: self-consistent within one execution
+    # (so pairs still verified) but different across executions.
+    def _perm(h: int):
+        prefix = f"{h}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     sig_cols = [
-        F.array_min(
-            F.transform("shingles", lambda s, h=h: F.md5(F.concat(F.lit(f"{h}|"), s)))
-        ).alias(f"sig_{h}")
+        F.array_min(F.transform("shingles", _perm(h))).alias(f"sig_{h}")
         for h in range(num_hashes)
     ]
     return shmap.select(id_col, *sig_cols, F.size("shingles").alias("n_shingles"))

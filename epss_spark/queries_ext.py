@@ -175,9 +175,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.6)
 
 
-@register(
-    "dedup_minhash",
-    f"""
+# Full MinHash-LSH pair pipeline as a reusable fragment: dedup_minhash
+# returns it directly; dedup_minhash_keep anti-joins the corpus against its
+# b_id side (the greedy keep-lowest-id dedup action).
+_MINHASH_PAIRS_SQL = f"""
     WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM base),
     sig AS (
@@ -212,8 +213,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     JOIN sizes sb ON c.b_id = sb.doc_id
     LEFT JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
     WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.i, 0)) >= 0.5
-    """,
-)
+"""
+
+
+@register("dedup_minhash", _MINHASH_PAIRS_SQL)
 def dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         T(spark, sf_dir, "documents"),
@@ -221,6 +224,24 @@ def dedup_minhash(spark, sf_dir):
         bands=_BANDS,
         threshold=0.5,
     )
+
+
+@register(
+    "dedup_minhash_keep",
+    f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL})
+    SELECT d.doc_id, d.source, d.n_chars FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = d.doc_id)
+    """,
+)
+def dedup_minhash_keep(spark, sf_dir):
+    """The near-dup ACTION: corpus minus every doc with a smaller-id
+    near-duplicate (greedy keep-lowest-id over the verified LSH pairs)."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+    )
+    return dedup.dedup_corpus_near(docs, pairs).select("doc_id", "source", "n_chars")
 
 
 # Off-surface queries (the driver records only DRIVER_SURFACE's 50): these
@@ -678,3 +699,31 @@ def ann_quantize_int8(spark, sf_dir):
     # engine-identical; see operators/similarity.py::quantize_int8)
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     return similarity.dequantize_error(emb)
+
+
+# Stratified-sampling thresholds shared verbatim by both engines (integer
+# literals, computed once here — no float math at comparison time).
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_SAMPLE_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {int((1 << 60) * r)}" for s, r in _SAMPLE_RATES.items())
+    + f" ELSE {int((1 << 60) * _SAMPLE_DEFAULT)} END"
+)
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          < {_SAMPLE_CASE}
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    # corpus mixing: keep all of src0, half of src1, a quarter of src2, 10%
+    # of everything else — decided by a pure hash of the doc id, so the
+    # sample is stable under appends and identical in both engines
+    return dedup.sample_stratified(
+        T(spark, sf_dir, "documents"), _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    ).select("doc_id", "source")

@@ -35,9 +35,17 @@ def main() -> None:
     store = changed_scores(dense.filter(F.col("date") <= F.lit(boundary)))
     print(f"store rows through {boundary}: {store.count()}")
 
-    # the daily job: only the new days flow through the window
+    # the daily job: only the new days flow through the window. raw_tail is
+    # the boundary-day raw snapshot — it seeds each key from its last RAW
+    # row, so a NULL-valued score at the boundary still restarts correctly
+    # (the change store alone cannot represent "last raw value was NULL")
     new_days = dense.filter(F.col("date") > F.lit(boundary))
-    appended = incremental_changed_scores(store, new_days, since=boundary)
+    appended = incremental_changed_scores(
+        store,
+        new_days,
+        since=boundary,
+        raw_tail=dense.filter(F.col("date") == F.lit(boundary)),
+    )
     print(f"new change events after {boundary}: {appended.count()}")
 
     # invariant check (what the golden test pins): store + appended == full

@@ -200,6 +200,70 @@ def test_sessionize_known_gaps(spark):
     assert stats[(2, 1)] == (2, 1800.0) and stats[(2, 2)] == (1, 0.0)
 
 
+def test_minhash_signatures_are_true_md5_minima(spark):
+    """Regression pin for the arity-dispatch lambda trap: a default-arg
+    closure (`lambda s, h=h:`) makes F.transform call the lambda as
+    (element, index) — h silently becomes the index Column and the 'h|'
+    prefix stringifies a plan-unique variable name, so signatures were
+    valid only within one execution and CHANGED across runs (second
+    execution of a session reproducibly lost candidate pairs). Signatures
+    must equal the Python md5 ground truth, run after run."""
+    import hashlib
+
+    from epss_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i % 4} common words here for shingles {i % 2}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    shingles = {
+        r.doc_id: list(r.shingles) for r in dedup.shingle_arrays(docs).collect()
+    }
+    for _ in range(2):  # two executions: values must be identical and true
+        sig = {r.doc_id: r for r in dedup.minhash_signatures(docs, num_hashes=4).collect()}
+        for did, ss in shingles.items():
+            for h in range(4):
+                want = min(hashlib.md5(f"{h}|{s}".encode()).hexdigest() for s in ss)
+                assert sig[did][f"sig_{h}"] == want, (did, h)
+
+
+def test_sample_stratified_deterministic(spark):
+    from epss_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "t", "a" if i % 2 == 0 else "b") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    # rate 1.0 keeps every 'a'; rate 0.0 (default) drops every 'b'
+    out = dedup.sample_stratified(docs, {"a": 1.0}, default_rate=0.0)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [i for i in range(100) if i % 2 == 0]
+    # decisions are a pure function of (salt, id): stable across partitionings
+    kept2 = sorted(r.doc_id for r in dedup.sample_stratified(
+        docs.repartition(7), {"a": 1.0}, default_rate=0.0
+    ).collect())
+    assert kept2 == kept
+    # a mid rate keeps a strict, id-stable subset
+    half = set(r.doc_id for r in dedup.sample_stratified(
+        docs, {"a": 0.5}, default_rate=0.0
+    ).collect())
+    assert half < set(kept)
+
+
+def test_dedup_corpus_near_greedy_keep(spark):
+    from epss_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3, 0.9), (3, 5, 0.8)], "a_id long, b_id long, jaccard double"
+    )
+    kept = sorted(r.doc_id for r in dedup.dedup_corpus_near(docs, pairs).collect())
+    # greedy: 3 and 5 each have a smaller near-duplicate -> dropped
+    assert kept == [0, 1, 2, 4]
+
+
 def test_repetition_stats_golden(spark):
     """Hand-computed Gopher-style repetition fractions."""
     from epss_spark.operators import text as tx
