@@ -1,0 +1,79 @@
+"""End-to-end training-corpus preparation — the 100 TB pipeline in miniature.
+
+Chains the engine's LLM-data operators over the testdata `documents` table:
+
+    quality gate -> exact dedup -> near-dup dedup (MinHash-LSH + verify)
+    -> benchmark decontamination -> per-source sampling -> train/val/test split
+
+Every stage is a lazy DataFrame transformation; the whole pipeline is ONE
+Spark plan per action. At cluster scale the corpus side never shuffles for
+the contamination join (benchmark shingles broadcast) or the near-dup
+action (surviving-pair drop set broadcasts); the only corpus-wide
+exchanges are the LSH bucket groupBy and the final write.
+
+Usage: python examples/corpus_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from epss_spark.operators import dedup, text  # noqa: E402
+from epss_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("corpus-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+    print(f"raw corpus: {n0} docs")
+
+    # 1. quality gate: length / stopword-saturation / repetitiveness
+    gated = text.quality_filter(docs)
+    print(f"after quality gate: {gated.count()}")
+
+    # 2. exact dedup: keep the min-id representative per normalized text
+    exact = dedup.dedup_corpus(gated)
+    print(f"after exact dedup: {exact.count()}")
+
+    # 3. near-dup dedup: MinHash-LSH candidates, exact-Jaccard verified,
+    #    greedy keep-lowest-id. The shingle cache is scoped to this block.
+    with dedup.shingle_cache(exact) as shmap:
+        pairs = dedup.minhash_lsh_pairs(exact, shmap=shmap, threshold=0.5)
+        neared = dedup.dedup_corpus_near(exact, pairs)
+        n3 = neared.count()  # action INSIDE the cache scope
+    print(f"after near-dup dedup: {n3}")
+
+    # 4. decontamination: drop anything overlapping the "benchmark" set
+    #    (here: docs 0-9 stand in for an eval suite)
+    bench = docs.filter(F.col("doc_id") < 10)
+    contam = dedup.benchmark_contamination(neared, bench)
+    clean = neared.join(
+        contam.filter(F.col("contamination_frac") >= 0.5).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    print(f"after decontamination: {clean.count()}")
+
+    # 5. corpus mixing: deterministic per-source rates (stable under appends)
+    mixed = dedup.sample_stratified(
+        clean, {"src0": 1.0, "src1": 0.5}, default_rate=0.25
+    )
+    print(f"after per-source sampling: {mixed.count()}")
+
+    # 6. train/val/test split: pure hash projection, no RNG state
+    split = dedup.train_split(mixed, weights=(0.8, 0.1, 0.1))
+    for row in split.groupBy("split").count().orderBy("split").collect():
+        print(f"  {row['split']}: {row['count']}")
+
+
+if __name__ == "__main__":
+    main()
