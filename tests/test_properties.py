@@ -92,6 +92,82 @@ def test_key_filter_commutes_with_quantization(spark, hist, lo):
     assert a == b
 
 
+vectors = st.lists(
+    st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(vecs=vectors)
+@_settings
+def test_int8_quantization_error_bound(spark, vecs):
+    """For any vector: |q_i| <= 127 (no overflow past saturation) and the
+    reconstruction error is bounded by scale/2 (the rounding quantum),
+    plus float slack."""
+    from epss_spark.operators.similarity import dequantize_error, quantize_int8
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in quantize_int8(df).collect():
+        assert all(abs(q) <= 127 for q in r.q), r
+    for r in dequantize_error(df).collect():
+        scale = r.scale
+        assert r.recon_err <= scale / 2 + 1e-9, (r.vec_id, r.recon_err, scale)
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True),
+    rate=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+@_settings
+def test_stratified_sampling_is_consistent_subset(spark, ids, rate):
+    """A lower rate always keeps a subset of a higher rate's picks for the
+    same salt (thresholds are nested), rate 1.0 keeps everything, and
+    rate 0.0 keeps nothing."""
+    from epss_spark.operators.dedup import sample_stratified
+
+    docs = spark.createDataFrame([(i, "t", "s") for i in ids], "doc_id long, text string, source string")
+    kept = {r.doc_id for r in sample_stratified(docs, {"s": rate}).collect()}
+    full = {r.doc_id for r in sample_stratified(docs, {"s": 1.0}).collect()}
+    if rate == 1.0:
+        assert kept == set(ids)
+    if rate == 0.0:
+        assert kept == set()
+    assert kept <= full and full == set(ids)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=2, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings
+def test_repetition_fractions_well_formed(spark, texts):
+    """top_bigram_frac and dup_bigram_frac are in (0, 1]; dup >= top when
+    the top bigram repeats; n_bigrams == tokens - 1."""
+    from epss_spark.operators.text import repetition_stats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    for i, ws in enumerate(rows):
+        n_tok = len(texts[i])
+        r = out[i]
+        assert r.n_bigrams == n_tok - 1
+        assert 0 < r.top_bigram_frac <= 1
+        assert 0 <= r.dup_bigram_frac <= 1
+        # any repeated top bigram contributes all its occurrences to dup
+        if r.top_bigram_frac * r.n_bigrams >= 2:
+            assert r.dup_bigram_frac >= r.top_bigram_frac
+
+
 def test_zero_bound_query_on_quantized(spark):
     """Query with 0.0 bounds composes with quantization (regression for the
     truthiness divergence at the composite level)."""
