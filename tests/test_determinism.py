@@ -1,0 +1,54 @@
+"""Cross-execution determinism guard.
+
+Round 4 found a bug this file exists to prevent recurring: minhash
+signatures were built from a default-arg lambda, F.transform's arity
+dispatch bound the hash salt to the element INDEX column, and the salt
+string embedded a plan-unique variable name — so results were
+self-consistent within one execution but CHANGED between executions (the
+second run of a session reproducibly lost LSH candidate pairs).
+
+Every query whose plan is assembled from generated expressions (lambda
+factories, seeded constants, embedded literals) is executed TWICE here,
+with the plan REBUILT between runs, and the full result multisets must be
+identical. A plan-build-dependent expression cannot pass this twice.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from epss_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+# The generated-expression families: per-permutation minhash lambdas,
+# seeded LSH hyperplanes, IVF centroid fetch + assignment, simhash bit
+# folds, winnowing's vectorized kernel, the multimodal digest fold, and
+# hash-threshold sampling. Relational queries are static plans and are
+# covered by the oracle differential instead.
+GENERATED = [
+    "dedup_minhash",
+    "dedup_minhash_keep",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "text_winnow_fingerprint",
+    "multimodal_features",
+    "sample_stratified",
+    "text_repetition",
+]
+
+
+def _multiset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", GENERATED)
+def test_rebuilt_plan_gives_identical_results(name, spark):
+    registry.load_all()
+    fn = registry.get_all_queries()[name]
+    first = _multiset(fn(spark, SF))   # plan build #1, execution #1
+    second = _multiset(fn(spark, SF))  # plan REBUILT, execution #2
+    assert first == second, f"{name}: results changed between executions"
+    assert len(first) > 0, f"{name}: empty result defeats the check"
