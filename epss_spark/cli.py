@@ -15,11 +15,9 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import datetime as dt
 import sys
 
 from epss_spark.client import EPSSClient, get_date_range
-from epss_spark.functions.scalars import parse_date
 from epss_spark.plans.query import Query
 from epss_spark.session import get_spark
 from epss_spark.sources.ingest import download_snapshots, iter_dates, snapshot_url

@@ -20,7 +20,7 @@ Two deliberate divergences from the reference, both pinned by tests:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

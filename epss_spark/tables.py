@@ -10,7 +10,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampType
+from pyspark.sql.types import LongType
 
 from epss_spark.schemas import TABLE_NAMES
 
