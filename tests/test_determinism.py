@@ -52,3 +52,25 @@ def test_rebuilt_plan_gives_identical_results(name, spark):
     second = _multiset(fn(spark, SF))  # plan REBUILT, execution #2
     assert first == second, f"{name}: results changed between executions"
     assert len(first) > 0, f"{name}: empty result defeats the check"
+
+
+# Order/partitioning-sensitive shapes: collect_list buckets, windows with
+# tiebreaks, hash-threshold filters. Results must not depend on the
+# physical shuffle layout — at cluster scale the partition count is never
+# what it was in the test environment.
+LAYOUT_SENSITIVE = ["dedup_minhash", "dedup_simhash", "join_asof", "sample_stratified"]
+
+
+@pytest.mark.parametrize("name", LAYOUT_SENSITIVE)
+def test_results_invariant_to_shuffle_partitioning(name, spark):
+    registry.load_all()
+    fn = registry.get_all_queries()[name]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        few = _multiset(fn(spark, SF))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        many = _multiset(fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert few == many, f"{name}: results depend on shuffle partitioning"
