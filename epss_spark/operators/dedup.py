@@ -41,6 +41,14 @@ from pyspark.sql import functions as F
 from epss_spark.operators.text import normalize, tokens, with_shingles
 
 
+def _md5_60bit(c) -> "Column":
+    """60-bit integer from an md5 hex prefix — the engine-portable hash
+    shared by train_split / sample_stratified / simhash. The DuckDB oracle
+    spelling is CAST('0x' || substr(md5(x), 1, 15) AS BIGINT); changing
+    the width or derivation here requires changing every oracle too."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def exact_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup groups: md5(normalized text) -> representative (min id)
     + duplicate count."""
@@ -137,11 +145,7 @@ def train_split(
     shuffle, no RNG state."""
     lo = int((1 << 60) * weights[0])
     mid = int((1 << 60) * (weights[0] + weights[1]))
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _md5_60bit(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
     split = (
         F.when(h < lo, F.lit("train")).when(h < mid, F.lit("val")).otherwise(F.lit("test"))
     )
@@ -183,11 +187,7 @@ def sample_stratified(
     is a codegen filter projection — no shuffle, pushes to the scan's
     surviving-row stream. Same hash family as train_split, different salt
     domain, so sampling and splitting are independent."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _md5_60bit(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
     thr = None
     for s, r in rates.items():
         lit = F.lit(int((1 << 60) * r))
@@ -454,7 +454,7 @@ def simhash(
         .where(F.col("tok").isNotNull())
     )
     if hash_mode == "md5":
-        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        h = _md5_60bit("tok")
     elif hash_mode == "xxhash64":
         h = F.xxhash64("tok")
     else:

@@ -134,29 +134,33 @@ def incremental_changed_scores(
     value was non-NULL.
     """
     fresh = new_rows.filter(F.col(time) > F.lit(since).cast("date"))
-    order = [F.col(time).desc()]
-    if tiebreak:
-        order.append(F.col(tiebreak).desc())
-    w = Window.partitionBy(key).orderBy(*order)
-
-    def _last_per_key(df: DataFrame) -> DataFrame:
+    # Seed = one row per key: the key's last raw-tail row if the tail
+    # covers it, else its last store row. Implemented as ONE priority-
+    # ordered window over the tagged union (raw rows sort before store
+    # rows), not two windows + an anti-join — Spark does not deduplicate
+    # common subplans, so the two-window form would execute the raw-tail
+    # scan twice per action.
+    def _tagged(df: DataFrame, prio: int) -> DataFrame:
         # the store carries bookkeeping columns (delta) the raw snapshots
         # lack; seed rows only need the raw schema
         return (
             df.filter(F.col(time) <= F.lit(since).cast("date"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
             .select(*fresh.columns)
+            .withColumn("__prio", F.lit(prio))
         )
 
-    seed = _last_per_key(prev_changes)
+    candidates = _tagged(prev_changes, 1)
     if raw_tail is not None:
-        raw_seed = _last_per_key(raw_tail)
-        # raw seed wins; store seed only covers keys the tail doesn't
-        seed = raw_seed.unionByName(
-            seed.join(raw_seed.select(key).distinct(), on=key, how="left_anti")
-        )
+        candidates = _tagged(raw_tail, 0).unionByName(candidates)
+    order = [F.col("__prio").asc(), F.col(time).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(key).orderBy(*order)
+    seed = (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
     unioned = seed.unionByName(fresh, allowMissingColumns=False)
     out = changed_scores(unioned, key=key, time=time, value=value, tiebreak=tiebreak)
     return out.filter(F.col(time) > F.lit(since).cast("date"))

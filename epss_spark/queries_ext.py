@@ -687,7 +687,7 @@ def dedup_contamination(spark, sf_dir):
     SELECT vec_id, label, scale,
            CAST(list_sum(q) AS BIGINT) AS q_sum,
            len(list_filter(q, v -> abs(v) = 127)) AS n_saturated,
-           round(list_max(list_transform(range(1, 65), i -> abs(q[i] * scale - x[i]))), 6)
+           round(list_max(list_transform(range(1, len(q) + 1), i -> abs(q[i] * scale - x[i]))), 6)
              AS recon_err
     FROM q
     """,

@@ -44,35 +44,43 @@ def main() -> None:
     exact = dedup.dedup_corpus(gated)
     print(f"after exact dedup: {exact.count()}")
 
-    # 3. near-dup dedup: MinHash-LSH candidates, exact-Jaccard verified,
-    #    greedy keep-lowest-id. The shingle cache is scoped to this block.
+    # 3-6 run inside ONE shingle-cache scope: every later action's plan
+    # embeds the near-dup pipeline, so the cache must stay alive until the
+    # last action (releasing it early would re-run shingling per action).
     with dedup.shingle_cache(exact) as shmap:
+        # 3. near-dup dedup: MinHash-LSH candidates, exact-Jaccard
+        #    verified, greedy keep-lowest-id
         pairs = dedup.minhash_lsh_pairs(exact, shmap=shmap, threshold=0.5)
-        neared = dedup.dedup_corpus_near(exact, pairs)
-        n3 = neared.count()  # action INSIDE the cache scope
-    print(f"after near-dup dedup: {n3}")
+        # the deduped corpus feeds three more stages — persist the small
+        # survivor set rather than re-verifying LSH pairs per action
+        neared = dedup.dedup_corpus_near(exact, pairs).persist()
+        try:
+            print(f"after near-dup dedup: {neared.count()}")
 
-    # 4. decontamination: drop anything overlapping the "benchmark" set
-    #    (here: docs 0-9 stand in for an eval suite)
-    bench = docs.filter(F.col("doc_id") < 10)
-    contam = dedup.benchmark_contamination(neared, bench)
-    clean = neared.join(
-        contam.filter(F.col("contamination_frac") >= 0.5).select("doc_id"),
-        "doc_id",
-        "left_anti",
-    )
-    print(f"after decontamination: {clean.count()}")
+            # 4. decontamination: drop anything overlapping the "benchmark"
+            #    set (here: docs 0-9 stand in for an eval suite)
+            bench = docs.filter(F.col("doc_id") < 10)
+            contam = dedup.benchmark_contamination(neared, bench)
+            clean = neared.join(
+                contam.filter(F.col("contamination_frac") >= 0.5).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+            print(f"after decontamination: {clean.count()}")
 
-    # 5. corpus mixing: deterministic per-source rates (stable under appends)
-    mixed = dedup.sample_stratified(
-        clean, {"src0": 1.0, "src1": 0.5}, default_rate=0.25
-    )
-    print(f"after per-source sampling: {mixed.count()}")
+            # 5. corpus mixing: deterministic per-source rates (stable
+            #    under appends)
+            mixed = dedup.sample_stratified(
+                clean, {"src0": 1.0, "src1": 0.5}, default_rate=0.25
+            )
+            print(f"after per-source sampling: {mixed.count()}")
 
-    # 6. train/val/test split: pure hash projection, no RNG state
-    split = dedup.train_split(mixed, weights=(0.8, 0.1, 0.1))
-    for row in split.groupBy("split").count().orderBy("split").collect():
-        print(f"  {row['split']}: {row['count']}")
+            # 6. train/val/test split: pure hash projection, no RNG state
+            split = dedup.train_split(mixed, weights=(0.8, 0.1, 0.1))
+            for row in split.groupBy("split").count().orderBy("split").collect():
+                print(f"  {row['split']}: {row['count']}")
+        finally:
+            neared.unpersist()
 
 
 if __name__ == "__main__":
