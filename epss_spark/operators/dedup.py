@@ -89,31 +89,38 @@ def ngram_jaccard_pairs(
 
     Same single-artifact design as minhash_lsh_pairs: one persisted
     shingle-array frame feeds the exploded discovery join (inherent here —
-    pairs are DEFINED by shared shingles) and supplies set sizes as
-    F.size projections, with no separate counting groupBy. Pass `shmap`
-    (e.g. from `shingle_cache`) to own the persist lifecycle."""
+    pairs are DEFINED by shared shingles). Set sizes RIDE the exploded
+    rows as a 4-byte int and fold into the intersection groupBy via min()
+    (every row of a doc carries the same size), so there is no separate
+    per-document size frame and no join-back at all — the previous
+    formulation joined two one-row-per-document frames back with forced
+    F.broadcast hints, which at corpus scale is a broadcast of billions
+    of rows (the same anti-pattern removed from the star joins in r4).
+    Pass `shmap` (e.g. from `shingle_cache`) to own the persist
+    lifecycle."""
     if shmap is None:
         shmap = shingle_arrays(docs, id_col, text_col).persist()
     ex = (
-        shmap.select(id_col, F.explode_outer("shingles").alias("sh"))
+        shmap.select(
+            id_col, F.size("shingles").alias("n"), F.explode_outer("shingles").alias("sh")
+        )
         .where(F.col("sh").isNotNull())
     )
-    a = ex.select(F.col(id_col).alias("a_id"), "sh")
-    b = ex.select(F.col(id_col).alias("b_id"), "sh")
+    a = ex.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"), "sh")
+    b = ex.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"), "sh")
     inter = (
         a.join(b, "sh")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
     )
-    sizes = shmap.select(id_col, F.size("shingles").alias("n"))
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
@@ -152,20 +159,110 @@ def train_split(
     return docs.withColumn("split", split)
 
 
-def dedup_corpus_near(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_corpus_near(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    policy: str = "greedy",
+    max_iterations: int = 20,
+) -> DataFrame:
     """The near-dup ACTION: given verified similar pairs (a_id < b_id, e.g.
-    from minhash_lsh_pairs), return the corpus minus every doc that has a
-    smaller-id near-duplicate — one-pass greedy keep-lowest-id, the
-    standard LSH dedup policy (NOT transitive closure: a chain 1~3, 3~5
-    with 1!~5 drops both 3 and 5; full connected components would need an
-    iterative algorithm and rarely changes the outcome on near-dup graphs,
-    which are overwhelmingly cliques of boilerplate).
+    from minhash_lsh_pairs), return the corpus minus near-duplicates.
 
-    Scale shape: the drop set is the b_id side of the SURVIVING pairs —
-    orders of magnitude smaller than the corpus — so the anti-join
-    broadcasts it and the corpus never shuffles."""
-    drop = pairs.select(F.col("b_id").alias(id_col)).distinct()
-    return docs.join(F.broadcast(drop), id_col, "left_anti")
+    policy="greedy" (default): drop every doc that has a smaller-id
+    near-duplicate — one-pass, the standard LSH dedup policy. NOT
+    transitive closure: a chain 1~3, 3~5 with 1!~5 drops both 3 and 5.
+    Rarely differs from closure on near-dup graphs, which are
+    overwhelmingly cliques of boilerplate.
+
+    policy="components": full transitive closure — keep exactly the
+    min-id doc of each connected component (a chain 1~3, 3~5 keeps only
+    1), via the iterative min-label propagation in `connected_components`.
+    Costs O(diameter) shuffle rounds over the PAIR set only (the corpus
+    still sees just the final anti-join), so it's cheap whenever pairs
+    << corpus.
+
+    Scale shape: the drop set is usually orders of magnitude smaller than
+    the corpus, but on boilerplate-heavy crawls (30-60% duplication) it is
+    corpus-scale — so NO forced broadcast hint: a plain left_anti lets AQE
+    broadcast while the set is small and fall back to a shuffled anti-join
+    when it is not (executors would OOM under a forced corpus-scale
+    broadcast)."""
+    if policy == "greedy":
+        drop = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    elif policy == "components":
+        cc = connected_components(pairs, max_iterations=max_iterations)
+        drop = cc.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        raise ValueError(f"unknown policy {policy!r}")
+    return docs.join(drop, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over an undirected similarity graph given as
+    (a_id, b_id) edge pairs. Returns (id, component) where component is
+    the MINIMUM id reachable from `id` — one row per distinct vertex.
+
+    Algorithm: iterative min-label propagation (the dataframe-native
+    reduction of large-star/small-star a la Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each round every vertex adopts
+    the smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds. Near-dup graphs are unions of low-diameter
+    cliques, so 3-5 rounds typically suffice; `max_iterations` caps
+    pathological chains (a chain longer than the cap yields a correct
+    partition refinement, just split — callers wanting exactness on
+    adversarial graphs raise the cap).
+
+    Scale shape: every round is one groupBy shuffle over the EDGE set
+    (never the corpus) plus a localCheckpoint to truncate the growing
+    iterative lineage — the standard Spark iterative-algorithm pattern.
+    Convergence is detected with a 1-row count aggregate per round."""
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # labels: every vertex starts as its own component
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # candidate label for v = min over neighbors u of label(u)
+        neighbor_min = (
+            edges.join(labels, edges["u"] == labels["id"])
+            .select(F.col("v").alias("id"), F.col("component").alias("nc"))
+            .groupBy("id")
+            .agg(F.min("nc").alias("nc"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nc"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def sample_stratified(

@@ -57,15 +57,30 @@ def daily_volume(scores: DataFrame) -> DataFrame:
 
 def daily_change_counts(spark: SparkSession, events_path: str) -> DataFrame:
     """Streaming tumbling-window event counts with watermarked late-data
-    handling over the events extension table (TIMESTAMP(NANOS) parquet is
-    read as long and truncated to micros, as in the batch path)."""
+    handling over the events extension table. The events parquet has shipped
+    ts as TIMESTAMP(NANOS) (read as long, truncated to micros) and as
+    TIMESTAMP(MICROS); readStream needs an explicit schema, so probe the
+    footer with a batch read (cheap, metadata-only) and mirror tables.py's
+    dual handling."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
-        ).parquet(events_path)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    from pyspark.sql.types import LongType
+
+    ts_is_long = isinstance(
+        spark.read.parquet(events_path).schema["ts"].dataType, LongType
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string"
+        ).parquet(events_path)
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        ).parquet(events_path)
+        ev = raw
     return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("day"), F.col("event_type"))

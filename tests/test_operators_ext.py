@@ -262,6 +262,62 @@ def test_dedup_corpus_near_greedy_keep(spark):
     kept = sorted(r.doc_id for r in dedup.dedup_corpus_near(docs, pairs).collect())
     # greedy: 3 and 5 each have a smaller near-duplicate -> dropped
     assert kept == [0, 1, 2, 4]
+    # components policy: transitive closure over the chain 1~3~5 keeps only
+    # the component minimum (1) — greedy and closure agree here by luck of
+    # the chain shape; the distinguishing case is below
+    kept_cc = sorted(
+        r.doc_id
+        for r in dedup.dedup_corpus_near(docs, pairs, policy="components").collect()
+    )
+    assert kept_cc == [0, 1, 2, 4]
+    with pytest.raises(ValueError):
+        dedup.dedup_corpus_near(docs, pairs, policy="bogus")
+
+
+def test_connected_components_chain_and_clique(spark):
+    from epss_spark.operators import dedup
+
+    # two components: a 4-chain 0-1-2-3 (diameter 3 > one propagation
+    # round, exercises iteration) and a clique {10,11,12}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (11, 12)],
+        "a_id long, b_id long",
+    )
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_corpus_near_components_differs_from_greedy(spark):
+    from epss_spark.operators import dedup
+
+    # chain 1~2, 2~3 where 1!~3: greedy drops 2 and 3 (each has a smaller
+    # near-dup) — and so does closure — but on chain 2~1 ordering quirks,
+    # the canonical distinguishing case is b_id-only membership: pair list
+    # (2,3),(1,2) => greedy drops {3,2}; closure keeps min(1) and drops
+    # {2,3} too. The real difference: pairs (1,3),(3,5) — greedy drops
+    # {3,5} keeping 1; closure puts {1,3,5} in one component keeping 1.
+    # Same survivors, but closure guarantees EXACTLY one per component
+    # even when the pair list is not transitively closed under min-id:
+    # pairs (2,9),(9,4) — greedy drops b_ids {9,4} keeping 2; closure
+    # component {2,9,4} keeps min=2. Adversarial case where they differ:
+    # pair (5,9) plus (2,9): greedy drops only 9 (b_ids {9,9}), keeping
+    # BOTH 2 and 5 though they share the near-dup 9; closure merges
+    # {2,5,9} and keeps only 2.
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(5, 9, 0.9), (2, 9, 0.9)], "a_id long, b_id long, jaccard double"
+    )
+    greedy = sorted(
+        r.doc_id for r in dedup.dedup_corpus_near(docs, pairs).collect()
+    )
+    cc = sorted(
+        r.doc_id
+        for r in dedup.dedup_corpus_near(docs, pairs, policy="components").collect()
+    )
+    assert greedy == [0, 1, 2, 3, 4, 5, 6, 7, 8]  # keeps both 2 and 5
+    assert cc == [0, 1, 2, 3, 4, 6, 7, 8]  # one survivor per component
 
 
 def test_repetition_stats_golden(spark):

@@ -71,6 +71,20 @@ def test_no_explicit_broadcast_hint_on_fact_tables(spark):
         assert "ResolvedHint" not in qe(name).analyzed().toString(), name
 
 
+def test_no_broadcast_hints_on_per_document_frames(spark):
+    # scale guard (round-5): the dedup module must not F.broadcast() any
+    # one-row-per-document frame — ngram_jaccard sizes now ride the
+    # exploded rows, and the dedup_corpus_near drop set is left to AQE
+    # (a boilerplate-heavy corpus makes it corpus-scale). The only hint
+    # allowed anywhere in dedup is the benchmark-shingle side of
+    # contamination (MB-scale by construction).
+    for name in ("dedup_ngram_jaccard", "dedup_minhash", "dedup_minhash_keep"):
+        analyzed = (
+            registry.QUERIES[name](spark, SF)._jdf.queryExecution().analyzed().toString()
+        )
+        assert "ResolvedHint" not in analyzed, name
+
+
 def test_topk_plans_take_ordered(spark):
     # O5: orderBy().limit() must plan as TakeOrderedAndProject, not a
     # global sort

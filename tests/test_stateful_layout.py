@@ -21,13 +21,30 @@ def test_streaming_quantization_matches_batch(spark, tmp_path):
     events_dir.mkdir()
     shutil.copy("/root/testdata/sf0.001/events.parquet", events_dir / "events.parquet")
 
+    # The driver's events.parquet has shipped ts as TIMESTAMP(NANOS) and as
+    # TIMESTAMP(MICROS); mirror load_table's dual handling (tables.py) since
+    # readStream needs an explicit schema.
+    import pyarrow.parquet as pq
+
+    ts_type = str(pq.read_schema(str(events_dir / "events.parquet")).field("ts").type)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
-    ).parquet(str(events_dir))
-    stream = raw.select(
-        "event_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"), "user_id", "value"
-    )
+    if ts_type.startswith("timestamp"):
+        raw = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        ).parquet(str(events_dir))
+        stream = raw.select("event_id", "ts", "user_id", "value")
+    else:
+        raw = spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string"
+        ).parquet(str(events_dir))
+        stream = raw.select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "user_id",
+            "value",
+        )
     out = streaming_changed_values(stream)
     q = (
         out.writeStream.format("memory")
