@@ -152,9 +152,18 @@ def incremental_changed_scores(
     candidates = _tagged(prev_changes, 1)
     if raw_tail is not None:
         candidates = _tagged(raw_tail, 0).unionByName(candidates)
-    order = [F.col("__prio").asc(), F.col(time).desc()]
+    # Time ranks above priority: a raw-tail row older than the store's
+    # latest change is stale (violates the documented "last raw row
+    # at/before since" precondition) and must NOT outrank the newer store
+    # row — ordering by (time desc, prio asc) degrades that caller error
+    # gracefully to the store fallback instead of silently seeding an
+    # outdated value. A correct raw_tail still wins: change rows are a
+    # subset of raw rows, so the raw tail's last row is never older than
+    # the store's, and on the time tie prio 0 (raw) beats prio 1 (store).
+    order = [F.col(time).desc()]
     if tiebreak:
         order.append(F.col(tiebreak).desc())
+    order.append(F.col("__prio").asc())
     w = Window.partitionBy(key).orderBy(*order)
     seed = (
         candidates.withColumn("__rn", F.row_number().over(w))

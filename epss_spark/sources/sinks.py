@@ -43,18 +43,25 @@ def _write_xlsx_minimal(pdf, path: str, sheet_name: str) -> None:
     numbers as native cells, everything else as inline strings (dates
     render as ISO strings, like the console JSON encoder). Covers the
     reference's Excel sink without requiring openpyxl/xlsxwriter."""
+    import math
     import numbers
     import zipfile
     from xml.sax.saxutils import escape
 
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover - numpy ships with pyspark
+        _np = None
+
     def cell(r: int, c: int, v) -> str:
         ref = f"{_col_letter(c)}{r + 1}"
-        if type(v).__module__ == "numpy":
+        if _np is not None and isinstance(v, _np.generic):
             # pandas iterrows yields numpy scalars; under numpy >= 2 their
             # repr is 'np.float64(0.5)', which corrupts the <v> literal —
-            # unwrap to the plain Python value first (also fixes np.bool_)
+            # unwrap to the plain Python value first (also fixes np.bool_,
+            # and isinstance catches subclasses a module-name check misses)
             v = v.item()
-        if v is None or (isinstance(v, float) and (v != v or v in (float("inf"), float("-inf")))):
+        if v is None or (isinstance(v, float) and (math.isnan(v) or math.isinf(v))):
             return f'<c r="{ref}"/>'  # NaN/inf have no xlsx numeric literal
         if isinstance(v, bool):
             return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'

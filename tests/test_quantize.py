@@ -229,6 +229,32 @@ def test_incremental_equals_full_with_nulls(spark):
     assert got == want and len(got) > 0
 
 
+def test_incremental_stale_raw_tail_degrades_to_store(spark):
+    """A raw_tail that violates the documented precondition (its last row
+    for a key is OLDER than the store's latest change) must not silently
+    seed the outdated value: the seed window orders by (time desc, prio
+    asc), so the newer store row outranks the stale raw row and the result
+    degrades gracefully to the store-only seed."""
+    dense = _scores(
+        spark,
+        [
+            (D(2024, 1, 1), "CVE-S", 0.3),
+            (D(2024, 1, 2), "CVE-S", 0.7),  # store's latest change
+            (D(2024, 1, 3), "CVE-S", 0.7),  # unchanged -> must NOT re-emit
+        ],
+    )
+    boundary = D(2024, 1, 2)
+    prev = changed_scores(dense.filter(F.col("date") <= F.lit(boundary)))
+    inc = incremental_changed_scores(
+        prev,
+        dense.filter(F.col("date") > F.lit(boundary)),
+        since=boundary,
+        # stale: only covers day 1, older than the store's day-2 change
+        raw_tail=dense.filter(F.col("date") == F.lit(D(2024, 1, 1))),
+    )
+    assert inc.count() == 0  # stale 0.3 seed would wrongly emit day-3 0.7
+
+
 def test_quantize_compression_property(spark):
     """Quantized output is never larger than the dense input, and each key
     keeps at least its first observation."""

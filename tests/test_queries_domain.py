@@ -78,6 +78,22 @@ def test_multimodal_features_shape(spark):
     assert out.select("content_hash").distinct().count() <= out.count()
 
 
+def test_documents_text_is_ascii(spark):
+    """Pins the multimodal_features oracle assumption: its DuckDB SQL maps
+    characters to payload bytes via unicode(substr(text, i, 1)), which
+    equals the UTF-8 byte value ONLY for pure-ASCII text (and char length
+    == octet length only then). If the driver ever regenerates documents
+    with non-ASCII content, this fails loudly instead of the oracle
+    drifting silently."""
+    from epss_spark.queries_core import T
+
+    docs = T(spark, SF, "documents")
+    non_ascii = docs.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert non_ascii == 0
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     """IVF with n_probe == n_lists degrades to exact search — the built-in
     parity oracle for the approximate path (every candidate is in exactly
