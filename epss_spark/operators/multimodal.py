@@ -17,8 +17,10 @@ Design notes for 100 TB:
 - mapInPandas streams Arrow batches, so executor memory is bounded by
   `spark.sql.execution.arrow.maxRecordsPerBatch` x max payload, not by
   partition size;
-- feature extraction keyed by content hash enables dedup-before-decode,
-  the single biggest cost saver at scale (decode only distinct payloads).
+- feature extraction decodes only DISTINCT payloads: corpus-wide
+  content-hash dedup-before-decode (hash/count JVM-side, decode over the
+  deduplicated set, hash-join back), the single biggest cost saver at
+  scale on duplicated corpora.
 """
 
 from __future__ import annotations
@@ -73,12 +75,30 @@ def extract_features(
     media: DataFrame,
     decode_fn: Callable[[bytes], list[float]] | None = None,
     batch_size_hint: int = 256,
+    scope: str = "corpus",
 ) -> DataFrame:
-    """Decode/feature-extract each payload via Arrow-batched mapInPandas.
+    """Decode/feature-extract each payload via Arrow-batched mapInPandas,
+    decoding each DISTINCT payload exactly once.
 
-    Dedup-before-decode: payloads are grouped by content hash inside each
-    batch so identical bytes decode once. decode_fn=None uses the
-    deterministic fake (no media libs in this environment)."""
+    scope="corpus" (default): corpus-wide dedup-before-decode. The content
+    hash and byte count are pure Catalyst projections (F.md5 /
+    octet_length — identical to hashlib.md5().hexdigest(), no Python
+    crossing), payloads are reduced to one row per hash (hash-keyed
+    aggregate: map-side partial dedup means only per-partition-unique
+    payloads shuffle), ONLY those rows cross into Python for decode, and
+    features join back on the hash (no forced broadcast — AQE broadcasts
+    while the distinct set is small, sort-merges when it is not). On a
+    corpus with duplication factor D, decode cost drops by D — the single
+    biggest cost saver at scale.
+
+    scope="batch": single zero-shuffle mapInPandas pass with an
+    intra-Arrow-batch decode cache — identical output; decode count is
+    once per distinct payload PER BATCH. Use when the decode is cheaper
+    than a shuffle of the distinct payloads.
+
+    decode_fn=None uses the deterministic fake (no media libs in this
+    environment). Both scopes yield bit-identical frames; pinned by
+    tests/test_multimodal.py."""
     # bind the default decoder as a local lambda so the UDF closure pickles
     # by value — workers then don't need this package on their PYTHONPATH
     if decode_fn is None:
@@ -91,6 +111,40 @@ def extract_features(
             return [sum(payload[i : i + step]) / (255.0 * step) for i in range(0, step * dim, step)]
 
     fn = decode_fn
+
+    if scope == "corpus":
+        payload_bytes = F.coalesce(F.col("payload"), F.lit(b""))
+        hashed = media.select(
+            "media_id",
+            F.md5(payload_bytes).alias("content_hash"),
+            F.octet_length(payload_bytes).cast("long").alias("n_bytes"),
+            "payload",
+        )
+        distinct = hashed.dropDuplicates(["content_hash"]).select("content_hash", "payload")
+
+        decoded_schema = StructType(
+            [
+                StructField("content_hash", StringType(), False),
+                StructField("features", ArrayType(DoubleType()), True),
+            ]
+        )
+
+        def _decode(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                feats = [
+                    fn(bytes(p) if p is not None else b"") for p in pdf["payload"]
+                ]
+                yield pd.DataFrame({"content_hash": pdf["content_hash"], "features": feats})
+
+        decoded = distinct.mapInPandas(_decode, schema=decoded_schema)
+        return hashed.select("media_id", "content_hash", "n_bytes").join(
+            decoded, "content_hash"
+        ).select("media_id", "content_hash", "n_bytes", "features")
+
+    if scope != "batch":
+        raise ValueError(f"unknown scope {scope!r}: expected 'corpus' or 'batch'")
 
     def _extract(batches: Iterator) -> Iterator:
         import hashlib
