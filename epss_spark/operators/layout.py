@@ -62,6 +62,39 @@ def salted_agg(
     return partial.groupBy(key).agg(*merge_aggs)
 
 
+def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Cheap skew diagnostic for a prospective window/groupBy key: the
+    top-k key counts against the uniform per-partition budget. One
+    aggregation pass over (key) plus a 1-row global aggregate (broadcast —
+    bounded by construction).
+
+    Columns: key, n, share (fraction of all rows), hot_vs_uniform
+    (n / (total / spark.sql.shuffle.partitions)). hot_vs_uniform > 1 means
+    that single key alone overflows an average shuffle partition — AQE can
+    split skewed JOIN/shuffle partitions but NOT window partitions
+    (Window.partitionBy(key) must see the whole key on one task), so a hot
+    key here will straggle any window over it; that is the signal to
+    switch to the salted two-pass fallback (changed_scores_salted) or to
+    pick a higher-cardinality key."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    return (
+        counts.orderBy(F.desc("n"), key)
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "n",
+            (F.col("n") / F.col("__total")).alias("share"),
+            (F.col("n") * n_part / F.col("__total")).alias("hot_vs_uniform"),
+            F.col("__n_keys").alias("n_keys"),
+        )
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

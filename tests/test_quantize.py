@@ -255,6 +255,59 @@ def test_incremental_stale_raw_tail_degrades_to_store(spark):
     assert inc.count() == 0  # stale 0.3 seed would wrongly emit day-3 0.7
 
 
+def test_salted_equals_plain_changed_scores(spark):
+    """The skew fallback contract: changed_scores_salted == changed_scores
+    on a randomized multi-month history with NULL gaps, month-boundary
+    changes, and one pathologically hot key (50% of rows) — the exact
+    shape the fallback exists for. Covers: first-overall rows, bucket-first
+    rows whose carry is NULL (restart-after-NULL across a month boundary),
+    unchanged values spanning buckets (must NOT re-emit), and sparse
+    buckets (a key absent for a whole month)."""
+    import random
+
+    from epss_spark.operators.quantize import changed_scores_salted
+
+    rng = random.Random(23)
+    rows = []
+    for d in range(90):  # 4 calendar months
+        date = D(2024, 1, 1) + dt.timedelta(days=d)
+        # hot key: a row every day
+        rows.append((date, "CVE-HOT", None if rng.random() < 0.15 else round(rng.random(), 1)))
+        for k in range(10):
+            if k == 3 and date.month == 2:
+                continue  # sparse: CVE-3 skips February entirely
+            if rng.random() < 0.5:
+                v = None if rng.random() < 0.15 else round(rng.random(), 1)
+                rows.append((date, f"CVE-{k}", v))
+    dense = _scores(spark, rows)
+    key = lambda r: (r.date, r.cve, r.epss, r.delta, r.prev)  # noqa: E731
+    want = sorted(
+        map(key, changed_scores(dense, prev_col="prev").collect()),
+        key=repr,
+    )
+    got = sorted(
+        map(key, changed_scores_salted(dense, prev_col="prev").collect()),
+        key=repr,
+    )
+    assert got == want and len(got) > 100
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from epss_spark.operators.layout import key_skew_report
+
+    # 50%-hot key among 101 keys, 4000 rows
+    df = spark.range(4000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'HOT' ELSE concat('k', id % 200) END AS k"
+    )
+    rep = key_skew_report(df, "k", top_k=5).collect()
+    assert rep[0].k == "HOT"
+    assert abs(rep[0].share - 0.5) < 0.01
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert abs(rep[0].hot_vs_uniform - 0.5 * n_part) < 0.5
+    assert rep[0].n_keys == 101  # HOT + the 100 odd residues of id % 200
+    assert len(rep) == 5 and all(r.n <= rep[0].n for r in rep)
+
+
 def test_quantize_compression_property(spark):
     """Quantized output is never larger than the dense input, and each key
     keeps at least its first observation."""
