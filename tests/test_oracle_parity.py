@@ -4,8 +4,11 @@ The driver's CORRECTNESS artifact caps at 50 entries, so the registry
 (epss_spark/registry.py:DRIVER_SURFACE) hands the driver a curated 50-query
 surface. Every demoted query is a near-duplicate of a surfaced sibling, but
 it still gets the exact same rows + columns + order-insensitive value check
-here, at sf0.001, against its DuckDB oracle — so a regression in any of the
-15 demoted operators fails CI even though the driver never sees them.
+here, at sf0.001, against its DuckDB oracle — so a regression in any
+demoted operator fails CI even though the driver never sees them. The
+demoted set is COMPUTED from the registry (demoted_names()), never
+hard-coded, and test_registry_counts pins the audit-trail numbers quoted
+in README.md.
 """
 
 from __future__ import annotations
@@ -43,6 +46,17 @@ def test_surface_is_exactly_50():
     assert len(registry.get_queries()) == 50
     # and ordered as declared, so the driver's first-50 cut takes all of it
     assert list(registry.get_queries()) == list(registry.DRIVER_SURFACE)
+
+
+def test_registry_counts():
+    """Pins the audit-trail numbers quoted in README.md ("78 queries are
+    registered", "the 28 off-surface queries"): if the registry grows or
+    shrinks, update README.md and this test together."""
+    assert len(registry.get_all_queries()) == 78
+    assert len(demoted_names()) == 28
+    # every registered query has a full DuckDB oracle — the README's
+    # headline claim, verified, not asserted
+    assert set(registry.get_all_oracles()) == set(registry.get_all_queries())
 
 
 def test_every_demoted_query_has_an_oracle():
