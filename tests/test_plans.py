@@ -188,6 +188,27 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_multimodal_corpus_dedup_before_decode_plan(spark):
+    # the corpus-scope scale contract: payload bytes cross into Python
+    # EXACTLY once, downstream of the distinct-by-hash aggregate (decode
+    # cost scales with distinct payloads, not corpus rows); the dedup
+    # aggregate has a partial phase before its exchange (only
+    # per-partition-unique payloads shuffle); the features join back is
+    # planner-chosen, never a forced hint
+    p = plan(spark, "multimodal_features")
+    assert p.count("MapInPandas") == 1
+    decode_side = p.split("MapInPandas", 1)[1]  # subtree below the decode
+    assert "Aggregate" in decode_side  # distinct-by-hash feeds the decode
+    assert "partial_first" in p  # map-side partial dedup before the shuffle
+    analyzed = (
+        registry.QUERIES["multimodal_features"](spark, SF)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in analyzed
+
+
 def test_repetition_is_two_aggregation_exchanges(spark):
     # explode -> count(doc,gram) -> fold(doc): two hash exchanges with
     # map-side partial aggregation, plus the small-file parallelism
