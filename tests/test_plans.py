@@ -188,6 +188,15 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_quantize_daily_single_exchange(spark):
+    # round-5 one-exchange plan: repartition(user_id) feeds BOTH the
+    # (user, day) snapshot aggregate (clustering satisfied, map-side
+    # partial) and the lag window — a second exchange or a full-data sort
+    # before the aggregate means the old two-shuffle shape regressed back
+    p = plan(spark, "epss_quantize_daily")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "row_number" not in p  # snapshot is an aggregate, not a window
+
 def test_multimodal_corpus_dedup_before_decode_plan(spark):
     # the corpus-scope scale contract: payload bytes cross into Python
     # EXACTLY once, downstream of the distinct-by-hash aggregate (decode
