@@ -84,6 +84,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.6,
     shmap: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle.
 
@@ -97,7 +98,18 @@ def ngram_jaccard_pairs(
     F.broadcast hints, which at corpus scale is a broadcast of billions
     of rows (the same anti-pattern removed from the star joins in r4).
     Pass `shmap` (e.g. from `shingle_cache`) to own the persist
-    lifecycle."""
+    lifecycle.
+
+    max_shingle_df (opt-in scale guard): drop shingles whose document
+    frequency exceeds the cap from the DISCOVERY join. The join is
+    quadratic per shared shingle — one boilerplate shingle in 1M docs
+    alone yields 5x10^11 candidate rows and kills the stage. Capped
+    shingles are excluded from the intersection COUNT but not from the
+    set sizes, so reported jaccard is a LOWER BOUND for affected pairs
+    (a pair whose only shared shingles are boilerplate disappears —
+    usually the intent). The df count rides a window over the same
+    hash(sh) partitioning the discovery join needs, so the cap adds no
+    extra shuffle of the exploded set. Default None = exact."""
     if shmap is None:
         shmap = shingle_arrays(docs, id_col, text_col).persist()
     ex = (
@@ -106,6 +118,13 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("sh").isNotNull())
     )
+    if max_shingle_df is not None:
+        wsh = Window.partitionBy("sh")
+        ex = (
+            ex.withColumn("__df", F.count(F.lit(1)).over(wsh))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
     a = ex.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"), "sh")
     b = ex.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"), "sh")
     inter = (
@@ -417,6 +436,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     prune_verification: bool = True,
     shmap: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection, with exact-Jaccard
     verification of candidates. Returns (a_id, b_id, jaccard >= threshold).
@@ -426,7 +446,14 @@ def minhash_lsh_pairs(
     re-shingling the corpus per consumer is the difference between one
     scan and six at 100 TB. Pass `shmap` (e.g. from `shingle_cache`) to
     own the persist lifecycle across repeated passes.
-    """
+
+    max_bucket_size (opt-in scale guard): skip LSH buckets holding more
+    than this many docs. Bucket pair expansion is quadratic — one
+    boilerplate mega-clique of 1M identical-banded docs is 5x10^11
+    candidate pairs, i.e. job death — and such cliques are near-exact
+    duplicates that the (linear) exact_groups/fingerprint pass should
+    collapse FIRST. Pairs are lost only if two docs co-occur in NO
+    other under-cap bucket. Default None = expand every bucket."""
     rows = num_hashes // bands
     # ONE materialized artifact feeds everything: per-doc shingle arrays.
     # Signatures project off it row-wise (no groupBy), verification
@@ -471,6 +498,8 @@ def minhash_lsh_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pair_structs = F.filter(
         F.flatten(
             F.transform(

@@ -320,6 +320,59 @@ def test_dedup_corpus_near_components_differs_from_greedy(spark):
     assert cc == [0, 1, 2, 3, 4, 6, 7, 8]  # one survivor per component
 
 
+def test_minhash_max_bucket_size_skips_mega_cliques(spark):
+    """The LSH bucket cap: a clique of identical docs lands every replica
+    in the same bucket in every band; with the cap below the clique size
+    those buckets are skipped (no quadratic expansion), while normal-size
+    near-dup pairs elsewhere still surface. cap=None stays exact."""
+    from epss_spark.operators import dedup
+
+    clique = [(i, "the same boilerplate footer text repeated everywhere") for i in range(10)]
+    pair = [
+        (100, "a quick brown fox jumps over the lazy dog tonight"),
+        (101, "a quick brown fox jumps over the lazy dog today"),
+    ]
+    lonely = [(200, "completely unrelated content about spark window frames")]
+    docs = spark.createDataFrame(clique + pair + lonely, "doc_id long, text string")
+
+    uncapped = dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    assert {(r.a_id, r.b_id) for r in uncapped} >= {(100, 101)}
+    assert sum(1 for r in uncapped if r.a_id < 10 and r.b_id < 10) == 45  # full clique
+
+    capped = dedup.minhash_lsh_pairs(docs, threshold=0.3, max_bucket_size=5).collect()
+    got = {(r.a_id, r.b_id) for r in capped}
+    assert (100, 101) in got  # under-cap buckets still expand
+    assert not any(a < 10 and b < 10 for a, b in got)  # mega-clique skipped
+
+
+def test_ngram_jaccard_max_shingle_df(spark):
+    """The shingle df cap: a boilerplate shingle shared corpus-wide is
+    dropped from the discovery join, so pairs whose ONLY overlap is
+    boilerplate disappear; pairs sharing rare shingles keep a (lower
+    bound) jaccard. cap=None stays exact."""
+    from epss_spark.operators import dedup
+
+    # every doc shares the 3-gram "common footer line"; only 0/1 also
+    # share rare content
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon common footer line"),
+            (1, "alpha beta gamma delta zeta common footer line"),
+            (2, "one two three four five common footer line"),
+            (3, "six seven eight nine ten common footer line"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {(r.a_id, r.b_id) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.05).collect()}
+    assert (0, 1) in exact and (2, 3) in exact  # footer alone links 2~3
+    capped = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.05, max_shingle_df=3).collect()
+    }
+    assert (0, 1) in capped  # rare-shingle overlap survives
+    assert (2, 3) not in capped  # boilerplate-only pair gone
+
+
 def test_repetition_stats_golden(spark):
     """Hand-computed Gopher-style repetition fractions."""
     from epss_spark.operators import text as tx
