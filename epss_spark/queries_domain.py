@@ -69,15 +69,21 @@ def epss_new_keys(spark, sf_dir):
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark side of _DAILY_SQL: latest event value per (user_id, day)."""
+    """Spark side of _DAILY_SQL: latest event value per (user_id, day).
+
+    One-exchange shape (round 5, same reform as epss_quantize_daily):
+    repartition(user_id) satisfies the snapshot aggregate's clustering
+    (user_id ⊆ grouping keys — hash aggregate, map-side partial, no sort)
+    AND every downstream consumer keyed by user_id (the changed_scores
+    window, the per-user groupBys) — so the whole epss_* domain family
+    does its per-user work on a single shuffle of the events table.
+    max_by(value, struct(ts, event_id)) == the desc row_number pick,
+    NULL-at-winner included."""
     ev = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.to_date("ts").alias("d"), "value")
+        ev.repartition("user_id")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
     )
 
 
