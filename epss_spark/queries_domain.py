@@ -149,21 +149,30 @@ def epss_summary(spark, sf_dir):
 )
 def epss_volume_stats(spark, sf_dir):
     # NOTES.md:15-31 daily volume table: per-day score counts + change counts.
+    #
+    # ONE pass over the snapshot (round 5): the change flag is a lag window
+    # on the same hash(user_id) partitioning _daily already produced (no
+    # exchange), so a single groupBy("d") yields both the volume stats and
+    # the change counts — the previous two-branch formulation computed
+    # _daily TWICE (Spark does not reuse common subplans: two full user_id
+    # shuffles of the events table) and joined the per-day aggregates back.
+    # The flag mirrors changed_scores' keep_first condition exactly
+    # (prev IS NULL or delta <> 0; a NULL value after a non-NULL prev gives
+    # NULL delta -> not counted), pinned by the unchanged DuckDB oracle.
     daily = _daily(spark, sf_dir)
-    per_day = daily.groupBy("d").agg(
-        F.count(F.lit(1)).alias("n_scores"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-    )
-    chg = (
-        changed_scores(daily, key="user_id", time="d", value="value")
+    w = Window.partitionBy("user_id").orderBy("d")
+    prev = F.lag("value").over(w)
+    chg = F.when(prev.isNull() | ((F.col("value") - prev) != 0), 1).otherwise(0)
+    return (
+        daily.withColumn("__chg", chg)
         .groupBy("d")
-        .agg(F.count(F.lit(1)).alias("n_changed"))
-    )
-    # the per-day aggregates are tiny (one row per day) — broadcast the join
-    return per_day.join(F.broadcast(chg), "d", "left").select(
-        "d", "n_scores", "min_value", "max_value",
-        F.coalesce("n_changed", F.lit(0)).alias("n_changed"),
+        .agg(
+            F.count(F.lit(1)).alias("n_scores"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum("__chg").alias("n_changed"),
+        )
+        .select("d", "n_scores", "min_value", "max_value", "n_changed")
     )
 
 
@@ -226,11 +235,19 @@ def epss_reconstruct_dense(spark, sf_dir):
     # The inverse of the flagship: quantize then forward-fill back to the
     # dense per-(key, day) matrix (operators/quantize.py::densify). The
     # oracle proves quantization is lossless over the observed day grid.
+    #
+    # Day spine from the RAW scan, not from _daily: the set of observed
+    # days is identical (every event contributes its day), but Spark does
+    # not reuse common subplans, so daily.select("d") would re-run the
+    # whole snapshot — a second full user_id shuffle of the events table —
+    # whereas the raw distinct partial-aggregates to a handful of day rows
+    # per task before its (tiny) exchange.
     daily = _daily(spark, sf_dir)
     quantized = changed_scores(daily, key="user_id", time="d", value="value").select(
         "user_id", "d", "value"
     )
-    return densify(quantized, daily.select("d"), key="user_id", time="d", value="value")
+    days = T(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    return densify(quantized, days, key="user_id", time="d", value="value")
 
 
 @register(
