@@ -227,6 +227,41 @@ def dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "dedup_cc_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    )
+    SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    """,
+)
+def dedup_cc_components(spark, sf_dir):
+    """Connected components over the verified near-dup graph — the
+    transitive-closure grouping behind dedup_corpus_near(policy=
+    'components'). Spark side: iterative min-label propagation over the
+    EDGE set only (operators/dedup.py::connected_components, the
+    dataframe reduction of large-star/small-star); oracle side: DuckDB
+    recursive-CTE reachability with LEAST(u, MIN(v)) — exact closure, so
+    the iterative algorithm is value-checked bit-for-bit, not just
+    shape-checked."""
+    pairs = dedup.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        threshold=0.5,
+    )
+    return dedup.connected_components(pairs)
+
+
+@register(
     "dedup_minhash_keep",
     f"""
     WITH pairs AS ({_MINHASH_PAIRS_SQL})

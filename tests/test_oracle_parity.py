@@ -52,8 +52,8 @@ def test_registry_counts():
     """Pins the audit-trail numbers quoted in README.md ("78 queries are
     registered", "the 28 off-surface queries"): if the registry grows or
     shrinks, update README.md and this test together."""
-    assert len(registry.get_all_queries()) == 78
-    assert len(demoted_names()) == 28
+    assert len(registry.get_all_queries()) == 79
+    assert len(demoted_names()) == 29
     # every registered query has a full DuckDB oracle — the README's
     # headline claim, verified, not asserted
     assert set(registry.get_all_oracles()) == set(registry.get_all_queries())
