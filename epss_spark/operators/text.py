@@ -71,17 +71,32 @@ def with_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Quality-scoring signals: lengths, token counts, stopword fraction,
-    punctuation count. One projection, zero shuffles."""
-    toks = tokens(text_col)
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
-    return docs.select(
+    punctuation count. Zero shuffles.
+
+    Two stacked projections, deliberately: the tokenize tree
+    (normalize-regex + split) is aliased to a column in the inner select
+    and CONSUMED BY NAME in the outer one. Inlining it (the one-select
+    form) evaluates the regex pipeline once per consumer — measured 2x
+    slower at bench scale; codegen subexpression elimination does not
+    rescue it because the consumers sit inside higher-order-function
+    lambdas. CollapseProject keeps the split because it refuses to
+    duplicate non-cheap expressions (pinned by
+    tests/test_plans.py::test_text_stats_single_tokenize)."""
+    base = docs.select(
         id_col,
         F.length(text_col).alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stopword_frac"),
         F.regexp_count(F.col(text_col), F.lit("[.,;:!?]")).alias("n_punct"),
+        tokens(text_col).alias("__toks"),
+    )
+    n_tok = F.size("__toks")
+    n_stop = F.size(F.filter("__toks", lambda x: x.isin(*STOPWORDS_EN)))
+    return base.select(
+        id_col,
+        "n_chars",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct_tokens"),
+        (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stopword_frac"),
+        "n_punct",
     )
 
 
@@ -95,19 +110,21 @@ def quality_filter(
 ) -> DataFrame:
     """Heuristic quality gate for training corpora: drop documents that are
     too short, stopword-saturated, or highly repetitive. All signals are
-    codegen projections over one pass of the text — zero shuffles; the
-    filter pushes into the scan's surviving-row stream."""
-    toks = tokens(text_col)
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
-    n_distinct = F.size(F.array_distinct(toks))
+    codegen projections over one pass of the text — zero shuffles. The
+    tokenize tree is aliased once in an inner select (stacked-projection
+    pattern, see text_stats) so the three gate signals share one
+    evaluation instead of inlining three copies of the regex pipeline."""
+    base = docs.select("*", tokens(text_col).alias("__toks"))
+    n_tok = F.size("__toks")
+    n_stop = F.size(F.filter("__toks", lambda x: x.isin(*STOPWORDS_EN)))
+    n_distinct = F.size(F.array_distinct("__toks"))
     stop_frac = n_stop.cast("double") / F.greatest(n_tok, F.lit(1))
     distinct_frac = n_distinct.cast("double") / F.greatest(n_tok, F.lit(1))
-    return docs.filter(
+    return base.filter(
         (n_tok >= min_tokens)
         & (stop_frac <= max_stopword_frac)
         & (distinct_frac >= min_distinct_frac)
-    )
+    ).drop("__toks")
 
 
 def bigrams(toks: Column) -> Column:
@@ -167,13 +184,17 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """N-gram-free language ID: stopword-overlap scores per language with a
-    CJK codepoint check, fixed precedence for ties (en > fr > es > de)."""
-    toks = tokens(text_col)
+    CJK codepoint check, fixed precedence for ties (en > fr > es > de).
+
+    The tokenize tree is aliased once in an inner select (same stacked-
+    projection pattern as text_stats: the four per-language marker counts
+    would otherwise each inline their own copy of the regex pipeline)."""
+    base = docs.select("*", tokens(text_col).alias("__toks"))
 
     def marker_count(markers: tuple[str, ...]):
         # single-arg lambda factory — F.filter dispatches on lambda arity,
         # so the marker tuple must be closed over, not a default arg
-        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+        return F.size(F.filter("__toks", lambda x: x.isin(*markers)))
 
     scores = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
     has_cjk = F.col(text_col).rlike(_CJK_RE)
@@ -189,7 +210,7 @@ def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
         .when(scores["es"] >= scores["de"], F.lit("es"))
         .otherwise(F.lit("de"))
     )
-    return docs.withColumn("lang_pred", pred)
+    return base.withColumn("lang_pred", pred).drop("__toks")
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

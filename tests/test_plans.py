@@ -188,6 +188,16 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_text_stats_single_tokenize(spark):
+    # the stacked-projection contract (text.py::text_stats/langid): the
+    # tokenize regex tree must appear ONCE in the physical plan — the
+    # normalize pipeline has exactly 2 regexp_replace calls, so >2 means
+    # CollapseProject re-inlined a copy per consumer (measured 2x slower)
+    for name in ("text_stats", "text_langid"):
+        p = plan(spark, name)
+        assert p.count("regexp_replace") == 2, name
+
+
 def test_quantize_daily_single_exchange(spark):
     # round-5 one-exchange plan: repartition(user_id) feeds BOTH the
     # (user, day) snapshot aggregate (clustering satisfied, map-side
