@@ -262,6 +262,39 @@ def dedup_cc_components(spark, sf_dir):
 
 
 @register(
+    "dedup_cc_keep",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    cc AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+    SELECT d.doc_id, d.source, d.n_chars FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM cc WHERE cc.id = d.doc_id AND cc.id <> cc.component)
+    """,
+)
+def dedup_cc_keep(spark, sf_dir):
+    """The transitive-closure dedup ACTION: exactly one survivor (the
+    min-id doc) per connected component of the verified near-dup graph —
+    dedup_corpus_near(policy='components') end-to-end, oracle-checked
+    against DuckDB's recursive closure."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+    )
+    return dedup.dedup_corpus_near(docs, pairs, policy="components").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
     "dedup_minhash_keep",
     f"""
     WITH pairs AS ({_MINHASH_PAIRS_SQL})

@@ -188,6 +188,18 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_epss_domain_family_exchange_budget(spark):
+    # the round-5 _daily reform: one repartition(user_id) serves the
+    # snapshot aggregate AND every downstream per-user window/groupBy.
+    # A second exchange appearing in current_scores/summary (or a third
+    # in volume_stats, which legitimately adds one groupBy("d")) means
+    # the shared snapshot regressed to the two-shuffle row_number shape.
+    budgets = {"epss_current_scores": 1, "epss_summary": 1, "epss_volume_stats": 2}
+    for name, budget in budgets.items():
+        p = plan(spark, name)
+        assert p.count("Exchange hashpartitioning") == budget, name
+
+
 def test_text_stats_single_tokenize(spark):
     # the stacked-projection contract (text.py::text_stats/langid): the
     # tokenize regex tree must appear ONCE in the physical plan — the
