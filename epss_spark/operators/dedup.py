@@ -391,16 +391,27 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 12,
     shmap: DataFrame | None = None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
-    """MinHash signature per doc: for permutation h, min(md5('h|' || shingle)),
+    """MinHash signature per doc: for permutation h, min(hash('h|' || shingle)),
     plus the shingle-set size as `n_shingles`.
 
     A pure per-row projection over the shingle arrays — array_min over
     transform — with NO shuffle at all (the previous formulation exploded
     shingles and ran a num_hashes-way min groupBy; the grouping exchange was
     pure overhead since every shingle of a doc is already in its row).
-    md5-as-permutation keeps the signature engine-portable (oracle parity:
-    DuckDB list_aggregate(list_transform(...), 'min')).
+
+    hash_mode (same split as simhash):
+    - "md5" (default): engine-portable — oracle parity via DuckDB
+      list_aggregate(list_transform(...), 'min'). Signatures are hex
+      strings.
+    - "xxhash64": Spark's native 64-bit hash with the permutation index
+      as seed. Signatures are 8-byte LONGS instead of 32-char hex
+      strings, so the banding exchange and the signature frame shrink
+      ~5x — the scale mode when cross-engine checkability isn't needed
+      (local CPU is regex/shingle-bound either way, measured at parity;
+      the win is shuffle/memory bytes). Min-hash collision probability
+      is the same Jaccard estimator (any uniform hash family works).
 
     Pass a persisted `shmap` (from shingle_arrays) to share the normalized
     shingle scan with verification AND to put a materialization barrier
@@ -416,9 +427,15 @@ def minhash_signatures(
     # per plan build (same trap documented at text.py::langid). That made
     # signatures plan-unique garbage: self-consistent within one execution
     # (so pairs still verified) but different across executions.
-    def _perm(h: int):
-        prefix = f"{h}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    if hash_mode == "md5":
+        def _perm(h: int):
+            prefix = f"{h}|"
+            return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    elif hash_mode == "xxhash64":
+        def _perm(h: int):
+            return lambda s: F.xxhash64(s, F.lit(h))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}: expected 'md5' or 'xxhash64'")
 
     sig_cols = [
         F.array_min(F.transform("shingles", _perm(h))).alias(f"sig_{h}")
@@ -437,9 +454,16 @@ def minhash_lsh_pairs(
     prune_verification: bool = True,
     shmap: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup detection, with exact-Jaccard
     verification of candidates. Returns (a_id, b_id, jaccard >= threshold).
+
+    hash_mode: "md5" (default, engine-portable/oracle-checked) or
+    "xxhash64" (native vectorized hashes for signatures AND band keys —
+    the scale mode; same candidate-recall estimator, different concrete
+    buckets). Verification is exact Jaccard either way, so the THRESHOLD
+    semantics are identical; only borderline candidate recall differs.
 
     The exploded (doc, shingle) set feeds three consumers (signatures,
     verification join, sizes) — persist it once; regex-normalizing and
@@ -462,13 +486,21 @@ def minhash_lsh_pairs(
     # num_hashes copies of the normalize/shingle tree into the signatures.
     if shmap is None:
         shmap = shingle_arrays(docs, id_col, text_col).persist()
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shmap=shmap)
-    band_cols = [
-        F.md5(
-            F.concat(F.lit(f"{b}|"), *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shmap=shmap, hash_mode=hash_mode)
+    if hash_mode == "xxhash64":
+        band_cols = [
+            F.xxhash64(F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(
+                f"band_{b}"
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.md5(
+                F.concat(F.lit(f"{b}|"), *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
     banded = sig.select(id_col, *band_cols)
     melted = (
         banded.select(

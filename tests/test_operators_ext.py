@@ -320,6 +320,29 @@ def test_dedup_corpus_near_components_differs_from_greedy(spark):
     assert cc == [0, 1, 2, 3, 4, 6, 7, 8]  # one survivor per component
 
 
+def test_minhash_xxhash64_mode_matches_md5_pairs(spark):
+    """The scale hash mode must yield the same VERIFIED pairs as the
+    oracle-portable md5 mode on the test corpus (verification is exact
+    Jaccard in both modes; only borderline candidate recall could differ,
+    and at 12 hashes / 4 bands the sf0.001 corpus has none). Also pins
+    that long-typed signatures flow through banding and the keep action."""
+    from epss_spark.operators import dedup
+    from epss_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    md5_pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    xxh_pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5, hash_mode="xxhash64").collect()
+    }
+    assert md5_pairs == xxh_pairs and len(md5_pairs) > 0
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(docs, hash_mode="bogus")
+
+
 def test_minhash_max_bucket_size_skips_mega_cliques(spark):
     """The LSH bucket cap: a clique of identical docs lands every replica
     in the same bucket in every band; with the cap below the clique size
