@@ -29,6 +29,10 @@ SF = "/root/testdata/sf0.001"
 GENERATED = [
     "dedup_minhash",
     "dedup_minhash_keep",
+    # iterative min-label propagation: must converge to the same labels
+    # on every rebuild/execution regardless of partition layout
+    "dedup_cc_components",
+    "dedup_cc_keep",
     "dedup_simhash",
     "dedup_embedding",
     "ann_lsh_bucketed",
