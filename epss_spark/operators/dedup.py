@@ -444,6 +444,54 @@ def minhash_signatures(
     return shmap.select(id_col, *sig_cols, F.size("shingles").alias("n_shingles"))
 
 
+def _band_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    hash_mode: str,
+    shmap: DataFrame,
+) -> DataFrame:
+    """(id, b, band_key) — one row per document per band; the shared
+    banding step behind minhash_lsh_pairs and minhash_index."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shmap=shmap, hash_mode=hash_mode)
+    if hash_mode == "xxhash64":
+        band_cols = [
+            F.xxhash64(F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(
+                f"band_{b}"
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.md5(
+                F.concat(F.lit(f"{b}|"), *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    banded = sig.select(id_col, *band_cols)
+    return (
+        banded.select(
+            id_col,
+            # explode_outer: avoids the optimizer's inferred size/notnull
+            # Generate filter, which would duplicate the 4 band-md5
+            # expressions (see _exploded_shingles). Never null here.
+            F.explode_outer(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("band_key"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .where(F.col("e").isNotNull())
+        .select(id_col, F.col("e.b").alias("b"), F.col("e.band_key").alias("band_key"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -478,7 +526,6 @@ def minhash_lsh_pairs(
     duplicates that the (linear) exact_groups/fingerprint pass should
     collapse FIRST. Pairs are lost only if two docs co-occur in NO
     other under-cap bucket. Default None = expand every bucket."""
-    rows = num_hashes // bands
     # ONE materialized artifact feeds everything: per-doc shingle arrays.
     # Signatures project off it row-wise (no groupBy), verification
     # array_intersects it pair-wise (no exploded self-join). The persist is
@@ -486,40 +533,7 @@ def minhash_lsh_pairs(
     # num_hashes copies of the normalize/shingle tree into the signatures.
     if shmap is None:
         shmap = shingle_arrays(docs, id_col, text_col).persist()
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shmap=shmap, hash_mode=hash_mode)
-    if hash_mode == "xxhash64":
-        band_cols = [
-            F.xxhash64(F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(
-                f"band_{b}"
-            )
-            for b in range(bands)
-        ]
-    else:
-        band_cols = [
-            F.md5(
-                F.concat(F.lit(f"{b}|"), *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
-            ).alias(f"band_{b}")
-            for b in range(bands)
-        ]
-    banded = sig.select(id_col, *band_cols)
-    melted = (
-        banded.select(
-            id_col,
-            # explode_outer: avoids the optimizer's inferred size/notnull
-            # Generate filter, which would duplicate the 4 band-md5
-            # expressions (see _exploded_shingles). Never null here.
-            F.explode_outer(
-                F.array(
-                    *[
-                        F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("band_key"))
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("e"),
-        )
-        .where(F.col("e").isNotNull())
-        .select(id_col, F.col("e.b").alias("b"), F.col("e.band_key").alias("band_key"))
-    )
+    melted = _band_rows(docs, id_col, text_col, num_hashes, bands, hash_mode, shmap)
     # Candidate pairs per bucket via groupBy + in-bucket pair expansion
     # (nested array transform) instead of a self-join: one shuffle on
     # band_key, no duplicate scan of the banded side. Bucket pair counts
@@ -578,6 +592,109 @@ def minhash_lsh_pairs(
         # band-duplicate candidates collapse here, post-filter (tiny set);
         # jaccard is identical per pair so this is deterministic. No
         # candidate-wide distinct() exchange anywhere in the plan.
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    hash_mode: str = "md5",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent LSH index for INCREMENTAL dedup: returns
+    (band_rows, shingle_arrays) — the two artifacts `minhash_lookup` needs
+    to dedup daily appends without re-shingling the corpus.
+
+    - band_rows: (id, b, band_key), one row per doc per band. Write it
+      bucketed by band_key (layout.write_bucketed) so daily lookups join
+      co-located.
+    - shingle_arrays: (id, shingles), for exact-Jaccard verification.
+
+    Both are plain DataFrames: persist-to-parquet is the caller's choice
+    of path/format. At 100 TB this is the difference between an O(corpus)
+    nightly job and an O(append) one — the LSH analog of
+    quantize.incremental_changed_scores."""
+    shmap = shingle_arrays(docs, id_col, text_col)
+    return _band_rows(docs, id_col, text_col, num_hashes, bands, hash_mode, shmap), shmap
+
+
+def minhash_lookup(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_mode: str = "md5",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: verified pairs TOUCHING the new
+    batch — new~indexed and new~new, never indexed~indexed (those were
+    reported when their batch arrived). Equals
+    minhash_lsh_pairs(corpus ∪ new) restricted to pairs with a new side
+    (pinned by tests/test_operators_ext.py).
+
+    num_hashes/bands/hash_mode must match the index build — band keys are
+    only comparable within one scheme.
+
+    Scale shape: buckets whose members are ALL indexed docs are discarded
+    BEFORE pair expansion (exists(is_new)), so per-day work is
+    O(buckets containing a new doc), not O(corpus buckets); the corpus
+    never re-shingles. Verification joins pull shingle arrays only for
+    candidate ids."""
+    new_shmap = shingle_arrays(new_docs, id_col, text_col).persist()
+    new_bands = _band_rows(new_docs, id_col, text_col, num_hashes, bands, hash_mode, new_shmap)
+    tagged = index_bands.select(id_col, "b", "band_key", F.lit(False).alias("is_new")).unionByName(
+        new_bands.select(id_col, "b", "band_key", F.lit(True).alias("is_new"))
+    )
+    buckets = (
+        tagged.groupBy("b", "band_key")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "is_new")).alias("entries"))
+        .filter(F.size("entries") >= 2)
+        # the incremental win: all-indexed buckets never expand
+        .filter(F.exists("entries", lambda e: e["is_new"]))
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("entries") <= max_bucket_size)
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "entries",
+                lambda x: F.transform(
+                    "entries",
+                    lambda y: F.struct(
+                        x["id"].alias("a_id"),
+                        y["id"].alias("b_id"),
+                        (x["is_new"] | y["is_new"]).alias("touches_new"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: (p["a_id"] < p["b_id"]) & p["touches_new"],
+    )
+    cand = (
+        buckets.select(F.explode_outer(pair_structs).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+    )
+    all_sh = index_shingles.select(id_col, "shingles").unionByName(
+        new_shmap.select(id_col, "shingles")
+    )
+    a_sh = all_sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("__a_sh"))
+    b_sh = all_sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("__b_sh"))
+    inter = F.size(F.array_intersect("__a_sh", "__b_sh"))
+    jac = inter.cast("double") / (F.size("__a_sh") + F.size("__b_sh") - inter)
+    return (
+        cand.join(a_sh, "a_id")
+        .join(b_sh, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
         .dropDuplicates(["a_id", "b_id"])
     )
 

@@ -320,6 +320,61 @@ def test_dedup_corpus_near_components_differs_from_greedy(spark):
     assert cc == [0, 1, 2, 3, 4, 6, 7, 8]  # one survivor per component
 
 
+def test_minhash_incremental_lookup_matches_full_recompute(spark):
+    """The incremental-dedup contract: index(corpus) + lookup(append) ==
+    minhash_lsh_pairs(corpus ∪ append) restricted to pairs touching the
+    append — on BOTH a synthetic corpus with known cross-batch near-dups
+    and the real documents table split in half."""
+    from epss_spark.operators import dedup
+    from epss_spark.tables import load_table
+
+    # synthetic: near-dup pairs within old, within new, and across
+    synth = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog at dawn"),
+            (1, "the quick brown fox jumps over the lazy dog at dusk"),  # ~0
+            (2, "entirely different content about catalyst optimizers"),
+            (10, "the quick brown fox jumps over the lazy dog at noon"),  # ~0,1
+            (11, "entirely different content about catalyst optimizers!"),  # ~2
+            (12, "entirely different content about catalyst optimizers!?"),  # ~2,11
+        ],
+        "doc_id long, text string",
+    )
+    for docs, is_new in ((synth, F.col("doc_id") >= 10),):
+        old = docs.filter(~is_new)
+        new = docs.filter(is_new)
+        idx_bands, idx_sh = dedup.minhash_index(old)
+        inc = {
+            (r.a_id, r.b_id, round(r.jaccard, 9))
+            for r in dedup.minhash_lookup(new, idx_bands, idx_sh, threshold=0.3).collect()
+        }
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        full = {
+            (r.a_id, r.b_id, round(r.jaccard, 9))
+            for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+            if r.a_id in new_ids or r.b_id in new_ids
+        }
+        assert inc == full and len(inc) >= 2
+        # no indexed~indexed pair leaks through
+        assert all(a in new_ids or b in new_ids for a, b, _ in inc)
+
+    # real corpus, halves split by parity
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx_bands, idx_sh = dedup.minhash_index(old)
+    inc = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lookup(new, idx_bands, idx_sh, threshold=0.5).collect()
+    }
+    full = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        if r.a_id % 2 == 1 or r.b_id % 2 == 1
+    }
+    assert inc == full
+
+
 def test_minhash_xxhash64_mode_matches_md5_pairs(spark):
     """The scale hash mode must yield the same VERIFIED pairs as the
     oracle-portable md5 mode on the test corpus (verification is exact
