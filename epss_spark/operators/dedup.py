@@ -12,6 +12,15 @@ Scale design notes (the point of each algorithm, not just its output):
   the verifier behind LSH candidates (and standalone at moderate scale).
 - simhash_groups: 1-shuffle near-dup clustering by a 32/64-bit majority-vote
   fingerprint of token hashes.
+- minhash_index / minhash_lookup: incremental dedup for daily appends —
+  the indexed corpus never re-shingles; all-indexed buckets are discarded
+  before pair expansion, so per-day cost is O(append), not O(corpus).
+- connected_components / dedup_corpus_near(policy='components'):
+  transitive-closure grouping via iterative min-label propagation over
+  the EDGE set only (O(diameter) rounds, lineage truncated per round).
+- Hotspot guards (opt-in): max_bucket_size skips boilerplate mega-clique
+  buckets; max_shingle_df drops corpus-wide shingles from the n-gram
+  discovery join.
 
 All hashes are md5-derived by default (bit-identical across engines, so
 every dedup op is oracle-checked); simhash also offers xxhash64
