@@ -75,6 +75,29 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--workdir", required=True, help="raw snapshot download dir")
     i.add_argument("--scores-path", required=True, help="date-partitioned parquet root")
 
+    dd = sub.add_parser(
+        "dedup",
+        help="training-data dedup ACTION over a documents parquet "
+        "(extension): keep one survivor per exact/near duplicate group",
+    )
+    dd.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
+    dd.add_argument("--output", required=True, help="output parquet of surviving rows")
+    dd.add_argument("--method", default="minhash", choices=["exact", "minhash"])
+    dd.add_argument("--threshold", type=float, default=0.5, help="verified-Jaccard cutoff")
+    dd.add_argument(
+        "--policy",
+        default="greedy",
+        choices=["greedy", "components"],
+        help="greedy keep-lowest-id, or transitive-closure one-per-component",
+    )
+    dd.add_argument(
+        "--max-bucket-size",
+        type=int,
+        help="skip LSH buckets above this size (boilerplate mega-cliques)",
+    )
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+
     u = sub.add_parser("urls", help="print snapshot URLs (reference epss/cli.py:117-139)")
     _add_range_flags(u)
 
@@ -95,6 +118,29 @@ def main(argv: list[str] | None = None) -> int:
         lo, hi = get_date_range(args.version, args.min_date, args.max_date)
         for d in iter_dates(lo, hi):
             print(snapshot_url(d))
+        return 0
+
+    if args.command == "dedup":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.operators import dedup as dedup_ops
+
+        docs = spark.read.parquet(args.input)
+        if args.method == "exact":
+            kept = dedup_ops.dedup_corpus(docs, args.id_col, args.text_col)
+        else:
+            pairs = dedup_ops.minhash_lsh_pairs(
+                docs,
+                args.id_col,
+                args.text_col,
+                threshold=args.threshold,
+                max_bucket_size=args.max_bucket_size,
+            )
+            kept = dedup_ops.dedup_corpus_near(docs, pairs, args.id_col, policy=args.policy)
+        kept.write.mode("overwrite").parquet(args.output)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(f"kept {n_out}/{n_in} rows -> {args.output}")
         return 0
 
     if args.command == "ingest" or (args.command == "scores" and args.download):

@@ -441,6 +441,31 @@ def test_decode_malformed_payloads_return_none(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_cli_dedup_action(spark, tmp_path, capsys):
+    """The dedup subcommand end-to-end: minhash near-dup removal with the
+    components policy keeps exactly one survivor per near-dup group."""
+    from epss_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog at dawn"),
+            (1, "the quick brown fox jumps over the lazy dog at dusk"),
+            (2, "entirely different content about catalyst optimizers"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "kept")
+    rc = main(
+        ["dedup", "--input", src, "--output", out,
+         "--method", "minhash", "--threshold", "0.3", "--policy", "components"]
+    )
+    assert rc == 0
+    assert "kept 2/3 rows" in capsys.readouterr().out
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [0, 2]  # 1 is 0's near-dup; component min survives
+
+
 def test_cli_date_range_and_urls(capsys):
     from epss_spark.cli import main
 
