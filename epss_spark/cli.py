@@ -10,6 +10,9 @@ Usage:
     python -m epss_spark.cli ingest --workdir DIR --scores-path PATH -a DATE -b DATE
     python -m epss_spark.cli urls [-a DATE] [-b DATE]
     python -m epss_spark.cli date-range [--version v3]
+    python -m epss_spark.cli dedup --input DOCS --output KEPT
+        [--method exact|minhash] [--threshold X] [--policy greedy|components]
+        [--max-bucket-size N]   (training-data extension)
 """
 
 from __future__ import annotations
