@@ -7,9 +7,10 @@ Chains the engine's LLM-data operators over the testdata `documents` table:
 
 Every stage is a lazy DataFrame transformation; the whole pipeline is ONE
 Spark plan per action. At cluster scale the corpus side never shuffles for
-the contamination join (benchmark shingles broadcast) or the near-dup
-action (surviving-pair drop set broadcasts); the only corpus-wide
-exchanges are the LSH bucket groupBy and the final write.
+the contamination join (benchmark shingles broadcast); the near-dup
+action's drop-set anti-join is left to AQE (broadcast while small,
+shuffled on a high-duplication corpus); the only corpus-wide exchanges
+are the LSH bucket groupBy and the final write.
 
 Usage: python examples/corpus_pipeline.py [sf_dir]
 """
