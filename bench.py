@@ -69,7 +69,13 @@ def build_scaled_workload(spark, target: str) -> str:
 
     from epss_spark.tables import load_table
 
-    tag = os.path.basename(os.path.normpath(target))
+    import hashlib
+
+    # key the cache on the ABSOLUTE path, not just the basename: two
+    # different targets both named "sf0.1" must not share stale scaled
+    # data (the basename stays in the tag for human readability)
+    abspath = os.path.abspath(target)
+    tag = f"{os.path.basename(os.path.normpath(target))}_{hashlib.md5(abspath.encode()).hexdigest()[:8]}"
     root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scratch", f"bench_scaled_{tag}_v1"
     )
@@ -234,12 +240,6 @@ def main() -> None:
         s = time.perf_counter() - t0
         epss_bucketed_sec = s if epss_bucketed_sec is None else min(epss_bucketed_sec, s)
 
-    # Calibrated repetition (PERF.md bench protocol, round 5): single runs
-    # of 0.2-2 s queries carry ±20% scheduler noise, so each query is
-    # timed over enough repetitions to fill a >=5 s measurement quantum
-    # and reported as the per-repetition MEAN. Two consecutive bench
-    # invocations then agree within ~5% on totals and ~10% per query —
-    # totals become signal, not the cross-session noise band.
     # Timing discipline (PERF.md bench protocol, round 5): headline queries
     # run against the SCALED workload (seconds of real work each, see
     # WORKLOAD_SCALE) so run-to-run deltas are signal. The first execution

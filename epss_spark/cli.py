@@ -130,6 +130,20 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.input)
         if args.method == "exact":
+            ignored = [
+                flag
+                for flag, val in (
+                    ("--threshold", args.threshold != 0.5),
+                    ("--policy", args.policy != "greedy"),
+                    ("--max-bucket-size", args.max_bucket_size is not None),
+                )
+                if val
+            ]
+            if ignored:
+                print(
+                    f"note: {', '.join(ignored)} only apply to --method minhash; ignored",
+                    file=sys.stderr,
+                )
             kept = dedup_ops.dedup_corpus(docs, args.id_col, args.text_col)
         else:
             pairs = dedup_ops.minhash_lsh_pairs(

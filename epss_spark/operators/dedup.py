@@ -625,8 +625,12 @@ def minhash_index(
     Both are plain DataFrames: persist-to-parquet is the caller's choice
     of path/format. At 100 TB this is the difference between an O(corpus)
     nightly job and an O(append) one — the LSH analog of
-    quantize.incremental_changed_scores."""
-    shmap = shingle_arrays(docs, id_col, text_col)
+    quantize.incremental_changed_scores.
+
+    The shared shingle frame is persisted (same fire-and-forget lifecycle
+    as minhash_lsh_pairs with shmap=None) so materializing BOTH returned
+    artifacts runs the expensive normalize/shingle scan once, not twice."""
+    shmap = shingle_arrays(docs, id_col, text_col).persist()
     return _band_rows(docs, id_col, text_col, num_hashes, bands, hash_mode, shmap), shmap
 
 

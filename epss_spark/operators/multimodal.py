@@ -98,7 +98,7 @@ def extract_features(
 
     decode_fn=None uses the deterministic fake (no media libs in this
     environment). Both scopes yield bit-identical frames; pinned by
-    tests/test_multimodal.py."""
+    tests/test_sinks_streaming.py::test_corpus_scope_decodes_each_distinct_payload_once."""
     # bind the default decoder as a local lambda so the UDF closure pickles
     # by value — workers then don't need this package on their PYTHONPATH
     if decode_fn is None:

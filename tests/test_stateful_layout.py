@@ -28,7 +28,10 @@ def test_streaming_quantization_matches_batch(spark, tmp_path):
 
     ts_type = str(pq.read_schema(str(events_dir / "events.parquet")).field("ts").type)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if ts_type.startswith("timestamp"):
+    # NANOS files (pyarrow: 'timestamp[ns]') surface as LONG under
+    # nanosAsLong=true, so they take the long branch; only micro/milli
+    # timestamps read as real TimestampType
+    if ts_type.startswith("timestamp") and not ts_type.startswith("timestamp[ns"):
         raw = spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, event_type string,"
             " value double, props string"
