@@ -77,7 +77,7 @@ def build_scaled_workload(spark, target: str) -> str:
     abspath = os.path.abspath(target)
     tag = f"{os.path.basename(os.path.normpath(target))}_{hashlib.md5(abspath.encode()).hexdigest()[:8]}"
     root = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".scratch", f"bench_scaled_{tag}_v1"
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", f"bench_scaled_{tag}_v2"
     )
     marker = os.path.join(root, "_SUCCESS")
     if os.path.exists(marker):
@@ -91,9 +91,15 @@ def build_scaled_workload(spark, target: str) -> str:
             big = big.withColumn(col, F.col(col) + F.col("__rep").cast("bigint") * stride)
         big = big.drop("__rep")
         if out_name == "documents":
-            # salt every token with the replica id: each replica keeps the
-            # ORIGINAL corpus's near-dup structure, but no shingle crosses
-            # replicas, so pair counts scale linearly with k
+            # salt every token with an ALPHANUMERIC replica suffix: each
+            # replica keeps the ORIGINAL corpus's near-dup structure, but
+            # no shingle crosses replicas, so pair counts scale linearly
+            # with k. The suffix must survive the dedup normalizer
+            # ([^a-z0-9 ] is stripped!) — a "~r" salt normalizes away into
+            # a separate token and, for NULL-text docs, into the SAME ""
+            # shingle in every replica, which merges all replicas'
+            # degenerate docs into one quadratic clique (found by the
+            # round-5 scale probe: 3.8k-doc bucket, 249M candidate pairs).
             big = df.select("*", rep)
             big = (
                 big.withColumn("doc_id", F.col("doc_id") + F.col("__rep").cast("bigint") * 10_000_000)
@@ -102,8 +108,8 @@ def build_scaled_workload(spark, target: str) -> str:
                     F.concat_ws(
                         " ",
                         F.transform(
-                            F.split(F.col("text"), " "),
-                            lambda w: F.concat(w, F.lit("~"), F.col("__rep").cast("string")),
+                            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                            lambda w: F.concat(w, F.lit("x"), F.col("__rep").cast("string")),
                         ),
                     ),
                 )

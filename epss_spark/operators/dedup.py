@@ -498,6 +498,18 @@ def _band_rows(
         )
         .where(F.col("e").isNotNull())
         .select(id_col, F.col("e.b").alias("b"), F.col("e.band_key").alias("band_key"))
+        # Defensive: a NULL band key would make every affected doc land in
+        # ONE bucket per band (groupBy groups NULLs; the oracle's SQL band
+        # equi-join would drop them instead) and pair quadratically.
+        # Unreachable today — even NULL/empty text normalizes to the
+        # single "" whole-token shingle (shingles() degenerate branch), so
+        # signatures are never NULL — but a future normalize/shingle
+        # change must not be able to re-open the NULL mega-bucket.
+        # Degenerate SAME-content docs (all empty docs share the ""
+        # shingle) are a different hazard: genuine Jaccard-1 exact cliques,
+        # quadratic in clique size — that is what max_bucket_size and the
+        # run-exact-dedup-first guidance are for.
+        .where(F.col("band_key").isNotNull())
     )
 
 

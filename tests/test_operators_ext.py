@@ -320,6 +320,39 @@ def test_dedup_corpus_near_components_differs_from_greedy(spark):
     assert cc == [0, 1, 2, 3, 4, 6, 7, 8]  # one survivor per component
 
 
+def test_minhash_degenerate_docs_form_exact_clique_and_cap_contains_it(spark):
+    """Degenerate docs (NULL or empty text) all normalize to the single ''
+    whole-token shingle — identical signatures, one bucket per band, and
+    GENUINE Jaccard-1 pairs (the oracle's SQL computes the same). That
+    clique is quadratic in size: 3.8k degenerate docs measured 249M
+    candidate pairs in the scale probe. Pins: (a) the clique really is
+    exact (jaccard 1.0, NULL and '' together); (b) max_bucket_size
+    contains the blowup while keeping real near-dup pairs — the
+    documented mitigation, alongside running exact dedup first."""
+    from epss_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, None if i % 2 else "") for i in range(10)]
+        + [(100, "a near duplicate pair of documents right here"),
+           (101, "a near duplicate pair of documents right there")],
+        ["doc_id", "text"],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    degenerate = {(a, b, j) for a, b, j in pairs if a < 10}
+    assert len(degenerate) == 45 and all(j == 1.0 for _, _, j in degenerate)
+    assert any(a == 100 and b == 101 for a, b, _ in pairs)
+
+    capped = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.3, max_bucket_size=5).collect()
+    }
+    assert capped == {(100, 101)}  # clique contained, real pair kept
+
+
 def test_minhash_incremental_lookup_matches_full_recompute(spark):
     """The incremental-dedup contract: index(corpus) + lookup(append) ==
     minhash_lsh_pairs(corpus ∪ append) restricted to pairs touching the
