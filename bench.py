@@ -77,7 +77,7 @@ def build_scaled_workload(spark, target: str) -> str:
     abspath = os.path.abspath(target)
     tag = f"{os.path.basename(os.path.normpath(target))}_{hashlib.md5(abspath.encode()).hexdigest()[:8]}"
     root = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".scratch", f"bench_scaled_{tag}_v2"
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", f"bench_scaled_{tag}_v3"
     )
     marker = os.path.join(root, "_SUCCESS")
     if os.path.exists(marker):
@@ -91,15 +91,19 @@ def build_scaled_workload(spark, target: str) -> str:
             big = big.withColumn(col, F.col(col) + F.col("__rep").cast("bigint") * stride)
         big = big.drop("__rep")
         if out_name == "documents":
-            # salt every token with an ALPHANUMERIC replica suffix: each
-            # replica keeps the ORIGINAL corpus's near-dup structure, but
-            # no shingle crosses replicas, so pair counts scale linearly
-            # with k. The suffix must survive the dedup normalizer
-            # ([^a-z0-9 ] is stripped!) — a "~r" salt normalizes away into
-            # a separate token and, for NULL-text docs, into the SAME ""
-            # shingle in every replica, which merges all replicas'
-            # degenerate docs into one quadratic clique (found by the
-            # round-5 scale probe: 3.8k-doc bucket, 249M candidate pairs).
+            # salt every NORMALIZED token with an alphanumeric replica
+            # suffix: each replica keeps the ORIGINAL corpus's near-dup
+            # structure, but no shingle crosses replicas, so pair counts
+            # scale linearly with k. Salting must happen AFTER the dedup
+            # normalizer's transform ([^a-z0-9 ] -> space): salting raw
+            # whitespace tokens leaves every non-final fragment of a
+            # punctuated token ("a-b-c-dx2" -> tokens a,b,c,dx2) unsalted
+            # and shared across replicas, and a non-alphanumeric salt
+            # ("~r") normalizes away entirely — the round-5 scale probe
+            # measured the resulting cross-replica cliques at 249M
+            # candidate pairs.
+            from epss_spark.operators.text import normalize
+
             big = df.select("*", rep)
             big = (
                 big.withColumn("doc_id", F.col("doc_id") + F.col("__rep").cast("bigint") * 10_000_000)
@@ -108,7 +112,7 @@ def build_scaled_workload(spark, target: str) -> str:
                     F.concat_ws(
                         " ",
                         F.transform(
-                            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                            F.split(normalize(F.coalesce(F.col("text"), F.lit(""))), " "),
                             lambda w: F.concat(w, F.lit("x"), F.col("__rep").cast("string")),
                         ),
                     ),

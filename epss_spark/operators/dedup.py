@@ -480,7 +480,21 @@ def _band_rows(
             ).alias(f"band_{b}")
             for b in range(bands)
         ]
-    banded = sig.select(id_col, *band_cols)
+    # Defensive guard, on SIGNATURE nullity so it covers BOTH hash modes:
+    # a doc with NULL shingles has NULL sigs; in md5 mode the band key
+    # would be NULL (concat null-propagates) and groupBy would put every
+    # such doc in ONE NULL bucket per band (quadratic; the oracle's SQL
+    # band equi-join drops NULLs instead), while in xxhash64 mode
+    # xxhash64 SKIPS null inputs and would give them all the same
+    # CONSTANT band key — the same mega-bucket with a non-NULL name,
+    # which a band_key-nullity filter cannot catch. Unreachable today
+    # (even NULL/empty text yields the single "" whole-token shingle, so
+    # sigs are never NULL), but a future normalize/shingle change must
+    # not be able to re-open the mega-bucket in either mode. Degenerate
+    # SAME-content docs (all empty docs share the "" shingle) are a
+    # different hazard: genuine Jaccard-1 exact cliques — that is what
+    # max_bucket_size and the run-exact-dedup-first guidance are for.
+    banded = sig.filter(F.col("sig_0").isNotNull()).select(id_col, *band_cols)
     return (
         banded.select(
             id_col,
@@ -498,18 +512,6 @@ def _band_rows(
         )
         .where(F.col("e").isNotNull())
         .select(id_col, F.col("e.b").alias("b"), F.col("e.band_key").alias("band_key"))
-        # Defensive: a NULL band key would make every affected doc land in
-        # ONE bucket per band (groupBy groups NULLs; the oracle's SQL band
-        # equi-join would drop them instead) and pair quadratically.
-        # Unreachable today — even NULL/empty text normalizes to the
-        # single "" whole-token shingle (shingles() degenerate branch), so
-        # signatures are never NULL — but a future normalize/shingle
-        # change must not be able to re-open the NULL mega-bucket.
-        # Degenerate SAME-content docs (all empty docs share the ""
-        # shingle) are a different hazard: genuine Jaccard-1 exact cliques,
-        # quadratic in clique size — that is what max_bucket_size and the
-        # run-exact-dedup-first guidance are for.
-        .where(F.col("band_key").isNotNull())
     )
 
 
@@ -600,8 +602,21 @@ def minhash_lsh_pairs(
     # bucket terms, and only candidate docs are ever joined (the equi-join
     # IS the pruning that prune_verification used to do via a semi-join).
     del prune_verification  # retained in the signature for API stability
-    a_sh = shmap.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("__a_sh"))
-    b_sh = shmap.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("__b_sh"))
+    return _verify_pairs(cand, shmap, id_col, threshold)
+
+
+def _verify_pairs(
+    cand: DataFrame, shingle_frame: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a_id, b_id) pairs against
+    a (id, shingles) frame — the shared tail of minhash_lsh_pairs and
+    minhash_lookup. Equi-joins pull shingle arrays only for candidate ids
+    (AQE broadcasts the candidate side while small, sort-merges at scale);
+    band-duplicate candidates collapse post-filter, where the survivor set
+    is orders of magnitude smaller than the candidate set (jaccard is
+    identical per pair, so the dropDuplicates is deterministic)."""
+    a_sh = shingle_frame.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("__a_sh"))
+    b_sh = shingle_frame.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("__b_sh"))
     inter = F.size(F.array_intersect("__a_sh", "__b_sh"))
     jac = inter.cast("double") / (F.size("__a_sh") + F.size("__b_sh") - inter)
     return (
@@ -610,9 +625,6 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
-        # band-duplicate candidates collapse here, post-filter (tiny set);
-        # jaccard is identical per pair so this is deterministic. No
-        # candidate-wide distinct() exchange anywhere in the plan.
         .dropDuplicates(["a_id", "b_id"])
     )
 
@@ -657,6 +669,7 @@ def minhash_lookup(
     threshold: float = 0.5,
     hash_mode: str = "md5",
     max_bucket_size: int | None = None,
+    new_shmap: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: verified pairs TOUCHING the new
     batch — new~indexed and new~new, never indexed~indexed (those were
@@ -665,14 +678,24 @@ def minhash_lookup(
     (pinned by tests/test_operators_ext.py).
 
     num_hashes/bands/hash_mode must match the index build — band keys are
-    only comparable within one scheme.
+    only comparable within one scheme. If an id appears in BOTH the index
+    and the batch (a re-crawled doc), its NEW shingles win verification
+    deterministically (the stale index row is anti-joined away); note the
+    CANDIDATE set for that id still comes from the index's old band keys,
+    so re-crawled docs are best removed from the index before lookup.
+
+    Pass `new_shmap` (e.g. from `shingle_cache(new_docs)`) to own the
+    persist lifecycle — the documented daily loop otherwise accumulates
+    one fire-and-forget persisted frame per invocation (same default
+    behavior as minhash_lsh_pairs with shmap=None).
 
     Scale shape: buckets whose members are ALL indexed docs are discarded
     BEFORE pair expansion (exists(is_new)), so per-day work is
     O(buckets containing a new doc), not O(corpus buckets); the corpus
     never re-shingles. Verification joins pull shingle arrays only for
     candidate ids."""
-    new_shmap = shingle_arrays(new_docs, id_col, text_col).persist()
+    if new_shmap is None:
+        new_shmap = shingle_arrays(new_docs, id_col, text_col).persist()
     new_bands = _band_rows(new_docs, id_col, text_col, num_hashes, bands, hash_mode, new_shmap)
     tagged = index_bands.select(id_col, "b", "band_key", F.lit(False).alias("is_new")).unionByName(
         new_bands.select(id_col, "b", "band_key", F.lit(True).alias("is_new"))
@@ -707,21 +730,15 @@ def minhash_lookup(
         .where(F.col("p").isNotNull())
         .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
     )
-    all_sh = index_shingles.select(id_col, "shingles").unionByName(
-        new_shmap.select(id_col, "shingles")
+    # deterministic overlap policy: an id present in both frames keeps its
+    # NEW shingles (stale index rows would otherwise fan candidate pairs
+    # out to two jaccard values and dropDuplicates would pick arbitrarily)
+    all_sh = (
+        index_shingles.select(id_col, "shingles")
+        .join(new_shmap.select(id_col), id_col, "left_anti")
+        .unionByName(new_shmap.select(id_col, "shingles"))
     )
-    a_sh = all_sh.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("__a_sh"))
-    b_sh = all_sh.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("__b_sh"))
-    inter = F.size(F.array_intersect("__a_sh", "__b_sh"))
-    jac = inter.cast("double") / (F.size("__a_sh") + F.size("__b_sh") - inter)
-    return (
-        cand.join(a_sh, "a_id")
-        .join(b_sh, "b_id")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    return _verify_pairs(cand, all_sh, id_col, threshold)
 
 
 def simhash(

@@ -373,23 +373,23 @@ def test_minhash_incremental_lookup_matches_full_recompute(spark):
         ],
         "doc_id long, text string",
     )
-    for docs, is_new in ((synth, F.col("doc_id") >= 10),):
-        old = docs.filter(~is_new)
-        new = docs.filter(is_new)
-        idx_bands, idx_sh = dedup.minhash_index(old)
-        inc = {
-            (r.a_id, r.b_id, round(r.jaccard, 9))
-            for r in dedup.minhash_lookup(new, idx_bands, idx_sh, threshold=0.3).collect()
-        }
-        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
-        full = {
-            (r.a_id, r.b_id, round(r.jaccard, 9))
-            for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
-            if r.a_id in new_ids or r.b_id in new_ids
-        }
-        assert inc == full and len(inc) >= 2
-        # no indexed~indexed pair leaks through
-        assert all(a in new_ids or b in new_ids for a, b, _ in inc)
+    is_new = F.col("doc_id") >= 10
+    old = synth.filter(~is_new)
+    new = synth.filter(is_new)
+    idx_bands, idx_sh = dedup.minhash_index(old)
+    inc = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in dedup.minhash_lookup(new, idx_bands, idx_sh, threshold=0.3).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    full = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_pairs(synth, threshold=0.3).collect()
+        if r.a_id in new_ids or r.b_id in new_ids
+    }
+    assert inc == full and len(inc) >= 2
+    # no indexed~indexed pair leaks through
+    assert all(a in new_ids or b in new_ids for a, b, _ in inc)
 
     # real corpus, halves split by parity
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
@@ -406,6 +406,34 @@ def test_minhash_incremental_lookup_matches_full_recompute(spark):
         if r.a_id % 2 == 1 or r.b_id % 2 == 1
     }
     assert inc == full
+
+
+def test_minhash_lookup_recrawled_id_uses_new_text(spark):
+    """Overlap policy: an id present in both the index and the batch (a
+    re-crawled doc with changed text) verifies with its NEW shingles,
+    deterministically — before the anti-join fix, the shingle union held
+    two rows for that id, candidate pairs fanned out to two jaccard
+    values, and dropDuplicates kept an arbitrary one (flaky threshold)."""
+    from epss_spark.operators import dedup
+
+    old = spark.createDataFrame(
+        [(0, "totally original content about spark engines right here"),
+         (5, "the quick brown fox jumps over the lazy dog daily")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(5, "completely changed content about something else entirely now"),
+         (10, "completely changed content about something else entirely today")],
+        "doc_id long, text string",
+    )
+    idx_bands, idx_sh = dedup.minhash_index(old)
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.minhash_lookup(new, idx_bands, idx_sh, threshold=0.3).collect()
+    }
+    # 5~10 verifies on 5's NEW text (high jaccard); with the stale index
+    # text the jaccard would be ~0 and the pair would flicker
+    assert (5, 10) in pairs and pairs[(5, 10)] > 0.5
 
 
 def test_minhash_xxhash64_mode_matches_md5_pairs(spark):
