@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query. Exactly one query is
-    intentionally oracle-less: multimodal_features, whose decode path is a
-    documented stub (no image/audio libs in this environment)."""
+    """DuckDB-runnable ANSI SQL twin for each query. Every registered
+    query carries a full oracle — asserted from the registry itself by
+    tests/test_oracle_parity.py::test_registry_counts, not restated here."""
     return registry.get_oracles()

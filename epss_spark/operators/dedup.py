@@ -193,6 +193,7 @@ def dedup_corpus_near(
     id_col: str = "doc_id",
     policy: str = "greedy",
     max_iterations: int = 20,
+    on_max_iterations: str = "raise",
 ) -> DataFrame:
     """The near-dup ACTION: given verified similar pairs (a_id < b_id, e.g.
     from minhash_lsh_pairs), return the corpus minus near-duplicates.
@@ -219,7 +220,9 @@ def dedup_corpus_near(
     if policy == "greedy":
         drop = pairs.select(F.col("b_id").alias(id_col)).distinct()
     elif policy == "components":
-        cc = connected_components(pairs, max_iterations=max_iterations)
+        cc = connected_components(
+            pairs, max_iterations=max_iterations, on_max_iterations=on_max_iterations
+        )
         drop = cc.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)
         )
@@ -229,26 +232,43 @@ def dedup_corpus_near(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    on_max_iterations: str = "raise",
 ) -> DataFrame:
     """Connected components over an undirected similarity graph given as
     (a_id, b_id) edge pairs. Returns (id, component) where component is
     the MINIMUM id reachable from `id` — one row per distinct vertex.
 
-    Algorithm: iterative min-label propagation (the dataframe-native
-    reduction of large-star/small-star a la Kiveris et al., "Connected
-    Components in MapReduce and Beyond"): each round every vertex adopts
-    the smallest label among itself and its neighbors; converges in
-    O(graph diameter) rounds. Near-dup graphs are unions of low-diameter
-    cliques, so 3-5 rounds typically suffice; `max_iterations` caps
-    pathological chains (a chain longer than the cap yields a correct
-    partition refinement, just split — callers wanting exactness on
-    adversarial graphs raise the cap).
+    Algorithm: min-label propagation accelerated with pointer jumping
+    (the dataframe-native reduction of large-star/small-star a la Kiveris
+    et al., "Connected Components in MapReduce and Beyond"): each round
+    every vertex first adopts the smallest label among itself and its
+    neighbors (one hop), then shortcuts to its LABEL'S label (pointer
+    jump). Jumping doubles the effective propagation distance per round,
+    so a path graph of n vertices converges in O(log n) rounds instead of
+    O(n) — 20 rounds cover chains ~2^20 long. Labels are always vertex
+    ids within the vertex's own component and only ever decrease, so the
+    fixpoint (a full round with zero changes) is exactly the min-id
+    component labeling.
 
-    Scale shape: every round is one groupBy shuffle over the EDGE set
-    (never the corpus) plus a localCheckpoint to truncate the growing
-    iterative lineage — the standard Spark iterative-algorithm pattern.
-    Convergence is detected with a 1-row count aggregate per round."""
+    If `max_iterations` is exhausted before the fixpoint (pathological at
+    the default cap), the labels are a valid refinement — every labeled
+    group IS within one true component, but a component may be split.
+    That must never pass silently: `on_max_iterations` is "raise"
+    (default — RuntimeError), "warn" (RuntimeWarning, return the
+    refinement), or "ignore".
+
+    Scale shape: every round is two self-equi-joins + one groupBy shuffle
+    over the EDGE/VERTEX sets (never the corpus) plus a localCheckpoint to
+    truncate the growing iterative lineage — the standard Spark
+    iterative-algorithm pattern. Convergence is detected with a 1-row
+    count aggregate per round."""
+    if on_max_iterations not in ("raise", "warn", "ignore"):
+        raise ValueError(
+            f"unknown on_max_iterations {on_max_iterations!r}: "
+            "expected 'raise', 'warn', or 'ignore'"
+        )
     edges = (
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
@@ -262,22 +282,32 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
-        # candidate label for v = min over neighbors u of label(u)
+        # 1. propagate: candidate label for v = min over neighbors u of label(u)
         neighbor_min = (
             edges.join(labels, edges["u"] == labels["id"])
             .select(F.col("v").alias("id"), F.col("component").alias("nc"))
             .groupBy("id")
             .agg(F.min("nc").alias("nc"))
         )
+        propagated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce(F.col("nc"), F.col("component"))).alias(
+                "component"
+            ),
+        )
+        # 2. pointer jump: component -> label(component). Every label is a
+        # vertex id (labels start as ids and least() only picks existing
+        # labels), so the self-join always matches; the coalesce is
+        # belt-and-braces. label(c) <= c by monotonicity, so least() is
+        # redundant but keeps the invariant explicit.
+        parent = propagated.select(
+            F.col("id").alias("component"), F.col("component").alias("pc")
+        )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("nc"), F.col("component"))).alias(
-                    "component"
-                ),
-            )
+            propagated.join(parent, "component", "left")
+            .select("id", F.least(F.col("component"), F.coalesce("pc", "component")).alias("component"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -289,7 +319,21 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge within {max_iterations} "
+            "iterations: the returned labels are a refinement (components may "
+            "be split). Raise max_iterations, or pass on_max_iterations="
+            "'warn'/'ignore' to accept the refinement."
+        )
+        if on_max_iterations == "raise":
+            raise RuntimeError(msg)
+        if on_max_iterations == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -636,6 +680,7 @@ def minhash_index(
     num_hashes: int = 12,
     bands: int = 4,
     hash_mode: str = "md5",
+    shmap: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the persistent LSH index for INCREMENTAL dedup: returns
     (band_rows, shingle_arrays) — the two artifacts `minhash_lookup` needs
@@ -651,10 +696,13 @@ def minhash_index(
     nightly job and an O(append) one — the LSH analog of
     quantize.incremental_changed_scores.
 
-    The shared shingle frame is persisted (same fire-and-forget lifecycle
-    as minhash_lsh_pairs with shmap=None) so materializing BOTH returned
-    artifacts runs the expensive normalize/shingle scan once, not twice."""
-    shmap = shingle_arrays(docs, id_col, text_col).persist()
+    The shared shingle frame runs the expensive normalize/shingle scan
+    once for BOTH returned artifacts. Pass `shmap` (e.g. from
+    `shingle_cache(docs)`) to own the persist lifecycle — same contract
+    as minhash_lsh_pairs; the default (shmap=None) persists
+    fire-and-forget."""
+    if shmap is None:
+        shmap = shingle_arrays(docs, id_col, text_col).persist()
     return _band_rows(docs, id_col, text_col, num_hashes, bands, hash_mode, shmap), shmap
 
 
@@ -679,10 +727,11 @@ def minhash_lookup(
 
     num_hashes/bands/hash_mode must match the index build — band keys are
     only comparable within one scheme. If an id appears in BOTH the index
-    and the batch (a re-crawled doc), its NEW shingles win verification
-    deterministically (the stale index row is anti-joined away); note the
-    CANDIDATE set for that id still comes from the index's old band keys,
-    so re-crawled docs are best removed from the index before lookup.
+    and the batch (a re-crawled doc), its stale index rows — band keys AND
+    shingles — are anti-joined away up front, so both its CANDIDATES and
+    its verification come from the NEW content only: the result is
+    identical to removing re-crawled ids from the index before lookup
+    (pinned by tests/test_operators_ext.py).
 
     Pass `new_shmap` (e.g. from `shingle_cache(new_docs)`) to own the
     persist lifecycle — the documented daily loop otherwise accumulates
@@ -697,6 +746,12 @@ def minhash_lookup(
     if new_shmap is None:
         new_shmap = shingle_arrays(new_docs, id_col, text_col).persist()
     new_bands = _band_rows(new_docs, id_col, text_col, num_hashes, bands, hash_mode, new_shmap)
+    # Re-crawl hygiene: drop the index's band rows for any id also present
+    # in the batch, so stale band keys cannot source candidates — candidate
+    # generation and verification then both see only the NEW content.
+    # The anti-join's right side is the (small) daily-batch id set, so AQE
+    # broadcasts it over the index scan that was happening anyway.
+    index_bands = index_bands.join(new_shmap.select(id_col), id_col, "left_anti")
     tagged = index_bands.select(id_col, "b", "band_key", F.lit(False).alias("is_new")).unionByName(
         new_bands.select(id_col, "b", "band_key", F.lit(True).alias("is_new"))
     )

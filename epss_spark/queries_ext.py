@@ -295,6 +295,37 @@ def dedup_cc_keep(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_incremental",
+    f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL})
+    SELECT a_id, b_id, jaccard FROM pairs
+    WHERE a_id % 2 = 1 OR b_id % 2 = 1
+    """,
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental LSH dedup as a daily 100 TB deployment runs it
+    (operators/dedup.py::minhash_index/minhash_lookup): the corpus is
+    split by id parity into an already-indexed half and a "new batch"
+    half; `minhash_lookup` over the prebuilt index bands the batch only
+    and discards all-indexed buckets BEFORE pair expansion, so nightly
+    cost is O(append), not O(corpus). The oracle is full-corpus LSH
+    restricted to pairs touching a new id — exactly the incremental
+    contract (new~indexed and new~new, never indexed~indexed)."""
+    docs = T(spark, sf_dir, "documents")
+    idx_bands, idx_sh = dedup.minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 0), num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    return dedup.minhash_lookup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        idx_bands,
+        idx_sh,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        threshold=0.5,
+    )
+
+
+@register(
     "dedup_minhash_keep",
     f"""
     WITH pairs AS ({_MINHASH_PAIRS_SQL})

@@ -44,38 +44,48 @@ def main() -> None:
     batch = docs.filter(F.col("doc_id") % 4 == 0)
 
     # 1. one-time index build (in production: write both frames to parquet,
-    #    band rows bucketed by band_key via layout.write_bucketed)
-    index_bands, index_shingles = dedup.minhash_index(corpus)
-    index_bands = index_bands.persist()
-    index_shingles = index_shingles.persist()
+    #    band rows bucketed by band_key via layout.write_bucketed).
+    #    shingle_cache scopes the corpus shingle frame to this block —
+    #    the index build and every lookup in the block share ONE persisted
+    #    normalize/shingle scan, released deterministically on exit.
+    with dedup.shingle_cache(corpus) as corpus_shmap:
+        index_bands, index_shingles = dedup.minhash_index(corpus, shmap=corpus_shmap)
+        index_bands = index_bands.persist()
 
-    # 2. daily lookup: verified pairs touching the batch only
-    pairs = dedup.minhash_lookup(batch, index_bands, index_shingles, threshold=0.5)
+        # 2. daily lookup: verified pairs touching the batch only
+        with dedup.shingle_cache(batch) as batch_shmap:
+            pairs = dedup.minhash_lookup(
+                batch, index_bands, index_shingles, threshold=0.5, new_shmap=batch_shmap
+            )
 
-    # 3. the batch-side ACTION: a new doc is dropped if it has ANY verified
-    #    duplicate in the corpus, or a smaller-id twin inside the batch
-    batch_ids = batch.select("doc_id")
-    dup_new = (
-        pairs.join(batch_ids.withColumnRenamed("doc_id", "b_id"), "b_id", "left_semi")
-        .select(F.col("b_id").alias("doc_id"))
-        .union(
-            pairs.join(
-                index_bands.select(F.col("doc_id").alias("b_id")).distinct(),
-                "b_id",
-                "left_semi",
-            ).select(F.col("a_id").alias("doc_id"))
-            .join(batch_ids, "doc_id", "left_semi")
-        )
-        .distinct()
-    )
-    kept = batch.join(dup_new, "doc_id", "left_anti")
+            # 3. the batch-side ACTION: a new doc is dropped if it has ANY
+            #    verified duplicate in the corpus, or a smaller-id twin
+            #    inside the batch
+            batch_ids = batch.select("doc_id")
+            dup_new = (
+                pairs.join(
+                    batch_ids.withColumnRenamed("doc_id", "b_id"), "b_id", "left_semi"
+                )
+                .select(F.col("b_id").alias("doc_id"))
+                .union(
+                    pairs.join(
+                        index_bands.select(F.col("doc_id").alias("b_id")).distinct(),
+                        "b_id",
+                        "left_semi",
+                    )
+                    .select(F.col("a_id").alias("doc_id"))
+                    .join(batch_ids, "doc_id", "left_semi")
+                )
+                .distinct()
+            )
+            kept = batch.join(dup_new, "doc_id", "left_anti")
 
-    n_batch, n_pairs, n_kept = batch.count(), pairs.count(), kept.count()
+            # actions run INSIDE the cache scopes
+            n_batch, n_pairs, n_kept = batch.count(), pairs.count(), kept.count()
     print(f"batch: {n_batch}")
     print(f"verified pairs touching the batch: {n_pairs}")
     print(f"kept after incremental dedup: {n_kept}")
     index_bands.unpersist()
-    index_shingles.unpersist()
 
 
 if __name__ == "__main__":

@@ -310,6 +310,52 @@ def test_corpus_scope_decodes_each_distinct_payload_once(spark):
         multimodal.extract_features(media, scope="bogus")
 
 
+def test_extract_features_with_real_pil_decoder(spark):
+    """Production decode path: a PIL-backed decode_fn through the SAME
+    corpus-scope plumbing (hash projection, dedup-before-decode, Arrow
+    batches, join-back) that the deterministic fake exercises — so the
+    real-codec path is covered wherever an imaging lib exists. Skips
+    cleanly in environments without PIL (this container has none)."""
+    pil_image = pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    def png_bytes(val: int) -> bytes:
+        arr = np.full((4, 4, 3), val, dtype=np.uint8)
+        buf = io.BytesIO()
+        pil_image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (i, "image", "image/png", None, None, None, png_bytes((i % 2) * 100))
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def pil_decode(b: bytes) -> list[float]:
+        import io as _io
+
+        import numpy as _np
+        from PIL import Image
+
+        arr = _np.asarray(Image.open(_io.BytesIO(b)).convert("RGB"), dtype=_np.float64)
+        return [
+            float(arr.mean()),
+            float(arr.std()),
+            *(float(arr[..., c].mean()) for c in range(3)),
+        ]
+
+    out = {
+        r.media_id: r
+        for r in multimodal.extract_features(media, decode_fn=pil_decode).collect()
+    }
+    assert len(out) == 6
+    # two distinct payloads -> two distinct hashes, decoded means exact
+    assert out[0].features[0] == 0.0
+    assert abs(out[1].features[0] - 100.0) < 1e-9
+    assert out[0].content_hash != out[1].content_hash
+    assert out[0].content_hash == out[2].content_hash
+
+
 def test_sample_frames(spark, media):
     frames = multimodal.sample_frames(media, every_ms=1000).collect()
     ms = sorted(r.frame_ms for r in frames)
