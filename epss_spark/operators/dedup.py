@@ -13,8 +13,9 @@ Scale design notes (the point of each algorithm, not just its output):
 - simhash_groups: 1-shuffle near-dup clustering by a 32/64-bit majority-vote
   fingerprint of token hashes.
 - minhash_index / minhash_lookup: incremental dedup for daily appends —
-  the indexed corpus never re-shingles; all-indexed buckets are discarded
-  before pair expansion, so per-day cost is O(append), not O(corpus).
+  the indexed corpus never re-shingles and its band rows never shuffle
+  (the batch's band rows broadcast-join against the index scan), so
+  per-day cost is O(append), not O(corpus).
 - connected_components / dedup_corpus_near(policy='components'):
   transitive-closure grouping via iterative min-label propagation over
   the EDGE set only (O(diameter) rounds, lineage truncated per round).
@@ -738,11 +739,18 @@ def minhash_lookup(
     one fire-and-forget persisted frame per invocation (same default
     behavior as minhash_lsh_pairs with shmap=None).
 
-    Scale shape: buckets whose members are ALL indexed docs are discarded
-    BEFORE pair expansion (exists(is_new)), so per-day work is
-    O(buckets containing a new doc), not O(corpus buckets); the corpus
-    never re-shingles. Verification joins pull shingle arrays only for
-    candidate ids."""
+    Scale shape (default, no max_bucket_size): the corpus band rows NEVER
+    shuffle. new~indexed candidates come from an equi-join of the index
+    band rows against the (daily-batch-sized, AQE-broadcast) new band
+    rows on (b, band_key) — one map-side pass over the index scan;
+    new~new candidates come from bucket expansion over the new bands
+    alone. Per-day exchange volume is O(append). With max_bucket_size set
+    the exact total-bucket-size cap needs the union view, so that mode
+    falls back to a union + groupBy over ALL band rows — an O(corpus)
+    nightly exchange; prefer collapsing exact-dup mega-cliques with the
+    linear fingerprint pass before indexing instead. Either way the
+    corpus never re-shingles and verification joins pull shingle arrays
+    only for candidate ids."""
     if new_shmap is None:
         new_shmap = shingle_arrays(new_docs, id_col, text_col).persist()
     new_bands = _band_rows(new_docs, id_col, text_col, num_hashes, bands, hash_mode, new_shmap)
@@ -752,39 +760,73 @@ def minhash_lookup(
     # The anti-join's right side is the (small) daily-batch id set, so AQE
     # broadcasts it over the index scan that was happening anyway.
     index_bands = index_bands.join(new_shmap.select(id_col), id_col, "left_anti")
-    tagged = index_bands.select(id_col, "b", "band_key", F.lit(False).alias("is_new")).unionByName(
-        new_bands.select(id_col, "b", "band_key", F.lit(True).alias("is_new"))
-    )
-    buckets = (
-        tagged.groupBy("b", "band_key")
-        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "is_new")).alias("entries"))
-        .filter(F.size("entries") >= 2)
-        # the incremental win: all-indexed buckets never expand
-        .filter(F.exists("entries", lambda e: e["is_new"]))
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("entries") <= max_bucket_size)
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                "entries",
-                lambda x: F.transform(
-                    "entries",
-                    lambda y: F.struct(
-                        x["id"].alias("a_id"),
-                        y["id"].alias("b_id"),
-                        (x["is_new"] | y["is_new"]).alias("touches_new"),
+    if max_bucket_size is None:
+        # scale path: idx~new via equi-join (index side stays put), new~new
+        # via in-batch bucket expansion. The two sources are disjoint by
+        # construction (anti-join above guarantees index ids ∉ batch ids),
+        # and band-duplicate candidates collapse post-verification as in
+        # minhash_lsh_pairs.
+        idx = index_bands.select(F.col(id_col).alias("__i_id"), "b", "band_key")
+        nb = new_bands.select(F.col(id_col).alias("__n_id"), "b", "band_key")
+        cross = idx.join(nb, ["b", "band_key"]).select(
+            F.least("__i_id", "__n_id").alias("a_id"),
+            F.greatest("__i_id", "__n_id").alias("b_id"),
+        )
+        nn_buckets = (
+            new_bands.groupBy("b", "band_key")
+            .agg(F.collect_list(id_col).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        nn_pairs = F.filter(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x: F.transform(
+                        "ids", lambda y: F.struct(x.alias("a_id"), y.alias("b_id"))
                     ),
-                ),
-            )
-        ),
-        lambda p: (p["a_id"] < p["b_id"]) & p["touches_new"],
-    )
-    cand = (
-        buckets.select(F.explode_outer(pair_structs).alias("p"))
-        .where(F.col("p").isNotNull())
-        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
-    )
+                )
+            ),
+            lambda p: p["a_id"] < p["b_id"],
+        )
+        nn = (
+            nn_buckets.select(F.explode_outer(nn_pairs).alias("p"))
+            .where(F.col("p").isNotNull())
+            .select("p.a_id", "p.b_id")
+        )
+        cand = cross.unionByName(nn)
+    else:
+        tagged = index_bands.select(
+            id_col, "b", "band_key", F.lit(False).alias("is_new")
+        ).unionByName(new_bands.select(id_col, "b", "band_key", F.lit(True).alias("is_new")))
+        buckets = (
+            tagged.groupBy("b", "band_key")
+            .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "is_new")).alias("entries"))
+            .filter(F.size("entries") >= 2)
+            # all-indexed buckets never expand
+            .filter(F.exists("entries", lambda e: e["is_new"]))
+            .filter(F.size("entries") <= max_bucket_size)
+        )
+        pair_structs = F.filter(
+            F.flatten(
+                F.transform(
+                    "entries",
+                    lambda x: F.transform(
+                        "entries",
+                        lambda y: F.struct(
+                            x["id"].alias("a_id"),
+                            y["id"].alias("b_id"),
+                            (x["is_new"] | y["is_new"]).alias("touches_new"),
+                        ),
+                    ),
+                )
+            ),
+            lambda p: (p["a_id"] < p["b_id"]) & p["touches_new"],
+        )
+        cand = (
+            buckets.select(F.explode_outer(pair_structs).alias("p"))
+            .where(F.col("p").isNotNull())
+            .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+        )
     # deterministic overlap policy: an id present in both frames keeps its
     # NEW shingles (stale index rows would otherwise fan candidate pairs
     # out to two jaccard values and dropDuplicates would pick arbitrarily)

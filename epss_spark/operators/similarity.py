@@ -274,6 +274,41 @@ def train_ivf_centroids(
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[list[float]] | None = None,
+    n_lists: int = 8,
+    seed: int = 42,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    policy: str = "greedy",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space so the quadratic pair
+    scan stays inside clusters, treat within-cluster pairs with
+    cosine >= threshold as semantic duplicates, and keep the min-id
+    representative per duplicate group — policy='greedy' (drop every
+    vector with a smaller-id duplicate) or 'components' (transitive
+    closure, exactly one survivor per connected component).
+
+    Scale shape: centroid assignment is a pure codegen projection
+    (plan-time-constant centroids, same argmin as ivf_topk); the pair
+    join is an equi-join on the cluster id (quadratic confined to
+    clusters — the SemDeDup containment); the final drop is a plain
+    left_anti over the corpus (AQE broadcasts the drop set while small).
+    Returns the input frame minus semantic near-duplicates, schema
+    unchanged. With `centroids=None` a seeded KMeans trains the
+    quantizer; pass explicit centroids for cross-engine-checkable runs."""
+    if centroids is None:
+        centroids = train_ivf_centroids(vectors, n_lists, seed, vec_col)
+    from epss_spark.operators.dedup import dedup_corpus_near
+
+    assigned = vectors.withColumn("__list", _centroid_assign(F.col(vec_col), centroids))
+    pairs = cosine_pairs_blocked(assigned, "__list", threshold, id_col, vec_col)
+    return dedup_corpus_near(vectors, pairs, id_col=id_col, policy=policy)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -307,8 +307,9 @@ def dedup_minhash_incremental(spark, sf_dir):
     (operators/dedup.py::minhash_index/minhash_lookup): the corpus is
     split by id parity into an already-indexed half and a "new batch"
     half; `minhash_lookup` over the prebuilt index bands the batch only
-    and discards all-indexed buckets BEFORE pair expansion, so nightly
-    cost is O(append), not O(corpus). The oracle is full-corpus LSH
+    and broadcast-joins its band rows against the index scan (the index
+    side never shuffles or re-shingles), so nightly cost is O(append),
+    not O(corpus). The oracle is full-corpus LSH
     restricted to pairs touching a new id — exactly the incremental
     contract (new~indexed and new~new, never indexed~indexed)."""
     docs = T(spark, sf_dir, "documents")
@@ -690,6 +691,56 @@ def ann_ivf(spark, sf_dir):
     centroids = [by_id[cid] for cid in _IVF_CENT_IDS]
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(queries, emb, k=5, n_lists=8, n_probe=2, centroids=centroids)
+
+
+_SEM_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_SEM_NA = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+_SEM_NB = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH cents AS (
+      SELECT t.i, e.embedding AS cv
+      FROM (VALUES {_IVF_CENT_VALUES}) t(i, cid)
+      JOIN embeddings e ON e.vec_id = t.cid
+    ),
+    asg AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT e.vec_id, e.embedding, c.i AS list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_D2}, c.i) AS arn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round({_SEM_DOT} / ({_SEM_NA} * {_SEM_NB}), 6) AS cos
+      FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = e.vec_id AND p.cos >= 0.4)
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup ACTION (operators/similarity.py::
+    semantic_dedup): embeddings clustered by the same sampled-point
+    centroids as ann_ivf (plan-time constants shared verbatim with the
+    oracle), within-cluster cosine pairs >= 0.4 treated as semantic
+    duplicates, greedy min-id survivor per group. Returns the deduped
+    vector set."""
+    emb = T(spark, sf_dir, "embeddings")
+    by_id = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(_IVF_CENT_IDS)).collect()
+    }
+    centroids = [by_id[cid] for cid in _IVF_CENT_IDS]
+    return similarity.semantic_dedup(emb, centroids=centroids, threshold=0.4).select(
+        "vec_id", "label"
+    )
 
 
 @register(

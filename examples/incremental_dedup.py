@@ -6,9 +6,10 @@ A crawl pipeline cannot re-run corpus-wide LSH every day. Instead:
      (`minhash_index` -> band rows + shingle arrays, persisted; write the
      band rows bucketed by band_key so daily lookups join co-located).
   2. DAILY: `minhash_lookup(new_batch, index)` — bands the new docs only,
-     discards every bucket that contains no new doc BEFORE pair expansion,
-     and verifies candidates with exact Jaccard. Cost is O(append), not
-     O(corpus); the indexed corpus never re-shingles.
+     broadcast-joins their band rows against the index scan (the corpus
+     band rows never shuffle), and verifies candidates with exact
+     Jaccard. Cost is O(append), not O(corpus); the indexed corpus never
+     re-shingles.
   3. Drop new docs with a verified duplicate already in the corpus (or a
      smaller-id twin inside the batch), append survivors, and extend the
      index with THEIR band rows/shingles.

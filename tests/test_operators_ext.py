@@ -452,6 +452,16 @@ def test_minhash_incremental_lookup_matches_full_recompute(spark):
     }
     assert inc == full
 
+    # the grouped fallback (max_bucket_size set, union+groupBy view) must
+    # agree with the default join formulation when the cap binds nothing
+    capped = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lookup(
+            new, idx_bands, idx_sh, threshold=0.5, max_bucket_size=10**6
+        ).collect()
+    }
+    assert capped == full
+
 
 def test_minhash_lookup_recrawled_id_uses_new_text(spark):
     """Overlap policy: an id present in both the index and the batch (a
@@ -669,6 +679,40 @@ def test_benchmark_contamination_golden(spark):
     assert out[0].n_shingles == 3 and out[0].n_contaminated == 2
     assert abs(out[0].contamination_frac - 2 / 3) < 1e-12
     assert out[1].n_contaminated == 0 and out[1].contamination_frac == 0.0
+
+
+def test_semantic_dedup_drops_within_cluster_duplicates(spark):
+    """SemDeDup composition: two near-identical vectors in one cluster →
+    higher id dropped; a similar-direction vector in ANOTHER cluster is
+    kept even above threshold (the clustering containment is the point —
+    cross-cluster pairs are never scanned); transitive chains collapse to
+    one survivor under policy='components'."""
+    rows = [
+        (0, "a", [1.0, 0.0, 0.0, 0.0]),
+        (1, "a", [0.999, 0.01, 0.0, 0.0]),   # ~dup of 0, same cluster
+        (2, "a", [0.998, 0.02, 0.0, 0.0]),   # ~dup of 1 (chain 0-1-2)
+        (3, "b", [0.0, 1.0, 0.0, 0.0]),      # other cluster, kept
+        (4, "b", [0.0, 0.0, 1.0, 0.0]),      # third direction, kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    kept = sorted(
+        r.vec_id
+        for r in similarity.semantic_dedup(
+            emb, centroids=centroids, threshold=0.99
+        ).collect()
+    )
+    assert kept == [0, 3, 4]
+    kept_cc = sorted(
+        r.vec_id
+        for r in similarity.semantic_dedup(
+            emb, centroids=centroids, threshold=0.99, policy="components"
+        ).collect()
+    )
+    assert kept_cc == [0, 3, 4]
+    # schema passes through unchanged
+    out = similarity.semantic_dedup(emb, centroids=centroids, threshold=0.99)
+    assert out.columns == emb.columns
 
 
 def test_quantize_int8_roundtrip(spark):

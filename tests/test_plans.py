@@ -162,6 +162,45 @@ def test_minhash_has_no_pre_band_aggregation_exchange(spark):
     assert "array_min" in p  # signatures as per-row projections
 
 
+def test_minhash_lookup_materialized_index_never_reshingles(spark, tmp_path):
+    """The nightly incremental-dedup deployment shape: band rows + shingle
+    arrays for BOTH the index and the batch read back from parquet
+    (minhash_index written once; the batch shingled once into its own
+    artifact). The lookup plan must then contain ZERO tokenize/shingle
+    regexes — nothing re-shingles, per-day cost is pure joins/aggs over
+    precomputed artifacts — and the index band rows must NOT be shuffled
+    into a union-wide groupBy: idx~new candidates come from a join whose
+    batch side broadcasts, so no exists(is_new) grouped path appears."""
+    from epss_spark.operators import dedup
+    from epss_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ib, ish = dedup.minhash_index(old)
+    ib.write.parquet(str(tmp_path / "bands"))
+    ish.write.parquet(str(tmp_path / "sh"))
+    dedup.shingle_arrays(new).write.parquet(str(tmp_path / "nsh"))
+    ish.unpersist()
+    out = dedup.minhash_lookup(
+        new,
+        spark.read.parquet(str(tmp_path / "bands")),
+        spark.read.parquet(str(tmp_path / "sh")),
+        new_shmap=spark.read.parquet(str(tmp_path / "nsh")),
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_replace" not in p  # no side re-shingles
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # default path: no union-wide grouped buckets (that formulation only
+    # exists under max_bucket_size); candidate join present with the batch
+    # side broadcast at this scale
+    assert "exists(" not in p
+    assert "BroadcastHashJoin" in p
+    # and the materialized path agrees with the inline one
+    inline = dedup.minhash_lookup(new, ib, ish)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in inline.collect()}
+
+
 def test_simhash_single_aggregation_exchange(spark):
     # 1 shuffle on doc_id for the bit sums + 1 for the fingerprint groupBy
     p = plan(spark, "dedup_simhash")
