@@ -11,8 +11,12 @@ Usage:
     python -m epss_spark.cli urls [-a DATE] [-b DATE]
     python -m epss_spark.cli date-range [--version v3]
     python -m epss_spark.cli dedup --input DOCS --output KEPT
-        [--method exact|minhash] [--threshold X] [--policy greedy|components]
-        [--max-bucket-size N]   (training-data extension)
+        [--method exact|minhash|incremental] [--threshold X]
+        [--policy greedy|components] [--max-bucket-size N]
+        [--index-dir DIR --update-index]   (training-data extension)
+    python -m epss_spark.cli dedup-index --input CORPUS --index-dir DIR
+        (one-time LSH index build; nightly `dedup --method incremental`
+        then runs in O(append))
 """
 
 from __future__ import annotations
@@ -85,7 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dd.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
     dd.add_argument("--output", required=True, help="output parquet of surviving rows")
-    dd.add_argument("--method", default="minhash", choices=["exact", "minhash"])
+    dd.add_argument(
+        "--method", default="minhash", choices=["exact", "minhash", "incremental"]
+    )
     dd.add_argument("--threshold", type=float, default=0.5, help="verified-Jaccard cutoff")
     dd.add_argument(
         "--policy",
@@ -100,6 +106,30 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
+    dd.add_argument(
+        "--index-dir",
+        help="LSH index dir from `dedup-index` (required for --method incremental)",
+    )
+    dd.add_argument(
+        "--update-index",
+        action="store_true",
+        help="after incremental dedup, append the survivors' band rows and "
+        "shingles to --index-dir so tomorrow's batch sees them",
+    )
+
+    di = sub.add_parser(
+        "dedup-index",
+        help="build the persistent LSH index for incremental dedup "
+        "(extension): writes band rows + shingle arrays as parquet; "
+        "nightly batches then run `dedup --method incremental` in "
+        "O(append) without re-shingling the corpus",
+    )
+    di.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
+    di.add_argument("--index-dir", required=True, help="output dir (bands/, shingles/)")
+    di.add_argument("--id-col", default="doc_id")
+    di.add_argument("--text-col", default="text")
+    di.add_argument("--num-hashes", type=int, default=12)
+    di.add_argument("--bands", type=int, default=4)
 
     u = sub.add_parser("urls", help="print snapshot URLs (reference epss/cli.py:117-139)")
     _add_range_flags(u)
@@ -123,12 +153,75 @@ def main(argv: list[str] | None = None) -> int:
             print(snapshot_url(d))
         return 0
 
+    if args.command == "dedup-index":
+        import os
+
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.operators import dedup as dedup_ops
+
+        docs = spark.read.parquet(args.input)
+        with dedup_ops.shingle_cache(docs, args.id_col, args.text_col) as shmap:
+            bands_df, sh = dedup_ops.minhash_index(
+                docs,
+                args.id_col,
+                args.text_col,
+                num_hashes=args.num_hashes,
+                bands=args.bands,
+                shmap=shmap,
+            )
+            bands_df.write.mode("overwrite").parquet(os.path.join(args.index_dir, "bands"))
+            sh.write.mode("overwrite").parquet(os.path.join(args.index_dir, "shingles"))
+        n = spark.read.parquet(os.path.join(args.index_dir, "shingles")).count()
+        print(f"indexed {n} docs -> {args.index_dir}")
+        return 0
+
     if args.command == "dedup":
         spark = get_spark("epss-spark-cli")
         spark.sparkContext.setLogLevel("ERROR")
         from epss_spark.operators import dedup as dedup_ops
 
         docs = spark.read.parquet(args.input)
+        if args.method == "incremental":
+            import os
+
+            if not args.index_dir:
+                print("--method incremental requires --index-dir", file=sys.stderr)
+                return 2
+            ib = spark.read.parquet(os.path.join(args.index_dir, "bands"))
+            ish = spark.read.parquet(os.path.join(args.index_dir, "shingles"))
+            with dedup_ops.shingle_cache(docs, args.id_col, args.text_col) as bshmap:
+                pairs = dedup_ops.minhash_lookup(
+                    docs,
+                    ib,
+                    ish,
+                    args.id_col,
+                    args.text_col,
+                    threshold=args.threshold,
+                    max_bucket_size=args.max_bucket_size,
+                    new_shmap=bshmap,
+                )
+                kept = dedup_ops.drop_batch_duplicates(docs, pairs, args.id_col)
+                kept.write.mode("overwrite").parquet(args.output)
+                if args.update_index:
+                    kept_out = spark.read.parquet(args.output)
+                    with dedup_ops.shingle_cache(
+                        kept_out, args.id_col, args.text_col
+                    ) as kshmap:
+                        kb, ks = dedup_ops.minhash_index(
+                            kept_out, args.id_col, args.text_col, shmap=kshmap
+                        )
+                        kb.write.mode("append").parquet(
+                            os.path.join(args.index_dir, "bands")
+                        )
+                        ks.write.mode("append").parquet(
+                            os.path.join(args.index_dir, "shingles")
+                        )
+            n_in = docs.count()
+            n_out = spark.read.parquet(args.output).count()
+            extra = " (index updated)" if args.update_index else ""
+            print(f"kept {n_out}/{n_in} batch rows -> {args.output}{extra}")
+            return 0
         if args.method == "exact":
             ignored = [
                 flag

@@ -838,6 +838,37 @@ def minhash_lookup(
     return _verify_pairs(cand, all_sh, id_col, threshold)
 
 
+def drop_batch_duplicates(
+    batch: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The batch-side incremental-dedup ACTION: given `minhash_lookup`
+    pairs (a_id < b_id, every pair touching the batch), drop each batch
+    doc that has (a) ANY verified duplicate already in the indexed corpus
+    — the accepted copy wins regardless of id order — or (b) a
+    smaller-id twin inside the batch (greedy, same policy as
+    dedup_corpus_near). Returns the surviving batch rows; append them to
+    the corpus and extend the index with their band rows/shingles.
+
+    A pair side absent from the batch is by construction an indexed doc
+    (lookup never reports indexed~indexed), so no index frame is needed.
+    Scale shape: three semi/anti joins against the (small) batch id set —
+    AQE broadcasts it; the pair set is the only other input."""
+    batch_ids = batch.select(id_col)
+    # batch docs that lose to a smaller-id partner (batch twin or indexed)
+    b_hits = pairs.join(
+        batch_ids.withColumnRenamed(id_col, "b_id"), "b_id", "left_semi"
+    ).select(F.col("b_id").alias(id_col))
+    # batch docs on the SMALL side of a pair whose partner is indexed:
+    # the partner is already accepted, so the batch doc drops anyway
+    a_vs_indexed = (
+        pairs.join(batch_ids.withColumnRenamed(id_col, "b_id"), "b_id", "left_anti")
+        .select(F.col("a_id").alias(id_col))
+        .join(batch_ids, id_col, "left_semi")
+    )
+    drop = b_hits.unionByName(a_vs_indexed).distinct()
+    return batch.join(drop, id_col, "left_anti")
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

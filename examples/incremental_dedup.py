@@ -60,26 +60,10 @@ def main() -> None:
             )
 
             # 3. the batch-side ACTION: a new doc is dropped if it has ANY
-            #    verified duplicate in the corpus, or a smaller-id twin
-            #    inside the batch
-            batch_ids = batch.select("doc_id")
-            dup_new = (
-                pairs.join(
-                    batch_ids.withColumnRenamed("doc_id", "b_id"), "b_id", "left_semi"
-                )
-                .select(F.col("b_id").alias("doc_id"))
-                .union(
-                    pairs.join(
-                        index_bands.select(F.col("doc_id").alias("b_id")).distinct(),
-                        "b_id",
-                        "left_semi",
-                    )
-                    .select(F.col("a_id").alias("doc_id"))
-                    .join(batch_ids, "doc_id", "left_semi")
-                )
-                .distinct()
-            )
-            kept = batch.join(dup_new, "doc_id", "left_anti")
+            #    verified duplicate in the corpus (the accepted copy wins
+            #    regardless of id order), or a smaller-id twin inside the
+            #    batch — dedup.drop_batch_duplicates implements exactly this
+            kept = dedup.drop_batch_duplicates(batch, pairs)
 
             # actions run INSIDE the cache scopes
             n_batch, n_pairs, n_kept = batch.count(), pairs.count(), kept.count()

@@ -562,6 +562,29 @@ def test_minhash_index_shmap_param_shares_cache_lifecycle(spark):
     sh_b.unpersist()
 
 
+def test_drop_batch_duplicates_action(spark):
+    """Batch-side incremental ACTION semantics: an indexed partner wins
+    regardless of id order; batch-internal twins drop greedily."""
+    from epss_spark.operators import dedup
+
+    batch = spark.createDataFrame(
+        [(2, "x"), (11, "x"), (12, "x"), (40, "x")], "doc_id long, text string"
+    )
+    # indexed docs: 5, 30 (absent from batch); pairs all a_id < b_id
+    pairs = spark.createDataFrame(
+        [
+            (2, 30, 0.9),   # batch 2 ~ indexed 30 -> 2 drops despite 2 < 30
+            (5, 11, 0.9),   # indexed 5 ~ batch 11 -> 11 drops
+            (11, 12, 0.9),  # batch twin chain -> 12 drops too
+        ],
+        "a_id long, b_id long, jaccard double",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.drop_batch_duplicates(batch, pairs).collect()
+    )
+    assert kept == [40]
+
+
 def test_minhash_xxhash64_mode_matches_md5_pairs(spark):
     """The scale hash mode must yield the same VERIFIED pairs as the
     oracle-portable md5 mode on the test corpus (verification is exact

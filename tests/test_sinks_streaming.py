@@ -512,6 +512,61 @@ def test_cli_dedup_action(spark, tmp_path, capsys):
     assert kept == [0, 2]  # 1 is 0's near-dup; component min survives
 
 
+def test_cli_incremental_dedup_flow(spark, tmp_path, capsys):
+    """The nightly incremental flow end-to-end through the CLI:
+    dedup-index over the corpus once, then `dedup --method incremental`
+    on a batch — a batch doc duplicating an indexed doc drops REGARDLESS
+    of id order, a batch-internal twin drops greedily, and
+    --update-index makes day-2 see day-1's survivors."""
+    from epss_spark.cli import main
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            (5, "the quick brown fox jumps over the lazy dog at dawn"),
+            (7, "entirely different content about catalyst optimizers"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    idx = str(tmp_path / "idx")
+    assert main(["dedup-index", "--input", corpus, "--index-dir", idx]) == 0
+    assert "indexed 2 docs" in capsys.readouterr().out
+
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [
+            # smaller id than its indexed dup 5 — must STILL drop
+            (1, "the quick brown fox jumps over the lazy dog at dusk"),
+            (10, "totally novel text with no duplicate anywhere in sight"),
+            (11, "totally novel text with no duplicate anywhere in sight!"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(batch)
+    out = str(tmp_path / "kept_batch")
+    rc = main(
+        ["dedup", "--input", batch, "--output", out, "--method", "incremental",
+         "--threshold", "0.3", "--index-dir", idx, "--update-index"]
+    )
+    assert rc == 0
+    assert "kept 1/3 batch rows" in capsys.readouterr().out
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [10]  # 1 loses to indexed 5; 11 loses to batch twin 10
+
+    # day 2: a dup of day-1 survivor 10 must now be caught by the index
+    batch2 = str(tmp_path / "batch2")
+    spark.createDataFrame(
+        [(20, "totally novel text with no duplicate anywhere in sight?")],
+        "doc_id long, text string",
+    ).write.parquet(batch2)
+    out2 = str(tmp_path / "kept_batch2")
+    rc = main(
+        ["dedup", "--input", batch2, "--output", out2, "--method", "incremental",
+         "--threshold", "0.3", "--index-dir", idx]
+    )
+    assert rc == 0
+    assert "kept 0/1 batch rows" in capsys.readouterr().out
+
+
 def test_cli_date_range_and_urls(capsys):
     from epss_spark.cli import main
 
