@@ -90,7 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
     dd.add_argument("--output", required=True, help="output parquet of surviving rows")
     dd.add_argument(
-        "--method", default="minhash", choices=["exact", "minhash", "incremental"]
+        "--method",
+        default="minhash",
+        choices=["exact", "minhash", "incremental", "semantic"],
     )
     dd.add_argument("--threshold", type=float, default=0.5, help="verified-Jaccard cutoff")
     dd.add_argument(
@@ -116,6 +118,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="after incremental dedup, append the survivors' band rows and "
         "shingles to --index-dir so tomorrow's batch sees them",
     )
+    dd.add_argument(
+        "--vec-col",
+        default="embedding",
+        help="embedding column for --method semantic (input is a vector "
+        "parquet, e.g. --id-col vec_id)",
+    )
+    dd.add_argument("--n-lists", type=int, default=8, help="semantic: KMeans clusters")
+    dd.add_argument("--seed", type=int, default=42, help="semantic: KMeans seed")
 
     di = sub.add_parser(
         "dedup-index",
@@ -182,6 +192,23 @@ def main(argv: list[str] | None = None) -> int:
         from epss_spark.operators import dedup as dedup_ops
 
         docs = spark.read.parquet(args.input)
+        if args.method == "semantic":
+            from epss_spark.operators import similarity as sim_ops
+
+            kept = sim_ops.semantic_dedup(
+                docs,
+                n_lists=args.n_lists,
+                seed=args.seed,
+                threshold=args.threshold,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+                policy=args.policy,
+            )
+            kept.write.mode("overwrite").parquet(args.output)
+            n_in = docs.count()
+            n_out = spark.read.parquet(args.output).count()
+            print(f"kept {n_out}/{n_in} rows -> {args.output}")
+            return 0
         if args.method == "incremental":
             import os
 
@@ -234,7 +261,7 @@ def main(argv: list[str] | None = None) -> int:
             ]
             if ignored:
                 print(
-                    f"note: {', '.join(ignored)} only apply to --method minhash; ignored",
+                    f"note: {', '.join(ignored)} do not apply to --method exact; ignored",
                     file=sys.stderr,
                 )
             kept = dedup_ops.dedup_corpus(docs, args.id_col, args.text_col)

@@ -1,0 +1,120 @@
+"""Streaming incremental dedup — the continuous face of the nightly
+minhash_index/minhash_lookup flow (a Spark-native extension; the reference
+is strictly batch).
+
+A crawl pipeline lands new document files continuously; each micro-batch
+must be deduplicated against everything accepted so far WITHOUT
+re-shingling the corpus. Structured Streaming's foreachBatch is the right
+primitive: the lookup itself is a batch join against the persistent index
+artifacts (band rows + shingle arrays on parquet), and the sink appends
+both the surviving docs and their index rows transactionally per batch —
+so batch N+1 sees batch N's survivors, exactly like `dedup --method
+incremental --update-index` on a timer, but driven by file arrival.
+
+In-flight batch ordering: foreachBatch micro-batches execute serially, so
+intra-stream duplicates are caught by the index update between batches,
+plus drop_batch_duplicates inside each batch. State is bounded: nothing
+lives in streaming state at all — the "state" IS the on-disk index, which
+is also what makes the job restartable (checkpoint + idempotent parquet
+appends per epoch would make it exactly-once; this module keeps the
+simple at-least-once append, the standard trade for dedup sinks where
+re-appending a survivor is itself an exact duplicate the NEXT lookup
+would catch).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from epss_spark.operators import dedup
+
+
+def stream_documents(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id long, text string",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """readStream over a document-drop directory: new parquet files become
+    micro-batches."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def start_incremental_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Wire the stream into the incremental-dedup ACTION: per micro-batch,
+    look the batch up against the on-disk index, drop duplicates
+    (indexed partner wins regardless of id order; batch twins drop
+    greedily), append survivors to `accepted_dir`, and extend the index
+    with their band rows + shingles.
+
+    available_now=True drains the backlog and stops (the catch-up/nightly
+    mode — same availableNow pattern as the scores streams); False keeps
+    the query running for continuous arrival. Returns the StreamingQuery.
+
+    Scale shape per batch: identical to the batch operator — the index
+    side never re-shingles and its band rows never shuffle
+    (minhash_lookup's broadcast-join formulation); the index update is
+    O(survivors)."""
+    bands_path = os.path.join(index_dir, "bands")
+    sh_path = os.path.join(index_dir, "shingles")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ib = spark.read.parquet(bands_path)
+        ish = spark.read.parquet(sh_path)
+        with dedup.shingle_cache(batch_df, id_col, text_col) as bshmap:
+            pairs = dedup.minhash_lookup(
+                batch_df,
+                ib,
+                ish,
+                id_col,
+                text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                new_shmap=bshmap,
+            )
+            # persist the survivor set so the accepted-append and the index
+            # extension share ONE computation of the lookup + ACTION
+            kept = dedup.drop_batch_duplicates(batch_df, pairs, id_col).persist()
+            try:
+                kept.write.mode("append").parquet(accepted_dir)
+                with dedup.shingle_cache(kept, id_col, text_col) as kshmap:
+                    kb, ks = dedup.minhash_index(
+                        kept,
+                        id_col,
+                        text_col,
+                        num_hashes=num_hashes,
+                        bands=bands,
+                        shmap=kshmap,
+                    )
+                    kb.write.mode("append").parquet(bands_path)
+                    ks.write.mode("append").parquet(sh_path)
+            finally:
+                kept.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -512,6 +512,82 @@ def test_cli_dedup_action(spark, tmp_path, capsys):
     assert kept == [0, 2]  # 1 is 0's near-dup; component min survives
 
 
+def test_streaming_incremental_dedup_matches_batch_flow(spark, tmp_path):
+    """streaming/dedup_stream: two micro-batches through foreachBatch must
+    produce exactly the sequential batch outcome — batch-1's survivor is
+    indexed before batch-2 runs, so a batch-2 dup of it is dropped."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import dedup as dedup_ops
+    from epss_spark.streaming import dedup_stream
+
+    corpus = spark.createDataFrame(
+        [
+            (5, "the quick brown fox jumps over the lazy dog at dawn"),
+            (7, "entirely different content about catalyst optimizers"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = tmp_path / "idx"
+    with dedup_ops.shingle_cache(corpus) as shmap:
+        ib, ish = dedup_ops.minhash_index(corpus, shmap=shmap)
+        ib.write.parquet(str(idx / "bands"))
+        ish.write.parquet(str(idx / "shingles"))
+
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+
+    def land_file(rows, name, mtime):
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"{name}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    land_file(
+        [
+            (1, "the quick brown fox jumps over the lazy dog at dusk"),
+            (10, "totally novel text with no duplicate anywhere in sight"),
+            (11, "totally novel text with no duplicate anywhere in sight!"),
+        ],
+        "batch1",
+        1_000_000_000,
+    )
+    land_file(
+        [(20, "totally novel text with no duplicate anywhere in sight?")],
+        "batch2",
+        1_000_000_100,
+    )
+
+    stream = dedup_stream.stream_documents(
+        spark, str(drop_dir), max_files_per_trigger=1
+    )
+    q = dedup_stream.start_incremental_dedup(
+        stream,
+        str(idx),
+        str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"),
+        threshold=0.3,
+    )
+    q.awaitTermination(120)
+    accepted = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    )
+    # 1 loses to indexed 5 (despite smaller id); 11 loses to batch twin 10;
+    # 20 loses to 10 ONLY IF batch 1's survivor was indexed between batches
+    assert accepted == [10]
+    # and the index now holds corpus + survivor
+    idx_ids = {
+        r.doc_id for r in spark.read.parquet(str(idx / "shingles")).collect()
+    }
+    assert idx_ids == {5, 7, 10}
+
+
 def test_cli_incremental_dedup_flow(spark, tmp_path, capsys):
     """The nightly incremental flow end-to-end through the CLI:
     dedup-index over the corpus once, then `dedup --method incremental`
@@ -565,6 +641,32 @@ def test_cli_incremental_dedup_flow(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "kept 0/1 batch rows" in capsys.readouterr().out
+
+
+def test_cli_semantic_dedup(spark, tmp_path, capsys):
+    """dedup --method semantic end-to-end: KMeans-clustered embedding
+    space, near-identical vectors collapse to the min-id survivor."""
+    from epss_spark.cli import main
+
+    src = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    out = str(tmp_path / "kept_vecs")
+    rc = main(
+        ["dedup", "--input", src, "--output", out, "--method", "semantic",
+         "--id-col", "vec_id", "--threshold", "0.99", "--n-lists", "3"]
+    )
+    assert rc == 0
+    assert "kept 3/4 rows" in capsys.readouterr().out
+    kept = sorted(r.vec_id for r in spark.read.parquet(out).collect())
+    assert kept == [0, 3, 4]
 
 
 def test_cli_date_range_and_urls(capsys):
