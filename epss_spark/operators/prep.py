@@ -1,0 +1,190 @@
+"""Training-data preparation operators: PII redaction, context-window
+chunking, and greedy sequence packing.
+
+These are the last-mile ops between a deduplicated corpus and a tokenizer:
+scrub PII, cut documents into model-context chunks, and pack
+variable-length documents into fixed-token-budget training sequences.
+(Weighted source mixing already exists as dedup.sample_stratified /
+dedup.train_split.) The reference engine — whitfieldsdad/epss — has no
+document pipeline; these extend the engine for LLM-corpus work, same as
+operators/text.py and operators/dedup.py.
+
+Scale posture:
+- `pii_redact` and `chunk_tokens` are pure Catalyst projections
+  (regexp_replace / slice / posexplode) — zero shuffle, whole-stage
+  codegen, run at scan speed on a 100 TB documents table.
+- `pack_sequences` is the one stateful op: greedy next-fit packing is a
+  sequential fold, so it hash-partitions docs into `n_buckets` independent
+  buckets and packs each bucket in one Arrow batch. Only (id, bucket,
+  n_tokens) crosses to Python — never the text — so the Python crossing is
+  ~16 bytes/doc regardless of document size. Buckets are independent ⇒
+  1000-executor parallel; quality loss vs global packing is bounded by one
+  partially-filled tail bin per bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .dedup import _md5_60bit
+from .text import tokens
+
+# (name, java/RE2-portable pattern, replacement) — applied in order. The
+# patterns deliberately use only syntax shared by Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Redact PII spans (emails, SSNs, phone numbers, IPv4 addresses) and
+    count each category. Counts are taken on the ORIGINAL text (so they are
+    independent of replacement order); replacements are applied in pattern
+    order, each on the output of the previous (email first, so an address
+    like user@10.0.0.1 counts as both email and ipv4 but redacts as one
+    <EMAIL> span).
+
+    Pure projection — regexp_extract_all + regexp_replace are codegen'd
+    JVM expressions; no shuffle, no Python. Output:
+    (id, text_redacted, n_<category>...).
+    """
+    out = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        *[
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+            for name, pat, _ in patterns
+        ],
+    )
+    red = F.col(text_col)
+    for _, pat, repl in patterns:
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn("text_redacted", red).drop(text_col)
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Cut each document's token stream into context-window chunks of
+    `chunk_size` tokens advancing by `stride` (overlap = chunk_size -
+    stride). The final chunk may be shorter; empty documents yield no
+    chunks. Output: (id, chunk_idx, chunk_text, n_tokens).
+
+    posexplode(sequence(...)) + slice — a generator expression inside
+    codegen; per-row fan-out only (no shuffle). At 100 TB this runs as a
+    map-only stage: chunks land in the same partition as their document.
+    """
+    if stride < 1 or chunk_size < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1)), F.lit(stride))
+    exploded = toks.select(
+        F.col(id_col), F.col("_toks"), F.posexplode(starts).alias("chunk_idx", "_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start"), chunk_size)
+    return (
+        exploded.select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+_PACK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bucket", LongType()),
+        StructField("bin", LongType()),
+        StructField("n_tokens", LongType()),
+    ]
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 128,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy next-fit-decreasing sequence packing: assign each document to
+    a training-sequence bin so that bins hold <= `budget` tokens (a doc
+    longer than the budget gets a bin alone). Output:
+    (doc_id, bucket, bin, n_tokens) — (bucket, bin) is the global sequence
+    id.
+
+    Packing is a sequential fold (current-bin fill carries across rows), so
+    it cannot be a window function. The distributed shape: hash docs into
+    `n_buckets` independent buckets (same engine-portable md5 hash as
+    train_split), sort each bucket by (n_tokens desc, id), and next-fit
+    pack each bucket in a single Arrow batch via applyInPandas. Token
+    counts are computed JVM-side first, so only three small integer columns
+    cross to Python — the 100 TB text column never leaves the JVM.
+
+    Deterministic: bucket assignment, in-bucket order, and the next-fit
+    rule are all pure functions of (id, n_tokens), which is what lets the
+    DuckDB oracle replay the identical packing with a recursive CTE.
+    """
+    sized = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.pmod(
+            _md5_60bit(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        bins, fill, cur = [], 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            if first:
+                cur, fill, first = 0, int(n), False
+            elif fill + int(n) <= budget:
+                fill += int(n)
+            else:
+                cur, fill = cur + 1, int(n)
+            bins.append(cur)
+        pdf = pdf.assign(bin=bins)
+        return pdf[["doc_id", "bucket", "bin", "n_tokens"]]
+
+    return sized.groupBy("bucket").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+def pack_stats(packed: DataFrame, budget: int = 128) -> DataFrame:
+    """Per-(bucket, bin) fill statistics for a pack_sequences result —
+    the packing-efficiency report (fill fraction, docs per sequence)."""
+    return (
+        packed.groupBy("bucket", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("fill_tokens"),
+        )
+        .withColumn("fill_frac", F.col("fill_tokens") / F.lit(float(budget)))
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from epss_spark.operators import dedup, similarity, text
+from epss_spark.operators import dedup, prep, similarity, text
 from epss_spark.queries_core import T
 from epss_spark.registry import register
 
@@ -877,3 +877,115 @@ def sample_stratified(spark, sf_dir):
     return dedup.sample_stratified(
         T(spark, sf_dir, "documents"), _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Training-data preparation (operators/prep.py)
+# ---------------------------------------------------------------------------
+
+# The synthetic documents contain no PII, so the query injects a
+# deterministic PII suffix (email/IP/SSN/phone derived from doc_id) on BOTH
+# sides before redacting — the redaction actually fires on every row instead
+# of trivially matching on zero-hit text.
+_PII_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.1 ssn 123-45-6789 tel 555-867-5309'"
+)
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', 0)) AS INT) AS n_email,
+      CAST(len(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', 0)) AS INT) AS n_ssn,
+      CAST(len(regexp_extract_all(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', 0)) AS INT) AS n_phone,
+      CAST(len(regexp_extract_all(text, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', 0)) AS INT) AS n_ipv4,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+          '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+          '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+          '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS text_redacted
+    FROM injected
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 ssn 123-45-6789 tel 555-867-5309"),
+        ).alias("text"),
+    )
+    return prep.pii_redact(docs)
+
+
+@register(
+    "text_chunk",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    ex AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), 24)) AS start
+      FROM base
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, start, start + 31)) AS BIGINT) AS n_tokens
+    FROM ex
+    WHERE len(list_slice(toks, start, start + 31)) > 0
+    """,
+)
+def text_chunk(spark, sf_dir):
+    """Context-window chunking: 32-token windows advancing by 24 (8-token
+    overlap) — the tokenizer-facing fan-out, map-only at any scale."""
+    return prep.chunk_tokens(
+        T(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )
+
+
+_PACK_BUDGET, _PACK_BUCKETS = 128, 32
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH RECURSIVE sized AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_PACK_BUCKETS} AS bucket,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, bucket, n_tokens,
+             row_number() OVER (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM sized
+    ),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens, rn, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
+             CASE WHEN p.fill + o.n_tokens <= {_PACK_BUDGET} THEN p.bin ELSE p.bin + 1 END AS bin,
+             CASE WHEN p.fill + o.n_tokens <= {_PACK_BUDGET} THEN p.fill + o.n_tokens ELSE o.n_tokens END AS fill
+      FROM ordered o JOIN packed p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, bucket, bin, n_tokens FROM packed
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Greedy next-fit-decreasing sequence packing into 128-token training
+    sequences, hash-bucketed 32 ways. The DuckDB oracle replays the exact
+    same deterministic packing with a recursive CTE (next-fit is a
+    sequential fold — the one prep op a window function can't express)."""
+    return prep.pack_sequences(
+        T(spark, sf_dir, "documents"), budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )

@@ -63,13 +63,22 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "dedup_embedding",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
-    "ann_ivf",
+    # round-6 rotation: the new training-data-prep operators (PII
+    # redaction, context-window chunking, greedy sequence packing with a
+    # recursive-CTE oracle) surfaced in place of ann_ivf (ANN class held
+    # driver-green by ann_cosine_topk + ann_lsh_bucketed), agg_pivot (A4
+    # held by agg_rollup, same as the already-demoted cube/grouping-sets),
+    # and epss_reconstruct_dense (daily-snapshot family held by
+    # epss_quantize_daily + epss_current_scores); the demoted trio stays
+    # oracle-checked in pytest
+    "text_pii_redact",
+    "text_chunk",
+    "pack_sequences",
     "multimodal_features",
     "multimodal_frames",
     # EPSS domain layer
     "epss_quantize_daily",
     "epss_current_scores",
-    "epss_reconstruct_dense",
     # relational core
     "scan_parquet",
     "scan_jsonl",
@@ -91,7 +100,6 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "agg_groupby",
     "agg_distinct",
     "agg_rollup",
-    "agg_pivot",
     "window_percent_rank",
     "window_range_frame",
     "window_running_sum",

@@ -853,3 +853,99 @@ def test_asof_join_latest_row_wins_even_if_null(spark):
     out = asof_join(left, right, key="k", left_time="t", right_values=["v", "u"])
     r = out.collect()[0]
     assert (r.v, r.u) == (None, 3.0)  # the t=15 row, verbatim
+
+
+# ---------------------------------------------------------------------------
+# Training-data prep (operators/prep.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_counts_and_replacements(spark):
+    from epss_spark.operators import prep
+
+    rows = [
+        (0, "mail a@b.co and c.d+x@e.org, ip 192.168.0.1, ssn 123-45-6789"),
+        (1, "call 555-123-4567 or 555.123.4567; nothing else"),
+        (2, "no pii here at all"),
+        (3, "edge: user@10.0.0.1 is email-shaped up to the IP-ish domain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in prep.pii_redact(df).collect()}
+    r0 = got[0]
+    assert (r0.n_email, r0.n_ipv4, r0.n_ssn, r0.n_phone) == (2, 1, 1, 0)
+    assert r0.text_redacted == "mail <EMAIL> and <EMAIL>, ip <IP>, ssn <SSN>"
+    r1 = got[1]
+    assert r1.n_phone == 2 and r1.n_email == 0
+    assert r1.text_redacted == "call <PHONE> or <PHONE>; nothing else"
+    r2 = got[2]
+    assert r2.text_redacted == rows[2][1]
+    assert (r2.n_email, r2.n_ssn, r2.n_phone, r2.n_ipv4) == (0, 0, 0, 0)
+    # user@10.0.0.1 is NOT an email (the TLD grammar requires letters) but
+    # DOES contain an IPv4 — only the address part is redacted.
+    r3 = got[3]
+    assert r3.n_email == 0 and r3.n_ipv4 == 1
+    assert r3.text_redacted.startswith("edge: user@<IP> ")
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from epss_spark.operators import prep
+
+    words = " ".join(f"w{i}" for i in range(10))
+    rows = [(0, words), (1, "only two"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prep.chunk_tokens(df, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_idx)
+    # starts 1,4,7,10 -> 4 chunks; consecutive chunks overlap by 1 token
+    assert [r.chunk_text for r in c0] == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+        "w9",
+    ]
+    assert [r.n_tokens for r in c0] == [4, 4, 4, 1]
+    assert [r.chunk_idx for r in c0] == [0, 1, 2, 3]
+    # short doc: a single partial chunk; empty doc: no chunks at all
+    assert [r.chunk_text for r in by_doc[1]] == ["only two"]
+    assert 2 not in by_doc
+
+
+def test_pack_sequences_invariants(spark):
+    from epss_spark.operators import prep
+
+    # 60 docs with varied lengths; budget small enough to force multi-bin
+    rows = [(i, " ".join(["tok"] * (1 + (i * 7) % 23))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 40
+    out = prep.pack_sequences(df, budget=budget, n_buckets=4).collect()
+    # every doc assigned exactly once, token counts correct
+    assert sorted(r.doc_id for r in out) == list(range(60))
+    assert all(r.n_tokens == 1 + (r.doc_id * 7) % 23 for r in out)
+    # bin fill respects the budget (every doc here is < budget, so no
+    # single-doc overflow bins exist)
+    fills = {}
+    for r in out:
+        fills[(r.bucket, r.bin)] = fills.get((r.bucket, r.bin), 0) + r.n_tokens
+    assert all(f <= budget for f in fills.values())
+    # bins within a bucket are densely numbered from 0
+    bins_by_bucket = {}
+    for r in out:
+        bins_by_bucket.setdefault(r.bucket, set()).add(r.bin)
+    for bs in bins_by_bucket.values():
+        assert bs == set(range(len(bs)))
+    # deterministic: a second run packs identically
+    again = prep.pack_sequences(df, budget=budget, n_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_overlong_doc_gets_own_bin(spark):
+    from epss_spark.operators import prep
+
+    rows = [(0, " ".join(["t"] * 50)), (1, " ".join(["t"] * 5)), (2, " ".join(["t"] * 5))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in prep.pack_sequences(df, budget=10, n_buckets=1).collect()}
+    # doc 0 (50 tokens > budget 10) sits alone in bin 0 (sorted first, desc)
+    assert out[0].bin == 0
+    assert out[1].bin == out[2].bin == 1  # 5+5 = 10 <= budget share a bin

@@ -297,3 +297,24 @@ def test_rlike_not_pushed_but_scan_still_pruned(spark):
     assert "rlike" in p.lower()
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "p_comment" not in read_schema
+
+
+def test_prep_projections_are_map_only(spark):
+    # pii_redact and chunk_tokens are pure codegen projections: at 100 TB
+    # they must run as a map-only stage — no exchange, no Python crossing.
+    for name in ("text_pii_redact", "text_chunk"):
+        p = plan(spark, name)
+        assert "Exchange" not in p, name
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_pack_sequences_text_never_crosses_to_python(spark):
+    # pack_sequences is the one stateful prep op: it may shuffle on bucket
+    # and enter Python ONCE via applyInPandas, but only the three integer
+    # columns (doc_id, bucket, n_tokens) may cross the Arrow boundary — the
+    # 100 TB text column stays JVM-side.
+    p = plan(spark, "pack_sequences")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    fmap_line = next(ln for ln in p.splitlines() if "FlatMapGroupsInPandas" in ln)
+    assert "text#" not in fmap_line and "_toks" not in fmap_line
