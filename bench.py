@@ -31,6 +31,8 @@ HEADLINE = [
     "dedup_minhash",  # MinHash LSH + verify
     "ann_cosine_topk",  # brute-force similarity baseline
     "text_stats",  # text quality scan
+    "text_chunk",  # context-window fan-out (map-only, chunk explode)
+    "pack_sequences",  # greedy packing (bucketed applyInPandas, int-only crossing)
 ]
 
 # Headline workload scale-up (PERF.md bench protocol, round 5): sf0.1
