@@ -17,6 +17,9 @@ Usage:
     python -m epss_spark.cli dedup-index --input CORPUS --index-dir DIR
         (one-time LSH index build; nightly `dedup --method incremental`
         then runs in O(append))
+    python -m epss_spark.cli prep --input DOCS --output OUT
+        --op redact|chunk|pack [--chunk-size N --stride N]
+        [--budget N --n-buckets N]   (training-data extension)
 """
 
 from __future__ import annotations
@@ -141,6 +144,21 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("--num-hashes", type=int, default=12)
     di.add_argument("--bands", type=int, default=4)
 
+    pp = sub.add_parser(
+        "prep",
+        help="training-data prep over a documents parquet (extension): "
+        "PII redaction, context-window chunking, or sequence packing",
+    )
+    pp.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
+    pp.add_argument("--output", required=True, help="output parquet")
+    pp.add_argument("--op", required=True, choices=["redact", "chunk", "pack"])
+    pp.add_argument("--id-col", default="doc_id")
+    pp.add_argument("--text-col", default="text")
+    pp.add_argument("--chunk-size", type=int, default=32, help="chunk: tokens per window")
+    pp.add_argument("--stride", type=int, default=24, help="chunk: window advance")
+    pp.add_argument("--budget", type=int, default=128, help="pack: tokens per sequence")
+    pp.add_argument("--n-buckets", type=int, default=32, help="pack: parallel pack buckets")
+
     u = sub.add_parser("urls", help="print snapshot URLs (reference epss/cli.py:117-139)")
     _add_range_flags(u)
 
@@ -161,6 +179,36 @@ def main(argv: list[str] | None = None) -> int:
         lo, hi = get_date_range(args.version, args.min_date, args.max_date)
         for d in iter_dates(lo, hi):
             print(snapshot_url(d))
+        return 0
+
+    if args.command == "prep":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.operators import prep as prep_ops
+
+        docs = spark.read.parquet(args.input)
+        if args.op == "redact":
+            out = prep_ops.pii_redact(docs, args.id_col, args.text_col)
+        elif args.op == "chunk":
+            out = prep_ops.chunk_tokens(
+                docs,
+                args.id_col,
+                args.text_col,
+                chunk_size=args.chunk_size,
+                stride=args.stride,
+            )
+        else:
+            out = prep_ops.pack_sequences(
+                docs,
+                budget=args.budget,
+                n_buckets=args.n_buckets,
+                id_col=args.id_col,
+                text_col=args.text_col,
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(f"{args.op}: {n_in} docs -> {n_out} rows -> {args.output}")
         return 0
 
     if args.command == "dedup-index":

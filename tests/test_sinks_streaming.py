@@ -682,3 +682,45 @@ def test_cli_date_range_and_urls(capsys):
         "https://epss.cyentia.com/epss_scores-2023-03-07.csv.gz",
         "https://epss.cyentia.com/epss_scores-2023-03-08.csv.gz",
     ]
+
+
+def test_cli_prep_ops(spark, tmp_path, capsys):
+    """The prep subcommand end-to-end: redact, chunk, and pack over the
+    same tiny corpus, each writing a parquet the engine can re-read."""
+    from epss_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (0, "mail me at a@b.co " + " ".join(f"w{i}" for i in range(9))),
+            (1, "short doc"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "red")
+    assert main(["prep", "--input", src, "--output", out, "--op", "redact"]) == 0
+    red = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert red[0].n_email == 1 and "<EMAIL>" in red[0].text_redacted
+    assert red[1].n_email == 0
+
+    out = str(tmp_path / "chk")
+    assert (
+        main(["prep", "--input", src, "--output", out, "--op", "chunk",
+              "--chunk-size", "4", "--stride", "3"]) == 0
+    )
+    chunks = spark.read.parquet(out).collect()
+    # doc 0 normalizes to 15 tokens ("a@b.co" -> "a b co") -> starts
+    # 1,4,7,10,13 -> 5 chunks; doc 1 -> 1
+    assert sum(1 for r in chunks if r.doc_id == 0) == 5
+    assert sum(1 for r in chunks if r.doc_id == 1) == 1
+
+    out = str(tmp_path / "pak")
+    assert (
+        main(["prep", "--input", src, "--output", out, "--op", "pack",
+              "--budget", "20", "--n-buckets", "1"]) == 0
+    )
+    packed = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert packed[0].n_tokens == 15 and packed[1].n_tokens == 2
+    assert packed[0].bin == packed[1].bin == 0  # 15 + 2 <= 20 share a bin
+    assert "pack: 2 docs -> 2 rows" in capsys.readouterr().out
