@@ -4,6 +4,7 @@ Chains the engine's LLM-data operators over the testdata `documents` table:
 
     quality gate -> exact dedup -> near-dup dedup (MinHash-LSH + verify)
     -> benchmark decontamination -> per-source sampling -> train/val/test split
+    -> PII redaction -> sequence packing (fixed token budget)
 
 Every stage is a lazy DataFrame transformation; the whole pipeline is ONE
 Spark plan per action. At cluster scale the corpus side never shuffles for
@@ -24,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from epss_spark.operators import dedup, text  # noqa: E402
+from epss_spark.operators import dedup, prep, text  # noqa: E402
 from epss_spark.session import get_spark  # noqa: E402
 
 
@@ -80,6 +81,28 @@ def main() -> None:
             split = dedup.train_split(mixed, weights=(0.8, 0.1, 0.1))
             for row in split.groupBy("split").count().orderBy("split").collect():
                 print(f"  {row['split']}: {row['count']}")
+
+            # 7. tokenizer-facing prep on the train split: PII scrub
+            #    (zero-shuffle projection), then pack into fixed-budget
+            #    training sequences (only integer columns cross to Python)
+            train = split.filter(F.col("split") == "train")
+            scrubbed = prep.pii_redact(train)
+            n_pii = scrubbed.select(
+                F.sum(
+                    F.col("n_email") + F.col("n_ssn") + F.col("n_phone") + F.col("n_ipv4")
+                ).alias("n")
+            ).first()["n"]
+            print(f"PII spans redacted in train split: {n_pii}")
+            packed = prep.pack_sequences(train, budget=128, n_buckets=8)
+            stats = prep.pack_stats(packed, budget=128)
+            agg = stats.agg(
+                F.count("*").alias("n_seqs"),
+                F.avg("fill_frac").alias("avg_fill"),
+            ).first()
+            print(
+                f"packed into {agg['n_seqs']} sequences of <=128 tokens "
+                f"(avg fill {agg['avg_fill']:.0%})"
+            )
         finally:
             neared.unpersist()
 
