@@ -124,6 +124,27 @@ _PACK_SCHEMA = StructType(
 )
 
 
+def sized_docs(
+    docs: DataFrame,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """(doc_id, bucket, n_tokens) — the only columns packing needs. Token
+    counting and bucket assignment (engine-portable md5 hash, same family
+    as train_split) happen JVM-side so the text column never leaves the
+    scan stage."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.pmod(
+            _md5_60bit(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 128,
@@ -131,6 +152,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "pack",
+    init_state: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy next-fit-decreasing sequence packing: assign each document to
     a training-sequence bin so that bins hold <= `budget` tokens (a doc
@@ -149,32 +171,60 @@ def pack_sequences(
     Deterministic: bucket assignment, in-bucket order, and the next-fit
     rule are all pure functions of (id, n_tokens), which is what lets the
     DuckDB oracle replay the identical packing with a recursive CTE.
+
+    `init_state` (bucket, open_bin, open_fill) resumes packing into a
+    previous run's last open bin per bucket — the incremental/streaming
+    mode (see streaming/pack_stream.py). Buckets absent from the state
+    start fresh at bin 0. The state side is n_buckets rows, so the join
+    is broadcast by construction.
     """
-    sized = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.pmod(
-            _md5_60bit(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
-            F.lit(n_buckets),
-        ).alias("bucket"),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
-    )
+    sized = sized_docs(docs, n_buckets, id_col, text_col, salt)
+    if init_state is None:
+        sized = sized.withColumn("open_bin", F.lit(None).cast("long")).withColumn(
+            "open_fill", F.lit(None).cast("long")
+        )
+    else:
+        sized = sized.join(
+            F.broadcast(init_state.select("bucket", "open_bin", "open_fill")),
+            "bucket",
+            "left",
+        )
 
     def _pack(pdf):
         pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
-        bins, fill, cur = [], 0, 0
-        first = True
+        ob = pdf["open_bin"].iloc[0]
+        of = pdf["open_fill"].iloc[0]
+        cur = 0 if ob is None or ob != ob else int(ob)  # NaN-safe
+        fill = 0 if of is None or of != of else int(of)
+        bins = []
         for n in pdf["n_tokens"]:
-            if first:
-                cur, fill, first = 0, int(n), False
-            elif fill + int(n) <= budget:
-                fill += int(n)
+            n = int(n)
+            # an empty current bin always accepts (an over-budget doc sits
+            # alone in it); a non-empty bin accepts only within budget
+            if fill == 0 or fill + n <= budget:
+                fill += n
             else:
-                cur, fill = cur + 1, int(n)
+                cur, fill = cur + 1, n
             bins.append(cur)
         pdf = pdf.assign(bin=bins)
         return pdf[["doc_id", "bucket", "bin", "n_tokens"]]
 
     return sized.groupBy("bucket").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+def pack_state(packed: DataFrame) -> DataFrame:
+    """Extract the resume state from a pack_sequences result: per bucket,
+    the last (highest) bin and its fill — what the NEXT batch packs into.
+    One small aggregation over the packed rows (n_buckets output rows)."""
+    from pyspark.sql import Window
+
+    per_bin = packed.groupBy("bucket", "bin").agg(F.sum("n_tokens").alias("open_fill"))
+    w = Window.partitionBy("bucket").orderBy(F.col("bin").desc())
+    return (
+        per_bin.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("bucket", F.col("bin").alias("open_bin"), "open_fill")
+    )
 
 
 def pack_stats(packed: DataFrame, budget: int = 128) -> DataFrame:

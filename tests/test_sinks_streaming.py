@@ -724,3 +724,86 @@ def test_cli_prep_ops(spark, tmp_path, capsys):
     assert packed[0].n_tokens == 15 and packed[1].n_tokens == 2
     assert packed[0].bin == packed[1].bin == 0  # 15 + 2 <= 20 share a bin
     assert "pack: 2 docs -> 2 rows" in capsys.readouterr().out
+
+
+def test_streaming_incremental_pack_matches_sequential_batches(spark, tmp_path):
+    """streaming/pack_stream: two micro-batches must pack exactly like two
+    sequential batch pack_sequences calls threading init_state by hand —
+    bin numbering continues across batches per bucket."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import prep
+    from epss_spark.streaming import pack_stream
+
+    batch1 = [(i, " ".join(["t"] * (3 + 5 * i))) for i in range(6)]
+    batch2 = [(i, " ".join(["t"] * (4 + 3 * i))) for i in range(6, 12)]
+    budget, n_buckets = 20, 2
+
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+
+    def land_file(rows, name, mtime):
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"{name}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    land_file(batch1, "batch1", 1_000_000_000)
+    land_file(batch2, "batch2", 1_000_000_100)
+
+    stream = pack_stream.stream_documents(spark, str(drop_dir), max_files_per_trigger=1)
+    q = pack_stream.start_incremental_pack(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "packed"),
+        str(tmp_path / "ckpt"),
+        budget=budget,
+        n_buckets=n_buckets,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.doc_id, r.bucket, r.bin, r.n_tokens)
+        for r in spark.read.parquet(str(tmp_path / "packed")).collect()
+    )
+
+    # reference: sequential batch calls threading the state explicitly
+    df1 = spark.createDataFrame(batch1, "doc_id long, text string")
+    df2 = spark.createDataFrame(batch2, "doc_id long, text string")
+    p1 = prep.pack_sequences(df1, budget=budget, n_buckets=n_buckets)
+    s1 = prep.pack_state(p1)
+    p2 = prep.pack_sequences(df2, budget=budget, n_buckets=n_buckets, init_state=s1)
+    want = sorted(
+        (r.doc_id, r.bucket, r.bin, r.n_tokens)
+        for r in p1.unionByName(p2).collect()
+    )
+    assert got == want
+    # bin numbering really did continue: batch-2 rows never reuse a CLOSED
+    # batch-1 bin, and at least one bucket advanced past its batch-1 bins
+    max_bin_1 = {}
+    for r in p1.collect():
+        max_bin_1[r.bucket] = max(max_bin_1.get(r.bucket, 0), r.bin)
+    p2_bins = {}
+    for r in p2.collect():
+        p2_bins.setdefault(r.bucket, set()).add(r.bin)
+    assert any(
+        max(bins) > max_bin_1.get(b, -1) for b, bins in p2_bins.items()
+    )
+    for b, bins in p2_bins.items():
+        assert min(bins) >= max_bin_1.get(b, 0)
+    # the persisted state matches the cumulative packing's open bins
+    state = {
+        r.bucket: (r.open_bin, r.open_fill)
+        for r in pack_stream.read_pack_state(spark, str(tmp_path / "state")).collect()
+    }
+    fills = {}
+    for doc_id, bucket, bin_, n in got:
+        fills[(bucket, bin_)] = fills.get((bucket, bin_), 0) + n
+    for b, (ob, of) in state.items():
+        assert fills[(b, ob)] == of
+        assert ob == max(bin_ for (bb, bin_) in fills if bb == b)
