@@ -354,3 +354,63 @@ def winnow_fingerprints(
             )
 
     return norm_docs.mapInPandas(_winnow, schema=schema)
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """MOSS-style substring-overlap detection: document pairs sharing
+    winnowing fingerprints, scored by CONTAINMENT — shared distinct
+    fingerprints over the smaller doc's fingerprint count. This is the
+    partial-duplication detector whole-document MinHash misses by design:
+    a paragraph copied into an otherwise-unrelated document barely moves
+    Jaccard but lights up containment (the small side's fingerprints are
+    mostly shared). Returns (a_id, b_id, overlap >= threshold).
+
+    Scale shape (same discipline as ngram_jaccard_pairs): fingerprints
+    aggregate to one distinct-fp array per doc (one shuffle on id), the
+    per-doc count rides the exploded rows as an int and folds into the
+    pair groupBy via min() — no per-document size frame, no join-back.
+    The discovery join shuffles on fp; pair counts shuffle on the pair.
+    max_fp_df (opt-in) drops boilerplate fingerprints shared by more than
+    that many docs from discovery — the same quadratic-bucket guard as
+    max_shingle_df, with the same lower-bound caveat for affected pairs.
+    """
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(docs, id_col, text_col, k=k, window=window)
+    per_doc = fps.groupBy(id_col).agg(F.collect_set("fp").alias("fps"))
+    ex = per_doc.select(
+        id_col, F.size("fps").alias("n"), F.explode_outer("fps").alias("fp")
+    ).where(F.col("fp").isNotNull())
+    if max_fp_df is not None:
+        wfp = Window.partitionBy("fp")
+        ex = (
+            ex.withColumn("__df", F.count(F.lit(1)).over(wfp))
+            .filter(F.col("__df") <= max_fp_df)
+            .drop("__df")
+        )
+    a = ex.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"), "fp")
+    b = ex.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    overlap = F.col("inter").cast("double") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.withColumn("overlap", overlap)
+        .filter(F.col("overlap") >= threshold)
+        .select("a_id", "b_id", "overlap")
+    )

@@ -107,9 +107,9 @@ def text_fingerprint(spark, sf_dir):
 _WLEAST = "least(hs[w], hs[w+1], hs[w+2], hs[w+3])"
 
 
-@register(
-    "text_winnow_fingerprint",
-    f"""
+# Shared winnowing CTE: k-gram polynomial hashes + rightmost-min window
+# picks, reused by the per-doc fingerprint query and the pair-overlap query.
+_WINNOW_CTE = f"""
     WITH n AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
     ok AS (SELECT doc_id, s, length(s) AS L FROM n WHERE s IS NOT NULL AND length(s) >= 5),
     h AS (SELECT doc_id, L - 4 AS nh,
@@ -126,7 +126,13 @@ _WLEAST = "least(hs[w], hs[w+1], hs[w+2], hs[w+3])"
                           WHEN hs[w+2] = {_WLEAST} THEN 2
                           WHEN hs[w+1] = {_WLEAST} THEN 1
                           ELSE 0 END) AS pos1
-              FROM wins)
+              FROM wins)"""
+
+
+@register(
+    "text_winnow_fingerprint",
+    _WINNOW_CTE
+    + """
     SELECT DISTINCT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
     FROM picks
     """,
@@ -988,4 +994,32 @@ def pack_sequences(spark, sf_dir):
     sequential fold — the one prep op a window function can't express)."""
     return prep.pack_sequences(
         T(spark, sf_dir, "documents"), budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )
+
+
+@register(
+    "dedup_winnow_pairs",
+    _WINNOW_CTE
+    + """
+    , fps AS (SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM picks),
+    sized AS (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM fps),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             COUNT(*) AS inter, MIN(a.n) AS na, MIN(b.n) AS nb
+      FROM sized a JOIN sized b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id, CAST(inter AS DOUBLE) / least(na, nb) AS overlap
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.8
+    """,
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """MOSS-style substring-overlap pairs over winnowing fingerprints —
+    containment (shared / smaller side), the partial-duplication detector
+    whole-doc MinHash misses. Threshold 0.8: the synthetic word-soup
+    corpus has massive incidental 5-gram overlap (median pair containment
+    ~0.5), so only a high cut yields a selective, checkable pair set."""
+    return text.winnow_overlap_pairs(
+        T(spark, sf_dir, "documents"), threshold=0.8
     )

@@ -949,3 +949,40 @@ def test_pack_sequences_overlong_doc_gets_own_bin(spark):
     # doc 0 (50 tokens > budget 10) sits alone in bin 0 (sorted first, desc)
     assert out[0].bin == 0
     assert out[1].bin == out[2].bin == 1  # 5+5 = 10 <= budget share a bin
+
+
+def test_winnow_overlap_catches_partial_duplication(spark):
+    """A paragraph copied into a much larger unrelated document: whole-doc
+    Jaccard stays low (MinHash-style detection misses it by design) but
+    winnowing containment lights up — the small doc's fingerprints are
+    mostly inside the big one."""
+    para = "the quick brown fox jumps over the lazy dog while winter rain falls"
+    filler = " ".join(
+        f"unrelated filler sentence number {i} about catalyst physical plans" for i in range(12)
+    )
+    rows = [
+        (0, para),  # the small original
+        (1, filler + " " + para + " " + filler),  # para embedded in bulk
+        (2, "completely disjoint content with zero shared phrasing at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {(r.a_id, r.b_id): r.overlap for r in text.winnow_overlap_pairs(df, threshold=0.5).collect()}
+    assert (0, 1) in out and out[(0, 1)] >= 0.8  # containment: para ⊂ doc 1
+    assert (0, 2) not in out and (1, 2) not in out
+    # whole-doc Jaccard on the same pair is low — the case this op exists for
+    jac = {(r.a_id, r.b_id): r.jaccard for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    assert jac.get((0, 1), 0.0) < 0.2
+
+
+def test_winnow_overlap_max_fp_df_guard(spark):
+    """Boilerplate fingerprints shared by every doc are excluded from
+    discovery under max_fp_df; reported overlap becomes a lower bound and
+    all-boilerplate pairs disappear."""
+    boiler = "this license header appears verbatim at the top of every file"
+    rows = [(i, boiler) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = text.winnow_overlap_pairs(df, threshold=0.9).collect()
+    assert len(full) == 10  # identical docs: all pairs at overlap 1.0
+    capped = text.winnow_overlap_pairs(df, threshold=0.1, max_fp_df=3).collect()
+    assert capped == []  # every fp has df=5 > 3 -> no discovery rows
