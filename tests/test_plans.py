@@ -318,3 +318,14 @@ def test_pack_sequences_text_never_crosses_to_python(spark):
     assert p.count("Exchange hashpartitioning") == 1
     fmap_line = next(ln for ln in p.splitlines() if "FlatMapGroupsInPandas" in ln)
     assert "text#" not in fmap_line and "_toks" not in fmap_line
+
+
+def test_winnow_pairs_no_per_document_join_back(spark):
+    # same scale guard for winnow_overlap_pairs: per-doc fingerprint
+    # counts ride the exploded rows (min() fold in the pair groupBy) — no
+    # broadcast hints, no extra join of a one-row-per-document size frame.
+    qe = registry.QUERIES["dedup_winnow_pairs"](spark, SF)._jdf.queryExecution()
+    analyzed = qe.analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # exactly one join in the whole plan: the fp discovery self-join
+    assert analyzed.count("Join Inner") == 1
