@@ -97,7 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
         default="minhash",
         choices=["exact", "minhash", "incremental", "semantic"],
     )
-    dd.add_argument("--threshold", type=float, default=0.5, help="verified-Jaccard cutoff")
+    dd.add_argument(
+        "--threshold",
+        type=float,
+        default=None,
+        help="similarity cutoff; meaning and default are per-method: "
+        "verified Jaccard >= 0.5 for minhash/incremental, cosine >= 0.99 "
+        "for semantic (exact ignores it)",
+    )
     dd.add_argument(
         "--policy",
         default="greedy",
@@ -129,6 +136,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dd.add_argument("--n-lists", type=int, default=8, help="semantic: KMeans clusters")
     dd.add_argument("--seed", type=int, default=42, help="semantic: KMeans seed")
+    dd.add_argument(
+        "--num-hashes",
+        type=int,
+        default=None,
+        help="incremental: must match the index (read from its meta.json "
+        "when omitted; an explicit mismatch is an error)",
+    )
+    dd.add_argument(
+        "--bands",
+        type=int,
+        default=None,
+        help="incremental: must match the index (read from its meta.json "
+        "when omitted; an explicit mismatch is an error)",
+    )
 
     di = sub.add_parser(
         "dedup-index",
@@ -230,6 +251,14 @@ def main(argv: list[str] | None = None) -> int:
             )
             bands_df.write.mode("overwrite").parquet(os.path.join(args.index_dir, "bands"))
             sh.write.mode("overwrite").parquet(os.path.join(args.index_dir, "shingles"))
+        # band keys are only comparable within one (num_hashes, bands)
+        # scheme — record it so `dedup --method incremental` can look it up
+        # and reject a mismatched override instead of silently missing
+        # every near-dup
+        import json as _json
+
+        with open(os.path.join(args.index_dir, "meta.json"), "w") as f:
+            _json.dump({"num_hashes": args.num_hashes, "bands": args.bands}, f)
         n = spark.read.parquet(os.path.join(args.index_dir, "shingles")).count()
         print(f"indexed {n} docs -> {args.index_dir}")
         return 0
@@ -239,6 +268,45 @@ def main(argv: list[str] | None = None) -> int:
         spark.sparkContext.setLogLevel("ERROR")
         from epss_spark.operators import dedup as dedup_ops
 
+        # warn about flags the chosen method silently ignores — a nightly
+        # job that writes `--method minhash --index-dir idx --update-index`
+        # (forgetting `--method incremental`) must not look like success
+        _APPLICABLE = {
+            "exact": set(),
+            "minhash": {"--threshold", "--policy", "--max-bucket-size"},
+            "incremental": {
+                "--threshold",
+                "--max-bucket-size",
+                "--index-dir",
+                "--update-index",
+                "--num-hashes",
+                "--bands",
+            },
+            "semantic": {"--threshold", "--policy", "--n-lists", "--seed", "--vec-col"},
+        }
+        _SET = {
+            "--threshold": args.threshold is not None,
+            "--policy": args.policy != "greedy",
+            "--max-bucket-size": args.max_bucket_size is not None,
+            "--index-dir": bool(args.index_dir),
+            "--update-index": args.update_index,
+            "--num-hashes": args.num_hashes is not None,
+            "--bands": args.bands is not None,
+            "--n-lists": args.n_lists != 8,
+            "--seed": args.seed != 42,
+            "--vec-col": args.vec_col != "embedding",
+        }
+        ignored = [
+            f for f, was_set in _SET.items()
+            if was_set and f not in _APPLICABLE[args.method]
+        ]
+        if ignored:
+            print(
+                f"note: {', '.join(sorted(ignored))} do not apply to "
+                f"--method {args.method}; ignored",
+                file=sys.stderr,
+            )
+
         docs = spark.read.parquet(args.input)
         if args.method == "semantic":
             from epss_spark.operators import similarity as sim_ops
@@ -247,7 +315,9 @@ def main(argv: list[str] | None = None) -> int:
                 docs,
                 n_lists=args.n_lists,
                 seed=args.seed,
-                threshold=args.threshold,
+                # cosine cutoff, NOT a Jaccard: default to the operator's
+                # conservative 0.99, never to the Jaccard default
+                threshold=0.99 if args.threshold is None else args.threshold,
                 id_col=args.id_col,
                 vec_col=args.vec_col,
                 policy=args.policy,
@@ -257,12 +327,35 @@ def main(argv: list[str] | None = None) -> int:
             n_out = spark.read.parquet(args.output).count()
             print(f"kept {n_out}/{n_in} rows -> {args.output}")
             return 0
+        threshold = 0.5 if args.threshold is None else args.threshold
         if args.method == "incremental":
+            import json as _json
             import os
 
             if not args.index_dir:
                 print("--method incremental requires --index-dir", file=sys.stderr)
                 return 2
+            # resolve the banding scheme from the index's meta.json; an
+            # explicit override that disagrees is a hard error (band keys
+            # from different schemes never equi-join -> silent no-dedup)
+            num_hashes, bands = 12, 4
+            meta_path = os.path.join(args.index_dir, "meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = _json.load(f)
+                num_hashes, bands = meta["num_hashes"], meta["bands"]
+            for flag, given, from_meta in (
+                ("--num-hashes", args.num_hashes, num_hashes),
+                ("--bands", args.bands, bands),
+            ):
+                if given is not None and given != from_meta:
+                    print(
+                        f"{flag} {given} does not match the index scheme "
+                        f"({from_meta}, from {meta_path}); rebuild the index "
+                        "or drop the flag",
+                        file=sys.stderr,
+                    )
+                    return 2
             ib = spark.read.parquet(os.path.join(args.index_dir, "bands"))
             ish = spark.read.parquet(os.path.join(args.index_dir, "shingles"))
             with dedup_ops.shingle_cache(docs, args.id_col, args.text_col) as bshmap:
@@ -272,7 +365,9 @@ def main(argv: list[str] | None = None) -> int:
                     ish,
                     args.id_col,
                     args.text_col,
-                    threshold=args.threshold,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    threshold=threshold,
                     max_bucket_size=args.max_bucket_size,
                     new_shmap=bshmap,
                 )
@@ -280,11 +375,28 @@ def main(argv: list[str] | None = None) -> int:
                 kept.write.mode("overwrite").parquet(args.output)
                 if args.update_index:
                     kept_out = spark.read.parquet(args.output)
-                    with dedup_ops.shingle_cache(
-                        kept_out, args.id_col, args.text_col
-                    ) as kshmap:
+                    # the index holds exactly one row set per id: skip
+                    # survivors already indexed (re-crawled ids) — appending
+                    # their NEW rows without deleting the stale ones would
+                    # give duplicate ids and nondeterministic verification
+                    # on later days. Refreshing a re-crawled id's content
+                    # means rebuilding/compacting the index.
+                    indexed_ids = ish.select(args.id_col).distinct().persist()
+                    indexed_ids.count()  # snapshot BEFORE appending
+                    try:
+                        fresh = kept_out.join(indexed_ids, args.id_col, "left_anti")
+                        # survivors' shingles are already in the batch cache
+                        # — reuse it instead of re-normalizing/re-shingling
+                        fshmap = bshmap.join(
+                            fresh.select(args.id_col), args.id_col, "semi"
+                        )
                         kb, ks = dedup_ops.minhash_index(
-                            kept_out, args.id_col, args.text_col, shmap=kshmap
+                            fresh,
+                            args.id_col,
+                            args.text_col,
+                            num_hashes=num_hashes,
+                            bands=bands,
+                            shmap=fshmap,
                         )
                         kb.write.mode("append").parquet(
                             os.path.join(args.index_dir, "bands")
@@ -292,33 +404,21 @@ def main(argv: list[str] | None = None) -> int:
                         ks.write.mode("append").parquet(
                             os.path.join(args.index_dir, "shingles")
                         )
+                    finally:
+                        indexed_ids.unpersist()
             n_in = docs.count()
             n_out = spark.read.parquet(args.output).count()
             extra = " (index updated)" if args.update_index else ""
             print(f"kept {n_out}/{n_in} batch rows -> {args.output}{extra}")
             return 0
         if args.method == "exact":
-            ignored = [
-                flag
-                for flag, val in (
-                    ("--threshold", args.threshold != 0.5),
-                    ("--policy", args.policy != "greedy"),
-                    ("--max-bucket-size", args.max_bucket_size is not None),
-                )
-                if val
-            ]
-            if ignored:
-                print(
-                    f"note: {', '.join(ignored)} do not apply to --method exact; ignored",
-                    file=sys.stderr,
-                )
             kept = dedup_ops.dedup_corpus(docs, args.id_col, args.text_col)
         else:
             pairs = dedup_ops.minhash_lsh_pairs(
                 docs,
                 args.id_col,
                 args.text_col,
-                threshold=args.threshold,
+                threshold=threshold,
                 max_bucket_size=args.max_bucket_size,
             )
             kept = dedup_ops.dedup_corpus_near(docs, pairs, args.id_col, policy=args.policy)

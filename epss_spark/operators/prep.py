@@ -65,9 +65,11 @@ def pii_redact(
         F.col(id_col),
         F.col(text_col),
         *[
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
-                f"n_{name}"
-            )
+            # NULL text -> 0 findings, not NULL (size of a NULL array)
+            F.coalesce(
+                F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+                F.lit(0),
+            ).alias(f"n_{name}")
             for name, pat, _ in patterns
         ],
     )
@@ -114,14 +116,17 @@ def chunk_tokens(
     )
 
 
-_PACK_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("bucket", LongType()),
-        StructField("bin", LongType()),
-        StructField("n_tokens", LongType()),
-    ]
-)
+def _pack_schema(id_type) -> StructType:
+    # the id column keeps its source type (string ids must not be nulled
+    # by a silent long cast)
+    return StructType(
+        [
+            StructField("doc_id", id_type),
+            StructField("bucket", LongType()),
+            StructField("bin", LongType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
 
 
 def sized_docs(
@@ -134,14 +139,18 @@ def sized_docs(
     """(doc_id, bucket, n_tokens) — the only columns packing needs. Token
     counting and bucket assignment (engine-portable md5 hash, same family
     as train_split) happen JVM-side so the text column never leaves the
-    scan stage."""
+    scan stage. The id keeps its original type (string ids survive); NULL
+    text counts as 0 tokens."""
     return docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         F.pmod(
             _md5_60bit(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
             F.lit(n_buckets),
         ).alias("bucket"),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .cast("long")
+        .alias("n_tokens"),
     )
 
 
@@ -209,21 +218,48 @@ def pack_sequences(
         pdf = pdf.assign(bin=bins)
         return pdf[["doc_id", "bucket", "bin", "n_tokens"]]
 
-    return sized.groupBy("bucket").applyInPandas(_pack, _PACK_SCHEMA)
+    return sized.groupBy("bucket").applyInPandas(
+        _pack, _pack_schema(docs.schema[id_col].dataType)
+    )
 
 
-def pack_state(packed: DataFrame) -> DataFrame:
+def pack_state(packed: DataFrame, init_state: DataFrame | None = None) -> DataFrame:
     """Extract the resume state from a pack_sequences result: per bucket,
     the last (highest) bin and its fill — what the NEXT batch packs into.
-    One small aggregation over the packed rows (n_buckets output rows)."""
+    One small aggregation over the packed rows (n_buckets output rows).
+
+    If the packing itself resumed from `init_state`, pass the SAME state
+    here: when a bucket's last bin is the bin it resumed into, that bin
+    already held init open_fill tokens, which must be added to this
+    batch's contribution — otherwise the reported fill under-counts and a
+    later batch overfills the bin past the budget."""
     from pyspark.sql import Window
 
     per_bin = packed.groupBy("bucket", "bin").agg(F.sum("n_tokens").alias("open_fill"))
     w = Window.partitionBy("bucket").orderBy(F.col("bin").desc())
-    return (
+    last = (
         per_bin.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .select("bucket", F.col("bin").alias("open_bin"), "open_fill")
+    )
+    if init_state is None:
+        return last
+    prev = F.broadcast(
+        init_state.select(
+            "bucket",
+            F.col("open_bin").alias("_prev_bin"),
+            F.col("open_fill").alias("_prev_fill"),
+        )
+    )
+    return last.join(prev, "bucket", "left").select(
+        "bucket",
+        "open_bin",
+        (
+            F.col("open_fill")
+            + F.when(
+                F.col("open_bin") == F.col("_prev_bin"), F.col("_prev_fill")
+            ).otherwise(F.lit(0))
+        ).alias("open_fill"),
     )
 
 

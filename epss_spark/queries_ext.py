@@ -319,16 +319,26 @@ def dedup_minhash_incremental(spark, sf_dir):
     restricted to pairs touching a new id — exactly the incremental
     contract (new~indexed and new~new, never indexed~indexed)."""
     docs = T(spark, sf_dir, "documents")
+    idx_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    # pass UNPERSISTED shingle frames: a registered query's DataFrame
+    # outlives this function, so the shmap=None fire-and-forget persist
+    # would leak executor storage per invocation in a long-lived session
+    # (the CLI/streaming/example callers scope it with shingle_cache)
     idx_bands, idx_sh = dedup.minhash_index(
-        docs.filter(F.col("doc_id") % 2 == 0), num_hashes=_NUM_HASHES, bands=_BANDS
+        idx_docs,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shmap=dedup.shingle_arrays(idx_docs),
     )
     return dedup.minhash_lookup(
-        docs.filter(F.col("doc_id") % 2 == 1),
+        new_docs,
         idx_bands,
         idx_sh,
         num_hashes=_NUM_HASHES,
         bands=_BANDS,
         threshold=0.5,
+        new_shmap=dedup.shingle_arrays(new_docs),
     )
 
 

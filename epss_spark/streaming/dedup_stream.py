@@ -98,17 +98,30 @@ def start_incremental_dedup(
             kept = dedup.drop_batch_duplicates(batch_df, pairs, id_col).persist()
             try:
                 kept.write.mode("append").parquet(accepted_dir)
-                with dedup.shingle_cache(kept, id_col, text_col) as kshmap:
+                # index hygiene: exactly one row set per id. A re-crawled
+                # survivor (id already indexed) must NOT append fresh rows
+                # next to its stale ones — duplicate ids make later
+                # verification nondeterministic; refreshing content is an
+                # index rebuild/compaction, not an append. Survivors'
+                # shingle arrays are already in the batch cache, so reuse
+                # it instead of re-normalizing/re-shingling the texts.
+                indexed_ids = ish.select(id_col).distinct().persist()
+                indexed_ids.count()  # snapshot BEFORE appending to sh_path
+                try:
+                    fresh = kept.join(indexed_ids, id_col, "left_anti")
+                    fshmap = bshmap.join(fresh.select(id_col), id_col, "semi")
                     kb, ks = dedup.minhash_index(
-                        kept,
+                        fresh,
                         id_col,
                         text_col,
                         num_hashes=num_hashes,
                         bands=bands,
-                        shmap=kshmap,
+                        shmap=fshmap,
                     )
                     kb.write.mode("append").parquet(bands_path)
                     ks.write.mode("append").parquet(sh_path)
+                finally:
+                    indexed_ids.unpersist()
             finally:
                 kept.unpersist()
 

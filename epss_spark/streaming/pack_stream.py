@@ -83,7 +83,9 @@ def start_incremental_pack(
         ).persist()
         try:
             packed.write.mode("append").parquet(packed_dir)
-            new_state = prep.pack_state(packed)
+            # pass the SAME init state: a bucket whose last bin is the one
+            # it resumed into must report init fill + batch fill
+            new_state = prep.pack_state(packed, init_state=init)
             if init is not None:
                 # carry forward buckets this batch didn't touch
                 untouched = init.join(

@@ -986,3 +986,25 @@ def test_winnow_overlap_max_fp_df_guard(spark):
     assert len(full) == 10  # identical docs: all pairs at overlap 1.0
     capped = text.winnow_overlap_pairs(df, threshold=0.1, max_fp_df=3).collect()
     assert capped == []  # every fp has df=5 > 3 -> no discovery rows
+
+
+def test_prep_null_text_and_string_ids(spark):
+    """Round-6 review regressions: NULL text must count as 0 tokens / 0
+    PII findings (not NULL/crash), and string doc ids must survive packing
+    (no silent long-cast nulling)."""
+    from epss_spark.operators import prep
+
+    df = spark.createDataFrame(
+        [("doc-a", "five tokens of actual text"), ("doc-b", None), ("doc-c", "x y")],
+        "doc_id string, text string",
+    )
+    packed = {r.doc_id: r for r in prep.pack_sequences(df, budget=10, n_buckets=1).collect()}
+    assert set(packed) == {"doc-a", "doc-b", "doc-c"}
+    assert packed["doc-a"].n_tokens == 5
+    assert packed["doc-b"].n_tokens == 0
+    red = {r.doc_id: r for r in prep.pii_redact(df).collect()}
+    assert red["doc-b"].text_redacted is None
+    assert (red["doc-b"].n_email, red["doc-b"].n_ssn) == (0, 0)
+    # NULL-text docs produce no chunks, like empty docs
+    chunks = prep.chunk_tokens(df, chunk_size=2, stride=2).collect()
+    assert all(r.doc_id != "doc-b" for r in chunks)

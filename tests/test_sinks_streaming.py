@@ -807,3 +807,163 @@ def test_streaming_incremental_pack_matches_sequential_batches(spark, tmp_path):
     for b, (ob, of) in state.items():
         assert fills[(b, ob)] == of
         assert ob == max(bin_ for (bb, bin_) in fills if bb == b)
+
+
+def test_streaming_pack_three_batches_never_overfills(spark, tmp_path):
+    """Regression (round-6 review): pack_state must carry the RESUMED
+    bin's prior fill into the new state. With small docs across three
+    micro-batches the same bin is resumed repeatedly; if the state only
+    summed each batch's own rows, batch 3 would overfill a bin past the
+    budget. The invariant is checked on the cumulative packed output —
+    ground truth independent of pack_state itself."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.streaming import pack_stream
+
+    budget = 20
+    # every doc is 7 tokens; bucket count 1 makes the sequence exact:
+    # bins must hold exactly floor(20/7)=2 docs (14 tokens) each
+    batches = [[(i, " ".join(["t"] * 7))] for i in range(6)]  # 6 batches of 1 doc
+
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    for k, rows in enumerate(batches):
+        staging = tmp_path / f"stage_{k}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"b{k}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + k, 1_000_000_000 + k))
+
+    stream = pack_stream.stream_documents(spark, str(drop_dir), max_files_per_trigger=1)
+    q = pack_stream.start_incremental_pack(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "packed"),
+        str(tmp_path / "ckpt"),
+        budget=budget,
+        n_buckets=1,
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(str(tmp_path / "packed")).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(6))
+    fills, members = {}, {}
+    for r in rows:
+        fills[(r.bucket, r.bin)] = fills.get((r.bucket, r.bin), 0) + r.n_tokens
+        members.setdefault((r.bucket, r.bin), 0)
+        members[(r.bucket, r.bin)] += 1
+    # cumulative (cross-batch!) fills respect the budget: 2 docs per bin
+    assert all(f <= budget for f in fills.values()), fills
+    assert sorted(members.values()) == [2, 2, 2]
+    # state agrees with the cumulative picture
+    st = {
+        r.bucket: (r.open_bin, r.open_fill)
+        for r in pack_stream.read_pack_state(spark, str(tmp_path / "state")).collect()
+    }
+    assert st[0] == (2, 14)
+
+
+def test_cli_incremental_rejects_mismatched_scheme(spark, tmp_path, capsys):
+    """dedup-index records its (num_hashes, bands) scheme in meta.json;
+    `dedup --method incremental` reads it and hard-errors on an explicit
+    override that disagrees (band keys across schemes never match, which
+    would silently disable dedup)."""
+    import json
+
+    from epss_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog at dawn")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    rc = main(["dedup-index", "--input", src, "--index-dir", idx,
+               "--num-hashes", "24", "--bands", "8"])
+    assert rc == 0
+    assert json.load(open(f"{idx}/meta.json")) == {"num_hashes": 24, "bands": 8}
+
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(1, "some new document text entirely")], "doc_id long, text string"
+    ).write.parquet(batch)
+    out = str(tmp_path / "out")
+    rc = main(["dedup", "--method", "incremental", "--input", batch,
+               "--output", out, "--index-dir", idx, "--bands", "4"])
+    assert rc == 2
+    assert "does not match the index scheme" in capsys.readouterr().err
+    # without the override the scheme comes from meta.json and it works
+    rc = main(["dedup", "--method", "incremental", "--input", batch,
+               "--output", out, "--index-dir", idx])
+    assert rc == 0
+
+
+def test_cli_dedup_warns_on_inapplicable_flags(spark, tmp_path, capsys):
+    from epss_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "some text here"), (1, "other text there")], "doc_id long, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    # forgot --method incremental: the index flags must not be silently
+    # swallowed by a successful-looking minhash run
+    rc = main(["dedup", "--input", src, "--output", out,
+               "--index-dir", str(tmp_path / "idx"), "--update-index"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "--index-dir" in err and "--update-index" in err and "ignored" in err
+
+
+def test_streaming_dedup_recrawl_does_not_duplicate_index_rows(spark, tmp_path):
+    """A re-crawled surviving doc (id already indexed) must NOT append a
+    second row set to the index — duplicate ids would make later
+    verification nondeterministic. The stream keeps the original rows."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import dedup as dedup_ops
+    from epss_spark.streaming import dedup_stream
+
+    corpus = spark.createDataFrame(
+        [(5, "the quick brown fox jumps over the lazy dog at dawn")],
+        "doc_id long, text string",
+    )
+    idx = tmp_path / "idx"
+    with dedup_ops.shingle_cache(corpus) as shmap:
+        ib, ish = dedup_ops.minhash_index(corpus, shmap=shmap)
+        ib.write.parquet(str(idx / "bands"))
+        ish.write.parquet(str(idx / "shingles"))
+    n_bands_before = spark.read.parquet(str(idx / "bands")).count()
+
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    staging = tmp_path / "stage"
+    spark.createDataFrame(
+        [
+            (5, "completely rewritten content for the re-crawled document"),
+            (9, "a brand new never seen before document about planning"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(staging))
+    part = glob.glob(str(staging / "part-*.parquet"))[0]
+    shutil.move(part, str(drop_dir / "b1.parquet"))
+
+    stream = dedup_stream.stream_documents(spark, str(drop_dir))
+    q = dedup_stream.start_incremental_dedup(
+        stream, str(idx), str(tmp_path / "accepted"), str(tmp_path / "ckpt"),
+        threshold=0.3,
+    )
+    q.awaitTermination(120)
+    sh = spark.read.parquet(str(idx / "shingles"))
+    # id 5 still has exactly ONE shingle row; id 9 was appended
+    counts = {r.doc_id: r.cnt for r in sh.groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
+    assert counts == {5: 1, 9: 1}
+    # and only doc 9's band rows were added
+    n_bands_after = spark.read.parquet(str(idx / "bands")).count()
+    assert n_bands_after == 2 * n_bands_before
