@@ -869,6 +869,89 @@ def drop_batch_duplicates(
     return batch.join(drop, id_col, "left_anti")
 
 
+def dedup_corpus_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style corpus-level line deduplication: split every document
+    into lines, keep only the FIRST occurrence of each distinct line
+    corpus-wide (ordered by (id, line position)), and reassemble the
+    surviving lines in original order. The standard pre-training pass that
+    strips navigation menus, cookie banners, and license headers that
+    repeat across a crawl while document-level dedup sees only unique
+    docs.
+
+    Lines shorter than `min_line_chars` (default 1 — i.e. only empty
+    lines) bypass dedup and are always kept: blank separator lines repeat
+    by design, and hashing them into one global group would both destroy
+    formatting and concentrate a corpus's worth of blank lines onto a
+    single aggregation key.
+
+    Returns (id, text, n_lines_kept); a document whose every line was
+    seen earlier disappears (its surviving line set is empty). NULL-text
+    documents also drop — they have no lines.
+
+    Scale shape: first-occurrence selection is a groupBy(md5(line)) with
+    min(struct(id, pos, line)) — a HASH AGGREGATE with map-side partial
+    aggregation, NOT a row_number window, so a boilerplate line repeated
+    a billion times collapses per-task before the exchange instead of
+    melting one window partition. Reassembly is one groupBy(id) building
+    the sorted line array. Two exchanges total, both carrying (hash, id,
+    pos, line) — bounded by corpus line bytes, shuffled once each."""
+    lines = docs.select(
+        id_col, F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).where(F.col("line").isNotNull())
+    eligible = lines.filter(F.length("line") >= min_line_chars)
+    bypass = lines.filter(F.length("line") < min_line_chars)
+    first = (
+        eligible.groupBy(F.md5("line").alias("__fp"))
+        .agg(F.min(F.struct(id_col, "pos", "line")).alias("s"))
+        .select("s.*")
+    )
+    kept = first.unionByName(bypass)
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ls"))
+        .select(
+            id_col,
+            F.concat_ws("\n", F.transform("ls", lambda s: s["line"])).alias(text_col),
+            F.size("ls").alias("n_lines_kept"),
+        )
+    )
+
+
+def cap_per_stratum(
+    docs: DataFrame,
+    n_max: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum document cap: keep at most `n_max` documents per value
+    of `stratum_col`, chosen deterministically as the n_max smallest ids.
+    The corpus-mixing guard a crawl pipeline runs per DOMAIN (RefinedWeb /
+    C4 style): without it a handful of mega-domains dominate the training
+    mix no matter what the per-stratum sampling rates say. Complements
+    sample_stratified (rate-based, unbounded count) with a hard count
+    bound.
+
+    Scale shape: one row_number window on the stratum key. The cap
+    semantics need a total order of each stratum's ids, so a window is
+    the honest plan; for skew-heavy corpora (one domain = 30% of rows)
+    run layout.key_skew_report first — a hot stratum sorts on one task.
+    When n_max is small relative to the hot stratum, pre-filtering with a
+    per-partition local cap would bound it, at the cost of a second pass;
+    not done here because domain caps in practice run AFTER per-domain
+    sharding already bounds partition width."""
+    w = Window.partitionBy(stratum_col).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_max)
+        .drop("__rn")
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

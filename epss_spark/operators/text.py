@@ -218,6 +218,49 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(id_col, F.md5(normalize(text_col)).alias("fp"))
 
 
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-unigram language-model score per document: the mean token
+    log-probability avg_t ln(count(t) / total_tokens) under the corpus's
+    own unigram distribution — the cheap KenLM-perplexity proxy used to
+    rank crawl documents by "typicality" (low scores = rare-token soup:
+    OCR noise, lists, non-linguistic text). No smoothing is needed: the
+    vocabulary is built from the same corpus it scores, so every token
+    has count >= 1.
+
+    Returns (id, n_tokens, avg_logprob) for every document with at least
+    one token; avg_logprob is rounded to 6 dp (cross-engine float
+    contract, same as similarity.cosine).
+
+    Scale shape: explode tokens -> vocab = groupBy(token) count (one
+    exchange, map-side partial so hot tokens collapse per task) -> join
+    the token stream back to the vocab (AQE broadcasts the vocab while it
+    fits — vocabularies are Zipf-bounded, millions of rows against
+    billions of docs; skewed-join splitting covers the sort-merge case)
+    -> per-doc mean (one exchange). The total-token scalar is a 1-row
+    aggregate of the VOCAB (sum of counts == token count), broadcast —
+    never a second pass over the corpus."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    tok = (
+        ensure_parallelism(docs)
+        .select(id_col, F.explode_outer(tokens(text_col)).alias("tok"))
+        .where(F.col("tok").isNotNull())
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    return (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("__cnt").cast("double") / F.col("__total"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def winnow_reference(s: str, k: int = 5, window: int = 4, base: int = 257, mod: int = (1 << 61) - 1):
     """Pure-Python winnowing of ONE string — the executable semantic spec
     for winnow_fingerprints (tests assert the vectorized kernel matches it

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from epss_spark.operators import dedup, prep, similarity, text
+from epss_spark.operators import dedup, prep, retrieval, similarity, text
 from epss_spark.queries_core import T
 from epss_spark.registry import register
 
@@ -1033,3 +1033,133 @@ def dedup_winnow_pairs(spark, sf_dir):
     return text.winnow_overlap_pairs(
         T(spark, sf_dir, "documents"), threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: line-level dedup, lexical retrieval, LM scoring,
+# per-domain caps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lines",
+    """
+    WITH l AS (
+      SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+    ),
+    el AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+      FROM l WHERE length(line) >= 1
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM el WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, pos, line FROM l WHERE length(line) < 1
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+           COUNT(*) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_lines(spark, sf_dir):
+    """CCNet-style corpus-level line dedup: keep the first occurrence of
+    every distinct line corpus-wide, reassemble documents from their
+    surviving lines (operators/dedup.py::dedup_corpus_lines). The oracle
+    replays first-occurrence selection as a row_number window; the Spark
+    plan uses the equivalent min(struct) hash aggregate, which survives
+    boilerplate-line skew via map-side partial aggregation."""
+    return dedup.dedup_corpus_lines(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+    FROM tok JOIN vocab USING (tok), tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM scoring (operators/text.py::unigram_logprob):
+    mean token log-probability under the corpus's own unigram
+    distribution — the cheap perplexity proxy for ranking crawl docs by
+    linguistic typicality."""
+    return text.unigram_logprob(T(spark, sf_dir, "documents"))
+
+
+_BM25_TERMS = ("dup", "spark", "window")
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+_BM25_TF = ",\n           ".join(
+    f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_DF = ",\n           ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_SCORE = "\n         + ".join(
+    f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * CAST(tf{i} AS DOUBLE)"
+    f" * ({_BM25_K1} + 1.0)"
+    f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1} * ((1.0 - {_BM25_B})"
+    f" + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@register(
+    "search_bm25",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, len(toks) AS dl,
+           {_BM25_TF}
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, avg(dl) AS avgdl,
+           {_BM25_DF}
+      FROM tf
+    )
+    SELECT doc_id,
+           round({_BM25_SCORE}, 6) AS score
+    FROM tf, stats
+    WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))}
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_K}
+    """,
+)
+def search_bm25(spark, sf_dir):
+    """BM25 top-k lexical retrieval (operators/retrieval.py::bm25_topk),
+    Lucene idf variant, deterministic 6-dp/id tie-breaking. The Spark
+    plan has ZERO hash-partitioned exchanges: per-doc tf/dl are codegen
+    projections, corpus stats one broadcast 1-row aggregate, top-k a
+    TakeOrderedAndProject (pinned in tests/test_plans.py)."""
+    return retrieval.bm25_topk(
+        T(spark, sf_dir, "documents"),
+        list(_BM25_TERMS),
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+@register(
+    "sample_domain_cap",
+    """
+    WITH r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn <= 10
+    """,
+)
+def sample_domain_cap(spark, sf_dir):
+    """Hard per-domain document cap (operators/dedup.py::cap_per_stratum):
+    at most 10 docs per source, deterministically the 10 smallest ids —
+    the RefinedWeb/C4-style mega-domain guard that rate-based sampling
+    can't express."""
+    return dedup.cap_per_stratum(T(spark, sf_dir, "documents"), n_max=10)

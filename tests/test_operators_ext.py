@@ -1008,3 +1008,94 @@ def test_prep_null_text_and_string_ids(spark):
     # NULL-text docs produce no chunks, like empty docs
     chunks = prep.chunk_tokens(df, chunk_size=2, stride=2).collect()
     assert all(r.doc_id != "doc-b" for r in chunks)
+
+
+# ---------------------------------------------------------------------------
+# Round-6: line-level dedup, BM25 retrieval, unigram LM, domain caps
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_corpus_lines_semantics(spark):
+    rows = [
+        (0, "keep me\nshared banner\n\nunique zero"),
+        (1, "shared banner\nunique one\n"),  # loses the banner to doc 0
+        (2, "shared banner"),  # every line seen before -> doc drops
+        (3, None),  # no lines -> drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.dedup_corpus_lines(df).collect()}
+    # doc 0 keeps everything (first occurrence of each line), blank included
+    assert got[0].text == "keep me\nshared banner\n\nunique zero"
+    assert got[0].n_lines_kept == 4
+    # doc 1: banner deduped away; the trailing "" after the final \n is a
+    # blank line and blank lines always survive
+    assert got[1].text == "unique one\n"
+    assert got[1].n_lines_kept == 2
+    assert 2 not in got and 3 not in got
+
+
+def test_dedup_corpus_lines_first_occurrence_is_id_then_position(spark):
+    # the same line appears at different positions; the keeper is the
+    # smallest (doc_id, pos), not any positional accident
+    rows = [(5, "x\ndup"), (4, "y\ndup\nz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in dedup.dedup_corpus_lines(df).collect()}
+    assert got[4] == "y\ndup\nz"
+    assert got[5] == "x"
+
+
+def test_cap_per_stratum(spark):
+    rows = [(i, f"s{i % 2}", f"t{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = dedup.cap_per_stratum(df, n_max=2, stratum_col="source")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [0, 1, 2, 3]  # two smallest ids of each parity class
+    assert out.columns == df.columns  # helper column dropped
+
+
+def test_unigram_logprob_matches_manual(spark):
+    import math
+
+    rows = [(0, "a a b"), (1, "b c"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.unigram_logprob(df).collect()}
+    # corpus counts: a=2, b=2, c=1, total=5
+    exp0 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp1 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert got[0].n_tokens == 3 and abs(got[0].avg_logprob - exp0) < 1e-6
+    assert got[1].n_tokens == 2 and abs(got[1].avg_logprob - exp1) < 1e-6
+    assert 2 not in got  # tokenless docs have no LM score
+
+
+def test_bm25_topk_matches_manual(spark):
+    import math
+
+    from epss_spark.operators import retrieval
+
+    rows = [
+        (0, "spark spark spark engine"),
+        (1, "spark engine engine"),
+        (2, "engine only here"),
+        (3, "nothing relevant"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval.bm25_topk(df, ["spark"], k=10, k1=1.2, b=0.75).collect()
+    # manual BM25 (lucene idf): N=4, df=2, avgdl=(4+3+3+2)/4=3
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+
+    def s(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3))
+
+    assert [r.doc_id for r in out] == [0, 1]  # only matching docs, tf-ordered
+    assert abs(out[0].score - s(3, 4)) < 1e-6
+    assert abs(out[1].score - s(1, 3)) < 1e-6
+
+
+def test_bm25_rejects_bad_queries(spark):
+    from epss_spark.operators import retrieval
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(df, [])
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(df, ["a", "a"])

@@ -329,3 +329,27 @@ def test_winnow_pairs_no_per_document_join_back(spark):
     assert "ResolvedHint" not in analyzed
     # exactly one join in the whole plan: the fp discovery self-join
     assert analyzed.count("Join Inner") == 1
+
+
+def test_bm25_zero_shuffle_topk(spark):
+    # BM25 with plan-time-constant terms: per-doc tf/dl are codegen
+    # projections, corpus stats one 1-row aggregate broadcast back, top-k
+    # a TakeOrderedAndProject — NO hash-partitioned exchange anywhere. A
+    # regression to explode + per-term groupBy (the naive formulation)
+    # would shuffle the token stream and fail this.
+    p = plan(spark, "search_bm25")
+    assert "Exchange hashpartitioning" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_dedup_lines_first_occurrence_is_hash_aggregate(spark):
+    # line-level dedup must select first occurrences with a min(struct)
+    # HASH AGGREGATE (map-side partial collapses boilerplate-line skew),
+    # not a row_number window (which would sort a hot line's entire
+    # occurrence set on one task); reassembly is the only other exchange.
+    p = plan(spark, "dedup_lines")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "Window" not in p
+    assert "Exchange rangepartitioning" not in p
