@@ -33,6 +33,8 @@ HEADLINE = [
     "text_stats",  # text quality scan
     "text_chunk",  # context-window fan-out (map-only, chunk explode)
     "pack_sequences",  # greedy packing (bucketed applyInPandas, int-only crossing)
+    "dedup_lines",  # corpus-level line dedup (hash-agg first occurrence)
+    "search_bm25",  # lexical retrieval (zero-shuffle, broadcast stats)
 ]
 
 # Headline workload scale-up (PERF.md bench protocol, round 5): sf0.1

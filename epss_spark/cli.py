@@ -11,7 +11,7 @@ Usage:
     python -m epss_spark.cli urls [-a DATE] [-b DATE]
     python -m epss_spark.cli date-range [--version v3]
     python -m epss_spark.cli dedup --input DOCS --output KEPT
-        [--method exact|minhash|incremental] [--threshold X]
+        [--method exact|lines|minhash|incremental] [--threshold X]
         [--policy greedy|components] [--max-bucket-size N]
         [--index-dir DIR --update-index]   (training-data extension)
     python -m epss_spark.cli dedup-index --input CORPUS --index-dir DIR
@@ -95,7 +95,7 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument(
         "--method",
         default="minhash",
-        choices=["exact", "minhash", "incremental", "semantic"],
+        choices=["exact", "lines", "minhash", "incremental", "semantic"],
     )
     dd.add_argument(
         "--threshold",
@@ -273,6 +273,7 @@ def main(argv: list[str] | None = None) -> int:
         # (forgetting `--method incremental`) must not look like success
         _APPLICABLE = {
             "exact": set(),
+            "lines": set(),
             "minhash": {"--threshold", "--policy", "--max-bucket-size"},
             "incremental": {
                 "--threshold",
@@ -413,6 +414,11 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.method == "exact":
             kept = dedup_ops.dedup_corpus(docs, args.id_col, args.text_col)
+        elif args.method == "lines":
+            # CCNet-style line-level dedup REWRITES text (survivor lines
+            # reassembled) and returns only (id, text, n_lines_kept) — the
+            # other methods pass full rows through, so say so in --help
+            kept = dedup_ops.dedup_corpus_lines(docs, args.id_col, args.text_col)
         else:
             pairs = dedup_ops.minhash_lsh_pairs(
                 docs,

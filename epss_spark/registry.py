@@ -59,10 +59,22 @@ DRIVER_SURFACE: tuple[str, ...] = (
     # classes driver-green; the demoted pair stays oracle-checked in pytest
     "dedup_minhash_incremental",
     "dedup_cc_keep",
+    # round-6 rotation: dedup_lines (CCNet-style corpus-level line dedup —
+    # a dedup subclass nothing else on the surface represents: line-grain
+    # first-occurrence + doc reassembly) in place of filter_zero_bound,
+    # whose §2.4 F1/F2 class stays driver-green via filter_range (the
+    # zero-bound regression itself remains pinned by the pytest oracle
+    # tier and tests/test_query.py)
+    "dedup_lines",
     "dedup_simhash",
     "dedup_embedding",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    # round-6 rotation: search_bm25 is a NEW class (lexical retrieval —
+    # no surfaced sibling exists) surfaced in place of scalar_strings,
+    # whose §2.10 scalar class stays driver-green via scalar_round +
+    # scalar_dates; the demoted entry stays oracle-checked in pytest
+    "search_bm25",
     # round-6 rotation: the new training-data-prep operators (PII
     # redaction, context-window chunking, greedy sequence packing with a
     # recursive-CTE oracle) surfaced in place of ann_ivf (ANN class held
@@ -90,7 +102,6 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "date_sequence",
     "project_select",
     "filter_range",
-    "filter_zero_bound",
     "filter_rlike",
     "filter_date_window",
     "join_multi",
@@ -110,7 +121,6 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "dedup_exact",
     "scalar_round",
     "scalar_dates",
-    "scalar_strings",
     "json_parse_typed",
     "sql_single",
 )

@@ -967,3 +967,52 @@ def test_streaming_dedup_recrawl_does_not_duplicate_index_rows(spark, tmp_path):
     # and only doc 9's band rows were added
     n_bands_after = spark.read.parquet(str(idx / "bands")).count()
     assert n_bands_after == 2 * n_bands_before
+
+
+def test_extract_features_with_real_pil_decoder(spark):
+    """Production-path integration: wherever an imaging library exists,
+    `extract_features(decode_fn=...)` must carry a REAL decoder through
+    the Arrow/mapInPandas plumbing unchanged (same schema, same
+    decode-once-per-distinct-payload contract). Skips in environments
+    without PIL — the plumbing itself is covered by the fake-decoder
+    tests above."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def png_bytes(shade: int) -> bytes:
+        img = Image.new("L", (4, 4), color=shade)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def pil_decode(payload: bytes) -> list[float]:
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((2, 2))
+        return [p / 255.0 for p in img.getdata()]
+
+    rows = [
+        (0, "image", "image/png", 4, 4, None, png_bytes(0)),
+        (1, "image", "image/png", 4, 4, None, png_bytes(0)),  # dup payload
+        (2, "image", "image/png", 4, 4, None, png_bytes(255)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.extract_features(media, decode_fn=pil_decode).collect()}
+    assert out[0].features == [0.0] * 4
+    assert out[2].features == [1.0] * 4
+    assert out[0].content_hash == out[1].content_hash
+    assert out[0].features == out[1].features
+
+
+def test_cli_dedup_lines_method(spark, tmp_path, capsys):
+    from epss_spark.cli import main
+
+    src = str(tmp_path / "docs_lines")
+    spark.createDataFrame(
+        [(0, "unique zero\nshared banner"), (1, "shared banner\nunique one")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out_lines")
+    assert main(["dedup", "--method", "lines", "--input", src, "--output", out]) == 0
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert got[0].text == "unique zero\nshared banner"
+    assert got[1].text == "unique one"  # banner deduped to doc 0
+    assert "kept 2/2" in capsys.readouterr().out
