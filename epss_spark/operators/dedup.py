@@ -922,6 +922,88 @@ def dedup_corpus_lines(
     )
 
 
+def line_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Build the persistent line-fingerprint index for INCREMENTAL line
+    dedup: the distinct md5 of every dedup-eligible line in the corpus,
+    as a 1-column (line_fp) frame. The line analog of `minhash_index` —
+    at 100 TB the nightly job must not re-split the corpus to decide
+    which batch lines are new.
+
+    Persist-to-parquet is the caller's choice; write it bucketed by
+    line_fp (layout.write_bucketed) so nightly `dedup_batch_lines`
+    anti-joins co-located instead of shuffling the (corpus-scale) index.
+    Appending a batch's kept_fps after each run keeps it current."""
+    return (
+        docs.select(F.explode_outer(F.split(F.col(text_col), "\n")).alias("line"))
+        .where(F.col("line").isNotNull() & (F.length("line") >= min_line_chars))
+        .select(F.md5("line").alias("line_fp"))
+        .distinct()
+    )
+
+
+def dedup_batch_lines(
+    batch: DataFrame,
+    index_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental line-level dedup of a daily batch against a line-
+    fingerprint index (from `line_index`): drop every batch line whose
+    fingerprint is already indexed (the corpus saw it first — regardless
+    of id order), keep the first occurrence of each line that is new,
+    and reassemble the batch documents. Returns (kept_docs, new_fps):
+
+    - kept_docs: (id, text, n_lines_kept) — batch docs rebuilt from their
+      surviving lines; a doc with no surviving lines drops.
+    - new_fps: the distinct line_fp values this batch contributes —
+      append them to the index so tomorrow's batch sees them.
+
+    Equals `dedup_corpus_lines(corpus ∪ batch)` restricted to batch ids
+    whenever corpus ids precede batch ids (pinned by test); when ids
+    interleave, the incremental semantics ("the index was seen first")
+    are the arrival-order-correct ones.
+
+    Scale shape: per-day cost is O(batch lines), not O(corpus) — ONE
+    anti-join of the batch's exploded lines against the index scan
+    (bucketed index layout makes it co-located; otherwise AQE broadcasts
+    the batch side of the join where planners allow, or sort-merges), the
+    same min(struct) first-occurrence aggregate as dedup_corpus_lines
+    over surviving batch lines only, and per-doc reassembly. The corpus
+    text itself is never touched."""
+    lines = batch.select(
+        id_col, F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).where(F.col("line").isNotNull())
+    eligible = lines.filter(F.length("line") >= min_line_chars)
+    bypass = lines.filter(F.length("line") < min_line_chars)
+    fresh = (
+        eligible.withColumn("line_fp", F.md5("line"))
+        .join(index_fps.select("line_fp"), "line_fp", "left_anti")
+    )
+    first = (
+        fresh.groupBy("line_fp")
+        .agg(F.min(F.struct(id_col, "pos", "line")).alias("s"))
+        .select("s.*")
+    )
+    kept_docs = (
+        first.unionByName(bypass)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ls"))
+        .select(
+            id_col,
+            F.concat_ws("\n", F.transform("ls", lambda s: s["line"])).alias(text_col),
+            F.size("ls").alias("n_lines_kept"),
+        )
+    )
+    new_fps = fresh.select("line_fp").distinct()
+    return kept_docs, new_fps
+
+
 def cap_per_stratum(
     docs: DataFrame,
     n_max: int,

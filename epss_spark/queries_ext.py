@@ -1163,3 +1163,48 @@ def sample_domain_cap(spark, sf_dir):
     the RefinedWeb/C4-style mega-domain guard that rate-based sampling
     can't express."""
     return dedup.cap_per_stratum(T(spark, sf_dir, "documents"), n_max=10)
+
+
+@register(
+    "dedup_lines_incremental",
+    """
+    WITH corpus_fp AS (
+      SELECT DISTINCT md5(line) AS line_fp
+      FROM (SELECT unnest(string_split(text, chr(10))) AS line
+            FROM documents WHERE doc_id % 2 = 0)
+      WHERE length(line) >= 1
+    ),
+    bl AS (
+      SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+            FROM documents WHERE doc_id % 2 = 1)
+    ),
+    fresh AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+      FROM bl
+      WHERE length(line) >= 1
+        AND md5(line) NOT IN (SELECT line_fp FROM corpus_fp)
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM fresh WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, pos, line FROM bl WHERE length(line) < 1
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+           COUNT(*) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_lines_incremental(spark, sf_dir):
+    """Incremental line dedup exercised the way a nightly job runs it
+    (operators/dedup.py::line_index/dedup_batch_lines): even-id docs are
+    the indexed corpus, odd-id docs the daily batch; batch lines already
+    in the index drop regardless of id order, new lines dedup
+    first-occurrence within the batch, docs reassemble. Per-day cost is
+    O(batch lines) — the corpus text is never re-split."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    kept, _new_fps = dedup.dedup_batch_lines(batch, dedup.line_index(corpus))
+    return kept

@@ -1099,3 +1099,46 @@ def test_bm25_rejects_bad_queries(spark):
         retrieval.bm25_topk(df, [])
     with pytest.raises(ValueError):
         retrieval.bm25_topk(df, ["a", "a"])
+
+
+def test_dedup_batch_lines_equals_full_recompute_on_batch(spark):
+    # corpus ids precede batch ids -> incremental == full recompute
+    # restricted to batch docs (the invariant the nightly job relies on)
+    corpus = spark.createDataFrame(
+        [(0, "banner\nalpha"), (1, "beta\nbanner")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "banner\ngamma\ngamma"), (11, "gamma\ndelta"), (12, "banner")],
+        "doc_id long, text string",
+    )
+    kept, new_fps = dedup.dedup_batch_lines(batch, dedup.line_index(corpus))
+    full = dedup.dedup_corpus_lines(corpus.unionByName(batch)).filter(
+        F.col("doc_id") >= 10
+    )
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, full.collect()))
+    # doc 12 (all lines indexed) dropped; gamma deduped to doc 10
+    got = {r.doc_id: r.text for r in kept.collect()}
+    assert got == {10: "gamma", 11: "delta"}
+    # new_fps = the batch's two new lines
+    assert new_fps.count() == 2
+
+
+def test_dedup_batch_lines_index_wins_regardless_of_id_order(spark):
+    # a batch doc with a SMALLER id than any corpus doc still loses its
+    # line to the index — arrival order beats id order, unlike the
+    # id-ordered full recompute
+    corpus = spark.createDataFrame([(100, "seen line")], "doc_id long, text string")
+    batch = spark.createDataFrame([(1, "seen line\nnew line")], "doc_id long, text string")
+    kept, _ = dedup.dedup_batch_lines(batch, dedup.line_index(corpus))
+    assert [r.text for r in kept.collect()] == ["new line"]
+
+
+def test_dedup_batch_lines_chained_batches(spark):
+    # appending new_fps keeps day-2 from re-admitting day-1's lines
+    corpus = spark.createDataFrame([(0, "base")], "doc_id long, text string")
+    day1 = spark.createDataFrame([(10, "base\nfresh one")], "doc_id long, text string")
+    idx = dedup.line_index(corpus)
+    kept1, fps1 = dedup.dedup_batch_lines(day1, idx)
+    day2 = spark.createDataFrame([(20, "fresh one\nfresh two")], "doc_id long, text string")
+    kept2, _ = dedup.dedup_batch_lines(day2, idx.unionByName(fps1))
+    assert [r.text for r in kept2.collect()] == ["fresh two"]
