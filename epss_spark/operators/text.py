@@ -261,6 +261,79 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def top_ngrams(
+    docs: DataFrame, k: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The k most document-frequent word 3-gram shingles corpus-wide —
+    boilerplate discovery. This is the diagnostic that TUNES the dedup
+    hotspot guards: a shingle near the top with df in the millions is a
+    cookie banner / license header, and its df is exactly what
+    `max_shingle_df` (ngram_jaccard_pairs) and `max_bucket_size`
+    (minhash_lsh_pairs) should be set against.
+
+    Returns (sh, df) ordered df desc, sh asc (deterministic ties).
+    Scale shape: explode per-doc-DISTINCT shingles (so df counts
+    documents, not occurrences) -> one hash-agg exchange ->
+    TakeOrderedAndProject; the hot shingles that make this report
+    interesting are precisely the ones map-side partial aggregation
+    collapses before the shuffle."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    ex = (
+        with_shingles(ensure_parallelism(docs), id_col, text_col)
+        .select(F.explode_outer("shingles").alias("sh"))
+        .where(F.col("sh").isNotNull())
+    )
+    return (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("sh").asc())
+        .limit(k)
+    )
+
+
+def vocab_stats(
+    docs: DataFrame, stratum_col: str = "source", id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-stratum corpus composition report: documents, token volume,
+    vocabulary size, and type-token ratio per source/domain — the
+    at-a-glance table a corpus-mixing decision starts from (a stratum
+    with tiny TTR is templated boilerplate; one with huge TTR is
+    OCR/tag soup).
+
+    Returns (stratum, n_docs, n_tokens, vocab_size, type_token_ratio
+    [6 dp]). Scale shape: per-doc token counts are codegen projections
+    folded in one groupBy(stratum) pass; vocab_size needs the distinct
+    (stratum, token) set — one dedup exchange + one count — so the whole
+    report is two aggregation exchanges over (stratum, token)-sized
+    rows, never the text."""
+    per_doc = docs.select(
+        F.col(stratum_col).alias("stratum"), F.col(id_col), tokens(text_col).alias("__toks")
+    )
+    base = per_doc.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__toks")).alias("n_tokens"),
+    )
+    vocab = (
+        per_doc.select("stratum", F.explode_outer("__toks").alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .distinct()
+        .groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    return base.join(vocab, "stratum", "left").select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
+        F.round(
+            F.coalesce("vocab_size", F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("type_token_ratio"),
+    )
+
+
 def winnow_reference(s: str, k: int = 5, window: int = 4, base: int = 257, mod: int = (1 << 61) - 1):
     """Pure-Python winnowing of ONE string — the executable semantic spec
     for winnow_fingerprints (tests assert the vectorized kernel matches it

@@ -1208,3 +1208,49 @@ def dedup_lines_incremental(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     kept, _new_fps = dedup.dedup_batch_lines(batch, dedup.line_index(corpus))
     return kept
+
+
+@register(
+    "text_top_ngrams",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM base),
+    ex AS (SELECT unnest(shingles) AS sh FROM sh)
+    SELECT sh, COUNT(*) AS df
+    FROM ex GROUP BY sh
+    ORDER BY df DESC, sh ASC
+    LIMIT 20
+    """,
+)
+def text_top_ngrams(spark, sf_dir):
+    """Boilerplate discovery: the 20 most document-frequent 3-gram
+    shingles corpus-wide (operators/text.py::top_ngrams) — the report
+    that tunes max_shingle_df / max_bucket_size for the dedup guards."""
+    return text.top_ngrams(T(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "text_vocab_stats",
+    f"""
+    WITH base AS (SELECT source AS stratum, {_TOKS_SQL} AS toks FROM documents),
+    agg AS (
+      SELECT stratum, COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+      FROM base GROUP BY stratum
+    ),
+    vocab AS (
+      SELECT stratum, COUNT(*) AS vocab_size
+      FROM (SELECT DISTINCT stratum, unnest(toks) AS tok FROM base)
+      GROUP BY stratum
+    )
+    SELECT a.stratum, a.n_docs, a.n_tokens,
+           COALESCE(v.vocab_size, 0) AS vocab_size,
+           round(CAST(COALESCE(v.vocab_size, 0) AS DOUBLE)
+                 / greatest(a.n_tokens, 1), 6) AS type_token_ratio
+    FROM agg a LEFT JOIN vocab v ON a.stratum = v.stratum
+    """,
+)
+def text_vocab_stats(spark, sf_dir):
+    """Per-source corpus composition (operators/text.py::vocab_stats):
+    docs, token volume, vocabulary size, type-token ratio — the table a
+    corpus-mixing decision starts from."""
+    return text.vocab_stats(T(spark, sf_dir, "documents"))

@@ -131,3 +131,58 @@ def start_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_line_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+    available_now: bool = True,
+):
+    """The line-level sibling of `start_incremental_dedup`: per
+    micro-batch, drop every line the on-disk fingerprint index has seen
+    (operators/dedup.py::dedup_batch_lines), append the reassembled
+    surviving docs to `accepted_dir`, and append the batch's new
+    fingerprints to the index — so batch N+1 cannot re-admit batch N's
+    lines. foreachBatch's serial execution is the ordering guarantee;
+    state is the on-disk index, nothing lives in streaming state.
+
+    Scale shape per batch: O(batch lines) — one anti-join of the batch's
+    exploded lines against the index scan plus the same two-exchange
+    dedup/reassembly as the batch operator; the corpus text is never
+    touched."""
+    fps_path = os.path.join(index_dir, "line_fps")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.exists(fps_path):
+            # first batch against an empty index: every line is new
+            idx = spark.createDataFrame([], "line_fp string")
+        else:
+            idx = spark.read.parquet(fps_path)
+        kept, new_fps = dedup.dedup_batch_lines(
+            batch_df, idx, id_col, text_col, min_line_chars
+        )
+        # snapshot new_fps BEFORE the accepted/index appends: its lazy
+        # plan reads fps_path, and appending to that same path first
+        # would be a read-your-own-append hazard
+        new_fps = new_fps.persist()
+        try:
+            new_fps.count()
+            kept.write.mode("append").parquet(accepted_dir)
+            new_fps.write.mode("append").parquet(fps_path)
+        finally:
+            new_fps.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1142,3 +1142,28 @@ def test_dedup_batch_lines_chained_batches(spark):
     day2 = spark.createDataFrame([(20, "fresh one\nfresh two")], "doc_id long, text string")
     kept2, _ = dedup.dedup_batch_lines(day2, idx.unionByName(fps1))
     assert [r.text for r in kept2.collect()] == ["fresh two"]
+
+
+def test_top_ngrams_counts_documents_not_occurrences(spark):
+    rows = [
+        (0, "a b c a b c a b c"),  # repeated shingle within one doc
+        (1, "a b c x y z"),
+        (2, "x y z only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.sh: r.df for r in text.top_ngrams(df, k=50).collect()}
+    assert got["a b c"] == 2  # per-doc distinct: df=2, not 4
+    assert got["x y z"] == 2
+
+
+def test_vocab_stats_manual(spark):
+    rows = [
+        (0, "s1", "a a b"),
+        (1, "s1", "b c"),
+        (2, "s2", "q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.stratum: r for r in text.vocab_stats(df).collect()}
+    assert (got["s1"].n_docs, got["s1"].n_tokens, got["s1"].vocab_size) == (2, 5, 3)
+    assert abs(got["s1"].type_token_ratio - 0.6) < 1e-9
+    assert (got["s2"].n_docs, got["s2"].n_tokens, got["s2"].vocab_size) == (1, 1, 1)

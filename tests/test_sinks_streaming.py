@@ -1016,3 +1016,59 @@ def test_cli_dedup_lines_method(spark, tmp_path, capsys):
     assert got[0].text == "unique zero\nshared banner"
     assert got[1].text == "unique one"  # banner deduped to doc 0
     assert "kept 2/2" in capsys.readouterr().out
+
+
+def test_streaming_line_dedup_equals_sequential_batches(spark, tmp_path):
+    """Stream == sequential-batch contract for line dedup: three
+    micro-batches through start_incremental_line_dedup must accept
+    exactly what chained dedup_batch_lines calls accept — later batches
+    never re-admit earlier batches' lines."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import dedup as dedup_ops
+    from epss_spark.streaming import dedup_stream
+
+    batches = [
+        [(0, "alpha\nbanner"), (1, "banner\nbeta")],
+        [(10, "banner\ngamma"), (11, "beta\ndelta")],
+        [(20, "delta\nalpha")],  # everything already seen -> doc drops
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    for k, rows in enumerate(batches):
+        staging = tmp_path / f"stage_{k}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"b{k}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + k, 1_000_000_000 + k))
+
+    stream = dedup_stream.stream_documents(spark, str(drop_dir), max_files_per_trigger=1)
+    q = dedup_stream.start_incremental_line_dedup(
+        stream,
+        str(tmp_path / "idx"),
+        str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: r.text for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    }
+
+    # sequential-batch reference: chain dedup_batch_lines by hand
+    idx = dedup_ops.line_index(spark.createDataFrame([], "doc_id long, text string"))
+    expected = {}
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        kept, fps = dedup_ops.dedup_batch_lines(bdf, idx)
+        expected.update({r.doc_id: r.text for r in kept.collect()})
+        idx = idx.unionByName(fps)
+    assert got == expected
+    # spot-check the semantics, not just the equivalence
+    assert got[0] == "alpha\nbanner" and got[1] == "beta"
+    assert got[10] == "gamma" and got[11] == "delta"
+    assert 20 not in got
