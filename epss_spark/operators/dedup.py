@@ -874,6 +874,7 @@ def dedup_corpus_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_line_chars: int = 1,
+    preserve_other_columns: bool = False,
 ) -> DataFrame:
     """CCNet-style corpus-level line deduplication: split every document
     into lines, keep only the FIRST occurrence of each distinct line
@@ -892,6 +893,12 @@ def dedup_corpus_lines(
     Returns (id, text, n_lines_kept); a document whose every line was
     seen earlier disappears (its surviving line set is empty). NULL-text
     documents also drop — they have no lines.
+    `preserve_other_columns=True` additionally joins the input's
+    non-text columns back onto the surviving docs (one id-equi join —
+    metadata would otherwise ride every exploded line through both
+    shuffles, which costs more than the join whenever lines >> docs),
+    so the ACTION composes into pipelines that filter on source/lang
+    downstream.
 
     Scale shape: first-occurrence selection is a groupBy(md5(line)) with
     min(struct(id, pos, line)) — a HASH AGGREGATE with map-side partial
@@ -911,7 +918,7 @@ def dedup_corpus_lines(
         .select("s.*")
     )
     kept = first.unionByName(bypass)
-    return (
+    out = (
         kept.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ls"))
         .select(
@@ -920,6 +927,9 @@ def dedup_corpus_lines(
             F.size("ls").alias("n_lines_kept"),
         )
     )
+    if preserve_other_columns:
+        out = out.join(docs.drop(text_col), id_col, "left")
+    return out
 
 
 def line_index(

@@ -2,9 +2,10 @@
 
 Chains the engine's LLM-data operators over the testdata `documents` table:
 
-    quality gate -> exact dedup -> near-dup dedup (MinHash-LSH + verify)
-    -> benchmark decontamination -> per-source sampling -> train/val/test split
-    -> PII redaction -> sequence packing (fixed token budget)
+    line dedup (CCNet) -> quality gate -> per-domain cap -> exact dedup
+    -> near-dup dedup (MinHash-LSH + verify) -> benchmark decontamination
+    -> per-source sampling -> train/val/test split -> PII redaction
+    -> sequence packing (fixed token budget)
 
 Every stage is a lazy DataFrame transformation; the whole pipeline is ONE
 Spark plan per action. At cluster scale the corpus side never shuffles for
@@ -38,9 +39,22 @@ def main() -> None:
     n0 = docs.count()
     print(f"raw corpus: {n0} docs")
 
+    # 0. line-level dedup first (CCNet order): strip crawl boilerplate —
+    #    repeated banners/menus/footers — BEFORE any doc-level signal is
+    #    computed, so quality and near-dup stats see real content.
+    #    preserve_other_columns keeps source/lang for the later stages.
+    docs = dedup.dedup_corpus_lines(docs, preserve_other_columns=True).drop(
+        "n_lines_kept"
+    )
+    print(f"after line dedup: {docs.count()}")
+
     # 1. quality gate: length / stopword-saturation / repetitiveness
     gated = text.quality_filter(docs)
     print(f"after quality gate: {gated.count()}")
+
+    # 1b. hard per-domain cap: no source may dominate the mix
+    gated = dedup.cap_per_stratum(gated, n_max=100)
+    print(f"after per-domain cap: {gated.count()}")
 
     # 2. exact dedup: keep the min-id representative per normalized text
     exact = dedup.dedup_corpus(gated)

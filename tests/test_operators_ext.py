@@ -1167,3 +1167,13 @@ def test_vocab_stats_manual(spark):
     assert (got["s1"].n_docs, got["s1"].n_tokens, got["s1"].vocab_size) == (2, 5, 3)
     assert abs(got["s1"].type_token_ratio - 0.6) < 1e-9
     assert (got["s2"].n_docs, got["s2"].n_tokens, got["s2"].vocab_size) == (1, 1, 1)
+
+
+def test_dedup_corpus_lines_preserve_other_columns(spark):
+    rows = [(0, "keep\nbanner", "s0", "en"), (1, "banner\nother", "s1", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    out = dedup.dedup_corpus_lines(df, preserve_other_columns=True)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].source == "s0" and got[0].lang == "en"
+    assert got[1].source == "s1" and got[1].text == "other"
+    assert set(out.columns) == {"doc_id", "text", "n_lines_kept", "source", "lang"}
