@@ -20,6 +20,9 @@ Usage:
     python -m epss_spark.cli prep --input DOCS --output OUT
         --op redact|chunk|pack [--chunk-size N --stride N]
         [--budget N --n-buckets N]   (training-data extension)
+    python -m epss_spark.cli analyze --input DOCS
+        --report top-ngrams|vocab|logprob [-k N] [--output OUT]
+    python -m epss_spark.cli search --input DOCS --terms "a,b,c" [-k N]
 """
 
 from __future__ import annotations
@@ -180,6 +183,34 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--budget", type=int, default=128, help="pack: tokens per sequence")
     pp.add_argument("--n-buckets", type=int, default=32, help="pack: parallel pack buckets")
 
+    an = sub.add_parser(
+        "analyze",
+        help="corpus analytics over a documents parquet (extension): "
+        "boilerplate n-grams, per-source vocabulary stats, or unigram-LM "
+        "typicality ranking",
+    )
+    an.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
+    an.add_argument(
+        "--report", required=True, choices=["top-ngrams", "vocab", "logprob"]
+    )
+    an.add_argument("--id-col", default="doc_id")
+    an.add_argument("--text-col", default="text")
+    an.add_argument("--stratum-col", default="source", help="vocab: grouping column")
+    an.add_argument("-k", type=int, default=20, help="top-ngrams/logprob: rows to show")
+    an.add_argument("--output", help="also write the full report as parquet")
+
+    se = sub.add_parser(
+        "search",
+        help="BM25 top-k lexical retrieval over a documents parquet (extension)",
+    )
+    se.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
+    se.add_argument(
+        "--terms", required=True, help="comma-separated query terms (bag of words)"
+    )
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--text-col", default="text")
+
     u = sub.add_parser("urls", help="print snapshot URLs (reference epss/cli.py:117-139)")
     _add_range_flags(u)
 
@@ -230,6 +261,45 @@ def main(argv: list[str] | None = None) -> int:
         n_in = docs.count()
         n_out = spark.read.parquet(args.output).count()
         print(f"{args.op}: {n_in} docs -> {n_out} rows -> {args.output}")
+        return 0
+
+    if args.command == "analyze":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.operators import text as text_ops
+
+        docs = spark.read.parquet(args.input)
+        if args.report == "top-ngrams":
+            out = text_ops.top_ngrams(docs, k=args.k, id_col=args.id_col, text_col=args.text_col)
+        elif args.report == "vocab":
+            out = text_ops.vocab_stats(
+                docs, stratum_col=args.stratum_col, id_col=args.id_col, text_col=args.text_col
+            ).orderBy("stratum")
+        else:
+            # least-typical docs first: the review queue for OCR/tag soup
+            out = (
+                text_ops.unigram_logprob(docs, args.id_col, args.text_col)
+                .orderBy("avg_logprob", args.id_col)
+            )
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        shown = out.limit(args.k) if args.report != "top-ngrams" else out
+        for row in shown.collect():
+            print("  ".join(str(v) for v in row))
+        return 0
+
+    if args.command == "search":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.operators import retrieval as retrieval_ops
+
+        terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+        docs = spark.read.parquet(args.input)
+        hits = retrieval_ops.bm25_topk(
+            docs, terms, id_col=args.id_col, text_col=args.text_col, k=args.k
+        ).collect()
+        for r in hits:
+            print(f"{r[args.id_col]}  {r.score}")
         return 0
 
     if args.command == "dedup-index":

@@ -1072,3 +1072,30 @@ def test_streaming_line_dedup_equals_sequential_batches(spark, tmp_path):
     assert got[0] == "alpha\nbanner" and got[1] == "beta"
     assert got[10] == "gamma" and got[11] == "delta"
     assert 20 not in got
+
+
+def test_cli_analyze_and_search(spark, tmp_path, capsys):
+    from epss_spark.cli import main
+
+    src = str(tmp_path / "docs_an")
+    spark.createDataFrame(
+        [
+            (0, "s0", "spark engine spark engine fast scan"),
+            (1, "s0", "spark engine slow scan"),
+            (2, "s1", "completely unrelated words here"),
+        ],
+        "doc_id long, source string, text string",
+    ).write.parquet(src)
+
+    assert main(["analyze", "--input", src, "--report", "vocab"]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0].startswith("s0")  # ordered by stratum
+
+    assert main(["analyze", "--input", src, "--report", "top-ngrams", "-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert len(out.splitlines()) == 3
+
+    assert main(["search", "--input", src, "--terms", "spark, engine", "-k", "2"]) == 0
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+    assert len(lines) == 2 and lines[0].startswith("0 ")  # doc 0 has highest tf
