@@ -353,3 +353,19 @@ def test_dedup_lines_first_occurrence_is_hash_aggregate(spark):
     assert p.count("Exchange hashpartitioning") == 2
     assert "Window" not in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_analytics_reports_plan_shapes(spark):
+    # top_ngrams: explode -> ONE count exchange -> TakeOrderedAndProject
+    # (a global sort would be an Exchange rangepartitioning — regression)
+    p = plan(spark, "text_top_ngrams")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    # vocab_stats / unigram_logprob: bounded exchange budgets, no Python,
+    # no global sorts — the whole report family stays in codegen
+    for name in ("text_vocab_stats", "text_unigram_logprob"):
+        p = plan(spark, name)
+        assert p.count("Exchange hashpartitioning") <= 3, name
+        assert "Exchange rangepartitioning" not in p, name
+        assert "BatchEvalPython" not in p, name

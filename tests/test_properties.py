@@ -262,3 +262,35 @@ def test_chunk_tokens_covers_stream(spark, n_tokens, chunk_size):
     assert all(r.n_tokens <= chunk_size for r in out)
     # all but the last chunk are full
     assert all(r.n_tokens == chunk_size for r in out[:-1])
+
+
+def test_dedup_corpus_lines_idempotent_and_globally_distinct(spark):
+    """Line dedup laws: (1) no eligible line survives twice corpus-wide;
+    (2) running the ACTION on its own output is a fixpoint."""
+    from pyspark.sql import functions as F
+
+    from epss_spark.operators import dedup
+
+    rows = [
+        (0, "a\nb\na"),  # in-doc repeat
+        (1, "b\nc\n\n"),
+        (2, "c\na\nd"),
+        (3, "\n\n"),  # blank-only doc: blanks always survive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = dedup.dedup_corpus_lines(df)
+    ex = once.select(F.explode(F.split("text", "\n")).alias("line")).filter(
+        F.length("line") >= 1
+    )
+    assert ex.groupBy("line").count().filter(F.col("count") > 1).count() == 0
+    twice = dedup.dedup_corpus_lines(once.drop("n_lines_kept"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_bm25_on_empty_and_termless_corpora(spark):
+    from epss_spark.operators import retrieval
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert retrieval.bm25_topk(empty, ["x"]).count() == 0
+    nohit = spark.createDataFrame([(0, "nothing here")], "doc_id long, text string")
+    assert retrieval.bm25_topk(nohit, ["zzz"]).count() == 0
