@@ -15,7 +15,7 @@ TakeOrderedAndProject (no global sort). Pinned in tests/test_plans.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from epss_spark.operators.text import tokens
@@ -114,3 +114,50 @@ def reduce_or(conds):
     for c in conds[1:]:
         out = out | c
     return out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of bounded candidate lists — the standard
+    hybrid-retrieval combiner (lexical BM25 + dense ANN, or any mix):
+    score(d) = sum over lists containing d of 1 / (k + rank_in_list(d)).
+    Rank-based fusion needs no score calibration between retrievers,
+    which is exactly why it is the default hybrid combiner.
+
+    Each input must have exactly two columns: `id_col` and one score
+    column (any name); ranks are derived as row_number over
+    (score desc, id asc), so fusion is deterministic across engines.
+    `rrf_score` is rounded to 6 dp; final ties break on ascending id.
+
+    Scale shape: inputs are TOP-N candidate lists (tens to thousands of
+    rows — the output of bm25_topk / cosine_topk), so the global
+    rank window and the fusion groupBy run on bounded data by
+    construction; this operator is deliberately NOT for ranking a whole
+    corpus (rank the corpus with the retrievers' own distributed top-k
+    first)."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    ranked = []
+    for df in rankings:
+        others = [c for c in df.columns if c != id_col]
+        if id_col not in df.columns or len(others) != 1:
+            raise ValueError(
+                f"each ranking needs exactly ({id_col}, <score>); got {df.columns}"
+            )
+        w = Window.orderBy(F.col(others[0]).desc(), F.col(id_col).asc())
+        ranked.append(df.select(id_col, F.row_number().over(w).alias("__r")))
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("__r"))), 6).alias("rrf_score")
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )

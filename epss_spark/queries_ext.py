@@ -1254,3 +1254,62 @@ def text_vocab_stats(spark, sf_dir):
     docs, token volume, vocabulary size, type-token ratio — the table a
     corpus-mixing decision starts from."""
     return text.vocab_stats(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "search_hybrid_rrf",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, len(toks) AS dl,
+           {_BM25_TF}
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, avg(dl) AS avgdl,
+           {_BM25_DF}
+      FROM tf
+    ),
+    bm AS (
+      SELECT doc_id, round({_BM25_SCORE}, 6) AS score
+      FROM tf, stats
+      WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))}
+      ORDER BY score DESC, doc_id
+      LIMIT {_BM25_K}
+    ),
+    bmr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm
+    ),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    cs AS (
+      SELECT c.vec_id AS doc_id,
+             round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) AS cos
+      FROM q, c WHERE c.vec_id <> q.vec_id
+      ORDER BY cos DESC, doc_id
+      LIMIT 10
+    ),
+    csr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r FROM cs
+    ),
+    u AS (SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM csr)
+    SELECT doc_id, round(SUM(1.0 / (60 + r)), 6) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-10 over documents fused with dense
+    cosine top-10 around query embedding vec_id=0 via reciprocal-rank
+    fusion (operators/retrieval.py::rrf_fuse, k=60 — the standard hybrid
+    combiner; vec_id and doc_id share an id space in the testdata). Rank
+    fusion needs no score calibration between the two retrievers, which
+    is why it beats score mixing in practice."""
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    bm = retrieval.bm25_topk(docs, list(_BM25_TERMS), k=_BM25_K)
+    dense = (
+        similarity.cosine_topk(emb.filter(F.col("vec_id") == 0), emb, k=10)
+        .select(F.col("cand_id").alias("doc_id"), "cos")
+    )
+    return retrieval.rrf_fuse([bm, dense], k=60, topk=10)

@@ -1177,3 +1177,28 @@ def test_dedup_corpus_lines_preserve_other_columns(spark):
     assert got[0].source == "s0" and got[0].lang == "en"
     assert got[1].source == "s1" and got[1].text == "other"
     assert set(out.columns) == {"doc_id", "text", "n_lines_kept", "source", "lang"}
+
+
+def test_rrf_fuse_manual(spark):
+    from epss_spark.operators import retrieval
+
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, s double")
+    b = spark.createDataFrame([(3, 0.9), (4, 0.8)], "doc_id long, cos double")
+    out = {r.doc_id: r.rrf_score for r in retrieval.rrf_fuse([a, b], topk=10).collect()}
+    # doc 3: rank 3 in a, rank 1 in b -> 1/63 + 1/61; others single-list
+    assert abs(out[3] - round(1 / 63 + 1 / 61, 6)) < 1e-9
+    assert abs(out[1] - round(1 / 61, 6)) < 1e-9
+    assert abs(out[4] - round(1 / 62, 6)) < 1e-9
+    # fused order: the doc in both lists wins
+    top = retrieval.rrf_fuse([a, b], topk=1).collect()
+    assert top[0].doc_id == 3
+
+
+def test_rrf_fuse_rejects_bad_shapes(spark):
+    from epss_spark.operators import retrieval
+
+    with pytest.raises(ValueError):
+        retrieval.rrf_fuse([])
+    bad = spark.createDataFrame([(1, 1.0, 2.0)], "doc_id long, a double, b double")
+    with pytest.raises(ValueError):
+        retrieval.rrf_fuse([bad])
