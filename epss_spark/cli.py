@@ -196,7 +196,7 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--id-col", default="doc_id")
     an.add_argument("--text-col", default="text")
     an.add_argument("--stratum-col", default="source", help="vocab: grouping column")
-    an.add_argument("-k", type=int, default=20, help="top-ngrams/logprob: rows to show")
+    an.add_argument("-k", type=int, default=20, help="rows to show (every report is truncated to k; --output writes the full report)")
     an.add_argument("--output", help="also write the full report as parquet")
 
     se = sub.add_parser(
@@ -273,7 +273,7 @@ def main(argv: list[str] | None = None) -> int:
             out = text_ops.top_ngrams(docs, k=args.k, id_col=args.id_col, text_col=args.text_col)
         elif args.report == "vocab":
             out = text_ops.vocab_stats(
-                docs, stratum_col=args.stratum_col, id_col=args.id_col, text_col=args.text_col
+                docs, stratum_col=args.stratum_col, text_col=args.text_col
             ).orderBy("stratum")
         else:
             # least-typical docs first: the review queue for OCR/tag soup
@@ -293,7 +293,21 @@ def main(argv: list[str] | None = None) -> int:
         spark.sparkContext.setLogLevel("ERROR")
         from epss_spark.operators import retrieval as retrieval_ops
 
-        terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+        from epss_spark.operators.retrieval import normalize_term
+
+        # normalize the way the index side tokenizes ("Spark" -> "spark")
+        # and drop duplicates — a repeated word means the bag once; raw
+        # passthrough would either never match or crash on the distinct
+        # check with a traceback instead of a CLI error
+        terms, seen = [], set()
+        for t in args.terms.split(","):
+            t = normalize_term(t)
+            if t and " " not in t and t not in seen:
+                seen.add(t)
+                terms.append(t)
+        if not terms:
+            print("no usable query terms after normalization", file=sys.stderr)
+            return 2
         docs = spark.read.parquet(args.input)
         hits = retrieval_ops.bm25_topk(
             docs, terms, id_col=args.id_col, text_col=args.text_col, k=args.k

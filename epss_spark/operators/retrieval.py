@@ -7,13 +7,18 @@ Scale design: for a PLAN-TIME-CONSTANT query term list, every per-document
 signal (document length, per-term term frequency) is a pure codegen
 projection over one pass of the text — no explode, no corpus shuffle. The
 corpus-level statistics BM25 needs (N, avgdl, per-term document frequency)
-all come out of ONE single-row global aggregate, which is then
-broadcast-joined back. The only exchanges in the whole plan are that
-1-row SinglePartition aggregate and its broadcast; the top-k is a
-TakeOrderedAndProject (no global sort). Pinned in tests/test_plans.py.
+come from one aggregate over those projections, fetched as a single row to
+the driver (bounded by construction — the same pattern as the 8-row IVF
+centroid fetch) and embedded as plan literals; the top-k is a
+TakeOrderedAndProject (no global sort). Zero exchanges of any kind in the
+returned plan. Pinned in tests/test_plans.py.
 """
 
 from __future__ import annotations
+
+import re
+from functools import reduce
+from operator import or_
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -27,6 +32,11 @@ def _eq(term: str):
     # two-arg (element, index) form and silently compare against the index
     # (the minhash_signatures trap, operators/dedup.py).
     return lambda x: x == F.lit(term)
+
+
+def normalize_term(term: str) -> str:
+    """Python mirror of operators/text.py::normalize for a single term."""
+    return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", term.lower())).strip()
 
 
 def bm25_topk(
@@ -46,21 +56,33 @@ def bm25_topk(
     selected k and their order are deterministic across engines (same
     contract as similarity.cosine's dp rounding).
 
+    Terms are matched against NORMALIZED tokens (lowercase alphanumeric —
+    operators/text.py::normalize), so every query term must already be a
+    single normalized token; anything else ("Spark", "don't") can never
+    match and raises ValueError instead of silently returning no hits.
+
     Only documents matching at least one query term are candidates; with
     fewer than k matches, fewer than k rows return.
 
     Scale shape: term frequencies and document length are codegen
     projections (size/filter over one tokenize of the text — no explode,
-    no per-term scan). Corpus stats (N, avgdl, df per term) are ONE
-    global 1-row aggregate over those projections, broadcast back; the
-    integer-only per-doc frame is persisted so the corpus text is
-    tokenized once, not once per pass. Top-k plans as
-    TakeOrderedAndProject. Zero hash-partitioned exchanges anywhere.
-    """
+    no per-term scan). Corpus stats (N, avgdl, df per term) are computed
+    EAGERLY as one 1-row aggregate and embedded as literals, so the
+    returned plan is a pure scan -> project -> filter ->
+    TakeOrderedAndProject with zero exchanges. Building the plan
+    therefore runs one stats job over the corpus (two corpus passes per
+    end-to-end query, nothing cached — no persist leak into long-lived
+    sessions)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct (BM25 is a bag-of-terms sum)")
+    bad = [t for t in query_terms if normalize_term(t) != t or " " in t or not t]
+    if bad:
+        raise ValueError(
+            f"query terms must be single normalized tokens (lowercase [a-z0-9]+); "
+            f"got {bad!r} — pass e.g. {[normalize_term(t) for t in bad]!r}"
+        )
     base = docs.select(id_col, tokens(text_col).alias("__toks"))
     per_doc = base.select(
         id_col,
@@ -70,10 +92,6 @@ def bm25_topk(
             for i, t in enumerate(query_terms)
         ],
     )
-    # the int-only (id, dl, tf...) frame feeds two consumers (stats agg +
-    # scoring); persist so the regex tokenize pipeline runs once. ~8 bytes
-    # per column per doc — orders of magnitude smaller than the corpus.
-    per_doc = per_doc.persist()
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("__dl").alias("__avgdl"),
@@ -81,39 +99,32 @@ def bm25_topk(
             F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
             for i in range(len(query_terms))
         ],
-    )
+    ).first()
+    if not stats["__n"] or stats["__avgdl"] is None:
+        return per_doc.select(id_col, F.lit(0.0).alias("score")).limit(0)
+    n_lit = F.lit(int(stats["__n"]))
+    avgdl_lit = F.lit(float(stats["__avgdl"]))
     norm = F.lit(k1) * (
         (F.lit(1.0) - F.lit(b))
-        + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl")
+        + F.lit(b) * F.col("__dl").cast("double") / avgdl_lit
     )
     score = None
     for i in range(len(query_terms)):
         tf = F.col(f"__tf_{i}").cast("double")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
-            / (F.col(f"__df_{i}") + F.lit(0.5))
-        )
+        df_lit = F.lit(int(stats[f"__df_{i}"]))
+        idf = F.log(F.lit(1.0) + (n_lit - df_lit + F.lit(0.5)) / (df_lit + F.lit(0.5)))
         # (k1 + 1) as a lit-plus-lit, not a Python-folded constant: the
         # oracle SQL spells `({k1} + 1.0)`, and mirroring the IEEE op
         # sequence keeps the 6-dp rounding bit-identical cross-engine
         term_score = idf * tf * (F.lit(k1) + F.lit(1.0)) / (tf + norm)
         score = term_score if score is None else score + term_score
-    matched = reduce_or([F.col(f"__tf_{i}") > 0 for i in range(len(query_terms))])
+    matched = reduce(or_, [F.col(f"__tf_{i}") > 0 for i in range(len(query_terms))])
     return (
-        per_doc.crossJoin(F.broadcast(stats))
-        .filter(matched)
+        per_doc.filter(matched)
         .select(id_col, F.round(score, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
-
-
-def reduce_or(conds):
-    out = conds[0]
-    for c in conds[1:]:
-        out = out | c
-    return out
 
 
 def rrf_fuse(

@@ -293,7 +293,7 @@ def top_ngrams(
 
 
 def vocab_stats(
-    docs: DataFrame, stratum_col: str = "source", id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, stratum_col: str = "source", text_col: str = "text"
 ) -> DataFrame:
     """Per-stratum corpus composition report: documents, token volume,
     vocabulary size, and type-token ratio per source/domain — the
@@ -308,7 +308,7 @@ def vocab_stats(
     report is two aggregation exchanges over (stratum, token)-sized
     rows, never the text."""
     per_doc = docs.select(
-        F.col(stratum_col).alias("stratum"), F.col(id_col), tokens(text_col).alias("__toks")
+        F.col(stratum_col).alias("stratum"), tokens(text_col).alias("__toks")
     )
     base = per_doc.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("n_docs"),

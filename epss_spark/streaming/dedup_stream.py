@@ -161,11 +161,19 @@ def start_incremental_line_dedup(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if not os.path.exists(fps_path):
-            # first batch against an empty index: every line is new
-            idx = spark.createDataFrame([], "line_fp string")
-        else:
+        # bootstrap detection must go through Spark's filesystem layer —
+        # a driver-local os.path.exists is always False for hdfs://, s3a://
+        # etc., which would silently treat the index as empty on EVERY
+        # batch (cross-batch dedup off, duplicate fps accumulating). Only
+        # a missing-path error means "first batch"; any other read error
+        # propagates.
+        try:
             idx = spark.read.parquet(fps_path)
+            idx.schema  # force path resolution now, inside the try
+        except Exception as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            idx = spark.createDataFrame([], "line_fp string")
         kept, new_fps = dedup.dedup_batch_lines(
             batch_df, idx, id_col, text_col, min_line_chars
         )

@@ -1202,3 +1202,13 @@ def test_rrf_fuse_rejects_bad_shapes(spark):
     bad = spark.createDataFrame([(1, 1.0, 2.0)], "doc_id long, a double, b double")
     with pytest.raises(ValueError):
         retrieval.rrf_fuse([bad])
+
+
+def test_bm25_rejects_unnormalized_terms(spark):
+    from epss_spark.operators import retrieval
+
+    df = spark.createDataFrame([(0, "spark rules")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="normalized"):
+        retrieval.bm25_topk(df, ["Spark"])
+    with pytest.raises(ValueError, match="normalized"):
+        retrieval.bm25_topk(df, ["don't"])
