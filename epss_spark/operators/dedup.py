@@ -19,6 +19,13 @@ Scale design notes (the point of each algorithm, not just its output):
 - connected_components / dedup_corpus_near(policy='components'):
   transitive-closure grouping via iterative min-label propagation over
   the EDGE set only (O(diameter) rounds, lineage truncated per round).
+- dedup_corpus_lines / line_index / dedup_batch_lines: CCNet-style
+  corpus-level line dedup — first occurrence per distinct line via a
+  min(struct) hash aggregate (map-side partials absorb boilerplate-line
+  skew), with an O(batch-lines) incremental path against a persistent
+  fingerprint index.
+- cap_per_stratum: hard per-domain document caps (the mega-domain guard
+  rate-based sample_stratified cannot express).
 - Hotspot guards (opt-in): max_bucket_size skips boilerplate mega-clique
   buckets; max_shingle_df drops corpus-wide shingles from the n-gram
   discovery join.
