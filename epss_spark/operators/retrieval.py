@@ -67,12 +67,14 @@ def bm25_topk(
     Scale shape: term frequencies and document length are codegen
     projections (size/filter over one tokenize of the text — no explode,
     no per-term scan). Corpus stats (N, avgdl, df per term) are computed
-    EAGERLY as one 1-row aggregate and embedded as literals, so the
-    returned plan is a pure scan -> project -> filter ->
-    TakeOrderedAndProject with zero exchanges. Building the plan
-    therefore runs one stats job over the corpus (two corpus passes per
-    end-to-end query, nothing cached — no persist leak into long-lived
-    sessions)."""
+    EAGERLY as one 1-row aggregate over a localCheckpoint of the
+    int-only per-doc frame and embedded as literals, so the whole query
+    tokenizes the corpus exactly ONCE and the returned plan is a pure
+    checkpoint-scan -> project -> filter -> TakeOrderedAndProject with
+    zero exchanges. Building the plan runs the tokenize + stats job
+    up front (the bounded 1-row fetch follows the 8-row IVF-centroid
+    precedent); checkpoint blocks are context-cleaned when the returned
+    plan is dropped, so long-lived sessions do not accumulate cache."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
@@ -92,6 +94,13 @@ def bm25_topk(
             for i, t in enumerate(query_terms)
         ],
     )
+    # ONE tokenize pass feeds both the stats aggregate and the scoring
+    # scan: localCheckpoint (not persist) materializes the int-only frame
+    # — ~8 bytes/column/doc — and, unlike a CacheManager persist, its
+    # blocks are context-cleaned once the returned plan is dropped, so
+    # repeated calls in a long-lived session do not leak (same lifecycle
+    # rationale as connected_components' per-round checkpoints).
+    per_doc = per_doc.localCheckpoint(eager=True)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("__dl").alias("__avgdl"),
