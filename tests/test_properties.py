@@ -294,3 +294,44 @@ def test_bm25_on_empty_and_termless_corpora(spark):
     assert retrieval.bm25_topk(empty, ["x"]).count() == 0
     nohit = spark.createDataFrame([(0, "nothing here")], "doc_id long, text string")
     assert retrieval.bm25_topk(nohit, ["zzz"]).count() == 0
+
+
+# corpora: small alphabet + newlines so duplicate lines actually occur
+_line = st.sampled_from(["", "aa", "bb", "cc", "aa bb", "x"])
+_corpora = st.lists(
+    st.lists(_line, min_size=0, max_size=5).map(lambda ls: "\n".join(ls)),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _lines_reference(texts):
+    """Pure-Python spec of dedup_corpus_lines: first occurrence per
+    distinct non-empty line in (doc_id, pos) order; empty lines always
+    kept; docs with no surviving lines drop."""
+    seen = set()
+    out = {}
+    for doc_id, text in enumerate(texts):
+        kept = []
+        for line in text.split("\n"):
+            if len(line) < 1:
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            out[doc_id] = ("\n".join(kept), len(kept))
+    return out
+
+
+@given(texts=_corpora)
+@_settings
+def test_dedup_corpus_lines_matches_reference(spark, texts):
+    from epss_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_lines_kept)
+        for r in dedup.dedup_corpus_lines(df).collect()
+    }
+    assert got == _lines_reference(texts)
