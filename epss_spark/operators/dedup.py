@@ -1051,6 +1051,38 @@ def cap_per_stratum(
     )
 
 
+def train_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic shuffle-and-shard — the final step of a training-data
+    pipeline: every document gets a shard (uniform by the 60-bit md5 of
+    salt|id, same engine-portable family as train_split) and a position
+    within its shard (ascending by a SECOND salt domain of the same
+    hash), so reading shards 0..n-1 in pos order yields a reproducible
+    global permutation of the corpus. Stable under re-runs and engines;
+    changing `salt` reshuffles without touching the data.
+
+    Returns the input plus (shard, pos). Scale shape: shard assignment is
+    a pure projection; pos is a row_number window per shard — hash
+    partitioning makes every shard the same size (corpus/n_shards), so
+    there is no skew by construction, and n_shards sized to the cluster
+    bounds the per-task sort. The writer path at scale is
+    `repartition(n_shards, "shard")` + `sortWithinPartitions("pos")` +
+    partitioned write — no global sort anywhere."""
+    h_shard = _md5_60bit(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    h_pos = F.md5(F.concat(F.lit(f"{salt}|pos|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("shard", (h_shard % n_shards).cast("int"))
+        .withColumn("__h", h_pos)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__h")
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1313,3 +1313,31 @@ def search_hybrid_rrf(spark, sf_dir):
         .select(F.col("cand_id").alias("doc_id"), "cos")
     )
     return retrieval.rrf_fuse([bm, dense], k=60, topk=10)
+
+
+_SHARD_N = 8
+
+
+@register(
+    "sample_train_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % {_SHARD_N} AS INT) AS shard,
+             md5('shard|pos|' || CAST(doc_id AS VARCHAR)) AS hpos
+      FROM documents
+    )
+    SELECT doc_id, source, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY hpos, doc_id) AS pos
+    FROM h
+    """,
+)
+def sample_train_shards(spark, sf_dir):
+    """Deterministic shuffle-and-shard (operators/dedup.py::train_shards):
+    hash-uniform shard assignment + reproducible within-shard order — the
+    final training-output step; stable across runs, engines, and salts
+    reshuffle without touching data."""
+    return dedup.train_shards(
+        T(spark, sf_dir, "documents").select("doc_id", "source"), n_shards=_SHARD_N
+    )

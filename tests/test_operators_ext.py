@@ -1212,3 +1212,26 @@ def test_bm25_rejects_unnormalized_terms(spark):
         retrieval.bm25_topk(df, ["Spark"])
     with pytest.raises(ValueError, match="normalized"):
         retrieval.bm25_topk(df, ["don't"])
+
+
+def test_train_shards_is_a_stable_permutation(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(100)], "doc_id long, text string")
+    a = dedup.train_shards(docs, n_shards=4)
+    got = {(r.shard, r.pos): r.doc_id for r in a.collect()}
+    # a permutation: every doc exactly once, positions contiguous per shard
+    assert len(got) == 100 and len(set(got.values())) == 100
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in got)
+    for s, n in sizes.items():
+        assert sorted(p for sh, p in got if sh == s) == list(range(1, n + 1))
+    # deterministic across invocations; a different salt reshuffles
+    b = {(r.shard, r.pos): r.doc_id for r in dedup.train_shards(docs, n_shards=4).collect()}
+    assert got == b
+    c = {(r.shard, r.pos): r.doc_id for r in dedup.train_shards(docs, 4, salt="s2").collect()}
+    assert got != c
+    # append-stable shard assignment: adding docs never moves existing ones
+    more = spark.createDataFrame([(i, f"t{i}") for i in range(150)], "doc_id long, text string")
+    shard_a = {r.doc_id: r.shard for r in a.collect()}
+    shard_m = {r.doc_id: r.shard for r in dedup.train_shards(more, n_shards=4).collect()}
+    assert all(shard_m[d] == s for d, s in shard_a.items())
