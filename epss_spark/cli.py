@@ -18,8 +18,9 @@ Usage:
         (one-time LSH index build; nightly `dedup --method incremental`
         then runs in O(append))
     python -m epss_spark.cli prep --input DOCS --output OUT
-        --op redact|chunk|pack [--chunk-size N --stride N]
-        [--budget N --n-buckets N]   (training-data extension)
+        --op redact|chunk|pack|shard [--chunk-size N --stride N]
+        [--budget N --n-buckets N] [--n-shards N --salt S]
+        (training-data extension)
     python -m epss_spark.cli analyze --input DOCS
         --report top-ngrams|vocab|logprob [-k N] [--output OUT]
     python -m epss_spark.cli search --input DOCS --terms "a,b,c" [-k N]
@@ -175,13 +176,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pp.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
     pp.add_argument("--output", required=True, help="output parquet")
-    pp.add_argument("--op", required=True, choices=["redact", "chunk", "pack"])
+    pp.add_argument("--op", required=True, choices=["redact", "chunk", "pack", "shard"])
     pp.add_argument("--id-col", default="doc_id")
     pp.add_argument("--text-col", default="text")
     pp.add_argument("--chunk-size", type=int, default=32, help="chunk: tokens per window")
     pp.add_argument("--stride", type=int, default=24, help="chunk: window advance")
     pp.add_argument("--budget", type=int, default=128, help="pack: tokens per sequence")
     pp.add_argument("--n-buckets", type=int, default=32, help="pack: parallel pack buckets")
+    pp.add_argument("--n-shards", type=int, default=32, help="shard: output shard count")
+    pp.add_argument("--salt", default="shard", help="shard: permutation salt")
 
     an = sub.add_parser(
         "analyze",
@@ -249,13 +252,19 @@ def main(argv: list[str] | None = None) -> int:
                 chunk_size=args.chunk_size,
                 stride=args.stride,
             )
-        else:
+        elif args.op == "pack":
             out = prep_ops.pack_sequences(
                 docs,
                 budget=args.budget,
                 n_buckets=args.n_buckets,
                 id_col=args.id_col,
                 text_col=args.text_col,
+            )
+        else:
+            from epss_spark.operators import dedup as dedup_ops
+
+            out = dedup_ops.train_shards(
+                docs, n_shards=args.n_shards, id_col=args.id_col, salt=args.salt
             )
         out.write.mode("overwrite").parquet(args.output)
         n_in = docs.count()

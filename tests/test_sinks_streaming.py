@@ -1099,3 +1099,19 @@ def test_cli_analyze_and_search(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     lines = out.splitlines()
     assert len(lines) == 2 and lines[0].startswith("0 ")  # doc 0 has highest tf
+
+
+def test_cli_prep_shard(spark, tmp_path, capsys):
+    from epss_spark.cli import main
+
+    src = str(tmp_path / "docs_shard")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "out_shard")
+    assert main(["prep", "--input", src, "--output", out, "--op", "shard",
+                 "--n-shards", "4"]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 20
+    assert {r.shard for r in rows} <= set(range(4))
+    assert all(r.pos >= 1 for r in rows)
