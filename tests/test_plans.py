@@ -369,3 +369,32 @@ def test_analytics_reports_plan_shapes(spark):
         assert p.count("Exchange hashpartitioning") <= 3, name
         assert "Exchange rangepartitioning" not in p, name
         assert "BatchEvalPython" not in p, name
+
+
+def test_plan_inventory_matches_checked_in(spark):
+    """Broad plan-regression net: the physical-plan shape (exchange /
+    broadcast / top-k / Python-crossing counts) of EVERY driver-surface
+    query must match the checked-in PLANS.json. A de-optimization
+    anywhere — lost pushdown adding a shuffle, a Python UDF creeping
+    into a relational path, a top-k decaying to a global sort — fails
+    here and must be consciously re-recorded with
+    `python tools/plan_inventory.py`."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    from plan_inventory import OUT, plan_shape
+
+    with open(OUT) as f:
+        expected = json.load(f)
+    drift = {}
+    for name, fn in registry.get_queries().items():
+        p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        got = plan_shape(p)
+        if expected.get(name) != got:
+            drift[name] = {"expected": expected.get(name), "actual": got}
+    assert not drift, json.dumps(drift, indent=2)
