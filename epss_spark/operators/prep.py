@@ -274,3 +274,43 @@ def pack_stats(packed: DataFrame, budget: int = 128) -> DataFrame:
         )
         .withColumn("fill_frac", F.col("fill_tokens") / F.lit(float(budget)))
     )
+
+
+def materialize_sequences(
+    packed: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Turn a pack_sequences assignment into actual training sequences:
+    one row per (bucket, bin) with the member documents' texts joined by
+    `sep` in PACK ORDER (n_tokens desc, id — the deterministic order the
+    packer consumed them), plus member/token counts. The final
+    materialization step before tokenizer consumption; compose with
+    train_shards for a shuffled, sharded write.
+
+    Scale shape: one id-equi join pulls each doc's text to its
+    assignment row (packed is int-only; AQE picks the strategy), then
+    ONE groupBy (bucket, bin) moves the text exactly once — per-group
+    state is one training sequence (<= budget tokens) by construction,
+    so collect_list is bounded and there is no skew (buckets are
+    hash-uniform, bins capped by the budget)."""
+    joined = packed.join(docs.select(id_col, text_col), id_col)
+    ls = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("n_tokens")).alias("o"),
+                F.col(id_col).alias("i"),
+                F.col(text_col).alias("t"),
+            )
+        )
+    )
+    return (
+        joined.groupBy("bucket", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.concat_ws(sep, F.transform(ls, lambda s: s["t"])).alias(text_col),
+        )
+    )

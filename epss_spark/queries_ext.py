@@ -969,10 +969,10 @@ def text_chunk(spark, sf_dir):
 
 _PACK_BUDGET, _PACK_BUCKETS = 128, 32
 
-
-@register(
-    "pack_sequences",
-    f"""
+# shared recursive-CTE replay of the deterministic next-fit-decreasing
+# packing; pack_sequences selects the assignment, pack_materialize joins
+# the text back and concatenates per (bucket, bin)
+_PACK_CTE = f"""
     WITH RECURSIVE sized AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -994,6 +994,13 @@ _PACK_BUDGET, _PACK_BUCKETS = 128, 32
              CASE WHEN p.fill + o.n_tokens <= {_PACK_BUDGET} THEN p.fill + o.n_tokens ELSE o.n_tokens END AS fill
       FROM ordered o JOIN packed p ON o.bucket = p.bucket AND o.rn = p.rn + 1
     )
+"""
+
+
+@register(
+    "pack_sequences",
+    _PACK_CTE
+    + """
     SELECT doc_id, bucket, bin, n_tokens FROM packed
     """,
 )
@@ -1341,3 +1348,27 @@ def sample_train_shards(spark, sf_dir):
     return dedup.train_shards(
         T(spark, sf_dir, "documents").select("doc_id", "source"), n_shards=_SHARD_N
     )
+
+
+@register(
+    "pack_materialize",
+    _PACK_CTE
+    + """
+    , joined AS (
+      SELECT p.bucket, p.bin, p.n_tokens, p.doc_id, d.text
+      FROM packed p JOIN documents d USING (doc_id)
+    )
+    SELECT bucket, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           string_agg(text, chr(10) || chr(10) ORDER BY n_tokens DESC, doc_id) AS text
+    FROM joined GROUP BY bucket, bin
+    """,
+)
+def pack_materialize(spark, sf_dir):
+    """Materialized training sequences (operators/prep.py::
+    materialize_sequences): the pack_sequences assignment joined back to
+    the document texts and concatenated per (bucket, bin) in pack order —
+    the final artifact a tokenizer consumes."""
+    docs = T(spark, sf_dir, "documents")
+    packed = prep.pack_sequences(docs, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS)
+    return prep.materialize_sequences(packed, docs)

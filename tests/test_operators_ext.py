@@ -1235,3 +1235,19 @@ def test_train_shards_is_a_stable_permutation(spark):
     shard_a = {r.doc_id: r.shard for r in a.collect()}
     shard_m = {r.doc_id: r.shard for r in dedup.train_shards(more, n_shards=4).collect()}
     assert all(shard_m[d] == s for d, s in shard_a.items())
+
+
+def test_materialize_sequences_pack_order(spark):
+    from epss_spark.operators import prep
+
+    rows = [(0, "a b c d e"), (1, "x y z"), (2, "q r s t u v w")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = prep.pack_sequences(docs, budget=10, n_buckets=1)
+    out = prep.materialize_sequences(packed, docs, sep=" | ")
+    got = {(r.bucket, r.bin): r for r in out.collect()}
+    # NFD order: doc2 (7), doc0 (5), doc1 (3); bins: [7+3? no — next-fit:
+    # doc2 (7) then doc0 (5) overflows -> new bin; doc1 (3) fits with doc0
+    texts = sorted(r.text for r in got.values())
+    assert texts == sorted(["q r s t u v w", "a b c d e | x y z"])
+    for r in got.values():
+        assert r.n_tokens <= 10 or r.n_docs == 1
