@@ -117,6 +117,18 @@ def main() -> None:
                 f"packed into {agg['n_seqs']} sequences of <=128 tokens "
                 f"(avg fill {agg['avg_fill']:.0%})"
             )
+
+            # 8. materialize the sequences (texts concatenated in pack
+            #    order) and shard them deterministically for training
+            seqs = prep.materialize_sequences(packed, train).withColumn(
+                "seq_id", F.col("bucket") * 1000000 + F.col("bin")
+            )
+            sharded = dedup.train_shards(seqs, n_shards=4, id_col="seq_id")
+            n_per_shard = sharded.groupBy("shard").count().orderBy("shard").collect()
+            print(
+                "training shards: "
+                + ", ".join(f"{r['shard']}:{r['count']}" for r in n_per_shard)
+            )
         finally:
             neared.unpersist()
 
