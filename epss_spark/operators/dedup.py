@@ -1051,6 +1051,58 @@ def cap_per_stratum(
     )
 
 
+def sample_token_budget(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Token-budgeted corpus mixing: per stratum, keep documents — in a
+    deterministic hash order — until the stratum's TOKEN quota is
+    reached ("200B tokens of web, 50B of code"), the way real training
+    mixes are specified. Complements sample_stratified (rate-based) and
+    cap_per_stratum (document-count-based) with the token-count bound
+    that actually matters to a training run.
+
+    A doc is kept iff the cumulative token count up to and including it
+    (in md5(salt|id) order — stable across runs/engines, reshuffled by
+    salt) stays <= the stratum budget; the first over-budget doc and
+    everything after it drop, so the realized total is the largest
+    hash-prefix sum <= budget (never overshoots). Returns the input
+    columns plus n_tokens.
+
+    Scale shape: one running-sum window per stratum (hash order). Same
+    hot-stratum caveat as cap_per_stratum — check key_skew_report when
+    one domain dominates; at crawl scale run it per pre-sharded
+    stratum."""
+    n_tok = F.size(tokens(text_col))
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = None
+    for stratum, quota in budgets.items():
+        lit = F.lit(int(quota))
+        budget = (
+            F.when(F.col(stratum_col) == stratum, lit)
+            if budget is None
+            else budget.when(F.col(stratum_col) == stratum, lit)
+        )
+    default_lit = F.lit(int(default_budget))
+    budget = budget.otherwise(default_lit) if budget is not None else default_lit
+    return (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
 def train_shards(
     docs: DataFrame,
     n_shards: int,

@@ -1372,3 +1372,36 @@ def pack_materialize(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     packed = prep.pack_sequences(docs, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS)
     return prep.materialize_sequences(packed, docs)
+
+
+@register(
+    "sample_token_budget",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             md5('mix|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT *, SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS c
+      FROM sized
+    )
+    SELECT doc_id, text, lang, source, n_chars, n_tokens
+    FROM cum
+    WHERE c <= CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 150 ELSE 300 END
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budgeted corpus mixing (operators/dedup.py::
+    sample_token_budget): per-source token quotas consumed in
+    deterministic hash order — the way training mixes are actually
+    specified (tokens, not rates or doc counts)."""
+    return dedup.sample_token_budget(
+        T(spark, sf_dir, "documents"),
+        budgets={"src0": 600, "src1": 150},
+        default_budget=300,
+    )

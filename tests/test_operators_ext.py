@@ -1251,3 +1251,29 @@ def test_materialize_sequences_pack_order(spark):
     assert texts == sorted(["q r s t u v w", "a b c d e | x y z"])
     for r in got.values():
         assert r.n_tokens <= 10 or r.n_docs == 1
+
+
+def test_sample_token_budget_semantics(spark):
+    rows = [
+        (0, "s0", "a b c"),       # 3 tokens
+        (1, "s0", "d e f g"),     # 4
+        (2, "s0", "h i"),         # 2
+        (3, "s1", "x y z"),       # 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # huge budget keeps everything, with n_tokens attached
+    all_kept = dedup.sample_token_budget(df, {"s0": 100}, default_budget=100)
+    got = {r.doc_id: r.n_tokens for r in all_kept.collect()}
+    assert got == {0: 3, 1: 4, 2: 2, 3: 3}
+    # zero default budget drops strata without a quota
+    only_s0 = dedup.sample_token_budget(df, {"s0": 100})
+    assert sorted(r.doc_id for r in only_s0.collect()) == [0, 1, 2]
+    # realized total never overshoots the quota, and the kept set is the
+    # hash-order prefix: kept tokens <= 5 < total 9
+    tight = dedup.sample_token_budget(df, {"s0": 5}, default_budget=0)
+    kept = tight.agg(F.sum("n_tokens")).first()[0] or 0
+    assert kept <= 5
+    # deterministic across calls
+    a = sorted(r.doc_id for r in tight.collect())
+    b = sorted(r.doc_id for r in dedup.sample_token_budget(df, {"s0": 5}, default_budget=0).collect())
+    assert a == b
