@@ -41,6 +41,15 @@ GENERATED = [
     "multimodal_features",
     "sample_stratified",
     "text_repetition",
+    # round-6 generated-expression queries: BM25's eager-literal stats +
+    # per-term filter lambdas, RRF's derived ranks over two generated
+    # rankings, salted shard/position hashes, per-stratum budget literals
+    # consumed in hash order, and the pack-order array sort
+    "search_bm25",
+    "search_hybrid_rrf",
+    "sample_train_shards",
+    "sample_token_budget",
+    "pack_materialize",
 ]
 
 
