@@ -907,25 +907,56 @@ def dedup_corpus_lines(
     so the ACTION composes into pipelines that filter on source/lang
     downstream.
 
-    Scale shape: first-occurrence selection is a groupBy(md5(line)) with
+    Scale shape: first-occurrence selection is a groupBy(line fp) with
     min(struct(id, pos, line)) — a HASH AGGREGATE with map-side partial
     aggregation, NOT a row_number window, so a boilerplate line repeated
     a billion times collapses per-task before the exchange instead of
-    melting one window partition. Reassembly is one groupBy(id) building
-    the sorted line array. Two exchanges total, both carrying (hash, id,
-    pos, line) — bounded by corpus line bytes, shuffled once each."""
-    lines = docs.select(
-        id_col, F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line")
-    ).where(F.col("line").isNotNull())
-    eligible = lines.filter(F.length("line") >= min_line_chars)
-    bypass = lines.filter(F.length("line") < min_line_chars)
+    melting one window partition. Bypass lines ride the SAME aggregate
+    under a per-row sentinel fingerprint (singleton groups), so the
+    corpus is scanned and split exactly once — a separate bypass branch
+    would be a second full pass (Spark does not dedupe common subplans).
+    Reassembly is one groupBy(id) building the sorted line array. Two
+    exchanges total, both carrying (fp, id, pos, line) — bounded by
+    corpus line bytes, shuffled once each."""
     first = (
-        eligible.groupBy(F.md5("line").alias("__fp"))
+        _fingerprinted_lines(docs, id_col, text_col, min_line_chars)
+        .groupBy("__fp")
         .agg(F.min(F.struct(id_col, "pos", "line")).alias("s"))
         .select("s.*")
     )
-    kept = first.unionByName(bypass)
-    out = (
+    out = _reassemble_lines(first, id_col, text_col)
+    if preserve_other_columns:
+        out = out.join(docs.drop(text_col), id_col, "left")
+    return out
+
+
+# Sentinel prefix for dedup-EXEMPT lines (shorter than min_line_chars):
+# they get a per-(id, pos) fingerprint so they form singleton groups in
+# the first-occurrence aggregate instead of needing a second corpus scan.
+# "\x00" cannot appear in an md5 hex digest, so collision with a real
+# line fingerprint is impossible; these sentinels are filtered out of
+# every index artifact (line_index / dedup_batch_lines new_fps).
+_LINE_BYPASS = "\x00bypass"
+
+
+def _fingerprinted_lines(
+    docs: DataFrame, id_col: str, text_col: str, min_line_chars: int
+) -> DataFrame:
+    """(id, pos, line, __fp): one row per line with its dedup fingerprint —
+    md5 for dedup-eligible lines, a unique sentinel for bypass lines."""
+    lines = docs.select(
+        id_col, F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).where(F.col("line").isNotNull())
+    fp = F.when(F.length("line") >= min_line_chars, F.md5("line")).otherwise(
+        F.concat_ws("|", F.lit(_LINE_BYPASS), F.col(id_col).cast("string"), F.col("pos").cast("string"))
+    )
+    return lines.withColumn("__fp", fp)
+
+
+def _reassemble_lines(kept: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Rebuild documents from surviving (id, pos, line) rows in original
+    line order: (id, text, n_lines_kept)."""
+    return (
         kept.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ls"))
         .select(
@@ -934,9 +965,6 @@ def dedup_corpus_lines(
             F.size("ls").alias("n_lines_kept"),
         )
     )
-    if preserve_other_columns:
-        out = out.join(docs.drop(text_col), id_col, "left")
-    return out
 
 
 def line_index(
@@ -956,9 +984,9 @@ def line_index(
     anti-joins co-located instead of shuffling the (corpus-scale) index.
     Appending a batch's kept_fps after each run keeps it current."""
     return (
-        docs.select(F.explode_outer(F.split(F.col(text_col), "\n")).alias("line"))
-        .where(F.col("line").isNotNull() & (F.length("line") >= min_line_chars))
-        .select(F.md5("line").alias("line_fp"))
+        _fingerprinted_lines(docs, id_col, text_col, min_line_chars)
+        .where(~F.col("__fp").startswith(_LINE_BYPASS))
+        .select(F.col("__fp").alias("line_fp"))
         .distinct()
     )
 
@@ -993,31 +1021,24 @@ def dedup_batch_lines(
     same min(struct) first-occurrence aggregate as dedup_corpus_lines
     over surviving batch lines only, and per-doc reassembly. The corpus
     text itself is never touched."""
-    lines = batch.select(
-        id_col, F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line")
-    ).where(F.col("line").isNotNull())
-    eligible = lines.filter(F.length("line") >= min_line_chars)
-    bypass = lines.filter(F.length("line") < min_line_chars)
-    fresh = (
-        eligible.withColumn("line_fp", F.md5("line"))
-        .join(index_fps.select("line_fp"), "line_fp", "left_anti")
+    # single pass over the batch (same sentinel-fp scheme as
+    # dedup_corpus_lines): bypass lines carry unique sentinel fps, which
+    # can never match an index fp (md5 hex cannot contain "\x00"), so the
+    # anti-join keeps them and they form singleton first-occurrence groups
+    fresh = _fingerprinted_lines(batch, id_col, text_col, min_line_chars).join(
+        index_fps.select(F.col("line_fp").alias("__fp")), "__fp", "left_anti"
     )
     first = (
-        fresh.groupBy("line_fp")
+        fresh.groupBy("__fp")
         .agg(F.min(F.struct(id_col, "pos", "line")).alias("s"))
         .select("s.*")
     )
-    kept_docs = (
-        first.unionByName(bypass)
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ls"))
-        .select(
-            id_col,
-            F.concat_ws("\n", F.transform("ls", lambda s: s["line"])).alias(text_col),
-            F.size("ls").alias("n_lines_kept"),
-        )
+    kept_docs = _reassemble_lines(first, id_col, text_col)
+    new_fps = (
+        fresh.where(~F.col("__fp").startswith(_LINE_BYPASS))
+        .select(F.col("__fp").alias("line_fp"))
+        .distinct()
     )
-    new_fps = fresh.select("line_fp").distinct()
     return kept_docs, new_fps
 
 

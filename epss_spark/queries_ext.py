@@ -1117,10 +1117,9 @@ _BM25_SCORE = "\n         + ".join(
     for i in range(len(_BM25_TERMS))
 )
 
-
-@register(
-    "search_bm25",
-    f"""
+# the complete BM25 top-k statement, shared by search_bm25 and the hybrid
+# RRF query (which embeds it as its lexical CTE)
+_BM25_TOPK_SQL = f"""
     WITH tf AS (
       SELECT doc_id, len(toks) AS dl,
            {_BM25_TF}
@@ -1137,8 +1136,10 @@ _BM25_SCORE = "\n         + ".join(
     WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))}
     ORDER BY score DESC, doc_id
     LIMIT {_BM25_K}
-    """,
-)
+"""
+
+
+@register("search_bm25", _BM25_TOPK_SQL)
 def search_bm25(spark, sf_dir):
     """BM25 top-k lexical retrieval (operators/retrieval.py::bm25_topk),
     Lucene idf variant, deterministic 6-dp/id tie-breaking. The Spark
@@ -1266,23 +1267,7 @@ def text_vocab_stats(spark, sf_dir):
 @register(
     "search_hybrid_rrf",
     f"""
-    WITH tf AS (
-      SELECT doc_id, len(toks) AS dl,
-           {_BM25_TF}
-      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
-    ),
-    stats AS (
-      SELECT COUNT(*) AS n, avg(dl) AS avgdl,
-           {_BM25_DF}
-      FROM tf
-    ),
-    bm AS (
-      SELECT doc_id, round({_BM25_SCORE}, 6) AS score
-      FROM tf, stats
-      WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))}
-      ORDER BY score DESC, doc_id
-      LIMIT {_BM25_K}
-    ),
+    WITH bm AS (SELECT * FROM ({_BM25_TOPK_SQL}) AS bm_topk),
     bmr AS (
       SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm
     ),
