@@ -214,6 +214,25 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--id-col", default="doc_id")
     se.add_argument("--text-col", default="text")
 
+    sl = sub.add_parser(
+        "select",
+        help="DSIR importance-weighted data selection (extension): score a "
+        "raw corpus against a target-domain corpus, optionally Gumbel-top-k "
+        "sample it",
+    )
+    sl.add_argument("--input", required=True, help="raw corpus parquet (doc_id, text, ...)")
+    sl.add_argument("--target", help="target-domain corpus parquet")
+    sl.add_argument(
+        "--target-lang",
+        help="shortcut: use the input rows with this lang value as the target",
+    )
+    sl.add_argument("--output", required=True, help="output parquet")
+    sl.add_argument("-k", type=int, help="sample size; omit to write scores for ALL docs")
+    sl.add_argument("--n-buckets", type=int, default=1024, help="hashed-feature buckets")
+    sl.add_argument("--seed", default="dsir", help="Gumbel noise salt")
+    sl.add_argument("--id-col", default="doc_id")
+    sl.add_argument("--text-col", default="text")
+
     u = sub.add_parser("urls", help="print snapshot URLs (reference epss/cli.py:117-139)")
     _add_range_flags(u)
 
@@ -270,6 +289,42 @@ def main(argv: list[str] | None = None) -> int:
         n_in = docs.count()
         n_out = spark.read.parquet(args.output).count()
         print(f"{args.op}: {n_in} docs -> {n_out} rows -> {args.output}")
+        return 0
+
+    if args.command == "select":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from pyspark.sql import functions as F
+
+        from epss_spark.operators import selection as sel_ops
+
+        docs = spark.read.parquet(args.input)
+        if args.target:
+            target = spark.read.parquet(args.target)
+        elif args.target_lang:
+            target = docs.filter(F.col("lang") == args.target_lang)
+        else:
+            print("select: need --target or --target-lang", file=sys.stderr)
+            return 2
+        if args.k is None:
+            out = sel_ops.dsir_logratio(
+                docs, target, args.n_buckets, args.id_col, args.text_col
+            )
+        else:
+            out = sel_ops.dsir_sample(
+                docs,
+                target,
+                k=args.k,
+                n_buckets=args.n_buckets,
+                seed=args.seed,
+                id_col=args.id_col,
+                text_col=args.text_col,
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.output).count()
+        what = "sampled" if args.k is not None else "scored"
+        print(f"select: {n_in} docs -> {n_out} {what} -> {args.output}")
         return 0
 
     if args.command == "analyze":

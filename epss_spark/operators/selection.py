@@ -1,0 +1,206 @@
+"""Data-selection operators for training-corpus curation: DSIR-style
+importance weighting and deterministic Gumbel top-k resampling.
+
+DSIR (Xie et al. 2023, arXiv:2302.03169, "Data Selection for Language
+Models via Importance Resampling") ranks raw-corpus documents by how much
+they look like a small trusted TARGET set (wiki/books-grade text) under
+bag-of-hashed-n-gram language models: each document scores the mean
+log-likelihood ratio ln p_target(f) - ln p_raw(f) over its hashed
+unigram+bigram features, and the corpus is resampled with Gumbel-perturbed
+top-k (sampling without replacement proportional to the importance
+weights). It is the standard "make 100 TB of crawl look like 1 TB of
+quality text" selection step that runs AFTER dedup and BEFORE tokenization.
+
+No counterpart exists in the reference (epss/ has no corpus operators);
+this extends the engine the same way operators/dedup.py does.
+
+Everything is deterministic and engine-portable: feature hashing is the
+md5-prefix integer used across this codebase (operators/dedup.py::
+_md5_60bit), the two distributions are exact integer bucket counts, and
+the only floats are ln() of integer ratios — same cross-engine contract
+as text.unigram_logprob (driver-green), rounded to 6 dp at the output.
+
+Scale shape (the 100 TB story):
+- The weight model is TINY by construction (<= n_buckets log-ratios), so
+  it is computed by one bucket-count aggregation per corpus (map-side
+  partial combine; the shuffle carries <= n_buckets rows per task
+  regardless of corpus size), collected (bounded, same class as the IVF
+  centroid fetch), and embedded as a literal map — exactly the
+  eager-literal-stats pattern retrieval.bm25_topk uses. A lazy dataflow
+  formulation instead re-scans and re-tokenizes the corpus once per
+  weight subtree (Catalyst does not deduplicate common subplans) —
+  measured as 4 extra corpus passes in the first cut of this module.
+- Scoring is then a PURE PROJECTION: one tokenize pass, a fold over the
+  feature array through the literal map — zero shuffles, zero joins.
+  Total corpus passes: 2 (stats + scoring), the information-theoretic
+  floor for corpus-relative scoring. Frozen `weights` can be passed in
+  to score daily appends in ONE pass (O(append) nightly selection).
+- Selection is Gumbel top-k: orderBy+limit compiles to
+  TakeOrderedAndProject — per-partition heaps, no global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from epss_spark.operators.dedup import _md5_60bit
+from epss_spark.operators.text import bigrams, tokens
+
+
+def _with_features(docs: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """Projects `keep` columns plus a bound `__feats` array column:
+    unigrams + space-joined bigrams over the normalized token stream (the
+    DSIR paper's feature space). Two stacked selects so the token tree is
+    a REAL column before bigrams' slice/zip_with consume it — an inlined
+    tree is re-evaluated once per consuming slice (the element_at trap,
+    see text.with_shingles)."""
+    toked = docs.select(*keep, tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
+    return toked.select(*keep, F.concat(t, bigrams(t)).alias("__feats"))
+
+
+def _bucket(c: Column, n_buckets: int) -> Column:
+    return _md5_60bit(c) % n_buckets
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exploded hashed-feature stream: one row per (doc, feature
+    occurrence) with `bucket` = md5-prefix-int(feature) % n_buckets.
+    Documents with zero tokens contribute no rows. The token tree is
+    bound once per row (stacked projection), so the normalize+split
+    regex pipeline runs once, not once per feature."""
+    toked = docs.select(id_col, tokens(text_col).alias("__toks"))
+    feats = F.concat(F.col("__toks"), bigrams(F.col("__toks")))
+    return toked.select(id_col, F.explode(feats).alias("__feat")).select(
+        id_col, _bucket(F.col("__feat"), n_buckets).alias("bucket")
+    )
+
+
+def dsir_bucket_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> tuple[dict[int, float], float]:
+    """The DSIR importance model: bucket -> add-one-smoothed
+    log-likelihood ratio
+
+        ln((target_count[b] + 1) / (target_total + n_buckets))
+      - ln((raw_count[b]    + 1) / (raw_total    + n_buckets))
+
+    plus the default weight for buckets unseen in BOTH corpora (count 0
+    on each side). One aggregation job per corpus, <= n_buckets rows
+    collected each — the model is driver-resident by design (it is the
+    artifact a production run persists alongside the codebook/centroid
+    models)."""
+    def counts(docs: DataFrame) -> dict[int, int]:
+        rows = (
+            _with_features(docs, text_col)
+            .select(F.explode("__feats").alias("f"))
+            .groupBy(_bucket(F.col("f"), n_buckets).alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {r.b: r.c for r in rows}
+
+    rc, tc = counts(raw_docs), counts(target_docs)
+    rt, tt = sum(rc.values()), sum(tc.values())
+    weights = {
+        b: math.log((tc.get(b, 0) + 1.0) / (tt + n_buckets))
+        - math.log((rc.get(b, 0) + 1.0) / (rt + n_buckets))
+        for b in set(rc) | set(tc)
+    }
+    default = math.log(1.0 / (tt + n_buckets)) - math.log(1.0 / (rt + n_buckets))
+    return weights, default
+
+
+def dsir_logratio(
+    raw_docs: DataFrame,
+    target_docs: DataFrame | None = None,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: tuple[dict[int, float], float] | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance score: the mean, over the document's
+    hashed features, of the bucket's log-likelihood ratio. Positive =
+    looks more like the target than like the corpus average. Returns
+    (id, n_feats, dsir_logratio[6 dp]) for documents with >= 1 feature.
+
+    Pass `weights` (from dsir_bucket_weights) to score with a FROZEN
+    model — the one-pass O(append) path for scoring daily crawl
+    increments against weights trained once; otherwise the model is
+    derived here from raw_docs + target_docs (two bounded stats jobs).
+
+    The scoring plan is a zero-shuffle projection: features fold through
+    a plan-time literal map (same eager-literal idiom as
+    retrieval.bm25_topk, same bounded-collect class as the IVF centroid
+    fetch)."""
+    if weights is None:
+        if target_docs is None:
+            raise ValueError("dsir_logratio: need target_docs or frozen weights=")
+        weights = dsir_bucket_weights(raw_docs, target_docs, n_buckets, text_col)
+    wdict, default = weights
+    # dense array literal indexed by bucket id — element_at is O(1) per
+    # feature, unlike a literal-map lookup (GetMapValue linear-scans the
+    # key array, an O(n_buckets) cost per feature)
+    warr = F.array(
+        *[F.lit(float(wdict.get(b, default))) for b in range(n_buckets)]
+    )
+
+    def w_of(feat: Column) -> Column:
+        return F.element_at(warr, (_bucket(feat, n_buckets) + 1).cast("int"))
+    toked = _with_features(raw_docs, text_col, id_col)
+    n = F.size("__feats")
+    total = F.aggregate(
+        F.transform(F.col("__feats"), w_of), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return toked.select(
+        id_col,
+        n.alias("n_feats"),
+        F.round(total / n, 6).alias("dsir_logratio"),
+    ).where(F.col("n_feats") > 0)
+
+
+def gumbel_key(logw: Column, id_col: Column, seed: str = "dsir") -> Column:
+    """Gumbel-perturbed log-weight: logw + Gumbel(0,1) with the noise
+    derived deterministically from md5(seed|id) — u in (0,1) from the
+    60-bit hash, g = -ln(-ln(u)). Top-k by this key IS sampling without
+    replacement proportional to exp(logw) (the Gumbel top-k trick),
+    reproducible across runs AND engines."""
+    u = (
+        _md5_60bit(F.concat(F.lit(f"{seed}|"), id_col.cast("string"))).cast("double") + 0.5
+    ) / F.lit(float(1 << 60))
+    return logw + -F.log(-F.log(u))
+
+
+def dsir_sample(
+    raw_docs: DataFrame,
+    target_docs: DataFrame | None = None,
+    k: int = 1000,
+    n_buckets: int = 1024,
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: tuple[dict[int, float], float] | None = None,
+) -> DataFrame:
+    """DSIR selection ACTION: the k documents sampled (without
+    replacement, proportionally to their importance weights) via
+    deterministic Gumbel top-k over `dsir_logratio`. Returns
+    (id, n_feats, dsir_logratio, sample_key[6 dp]) for the selected
+    docs. The ordering key is ROUNDED before ranking (ties broken by
+    id) so the selected set is identical across engines; orderBy+limit
+    compiles to TakeOrderedAndProject — no global sort at scale."""
+    scored = dsir_logratio(raw_docs, target_docs, n_buckets, id_col, text_col, weights)
+    keyed = scored.withColumn(
+        "sample_key", F.round(gumbel_key(F.col("dsir_logratio"), F.col(id_col), seed), 6)
+    )
+    return keyed.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(k)

@@ -309,6 +309,165 @@ def semantic_dedup(
     return dedup_corpus_near(vectors, pairs, id_col=id_col, policy=policy)
 
 
+def _sub_d2(vec_slice: Column, cent: list[float]) -> Column:
+    """Squared L2 distance between an embedding sub-slice and a constant
+    sub-centroid — sequential left-fold, same summation order as the
+    oracle's list_sum(list_transform(range(...)))."""
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    diff = F.zip_with(vec_slice, c, lambda a, b: a.cast("double") - b)
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def train_pq_centroids(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the embedding space is
+    split into `m` contiguous subspaces and each gets its own seeded
+    KMeans codebook of `k` sub-centroids. The model is m*k*(dim/m)
+    floats — driver-resident, compiled into encode/search expressions.
+    This is the scale-path trainer (run on a sample at 100 TB); for
+    cross-engine-checkable runs pass sampled-point codebooks instead
+    (sampled_pq_centroids)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim is None:
+        dim = _derive_dim(vectors, vec_col, "train_pq_centroids")
+    if dim % m:
+        raise ValueError(f"train_pq_centroids: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for mi in range(m):
+        train = vectors.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), mi * sub + 1, sub).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + mi, maxIter=max_iter).fit(train)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    return books
+
+
+def sampled_pq_centroids(
+    vectors: DataFrame,
+    ids: list[int],
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic sampled-point codebooks: the sub-vectors of `ids`
+    fixed rows become the k=len(ids) sub-centroids of every subspace.
+    Both engines can derive the identical codebook from the data, which
+    makes the whole PQ pipeline SQL-checkable (same trick as ann_ivf's
+    sampled coarse centroids). Bounded collect: len(ids) rows."""
+    by_id = {
+        r[0]: [float(x) for x in r[1]]
+        for r in vectors.filter(F.col(id_col).isin(ids)).select(id_col, vec_col).collect()
+    }
+    missing = [i for i in ids if i not in by_id]
+    if missing:
+        raise ValueError(f"sampled_pq_centroids: ids not found: {missing}")
+    dim = len(by_id[ids[0]])
+    if dim % m:
+        raise ValueError(f"sampled_pq_centroids: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [
+        [by_id[i][mi * sub : (mi + 1) * sub] for i in ids]
+        for mi in range(m)
+    ]
+
+
+def pq_encode(
+    vectors: DataFrame,
+    centroids: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """PQ compression: each vector becomes `m` small codes (nearest
+    sub-centroid per subspace, argmin by squared L2, ties to the lower
+    index). With m=4, k=8 a 64-dim float vector (256 B) compresses to 4
+    codes (<= 4 B) — the representation a 100 TB embedding store scans.
+
+    Pure codegen projection (plan-time-constant codebooks, the same
+    struct-argmin as _centroid_assign) — zero shuffle, zero UDF.
+    Returns (id, codes array<int>); a dim guard raises at execution on
+    ragged vectors rather than silently null-padding."""
+    m = len(centroids)
+    sub = len(centroids[0][0])
+    dim = m * sub
+    guard = _dim_guard(F.col(vec_col), dim, "pq_encode")
+    codes = [
+        _centroid_assign(F.slice(F.col(vec_col), mi * sub + 1, sub), centroids[mi]) + guard
+        for mi in range(m)
+    ]
+    return vectors.select(F.col(id_col), F.array(*codes).alias(out_col))
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: approximate squared L2 between
+    an exact query and a compressed candidate is the sum over subspaces
+    of d2(query_sub, centroid[code]). Returns (query_id, cand_id,
+    ad2[6 dp], rank), rank by (ad2 asc, cand_id) — the rounded score
+    orders the window so ranking is engine-stable.
+
+    Scale story: candidates are encoded ONCE (pass `codes=` with the
+    persisted code table — the index artifact); the scan then reads m
+    ints per vector instead of dim floats (64x less I/O at m=4/dim=64),
+    each query's m*k distance table is computed once as a plan-time
+    projection on the broadcast query side, and scoring is pure array
+    lookups + a fixed-length sum inside codegen. The final top-k is a
+    per-query window over candidate counts, same as cosine_topk."""
+    m = len(centroids)
+    if codes is None:
+        codes = pq_encode(candidates, centroids, id_col=id_col, vec_col=vec_col)
+    c = codes.select(F.col(id_col).alias("cand_id"), F.col("codes").alias("__codes"))
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    _sub_d2(
+                        F.slice(F.col(vec_col), mi * len(centroids[0][0]) + 1, len(centroids[0][0])),
+                        cent,
+                    )
+                    for cent in centroids[mi]
+                ]
+            )
+            for mi in range(m)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), dtab.alias("__dtab"))
+    ad2 = F.lit(0.0)
+    for mi in range(m):
+        ad2 = ad2 + F.element_at(F.col("__dtab")[mi], F.col("__codes")[mi] + 1)
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.round(ad2, 6).alias("ad2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ad2").asc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "ad2", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from epss_spark.operators import dedup, prep, retrieval, similarity, text
+from epss_spark.operators import dedup, prep, retrieval, selection, similarity, text
 from epss_spark.queries_core import T
 from epss_spark.registry import register
 
@@ -1389,4 +1389,137 @@ def sample_token_budget(spark, sf_dir):
         T(spark, sf_dir, "documents"),
         budgets={"src0": 600, "src1": 150},
         default_budget=300,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN + DSIR data selection
+# ---------------------------------------------------------------------------
+
+# PQ sub-distance between embedding sub-slice m of row `e` and sub-slice m
+# of centroid `c.cv` (m 0-based, sub-dim 16): same sequential summation
+# order as similarity._sub_d2's left-fold.
+_PQ_SD2 = (
+    "list_sum(list_transform(range(1, 17), j -> "
+    "(CAST(e.embedding[s.m*16 + j] AS DOUBLE) - CAST(c.cv[s.m*16 + j] AS DOUBLE)) * "
+    "(CAST(e.embedding[s.m*16 + j] AS DOUBLE) - CAST(c.cv[s.m*16 + j] AS DOUBLE))))"
+)
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+    WITH cents AS (
+      SELECT t.i, e.embedding AS cv
+      FROM (VALUES {_IVF_CENT_VALUES}) t(i, cid)
+      JOIN embeddings e ON e.vec_id = t.cid
+    ),
+    sub AS (SELECT unnest(range(0, 4)) AS m),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT e.vec_id, s.m, c.i AS code,
+               row_number() OVER (PARTITION BY e.vec_id, s.m ORDER BY {_PQ_SD2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN sub s CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT e.vec_id AS query_id, s.m, c.i, {_PQ_SD2} AS d2
+      FROM embeddings e CROSS JOIN sub s CROSS JOIN cents c
+      WHERE e.vec_id < 5
+    ),
+    scored AS (
+      SELECT qd.query_id, enc.vec_id AS cand_id, round(sum(qd.d2), 6) AS ad2
+      FROM qd JOIN enc ON qd.m = enc.m AND qd.i = enc.code
+      WHERE qd.query_id <> enc.vec_id
+      GROUP BY qd.query_id, enc.vec_id
+    )
+    SELECT query_id, cand_id, ad2, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ad2, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/similarity.py::pq_topk):
+    64-dim embeddings compressed to 4 codes (one per 16-dim subspace,
+    sampled-point codebooks shared verbatim with the oracle via the same
+    fixed vec_ids as ann_ivf), queries scored against the COMPRESSED
+    corpus via per-query distance tables. The scan-side representation a
+    100 TB embedding store actually keeps (64x less I/O than raw floats).
+    No reference counterpart (epss/ has no vector ops); extension tier."""
+    emb = T(spark, sf_dir, "embeddings")
+    books = similarity.sampled_pq_centroids(emb, _IVF_CENT_IDS, m=4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk(queries, emb, books, k=5)
+
+
+# DSIR oracle fragments: hashed unigram+bigram features -> 256 buckets.
+_DSIR_B = 256
+_DSIR_FEATS = (
+    "list_concat(toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))"
+)
+_DSIR_EX = f"""
+    base AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    fe AS (SELECT doc_id, lang, {_DSIR_FEATS} AS feats FROM base),
+    ex AS (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % {_DSIR_B} AS bucket
+           FROM (SELECT doc_id, lang, unnest(feats) AS f FROM fe)),
+    raw AS (SELECT bucket, count(*) AS rc FROM ex GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS tc FROM ex WHERE lang = 'en' GROUP BY bucket),
+    tot AS (SELECT (SELECT sum(rc) FROM raw) AS rt,
+                   (SELECT coalesce(sum(tc), 0) FROM tgt) AS tt),
+    w AS (SELECT r.bucket,
+            ln((coalesce(t.tc, 0) + 1.0) / (tot.tt + {_DSIR_B}))
+          - ln((r.rc + 1.0) / (tot.rt + {_DSIR_B})) AS lw
+          FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot),
+    scored AS (
+      SELECT ex.doc_id, count(*) AS n_feats, round(avg(w.lw), 6) AS dsir_logratio
+      FROM ex JOIN w USING (bucket)
+      GROUP BY ex.doc_id
+    )
+"""
+
+
+@register(
+    "sample_dsir",
+    f"""
+    WITH {_DSIR_EX}
+    SELECT doc_id, n_feats, dsir_logratio FROM scored
+    """,
+)
+def sample_dsir(spark, sf_dir):
+    """DSIR importance scores (operators/selection.py::dsir_logratio):
+    every document scored by the mean hashed-n-gram log-likelihood ratio
+    against the English subset as the target domain — the data-selection
+    signal of Xie et al. 2023. No reference counterpart; extension tier."""
+    docs = T(spark, sf_dir, "documents")
+    return selection.dsir_logratio(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_B
+    )
+
+
+@register(
+    "sample_dsir_topk",
+    f"""
+    WITH {_DSIR_EX},
+    keyed AS (
+      SELECT doc_id, n_feats, dsir_logratio,
+             round(dsir_logratio + -ln(-ln(
+               (CAST(('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+               / 1152921504606846976.0)), 6) AS sample_key
+      FROM scored
+    )
+    SELECT doc_id, n_feats, dsir_logratio, sample_key FROM (
+      SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rn FROM keyed
+    ) WHERE rn <= 150
+    """,
+)
+def sample_dsir_topk(spark, sf_dir):
+    """DSIR selection ACTION (operators/selection.py::dsir_sample): the
+    150 documents drawn without replacement proportionally to their
+    importance weights via deterministic Gumbel top-k (md5-derived
+    noise, reproducible across runs and engines)."""
+    docs = T(spark, sf_dir, "documents")
+    return selection.dsir_sample(
+        docs, docs.filter(F.col("lang") == "en"), k=150, n_buckets=_DSIR_B
     )

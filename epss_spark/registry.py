@@ -70,10 +70,21 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "dedup_embedding",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    # round-6 rotation: ann_pq_topk (compressed-domain ADC search — the
+    # scan representation a 100 TB embedding store keeps; no surfaced
+    # sibling covers product quantization) in place of window_running_sum
+    # (§2.7 W4, held driver-green by the flagship window_lag_diff +
+    # window_percent_rank + window_range_frame); sample_dsir (DSIR
+    # importance-weighted data selection — a NEW selection class) in
+    # place of scalar_dates (§2.10 held by scalar_round +
+    # json_parse_typed); both demoted entries stay oracle-checked in the
+    # pytest tier
+    "ann_pq_topk",
+    "sample_dsir",
     # round-6 rotation: search_bm25 is a NEW class (lexical retrieval —
     # no surfaced sibling exists) surfaced in place of scalar_strings,
     # whose §2.10 scalar class stays driver-green via scalar_round +
-    # scalar_dates; the demoted entry stays oracle-checked in pytest
+    # json_parse_typed; the demoted entry stays oracle-checked in pytest
     "search_bm25",
     # round-6 rotation: the new training-data-prep operators (PII
     # redaction, context-window chunking, greedy sequence packing with a
@@ -113,14 +124,12 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "agg_rollup",
     "window_percent_rank",
     "window_range_frame",
-    "window_running_sum",
     "sort_multi",
     "topk",
     "setop_union",
     "setop_except",
     "dedup_exact",
     "scalar_round",
-    "scalar_dates",
     "json_parse_typed",
     "sql_single",
 )

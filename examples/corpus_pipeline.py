@@ -4,7 +4,8 @@ Chains the engine's LLM-data operators over the testdata `documents` table:
 
     line dedup (CCNet) -> quality gate -> per-domain cap -> exact dedup
     -> near-dup dedup (MinHash-LSH + verify) -> benchmark decontamination
-    -> per-source sampling -> train/val/test split -> PII redaction
+    -> DSIR importance selection -> per-source sampling
+    -> train/val/test split -> PII redaction
     -> sequence packing (fixed token budget)
 
 Every stage is a lazy DataFrame transformation; the whole pipeline is ONE
@@ -26,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from epss_spark.operators import dedup, prep, text  # noqa: E402
+from epss_spark.operators import dedup, prep, selection, text  # noqa: E402
 from epss_spark.session import get_spark  # noqa: E402
 
 
@@ -83,6 +84,17 @@ def main() -> None:
                 "left_anti",
             )
             print(f"after decontamination: {clean.count()}")
+
+            # 4b. DSIR importance selection: score every surviving doc
+            #     against a target-domain sample (here: the corpus's own
+            #     English subset stands in for a trusted quality set) and
+            #     keep a Gumbel-top-k importance sample. The weight model
+            #     is two bounded stats jobs; scoring is a zero-shuffle
+            #     projection (plan-pinned).
+            target = clean.filter(F.col("lang") == "en")
+            picked = selection.dsir_sample(clean, target, k=250, n_buckets=512)
+            clean = clean.join(picked.select("doc_id"), "doc_id", "left_semi")
+            print(f"after DSIR selection (k=250): {clean.count()}")
 
             # 5. corpus mixing: deterministic per-source rates (stable
             #    under appends)

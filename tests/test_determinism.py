@@ -50,6 +50,10 @@ GENERATED = [
     "sample_train_shards",
     "sample_token_budget",
     "pack_materialize",
+    # PQ: sampled-codebook collect + per-subspace argmin lambdas + ADC
+    # lookup expressions; DSIR top-k: md5-Gumbel keys over a float avg
+    "ann_pq_topk",
+    "sample_dsir_topk",
 ]
 
 
@@ -71,7 +75,15 @@ def test_rebuilt_plan_gives_identical_results(name, spark):
 # tiebreaks, hash-threshold filters. Results must not depend on the
 # physical shuffle layout — at cluster scale the partition count is never
 # what it was in the test environment.
-LAYOUT_SENSITIVE = ["dedup_minhash", "dedup_simhash", "join_asof", "sample_stratified"]
+LAYOUT_SENSITIVE = [
+    "dedup_minhash",
+    "dedup_simhash",
+    "join_asof",
+    "sample_stratified",
+    # the 6-dp-rounded avg of per-feature log-ratios must not wobble with
+    # the partial-aggregation order of the underlying double sum
+    "sample_dsir",
+]
 
 
 @pytest.mark.parametrize("name", LAYOUT_SENSITIVE)

@@ -371,6 +371,33 @@ def test_analytics_reports_plan_shapes(spark):
         assert "BatchEvalPython" not in p, name
 
 
+def test_dsir_scoring_is_zero_shuffle_projection(spark):
+    # DSIR scoring folds the feature array through a CONSTANT-FOLDED
+    # weight array (the eager-literal model) — one corpus scan, zero
+    # exchanges, zero joins. A regression to the lazy dataflow form
+    # (weight subtrees re-scanning the corpus — 4 extra tokenize passes,
+    # measured) reintroduces Exchange + BroadcastNestedLoopJoin here.
+    p = plan(spark, "sample_dsir")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p
+    # the literal weight table must be FOLDED (a raw CreateArray of 1024
+    # literals inside the lambda would rebuild the array per feature)
+    assert "element_at([" in p
+
+
+def test_pq_broadcasts_queries_and_limits_before_exchange(spark):
+    # PQ ADC: candidates scanned once (encode inline in a projection),
+    # query side broadcast (bounded by design), per-query top-k starts
+    # with a PARTIAL WindowGroupLimit before the single rank exchange —
+    # the scan side never shuffles its full width.
+    p = plan(spark, "ann_pq_topk")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in p
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_plan_inventory_matches_checked_in(spark):
     """Broad plan-regression net: the physical-plan shape (exchange /
     broadcast / top-k / Python-crossing counts) of EVERY driver-surface

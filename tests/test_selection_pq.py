@@ -1,0 +1,219 @@
+"""Unit tests for product-quantization ANN (operators/similarity.py::
+pq_encode / pq_topk / train_pq_centroids) and DSIR data selection
+(operators/selection.py) — semantics against pure-Python references, the
+exactness-degradation identity, and determinism. Cross-engine value parity
+is covered by the DuckDB oracles of ann_pq_topk / sample_dsir /
+sample_dsir_topk (driver surface + tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from epss_spark.operators import selection, similarity
+
+
+def _vectors(spark, n=20, dim=8, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _ref_codes(vec, books):
+    """Reference PQ encoding: argmin squared L2 per subspace, ties to the
+    lower centroid index."""
+    m = len(books)
+    sub = len(books[0][0])
+    out = []
+    for mi in range(m):
+        sl = vec[mi * sub : (mi + 1) * sub]
+        d2s = [sum((a - b) ** 2 for a, b in zip(sl, c)) for c in books[mi]]
+        out.append(min(range(len(d2s)), key=lambda i: (d2s[i], i)))
+    return out
+
+
+class TestPQEncode:
+    def test_codes_match_reference(self, spark):
+        rows, df = _vectors(spark)
+        books = similarity.sampled_pq_centroids(df, [0, 5, 11], m=2)
+        got = {r.vec_id: list(r.codes) for r in similarity.pq_encode(df, books).collect()}
+        # float32 storage: the reference must quantize through float32 too
+        import numpy as np
+
+        for vid, vec in rows:
+            v32 = [float(np.float32(x)) for x in vec]
+            assert got[vid] == _ref_codes(v32, books), f"vec {vid}"
+
+    def test_sampled_centroid_encodes_to_itself(self, spark):
+        _, df = _vectors(spark)
+        books = similarity.sampled_pq_centroids(df, [3, 9, 14], m=4)
+        got = {r.vec_id: list(r.codes) for r in similarity.pq_encode(df, books).collect()}
+        assert got[3] == [0, 0, 0, 0]
+        assert got[9] == [1, 1, 1, 1]
+        assert got[14] == [2, 2, 2, 2]
+
+    def test_dim_mismatch_raises(self, spark):
+        df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
+        books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]  # expects dim 4
+        with pytest.raises(Exception, match="pq_encode"):
+            similarity.pq_encode(df, books).collect()
+
+
+class TestPQTopk:
+    def test_full_codebook_degrades_to_exact_l2(self, spark):
+        """With every vector sampled as a sub-centroid, each vector encodes
+        to its own sub-vectors, so ADC distance == exact squared L2 and
+        pq_topk must equal brute-force L2 top-k (the PQ analogue of IVF's
+        n_probe == n_lists parity)."""
+        rows, df = _vectors(spark, n=12, dim=8)
+        import numpy as np
+
+        books = similarity.sampled_pq_centroids(df, [r[0] for r in rows], m=2)
+        queries = df.filter(F.col("vec_id") < 3)
+        got = [
+            (r.query_id, r.rank, r.cand_id)
+            for r in similarity.pq_topk(queries, df, books, k=4).collect()
+        ]
+        by32 = {vid: np.array(v, dtype=np.float32).astype(np.float64) for vid, v in rows}
+        want = []
+        for q in range(3):
+            d = sorted(
+                (round(float(((by32[q] - by32[c]) ** 2).sum()), 6), c)
+                for c in by32
+                if c != q
+            )
+            want += [(q, i + 1, c) for i, (_, c) in enumerate(d[:4])]
+        assert sorted(got) == sorted(want)
+
+    def test_precomputed_codes_path_matches_inline(self, spark):
+        _, df = _vectors(spark, n=15, dim=8)
+        books = similarity.sampled_pq_centroids(df, [1, 4, 8, 13], m=2)
+        queries = df.filter(F.col("vec_id") < 2)
+        inline = sorted(map(tuple, similarity.pq_topk(queries, df, books, k=3).collect()))
+        codes = similarity.pq_encode(df, books)
+        reused = sorted(
+            map(tuple, similarity.pq_topk(queries, df, books, k=3, codes=codes).collect())
+        )
+        assert inline == reused
+
+    def test_trained_codebooks_recall(self, spark):
+        """KMeans-trained codebooks (the scale path) must place the true
+        nearest neighbor inside ADC top-5 for most queries — a loose
+        recall floor that catches broken training/encoding wiring without
+        pinning KMeans internals."""
+        rows, df = _vectors(spark, n=40, dim=8, seed=3)
+        books = similarity.train_pq_centroids(df, m=2, k=8, seed=1)
+        assert len(books) == 2 and len(books[0]) == 8 and len(books[0][0]) == 4
+        queries = df.filter(F.col("vec_id") < 8)
+        import numpy as np
+
+        by32 = {vid: np.array(v, dtype=np.float32).astype(np.float64) for vid, v in rows}
+        hits = 0
+        got = similarity.pq_topk(queries, df, books, k=5).collect()
+        for q in range(8):
+            true_nn = min(
+                ((float(((by32[q] - by32[c]) ** 2).sum()), c) for c in by32 if c != q)
+            )[1]
+            approx = {r.cand_id for r in got if r.query_id == q}
+            hits += true_nn in approx
+        assert hits >= 5, f"recall@5 too low: {hits}/8"
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_dsir(raw, tgt, n_buckets):
+    """Pure-Python DSIR reference over (id, text) lists."""
+
+    def feats(text):
+        toks = [t for t in "".join(c if c.isalnum() or c == " " else " " for c in text.lower()).split() if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket_counts(docs):
+        counts: dict[int, int] = {}
+        per_doc = {}
+        for did, text in docs:
+            bs = [_md5_60(f) % n_buckets for f in feats(text)]
+            per_doc[did] = bs
+            for b in bs:
+                counts[b] = counts.get(b, 0) + 1
+        return counts, per_doc
+
+    rc, raw_bs = bucket_counts(raw)
+    tc, _ = bucket_counts(tgt)
+    rt, tt = sum(rc.values()), sum(tc.values())
+    scores = {}
+    for did, bs in raw_bs.items():
+        if not bs:
+            continue
+        lw = [
+            math.log((tc.get(b, 0) + 1.0) / (tt + n_buckets))
+            - math.log((rc[b] + 1.0) / (rt + n_buckets))
+            for b in bs
+        ]
+        scores[did] = (len(bs), round(sum(lw) / len(lw), 6))
+    return scores
+
+
+RAW = [
+    (0, "the cat sat on the mat and the dog barked"),
+    (1, "le chat est sur le tapis et le chien"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "der hund ist unter dem tisch und die katze"),
+    (4, "a dog and a cat played on the mat"),
+    (5, ""),  # zero tokens -> unscored
+]
+TGT = [(100, "the cat and the dog on the mat"), (101, "the fox and the lazy dog")]
+
+
+class TestDSIR:
+    def test_logratio_matches_reference(self, spark):
+        raw = spark.createDataFrame(RAW, "doc_id long, text string")
+        tgt = spark.createDataFrame(TGT, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_feats, r.dsir_logratio)
+            for r in selection.dsir_logratio(raw, tgt, n_buckets=32).collect()
+        }
+        assert got == _ref_dsir(RAW, TGT, 32)
+
+    def test_target_like_docs_score_higher(self, spark):
+        # 256 buckets: enough hash space that the en/fr/de vocabularies
+        # don't collide into shared buckets (at B=32 they measurably do)
+        raw = spark.createDataFrame(RAW, "doc_id long, text string")
+        tgt = spark.createDataFrame(TGT, "doc_id long, text string")
+        s = {
+            r.doc_id: r.dsir_logratio
+            for r in selection.dsir_logratio(raw, tgt, n_buckets=256).collect()
+        }
+        # English docs sharing target vocabulary must outscore the French
+        # and German docs that share none of it
+        assert min(s[0], s[2], s[4]) > max(s[1], s[3])
+
+    def test_sample_is_deterministic_topk(self, spark):
+        raw = spark.createDataFrame(RAW, "doc_id long, text string")
+        tgt = spark.createDataFrame(TGT, "doc_id long, text string")
+        a = sorted(r.doc_id for r in selection.dsir_sample(raw, tgt, k=3, n_buckets=32).collect())
+        b = sorted(r.doc_id for r in selection.dsir_sample(raw, tgt, k=3, n_buckets=32).collect())
+        assert a == b and len(a) == 3
+        # and the selected set is exactly the top-3 by the reference keys
+        scores = _ref_dsir(RAW, TGT, 32)
+        keys = {}
+        for did, (_, lw) in scores.items():
+            u = (_md5_60(f"dsir|{did}") + 0.5) / float(1 << 60)
+            keys[did] = (round(lw + -math.log(-math.log(u)), 6), -did)
+        want = sorted(sorted(keys, key=lambda d: keys[d], reverse=True)[:3])
+        assert a == want
+
+    def test_seed_changes_selection_keys(self, spark):
+        raw = spark.createDataFrame(RAW, "doc_id long, text string")
+        tgt = spark.createDataFrame(TGT, "doc_id long, text string")
+        a = {r.doc_id: r.sample_key for r in selection.dsir_sample(raw, tgt, k=5, n_buckets=32, seed="s1").collect()}
+        b = {r.doc_id: r.sample_key for r in selection.dsir_sample(raw, tgt, k=5, n_buckets=32, seed="s2").collect()}
+        shared = set(a) & set(b)
+        assert shared and any(a[d] != b[d] for d in shared)

@@ -684,6 +684,43 @@ def test_cli_date_range_and_urls(capsys):
     ]
 
 
+def test_cli_select_dsir(spark, tmp_path, capsys):
+    """The select subcommand end-to-end: DSIR scoring of all docs, then
+    Gumbel top-k sampling, with the target given as the in-corpus lang
+    subset."""
+    from epss_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and the dog barked", "en"),
+            (1, "le chat est sur le tapis et le chien", "fr"),
+            (2, "the quick brown fox jumps over the lazy dog", "en"),
+            (3, "der hund ist unter dem tisch und die katze", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "scores")
+    rc = main(["select", "--input", src, "--output", out,
+               "--target-lang", "en", "--n-buckets", "256"])
+    assert rc == 0
+    scores = {r.doc_id: r.dsir_logratio for r in spark.read.parquet(out).collect()}
+    assert len(scores) == 4
+    assert min(scores[0], scores[2]) > max(scores[1], scores[3])
+    assert "4 docs -> 4 scored" in capsys.readouterr().out
+
+    out2 = str(tmp_path / "sample")
+    rc = main(["select", "--input", src, "--output", out2,
+               "--target-lang", "en", "--n-buckets", "256", "-k", "2"])
+    assert rc == 0
+    assert spark.read.parquet(out2).count() == 2
+    assert "4 docs -> 2 sampled" in capsys.readouterr().out
+
+    # no target spec is a usage error, not a traceback
+    assert main(["select", "--input", src, "--output", out]) == 2
+
+
 def test_cli_prep_ops(spark, tmp_path, capsys):
     """The prep subcommand end-to-end: redact, chunk, and pack over the
     same tiny corpus, each writing a parquet the engine can re-read."""
