@@ -35,6 +35,8 @@ HEADLINE = [
     "pack_sequences",  # greedy packing (bucketed applyInPandas, int-only crossing)
     "dedup_lines",  # corpus-level line dedup (hash-agg first occurrence)
     "search_bm25",  # lexical retrieval (zero-shuffle, broadcast stats)
+    "sample_dsir",  # DSIR selection (2 bounded stats jobs + zero-shuffle scoring)
+    "ann_pq_topk",  # PQ ADC search (inline encode, broadcast queries)
 ]
 
 # Headline workload scale-up (PERF.md bench protocol, round 5): sf0.1

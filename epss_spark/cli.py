@@ -299,16 +299,20 @@ def main(argv: list[str] | None = None) -> int:
         from epss_spark.operators import selection as sel_ops
 
         docs = spark.read.parquet(args.input)
+        target, pred = None, None
         if args.target:
             target = spark.read.parquet(args.target)
         elif args.target_lang:
-            target = docs.filter(F.col("lang") == args.target_lang)
+            # in-corpus target subset: the predicate form computes both
+            # feature distributions in ONE corpus pass
+            pred = F.col("lang") == args.target_lang
         else:
             print("select: need --target or --target-lang", file=sys.stderr)
             return 2
         if args.k is None:
             out = sel_ops.dsir_logratio(
-                docs, target, args.n_buckets, args.id_col, args.text_col
+                docs, target, args.n_buckets, args.id_col, args.text_col,
+                target_pred=pred,
             )
         else:
             out = sel_ops.dsir_sample(
@@ -319,6 +323,7 @@ def main(argv: list[str] | None = None) -> int:
                 seed=args.seed,
                 id_col=args.id_col,
                 text_col=args.text_col,
+                target_pred=pred,
             )
         out.write.mode("overwrite").parquet(args.output)
         n_in = docs.count()

@@ -84,11 +84,25 @@ def hashed_features(
     )
 
 
+def _bucket_rows(docs: DataFrame, n_buckets: int, text_col: str, *keep: str) -> DataFrame:
+    """One row per feature OCCURRENCE carrying only the integer bucket id
+    (plus `keep` columns). The md5 bucketing runs INSIDE the per-row
+    transform, BEFORE the explode — exploding the feature strings and
+    hashing per exploded row materializes millions of UTF8 rows and
+    measured 5x slower at bench scale (6.3 s vs 1.2 s on 8M features)."""
+    f = _with_features(docs, text_col, *keep)
+    return f.select(
+        *keep,
+        F.explode(F.transform(F.col("__feats"), lambda x: _bucket(x, n_buckets))).alias("b"),
+    )
+
+
 def dsir_bucket_weights(
     raw_docs: DataFrame,
-    target_docs: DataFrame,
+    target_docs: DataFrame | None = None,
     n_buckets: int = 1024,
     text_col: str = "text",
+    target_pred: Column | None = None,
 ) -> tuple[dict[int, float], float]:
     """The DSIR importance model: bucket -> add-one-smoothed
     log-likelihood ratio
@@ -97,21 +111,42 @@ def dsir_bucket_weights(
       - ln((raw_count[b]    + 1) / (raw_total    + n_buckets))
 
     plus the default weight for buckets unseen in BOTH corpora (count 0
-    on each side). One aggregation job per corpus, <= n_buckets rows
-    collected each — the model is driver-resident by design (it is the
-    artifact a production run persists alongside the codebook/centroid
-    models)."""
-    def counts(docs: DataFrame) -> dict[int, int]:
+    on each side). The target is EITHER a separate frame (`target_docs`)
+    or, when the target is a subset of the raw corpus, a row predicate
+    (`target_pred`, e.g. F.col("lang") == "en") — the predicate form
+    computes both distributions in ONE corpus pass (a flag column riding
+    the bucket stream into a single conditional aggregation) instead of
+    tokenizing the corpus twice. <= n_buckets rows collected — the model
+    is driver-resident by design (it is the artifact a production run
+    persists alongside the codebook/centroid models)."""
+    if (target_docs is None) == (target_pred is None):
+        raise ValueError("dsir_bucket_weights: pass exactly one of target_docs / target_pred")
+
+    if target_pred is not None:
+        staged = raw_docs.withColumn("__is_t", target_pred.cast("long"))
         rows = (
-            _with_features(docs, text_col)
-            .select(F.explode("__feats").alias("f"))
-            .groupBy(_bucket(F.col("f"), n_buckets).alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
+            _bucket_rows(staged, n_buckets, text_col, "__is_t")
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("rc"), F.sum("__is_t").alias("tc"))
             .collect()
         )
-        return {r.b: r.c for r in rows}
-
-    rc, tc = counts(raw_docs), counts(target_docs)
+        rc = {r.b: r.rc for r in rows}
+        tc = {r.b: r.tc for r in rows if r.tc}
+    else:
+        rc = {
+            r.b: r.c
+            for r in _bucket_rows(raw_docs, n_buckets, text_col)
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        tc = {
+            r.b: r.c
+            for r in _bucket_rows(target_docs, n_buckets, text_col)
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
     rt, tt = sum(rc.values()), sum(tc.values())
     weights = {
         b: math.log((tc.get(b, 0) + 1.0) / (tt + n_buckets))
@@ -129,6 +164,7 @@ def dsir_logratio(
     id_col: str = "doc_id",
     text_col: str = "text",
     weights: tuple[dict[int, float], float] | None = None,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance score: the mean, over the document's
     hashed features, of the bucket's log-likelihood ratio. Positive =
@@ -145,9 +181,11 @@ def dsir_logratio(
     retrieval.bm25_topk, same bounded-collect class as the IVF centroid
     fetch)."""
     if weights is None:
-        if target_docs is None:
-            raise ValueError("dsir_logratio: need target_docs or frozen weights=")
-        weights = dsir_bucket_weights(raw_docs, target_docs, n_buckets, text_col)
+        if target_docs is None and target_pred is None:
+            raise ValueError("dsir_logratio: need target_docs/target_pred or frozen weights=")
+        weights = dsir_bucket_weights(
+            raw_docs, target_docs, n_buckets, text_col, target_pred=target_pred
+        )
     wdict, default = weights
     # dense array literal indexed by bucket id — element_at is O(1) per
     # feature, unlike a literal-map lookup (GetMapValue linear-scans the
@@ -158,7 +196,18 @@ def dsir_logratio(
 
     def w_of(feat: Column) -> Column:
         return F.element_at(warr, (_bucket(feat, n_buckets) + 1).cast("int"))
-    toked = _with_features(raw_docs, text_col, id_col)
+    # Empty docs (0 features) are excluded by pre-filtering on
+    # normalize(text) != '' — exactly equivalent to n_feats > 0 (a doc
+    # has >= 1 token iff its squeezed normalized text is non-empty, and
+    # features >= tokens), and MUCH cheaper than filtering on the
+    # computed n_feats: a post-projection `.where(n_feats > 0)` is
+    # pushed to the scan with the whole tokenize+bigram tree inlined
+    # into the predicate (the token subtree appears 3x inside it),
+    # measured 7.3 s vs 1.4 s on the 20k-doc bench corpus. The pushed
+    # normalize-only predicate is one regex pass.
+    from epss_spark.operators.text import normalize
+
+    toked = _with_features(raw_docs.where(normalize(text_col) != ""), text_col, id_col)
     n = F.size("__feats")
     total = F.aggregate(
         F.transform(F.col("__feats"), w_of), F.lit(0.0), lambda acc, v: acc + v
@@ -167,7 +216,7 @@ def dsir_logratio(
         id_col,
         n.alias("n_feats"),
         F.round(total / n, 6).alias("dsir_logratio"),
-    ).where(F.col("n_feats") > 0)
+    )
 
 
 def gumbel_key(logw: Column, id_col: Column, seed: str = "dsir") -> Column:
@@ -191,6 +240,7 @@ def dsir_sample(
     id_col: str = "doc_id",
     text_col: str = "text",
     weights: tuple[dict[int, float], float] | None = None,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """DSIR selection ACTION: the k documents sampled (without
     replacement, proportionally to their importance weights) via
@@ -199,7 +249,9 @@ def dsir_sample(
     docs. The ordering key is ROUNDED before ranking (ties broken by
     id) so the selected set is identical across engines; orderBy+limit
     compiles to TakeOrderedAndProject — no global sort at scale."""
-    scored = dsir_logratio(raw_docs, target_docs, n_buckets, id_col, text_col, weights)
+    scored = dsir_logratio(
+        raw_docs, target_docs, n_buckets, id_col, text_col, weights, target_pred=target_pred
+    )
     keyed = scored.withColumn(
         "sample_key", F.round(gumbel_key(F.col("dsir_logratio"), F.col(id_col), seed), 6)
     )

@@ -1,0 +1,233 @@
+"""Mergeable distinct-count sketches: an engine-portable HyperLogLog.
+
+HLL (Flajolet et al. 2007) is THE approximate-distinct structure for
+100 TB analytics: per group it keeps m = 2^b max-of-rho registers, so
+cardinality state is bounded at m small ints per group no matter how many
+rows stream through, the aggregation is map-side combinable, and two
+sketches merge by elementwise max — the shape that makes incremental /
+cross-partition distinct counts O(registers) instead of O(distinct).
+
+Spark's built-in approx_count_distinct is the same algorithm but its
+hash (xxhash64 into a private register layout) is not reproducible in
+other engines. This implementation derives registers from the codebase's
+engine-portable md5-prefix hash (operators/dedup.py::_md5_60bit) and
+keeps EVERY intermediate exact:
+
+- register index j = top b bits of the 60-bit hash; rho = leading-zero
+  rank of the remaining wb = 60-b bits (bit_length via length(bin(w)) —
+  identical string semantics in Spark and DuckDB; no float log2, whose
+  boundary rounding differs per libm).
+- the harmonic sum is computed as an INTEGER: sum of 2^(wb+1 - M_j)
+  (each term a dyadic power, the total < 2^62 for b >= 9) — summation
+  order cannot perturb it, unlike a float sum of 2^-M.
+- the only floats are the final alpha*m^2*2^(wb+1)/S division and the
+  small-range linear-counting ln, rounded to 4 dp (the cross-engine
+  contract used across this codebase).
+
+So the estimate is bit-for-bit reproducible across engines and checkable
+against a DuckDB oracle (agg_hll_distinct) — unusual for a sketch, and
+exactly why it can sit in the driver-verified surface.
+
+No counterpart in the reference (epss/ has no approximate aggregates);
+extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from epss_spark.operators.dedup import _md5_60bit
+
+
+def _alpha(m: int) -> float:
+    # standard bias constants; m >= 128 uses the asymptotic formula
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 9,
+) -> DataFrame:
+    """The sketch TABLE: (group..., j, M) with at most m = 2^b register
+    rows per group — the artifact to persist for incremental distinct
+    counting (tonight's append sketches merge into it with hll_merge;
+    nothing ever re-reads history). One map-side-combinable aggregation:
+    the shuffle carries <= m rows per (task, group)."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"hll_registers: b={b} outside [4, 16]")
+    wb = 60 - b
+    h = _md5_60bit(F.col(value_col).cast("string"))
+    j = F.shiftright(h, wb)
+    w = h.bitwiseAND(F.lit((1 << wb) - 1))
+    rho = F.when(w == F.lit(0), F.lit(wb + 1)).otherwise(
+        F.lit(wb + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, j.alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_merge(*sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union sketches by elementwise register max — the lossless HLL
+    merge: estimate(merge(A, B)) == estimate(sketch(A ∪ B)) EXACTLY
+    (register tables are deterministic, so this is an equality, not an
+    approximation — pinned by test)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "j").agg(F.max("M").alias("M"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    b: int = 9,
+    out_col: str = "hll_distinct",
+) -> DataFrame:
+    """Cardinality estimate from a register table: alpha_m * m^2 / Z with
+    the small-range linear-counting correction (E <= 2.5m and empty
+    registers present -> m*ln(m/zeros)). The harmonic sum rides as an
+    exact BIGINT (see module docstring); relative error ~1.04/sqrt(m)
+    (4.6% at b=9). Output rounded to 4 dp."""
+    m = 1 << b
+    wb = 60 - b
+    scale = float(1 << (wb + 1))
+    am2 = _alpha(m) * m * m
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {wb + 1} - M)")).alias("__s"),
+        F.count(F.lit(1)).alias("__nz"),
+    )
+    z = F.lit(m) - F.col("__nz")
+    s_full = (F.col("__s") + z.cast("long") * F.lit(1 << (wb + 1))).cast("double")
+    e_raw = F.lit(am2) * F.lit(scale) / s_full
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (z > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / z.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 4).alias(out_col))
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 9,
+    out_col: str = "hll_distinct",
+) -> DataFrame:
+    """Per-group approximate distinct count: sketch + estimate in one
+    call. Use hll_registers/hll_estimate separately when the sketch
+    itself is the artifact (incremental pipelines)."""
+    return hll_estimate(
+        hll_registers(df, group_cols, value_col, b), group_cols, b, out_col
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — broadcastable set membership
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(value, m: int, k: int):
+    """k md5-derived bit positions for one value expression (lazy list of
+    Column ints in [0, m))."""
+    return [
+        _md5_60bit(F.concat(F.lit(f"bloom{i}|"), value)) % m for i in range(k)
+    ]
+
+
+def bloom_build(
+    values: DataFrame, value_col: str, m: int = 1 << 14, k: int = 3
+) -> dict[int, int]:
+    """Build an m-bit Bloom filter over a column: word-index -> 64-bit
+    word, collected to the driver (m/64 longs — 2 KB at the default
+    m=2^14, bounded by construction like the DSIR weight model). The
+    aggregation is a groupBy(word) bit_or — map-side combinable, at most
+    m/64 result rows regardless of input size."""
+    if m % 64 or m <= 0:
+        raise ValueError(f"bloom_build: m={m} must be a positive multiple of 64")
+    pos = F.explode(F.array(*_bloom_positions(F.col(value_col), m, k))).alias("p")
+    rows = (
+        values.where(F.col(value_col).isNotNull())
+        .select(pos)
+        .select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m1"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m1").alias("bits"))
+        .collect()
+    )
+    return {r.w: r.bits for r in rows}
+
+
+def bloom_member(value, sketch: dict[int, int], m: int, k: int = 3):
+    """Membership test expression: ALL k bits set. The sketch rides as a
+    constant-folded literal long array (m/64 elements) — element_at +
+    bit_get per position, O(1) each, zero joins. False positives at the
+    standard Bloom rate (fill^k); NO false negatives — both properties
+    deterministic given the data, so results are engine-reproducible."""
+    words = F.array(*[F.lit(sketch.get(w, 0)) for w in range(m // 64)])
+    cond = None
+    for p in _bloom_positions(value, m, k):
+        hit = (
+            F.bit_get(
+                F.element_at(words, (F.shiftright(p, 6) + 1).cast("int")),
+                (p % 64).cast("int"),
+            )
+            == 1
+        )
+        cond = hit if cond is None else (cond & hit)
+    return cond
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    m: int = 1 << 14,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination via a Bloom sketch of the benchmark's
+    shingle set: per corpus document, the fraction of its distinct
+    3-gram shingles that the filter reports as benchmark shingles —
+    an UPPER BOUND on dedup.benchmark_contamination's exact fraction
+    (no false negatives; pinned by test).
+
+    The 100 TB story vs the exact operator: the exact path broadcasts
+    the full benchmark shingle strings (MBs); the Bloom path ships m/64
+    longs (2 KB at m=2^14, 128 KB at m=2^20) folded into the plan, and
+    the corpus pass is a PURE PROJECTION — membership is a fold over
+    each document's shingle array, zero joins, zero shuffles, nothing
+    corpus-sized moves. Flag-then-verify: docs over threshold go to the
+    exact check, everything else never shuffles."""
+    from epss_spark.operators.text import with_shingles
+
+    sketch = bloom_build(
+        with_shingles(bench_docs, id_col, text_col).select(
+            F.explode("shingles").alias("sh")
+        ),
+        "sh",
+        m,
+        k,
+    )
+    sh = with_shingles(docs, id_col, text_col)
+    hits = F.size(F.filter("shingles", lambda s: bloom_member(s, sketch, m, k)))
+    n = F.size("shingles")
+    return sh.select(
+        id_col,
+        n.alias("n_shingles"),
+        F.round(hits.cast("double") / n, 6).alias("bloom_frac"),
+    )

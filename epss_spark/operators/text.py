@@ -218,7 +218,12 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(id_col, F.md5(normalize(text_col)).alias("fp"))
 
 
-def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Corpus-unigram language-model score per document: the mean token
     log-probability avg_t ln(count(t) / total_tokens) under the corpus's
     own unigram distribution — the cheap KenLM-perplexity proxy used to
@@ -243,7 +248,7 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
     tok = (
         ensure_parallelism(docs)
-        .select(id_col, F.explode_outer(tokens(text_col)).alias("tok"))
+        .select(id_col, *carry_cols, F.explode_outer(tokens(text_col)).alias("tok"))
         .where(F.col("tok").isNotNull())
     )
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -251,7 +256,7 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return (
         tok.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
-        .groupBy(id_col)
+        .groupBy(id_col, *carry_cols)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
@@ -259,6 +264,56 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
             ).alias("avg_logprob"),
         )
     )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): per language, split documents into quality
+    tertiles — head / middle / tail — by their LM score, here the
+    corpus-unigram perplexity proxy `unigram_logprob` (CCNet uses a
+    wiki-trained KenLM; the bucketing mechanics are identical). Returns
+    (id, lang, n_tokens, avg_logprob, ppl_bucket[1=head..n=tail],
+    label[head/middle/tail when n_buckets=3]).
+
+    Scale shape — deliberately NOT ntile: an ntile window would sort
+    every document of a language on one task chain (languages are FEW
+    and HUGE — the worst window-skew shape there is). Instead the
+    per-language quantile CUTOFFS are computed with the exact
+    `percentile` aggregate — its state is a (value -> count) map and
+    avg_logprob is 6-dp-rounded, so distinct values (and therefore
+    state) are bounded regardless of corpus size — and the tiny
+    (one row per language) cutoff table is broadcast back; labeling is
+    a comparison projection. Cutoffs are rounded to 6 dp so the
+    score >= cutoff comparisons are discrete and engine-stable."""
+    scored = unigram_logprob(docs, id_col, text_col, carry_cols=(lang_col,))
+    qs = [i / n_buckets for i in range(1, n_buckets)]  # ascending
+    cuts = scored.groupBy(lang_col).agg(
+        *[
+            F.round(F.percentile(F.col("avg_logprob"), F.lit(q)), 6).alias(f"__q{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    out = scored.join(F.broadcast(cuts), lang_col)
+    # bucket 1 = head (score >= highest cutoff) ... n = tail
+    n_above = sum(
+        (F.col("avg_logprob") >= F.col(f"__q{i}")).cast("int") for i in range(len(qs))
+    )
+    bucket = (F.lit(n_buckets) - n_above).alias("ppl_bucket")
+    cols = [id_col, lang_col, "n_tokens", "avg_logprob", bucket]
+    if n_buckets == 3:
+        cols.append(
+            F.when(F.col("avg_logprob") >= F.col("__q1"), "head")
+            .when(F.col("avg_logprob") >= F.col("__q0"), "middle")
+            .otherwise("tail")
+            .alias("label")
+        )
+    return out.select(*cols)
 
 
 def top_ngrams(

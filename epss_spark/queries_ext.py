@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from epss_spark.operators import dedup, prep, retrieval, selection, similarity, text
+from epss_spark.operators import dedup, prep, retrieval, selection, similarity, sketches, text
 from epss_spark.queries_core import T
 from epss_spark.registry import register
 
@@ -1494,7 +1494,7 @@ def sample_dsir(spark, sf_dir):
     signal of Xie et al. 2023. No reference counterpart; extension tier."""
     docs = T(spark, sf_dir, "documents")
     return selection.dsir_logratio(
-        docs, docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_B
+        docs, n_buckets=_DSIR_B, target_pred=F.col("lang") == "en"
     )
 
 
@@ -1521,5 +1521,135 @@ def sample_dsir_topk(spark, sf_dir):
     noise, reproducible across runs and engines)."""
     docs = T(spark, sf_dir, "documents")
     return selection.dsir_sample(
-        docs, docs.filter(F.col("lang") == "en"), k=150, n_buckets=_DSIR_B
+        docs, k=150, n_buckets=_DSIR_B, target_pred=F.col("lang") == "en"
     )
+
+
+@register(
+    "text_ppl_buckets",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    scored AS (
+      SELECT doc_id, lang, COUNT(*) AS n_tokens,
+             round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+      FROM tok JOIN vocab USING (tok), tot
+      GROUP BY doc_id, lang
+    ),
+    cuts AS (
+      SELECT lang,
+             round(quantile_cont(avg_logprob, {1 / 3!r}), 6) AS q0,
+             round(quantile_cont(avg_logprob, {2 / 3!r}), 6) AS q1
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens, s.avg_logprob,
+           3 - (CASE WHEN s.avg_logprob >= c.q0 THEN 1 ELSE 0 END
+              + CASE WHEN s.avg_logprob >= c.q1 THEN 1 ELSE 0 END) AS ppl_bucket,
+           CASE WHEN s.avg_logprob >= c.q1 THEN 'head'
+                WHEN s.avg_logprob >= c.q0 THEN 'middle'
+                ELSE 'tail' END AS label
+    FROM scored s JOIN cuts c USING (lang)
+    """,
+)
+def text_ppl_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity tertiles (operators/text.py::
+    ppl_buckets): head/middle/tail quality strata from the corpus-unigram
+    LM proxy, cutoffs via the exact percentile aggregate broadcast back —
+    no per-language ntile sort (the worst window-skew shape: few, huge
+    partitions)."""
+    return text.ppl_buckets(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hll_distinct",
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM lineitem WHERE l_orderkey IS NOT NULL
+    ),
+    r AS (
+      SELECT l_returnflag, hv >> 51 AS j,
+             max(CASE WHEN (hv & 2251799813685247) = 0 THEN 52
+                      ELSE 52 - length(bin(hv & 2251799813685247)) END) AS M
+      FROM h GROUP BY l_returnflag, hv >> 51
+    ),
+    a AS (
+      SELECT l_returnflag,
+             sum(CAST(1 AS BIGINT) << (52 - M)) AS s, count(*) AS nz
+      FROM r GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round(CASE WHEN (CAST(188686.82445861166 AS DOUBLE) * 4503599627370496e0
+                            / CAST(s + (512 - nz) * CAST(4503599627370496 AS BIGINT) AS DOUBLE)) <= 1280.0
+                       AND nz < 512
+                 THEN 512e0 * ln(512e0 / (512 - nz))
+                 ELSE CAST(188686.82445861166 AS DOUBLE) * 4503599627370496e0
+                      / CAST(s + (512 - nz) * CAST(4503599627370496 AS BIGINT) AS DOUBLE) END, 4) AS hll_distinct
+    FROM a
+    """,
+)
+def agg_hll_distinct(spark, sf_dir):
+    """Engine-portable HyperLogLog distinct (operators/sketches.py):
+    md5-derived registers, integer-exact harmonic sum — an approximate
+    aggregate that is nonetheless bit-for-bit oracle-checkable (see the
+    module docstring). Distinct orderkeys per returnflag at b=9
+    (m=512 registers, ~4.6%% expected error, verified against the exact
+    count in tests/test_sketches.py)."""
+    return sketches.hll_distinct(
+        T(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_orderkey", b=9
+    )
+
+
+@register(
+    "dedup_contamination_bloom",
+    f"""
+    WITH n AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM n),
+    bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 10),
+    bpos AS (
+      SELECT CAST(('0x' || substr(md5('bloom' || i || '|' || s), 1, 15)) AS BIGINT) % 16384 AS p
+      FROM bench CROSS JOIN (VALUES (0), (1), (2)) t(i)
+    ),
+    sketch AS (
+      -- DuckDB raises on 1::BIGINT << 63 (signed overflow); Spark's
+      -- shiftleft wraps to the sign bit — spell that value explicitly
+      SELECT p >> 6 AS w,
+             bit_or(CASE WHEN p % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT) END) AS bits
+      FROM bpos GROUP BY p >> 6
+    ),
+    cand AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cpos AS (
+      SELECT doc_id, s,
+             CAST(('0x' || substr(md5('bloom' || i || '|' || s), 1, 15)) AS BIGINT) % 16384 AS p
+      FROM cand CROSS JOIN (VALUES (0), (1), (2)) t(i)
+    ),
+    checks AS (
+      SELECT c.doc_id, c.s,
+             min(CASE WHEN (COALESCE(k.bits, 0) >> CAST(c.p % 64 AS INT)) & 1 = 1
+                 THEN 1 ELSE 0 END) AS member
+      FROM cpos c LEFT JOIN sketch k ON (c.p >> 6) = k.w
+      GROUP BY c.doc_id, c.s
+    )
+    SELECT ch.doc_id, len(sh.shingles) AS n_shingles,
+           round(CAST(sum(ch.member) AS DOUBLE) / len(sh.shingles), 6) AS bloom_frac
+    FROM checks ch JOIN sh ON ch.doc_id = sh.doc_id
+    GROUP BY ch.doc_id, len(sh.shingles)
+    """,
+)
+def dedup_contamination_bloom(spark, sf_dir):
+    """Bloom-sketch decontamination (operators/sketches.py::
+    bloom_contamination): the benchmark shingle set compressed to a
+    2 KB bit array folded into the plan; the corpus pass is a pure
+    zero-shuffle projection (fold over each doc's shingle array). Upper
+    bound of dedup_contamination's exact fraction (no false negatives —
+    pinned by test); flag-then-verify at 100 TB."""
+    docs = T(spark, sf_dir, "documents")
+    return sketches.bloom_contamination(docs, docs.filter(F.col("doc_id") < 10))

@@ -128,7 +128,14 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "topk",
     "setop_union",
     "setop_except",
-    "dedup_exact",
+    # round-6 rotation: agg_hll_distinct (engine-portable HyperLogLog —
+    # an approximate-aggregate/sketch class nothing else on the surface
+    # represents, and unusually for a sketch it is bit-exact
+    # oracle-checkable) in place of dedup_exact, whose §2.9 U3 exact-dedup
+    # class stays driver-green via dedup_exact_docs (the same
+    # keep-one-per-duplicate-group primitive on the documents table);
+    # dedup_exact stays oracle-checked in the pytest tier
+    "agg_hll_distinct",
     "scalar_round",
     "json_parse_typed",
     "sql_single",

@@ -91,8 +91,9 @@ def main() -> None:
             #     keep a Gumbel-top-k importance sample. The weight model
             #     is two bounded stats jobs; scoring is a zero-shuffle
             #     projection (plan-pinned).
-            target = clean.filter(F.col("lang") == "en")
-            picked = selection.dsir_sample(clean, target, k=250, n_buckets=512)
+            picked = selection.dsir_sample(
+                clean, k=250, n_buckets=512, target_pred=F.col("lang") == "en"
+            )
             clean = clean.join(picked.select("doc_id"), "doc_id", "left_semi")
             print(f"after DSIR selection (k=250): {clean.count()}")
 

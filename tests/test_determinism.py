@@ -54,6 +54,9 @@ GENERATED = [
     # lookup expressions; DSIR top-k: md5-Gumbel keys over a float avg
     "ann_pq_topk",
     "sample_dsir_topk",
+    # Bloom contamination: collect-derived literal bit array + per-element
+    # membership lambdas must rebuild identically
+    "dedup_contamination_bloom",
 ]
 
 

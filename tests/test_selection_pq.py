@@ -217,3 +217,61 @@ class TestDSIR:
         b = {r.doc_id: r.sample_key for r in selection.dsir_sample(raw, tgt, k=5, n_buckets=32, seed="s2").collect()}
         shared = set(a) & set(b)
         assert shared and any(a[d] != b[d] for d in shared)
+
+
+class TestStreamingDSIR:
+    def test_frozen_weights_score_a_stream_like_a_batch(self, spark, tmp_path):
+        """dsir_logratio with a frozen weight model is a stateless
+        projection, so it applies to a STREAMING frame unchanged — the
+        one-pass nightly-append scoring path. availableNow over a parquet
+        source must produce exactly the batch scores."""
+        from epss_spark.operators import selection
+
+        src = str(tmp_path / "batch")
+        spark.createDataFrame(RAW, "doc_id long, text string").write.parquet(src)
+        batch = spark.read.parquet(src)
+        tgt = spark.createDataFrame(TGT, "doc_id long, text string")
+        weights = selection.dsir_bucket_weights(batch, tgt, n_buckets=64)
+
+        want = sorted(
+            map(tuple, selection.dsir_logratio(batch, weights=weights, n_buckets=64).collect())
+        )
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        out = selection.dsir_logratio(stream, weights=weights, n_buckets=64)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dsir_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.sql("SELECT * FROM dsir_stream").collect()))
+        assert got == want and len(got) == 5
+
+
+class TestPplBuckets:
+    def test_tertiles_are_monotone_and_balanced(self, spark):
+        from epss_spark.operators import text as text_ops
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = text_ops.ppl_buckets(docs).collect()
+        by_lang: dict = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append(r)
+        assert len(by_lang) >= 4
+        for lang, rows in by_lang.items():
+            # label <-> bucket mapping is consistent
+            for r in rows:
+                assert r.label == {1: "head", 2: "middle", 3: "tail"}[r.ppl_bucket], lang
+            # buckets are score-monotone: every head score >= every middle
+            # score >= every tail score
+            lo = {b: min(r.avg_logprob for r in rows if r.ppl_bucket == b) for b in (1, 2, 3)}
+            hi = {b: max(r.avg_logprob for r in rows if r.ppl_bucket == b) for b in (1, 2, 3)}
+            assert lo[1] >= hi[2] >= 0 - 1e18 and lo[2] >= hi[3], lang
+            # and roughly balanced (exact tertiles up to interpolation ties)
+            n = len(rows)
+            for b in (1, 2, 3):
+                cnt = sum(1 for r in rows if r.ppl_bucket == b)
+                assert abs(cnt - n / 3) <= 2, (lang, b, cnt, n)

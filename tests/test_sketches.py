@@ -1,0 +1,116 @@
+"""HyperLogLog sketch tests (operators/sketches.py): accuracy against
+exact distinct counts, the exact-merge law, and the linear-counting
+small-range branch. Cross-engine value parity is covered by the
+agg_hll_distinct DuckDB oracle (pytest tier / driver surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from epss_spark.operators import sketches
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_estimate_within_hll_error_bound(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.c
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("c"))
+        .collect()
+    }
+    est = {
+        r.l_returnflag: r.hll_distinct
+        for r in sketches.hll_distinct(li, ["l_returnflag"], "l_orderkey", b=9).collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        rel = abs(e - exact[k]) / exact[k]
+        # 1.04/sqrt(512) ~ 4.6% std error; 3 sigma ~ 14%
+        assert rel < 0.14, (k, e, exact[k], rel)
+
+
+def test_merge_equals_sketch_of_union_exactly(spark):
+    """The merge law is EXACT on register tables (not approximate):
+    max-merge of two partition sketches must equal the sketch of the
+    union, register for register — and therefore estimate for
+    estimate. This is what makes persisted sketches incrementally
+    updatable without touching history."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    sa = sketches.hll_registers(a, ["l_returnflag"], "l_orderkey")
+    sb = sketches.hll_registers(b, ["l_returnflag"], "l_orderkey")
+    merged = sketches.hll_merge(sa, sb, group_cols=["l_returnflag"])
+    full = sketches.hll_registers(li, ["l_returnflag"], "l_orderkey")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+    me = sorted(map(tuple, sketches.hll_estimate(merged, ["l_returnflag"]).collect()))
+    fe = sorted(map(tuple, sketches.hll_estimate(full, ["l_returnflag"]).collect()))
+    assert me == fe
+
+
+def test_linear_counting_branch_is_tight_at_low_cardinality(spark):
+    # 40 distinct values in 512 registers -> linear counting, which is
+    # near-exact at this fill factor
+    df = spark.range(4000).select((F.col("id") % 40).alias("v"), F.lit("g").alias("grp"))
+    est = sketches.hll_distinct(df, ["grp"], "v", b=9).collect()[0].hll_distinct
+    assert abs(est - 40) / 40 < 0.05, est
+
+
+def test_nulls_are_ignored_and_b_validated(spark):
+    df = spark.createDataFrame(
+        [("g", None), ("g", "a"), ("g", "b"), ("g", "a")], "grp string, v string"
+    )
+    est = sketches.hll_distinct(df, ["grp"], "v", b=9).collect()[0].hll_distinct
+    assert abs(est - 2) < 0.5
+    with pytest.raises(ValueError, match="b="):
+        sketches.hll_registers(df, ["grp"], "v", b=2)
+
+
+class TestBloom:
+    def test_no_false_negatives_vs_exact_contamination(self, spark):
+        """bloom_frac must DOMINATE the exact contamination fraction for
+        every document (a Bloom filter cannot miss a true member), and
+        at m=2^14 over the testdata benchmark set it should rarely
+        exceed it (fill is low, FP rate ~ fill^3)."""
+        from epss_spark.operators import dedup, sketches
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") < 10)
+        rest = docs.filter(F.col("doc_id") >= 10)
+        exact = {
+            r.doc_id: r.contamination_frac
+            for r in dedup.benchmark_contamination(rest, bench).collect()
+        }
+        bloom = {
+            r.doc_id: r.bloom_frac
+            for r in sketches.bloom_contamination(rest, bench).collect()
+        }
+        assert set(bloom) == set(exact)
+        fp_excess = 0
+        for did, bf in bloom.items():
+            # bloom_frac is rounded to 6 dp; allow the rounding quantum
+            assert bf >= exact[did] - 5.1e-7, (did, bf, exact[did])
+            fp_excess += bf - exact[did]
+        # aggregate false-positive mass stays small at this fill factor
+        assert fp_excess / len(bloom) < 0.02, fp_excess / len(bloom)
+
+    def test_benchmark_docs_self_report_full_contamination(self, spark):
+        from epss_spark.operators import sketches
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") < 10)
+        self_frac = {
+            r.doc_id: r.bloom_frac
+            for r in sketches.bloom_contamination(bench, bench).collect()
+        }
+        assert all(v == 1.0 for v in self_frac.values()), self_frac
+
+    def test_build_validates_m(self, spark):
+        from epss_spark.operators import sketches
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError, match="multiple of 64"):
+            sketches.bloom_build(df, "v", m=100)
