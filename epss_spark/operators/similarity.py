@@ -524,3 +524,103 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    coarse_centroids: list[list[float]],
+    pq_centroids: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ composite index search — the standard billion-scale ANN
+    layout (coarse inverted lists for pruning x product quantization for
+    scan compression): each query probes its n_probe nearest lists and
+    scores ONLY those lists' members by ADC over their PQ codes.
+
+    The persisted index artifact is (id, list_id, codes) — ~20 bytes per
+    vector vs 256 for raw 64-dim floats — written partitioned/bucketed
+    by list_id, so a query touches n_probe/n_lists of an already-64x-
+    compressed scan. Pass it via `index=` (built once with ivfpq_index);
+    otherwise it is derived inline. Queries ride broadcast with their
+    per-subspace distance tables; scoring is equi-join + array lookups +
+    a per-query top-k window — the same plan family as ivf_topk/pq_topk,
+    both plan-pinned. Codes quantize the RAW vectors (IVF-Flat+PQ); the
+    residual-encoding variant is a documented non-goal here because the
+    sampled-point codebooks that make the whole pipeline SQL-checkable
+    would no longer be shared verbatim with the oracle."""
+    m = len(pq_centroids)
+    if index is None:
+        index = ivfpq_index(candidates, coarse_centroids, pq_centroids, id_col, vec_col)
+    c = index.select(
+        F.col(id_col).alias("cand_id"), "list_id", F.col("codes").alias("__codes")
+    )
+    sub = len(pq_centroids[0][0])
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    _sub_d2(F.slice(F.col(vec_col), mi * sub + 1, sub), cent)
+                    for cent in pq_centroids[mi]
+                ]
+            )
+            for mi in range(m)
+        ]
+    )
+    dists = []
+    for i, cent in enumerate(coarse_centroids):
+        cc = F.array(*[F.lit(float(x)) for x in cent])
+        diff = F.zip_with(F.col(vec_col), cc, lambda a, b: a.cast("double") - b)
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    probe = F.slice(F.array_sort(F.array(*dists)), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        dtab.alias("__dtab"),
+        F.explode(F.transform(probe, lambda s: s["i"])).alias("list_id"),
+    )
+    ad2 = F.lit(0.0)
+    for mi in range(m):
+        ad2 = ad2 + F.element_at(F.col("__dtab")[mi], F.col("__codes")[mi] + 1)
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", F.round(ad2, 6).alias("ad2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ad2").asc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "ad2", "rank")
+    )
+
+
+def ivfpq_index(
+    candidates: DataFrame,
+    coarse_centroids: list[list[float]],
+    pq_centroids: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ index TABLE: (id, list_id, codes) — build once, write
+    partitioned by list_id, search forever. Pure codegen projection
+    (both assignments are plan-time-constant argmins), zero shuffle."""
+    sub = len(pq_centroids[0][0])
+    dim = len(pq_centroids) * sub
+    guard = _dim_guard(F.col(vec_col), dim, "ivfpq_index")
+    codes = F.array(
+        *[
+            _centroid_assign(F.slice(F.col(vec_col), mi * sub + 1, sub), pq_centroids[mi])
+            + guard
+            for mi in range(len(pq_centroids))
+        ]
+    )
+    return candidates.select(
+        F.col(id_col),
+        _centroid_assign(F.col(vec_col), coarse_centroids).alias("list_id"),
+        codes.alias("codes"),
+    )

@@ -231,3 +231,88 @@ def bloom_contamination(
         n.alias("n_shingles"),
         F.round(hits.cast("double") / n, 6).alias("bloom_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — bounded-memory frequency estimates
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    values: DataFrame, value_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over a value
+    stream: a (row, col, count) table with at most d*w rows TOTAL —
+    bounded frequency state no matter how many values stream through
+    (the hot-token counter that never needs the full vocabulary). All
+    integer arithmetic on md5-derived columns: the sketch is
+    deterministic and engine-identical.
+
+    Scale shape: d rows per input value, collapsed by map-side partial
+    aggregation to <= d*w per task before the one tiny shuffle. Sketches
+    MERGE BY ELEMENTWISE SUM exactly: cms(A ∪ B) == cms_merge(cms(A),
+    cms(B)) (pinned by test) — persist per-day sketches, sum them for
+    any window."""
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (_md5_60bit(F.concat(F.lit(f"cm{i}|"), F.col(value_col))) % w).alias("j"),
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("p")
+    return (
+        values.where(F.col(value_col).isNotNull())
+        .select(pos)
+        .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Exact sketch union: elementwise sum of counts."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("i", "j").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    out_col: str = "cms_count",
+) -> DataFrame:
+    """Point-query frequency estimates for candidate values: the min
+    over the d counters each value hashes to. Always >= the true count
+    (pinned); expected excess <= stream_length * e / w. The candidate
+    side carries its d (i, j) coordinates and equi-joins the tiny
+    sketch (AQE broadcasts it — <= d*w rows); missing cells count 0."""
+    cand = candidates.select(value_col).where(F.col(value_col).isNotNull()).distinct()
+    coords = cand.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (_md5_60bit(F.concat(F.lit(f"cm{i}|"), F.col(value_col))) % w).alias(
+                            "j"
+                        ),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select(value_col, F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+    return (
+        coords.join(sketch, ["i", "j"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(out_col))
+    )

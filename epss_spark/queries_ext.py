@@ -1653,3 +1653,110 @@ def dedup_contamination_bloom(spark, sf_dir):
     pinned by test); flag-then-verify at 100 TB."""
     docs = T(spark, sf_dir, "documents")
     return sketches.bloom_contamination(docs, docs.filter(F.col("doc_id") < 10))
+
+
+_CMS_CANDS = ("the", "a", "of", "and", "to", "in", "is", "it", "dup", "spark")
+_CMS_CAND_VALUES = ", ".join(f"('{t}')" for t in _CMS_CANDS)
+
+
+@register(
+    "agg_cms_counts",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    pos AS (
+      SELECT t.i,
+             CAST(('0x' || substr(md5('cm' || t.i || '|' || tok), 1, 15)) AS BIGINT) % 1024 AS j
+      FROM tok CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+    ),
+    cms AS (SELECT i, j, count(*) AS c FROM pos GROUP BY i, j),
+    cand AS (SELECT DISTINCT tok FROM (VALUES {_CMS_CAND_VALUES}) c(tok)),
+    cc AS (
+      SELECT cand.tok, t.i,
+             CAST(('0x' || substr(md5('cm' || t.i || '|' || cand.tok), 1, 15)) AS BIGINT) % 1024 AS j
+      FROM cand CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+    )
+    SELECT cc.tok, min(COALESCE(cms.c, 0)) AS cms_count
+    FROM cc LEFT JOIN cms ON cc.i = cms.i AND cc.j = cms.j
+    GROUP BY cc.tok
+    """,
+)
+def agg_cms_counts(spark, sf_dir):
+    """Count-Min frequency estimates (operators/sketches.py::cms_build/
+    cms_estimate): token occurrence counts from a 4x1024-cell sketch —
+    bounded-memory hot-token counting, deterministic and engine-identical
+    (all-integer md5 arithmetic), overestimate-only (pinned vs the exact
+    vocabulary in tests/test_sketches.py)."""
+    tok = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(text.tokens("text")).alias("tok"))
+    )
+    sketch = sketches.cms_build(tok, "tok", d=4, w=1024)
+    cand = spark.createDataFrame([(t,) for t in _CMS_CANDS], "tok string")
+    return sketches.cms_estimate(sketch, cand, "tok", d=4, w=1024)
+
+
+@register(
+    "ann_ivfpq_topk",
+    f"""
+    WITH cents AS (
+      SELECT t.i, e.embedding AS cv
+      FROM (VALUES {_IVF_CENT_VALUES}) t(i, cid)
+      JOIN embeddings e ON e.vec_id = t.cid
+    ),
+    sub AS (SELECT unnest(range(0, 4)) AS m),
+    asg AS (
+      SELECT cand_id, list_id FROM (
+        SELECT e.vec_id AS cand_id, c.i AS list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_D2}, c.i) AS arn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT e.vec_id, s.m, c.i AS code,
+               row_number() OVER (PARTITION BY e.vec_id, s.m ORDER BY {_PQ_SD2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN sub s CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT e.vec_id AS query_id, c.i AS list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_D2}, c.i) AS pr
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5
+      ) WHERE pr <= 2
+    ),
+    qd AS (
+      SELECT e.vec_id AS query_id, s.m, c.i, {_PQ_SD2} AS d2
+      FROM embeddings e CROSS JOIN sub s CROSS JOIN cents c
+      WHERE e.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.query_id, a.cand_id, round(sum(qd.d2), 6) AS ad2
+      FROM probes p
+      JOIN asg a ON p.list_id = a.list_id
+      JOIN enc e ON e.vec_id = a.cand_id
+      JOIN qd ON qd.query_id = p.query_id AND qd.m = e.m AND qd.i = e.code
+      WHERE p.query_id <> a.cand_id
+      GROUP BY p.query_id, a.cand_id
+    )
+    SELECT query_id, cand_id, ad2, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ad2, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite search (operators/similarity.py::ivfpq_topk):
+    coarse inverted-list pruning (n_probe=2 of 8 lists) over PQ-compressed
+    codes (4 sub-codes per 64-dim vector) — the billion-scale ANN index
+    shape; sampled-point centroids shared verbatim with the oracle for
+    both quantizers."""
+    emb = T(spark, sf_dir, "embeddings")
+    by_id = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(_IVF_CENT_IDS)).collect()
+    }
+    coarse = [by_id[cid] for cid in _IVF_CENT_IDS]
+    books = similarity.sampled_pq_centroids(emb, _IVF_CENT_IDS, m=4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_topk(queries, emb, coarse, books, k=5, n_probe=2)

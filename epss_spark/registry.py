@@ -78,8 +78,11 @@ DRIVER_SURFACE: tuple[str, ...] = (
     # importance-weighted data selection — a NEW selection class) in
     # place of scalar_dates (§2.10 held by scalar_round +
     # json_parse_typed); both demoted entries stay oracle-checked in the
-    # pytest tier
-    "ann_pq_topk",
+    # pytest tier. Later in round 6 the composite ann_ivfpq_topk
+    # (inverted-list pruning OVER the PQ codes — a strict superset of the
+    # pure-PQ machinery) took the PQ slot; ann_pq_topk stays
+    # oracle-checked in the pytest tier
+    "ann_ivfpq_topk",
     "sample_dsir",
     # round-6 rotation: search_bm25 is a NEW class (lexical retrieval —
     # no surfaced sibling exists) surfaced in place of scalar_strings,

@@ -57,6 +57,8 @@ GENERATED = [
     # Bloom contamination: collect-derived literal bit array + per-element
     # membership lambdas must rebuild identically
     "dedup_contamination_bloom",
+    # IVF-PQ: two sampled-centroid collects + probe/encode/ADC lambdas
+    "ann_ivfpq_topk",
 ]
 
 

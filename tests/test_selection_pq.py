@@ -275,3 +275,58 @@ class TestPplBuckets:
             for b in (1, 2, 3):
                 cnt = sum(1 for r in rows if r.ppl_bucket == b)
                 assert abs(cnt - n / 3) <= 2, (lang, b, cnt, n)
+
+
+class TestIVFPQ:
+    def test_full_probe_full_codebook_degrades_to_exact_l2(self, spark):
+        """With n_probe == n_lists AND every vector as its own sub-centroid,
+        IVF-PQ must equal brute-force L2 top-k — the composite of both
+        exactness-degradation identities."""
+        rows, df = _vectors(spark, n=10, dim=8)
+        import numpy as np
+
+        ids = [r[0] for r in rows]
+        by_id = {vid: [float(np.float32(x)) for x in v] for vid, v in rows}
+        coarse = [by_id[i] for i in ids[:4]]
+        books = similarity.sampled_pq_centroids(df, ids, m=2)
+        queries = df.filter(F.col("vec_id") < 3)
+        got = sorted(
+            (r.query_id, r.rank, r.cand_id)
+            for r in similarity.ivfpq_topk(
+                queries, df, coarse, books, k=3, n_probe=4
+            ).collect()
+        )
+        by32 = {vid: np.array(v, dtype=np.float32).astype(np.float64) for vid, v in rows}
+        want = []
+        for q in range(3):
+            d = sorted(
+                (round(float(((by32[q] - by32[c]) ** 2).sum()), 6), c)
+                for c in by32
+                if c != q
+            )
+            want += [(q, i + 1, c) for i, (_, c) in enumerate(d[:3])]
+        assert got == sorted(want)
+
+    def test_prebuilt_index_matches_inline(self, spark):
+        rows, df = _vectors(spark, n=14, dim=8)
+        import numpy as np
+
+        by_id = {vid: [float(np.float32(x)) for x in v] for vid, v in rows}
+        coarse = [by_id[i] for i in (0, 5, 9)]
+        books = similarity.sampled_pq_centroids(df, [1, 4, 8], m=2)
+        queries = df.filter(F.col("vec_id") < 2)
+        inline = sorted(
+            map(tuple, similarity.ivfpq_topk(queries, df, coarse, books, k=3).collect())
+        )
+        idx = similarity.ivfpq_index(df, coarse, books)
+        reused = sorted(
+            map(
+                tuple,
+                similarity.ivfpq_topk(queries, df, coarse, books, k=3, index=idx).collect(),
+            )
+        )
+        assert inline == reused
+        # index shape: every row has a valid list and m codes
+        for r in idx.collect():
+            assert 0 <= r.list_id < 3 and len(r.codes) == 2
+            assert all(0 <= c < 3 for c in r.codes)

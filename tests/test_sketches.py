@@ -114,3 +114,48 @@ class TestBloom:
         df = spark.createDataFrame([("a",)], "v string")
         with pytest.raises(ValueError, match="multiple of 64"):
             sketches.bloom_build(df, "v", m=100)
+
+
+class TestCountMin:
+    def test_estimates_dominate_exact_counts_tightly(self, spark):
+        from epss_spark.operators import sketches
+        from epss_spark.operators.text import tokens
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        tok = docs.select(F.explode(tokens("text")).alias("tok"))
+        exact = {r.tok: r.c for r in tok.groupBy("tok").agg(F.count("*").alias("c")).collect()}
+        sketch = sketches.cms_build(tok, "tok", d=4, w=1024)
+        cands = spark.createDataFrame([(t,) for t in list(exact)[:50]], "tok string")
+        est = {
+            r.tok: r.cms_count
+            for r in sketches.cms_estimate(sketch, cands, "tok", d=4, w=1024).collect()
+        }
+        n_stream = sum(exact.values())
+        for t, e in est.items():
+            assert e >= exact[t], (t, e, exact[t])  # never undercounts
+            # CM guarantee: excess <= e/w * N with prob 1-e^-d; allow 2x slack
+            assert e - exact[t] <= 2 * 2.72 * n_stream / 1024, (t, e, exact[t])
+
+    def test_merge_equals_sketch_of_union_exactly(self, spark):
+        from epss_spark.operators import sketches
+        from epss_spark.operators.text import tokens
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        a = tok.filter(F.col("doc_id") % 2 == 0).select("tok")
+        b = tok.filter(F.col("doc_id") % 2 == 1).select("tok")
+        merged = sketches.cms_merge(
+            sketches.cms_build(a, "tok"), sketches.cms_build(b, "tok")
+        )
+        full = sketches.cms_build(tok.select("tok"), "tok")
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    def test_unknown_value_estimates_near_zero(self, spark):
+        from epss_spark.operators import sketches
+
+        vals = spark.range(10000).select((F.col("id") % 500).cast("string").alias("v"))
+        sketch = sketches.cms_build(vals, "v", d=4, w=2048)
+        cand = spark.createDataFrame([("never-seen-token",)], "v string")
+        est = sketches.cms_estimate(sketch, cand, "v", d=4, w=2048).collect()[0].cms_count
+        # collisions only: expected ~ N/w per row, min over 4 rows smaller
+        assert est <= 3 * 10000 / 2048, est
