@@ -1042,6 +1042,161 @@ def dedup_batch_lines(
     return kept_docs, new_fps
 
 
+def span_dedup_reference(texts: dict, k: int) -> dict:
+    """Pure-Python executable spec for `dedup_spans` (the winnow_reference
+    pattern): given {id -> token list}, return {id -> surviving token
+    list}. A k-gram occurrence (id, pos) is a DUPLICATE iff the same
+    k-token sequence occurs elsewhere in the corpus and (id, pos) is not
+    its first occurrence in (id, pos) order; every token position covered
+    by a duplicate occurrence is removed. Tests assert the distributed
+    plan matches this value-for-value on fuzzed corpora."""
+    first: dict[tuple, tuple] = {}
+    occs: list[tuple] = []
+    for did in sorted(texts):
+        toks = texts[did]
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p : p + k])
+            occs.append((did, p, g))
+            first.setdefault(g, (did, p))
+    counts: dict[tuple, int] = {}
+    for _, _, g in occs:
+        counts[g] = counts.get(g, 0) + 1
+    covered: dict = {did: set() for did in texts}
+    for did, p, g in occs:
+        if counts[g] >= 2 and first[g] != (did, p):
+            covered[did].update(range(p, p + k))
+    return {
+        did: [t for i, t in enumerate(texts[did]) if i not in covered[did]]
+        for did in texts
+    }
+
+
+def dedup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    preserve_other_columns: bool = False,
+) -> DataFrame:
+    """Exact substring-span deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): remove every
+    duplicated >= k-token SPAN from the corpus while KEEPING the documents
+    — the operation between line dedup (drops exact repeated lines) and
+    pair flagging (winnow_overlap_pairs reports but does not edit). The
+    paper uses a suffix array on one machine; the distributed equivalent
+    is k-gram fingerprint grouping: a span duplicated verbatim anywhere
+    contains a duplicated k-gram at every offset, so removing all token
+    positions covered by non-first duplicate k-gram occurrences removes
+    exactly the duplicated spans (the maximal duplicated region around
+    each occurrence, matching the paper's span semantics).
+
+    Semantics (keep-first, in (id, token-position) order): operate on the
+    NORMALIZED token stream (operators/text.py::tokens — span identity is
+    token-level, as in the paper). For each doc and each 1-based position
+    p <= n-k+1, the k-gram is toks[p..p+k-1], fingerprinted md5 of the
+    space-joined tokens (engine-portable). An occurrence is a duplicate
+    iff its fingerprint occurs >= 2 times corpus-wide and it is not the
+    min(struct(id, pos)) first occurrence. Token positions covered by any
+    duplicate occurrence drop; survivors are re-joined with single spaces.
+    Returns (id, text, n_tokens_kept); a doc whose every token is covered
+    — and any doc with no tokens at all — disappears (same contract as
+    dedup_corpus_lines). Docs with < k tokens have no k-grams and pass
+    through (normalized). Note the output text is the normalized token
+    stream, not the raw input: span identity and reassembly both live in
+    token space. As in the paper, removal can abut previously-distant
+    tokens; the new adjacencies are NOT re-deduplicated (single pass —
+    iterate to a fixpoint if required).
+
+    Scale shape: gram fingerprinting is an O(tokens x k) array projection
+    (slice over a BOUND token column — see with_shingles for the inline-
+    tree O(n^2) trap); duplicate detection is one groupBy(fp) with
+    min(struct)+count (map-side partials absorb boilerplate-span skew,
+    same aggregate as dedup_corpus_lines); the occurrence->first join
+    shuffles on fp against the (duplicated-only) group table; coverage
+    expands each duplicate occurrence to k (id, pos) rows — bounded by
+    k x duplicate occurrences, not by the corpus — and the final
+    anti-join + reassembly shuffle on id. The corpus text is tokenized
+    twice (token branch + gram branch: Spark does not dedupe common
+    subplans, the winnow_overlap_pairs precedent); a 100 TB run that has
+    the token frame materialized anyway should pass it through
+    `dedup_spans_on_tokens` below to skip both re-tokenizes."""
+    toked = docs.select(id_col, tokens(text_col).alias("__toks"))
+    return dedup_spans_on_tokens(
+        toked,
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        toks_col="__toks",
+        other=docs.drop(text_col) if preserve_other_columns else None,
+    )
+
+
+def dedup_spans_on_tokens(
+    toked: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks_col: str = "toks",
+    other: DataFrame | None = None,
+) -> DataFrame:
+    """dedup_spans over a pre-tokenized (id, token-array) frame — the
+    entry point for pipelines that already materialized tokens (skips the
+    double tokenize noted in dedup_spans). Same semantics and output."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 would drop every repeated token)")
+    toks = F.col(toks_col)
+    # token rows: (id, pos, tok), pos 1-based. posexplode_outer + null
+    # filter (the _exploded_shingles rationale: plain explode makes the
+    # optimizer push an inferred size()>0 filter below the generate with
+    # the tokenize tree inlined).
+    tok_rows = (
+        toked.select(id_col, F.posexplode_outer(toks).alias("__p0", "tok"))
+        .where(F.col("tok").isNotNull())
+        .select(id_col, (F.col("__p0") + 1).alias("pos"), "tok")
+    )
+    # gram rows: (id, pos, fp) for pos in 1..n-k+1. transform+slice over
+    # the BOUND toks_col column: O(k) per position. sequence() is
+    # bidirectional (sequence(1, 0) == [1, 0]), so short docs must be
+    # gated by when(), not by an empty sequence.
+    n_grams = F.size(toks) - (k - 1)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_rows = (
+        toked.select(id_col, F.posexplode_outer(grams).alias("__p0", "fp"))
+        .where(F.col("fp").isNotNull())
+        .select(id_col, (F.col("__p0") + 1).alias("pos"), "fp")
+    )
+    dup_groups = (
+        gram_rows.groupBy("fp")
+        .agg(F.min(F.struct(id_col, "pos")).alias("__first"), F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+    )
+    dup_occ = gram_rows.join(dup_groups, "fp").filter(
+        ~((F.col(id_col) == F.col(f"__first.{id_col}")) & (F.col("pos") == F.col("__first.pos")))
+    )
+    covered = dup_occ.select(
+        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos")
+    ).distinct()
+    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
+    out = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("ls"))
+        .select(
+            id_col,
+            F.concat_ws(" ", F.transform("ls", lambda s: s["tok"])).alias(text_col),
+            F.size("ls").alias("n_tokens_kept"),
+        )
+    )
+    if other is not None:
+        out = out.join(other, id_col, "left")
+    return out
+
+
 def cap_per_stratum(
     docs: DataFrame,
     n_max: int,

@@ -1173,6 +1173,56 @@ def sample_domain_cap(spark, sf_dir):
     return dedup.cap_per_stratum(T(spark, sf_dir, "documents"), n_max=10)
 
 
+_SPAN_K = 8
+
+
+@register(
+    "dedup_spans",
+    f"""
+    WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tokrow AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok
+      FROM toked
+    ),
+    grams AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS pos,
+             unnest(list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+                    i -> md5(array_to_string(toks[i:i+{_SPAN_K}-1], ' ')))) AS fp
+      FROM toked WHERE len(toks) >= {_SPAN_K}
+    ),
+    dup AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY fp) AS cnt
+      FROM grams
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, tpos FROM (
+        SELECT doc_id, unnest(range(pos, pos + {_SPAN_K})) AS tpos
+        FROM dup WHERE cnt >= 2 AND rn > 1
+      )
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tokrow t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.tpos
+      WHERE c.doc_id IS NULL
+    )
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+           COUNT(*) AS n_tokens_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_spans(spark, sf_dir):
+    """Exact substring-span dedup (Lee et al. 2022 ExactSubstr,
+    operators/dedup.py::dedup_spans): remove every duplicated >= 8-token
+    span corpus-wide while keeping the documents — duplicated k-gram
+    occurrences (all but the (id, pos)-first) mark covered token
+    positions, survivors reassemble in order. The oracle replays the
+    identical keep-first coverage semantics with window functions over
+    the same md5 k-gram fingerprints."""
+    return dedup.dedup_spans(T(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
 @register(
     "dedup_lines_incremental",
     """

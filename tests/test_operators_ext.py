@@ -1277,3 +1277,63 @@ def test_sample_token_budget_semantics(spark):
     a = sorted(r.doc_id for r in tight.collect())
     b = sorted(r.doc_id for r in dedup.sample_token_budget(df, {"s0": 5}, default_budget=0).collect())
     assert a == b
+
+
+def test_dedup_spans_semantics(spark):
+    # doc 1 shares the 4-token span "one two three four" with doc 0 (the
+    # first occurrence) -> its copy is removed, surrounding tokens stay;
+    # doc 2 is nothing but the shared span -> fully covered, drops;
+    # doc 3 is shorter than k -> passes through (normalized);
+    # doc 4 has no tokens -> drops.
+    rows = [
+        (0, "one two three four five six seven"),
+        (1, "alpha one two three four beta"),
+        (2, "one two three four"),
+        (3, "short Doc!"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.dedup_spans(df, k=4).collect()}
+    assert got[0].text == "one two three four five six seven"
+    assert got[0].n_tokens_kept == 7
+    assert got[1].text == "alpha beta"
+    assert got[1].n_tokens_kept == 2
+    assert 2 not in got and 4 not in got
+    assert got[3].text == "short doc"
+
+
+def test_dedup_spans_in_document_repeat(spark):
+    # the same doc repeats its own opening span; the non-first occurrence
+    # is removed even with no second document involved
+    df = spark.createDataFrame([(0, "a b c a b c")], "doc_id long, text string")
+    got = dedup.dedup_spans(df, k=3).collect()[0]
+    assert got.text == "a b c" and got.n_tokens_kept == 3
+
+
+def test_dedup_spans_preserve_other_columns_and_k_guard(spark):
+    rows = [(0, "p q r s t", "web"), (1, "x p q r s y", "code")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dedup.dedup_spans(df, k=4, preserve_other_columns=True)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].text == "x y" and got[1].source == "code"
+    assert got[0].source == "web"
+    with pytest.raises(ValueError):
+        dedup.dedup_spans(df, k=1)
+
+
+def test_dedup_spans_no_nonfirst_duplicate_gram_survives_intact(spark):
+    # theorem: for every input k-gram with >= 2 occurrences, only its
+    # (id, pos)-first occurrence can survive with all k tokens kept —
+    # every other occurrence is covered by construction
+    k = 3
+    rows = [
+        (0, "u v w x y z"),
+        (1, "m u v w n x y z"),
+        (2, "u v w x y z"),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text.split(" ") for r in dedup.dedup_spans(df, k=k).collect()}
+    ref = dedup.span_dedup_reference(
+        {i: t.split(" ") for i, t in rows}, k
+    )
+    assert out == {i: t for i, t in ref.items() if t}

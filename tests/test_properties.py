@@ -335,3 +335,28 @@ def test_dedup_corpus_lines_matches_reference(spark, texts):
         for r in dedup.dedup_corpus_lines(df).collect()
     }
     assert got == _lines_reference(texts)
+
+
+# token streams from a tiny vocabulary so duplicated k-grams actually occur
+_span_corpora = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=_span_corpora)
+@_settings
+def test_dedup_spans_matches_reference(spark, texts):
+    """dedup_spans == the pure-Python span_dedup_reference spec on fuzzed
+    tiny-vocab corpora (the small alphabet makes in-doc and cross-doc
+    duplicated 3-grams, overlap chains, and fully-covered docs common)."""
+    from epss_spark.operators import dedup
+
+    k = 3
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.text.split(" ") for r in dedup.dedup_spans(df, k=k).collect()}
+    ref = dedup.span_dedup_reference(
+        {i: [t for t in txt.split(" ") if t] for i, txt in enumerate(texts)}, k
+    )
+    assert got == {i: t for i, t in ref.items() if t}
