@@ -39,6 +39,19 @@ def normalize_term(term: str) -> str:
     return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", term.lower())).strip()
 
 
+def _validate_terms(query_terms: list[str]) -> None:
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct (BM25 is a bag-of-terms sum)")
+    bad = [t for t in query_terms if normalize_term(t) != t or " " in t or not t]
+    if bad:
+        raise ValueError(
+            f"query terms must be single normalized tokens (lowercase [a-z0-9]+); "
+            f"got {bad!r} — pass e.g. {[normalize_term(t) for t in bad]!r}"
+        )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -75,16 +88,7 @@ def bm25_topk(
     up front (the bounded 1-row fetch follows the 8-row IVF-centroid
     precedent); checkpoint blocks are context-cleaned when the returned
     plan is dropped, so long-lived sessions do not accumulate cache."""
-    if not query_terms:
-        raise ValueError("query_terms must be non-empty")
-    if len(set(query_terms)) != len(query_terms):
-        raise ValueError("query_terms must be distinct (BM25 is a bag-of-terms sum)")
-    bad = [t for t in query_terms if normalize_term(t) != t or " " in t or not t]
-    if bad:
-        raise ValueError(
-            f"query terms must be single normalized tokens (lowercase [a-z0-9]+); "
-            f"got {bad!r} — pass e.g. {[normalize_term(t) for t in bad]!r}"
-        )
+    _validate_terms(query_terms)
     base = docs.select(id_col, tokens(text_col).alias("__toks"))
     per_doc = base.select(
         id_col,
@@ -131,6 +135,112 @@ def bm25_topk(
     return (
         per_doc.filter(matched)
         .select(id_col, F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent lexical index artifacts for repeated BM25
+    retrieval — the inverted-index analog of `minhash_index` /
+    `line_index`: `bm25_topk` re-tokenizes the corpus per query (right
+    for a one-off probe, wrong for a search workload), while a built
+    index makes every query a bounded posting-list join. Returns
+    (postings, doc_stats):
+
+    - postings: (term, id, tf) — one row per distinct (term, doc), the
+      classic inverted index with term frequencies.
+    - doc_stats: (id, dl) — per-document token length, INCLUDING
+      zero-token docs (N and avgdl must aggregate the whole corpus, or
+      indexed scores drift from bm25_topk's).
+
+    Persist-to-parquet is the caller's choice; write postings bucketed
+    by `term` (layout.write_bucketed) so a query's posting lists
+    partition-prune to the term buckets, and doc_stats bucketed by `id`
+    so the candidate join co-locates (DEPLOYMENT.md layout table).
+    Nightly appends: union the new batch's postings and doc_stats rows
+    (terms are per-doc facts — no cross-doc state to rebuild; the
+    bounded N/avgdl/df stats are computed at QUERY time, so they are
+    always current).
+
+    Scale shape: one tokenize pass, explode to (id, term) and one hash
+    aggregate on (term, id) with map-side partials (hot terms collapse
+    per task); doc_stats is a pure projection of the same tokenize —
+    computed as its own scan branch (bounded columns, cheaper than
+    carrying dl through the explode)."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    base = ensure_parallelism(docs)
+    postings = (
+        base.select(id_col, F.explode_outer(tokens(text_col)).alias("term"))
+        .where(F.col("term").isNotNull())
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_stats = base.select(id_col, F.size(tokens(text_col)).alias("dl"))
+    return postings, doc_stats
+
+
+def bm25_lookup(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 retrieval against a PRE-BUILT index (from `bm25_index`,
+    typically read back from its bucketed parquet layout): score-identical
+    to `bm25_topk` on the same corpus (pinned by test), but the corpus
+    text is never touched — the plan reads only the query terms' posting
+    lists plus doc_stats. Same Lucene idf, 6-dp rounding, and ascending-id
+    tie-break as bm25_topk.
+
+    Scale shape: the term IN-filter pushes to the postings scan (with a
+    term-bucketed layout it prunes to the terms' buckets — plan-pinned in
+    tests/test_plans.py); corpus stats are two bounded eager fetches (one
+    1-row N/avgdl aggregate over doc_stats, one <= |terms|-row df
+    aggregate over the filtered postings) embedded as literals; the
+    candidate join against doc_stats broadcasts the bounded posting rows
+    under AQE (co-located under a doc-bucketed doc_stats); per-doc term
+    frequencies pivot into fixed-order columns via conditional aggregates
+    so the score sums in the SAME IEEE order as bm25_topk; top-k is a
+    TakeOrderedAndProject. No tokenize, no corpus-wide shuffle."""
+    _validate_terms(query_terms)
+    stats = doc_stats.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    ).first()
+    if not stats["__n"] or stats["__avgdl"] is None:
+        return doc_stats.select(id_col, F.lit(0.0).alias("score")).limit(0)
+    n_lit = F.lit(int(stats["__n"]))
+    avgdl_lit = F.lit(float(stats["__avgdl"]))
+    p = postings.filter(F.col("term").isin(list(query_terms)))
+    df_rows = {r["term"]: r["__df"] for r in p.groupBy("term").agg(F.count(F.lit(1)).alias("__df")).collect()}
+    cand = p.join(doc_stats, id_col).groupBy(id_col).agg(
+        F.min("dl").alias("__dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0)).alias(f"__tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    norm = F.lit(k1) * (
+        (F.lit(1.0) - F.lit(b))
+        + F.lit(b) * F.col("__dl").cast("double") / avgdl_lit
+    )
+    score = None
+    for i, t in enumerate(query_terms):
+        tf = F.col(f"__tf_{i}").cast("double")
+        df_lit = F.lit(int(df_rows.get(t, 0)))
+        idf = F.log(F.lit(1.0) + (n_lit - df_lit + F.lit(0.5)) / (df_lit + F.lit(0.5)))
+        term_score = idf * tf * (F.lit(k1) + F.lit(1.0)) / (tf + norm)
+        score = term_score if score is None else score + term_score
+    return (
+        cand.select(id_col, F.round(score, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )

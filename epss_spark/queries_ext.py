@@ -1155,6 +1155,65 @@ def search_bm25(spark, sf_dir):
     )
 
 
+_BM25_IDX_TF = ",\n             ".join(
+    f"SUM(CASE WHEN p.term = '{t}' THEN p.tf ELSE 0 END) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_IDX_DF = ",\n             ".join(
+    f"(SELECT COUNT(*) FROM postings WHERE term = '{t}') AS df{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_TERMS_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "search_bm25_indexed",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    doc_stats AS (SELECT doc_id, len(toks) AS dl FROM base),
+    postings AS (
+      SELECT tok AS term, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+      GROUP BY tok, doc_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, avg(dl) AS avgdl,
+             {_BM25_IDX_DF}
+      FROM doc_stats
+    ),
+    piv AS (
+      SELECT p.doc_id, MIN(s.dl) AS dl,
+             {_BM25_IDX_TF}
+      FROM postings p JOIN doc_stats s USING (doc_id)
+      WHERE p.term IN ({_BM25_TERMS_IN})
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id,
+           round({_BM25_SCORE}, 6) AS score
+    FROM piv, stats
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_K}
+    """,
+)
+def search_bm25_indexed(spark, sf_dir):
+    """BM25 top-k against the persistent inverted-index artifact
+    (operators/retrieval.py::bm25_index + bm25_lookup): same query,
+    terms, and scores as search_bm25, but the query plan reads posting
+    lists + doc stats instead of re-tokenizing the corpus — the shape a
+    repeated-search workload keeps on disk (postings bucketed by term,
+    doc_stats by doc_id). The oracle builds the identical index in SQL
+    and replays the identical fixed-order scoring."""
+    postings, doc_stats = retrieval.bm25_index(T(spark, sf_dir, "documents"))
+    return retrieval.bm25_lookup(
+        postings,
+        doc_stats,
+        list(_BM25_TERMS),
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 @register(
     "sample_domain_cap",
     """

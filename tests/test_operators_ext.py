@@ -1337,3 +1337,44 @@ def test_dedup_spans_no_nonfirst_duplicate_gram_survives_intact(spark):
         {i: t.split(" ") for i, t in rows}, k
     )
     assert out == {i: t for i, t in ref.items() if t}
+
+
+def test_bm25_lookup_matches_topk(spark, docs):
+    """The inverted-index path must be score-identical to the
+    from-scratch path on the same corpus — same candidates, same 6-dp
+    scores, same order."""
+    from epss_spark.operators import retrieval
+
+    terms = ["the", "quick", "engines"]
+    direct = [tuple(r) for r in retrieval.bm25_topk(docs, terms, k=10).collect()]
+    postings, doc_stats = retrieval.bm25_index(docs)
+    indexed = [
+        tuple(r) for r in retrieval.bm25_lookup(postings, doc_stats, terms, k=10).collect()
+    ]
+    assert direct == indexed and len(direct) > 0
+
+
+def test_bm25_lookup_counts_zero_token_docs_in_stats(spark):
+    # N and avgdl must aggregate the WHOLE corpus (including docs that
+    # normalize to zero tokens), exactly as bm25_topk does — doc_stats
+    # built only from postings would silently drop them
+    from epss_spark.operators import retrieval
+
+    rows = [(0, "alpha beta beta"), (1, "alpha gamma"), (2, "!!!"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["alpha", "beta"]
+    direct = [tuple(r) for r in retrieval.bm25_topk(df, terms).collect()]
+    postings, doc_stats = retrieval.bm25_index(df)
+    assert doc_stats.count() == 4  # every doc has a stats row
+    indexed = [tuple(r) for r in retrieval.bm25_lookup(postings, doc_stats, terms).collect()]
+    assert direct == indexed
+
+
+def test_bm25_lookup_empty_index_and_validation(spark):
+    from epss_spark.operators import retrieval
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    postings, doc_stats = retrieval.bm25_index(empty)
+    assert retrieval.bm25_lookup(postings, doc_stats, ["x"]).count() == 0
+    with pytest.raises(ValueError):
+        retrieval.bm25_lookup(postings, doc_stats, ["Not Normalized"])
