@@ -389,6 +389,145 @@ def vocab_stats(
     )
 
 
+def _bpe_spaced(col: Column) -> Column:
+    """Render a word as its per-symbol-delimited form: "abc" -> " a  b  c "
+    (every symbol wrapped in its OWN leading+trailing space). This is the
+    representation that makes a BPE merge a plain string replace: merging
+    (a, b) is replace(" a  b ", " ab "), and because each symbol owns its
+    delimiters, left-to-right non-overlapping replace (the semantics of
+    both Spark's and DuckDB's replace) is EXACTLY the canonical
+    single-pass greedy merge — "aaaa" -> " aa  aa ", not " aa  a  a "
+    (a single-space encoding fails there: the match consumes the shared
+    delimiter and the scan skips the next occurrence)."""
+    return F.regexp_replace(col, "(.)", " $1 ")
+
+
+def _bpe_symbols(col: Column) -> Column:
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Learned byte-pair-encoding vocabulary training (Sennrich et al.
+    2016, arXiv:1508.07909): iteratively merge the most frequent adjacent
+    symbol pair, starting from characters. Returns the learned merge
+    table (rank, lhs, rhs, pair_count) in merge order — the artifact a
+    tokenizer consumes (apply with `bpe_segment`). Ties break (count
+    desc, pair asc) so the sequence is deterministic across runs and
+    engines; the DuckDB oracle re-derives the SAME merge sequence from
+    scratch with chained CTEs over the identical spaced-string
+    representation.
+
+    Scale shape (the standard BPE trick): training never iterates the
+    corpus — ONE distributed pass builds the word-frequency table
+    (explode tokens -> groupBy(word) count, map-side partials absorb
+    Zipf skew), which is localCheckpoint'd (bounded: vocabularies are
+    millions of rows against billions of docs — the BM25-stats
+    lifecycle); each merge round is then one pair-count aggregate over
+    that bounded frame (adjacent pairs via the zip_with bigram kernel
+    over the symbol array) plus a 1-row TakeOrdered fetch, and the
+    chosen merge applies lazily as a literal string-replace projection.
+    Driver state is n_merges (rank, pair) rows — bounded by
+    construction. Merges never cross word boundaries (per-word symbol
+    sequences, no end-of-word marker). Stops early if no word has >= 2
+    symbols left."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    wf = (
+        docs.select(F.explode_outer(tokens(text_col)).alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_bpe_spaced(F.col("w")).alias("s"), "cnt")
+    )
+    cur = wf.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            cur.select(F.explode_outer(bigrams(_bpe_symbols(F.col("s")))).alias("pair"), "cnt")
+            .where(F.col("pair").isNotNull())
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        lhs, rhs = top["pair"].split(" ")
+        merges.append((rank, lhs, rhs, int(top["c"])))
+        cur = cur.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+        )
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table (from `bpe_merges`, in rank order)
+    to a document stream: tokenize, segment each word by replaying the
+    merges, and return (id, bpe_tokens, n_bpe_tokens) with the subword
+    symbols flattened in document order. Pure codegen projection — the
+    merge table is a plan literal (bounded artifact), so segmentation is
+    a zero-shuffle map over the corpus scan; the per-word replay is the
+    same spaced-string replace chain the trainer used, so
+    train-then-segment is self-consistent by construction (pinned by
+    test against a pure-Python BPE reference)."""
+    def seg(tok: Column) -> Column:
+        s = _bpe_spaced(tok)
+        for lhs, rhs in merges:
+            s = F.replace(s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+        return _bpe_symbols(s)
+
+    base = docs.select(id_col, tokens(text_col).alias("__toks"))
+    return base.select(
+        id_col,
+        F.flatten(F.transform("__toks", seg)).alias("bpe_tokens"),
+    ).withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+
+
+def bpe_reference(word_counts: dict, n_merges: int) -> list:
+    """Pure-Python executable spec for bpe_merges (the winnow_reference
+    pattern): {word -> count} in, [(rank, lhs, rhs, pair_count)] out.
+    Canonical single-pass greedy left-to-right merging."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        (lhs, rhs), c = best
+        out.append((rank, lhs, rhs, c))
+        new_vocab: dict[tuple, int] = {}
+        for syms, cnt in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    merged.append(lhs + rhs)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            t = tuple(merged)
+            new_vocab[t] = new_vocab.get(t, 0) + cnt
+        vocab = new_vocab
+    return out
+
+
 def winnow_reference(s: str, k: int = 5, window: int = 4, base: int = 257, mod: int = (1 << 61) - 1):
     """Pure-Python winnowing of ONE string — the executable semantic spec
     for winnow_fingerprints (tests assert the vectorized kernel matches it

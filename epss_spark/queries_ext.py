@@ -769,9 +769,11 @@ def dedup_semantic(spark, sf_dir):
     """,
 )
 def text_tokens_bpe(spark, sf_dir):
-    # token counting two ways: whitespace split and a BPE-ish pre-tokenizer
-    # regex (letter runs / digit runs / single punctuation), both pure
-    # codegen expressions over the scan
+    # token counting two ways: whitespace split and a BPE-ish
+    # PRE-tokenizer regex (letter runs / digit runs / single punctuation
+    # — the split that runs BEFORE learned merges), both pure codegen
+    # expressions over the scan. Actual learned BPE lives in
+    # operators/text.py::bpe_merges / bpe_segment (see text_bpe_vocab).
     docs = T(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -1230,6 +1232,61 @@ def sample_domain_cap(spark, sf_dir):
     the RefinedWeb/C4-style mega-domain guard that rate-based sampling
     can't express."""
     return dedup.cap_per_stratum(T(spark, sf_dir, "documents"), n_max=10)
+
+
+# Learned-BPE oracle: n_merges chained CTE rounds, each deriving the next
+# most-frequent adjacent symbol pair from scratch over the same
+# per-symbol-delimited word representation the Spark trainer uses
+# (operators/text.py::_bpe_spaced — " a  b  c ", so a merge is a plain
+# left-to-right string replace in BOTH engines).
+_BPE_N = 8
+
+
+def _bpe_round_sql(r: int) -> str:
+    return f"""
+    p{r} AS (
+      SELECT pair, SUM(cnt) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+                      i -> syms[i] || ' ' || syms[i+1])) AS pair, cnt
+        FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms, cnt
+              FROM w{r - 1})
+      ) GROUP BY pair
+    ),
+    t{r} AS (SELECT {r} AS rank, pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1),
+    w{r} AS (
+      SELECT replace(s, ' ' || replace(pair, ' ', '  ') || ' ',
+                     ' ' || replace(pair, ' ', '') || ' ') AS s, cnt
+      FROM w{r - 1}, t{r}
+    )"""
+
+
+_BPE_VOCAB_SQL = (
+    f"""
+    WITH wf AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w
+    ),
+    w0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM wf),
+    """
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_N + 1))
+    + f"""
+    SELECT rank, split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs,
+           CAST(c AS BIGINT) AS pair_count
+    FROM ({" UNION ALL ".join(f"SELECT * FROM t{r}" for r in range(1, _BPE_N + 1))})
+    """
+)
+
+
+@register("text_bpe_vocab", _BPE_VOCAB_SQL)
+def text_bpe_vocab(spark, sf_dir):
+    """Learned BPE vocabulary training (operators/text.py::bpe_merges,
+    Sennrich et al. 2016): the first 8 merge rules derived from the
+    corpus word-frequency table, deterministic (count desc, pair asc)
+    tie-breaks. The oracle re-derives the identical merge sequence from
+    scratch with 8 chained CTE rounds over the same spaced-string
+    representation — it checks the TRAINING, not a replay of given
+    merges."""
+    return text.bpe_merges(T(spark, sf_dir, "documents"), n_merges=_BPE_N)
 
 
 _SPAN_K = 8

@@ -1378,3 +1378,45 @@ def test_bm25_lookup_empty_index_and_validation(spark):
     assert retrieval.bm25_lookup(postings, doc_stats, ["x"]).count() == 0
     with pytest.raises(ValueError):
         retrieval.bm25_lookup(postings, doc_stats, ["Not Normalized"])
+
+
+def test_bpe_merges_golden_and_early_stop(spark):
+    rows = [(0, "low lower lowest new newer newest"), (1, "low low new new wider wide")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in text.bpe_merges(df, n_merges=6).collect()]
+    from collections import Counter
+
+    wc = Counter(w for _, t in rows for w in t.split())
+    assert got == text.bpe_reference(dict(wc), 6)
+    # single-char words leave nothing to merge: early stop, empty table
+    single = spark.createDataFrame([(0, "a b c a b")], "doc_id long, text string")
+    assert text.bpe_merges(single, n_merges=3).count() == 0
+    with pytest.raises(ValueError):
+        text.bpe_merges(df, n_merges=0)
+
+
+def test_bpe_segment_replays_training(spark):
+    # segmenting the training corpus with the learned merges must agree
+    # with the pure-Python reference's final vocabulary state
+    rows = [(0, "banana band ban banana")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [(r.lhs, r.rhs) for r in text.bpe_merges(df, n_merges=4).collect()]
+    got = text.bpe_segment(df, merges).collect()[0]
+
+    def apply_ref(word):
+        syms = list(word)
+        for lhs, rhs in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    expect = [s for w in rows[0][1].split() for s in apply_ref(w)]
+    assert got.bpe_tokens == expect
+    assert got.n_bpe_tokens == len(expect)

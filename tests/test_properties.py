@@ -360,3 +360,29 @@ def test_dedup_spans_matches_reference(spark, texts):
         {i: [t for t in txt.split(" ") if t] for i, txt in enumerate(texts)}, k
     )
     assert got == {i: t for i, t in ref.items() if t}
+
+
+# words over a 3-letter alphabet so pair ties and repeated merges occur
+_bpe_corpora = st.lists(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=8
+    ).map(" ".join),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(texts=_bpe_corpora)
+@_settings
+def test_bpe_merges_matches_reference(spark, texts):
+    """bpe_merges == the pure-Python bpe_reference spec (canonical
+    greedy left-to-right merging, (count desc, pair asc) tie-breaks) on
+    fuzzed tiny-alphabet corpora."""
+    from collections import Counter
+
+    from epss_spark.operators import text as tx
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [tuple(r) for r in tx.bpe_merges(df, n_merges=4).collect()]
+    wc = Counter(w for t in texts for w in t.split())
+    assert got == tx.bpe_reference(dict(wc), 4)
