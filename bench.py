@@ -37,6 +37,11 @@ HEADLINE = [
     "search_bm25",  # lexical retrieval (zero-shuffle, broadcast stats)
     "sample_dsir",  # DSIR selection (2 bounded stats jobs + zero-shuffle scoring)
     "ann_pq_topk",  # PQ ADC search (inline encode, broadcast queries)
+    "dedup_spans",  # exact substring-span dedup (k-gram hash-agg + coverage)
+    "search_bm25_indexed",  # times index BUILD + lookup (the registry query
+    #                         constructs postings inline; the artifact-backed
+    #                         lookup alone is plan-pinned tokenize-free and
+    #                         is NOT what this number measures)
 ]
 
 # Headline workload scale-up (PERF.md bench protocol, round 5): sf0.1
@@ -85,6 +90,10 @@ def build_scaled_workload(spark, target: str) -> str:
     # of silently reusing it (the basename stays for human readability)
     abspath = os.path.abspath(target)
     fp = hashlib.md5(abspath.encode())
+    # the scale factors are part of the identity: tools/scale_probe.py
+    # builds a 10x variant of this same workload, which must not collide
+    # with (or silently reuse) the 1x bench directory
+    fp.update(repr(sorted(WORKLOAD_SCALE.items())).encode())
     for entry in sorted(os.listdir(abspath)):
         if not entry.endswith(".parquet"):
             continue
@@ -229,13 +238,23 @@ def main() -> None:
     t0 = time.perf_counter()
     force(client.get_changed_scores("2023-03-08", hi, sort=False))
     epss_cold_sec = time.perf_counter() - t0
-    epss_sec = None
-    for _ in range(3):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        force(client.get_changed_scores("2023-03-08", hi, sort=False))
-        s = time.perf_counter() - t0  # steady state: I/O+JIT warmed
-        epss_sec = s if epss_sec is None else min(epss_sec, s)
+    # Pair protocol (round 7): the parity number is what the 2x contract
+    # is judged on, so it gets the same self-discounting evidence as the
+    # headline loop — two consecutive min-of-2 rounds. If the pair
+    # disagrees beyond the documented ~10% band, the artifact landed in
+    # an unstable host window; read the absolute number against
+    # calibration_sec and the PERF.md host band.
+    epss_pair: list[float] = []
+    for _ in range(2):
+        round_min = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            force(client.get_changed_scores("2023-03-08", hi, sort=False))
+            s = time.perf_counter() - t0  # steady state: I/O+JIT warmed
+            round_min = s if round_min is None else min(round_min, s)
+        epss_pair.append(round(round_min, 4))
+    epss_sec = min(epss_pair)
     # Full pipeline including the canonical (date asc, cve desc) output sort.
     epss_full_sec = None
     for _ in range(3):
@@ -358,9 +377,12 @@ def main() -> None:
         .withColumn("user_id", F.col("user_id") + F.col("rep").cast("bigint") * 1_000_000)
         .drop("rep")
     )
-    t0 = time.perf_counter()
-    force(changed_scores(big, key="user_id", time="ts", value="value", tiebreak="event_id"))
-    scaled_sec = time.perf_counter() - t0
+    flagship_pair: list[float] = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(changed_scores(big, key="user_id", time="ts", value="value", tiebreak="event_id"))
+        flagship_pair.append(round(time.perf_counter() - t0, 4))
+    scaled_sec = min(flagship_pair)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -382,6 +404,8 @@ def main() -> None:
                 else None,
                 "epss_pipeline_input_rows": epss_rows,
                 "epss_pipeline_cold_sec": round(epss_cold_sec, 4),
+                "epss_pipeline_pair_sec": epss_pair,
+                "flagship_scaled_pair_sec": flagship_pair,
                 "epss_pipeline_sec": round(epss_sec, 4),
                 "epss_pipeline_rows_per_sec": round(epss_rows / epss_sec) if epss_sec else None,
                 "epss_pipeline_full_sec": round(epss_full_sec, 4),

@@ -1211,14 +1211,12 @@ def cap_per_stratum(
     sample_stratified (rate-based, unbounded count) with a hard count
     bound.
 
-    Scale shape: one row_number window on the stratum key. The cap
-    semantics need a total order of each stratum's ids, so a window is
-    the honest plan; for skew-heavy corpora (one domain = 30% of rows)
-    run layout.key_skew_report first — a hot stratum sorts on one task.
-    When n_max is small relative to the hot stratum, pre-filtering with a
-    per-partition local cap would bound it, at the cost of a second pass;
-    not done here because domain caps in practice run AFTER per-domain
-    sharding already bounds partition width."""
+    Scale shape: one row_number window on the stratum key — the
+    balanced-mix default. A hot stratum sorts on one task
+    (layout.key_skew_report diagnoses it); when that chain is the
+    critical path, use `cap_per_stratum_bucketed` — identical keep set,
+    range-bucketed two-pass plan (PERF.md round-7 probe: 2x at an
+    8M-doc 95%-hot corpus)."""
     w = Window.partitionBy(stratum_col).orderBy(F.col(id_col).asc())
     return (
         docs.withColumn("__rn", F.row_number().over(w))
@@ -1250,10 +1248,11 @@ def sample_token_budget(
     hash-prefix sum <= budget (never overshoots). Returns the input
     columns plus n_tokens.
 
-    Scale shape: one running-sum window per stratum (hash order). Same
-    hot-stratum caveat as cap_per_stratum — check key_skew_report when
-    one domain dominates; at crawl scale run it per pre-sharded
-    stratum."""
+    Scale shape: one running-sum window per stratum (hash order) — the
+    small-corpus/balanced-mix default. A hot stratum sorts on ONE task;
+    when the per-stratum window is the critical path (PERF.md round-7
+    probe: 7x at 20M 1-token docs), use `sample_token_budget_bucketed`
+    — bit-identical results, 256-way-spread sort."""
     n_tok = F.size(tokens(text_col))
     h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
     w = (
@@ -1276,6 +1275,156 @@ def sample_token_budget(
         .withColumn("__cum", F.sum("n_tokens").over(w))
         .filter(F.col("__cum") <= budget)
         .drop("__cum")
+    )
+
+
+def sample_token_budget_bucketed(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+    default_budget: int = 0,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """sample_token_budget for a PATHOLOGICALLY hot stratum — identical
+    keep set (pinned by test), different physical plan (the
+    changed_scores_salted model, quantize.py:73).
+
+    Why: the windowed form runs ONE running-sum chain per stratum, so
+    the realistic "90% of the corpus is `web`" mix sorts ~the whole
+    corpus on a single window task. Here the stratum's hash order is
+    split into 16^bucket_chars SUB-BUCKETS by the md5 prefix — a prefix
+    of the ORDER KEY, so bucket order is consistent with hash order by
+    construction (no sampling, no boundary ambiguity):
+
+      1. per-(stratum, bucket) token subtotals via one hash aggregate
+         (map-side partials, no sort), prefixed over the tiny
+         strata x 256 frame to give each bucket the sum of all
+         PRECEDING buckets — the cut bucket is located without ordering
+         any corpus-scale data;
+      2. in-bucket running sum over Window.partitionBy(stratum, bucket)
+         — the hot stratum's sort now spreads over 256 tasks with
+         1/256th the rows each;
+      3. the bounded offsets broadcast-join back on (stratum, bucket);
+         a doc keeps iff its in-bucket cumulative + its bucket's offset
+         stays within the stratum budget — bit-identical to the
+         windowed form's single prefix sum.
+
+    Cost: the subtotal branch re-scans and re-tokenizes the corpus
+    (common subplans are not deduplicated), so this is ~2x the map work
+    for 1/256th the serial sort — only worth it under real skew
+    (PERF.md probe); diagnose with layout.key_skew_report first."""
+    n_tok = F.size(tokens(text_col))
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    sized = (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn("__h", h)
+        .withColumn("__b", F.substring("__h", 1, bucket_chars))
+    )
+    # Offsets branch: per-bucket token subtotals via a HASH AGGREGATE
+    # (map-side partials, no sort — a second corpus window here would
+    # re-pay the full sort just to read one row per bucket), then the
+    # preceding-bucket prefix over the tiny strata x 256 frame. This
+    # branch re-scans + re-tokenizes the corpus (Spark does not dedupe
+    # common subplans — the changed_scores_salted boundary-branch cost),
+    # which is why the windowed form stays the default for balanced
+    # strata.
+    totals = sized.groupBy(stratum_col, "__b").agg(F.sum("n_tokens").alias("__tot"))
+    w_off = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        stratum_col, "__b", F.sum("__tot").over(w_off).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy(stratum_col, "__b")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = sized.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
+    budget = None
+    for stratum, quota in budgets.items():
+        lit = F.lit(int(quota))
+        budget = (
+            F.when(F.col(stratum_col) == stratum, lit)
+            if budget is None
+            else budget.when(F.col(stratum_col) == stratum, lit)
+        )
+    default_lit = F.lit(int(default_budget))
+    budget = budget.otherwise(default_lit) if budget is not None else default_lit
+    # null semantics must mirror the windowed form bit-for-bit: its
+    # prefix sum ignores null n_tokens (null-text docs cost nothing) and
+    # is NULL only while every doc so far in stratum order is null-text
+    # (those rows fail `null <= budget` and drop). cum_in/off are each
+    # null exactly when their span has no non-null tokens, so the
+    # combined cumulative is null iff BOTH are.
+    cum = F.when(
+        F.col("__cum_in").isNull() & F.col("__off").isNull(), F.lit(None).cast("long")
+    ).otherwise(F.coalesce("__cum_in", F.lit(0)) + F.coalesce("__off", F.lit(0)))
+    return (
+        tagged.join(F.broadcast(offsets), [stratum_col, "__b"], "left")
+        .filter(cum <= budget)
+        .select(*docs.columns, "n_tokens")  # the windowed form's column order
+    )
+
+
+def cap_per_stratum_bucketed(
+    docs: DataFrame,
+    n_max: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    quantile_accuracy: int = 10_000,
+) -> DataFrame:
+    """cap_per_stratum for a PATHOLOGICALLY hot stratum — identical keep
+    set (pinned by test), skew-spread physical plan (the same two-pass
+    prefix-sum model as sample_token_budget_bucketed, with counts for
+    token sums).
+
+    The cap's order key is the raw id, so sub-buckets cannot come from a
+    hash prefix; instead the per-stratum id range is split at
+    percentile_approx cut points (one bounded aggregate, strata rows,
+    broadcast back) — Spark's own range-exchange sampling idea. The cut
+    points only need to be monotone and roughly balanced: correctness
+    comes from the exact per-bucket counts and prefix offsets, never
+    from the approximate quantiles themselves. In-bucket row_number over
+    (stratum, bucket) + preceding-bucket count offsets == the windowed
+    form's global row_number, bit-for-bit."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = docs.groupBy(stratum_col).agg(
+        F.percentile_approx(F.col(id_col), qs, quantile_accuracy).alias("__cuts")
+    )
+    # bucket = number of cut points strictly below id: monotone
+    # non-decreasing in id regardless of ties/duplicates in the cuts
+    tagged = (
+        docs.join(F.broadcast(cuts), stratum_col)
+        .withColumn(
+            "__b", F.size(F.filter("__cuts", lambda c: c < F.col(id_col)))
+        )
+        .drop("__cuts")
+    )
+    # per-bucket counts via hash aggregate (no corpus sort), prefix over
+    # the tiny per-stratum bucket frame — same two-branch shape as
+    # sample_token_budget_bucketed
+    totals = tagged.groupBy(stratum_col, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        stratum_col, "__b", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy(stratum_col, "__b").orderBy(F.col(id_col).asc())
+    counted = tagged.withColumn("__rn", F.row_number().over(w_in))
+    return (
+        counted.join(F.broadcast(offsets), [stratum_col, "__b"], "left")
+        .filter(F.col("__rn") + F.col("__off") <= n_max)
+        .select(*docs.columns)  # cap_per_stratum's column order
     )
 
 

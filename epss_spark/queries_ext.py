@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from epss_spark.operators import dedup, prep, retrieval, selection, similarity, sketches, text
 from epss_spark.queries_core import T
-from epss_spark.registry import register
+from epss_spark.registry import ORACLES, register
 
 # Shared SQL fragments for the oracle side. Normalization must match
 # operators/text.py::normalize exactly: lower, non-alnum -> space, squeeze.
@@ -1552,6 +1552,25 @@ def sample_token_budget(spark, sf_dir):
     deterministic hash order — the way training mixes are actually
     specified (tokens, not rates or doc counts)."""
     return dedup.sample_token_budget(
+        T(spark, sf_dir, "documents"),
+        budgets={"src0": 600, "src1": 150},
+        default_budget=300,
+    )
+
+
+# same oracle SQL as sample_token_budget on purpose: the bucketed form is
+# a different PHYSICAL plan (two-pass prefix sum over md5-prefix
+# sub-buckets — the changed_scores_salted model) with contractually
+# identical results; pytest additionally pins windowed == bucketed on
+# skewed/null-text corpora.
+@register("sample_token_budget_bucketed", ORACLES["sample_token_budget"])
+def sample_token_budget_bucketed(spark, sf_dir):
+    """Skew-safe token-budgeted mixing (operators/dedup.py::
+    sample_token_budget_bucketed): identical keep set to
+    sample_token_budget, but the hot stratum's running sum spreads over
+    256 md5-prefix sub-buckets (in-bucket window + tiny preceding-bucket
+    offset join) instead of serializing on one window partition."""
+    return dedup.sample_token_budget_bucketed(
         T(spark, sf_dir, "documents"),
         budgets={"src0": 600, "src1": 150},
         default_budget=300,

@@ -1420,3 +1420,46 @@ def test_bpe_segment_replays_training(spark):
     expect = [s for w in rows[0][1].split() for s in apply_ref(w)]
     assert got.bpe_tokens == expect
     assert got.n_bpe_tokens == len(expect)
+
+
+def _skewed_mix_corpus(spark, n=800):
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(n):
+        src = "web" if i % 10 else f"s{i % 3}"  # 'web' holds ~90% of docs
+        txt = " ".join(random.choice("abcdefg") for _ in range(random.randint(0, 12)))
+        rows.append((i, src, txt if i % 97 else None))  # sprinkle null texts
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_sample_token_budget_bucketed_equals_windowed(spark):
+    """The skew-safe two-pass prefix-sum form must keep the IDENTICAL
+    doc set (and n_tokens values) as the single-window form, including
+    null-text docs (cost nothing; drop only while the stratum prefix is
+    all-null) and strata outside the budgets dict (default budget)."""
+    df = _skewed_mix_corpus(spark)
+    budgets = {"web": 1200, "s1": 50}
+    a = sorted(
+        tuple(r) for r in dedup.sample_token_budget(df, budgets, default_budget=200).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.sample_token_budget_bucketed(df, budgets, default_budget=200).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_cap_per_stratum_bucketed_equals_windowed(spark):
+    """Range-bucketed two-pass cap == windowed cap: the approx-quantile
+    cut points only shape the buckets; exact per-bucket counts + prefix
+    offsets reproduce the global row_number bit-for-bit."""
+    df = _skewed_mix_corpus(spark)
+    a = sorted(r.doc_id for r in dedup.cap_per_stratum(df, 40).collect())
+    b = sorted(r.doc_id for r in dedup.cap_per_stratum_bucketed(df, 40).collect())
+    assert a == b and len(a) > 0
+    # tiny n_max exercises the cut falling inside the first bucket
+    c = sorted(r.doc_id for r in dedup.cap_per_stratum(df, 3).collect())
+    d = sorted(r.doc_id for r in dedup.cap_per_stratum_bucketed(df, 3).collect())
+    assert c == d
