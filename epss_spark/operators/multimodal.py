@@ -3,13 +3,14 @@ opaque `binary` columns with typed metadata, processed via Arrow-batched
 mapInPandas.
 
 The Spark-side plumbing (schemas, batch iteration, partition parallelism,
-metadata propagation) is real and tested. Decoding: UNCOMPRESSED images
-(24-bit BMP, binary PPM) decode and resize for real in pure numpy
-(decode_image / nn_resize — no imaging libraries needed); compressed
-codecs (JPEG/PNG/audio/video) have no decoder in this environment, so
-feature extraction's `decode_fn` defaults to a deterministic fake and
-resize passes those payloads through (strict=True raises instead). Swap
-in a real decoder (PIL / torchaudio / pyav) via `decode_fn`.
+metadata propagation) is real and tested. Decoding: 24-bit BMP, binary
+PPM, and 8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfilter)
+decode and resize for real with no imaging libraries (decode_image /
+decode_png / nn_resize); remaining compressed codecs (JPEG/audio/video)
+have no decoder in this environment, so feature extraction's `decode_fn`
+defaults to a deterministic fake and resize passes those payloads
+through (strict=True raises instead). Swap in a real decoder
+(PIL / torchaudio / pyav) via `decode_fn`.
 
 Design notes for 100 TB:
 - binary payloads ride in the same parquet row group as their metadata —
@@ -170,14 +171,126 @@ def extract_features(
     return media.select("media_id", "payload").mapInPandas(_extract, schema=FEATURES_SCHEMA)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (zlib + numpy): 8-bit-depth, non-interlaced
+    grayscale / gray+alpha / RGB / RGBA, all five scanline filters.
+    Returns an HxWx3 uint8 RGB array (alpha dropped, gray replicated), or
+    None for anything it cannot parse — palette images, 16-bit depth, and
+    Adam7 interlacing are declined rather than mis-decoded. The unfilter
+    pass is vectorized per row for filters None/Up and scalar along x for
+    Sub/Average/Paeth (left-neighbor dependency is inherently sequential)
+    — adequate for thumbnail-scale training payloads; swap a real codec
+    in via extract_features(decode_fn=) when throughput matters."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    try:
+        pos, w = 8, None
+        idat = []
+        while pos + 8 <= len(payload):
+            (ln,), typ = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if len(data) < ln:
+                return None
+            if typ == b"IHDR":
+                w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", data)
+                if depth != 8 or ctype not in (0, 2, 4, 6) or comp or filt or ilace:
+                    return None
+                ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # length + type + data + crc
+        if w is None or not idat or w == 0 or h == 0:
+            return None
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+        stride = w * ch
+        if raw.size < h * (stride + 1):
+            return None
+        rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
+        ftypes, data = rows[:, 0], rows[:, 1:].astype(np.int32)
+        out = np.zeros_like(data)
+        for y in range(h):
+            f, cur = ftypes[y], data[y]
+            prior = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+            if f == 0:
+                out[y] = cur
+            elif f == 2:  # Up
+                out[y] = (cur + prior) & 0xFF
+            elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+                line = out[y]
+                for x in range(stride):
+                    a = line[x - ch] if x >= ch else 0
+                    b = prior[x]
+                    if f == 1:
+                        v = cur[x] + a
+                    elif f == 3:
+                        v = cur[x] + ((a + b) >> 1)
+                    else:
+                        c = prior[x - ch] if x >= ch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        v = cur[x] + pred
+                    line[x] = v & 0xFF
+            else:
+                return None
+        px = out.astype(np.uint8).reshape(h, w, ch)
+        if ch >= 3:
+            return np.ascontiguousarray(px[..., :3])  # drop alpha if present
+        return np.repeat(px[..., :1], 3, axis=2)  # gray (+alpha) -> RGB
+    except (ValueError, struct.error, zlib.error):
+        return None
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG encoder (filter-0 scanlines, zlib default level) for an
+    HxWx3 uint8 RGB array — the test-side inverse of decode_png."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + np.ascontiguousarray(arr[y]).tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes):
-    """Pure-numpy decode of UNCOMPRESSED image formats — 24-bit BI_RGB BMP
-    and binary PPM (P6, maxval 255). Returns an HxWx3 uint8 RGB array, or
-    None for anything else (JPEG/PNG/etc need a real codec). No external
-    imaging libraries required."""
+    """Pure-numpy decode of codec-free image formats — 24-bit BI_RGB BMP,
+    binary PPM (P6, maxval 255), and (via stdlib zlib) 8-bit
+    non-interlaced PNG. Returns an HxWx3 uint8 RGB array, or None for
+    anything else (JPEG etc. need a real codec). No external imaging
+    libraries required."""
     import struct
 
     import numpy as np
+
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
 
     # A 100 TB corpus WILL contain malformed media: every parse failure must
     # yield None (so resize_images(strict=False) passes the payload through)
@@ -243,12 +356,13 @@ def nn_resize(arr, width: int, height: int):
 
 
 def resize_images(media: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
-    """Image resize over Arrow batches. Uncompressed payloads (24-bit BMP,
-    binary PPM) are REALLY decoded, nearest-neighbor resized in numpy, and
-    re-encoded as PPM with width/height metadata updated. Compressed
-    formats (JPEG/PNG/...) need a codec this environment doesn't ship:
-    they pass through unchanged keeping their original metadata — or raise
-    when ``strict=True``. Dedup-before-decode applies per batch (identical
+    """Image resize over Arrow batches. Codec-free payloads (24-bit BMP,
+    binary PPM, 8-bit non-interlaced PNG) are REALLY decoded,
+    nearest-neighbor resized in numpy, and re-encoded as PPM with
+    width/height metadata updated. Remaining compressed formats
+    (JPEG/...) need a codec this environment doesn't ship: they pass
+    through unchanged keeping their original metadata — or raise when
+    ``strict=True``. Dedup-before-decode applies per batch (identical
     payloads resize once)."""
 
     def _resize(batches: Iterator) -> Iterator:

@@ -1152,3 +1152,94 @@ def test_cli_prep_shard(spark, tmp_path, capsys):
     assert len(rows) == 20
     assert {r.shard for r in rows} <= set(range(4))
     assert all(r.pos >= 1 for r in rows)
+
+
+def test_png_roundtrip_and_filters():
+    """decode_png: encode_png(filter-0) round-trips bit-exact; scanlines
+    filtered with Sub/Up/Average/Paeth (hand-filtered forward per the PNG
+    spec) unfilter back to the same pixels; gray and RGBA variants map to
+    RGB; truncated/palette payloads decline with None."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from epss_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_png(mm.encode_png(arr)), arr)
+    assert mm.decode_image(mm.encode_png(arr)).shape == (5, 4, 3)
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    def png_with_filters(arr, ftypes):
+        h, w = arr.shape[:2]
+        ch = arr.shape[2]
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y, f in zip(range(h), ftypes):
+            line = arr[y].reshape(-1).astype(np.int32)
+            filt = np.zeros_like(line)
+            for x in range(w * ch):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 0:
+                    filt[x] = line[x]
+                elif f == 1:
+                    filt[x] = line[x] - a
+                elif f == 2:
+                    filt[x] = line[x] - b
+                elif f == 3:
+                    filt[x] = line[x] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[x] = line[x] - pred
+            raw.append(f)
+            raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+            prev = line
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            mm._PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    assert np.array_equal(
+        mm.decode_png(png_with_filters(arr, [1, 2, 3, 4, 0])), arr
+    )
+    gray = rng.integers(0, 256, size=(3, 3, 1), dtype=np.uint8)
+    assert np.array_equal(
+        mm.decode_png(png_with_filters(gray, [4, 1, 3])), np.repeat(gray, 3, axis=2)
+    )
+    rgba = rng.integers(0, 256, size=(3, 2, 4), dtype=np.uint8)
+    assert np.array_equal(
+        mm.decode_png(png_with_filters(rgba, [2, 4, 1])), rgba[..., :3]
+    )
+    whole = mm.encode_png(arr)
+    assert mm.decode_png(whole[: len(whole) // 2]) is None  # truncated IDAT
+    assert mm.decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+
+
+def test_resize_handles_png_payloads(spark):
+    import numpy as np
+
+    from epss_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    rows = [(1, "image", "image/png", 6, 8, None, bytearray(mm.encode_png(arr)))]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.resize_images(media, 3, 4).collect()
+    assert out[0].mime == "image/x-portable-pixmap"
+    dec = mm.decode_image(bytes(out[0].payload))
+    assert dec.shape == (4, 3, 3)
+    assert np.array_equal(dec, mm.nn_resize(arr, 3, 4))
