@@ -1289,6 +1289,63 @@ def text_bpe_vocab(spark, sf_dir):
     return text.bpe_merges(T(spark, sf_dir, "documents"), n_merges=_BPE_N)
 
 
+# train -> apply in one statement: the same t1..t8 merge CTEs, applied to
+# every document's tokens as a nested literal-replace chain inside a list
+# lambda (the identical spaced-string formulation bpe_segment uses).
+def _bpe_apply_expr() -> str:
+    expr = r"regexp_replace(tok, '(.)', ' \1 ', 'g')"
+    for r in range(1, _BPE_N + 1):
+        expr = (
+            f"replace({expr}, ' ' || replace(t{r}.pair, ' ', '  ') || ' ', "
+            f"' ' || replace(t{r}.pair, ' ', '') || ' ')"
+        )
+    return f"list_filter(string_split({expr}, ' '), x -> x <> '')"
+
+
+_BPE_SEGMENT_SQL = (
+    f"""
+    WITH wf AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w
+    ),
+    w0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM wf),
+    """
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_N + 1))
+    + f""",
+    base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    seg AS (
+      SELECT b.doc_id,
+             flatten(list_transform(b.toks, tok -> {_bpe_apply_expr()})) AS bpe
+      FROM base b, {", ".join(f"t{r}" for r in range(1, _BPE_N + 1))}
+    )
+    SELECT doc_id, array_to_string(bpe, ' ') AS bpe_text,
+           CAST(len(bpe) AS BIGINT) AS n_bpe_tokens
+    FROM seg
+    """
+)
+
+
+@register("text_bpe_segment", _BPE_SEGMENT_SQL)
+def text_bpe_segment(spark, sf_dir):
+    """The full BPE cycle — train on the corpus, segment the corpus with
+    the learned merges (operators/text.py::bpe_merges + bpe_segment).
+    The oracle re-derives the merge sequence AND re-applies it per token
+    in one SQL statement, so a drift anywhere in train or apply breaks
+    the hash. Output is the space-joined subword stream per doc (arrays
+    are normalized to strings for robust cross-engine comparison)."""
+    docs = T(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in text.bpe_merges(docs, n_merges=_BPE_N).collect()
+    ]
+    seg = text.bpe_segment(docs, merges)
+    return seg.select(
+        "doc_id",
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+        "n_bpe_tokens",
+    )
+
+
 _SPAN_K = 8
 
 
