@@ -1144,20 +1144,37 @@ def dedup_spans_on_tokens(
     double tokenize noted in dedup_spans). Same semantics and output."""
     if k < 2:
         raise ValueError("k must be >= 2 (k=1 would drop every repeated token)")
+    tok_rows, gram_rows = _span_rows(toked, k, id_col, toks_col)
+    dup_groups = (
+        gram_rows.groupBy("fp")
+        .agg(F.min(F.struct(id_col, "pos")).alias("__first"), F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+    )
+    dup_occ = gram_rows.join(dup_groups, "fp").filter(
+        ~((F.col(id_col) == F.col(f"__first.{id_col}")) & (F.col("pos") == F.col("__first.pos")))
+    )
+    out = _remove_covered_tokens(tok_rows, dup_occ, k, id_col, text_col)
+    if other is not None:
+        out = out.join(other, id_col, "left")
+    return out
+
+
+def _span_rows(toked: DataFrame, k: int, id_col: str, toks_col: str):
+    """(tok_rows, gram_rows) for span dedup, both 1-based positions.
+
+    Token rows via posexplode_outer + null filter (the _exploded_shingles
+    rationale: plain explode makes the optimizer push an inferred
+    size()>0 filter below the generate with the tokenize tree inlined).
+    Gram fingerprints via transform+slice over the BOUND toks_col column
+    — O(k) per position. sequence() is bidirectional (sequence(1, 0) ==
+    [1, 0]), so short docs must be gated by when(), not by an empty
+    sequence."""
     toks = F.col(toks_col)
-    # token rows: (id, pos, tok), pos 1-based. posexplode_outer + null
-    # filter (the _exploded_shingles rationale: plain explode makes the
-    # optimizer push an inferred size()>0 filter below the generate with
-    # the tokenize tree inlined).
     tok_rows = (
         toked.select(id_col, F.posexplode_outer(toks).alias("__p0", "tok"))
         .where(F.col("tok").isNotNull())
         .select(id_col, (F.col("__p0") + 1).alias("pos"), "tok")
     )
-    # gram rows: (id, pos, fp) for pos in 1..n-k+1. transform+slice over
-    # the BOUND toks_col column: O(k) per position. sequence() is
-    # bidirectional (sequence(1, 0) == [1, 0]), so short docs must be
-    # gated by when(), not by an empty sequence.
     n_grams = F.size(toks) - (k - 1)
     grams = F.when(
         F.size(toks) >= k,
@@ -1171,19 +1188,98 @@ def dedup_spans_on_tokens(
         .where(F.col("fp").isNotNull())
         .select(id_col, (F.col("__p0") + 1).alias("pos"), "fp")
     )
-    dup_groups = (
-        gram_rows.groupBy("fp")
+    return tok_rows, gram_rows
+
+
+def span_index(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the persistent k-gram fingerprint index for INCREMENTAL span
+    dedup: the distinct md5 of every k-token gram in the corpus, as a
+    1-column (gram_fp) frame — the span analog of `line_index` /
+    `minhash_index`. Write it bucketed by gram_fp (layout.write_bucketed)
+    so the nightly `dedup_batch_spans` join co-locates; append each
+    batch's new_fps after the run. Index over the ACCEPTED (already
+    span-deduped) corpus so indexed grams are exactly the grams a reader
+    of the corpus can still see."""
+    toked = docs.select(id_col, tokens(text_col).alias("__toks"))
+    _, gram_rows = _span_rows(toked, k, id_col, "__toks")
+    return gram_rows.select(F.col("fp").alias("gram_fp")).distinct()
+
+
+def dedup_batch_spans(
+    batch: DataFrame,
+    index_fps: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact-substring-span dedup of a daily batch against a
+    gram-fingerprint index (from `span_index`): every batch k-gram whose
+    fingerprint is indexed is a duplicate occurrence (the corpus saw the
+    span first — its covered positions drop); batch-fresh fingerprints
+    keep their (id, pos)-first occurrence and cover the rest, exactly as
+    in `dedup_spans`. Returns (kept_docs, new_fps):
+
+    - kept_docs: (id, text, n_tokens_kept) — batch docs reassembled from
+      surviving tokens; fully-covered and token-free docs drop.
+    - new_fps: the distinct batch-fresh gram fingerprints — append to
+      the index so tomorrow's batch sees them (appended regardless of
+      later clipping by overlapping removals: the gram was published in
+      this batch's accepted output or covered by an overlap of it).
+
+    Equals `dedup_spans(corpus ∪ batch)` restricted to batch ids
+    whenever corpus ids precede batch ids (pinned by test) — and the
+    restriction needs NO assumption about corpus-internal duplication:
+    any indexed fp makes every batch occurrence non-first, and fresh
+    fps' within-batch counts equal their corpus∪batch counts.
+
+    Scale shape: per-day cost is O(batch grams), not O(corpus) — one
+    left join of the batch's gram rows against the index scan (bucketed
+    layout co-locates; otherwise AQE handles it), the same min(struct)
+    first-occurrence aggregate over FRESH grams only, coverage
+    expansion bounded by k x duplicate occurrences, reassembly on id.
+    The corpus text is never touched."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 would drop every repeated token)")
+    toked = batch.select(id_col, tokens(text_col).alias("__toks"))
+    tok_rows, gram_rows = _span_rows(toked, k, id_col, "__toks")
+    flagged = gram_rows.join(
+        index_fps.select(F.col("gram_fp").alias("fp")).withColumn("__ix", F.lit(1)),
+        "fp",
+        "left",
+    )
+    indexed_occ = flagged.filter(F.col("__ix").isNotNull()).select(id_col, "pos", "fp")
+    fresh = flagged.filter(F.col("__ix").isNull()).select(id_col, "pos", "fp")
+    fresh_groups = (
+        fresh.groupBy("fp")
         .agg(F.min(F.struct(id_col, "pos")).alias("__first"), F.count(F.lit(1)).alias("__cnt"))
         .filter(F.col("__cnt") >= 2)
     )
-    dup_occ = gram_rows.join(dup_groups, "fp").filter(
+    fresh_dup = fresh.join(fresh_groups, "fp").filter(
         ~((F.col(id_col) == F.col(f"__first.{id_col}")) & (F.col("pos") == F.col("__first.pos")))
     )
+    dup_occ = indexed_occ.unionByName(fresh_dup.select(id_col, "pos", "fp"))
+    kept_docs = _remove_covered_tokens(tok_rows, dup_occ, k, id_col, text_col)
+    new_fps = fresh.select(F.col("fp").alias("gram_fp")).distinct()
+    return kept_docs, new_fps
+
+
+def _remove_covered_tokens(
+    tok_rows: DataFrame, dup_occ: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Expand duplicate k-gram occurrences (id, pos) to their covered
+    token positions, drop those tokens, reassemble (id, text,
+    n_tokens_kept) — the shared tail of dedup_spans_on_tokens and
+    dedup_batch_spans."""
     covered = dup_occ.select(
         id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos")
     ).distinct()
     kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
-    out = (
+    return (
         kept.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("ls"))
         .select(
@@ -1192,9 +1288,6 @@ def dedup_spans_on_tokens(
             F.size("ls").alias("n_tokens_kept"),
         )
     )
-    if other is not None:
-        out = out.join(other, id_col, "left")
-    return out
 
 
 def cap_per_stratum(

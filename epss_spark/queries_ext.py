@@ -1397,6 +1397,71 @@ def dedup_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_spans_incremental",
+    f"""
+    WITH ctoked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+                    WHERE doc_id % 2 = 0),
+    corpus_fp AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+             i -> md5(array_to_string(toks[i:i+{_SPAN_K}-1], ' ')))) AS gram_fp
+      FROM ctoked WHERE len(toks) >= {_SPAN_K}
+    ),
+    btoked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+               WHERE doc_id % 2 = 1),
+    btok AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok
+      FROM btoked
+    ),
+    bgrams AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS pos,
+             unnest(list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+                    i -> md5(array_to_string(toks[i:i+{_SPAN_K}-1], ' ')))) AS fp
+      FROM btoked WHERE len(toks) >= {_SPAN_K}
+    ),
+    fresh AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY fp) AS cnt
+      FROM bgrams WHERE fp NOT IN (SELECT gram_fp FROM corpus_fp)
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM bgrams
+      WHERE fp IN (SELECT gram_fp FROM corpus_fp)
+      UNION ALL
+      SELECT doc_id, pos FROM fresh WHERE cnt >= 2 AND rn > 1
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, tpos FROM (
+        SELECT doc_id, unnest(range(pos, pos + {_SPAN_K})) AS tpos FROM dup
+      )
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM btok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.tpos
+      WHERE c.doc_id IS NULL
+    )
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+           COUNT(*) AS n_tokens_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_spans_incremental(spark, sf_dir):
+    """Incremental span dedup exercised the way a nightly job runs it
+    (operators/dedup.py::span_index/dedup_batch_spans): even-id docs are
+    the indexed corpus, odd-id docs the daily batch; batch k-grams whose
+    fingerprint is indexed drop as corpus-first duplicates, batch-fresh
+    grams keep-first within the batch, docs reassemble. Per-day cost is
+    O(batch grams) — the corpus text is never re-tokenized."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    kept, _new_fps = dedup.dedup_batch_spans(
+        batch, dedup.span_index(corpus, k=_SPAN_K), k=_SPAN_K
+    )
+    return kept
+
+
+@register(
     "dedup_lines_incremental",
     """
     WITH corpus_fp AS (

@@ -767,15 +767,22 @@ def test_shingle_cache_releases_on_exit(spark):
         [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(12)],
         "doc_id long, text string",
     )
-    baseline = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # track the SPECIFIC RDD ids the block persists, not global counts:
+    # the async ContextCleaner may unpersist fire-and-forget caches from
+    # EARLIER tests at any moment, so count equality is inherently flaky
+    def pids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    baseline = pids()
     with dedup.shingle_cache(docs) as shmap:
         assert shmap.storageLevel.useMemory
         pairs = dedup.minhash_lsh_pairs(docs, shmap=shmap, threshold=0.5).collect()
         verified = dedup.ngram_jaccard_pairs(docs, shmap=shmap, threshold=0.5).collect()
         assert len(pairs) > 0 and len(verified) > 0
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) >= baseline + 1
+        added = pids() - baseline
+        assert len(added) >= 1
     assert not shmap.storageLevel.useMemory  # released
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == baseline
+    assert not (pids() & added)  # everything the block persisted is gone
 
 
 def test_asof_join_semantics(spark):
@@ -1463,3 +1470,60 @@ def test_cap_per_stratum_bucketed_equals_windowed(spark):
     c = sorted(r.doc_id for r in dedup.cap_per_stratum(df, 3).collect())
     d = sorted(r.doc_id for r in dedup.cap_per_stratum_bucketed(df, 3).collect())
     assert c == d
+
+
+def test_dedup_batch_spans_equals_full_recompute_on_batch(spark):
+    """Incremental span dedup == full dedup_spans(corpus ∪ batch)
+    restricted to batch ids, when corpus ids precede batch ids — the
+    same contract as dedup_batch_lines. Corpus-internal duplication is
+    deliberately present (the restriction needs no assumption about
+    it)."""
+    k = 3
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "z a b c y"),  # corpus-internal dup of 'a b c'
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "m a b c n"),      # loses 'a b c' to the corpus
+            (11, "p q r s"),        # fresh span...
+            (12, "p q r s"),        # ...duplicated within the batch
+            (13, "xx"),             # < k tokens: passes through
+            (14, "c d e"),          # exact indexed span: fully covered, drops
+        ],
+        "doc_id long, text string",
+    )
+    kept, new_fps = dedup.dedup_batch_spans(batch, dedup.span_index(corpus, k=k), k=k)
+    got = {r.doc_id: (r.text, r.n_tokens_kept) for r in kept.collect()}
+    full = {
+        r.doc_id: (r.text, r.n_tokens_kept)
+        for r in dedup.dedup_spans(corpus.unionByName(batch), k=k).collect()
+        if r.doc_id >= 10
+    }
+    assert got == full
+    assert got[10] == ("m n", 2)
+    assert got[11] == ("p q r s", 4)
+    assert 12 not in got and 14 not in got
+    assert got[13] == ("xx", 1)
+    # fresh fps: doc 10 contributes 'm a b' + 'b c n' ('a b c' is
+    # indexed), docs 11/12 contribute 'p q r' + 'q r s' (distinct), and
+    # docs 13 (< k tokens) / 14 (all grams indexed) contribute none
+    assert new_fps.count() == 4
+
+
+def test_dedup_batch_spans_index_update_closes_the_loop(spark):
+    # appending new_fps keeps the index current: a day-2 doc repeating a
+    # day-1 span drops it even though the original corpus never saw it
+    k = 3
+    corpus = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    idx = dedup.span_index(corpus, k=k)
+    day1 = spark.createDataFrame([(10, "u v w x")], "doc_id long, text string")
+    kept1, new1 = dedup.dedup_batch_spans(day1, idx, k=k)
+    assert kept1.collect()[0].text == "u v w x"
+    idx2 = idx.unionByName(new1)
+    day2 = spark.createDataFrame([(20, "m u v w n")], "doc_id long, text string")
+    kept2, _ = dedup.dedup_batch_spans(day2, idx2, k=k)
+    assert kept2.collect()[0].text == "m n"
