@@ -561,6 +561,35 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_groups(T(spark, sf_dir, "documents"), bits=32)
 
 
+_SIMHASH_MAXHAM = 3
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+    bits AS (SELECT doc_id,
+           {_SIMHASH_BIT_SUMS}
+    FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({_SIMHASH_FOLD} AS BIGINT) AS simhash FROM bits)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAXHAM}
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """Manku et al. 2007 near-dup pairs: SimHash Hamming distance <= 3
+    via pigeonhole block banding (operators/dedup.py::simhash_pairs).
+    The oracle is a BRUTE-FORCE all-pairs comparison, so this checks the
+    banding's 100%-recall guarantee, not just the arithmetic."""
+    return dedup.simhash_pairs(
+        T(spark, sf_dir, "documents"), max_hamming=_SIMHASH_MAXHAM, bits=32
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

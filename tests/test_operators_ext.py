@@ -1527,3 +1527,30 @@ def test_dedup_batch_spans_index_update_closes_the_loop(spark):
     day2 = spark.createDataFrame([(20, "m u v w n")], "doc_id long, text string")
     kept2, _ = dedup.dedup_batch_spans(day2, idx2, k=k)
     assert kept2.collect()[0].text == "m n"
+
+
+def test_simhash_pairs_matches_brute_force(spark, docs):
+    """Pigeonhole banding must find EXACTLY the brute-force Hamming
+    pairs — the Manku et al. 100%-recall guarantee, on a corpus with
+    exact dups (hamming 0) and near-dups (small hamming)."""
+    from itertools import combinations
+
+    fps = {r[0]: r[1] for r in dedup.simhash(docs).collect()}
+    expect = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    )
+    got = sorted(tuple(r) for r in dedup.simhash_pairs(docs, max_hamming=3).collect())
+    assert got == expect
+    assert any(h == 0 for _, _, h in got)  # the exact-dup pair is in there
+
+
+def test_simhash_pairs_guards(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=0)
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=4, bits=32)  # 32 % 5 != 0
+    # a mega-bucket cap of 1 removes every bucket with >= 2 members,
+    # so no candidates can form at all
+    assert dedup.simhash_pairs(docs, max_bucket_size=1).count() == 0
