@@ -99,7 +99,7 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument(
         "--method",
         default="minhash",
-        choices=["exact", "lines", "minhash", "incremental", "semantic"],
+        choices=["exact", "lines", "spans", "minhash", "incremental", "semantic"],
     )
     dd.add_argument(
         "--threshold",
@@ -119,6 +119,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--max-bucket-size",
         type=int,
         help="skip LSH buckets above this size (boilerplate mega-cliques)",
+    )
+    dd.add_argument(
+        "--span-k",
+        type=int,
+        default=8,
+        help="spans: duplicated spans of at least this many tokens are removed",
     )
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
@@ -427,6 +433,7 @@ def main(argv: list[str] | None = None) -> int:
         _APPLICABLE = {
             "exact": set(),
             "lines": set(),
+            "spans": {"--span-k"},
             "minhash": {"--threshold", "--policy", "--max-bucket-size"},
             "incremental": {
                 "--threshold",
@@ -445,6 +452,7 @@ def main(argv: list[str] | None = None) -> int:
             "--index-dir": bool(args.index_dir),
             "--update-index": args.update_index,
             "--num-hashes": args.num_hashes is not None,
+            "--span-k": args.span_k != 8,
             "--bands": args.bands is not None,
             "--n-lists": args.n_lists != 8,
             "--seed": args.seed != 42,
@@ -572,6 +580,13 @@ def main(argv: list[str] | None = None) -> int:
             # reassembled) and returns only (id, text, n_lines_kept) — the
             # other methods pass full rows through, so say so in --help
             kept = dedup_ops.dedup_corpus_lines(docs, args.id_col, args.text_col)
+        elif args.method == "spans":
+            # exact substring-span dedup (Lee et al. 2022) also REWRITES
+            # text: duplicated >= k-token spans are removed, survivors
+            # reassembled as the normalized token stream
+            kept = dedup_ops.dedup_spans(
+                docs, k=args.span_k, id_col=args.id_col, text_col=args.text_col
+            )
         else:
             pairs = dedup_ops.minhash_lsh_pairs(
                 docs,

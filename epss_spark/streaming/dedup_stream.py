@@ -194,3 +194,58 @@ def start_incremental_line_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_span_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    available_now: bool = True,
+):
+    """The span-level sibling of `start_incremental_line_dedup`: per
+    micro-batch, remove every >= k-token span the on-disk gram-
+    fingerprint index has seen (operators/dedup.py::dedup_batch_spans,
+    Lee et al. 2022 semantics), append the reassembled surviving docs to
+    `accepted_dir`, and append the batch's fresh gram fingerprints to
+    the index — so batch N+1 cannot re-admit batch N's spans.
+    foreachBatch's serial execution is the ordering guarantee; state is
+    the on-disk index, nothing lives in streaming state.
+
+    Scale shape per batch: O(batch grams) — one join of the batch's gram
+    rows against the index scan plus the batch operator's coverage/
+    reassembly exchanges; the corpus text is never touched."""
+    fps_path = os.path.join(index_dir, "gram_fps")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # same filesystem-layer bootstrap rule as the line stream: only a
+        # missing path means "first batch"
+        try:
+            idx = spark.read.parquet(fps_path)
+            idx.schema
+        except Exception as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            idx = spark.createDataFrame([], "gram_fp string")
+        kept, new_fps = dedup.dedup_batch_spans(batch_df, idx, k, id_col, text_col)
+        # snapshot new_fps BEFORE the appends (read-your-own-append hazard)
+        new_fps = new_fps.persist()
+        try:
+            new_fps.count()
+            kept.write.mode("append").parquet(accepted_dir)
+            new_fps.write.mode("append").parquet(fps_path)
+        finally:
+            new_fps.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

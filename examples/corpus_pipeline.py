@@ -2,11 +2,12 @@
 
 Chains the engine's LLM-data operators over the testdata `documents` table:
 
-    line dedup (CCNet) -> quality gate -> per-domain cap -> exact dedup
+    line dedup (CCNet) -> span dedup (Lee et al. 2022) -> quality gate
+    -> per-domain cap -> exact dedup
     -> near-dup dedup (MinHash-LSH + verify) -> benchmark decontamination
     -> DSIR importance selection -> per-source sampling
     -> train/val/test split -> PII redaction
-    -> sequence packing (fixed token budget)
+    -> sequence packing (fixed token budget) -> BPE vocab on the result
 
 Every stage is a lazy DataFrame transformation; the whole pipeline is ONE
 Spark plan per action. At cluster scale the corpus side never shuffles for
@@ -48,6 +49,16 @@ def main() -> None:
         "n_lines_kept"
     )
     print(f"after line dedup: {docs.count()}")
+
+    # 0b. exact substring-span dedup (Lee et al. 2022): remove duplicated
+    #     >= 8-token spans line dedup can't see (paragraphs re-quoted
+    #     mid-document, license blocks reflowed across line boundaries).
+    #     Keeps the documents; rewrites text to the surviving token
+    #     stream.
+    docs = dedup.dedup_spans(docs, k=8, preserve_other_columns=True).drop(
+        "n_tokens_kept"
+    )
+    print(f"after span dedup: {docs.count()}")
 
     # 1. quality gate: length / stopword-saturation / repetitiveness
     gated = text.quality_filter(docs)
@@ -142,6 +153,13 @@ def main() -> None:
                 "training shards: "
                 + ", ".join(f"{r['shard']}:{r['count']}" for r in n_per_shard)
             )
+
+            # 9. train a BPE vocabulary ON the final train split — the
+            #    merge table is the tokenizer artifact that ships with the
+            #    shards (one corpus pass + bounded merge rounds)
+            merges = text.bpe_merges(train, n_merges=8)
+            top = ", ".join(f"{r.lhs}+{r.rhs}" for r in merges.collect()[:5])
+            print(f"BPE merge table (first 5 of 8): {top}")
         finally:
             neared.unpersist()
 

@@ -136,3 +136,24 @@ def test_download_snapshot_skips_existing(tmp_path):
     mtime = os.path.getmtime(p1)
     p2 = download_snapshot(str(tmp_path), "2023-03-07", fetch=lambda u, d: 1 / 0)
     assert p1 == p2 and os.path.getmtime(p2) == mtime
+
+
+def test_cli_dedup_spans_method(spark, tmp_path, capsys):
+    """`dedup --method spans` rewrites documents with duplicated spans
+    removed (Lee et al. 2022), end to end through parquet."""
+    import epss_spark.cli as cli
+
+    inp, outp = str(tmp_path / "docs"), str(tmp_path / "kept")
+    spark.createDataFrame(
+        [(0, "one two three four five"), (1, "x one two three four y"), (2, "solo doc")],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    rc = cli.main(
+        ["dedup", "--input", inp, "--output", outp, "--method", "spans", "--span-k", "4"]
+    )
+    assert rc == 0
+    assert "kept 3/3 rows" in capsys.readouterr().out
+    got = {r.doc_id: r.text for r in spark.read.parquet(outp).collect()}
+    assert got[0] == "one two three four five"
+    assert got[1] == "x y"
+    assert got[2] == "solo doc"

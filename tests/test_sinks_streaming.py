@@ -1243,3 +1243,61 @@ def test_resize_handles_png_payloads(spark):
     dec = mm.decode_image(bytes(out[0].payload))
     assert dec.shape == (4, 3, 3)
     assert np.array_equal(dec, mm.nn_resize(arr, 3, 4))
+
+
+def test_streaming_span_dedup_equals_sequential_batches(spark, tmp_path):
+    """Stream == sequential-batch contract for span dedup: three
+    micro-batches through start_incremental_span_dedup must accept
+    exactly what chained dedup_batch_spans calls accept — later batches
+    never re-admit earlier batches' spans."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import dedup as dedup_ops
+    from epss_spark.streaming import dedup_stream
+
+    k = 3
+    batches = [
+        [(0, "a b c d"), (1, "x a b c y")],      # doc 1 loses 'a b c' in-batch
+        [(10, "m b c d n"), (11, "p q r s")],    # 'b c d' indexed from doc 0
+        [(20, "p q r s")],                       # fully indexed -> drops
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"stage_{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = dedup_stream.stream_documents(spark, str(drop_dir), max_files_per_trigger=1)
+    q = dedup_stream.start_incremental_span_dedup(
+        stream,
+        str(tmp_path / "idx"),
+        str(tmp_path / "accepted"),
+        str(tmp_path / "ckpt"),
+        k=k,
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: r.text for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    }
+
+    idx = dedup_ops.span_index(
+        spark.createDataFrame([], "doc_id long, text string"), k=k
+    )
+    expected = {}
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        kept, fps = dedup_ops.dedup_batch_spans(bdf, idx, k=k)
+        expected.update({r.doc_id: r.text for r in kept.collect()})
+        idx = idx.unionByName(fps)
+    assert got == expected
+    assert got[0] == "a b c d" and got[1] == "x y"
+    assert got[10] == "m n" and got[11] == "p q r s"
+    assert 20 not in got
