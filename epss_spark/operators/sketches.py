@@ -316,3 +316,169 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# q-digest: mergeable quantile sketch over a bounded integer domain
+# ---------------------------------------------------------------------------
+
+
+def qdigest_build(
+    df: DataFrame,
+    value_col: str,
+    levels: int = 8,
+    k: int = 64,
+) -> DataFrame:
+    """Build a q-digest (Shrivastava et al., SenSys 2004) over integer
+    values in [0, 2^levels): the mergeable QUANTILE sketch that completes
+    the engine's sketch set (HLL distinct / Bloom membership / CMS
+    frequency / q-digest rank). Returns the sketch TABLE (node_id, cnt)
+    in dyadic heap numbering (node n at depth d covers a width-2^(levels-d)
+    value range; leaves are 2^levels + value). After compression the
+    sketch holds at most ~3k nodes regardless of input size, rank queries
+    are answered within N*levels/k, and two sketches merge by summing
+    node counts and recompressing — the daily-sketch-table shape of
+    hll_registers/cms_build, for "token-length p95 over any date window"
+    style queries that never re-read history.
+
+    Everything is DETERMINISTIC integer arithmetic (classic q-digest has
+    no randomness at all), so unlike KLL the whole structure — node ids,
+    counts, and query answers — is bit-for-bit reproducible in DuckDB;
+    the oracle replays the bottom-up compression as `levels` chained CTE
+    rounds (the bpe_merges oracle pattern).
+
+    Compression (bottom-up, per depth): a family (parent + its present
+    children) whose total count is <= floor(N/k) collapses into the
+    parent; larger families keep every member. Values outside the domain
+    raise (checked with one bounded min/max action); NULLs are ignored.
+
+    Scale shape: ONE corpus pass (groupBy(value) count — map-side
+    partials absorb hot values), then `levels` rounds of joins over the
+    bounded node frame (<= levels x distinct values, collapsing as it
+    compresses); lineage is checkpoint-truncated every few rounds."""
+    vals = df.select(F.col(value_col).cast("long").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    stats = vals.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n")
+    ).first()
+    if stats["n"] and (stats["lo"] < 0 or stats["hi"] >= (1 << levels)):
+        raise ValueError(
+            f"values [{stats['lo']}, {stats['hi']}] outside the q-digest domain "
+            f"[0, {1 << levels}); raise `levels` or pre-scale the column"
+        )
+    leaves = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select((F.lit(1 << levels) + F.col("v")).alias("node_id"), "cnt")
+    )
+    t = max(1, int(stats["n"] or 0) // k)
+    return _qdigest_compress(leaves, t, levels)
+
+
+def _qdigest_compress(nodes: DataFrame, t: int, levels: int) -> DataFrame:
+    """Bottom-up q-digest compression: for depth = levels..1, collapse
+    every family (parent + present children) with total count <= t into
+    the parent. Handles pre-existing parent nodes (the merge path)."""
+    for depth in range(levels, 0, -1):
+        lo, hi = 1 << depth, 1 << (depth + 1)
+        children = nodes.filter((F.col("node_id") >= lo) & (F.col("node_id") < hi))
+        parents = nodes.filter(
+            (F.col("node_id") >= lo // 2) & (F.col("node_id") < hi // 2)
+        )
+        others = nodes.filter((F.col("node_id") >= hi) | (F.col("node_id") < lo // 2))
+        fam = (
+            children.groupBy((F.col("node_id") / 2).cast("long").alias("pid"))
+            .agg(F.sum("cnt").alias("csum"))
+            .join(parents.withColumnRenamed("node_id", "pid"), "pid", "full_outer")
+            .select(
+                "pid",
+                (F.coalesce("csum", F.lit(0)) + F.coalesce("cnt", F.lit(0))).alias(
+                    "total"
+                ),
+                F.col("cnt").alias("pcnt"),
+            )
+        )
+        kept_children = children.join(
+            fam.filter(F.col("total") > t).select(
+                (F.col("pid")).alias("__p")
+            ),
+            (F.col("node_id") / 2).cast("long") == F.col("__p"),
+            "left_semi",
+        )
+        merged = fam.filter(F.col("total") <= t).select(
+            F.col("pid").alias("node_id"), F.col("total").alias("cnt")
+        )
+        kept_parents = fam.filter(
+            (F.col("total") > t) & F.col("pcnt").isNotNull()
+        ).select(F.col("pid").alias("node_id"), F.col("pcnt").alias("cnt"))
+        nodes = (
+            others.unionByName(kept_children)
+            .unionByName(merged)
+            .unionByName(kept_parents)
+        )
+        # eager checkpoint EVERY round: each round references `nodes` four
+        # times (children/parents/others/family), so an unchecked plan
+        # grows ~5x per depth — exponential in `levels`. The materialized
+        # frame is sketch-bounded (<= levels x distinct values, shrinking
+        # as compression proceeds), so the per-round job is tiny.
+        nodes = nodes.localCheckpoint(eager=True)
+    return nodes
+
+
+def qdigest_merge(*sketches: DataFrame, levels: int = 8, k: int = 64) -> DataFrame:
+    """Merge q-digests: sum counts per node, recompress against the
+    combined N — the standard q-digest merge law. Deterministic, so
+    merge-then-query is engine-reproducible like every other sketch
+    here."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    summed = u.groupBy("node_id").agg(F.sum("cnt").alias("cnt"))
+    n = summed.agg(F.sum("cnt")).first()[0] or 0
+    return _qdigest_compress(summed, max(1, int(n) // k), levels)
+
+
+def qdigest_quantiles(
+    sketch: DataFrame, qs: list[float], levels: int = 8
+) -> DataFrame:
+    """Answer quantile queries from a q-digest: (q, value) with value the
+    standard q-digest answer — the upper end of the first node (in
+    post-order: ascending range end, then ascending width) whose running
+    count reaches rank ceil(q*N). Guaranteed within levels*N/k ranks of
+    exact (pinned by property test). All inputs are sketch-bounded, so
+    the window and join are tiny by construction."""
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    # depth from the heap id via the engine's length(bin(x)) idiom (no
+    # float log2); range end and width are integer arithmetic. SQL-expr
+    # shiftleft because the Python F.shiftleft only takes a literal
+    # shift count.
+    d = "(length(bin(node_id)) - 1)"
+    w_sql = f"cast(shiftleft(1L, {levels} - {d}) as long)"
+    lo_sql = f"(node_id - shiftleft(1L, {d})) * {w_sql}"
+    annotated = sketch.select(
+        "node_id",
+        "cnt",
+        F.expr(f"{lo_sql} + {w_sql}").alias("hi"),
+        F.expr(w_sql).alias("w"),
+    )
+    w_order = Window.orderBy(F.col("hi").asc(), F.col("w").asc(), F.col("node_id").asc())
+    cum = annotated.withColumn("run", F.sum("cnt").over(w_order))
+    total = cum.agg(F.max("run").alias("n"))
+    # rank = ceil(q * N) in INTEGER arithmetic (q as exact millionths):
+    # DuckDB parses a 0.9 literal as DECIMAL while Spark uses DOUBLE, so
+    # a float ceil can differ by one rank between engines right at the
+    # boundary; (n*num + 999999) div 1000000 cannot.
+    qf = spark.createDataFrame(
+        [(float(q), int(round(q * 1_000_000))) for q in qs], "q double, num long"
+    )
+    rank = F.expr("(n * num + 999999) div 1000000")
+    return (
+        qf.crossJoin(F.broadcast(total))
+        .join(cum, F.col("run") >= rank, "left")
+        .groupBy("q")
+        .agg((F.min(F.struct("hi", "w", "node_id"))["hi"] - 1).alias("value"))
+        .orderBy("q")
+    )

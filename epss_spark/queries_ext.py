@@ -1263,6 +1263,92 @@ def sample_domain_cap(spark, sf_dir):
     return dedup.cap_per_stratum(T(spark, sf_dir, "documents"), n_max=10)
 
 
+# q-digest oracle: `levels` chained CTE rounds replaying the bottom-up
+# family compression bit-for-bit (integer counts, integer thresholds,
+# integer rank arithmetic — classic q-digest has no randomness), then the
+# post-order quantile scan. Spark side: operators/sketches.py::qdigest_*.
+_QD_LEVELS, _QD_K = 8, 16
+_QD_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def _qdigest_round_sql(r: int) -> str:
+    d = _QD_LEVELS + 1 - r  # round r processes children at depth d
+    c_lo, c_hi = 1 << d, 1 << (d + 1)
+    return f"""
+    fam{r} AS MATERIALIZED (
+      SELECT COALESCE(c.pid, p.id) AS pid,
+             COALESCE(c.csum, 0) + COALESCE(p.cnt, 0) AS total,
+             p.cnt AS pcnt
+      FROM (SELECT id // 2 AS pid, SUM(cnt) AS csum FROM m{r - 1}
+            WHERE id >= {c_lo} AND id < {c_hi} GROUP BY id // 2) c
+      FULL JOIN (SELECT id, cnt FROM m{r - 1}
+                 WHERE id >= {c_lo // 2} AND id < {c_lo}) p ON c.pid = p.id
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT id, cnt FROM m{r - 1} WHERE id >= {c_hi} OR id < {c_lo // 2}
+      UNION ALL
+      SELECT c.id, c.cnt FROM m{r - 1} c JOIN fam{r} f ON c.id // 2 = f.pid
+        WHERE c.id >= {c_lo} AND c.id < {c_hi} AND f.total > (SELECT t FROM thr)
+      UNION ALL
+      SELECT pid AS id, total AS cnt FROM fam{r} WHERE total <= (SELECT t FROM thr)
+      UNION ALL
+      SELECT pid AS id, pcnt AS cnt FROM fam{r}
+        WHERE total > (SELECT t FROM thr) AND pcnt IS NOT NULL
+    )"""
+
+
+_QD_W = f"(1 << ({_QD_LEVELS} - (length(bin(id)) - 1)))"
+_QD_HI = f"((id - (1 << (length(bin(id)) - 1))) * {_QD_W} + {_QD_W})"
+
+_QDIGEST_SQL = (
+    f"""
+    WITH vals AS (
+      SELECT CAST(len({_TOKS_SQL}) AS BIGINT) AS v FROM documents
+    ),
+    vv AS MATERIALIZED (SELECT v FROM vals WHERE v IS NOT NULL),
+    tot AS (SELECT COUNT(*) AS n FROM vv),
+    thr AS (SELECT GREATEST(1, n // {_QD_K}) AS t FROM tot),
+    m0 AS MATERIALIZED (SELECT {1 << _QD_LEVELS} + v AS id, COUNT(*) AS cnt FROM vv GROUP BY v),
+    """
+    + ",".join(_qdigest_round_sql(r) for r in range(1, _QD_LEVELS + 1))
+    + f""",
+    ann AS (
+      SELECT id, cnt, {_QD_HI} AS hi, {_QD_W} AS w FROM m{_QD_LEVELS}
+    ),
+    cum AS (
+      SELECT *, SUM(cnt) OVER (ORDER BY hi, w, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM ann
+    ),
+    qf AS (SELECT unnest([{", ".join(str(q) for q in _QD_QS)}]) AS q,
+                  unnest([{", ".join(str(int(round(q * 1_000_000))) for q in _QD_QS)}]) AS num)
+    SELECT q, CAST(hi - 1 AS BIGINT) AS value FROM (
+      SELECT qf.q, c.hi, c.w, c.id,
+             row_number() OVER (PARTITION BY qf.q ORDER BY c.hi, c.w, c.id) AS rn
+      FROM qf, tot, cum c
+      WHERE c.run >= (tot.n * qf.num + 999999) // 1000000
+    ) WHERE rn = 1
+    """
+)
+
+
+@register("agg_qdigest_quantiles", _QDIGEST_SQL)
+def agg_qdigest_quantiles(spark, sf_dir):
+    """q-digest quantile sketch (operators/sketches.py::qdigest_build /
+    qdigest_quantiles, Shrivastava et al. 2004): token-count quartiles +
+    p90 of the corpus answered from a <= 3k-node mergeable sketch. The
+    oracle replays the bottom-up family compression as 8 chained CTE
+    rounds and the post-order rank scan — the whole structure is
+    deterministic integer arithmetic, so like the HLL/Bloom/CMS tier it
+    is bit-exact cross-engine (rank arithmetic in integer millionths;
+    a float ceil(q*N) differs between DuckDB DECIMAL and Spark DOUBLE
+    literals at rank boundaries)."""
+    docs = T(spark, sf_dir, "documents")
+    sized = docs.select(F.size(text.tokens("text")).alias("n_tokens"))
+    dig = sketches.qdigest_build(sized, "n_tokens", levels=_QD_LEVELS, k=_QD_K)
+    return sketches.qdigest_quantiles(dig, list(_QD_QS), levels=_QD_LEVELS)
+
+
 # Learned-BPE oracle: n_merges chained CTE rounds, each deriving the next
 # most-frequent adjacent symbol pair from scratch over the same
 # per-symbol-delimited word representation the Spark trainer uses

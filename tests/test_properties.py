@@ -386,3 +386,40 @@ def test_bpe_merges_matches_reference(spark, texts):
     got = [tuple(r) for r in tx.bpe_merges(df, n_merges=4).collect()]
     wc = Counter(w for t in texts for w in t.split())
     assert got == tx.bpe_reference(dict(wc), 4)
+
+
+_budget_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["web", "code", "ref"]),
+        st.one_of(st.none(), st.text(alphabet="ab ", max_size=12)),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_budget_docs, budget=st.integers(min_value=0, max_value=40))
+@_settings
+def test_token_budget_bucketed_equivalence_fuzz(spark, rows, budget):
+    """Windowed and bucketed token-budget mixing keep identical doc sets
+    on fuzzed corpora — random strata mixes, null texts, zero budgets,
+    and bucket_chars=1 (16 coarse buckets) to force the cut bucket onto
+    boundaries."""
+    from epss_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    budgets = {"web": budget}
+    a = sorted(
+        tuple(r)
+        for r in dedup.sample_token_budget(df, budgets, default_budget=7).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.sample_token_budget_bucketed(
+            df, budgets, default_budget=7, bucket_chars=1
+        ).collect()
+    )
+    assert a == b

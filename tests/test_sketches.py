@@ -159,3 +159,72 @@ class TestCountMin:
         est = sketches.cms_estimate(sketch, cand, "v", d=4, w=2048).collect()[0].cms_count
         # collisions only: expected ~ N/w per row, min over 4 rows smaller
         assert est <= 3 * 10000 / 2048, est
+
+
+def test_qdigest_laws(spark):
+    """q-digest invariants: (1) the sketch preserves total count; (2) an
+    uncompressed digest (huge k) answers EXACT quantiles; (3) compressed
+    answers are conservative (rank(answer) >= target rank) and within
+    the levels*N/k rank-error bound; (4) out-of-domain values raise."""
+    import math
+    import random
+
+    from epss_spark.operators import sketches as sk
+
+    random.seed(11)
+    vals = [random.randint(0, 255) for _ in range(3000)] + [7] * 500 + [200] * 300
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    levels, k = 8, 16
+    dig = sk.qdigest_build(df, "x", levels=levels, k=k)
+    nodes = dig.collect()
+    n = sum(r.cnt for r in nodes)
+    assert n == len(vals)
+    t = max(1, n // k)
+    # every non-leaf node respects the count bound (leaves may exceed it)
+    assert all(r.cnt <= t for r in nodes if r.node_id < (1 << levels))
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    sv = sorted(vals)
+    exact_dig = sk.qdigest_build(df, "x", levels=levels, k=10**9)
+    got_exact = {r.q: r.value for r in sk.qdigest_quantiles(exact_dig, qs, levels).collect()}
+    assert got_exact == {q: sv[math.ceil(q * n) - 1] for q in qs}
+
+    got = {r.q: r.value for r in sk.qdigest_quantiles(dig, qs, levels).collect()}
+    for q in qs:
+        target = math.ceil(q * n)
+        rank_of_answer = sum(1 for x in vals if x <= got[q])
+        assert rank_of_answer >= target
+        assert rank_of_answer - target <= levels * n // k + 1
+
+    with pytest.raises(ValueError):
+        sk.qdigest_build(
+            spark.createDataFrame([(300,)], "x long"), "x", levels=8, k=16
+        )
+
+
+def test_qdigest_merge_law(spark):
+    """Merging per-partition digests answers within the error bound of a
+    digest built over the union — the daily-sketch-table contract."""
+    import math
+    import random
+
+    from epss_spark.operators import sketches as sk
+
+    random.seed(5)
+    a = [random.randint(0, 255) for _ in range(1500)]
+    b = [random.randint(0, 100) for _ in range(1500)]  # skewed second day
+    levels, k = 8, 16
+    da = sk.qdigest_build(spark.createDataFrame([(v,) for v in a], "x long"), "x", levels, k)
+    db = sk.qdigest_build(spark.createDataFrame([(v,) for v in b], "x long"), "x", levels, k)
+    merged = sk.qdigest_merge(da, db, levels=levels, k=k)
+    n = len(a) + len(b)
+    assert sum(r.cnt for r in merged.collect()) == n
+    got = {r.q: r.value for r in sk.qdigest_quantiles(merged, [0.5, 0.9], levels).collect()}
+    allv = a + b
+    for q in (0.5, 0.9):
+        target = math.ceil(q * n)
+        rank_of_answer = sum(1 for x in allv if x <= got[q])
+        # each constituent digest contributes up to levels*N_i/k rank
+        # slack, and the recompression another levels*N/k
+        assert rank_of_answer >= target
+        assert rank_of_answer - target <= 2 * levels * n // k + 2
