@@ -66,6 +66,19 @@ def main() -> None:
     for r in sketches.cms_estimate(cms_window, cand, "tok").orderBy("tok").collect():
         print(f"  {r.tok}: ~{r.cms_count}")
 
+    # --- q-digest: token-length quantiles over the window ------------
+    def day_lengths(d):
+        return d.select(F.size(tokens("text")).alias("n_tokens"))
+
+    qd_days = [
+        sketches.qdigest_build(day_lengths(d), "n_tokens", levels=8, k=16)
+        for d in days
+    ]
+    qd_window = sketches.qdigest_merge(*qd_days, levels=8, k=16)
+    print("token-length quantiles from the merged q-digest:")
+    for r in sketches.qdigest_quantiles(qd_window, [0.5, 0.9, 0.99], levels=8).collect():
+        print(f"  p{int(r.q * 100)}: <= {r.value} tokens")
+
     # the merge-law guarantee: merging the daily sketches IS the sketch
     # of the whole window (bit-for-bit, see tests/test_sketches.py)
     full = sketches.hll_registers(day_tokens(docs), ["source"], "tok")
