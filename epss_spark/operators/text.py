@@ -389,6 +389,54 @@ def vocab_stats(
     )
 
 
+def _mojibake_table() -> list[tuple[str, str]]:
+    """(mojibake, fixed) pairs for the classic crawl-corpus encoding bug:
+    UTF-8 bytes misread as Windows-1252 ("café" -> "cafÃ©",
+    "“quoted”" -> "â€œquotedâ€\x9d"). Each pair is derived
+    mechanically — fixed.encode('utf-8').decode('cp1252') — over the
+    Latin-1 Supplement letters plus the cp1252 punctuation block, sorted
+    longest-pattern-first so 3-byte sequences repair before their 2-byte
+    substrings could be touched. Codepoints whose UTF-8 bytes hit the
+    five undefined cp1252 slots are skipped (they cannot round-trip, so
+    that mojibake form cannot occur)."""
+    cps = list(range(0xA0, 0x100)) + [
+        0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6,
+        0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C,
+        0x201D, 0x2022, 0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A,
+        0x0153, 0x017E, 0x0178,
+    ]
+    pairs = []
+    for cp in cps:
+        ch = chr(cp)
+        try:
+            moji = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        pairs.append((moji, ch))
+    return sorted(pairs, key=lambda p: (-len(p[0]), p[0]))
+
+
+MOJIBAKE_TABLE = _mojibake_table()
+
+
+def fix_mojibake(col: Column | str = "text") -> Column:
+    """Repair UTF-8-misread-as-cp1252 mojibake (the ftfy staple, as a
+    pure codegen replace chain): every (mojibake, fixed) pair from
+    MOJIBAKE_TABLE replaced longest-first in one projection — no Python
+    crossing, zero shuffle, deterministic and replayable in SQL (the
+    text_fix_mojibake oracle runs the identical chain in DuckDB).
+
+    Caveat (shared with every mojibake fixer): text that LEGITIMATELY
+    contains a sequence like "Ã©" is rewritten too — the repair assumes
+    such sequences are always encoding damage, which on crawl corpora is
+    overwhelmingly the right bet. Apply before tokenization so the
+    normalizer sees real letters."""
+    c = F.col(col) if isinstance(col, str) else col
+    for moji, fixed in MOJIBAKE_TABLE:
+        c = F.replace(c, F.lit(moji), F.lit(fixed))
+    return c
+
+
 def _bpe_spaced(col: Column) -> Column:
     """Render a word as its per-symbol-delimited form: "abc" -> " a  b  c "
     (every symbol wrapped in its OWN leading+trailing space). This is the

@@ -1263,6 +1263,45 @@ def sample_domain_cap(spark, sf_dir):
     return dedup.cap_per_stratum(T(spark, sf_dir, "documents"), n_max=10)
 
 
+# Mojibake repair: a fixed corrupted suffix (clean text round-tripped
+# through the UTF-8-as-cp1252 bug in Python, the same derivation as the
+# repair table) is appended to every doc, then the full repair chain runs
+# in BOTH engines; the value hash proves the ~120-entry replace chain is
+# byte-identical cross-engine. Only round-trippable codepoints appear in
+# the suffix (U+201D etc. hit undefined cp1252 slots and cannot occur as
+# this mojibake form at all).
+_MOJI_CLEAN = " café — “quoted… naïve™ 100€ niño"
+_MOJI_DIRTY = _MOJI_CLEAN.encode("utf-8").decode("cp1252")
+
+
+def _sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _moji_repair_sql(expr: str) -> str:
+    for moji, fixed in text.MOJIBAKE_TABLE:
+        expr = f"replace({expr}, {_sqlq(moji)}, {_sqlq(fixed)})"
+    return expr
+
+
+@register(
+    "text_fix_mojibake",
+    f"""
+    SELECT doc_id,
+           {_moji_repair_sql(f"coalesce(text, '') || {_sqlq(_MOJI_DIRTY)}")} AS text
+    FROM documents
+    """,
+)
+def text_fix_mojibake(spark, sf_dir):
+    """UTF-8-misread-as-cp1252 mojibake repair (operators/text.py::
+    fix_mojibake, the ftfy staple as a codegen replace chain): every doc
+    gets a deterministically corrupted suffix appended, then the repair
+    chain must restore it byte-for-byte in both engines."""
+    docs = T(spark, sf_dir, "documents")
+    dirty = F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(_MOJI_DIRTY))
+    return docs.select("doc_id", text.fix_mojibake(dirty).alias("text"))
+
+
 # q-digest oracle: `levels` chained CTE rounds replaying the bottom-up
 # family compression bit-for-bit (integer counts, integer thresholds,
 # integer rank arithmetic — classic q-digest has no randomness), then the

@@ -1554,3 +1554,25 @@ def test_simhash_pairs_guards(spark, docs):
     # a mega-bucket cap of 1 removes every bucket with >= 2 members,
     # so no candidates can form at all
     assert dedup.simhash_pairs(docs, max_bucket_size=1).count() == 0
+
+
+def test_fix_mojibake_roundtrip(spark):
+    """Repair inverts the UTF-8-as-cp1252 corruption exactly for every
+    entry in the table, including 3-byte punctuation sequences embedded
+    mid-word, and is a no-op on clean ASCII."""
+    clean = "café — “quoted… naïve™ 100€ niño und süß"
+    dirty = clean.encode("utf-8").decode("cp1252")
+    assert dirty != clean
+    df = spark.createDataFrame(
+        [(0, dirty), (1, "plain ascii, untouched!"), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.fixed for r in df.select(
+        "doc_id", text.fix_mojibake("text").alias("fixed")
+    ).collect()}
+    assert got[0] == clean
+    assert got[1] == "plain ascii, untouched!"
+    assert got[2] is None
+    # full-table sweep: every repairable codepoint round-trips
+    for moji, fixed in text.MOJIBAKE_TABLE:
+        assert fixed.encode("utf-8").decode("cp1252") == moji

@@ -450,3 +450,37 @@ def test_bm25_lookup_plan_never_touches_corpus_text(spark, tmp_path):
     assert "In(term" in p  # pushed to the postings scan
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p
+
+
+def test_dedup_spans_duplicate_detection_is_hash_aggregate(spark):
+    # span dedup must detect duplicate k-grams with the min(struct)+count
+    # HASH AGGREGATE (map-side partials absorb boilerplate-span skew) and
+    # leave the occurrence join to AQE (which CAN split a skewed join
+    # partition) — never a row_number window over fp (which would sort a
+    # billion-copy gram's occurrences on one task).
+    p = plan(spark, "dedup_spans")
+    assert "Window" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_token_budget_bucketed_offsets_avoid_corpus_sort(spark):
+    # the skew-safe budget: the offsets branch must be a hash-aggregate
+    # subtotal (no sort), and the only corpus-scale window must be the
+    # (stratum, bucket)-partitioned in-bucket running sum — the whole
+    # point is that no window partitions on the bare stratum key.
+    from epss_spark.operators import dedup
+    from epss_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = dedup.sample_token_budget_bucketed(docs, {"src0": 600}, default_budget=300)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # two Window operators total: in-bucket running sum + the tiny
+    # preceding-bucket prefix over (strata x 256) boundary rows
+    assert p.count("Window") == 2
+    # every window partition spec must include the bucket column — a
+    # bare-stratum partitioning would re-serialize the hot stratum
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", p)
+    assert specs and all("__b" in s for s in specs), specs
