@@ -239,6 +239,17 @@ def build_parser() -> argparse.ArgumentParser:
     sl.add_argument("--id-col", default="doc_id")
     sl.add_argument("--text-col", default="text")
 
+    bp = sub.add_parser(
+        "bpe-train",
+        help="learn a BPE merge table from a documents parquet (extension): "
+        "one corpus pass + bounded merge rounds; write (rank, lhs, rhs, "
+        "pair_count) as the tokenizer artifact",
+    )
+    bp.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
+    bp.add_argument("--output", required=True, help="merge-table parquet")
+    bp.add_argument("--n-merges", type=int, default=32)
+    bp.add_argument("--text-col", default="text")
+
     u = sub.add_parser("urls", help="print snapshot URLs (reference epss/cli.py:117-139)")
     _add_range_flags(u)
 
@@ -361,6 +372,19 @@ def main(argv: list[str] | None = None) -> int:
         shown = out.limit(args.k) if args.report != "top-ngrams" else out
         for row in shown.collect():
             print("  ".join(str(v) for v in row))
+        return 0
+
+    if args.command == "bpe-train":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.operators import text as text_ops
+
+        docs = spark.read.parquet(args.input)
+        merges = text_ops.bpe_merges(docs, n_merges=args.n_merges, text_col=args.text_col)
+        merges.coalesce(1).write.mode("overwrite").parquet(args.output)
+        rows = spark.read.parquet(args.output).orderBy("rank").collect()
+        head = ", ".join(f"{r.lhs}+{r.rhs}" for r in rows[:8])
+        print(f"learned {len(rows)} merges -> {args.output} (first: {head})")
         return 0
 
     if args.command == "search":

@@ -228,3 +228,18 @@ def test_qdigest_merge_law(spark):
         # slack, and the recompression another levels*N/k
         assert rank_of_answer >= target
         assert rank_of_answer - target <= 2 * levels * n // k + 2
+
+
+def test_qdigest_empty_and_single_value(spark):
+    from epss_spark.operators import sketches as sk
+
+    empty = spark.createDataFrame([], "x long")
+    dig = sk.qdigest_build(empty, "x", levels=8, k=16)
+    assert dig.count() == 0
+    got = sk.qdigest_quantiles(dig, [0.5], levels=8).collect()
+    assert got[0].q == 0.5 and got[0].value is None  # no data -> no answer
+    one = sk.qdigest_build(
+        spark.createDataFrame([(42,)] * 5, "x long"), "x", levels=8, k=16
+    )
+    got = {r.q: r.value for r in sk.qdigest_quantiles(one, [0.1, 1.0], levels=8).collect()}
+    assert got == {0.1: 42, 1.0: 42}

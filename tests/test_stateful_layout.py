@@ -177,3 +177,29 @@ def test_repartition_for_window_single_exchange(spark):
     # window runs on the pre-partitioned layout: no extra hash exchange for
     # the window beyond the explicit repartition
     assert plan.count("hashpartitioning(user_id") <= 2
+
+
+def test_bucketed_bm25_index_prunes_posting_buckets(spark, tmp_path):
+    """The DEPLOYMENT.md claim for the lexical index layout: postings
+    written bucketed by term let a lookup's IN-filter prune to the query
+    terms' buckets (SelectedBucketsCount in the scan) — most of the
+    index is never read."""
+    from epss_spark.operators import retrieval
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    postings, doc_stats = retrieval.bm25_index(docs)
+    try:
+        write_bucketed(postings, "bm25_p_test", "term", num_buckets=8,
+                       path=str(tmp_path / "p"))
+        write_bucketed(doc_stats, "bm25_d_test", "doc_id", num_buckets=8,
+                       path=str(tmp_path / "d"))
+        out = retrieval.bm25_lookup(
+            spark.table("bm25_p_test"), spark.table("bm25_d_test"),
+            ["dup", "spark", "window"],
+        )
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in p
+        assert "regexp_replace" not in p  # still no corpus tokenize
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_p_test")
+        spark.sql("DROP TABLE IF EXISTS bm25_d_test")
