@@ -576,6 +576,54 @@ def bpe_reference(word_counts: dict, n_merges: int) -> list:
     return out
 
 
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Gopher-style compressibility signal: per document, zlib-compressed
+    bytes over raw UTF-8 bytes (Rae et al. 2021 use it to drop both
+    extremes — near-0 ratios are degenerate repetition, near/over-1
+    ratios are random-looking noise that n-gram and stopword heuristics
+    miss). Returns (id, n_bytes, ratio[6 dp]); empty/NULL docs get
+    ratio NULL.
+
+    The one quality signal here that genuinely needs Python (no zlib in
+    SQL engines — deliberately NOT oracle-registered; pinned against
+    direct python zlib instead): Arrow-batched mapInPandas, zero
+    shuffle, bytes never leave their partition. zlib output is fully
+    deterministic for a fixed level, so the signal is reproducible
+    across runs and machines (same zlib stream layout since 1998)."""
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    def _ratio(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sizes, ratios = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                raw = txt.encode("utf-8") if isinstance(txt, str) else b""
+                ids.append(did)
+                sizes.append(len(raw))
+                ratios.append(
+                    round(len(zlib.compress(raw, level)) / len(raw), 6) if raw else None
+                )
+            yield pd.DataFrame({id_col: ids, "n_bytes": sizes, "ratio": ratios})
+
+    return docs.select(id_col, text_col).mapInPandas(_ratio, schema=schema)
+
+
 def winnow_reference(s: str, k: int = 5, window: int = 4, base: int = 257, mod: int = (1 << 61) - 1):
     """Pure-Python winnowing of ONE string — the executable semantic spec
     for winnow_fingerprints (tests assert the vectorized kernel matches it

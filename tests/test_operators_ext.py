@@ -1576,3 +1576,30 @@ def test_fix_mojibake_roundtrip(spark):
     # full-table sweep: every repairable codepoint round-trips
     for moji, fixed in text.MOJIBAKE_TABLE:
         assert fixed.encode("utf-8").decode("cp1252") == moji
+
+
+def test_compression_ratio_matches_zlib_and_separates_extremes(spark):
+    import zlib
+
+    import random
+    import string
+
+    rng = random.Random(9)
+    noise = "".join(rng.choice(string.printable) for _ in range(400))
+    rows = [
+        (0, "spam " * 200),              # degenerate repetition -> tiny ratio
+        (1, "the quick brown fox jumps over the lazy dog " * 5),
+        (2, noise),                       # non-repeating noise -> high ratio
+        (3, ""),                          # empty -> NULL ratio
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.compression_ratio(df).collect()}
+    for did, txt in rows:
+        raw = (txt or "").encode("utf-8")
+        assert got[did].n_bytes == len(raw)
+        if raw:
+            assert got[did].ratio == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        else:
+            assert got[did].ratio is None
+    assert got[0].ratio < 0.1 < got[1].ratio < got[2].ratio

@@ -423,3 +423,27 @@ def test_token_budget_bucketed_equivalence_fuzz(spark, rows, budget):
         ).collect()
     )
     assert a == b
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["web", "code"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    n_max=st.integers(min_value=1, max_value=8),
+)
+@_settings
+def test_cap_bucketed_equivalence_fuzz(spark, rows, n_max):
+    """Range-bucketed cap == windowed cap under fuzzed id distributions
+    (clustered, duplicated-across-strata, tiny n_max) — approximate cut
+    points never change the keep set, only the bucket shapes."""
+    from epss_spark.operators import dedup
+
+    data = [(i * 100 + v, s, f"t{v}") for i, (s, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, text string")
+    a = sorted(r.doc_id for r in dedup.cap_per_stratum(df, n_max).collect())
+    b = sorted(
+        r.doc_id for r in dedup.cap_per_stratum_bucketed(df, n_max, n_buckets=4).collect()
+    )
+    assert a == b
