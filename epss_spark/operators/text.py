@@ -576,6 +576,51 @@ def bpe_reference(word_counts: dict, n_merges: int) -> list:
     return out
 
 
+URL_TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "mc_cid", "mc_eid", "ref",
+)
+
+
+def url_canonicalize(
+    col: Column | str = "url",
+    strip_params: tuple[str, ...] = URL_TRACKING_PARAMS,
+) -> Column:
+    """Canonical URL form for crawl dedup/frontier keys: lowercase scheme
+    and authority (path case is preserved — paths are case-sensitive),
+    strip the default port (:80 http / :443 https), drop the fragment,
+    remove tracking query params and SORT the survivors, and trim
+    trailing slashes (bare authority keeps "/"). Strings without a
+    scheme pass through unchanged. Pure regex/array Catalyst expressions
+    — no Python, no java.net parsing — precisely so the DuckDB oracle
+    can run the character-identical canonicalization (parse_url has no
+    SQL-engine equivalent). Userinfo, when present, lowercases with the
+    authority (vanishingly rare in crawl URLs; documented trade)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_replace(F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1), "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~F.element_at(F.split(p, "="), 1).isin(*strip_params),
+        )
+    )
+    qstr = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(scheme == "", c).otherwise(F.concat(scheme, F.lit("://"), auth, path, qstr))
+
+
 def compression_ratio(
     docs: DataFrame,
     id_col: str = "doc_id",

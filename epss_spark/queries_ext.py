@@ -1263,6 +1263,67 @@ def sample_domain_cap(spark, sf_dir):
     return dedup.cap_per_stratum(T(spark, sf_dir, "documents"), n_max=10)
 
 
+# URL canonicalization: synthetic messy URLs built from doc_id in BOTH
+# engines, canonicalized by the character-identical regex/array pipeline.
+_URL_STRIP_IN = ", ".join(f"'{p}'" for p in (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "mc_cid", "mc_eid", "ref",
+))
+
+
+@register(
+    "text_url_canonicalize",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTP://Example.COM:80/Mixed/Case/' || CAST(doc_id AS VARCHAR)
+             || '/?utm_source=news&z=1&id=' || CAST(doc_id AS VARCHAR)
+             || '&fbclid=abc#frag' AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u
+    ),
+    norm AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http'
+                  THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':80$', '')
+                  WHEN scheme = 'https'
+                  THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':443$', '')
+                  ELSE lower(regexp_extract(rest, '^([^/?#]*)', 1)) END AS auth,
+             CASE WHEN regexp_replace(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1), '/+$', '') = ''
+                  THEN '/' ELSE regexp_replace(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1), '/+$', '') END AS path,
+             list_sort(list_filter(string_split(query, '&'),
+                       p -> p <> '' AND NOT (string_split(p, '=')[1] IN ({_URL_STRIP_IN})))) AS kept
+      FROM parts
+    )
+    SELECT doc_id,
+           scheme || '://' || auth || path ||
+           CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS url
+    FROM norm
+    """,
+)
+def text_url_canonicalize(spark, sf_dir):
+    """URL canonicalization for crawl dedup (operators/text.py::
+    url_canonicalize): lowercase scheme/host, default-port and fragment
+    strip, tracking params removed, survivors sorted, trailing slashes
+    trimmed — on synthetic messy URLs derived from doc_id so both
+    engines canonicalize the identical inputs."""
+    docs = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://Example.COM:80/Mixed/Case/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=news&z=1&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&fbclid=abc#frag"),
+    )
+    return docs.select("doc_id", text.url_canonicalize(url).alias("url"))
+
+
 # Mojibake repair: a fixed corrupted suffix (clean text round-tripped
 # through the UTF-8-as-cp1252 bug in Python, the same derivation as the
 # repair table) is appended to every doc, then the full repair chain runs

@@ -1603,3 +1603,23 @@ def test_compression_ratio_matches_zlib_and_separates_extremes(spark):
         else:
             assert got[did].ratio is None
     assert got[0].ratio < 0.1 < got[1].ratio < got[2].ratio
+
+
+def test_url_canonicalize_semantics(spark):
+    cases = [
+        # (input, expected)
+        ("HTTP://Example.COM:80/A/b/?utm_source=x&id=3&z=1#frag",
+         "http://example.com/A/b?id=3&z=1"),
+        ("https://Host.io:443/", "https://host.io/"),
+        ("https://host.io:8443/x", "https://host.io:8443/x"),  # non-default port kept
+        ("http://h.io/p///", "http://h.io/p"),
+        ("http://h.io", "http://h.io/"),
+        ("http://h.io/?fbclid=only", "http://h.io/"),
+        ("ftp://H.io:80/f", "ftp://h.io:80/f"),  # :80 default only for http
+        ("not a url at all", "not a url at all"),  # schemeless passthrough
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r.i: r.c for r in df.select("i", text.url_canonicalize("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
