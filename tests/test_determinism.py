@@ -59,6 +59,21 @@ GENERATED = [
     "dedup_contamination_bloom",
     # IVF-PQ: two sampled-centroid collects + probe/encode/ADC lambdas
     "ann_ivfpq_topk",
+    # round-7 generated-expression queries: BPE's driver-loop of eager
+    # top-pair fetches embedded as replace literals (train AND the
+    # train-then-apply composite), the indexed BM25's eager df/N/avgdl
+    # literals, span dedup's per-position slice lambdas, q-digest's
+    # eager threshold + per-round checkpointed compression, SimHash
+    # pair banding's per-block structs, and the bucketed budget's
+    # prefix-offset join
+    "text_bpe_vocab",
+    "text_bpe_segment",
+    "search_bm25_indexed",
+    "dedup_spans",
+    "dedup_spans_incremental",
+    "agg_qdigest_quantiles",
+    "dedup_simhash_pairs",
+    "sample_token_budget_bucketed",
 ]
 
 
@@ -88,6 +103,12 @@ LAYOUT_SENSITIVE = [
     # the 6-dp-rounded avg of per-feature log-ratios must not wobble with
     # the partial-aggregation order of the underlying double sum
     "sample_dsir",
+    # first-occurrence min(struct) aggregates + coverage distinct must
+    # not depend on which partition sees an occurrence first
+    "dedup_spans",
+    # q-digest node table: eager per-round checkpoints re-partition the
+    # bounded frame, which must not perturb family grouping
+    "agg_qdigest_quantiles",
 ]
 
 
