@@ -1268,6 +1268,48 @@ def dedup_batch_spans(
     return kept_docs, new_fps
 
 
+def span_novelty(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplication pressure at span grain: the fraction of a
+    doc's k-gram occurrences whose fingerprint occurs >= 2 times
+    corpus-wide. (id, n_grams, dup_frac[6 dp]); dup_frac 0 = fully novel
+    text, 1 = every span duplicated somewhere. This is the DIAGNOSTIC
+    for `dedup_spans`: its corpus-weighted mean predicts how many tokens
+    span dedup would strip, per-source aggregation of it finds the
+    templated domains, and a near-1 doc is a pure stitch-up of seen
+    content (memorization-risk flag). Docs with < k tokens have no
+    k-grams and are absent.
+
+    Scale shape: the same _span_rows gram pass as dedup_spans, one
+    groupBy(fp) count (map-side partials), the duplicated-fp set joined
+    back (AQE-handled), one groupBy(id) fold. No text joins, no
+    windows."""
+    toked = docs.select(id_col, tokens(text_col).alias("__toks"))
+    _, gram_rows = _span_rows(toked, k, id_col, "__toks")
+    dup_fps = (
+        gram_rows.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("fp")
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        gram_rows.join(dup_fps, "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(F.coalesce("__dup", F.lit(0))).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def _remove_covered_tokens(
     tok_rows: DataFrame, dup_occ: DataFrame, k: int, id_col: str, text_col: str
 ) -> DataFrame:

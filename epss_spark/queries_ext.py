@@ -1612,6 +1612,34 @@ def dedup_spans(spark, sf_dir):
 
 
 @register(
+    "text_span_novelty",
+    f"""
+    WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+                    i -> md5(array_to_string(toks[i:i+{_SPAN_K}-1], ' ')))) AS fp
+      FROM toked WHERE len(toks) >= {_SPAN_K}
+    ),
+    flagged AS (
+      SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) >= 2 AS dup
+      FROM grams
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           round(SUM(CASE WHEN dup THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS dup_frac
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def text_span_novelty(spark, sf_dir):
+    """Span-grain duplication pressure (operators/dedup.py::
+    span_novelty): per doc, the fraction of 8-token gram occurrences
+    duplicated corpus-wide — the diagnostic that predicts dedup_spans
+    removal volume and flags stitched-from-seen-content docs."""
+    return dedup.span_novelty(T(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
+@register(
     "dedup_spans_incremental",
     f"""
     WITH ctoked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents

@@ -1623,3 +1623,20 @@ def test_url_canonicalize_semantics(spark):
     got = {r.i: r.c for r in df.select("i", text.url_canonicalize("url").alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_span_novelty_semantics(spark):
+    rows = [
+        (0, "a b c d e"),        # 3 grams, all duplicated by doc 1's copy
+        (1, "a b c d e"),        # exact dup
+        (2, "p q r s t"),        # fully novel
+        (3, "x a b c y"),        # 'a b c' duplicated, 'x a b'/'b c y' novel
+        (4, "uv"),               # < k tokens: no grams, absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.span_novelty(df, k=3).collect()}
+    assert got[0].dup_frac == 1.0 and got[0].n_grams == 3
+    assert got[1].dup_frac == 1.0
+    assert got[2].dup_frac == 0.0
+    assert got[3].n_grams == 3 and got[3].dup_frac == round(1 / 3, 6)
+    assert 4 not in got
