@@ -882,6 +882,7 @@ def dedup_corpus_lines(
     text_col: str = "text",
     min_line_chars: int = 1,
     preserve_other_columns: bool = False,
+    sep: str = "\n",
 ) -> DataFrame:
     """CCNet-style corpus-level line deduplication: split every document
     into lines, keep only the FIRST occurrence of each distinct line
@@ -919,12 +920,12 @@ def dedup_corpus_lines(
     exchanges total, both carrying (fp, id, pos, line) — bounded by
     corpus line bytes, shuffled once each."""
     first = (
-        _fingerprinted_lines(docs, id_col, text_col, min_line_chars)
+        _fingerprinted_lines(docs, id_col, text_col, min_line_chars, sep)
         .groupBy("__fp")
         .agg(F.min(F.struct(id_col, "pos", "line")).alias("s"))
         .select("s.*")
     )
-    out = _reassemble_lines(first, id_col, text_col)
+    out = _reassemble_lines(first, id_col, text_col, sep)
     if preserve_other_columns:
         out = out.join(docs.drop(text_col), id_col, "left")
     return out
@@ -940,12 +941,14 @@ _LINE_BYPASS = "\x00bypass"
 
 
 def _fingerprinted_lines(
-    docs: DataFrame, id_col: str, text_col: str, min_line_chars: int
+    docs: DataFrame, id_col: str, text_col: str, min_line_chars: int, sep: str = "\n"
 ) -> DataFrame:
     """(id, pos, line, __fp): one row per line with its dedup fingerprint —
-    md5 for dedup-eligible lines, a unique sentinel for bypass lines."""
+    md5 for dedup-eligible lines, a unique sentinel for bypass lines.
+    `sep` is the unit separator — "\n" for lines, "\n\n" for paragraphs
+    (it doubles as a Java regex in the split, so keep it metachar-free)."""
     lines = docs.select(
-        id_col, F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line")
+        id_col, F.posexplode_outer(F.split(F.col(text_col), sep)).alias("pos", "line")
     ).where(F.col("line").isNotNull())
     fp = F.when(F.length("line") >= min_line_chars, F.md5("line")).otherwise(
         F.concat_ws("|", F.lit(_LINE_BYPASS), F.col(id_col).cast("string"), F.col("pos").cast("string"))
@@ -953,7 +956,9 @@ def _fingerprinted_lines(
     return lines.withColumn("__fp", fp)
 
 
-def _reassemble_lines(kept: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _reassemble_lines(
+    kept: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
     """Rebuild documents from surviving (id, pos, line) rows in original
     line order: (id, text, n_lines_kept)."""
     return (
@@ -961,7 +966,7 @@ def _reassemble_lines(kept: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("ls"))
         .select(
             id_col,
-            F.concat_ws("\n", F.transform("ls", lambda s: s["line"])).alias(text_col),
+            F.concat_ws(sep, F.transform("ls", lambda s: s["line"])).alias(text_col),
             F.size("ls").alias("n_lines_kept"),
         )
     )

@@ -1612,6 +1612,42 @@ def dedup_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_paragraphs",
+    """
+    WITH l AS (
+      SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ls
+            FROM documents)
+    ),
+    el AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+      FROM l WHERE length(line) >= 1
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM el WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, pos, line FROM l WHERE length(line) < 1
+    )
+    SELECT doc_id, string_agg(line, chr(10) || chr(10) ORDER BY pos) AS text,
+           COUNT(*) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """Paragraph-grain corpus dedup (operators/dedup.py::
+    dedup_corpus_lines with sep="\\n\\n"): first occurrence of each
+    distinct blank-line-separated block corpus-wide — the grain between
+    line dedup (strips repeated single lines) and span dedup (edits
+    inside blocks); on single-paragraph docs it degrades to exact
+    first-occurrence doc dedup, which is what the synthetic corpus
+    exercises."""
+    return dedup.dedup_corpus_lines(
+        T(spark, sf_dir, "documents"), sep="\n\n"
+    )
+
+
+@register(
     "text_span_novelty",
     f"""
     WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

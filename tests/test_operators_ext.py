@@ -1640,3 +1640,22 @@ def test_span_novelty_semantics(spark):
     assert got[2].dup_frac == 0.0
     assert got[3].n_grams == 3 and got[3].dup_frac == round(1 / 3, 6)
     assert 4 not in got
+
+
+def test_dedup_paragraphs_sep_semantics(spark):
+    rows = [
+        (0, "intro para\n\nshared block\n\ntail zero"),
+        (1, "shared block\n\nunique one"),   # loses the block to doc 0
+        (2, "shared block"),                  # nothing left -> drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.dedup_corpus_lines(df, sep="\n\n").collect()}
+    assert got[0].text == "intro para\n\nshared block\n\ntail zero"
+    assert got[1].text == "unique one" and got[1].n_lines_kept == 1
+    assert 2 not in got
+    # line-grain on the same corpus keeps the single lines distinct
+    # ("shared block" dedups at BOTH grains, but paragraph boundaries
+    # "\n\n" are invisible to it — blank lines pass through as bypass)
+    lines = {r.doc_id: r.text for r in dedup.dedup_corpus_lines(df).collect()}
+    assert lines[0] == "intro para\n\nshared block\n\ntail zero"
+    assert lines[1] == "\nunique one"  # block line deduped; blank survives
