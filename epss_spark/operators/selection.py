@@ -231,6 +231,32 @@ def gumbel_key(logw: Column, id_col: Column, seed: str = "dsir") -> Column:
     return logw + -F.log(-F.log(u))
 
 
+def sample_weighted(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Generic weighted sampling WITHOUT replacement, proportional to
+    `weight_col` — the Gumbel top-k trick (equivalently Efraimidis &
+    Spirakis 2006) over ln(weight), completing the sampling family:
+    sample_stratified (rate), cap_per_stratum (count), sample_token_budget
+    (tokens), dsir_sample (learned importance), and now an arbitrary
+    caller-supplied weight (quality score, recency decay, domain prior).
+    Deterministic md5-derived noise, 6-dp-rounded key, id tie-break —
+    the selected set is identical across runs and engines (same contract
+    as dsir_sample). Rows with NULL or non-positive weight are excluded
+    (zero weight = never sampled, and ln needs w > 0). Returns the input
+    columns + sample_key; orderBy+limit compiles to
+    TakeOrderedAndProject — no global sort at scale."""
+    w = F.col(weight_col).cast("double")
+    keyed = docs.where(w.isNotNull() & (w > 0)).withColumn(
+        "sample_key", F.round(gumbel_key(F.log(w), F.col(id_col), seed), 6)
+    )
+    return keyed.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(k)
+
+
 def dsir_sample(
     raw_docs: DataFrame,
     target_docs: DataFrame | None = None,

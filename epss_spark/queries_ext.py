@@ -2085,6 +2085,35 @@ def sample_dsir(spark, sf_dir):
 
 
 @register(
+    "sample_weighted",
+    """
+    WITH keyed AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             round(ln(CAST(n_chars AS DOUBLE)) + -ln(-ln(
+               (CAST(('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+               / 1152921504606846976.0)), 6) AS sample_key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, text, lang, source, n_chars, sample_key FROM (
+      SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rn FROM keyed
+    ) WHERE rn <= 100
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Generic weighted sampling without replacement (operators/
+    selection.py::sample_weighted): 100 docs drawn proportionally to
+    n_chars via deterministic Gumbel top-k — the caller-supplied-weight
+    member of the sampling family (rate / count / tokens / learned
+    importance / arbitrary weight)."""
+    return selection.sample_weighted(
+        T(spark, sf_dir, "documents"), k=100, weight_col="n_chars"
+    )
+
+
+
+
+@register(
     "sample_dsir_topk",
     f"""
     WITH {_DSIR_EX},

@@ -330,3 +330,26 @@ class TestIVFPQ:
         for r in idx.collect():
             assert 0 <= r.list_id < 3 and len(r.codes) == 2
             assert all(0 <= c < 3 for c in r.codes)
+
+
+def test_sample_weighted_is_proportional_and_deterministic(spark):
+    """Gumbel top-k weighted sampling: heavy rows are selected far more
+    often across seeds (statistical law on a deliberately skewed weight
+    split), zero/NULL weights never appear, and a fixed seed is exactly
+    reproducible."""
+    from epss_spark.operators import selection
+
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(200)]
+    rows += [(900, 0.0), (901, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picks = {}
+    for seed in ("s1", "s2", "s3", "s4"):
+        got = [r.doc_id for r in selection.sample_weighted(df, 20, "w", seed=seed).collect()]
+        assert 900 not in got and 901 not in got
+        picks[seed] = got
+        heavy = sum(1 for i in got if i < 10)
+        # 10 heavy rows carry 1000/1190 of the mass; expect most of them
+        # in any 20-draw sample (p(all 10) ~ .45; p(>=8) >> .99)
+        assert heavy >= 8, (seed, heavy)
+    a = [r.doc_id for r in selection.sample_weighted(df, 20, "w", seed="s1").collect()]
+    assert a == picks["s1"]  # exact reproducibility, order included
