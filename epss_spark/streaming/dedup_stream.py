@@ -249,3 +249,43 @@ def start_incremental_span_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_bm25_index_maintenance(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Continuous lexical-index maintenance: per micro-batch, append the
+    batch's postings (term, id, tf) and doc_stats (id, dl) to the BM25
+    index artifacts (operators/retrieval.py::bm25_index). Terms are
+    per-document facts, so appends need no read-modify-write and no
+    cross-batch state at all — the simplest of the index streams; the
+    bounded N/avgdl/df statistics are computed at QUERY time by
+    bm25_lookup, so the index is always current the moment a batch
+    lands. Upstream dedup streams should run first (index accepted docs,
+    not raw crawl).
+
+    Scale shape per batch: one tokenize pass + one (term, id) aggregate
+    over the batch only."""
+    from epss_spark.operators import retrieval
+
+    postings_path = os.path.join(index_dir, "postings")
+    stats_path = os.path.join(index_dir, "doc_stats")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        postings, doc_stats = retrieval.bm25_index(batch_df, id_col, text_col)
+        postings.write.mode("append").parquet(postings_path)
+        doc_stats.write.mode("append").parquet(stats_path)
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1301,3 +1301,48 @@ def test_streaming_span_dedup_equals_sequential_batches(spark, tmp_path):
     assert got[0] == "a b c d" and got[1] == "x y"
     assert got[10] == "m n" and got[11] == "p q r s"
     assert 20 not in got
+
+
+def test_streaming_bm25_index_equals_batch_build(spark, tmp_path):
+    """Index-maintenance stream contract: after draining N micro-batches,
+    the on-disk postings/doc_stats equal a one-shot bm25_index over the
+    union, and bm25_lookup over them scores identically to bm25_topk."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import retrieval
+    from epss_spark.streaming import dedup_stream
+
+    batches = [
+        [(0, "alpha beta beta gamma"), (1, "alpha delta")],
+        [(10, "beta gamma gamma"), (11, "epsilon alpha")],
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"stage_{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = dedup_stream.stream_documents(spark, str(drop_dir), max_files_per_trigger=1)
+    q = dedup_stream.start_bm25_index_maintenance(
+        stream, str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    allrows = [r for b in batches for r in b]
+    alldf = spark.createDataFrame(allrows, "doc_id long, text string")
+    bp, bs = retrieval.bm25_index(alldf)
+    sp = spark.read.parquet(str(tmp_path / "idx" / "postings"))
+    ss = spark.read.parquet(str(tmp_path / "idx" / "doc_stats"))
+    assert sorted(map(tuple, sp.collect())) == sorted(map(tuple, bp.collect()))
+    assert sorted(map(tuple, ss.collect())) == sorted(map(tuple, bs.collect()))
+    direct = [tuple(r) for r in retrieval.bm25_topk(alldf, ["alpha", "gamma"]).collect()]
+    indexed = [tuple(r) for r in retrieval.bm25_lookup(sp, ss, ["alpha", "gamma"]).collect()]
+    assert direct == indexed and len(direct) > 0
