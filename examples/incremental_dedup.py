@@ -72,6 +72,16 @@ def main() -> None:
     print(f"kept after incremental dedup: {n_kept}")
     index_bands.unpersist()
 
+    # 4. the other incremental indexes run the same O(batch) night:
+    #    line fingerprints strip seen boilerplate lines, span-gram
+    #    fingerprints remove duplicated >= k-token spans (in production
+    #    both indexes live bucketed on parquet and get the batch's
+    #    new_fps appended — see DEPLOYMENT.md's layout table)
+    line_kept, _line_fps = dedup.dedup_batch_lines(batch, dedup.line_index(corpus))
+    span_kept, _span_fps = dedup.dedup_batch_spans(batch, dedup.span_index(corpus))
+    print(f"batch docs surviving line-grain dedup: {line_kept.count()}")
+    print(f"batch docs surviving span-grain dedup: {span_kept.count()}")
+
 
 if __name__ == "__main__":
     main()
