@@ -426,13 +426,22 @@ def pq_topk(
     ad2[6 dp], rank), rank by (ad2 asc, cand_id) — the rounded score
     orders the window so ranking is engine-stable.
 
-    Scale story: candidates are encoded ONCE (pass `codes=` with the
-    persisted code table — the index artifact); the scan then reads m
-    ints per vector instead of dim floats (64x less I/O at m=4/dim=64),
-    each query's m*k distance table is computed once as a plan-time
-    projection on the broadcast query side, and scoring is pure array
-    lookups + a fixed-length sum inside codegen. The final top-k is a
-    per-query window over candidate counts, same as cosine_topk."""
+    THIS IS THE EXHAUSTIVE-SCAN FORM — it scores every query against
+    EVERY candidate (O(queries x candidates), compressed domain). It is
+    the exact-ADC verifier and the right tool up to millions of
+    candidates; at billion scale use `ivfpq_topk`, which prunes the scan
+    to n_probe/n_lists of the corpus over the same codes and degrades to
+    this function's exact scoring at full probe (identity pinned by
+    test). A user reaching for "PQ" first should reach for IVF-PQ.
+
+    Scale story (within the scanned set): candidates are encoded ONCE
+    (pass `codes=` with the persisted code table — the index artifact);
+    the scan then reads m ints per vector instead of dim floats (64x
+    less I/O at m=4/dim=64), each query's m*k distance table is computed
+    once as a plan-time projection on the broadcast query side, and
+    scoring is pure array lookups + a fixed-length sum inside codegen.
+    The final top-k is a per-query window over candidate counts, same
+    as cosine_topk."""
     m = len(centroids)
     if codes is None:
         codes = pq_encode(candidates, centroids, id_col=id_col, vec_col=vec_col)
