@@ -542,8 +542,13 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
                     return 2
-            ib = spark.read.parquet(os.path.join(args.index_dir, "bands"))
-            ish = spark.read.parquet(os.path.join(args.index_dir, "shingles"))
+            # layout-tolerant read: a dedup-index build writes flat files,
+            # the streaming maintainer writes epoch-N/ subdirs — accept
+            # either (or a mix after both have touched the same index)
+            from epss_spark.streaming.dedup_stream import read_artifact
+
+            ib = read_artifact(spark, os.path.join(args.index_dir, "bands"))
+            ish = read_artifact(spark, os.path.join(args.index_dir, "shingles"))
             with dedup_ops.shingle_cache(docs, args.id_col, args.text_col) as bshmap:
                 pairs = dedup_ops.minhash_lookup(
                     docs,

@@ -6,20 +6,44 @@ A crawl pipeline lands new document files continuously; each micro-batch
 must be deduplicated against everything accepted so far WITHOUT
 re-shingling the corpus. Structured Streaming's foreachBatch is the right
 primitive: the lookup itself is a batch join against the persistent index
-artifacts (band rows + shingle arrays on parquet), and the sink appends
-both the surviving docs and their index rows transactionally per batch —
-so batch N+1 sees batch N's survivors, exactly like `dedup --method
-incremental --update-index` on a timer, but driven by file arrival.
+artifacts (band rows + shingle arrays on parquet), and the sink commits
+both the surviving docs and their index rows per batch — so batch N+1
+sees batch N's survivors, exactly like `dedup --method incremental
+--update-index` on a timer, but driven by file arrival.
 
 In-flight batch ordering: foreachBatch micro-batches execute serially, so
 intra-stream duplicates are caught by the index update between batches,
 plus drop_batch_duplicates inside each batch. State is bounded: nothing
-lives in streaming state at all — the "state" IS the on-disk index, which
-is also what makes the job restartable (checkpoint + idempotent parquet
-appends per epoch would make it exactly-once; this module keeps the
-simple at-least-once append, the standard trade for dedup sinks where
-re-appending a survivor is itself an exact duplicate the NEXT lookup
-would catch).
+lives in streaming state at all — the "state" IS the on-disk index.
+
+Restart/retry idempotency (exactly-once effects): foreachBatch is
+at-least-once — after a crash between the batch's writes and the
+checkpoint commit, the whole batch REPLAYS with the same epoch_id. Plain
+`mode("append")` writes would then land a second copy of the batch's
+rows, which is fatal for row-COUNTING consumers (bm25_lookup derives N,
+avgdl, df, tf from row counts) and subtly wrong even for the
+membership-semantics dedup indexes (a replayed span batch would see its
+own first-attempt gram fps as "indexed" and strip MORE text the second
+time). This module therefore makes every batch write epoch-scoped and
+every index read replay-deterministic:
+
+- WRITES: each artifact (accepted docs, index rows, postings, stats) for
+  epoch N goes to `<artifact_dir>/epoch-N/` with mode("overwrite") — a
+  replay REPLACES the epoch's output instead of appending next to it.
+- READS inside a batch: the index is read from the artifact's flat base
+  files plus only the epoch dirs with epoch < N (`_read_committed`), so
+  a replay of epoch N sees exactly what the first attempt saw — never
+  its own partial output — and recomputes bit-identical results.
+- CONSUMERS: `epoch-N` subdirs are deliberately NOT hive partitions
+  (no schema change, and they can coexist with a flat batch-built
+  layout in the same directory), but a plain `spark.read.parquet(dir)`
+  ignores plain subdirectories — read maintained artifacts with
+  `read_artifact(spark, dir)` (recursiveFileLookup), which handles
+  flat, epoch-scoped, and mixed layouts identically.
+
+One maintenance stream per artifact directory: epoch ids are scoped to a
+checkpoint, so two concurrently-running queries writing the same
+directory would collide on epoch dirs.
 """
 
 from __future__ import annotations
@@ -46,6 +70,160 @@ def stream_documents(
     )
 
 
+# --------------------------------------------------------------------------
+# epoch-scoped artifact layout
+# --------------------------------------------------------------------------
+
+_EPOCH_PREFIX = "epoch-"
+
+
+def _epoch_dir(path: str, epoch_id: int) -> str:
+    return os.path.join(path, f"{_EPOCH_PREFIX}{int(epoch_id)}")
+
+
+def _write_epoch(df: DataFrame, path: str, epoch_id: int) -> None:
+    """Idempotent per-epoch commit: overwrite `<path>/epoch-N`, so a
+    foreachBatch replay of epoch N replaces the previous attempt's rows
+    instead of appending a second copy."""
+    df.write.mode("overwrite").parquet(_epoch_dir(path, epoch_id))
+
+
+def _list_artifact(spark: SparkSession, path: str):
+    """List an artifact directory through Spark's Hadoop filesystem layer
+    (works for hdfs:// s3a:// file:// alike — a driver-local os.listdir
+    would silently see nothing on remote stores). Returns
+    (path_exists, has_flat_files, [(epoch_int, epoch_dir_path), ...])."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False, False, []
+    has_flat = False
+    epochs = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory():
+            if name.startswith(_EPOCH_PREFIX):
+                try:
+                    epochs.append((int(name[len(_EPOCH_PREFIX):]), st.getPath().toString()))
+                except ValueError:
+                    pass
+        elif not name.startswith(("_", ".")):
+            has_flat = True
+    return True, has_flat, sorted(epochs)
+
+
+def _read_committed(
+    spark: SparkSession,
+    path: str,
+    before_epoch: int,
+    empty_schema: str | None = None,
+) -> DataFrame:
+    """Read an index artifact as it stood BEFORE epoch `before_epoch`
+    started: the flat base files (a batch-built index, or CLI
+    --update-index appends) plus every epoch dir with epoch <
+    before_epoch. Excluding the current epoch makes a foreachBatch replay
+    deterministic — it can never read its own previous partial attempt.
+
+    `empty_schema=None` means the artifact must already exist (the
+    minhash stream's pre-built-index contract): a missing/empty path
+    raises via the plain read. With a schema, missing/empty bootstraps
+    to an empty frame (first batch of a self-building index)."""
+    exists, has_flat, epochs = _list_artifact(spark, path)
+    paths = ([path] if has_flat else []) + [
+        p for e, p in epochs if e < before_epoch
+    ]
+    if not paths:
+        if empty_schema is None or (exists and epochs):
+            # exists-with-only-future-epochs is a replay reading an index
+            # no first attempt could have seen — impossible under one
+            # stream per dir; surface it rather than treat as bootstrap
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.parquet(*paths)
+
+
+def read_artifact(spark: SparkSession, path: str) -> DataFrame:
+    """Read a stream-maintained artifact directory (accepted docs, index
+    rows, BM25 postings/doc_stats): flat base files and all committed
+    `epoch-N` subdirs together. Plain `spark.read.parquet(dir)` ignores
+    plain subdirectories, so consumers of maintained artifacts must use
+    this (or pass recursiveFileLookup themselves). Works unchanged on a
+    flat batch-built layout."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
+# --------------------------------------------------------------------------
+# per-batch processors (module-level so tests can replay an epoch directly)
+# --------------------------------------------------------------------------
+
+
+def process_minhash_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    bands_path: str,
+    sh_path: str,
+    accepted_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> None:
+    """One idempotent epoch of the minhash dedup stream: look the batch up
+    against the index as of epochs < epoch_id, drop duplicates (indexed
+    partner wins regardless of id order; batch twins drop greedily), and
+    overwrite this epoch's accepted/bands/shingles partitions. Replaying
+    the same (batch, epoch_id) reproduces identical output."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    ib = _read_committed(spark, bands_path, epoch_id)
+    ish = _read_committed(spark, sh_path, epoch_id)
+    with dedup.shingle_cache(batch_df, id_col, text_col) as bshmap:
+        pairs = dedup.minhash_lookup(
+            batch_df,
+            ib,
+            ish,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            new_shmap=bshmap,
+        )
+        # persist the survivor set so the accepted write and the index
+        # extension share ONE computation of the lookup + ACTION
+        kept = dedup.drop_batch_duplicates(batch_df, pairs, id_col).persist()
+        try:
+            _write_epoch(kept, accepted_dir, epoch_id)
+            # index hygiene: exactly one row set per id. A re-crawled
+            # survivor (id already indexed) must NOT add fresh rows next
+            # to its stale ones — duplicate ids make later verification
+            # nondeterministic; refreshing content is an index rebuild/
+            # compaction, not an append. Survivors' shingle arrays are
+            # already in the batch cache, so reuse it instead of
+            # re-normalizing/re-shingling the texts. (The epoch-scoped
+            # reads above already exclude this epoch's own output, so no
+            # read-your-own-write snapshot is needed.)
+            indexed_ids = ish.select(id_col).distinct()
+            fresh = kept.join(indexed_ids, id_col, "left_anti")
+            fshmap = bshmap.join(fresh.select(id_col), id_col, "semi")
+            kb, ks = dedup.minhash_index(
+                fresh,
+                id_col,
+                text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shmap=fshmap,
+            )
+            _write_epoch(kb, bands_path, epoch_id)
+            _write_epoch(ks, sh_path, epoch_id)
+        finally:
+            kept.unpersist()
+
+
 def start_incremental_dedup(
     docs_stream: DataFrame,
     index_dir: str,
@@ -59,10 +237,10 @@ def start_incremental_dedup(
     available_now: bool = True,
 ):
     """Wire the stream into the incremental-dedup ACTION: per micro-batch,
-    look the batch up against the on-disk index, drop duplicates
-    (indexed partner wins regardless of id order; batch twins drop
-    greedily), append survivors to `accepted_dir`, and extend the index
-    with their band rows + shingles.
+    look the batch up against the on-disk index, drop duplicates, commit
+    survivors to `accepted_dir`, and extend the index with their band
+    rows + shingles — all via epoch-scoped overwrites, so a foreachBatch
+    retry replays the epoch idempotently (module docstring).
 
     available_now=True drains the backlog and stops (the catch-up/nightly
     mode — same availableNow pattern as the scores streams); False keeps
@@ -76,54 +254,18 @@ def start_incremental_dedup(
     sh_path = os.path.join(index_dir, "shingles")
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        ib = spark.read.parquet(bands_path)
-        ish = spark.read.parquet(sh_path)
-        with dedup.shingle_cache(batch_df, id_col, text_col) as bshmap:
-            pairs = dedup.minhash_lookup(
-                batch_df,
-                ib,
-                ish,
-                id_col,
-                text_col,
-                num_hashes=num_hashes,
-                bands=bands,
-                threshold=threshold,
-                new_shmap=bshmap,
-            )
-            # persist the survivor set so the accepted-append and the index
-            # extension share ONE computation of the lookup + ACTION
-            kept = dedup.drop_batch_duplicates(batch_df, pairs, id_col).persist()
-            try:
-                kept.write.mode("append").parquet(accepted_dir)
-                # index hygiene: exactly one row set per id. A re-crawled
-                # survivor (id already indexed) must NOT append fresh rows
-                # next to its stale ones — duplicate ids make later
-                # verification nondeterministic; refreshing content is an
-                # index rebuild/compaction, not an append. Survivors'
-                # shingle arrays are already in the batch cache, so reuse
-                # it instead of re-normalizing/re-shingling the texts.
-                indexed_ids = ish.select(id_col).distinct().persist()
-                indexed_ids.count()  # snapshot BEFORE appending to sh_path
-                try:
-                    fresh = kept.join(indexed_ids, id_col, "left_anti")
-                    fshmap = bshmap.join(fresh.select(id_col), id_col, "semi")
-                    kb, ks = dedup.minhash_index(
-                        fresh,
-                        id_col,
-                        text_col,
-                        num_hashes=num_hashes,
-                        bands=bands,
-                        shmap=fshmap,
-                    )
-                    kb.write.mode("append").parquet(bands_path)
-                    ks.write.mode("append").parquet(sh_path)
-                finally:
-                    indexed_ids.unpersist()
-            finally:
-                kept.unpersist()
+        process_minhash_batch(
+            batch_df,
+            epoch_id,
+            bands_path,
+            sh_path,
+            accepted_dir,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -131,6 +273,30 @@ def start_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def process_line_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    fps_path: str,
+    accepted_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> None:
+    """One idempotent epoch of the line dedup stream: drop every line the
+    index (as of epochs < epoch_id) has seen, overwrite this epoch's
+    accepted and fingerprint partitions. Replay-safe: a retried epoch
+    never sees its own first attempt's fps, so the kept set is identical."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    idx = _read_committed(spark, fps_path, epoch_id, empty_schema="line_fp string")
+    kept, new_fps = dedup.dedup_batch_lines(
+        batch_df, idx, id_col, text_col, min_line_chars
+    )
+    _write_epoch(kept, accepted_dir, epoch_id)
+    _write_epoch(new_fps, fps_path, epoch_id)
 
 
 def start_incremental_line_dedup(
@@ -145,11 +311,13 @@ def start_incremental_line_dedup(
 ):
     """The line-level sibling of `start_incremental_dedup`: per
     micro-batch, drop every line the on-disk fingerprint index has seen
-    (operators/dedup.py::dedup_batch_lines), append the reassembled
-    surviving docs to `accepted_dir`, and append the batch's new
+    (operators/dedup.py::dedup_batch_lines), commit the reassembled
+    surviving docs to `accepted_dir`, and commit the batch's new
     fingerprints to the index — so batch N+1 cannot re-admit batch N's
-    lines. foreachBatch's serial execution is the ordering guarantee;
-    state is the on-disk index, nothing lives in streaming state.
+    lines. Epoch-scoped overwrites make retries idempotent (module
+    docstring); foreachBatch's serial execution is the ordering
+    guarantee; state is the on-disk index, nothing lives in streaming
+    state.
 
     Scale shape per batch: O(batch lines) — one anti-join of the batch's
     exploded lines against the index scan plus the same two-exchange
@@ -158,35 +326,10 @@ def start_incremental_line_dedup(
     fps_path = os.path.join(index_dir, "line_fps")
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        # bootstrap detection must go through Spark's filesystem layer —
-        # a driver-local os.path.exists is always False for hdfs://, s3a://
-        # etc., which would silently treat the index as empty on EVERY
-        # batch (cross-batch dedup off, duplicate fps accumulating). Only
-        # a missing-path error means "first batch"; any other read error
-        # propagates.
-        try:
-            idx = spark.read.parquet(fps_path)
-            idx.schema  # force path resolution now, inside the try
-        except Exception as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            idx = spark.createDataFrame([], "line_fp string")
-        kept, new_fps = dedup.dedup_batch_lines(
-            batch_df, idx, id_col, text_col, min_line_chars
+        process_line_batch(
+            batch_df, epoch_id, fps_path, accepted_dir, id_col, text_col,
+            min_line_chars,
         )
-        # snapshot new_fps BEFORE the accepted/index appends: its lazy
-        # plan reads fps_path, and appending to that same path first
-        # would be a read-your-own-append hazard
-        new_fps = new_fps.persist()
-        try:
-            new_fps.count()
-            kept.write.mode("append").parquet(accepted_dir)
-            new_fps.write.mode("append").parquet(fps_path)
-        finally:
-            new_fps.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -194,6 +337,31 @@ def start_incremental_line_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def process_span_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    fps_path: str,
+    accepted_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> None:
+    """One idempotent epoch of the span dedup stream. The epoch-scoped
+    index read matters MOST here: a replay against an index already
+    holding the batch's own first-attempt gram fps would see its fresh
+    spans as "indexed" and strip strictly more text, leaving two
+    divergent copies of the same doc under a plain-append layout. Reading
+    epochs < epoch_id and overwriting epoch partitions removes both
+    failure modes."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    idx = _read_committed(spark, fps_path, epoch_id, empty_schema="gram_fp string")
+    kept, new_fps = dedup.dedup_batch_spans(batch_df, idx, k, id_col, text_col)
+    _write_epoch(kept, accepted_dir, epoch_id)
+    _write_epoch(new_fps, fps_path, epoch_id)
 
 
 def start_incremental_span_dedup(
@@ -209,9 +377,10 @@ def start_incremental_span_dedup(
     """The span-level sibling of `start_incremental_line_dedup`: per
     micro-batch, remove every >= k-token span the on-disk gram-
     fingerprint index has seen (operators/dedup.py::dedup_batch_spans,
-    Lee et al. 2022 semantics), append the reassembled surviving docs to
-    `accepted_dir`, and append the batch's fresh gram fingerprints to
+    Lee et al. 2022 semantics), commit the reassembled surviving docs to
+    `accepted_dir`, and commit the batch's fresh gram fingerprints to
     the index — so batch N+1 cannot re-admit batch N's spans.
+    Epoch-scoped overwrites make retries idempotent (module docstring);
     foreachBatch's serial execution is the ordering guarantee; state is
     the on-disk index, nothing lives in streaming state.
 
@@ -221,27 +390,9 @@ def start_incremental_span_dedup(
     fps_path = os.path.join(index_dir, "gram_fps")
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        # same filesystem-layer bootstrap rule as the line stream: only a
-        # missing path means "first batch"
-        try:
-            idx = spark.read.parquet(fps_path)
-            idx.schema
-        except Exception as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            idx = spark.createDataFrame([], "gram_fp string")
-        kept, new_fps = dedup.dedup_batch_spans(batch_df, idx, k, id_col, text_col)
-        # snapshot new_fps BEFORE the appends (read-your-own-append hazard)
-        new_fps = new_fps.persist()
-        try:
-            new_fps.count()
-            kept.write.mode("append").parquet(accepted_dir)
-            new_fps.write.mode("append").parquet(fps_path)
-        finally:
-            new_fps.unpersist()
+        process_span_batch(
+            batch_df, epoch_id, fps_path, accepted_dir, id_col, text_col, k
+        )
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -249,6 +400,29 @@ def start_incremental_span_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def process_bm25_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    postings_path: str,
+    stats_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One idempotent epoch of BM25 index maintenance. Idempotency is
+    load-bearing here, not hygiene: bm25_lookup COUNTS rows (N, avgdl
+    from doc_stats; df, tf from postings — operators/retrieval.py:
+    bm25_lookup), so a plain-append retry would double-count the batch
+    and silently corrupt every future score. Epoch-overwrite makes the
+    retry a no-op-equivalent replacement."""
+    if batch_df.isEmpty():
+        return
+    from epss_spark.operators import retrieval
+
+    postings, doc_stats = retrieval.bm25_index(batch_df, id_col, text_col)
+    _write_epoch(postings, postings_path, epoch_id)
+    _write_epoch(doc_stats, stats_path, epoch_id)
 
 
 def start_bm25_index_maintenance(
@@ -259,29 +433,26 @@ def start_bm25_index_maintenance(
     text_col: str = "text",
     available_now: bool = True,
 ):
-    """Continuous lexical-index maintenance: per micro-batch, append the
+    """Continuous lexical-index maintenance: per micro-batch, commit the
     batch's postings (term, id, tf) and doc_stats (id, dl) to the BM25
-    index artifacts (operators/retrieval.py::bm25_index). Terms are
-    per-document facts, so appends need no read-modify-write and no
-    cross-batch state at all — the simplest of the index streams; the
-    bounded N/avgdl/df statistics are computed at QUERY time by
-    bm25_lookup, so the index is always current the moment a batch
-    lands. Upstream dedup streams should run first (index accepted docs,
-    not raw crawl).
+    index artifacts (operators/retrieval.py::bm25_index) via epoch-scoped
+    overwrites (idempotent under foreachBatch retry — module docstring;
+    read the artifacts back with `read_artifact`). Terms are per-document
+    facts, so epochs need no read-modify-write and no cross-batch state
+    at all — the simplest of the index streams; the bounded N/avgdl/df
+    statistics are computed at QUERY time by bm25_lookup, so the index is
+    always current the moment a batch lands. Upstream dedup streams
+    should run first (index accepted docs, not raw crawl).
 
     Scale shape per batch: one tokenize pass + one (term, id) aggregate
     over the batch only."""
-    from epss_spark.operators import retrieval
-
     postings_path = os.path.join(index_dir, "postings")
     stats_path = os.path.join(index_dir, "doc_stats")
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        postings, doc_stats = retrieval.bm25_index(batch_df, id_col, text_col)
-        postings.write.mode("append").parquet(postings_path)
-        doc_stats.write.mode("append").parquet(stats_path)
+        process_bm25_batch(
+            batch_df, epoch_id, postings_path, stats_path, id_col, text_col
+        )
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -576,14 +576,19 @@ def test_streaming_incremental_dedup_matches_batch_flow(spark, tmp_path):
     )
     q.awaitTermination(120)
     accepted = sorted(
-        r.doc_id for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+        r.doc_id
+        for r in dedup_stream.read_artifact(
+            spark, str(tmp_path / "accepted")
+        ).collect()
     )
     # 1 loses to indexed 5 (despite smaller id); 11 loses to batch twin 10;
     # 20 loses to 10 ONLY IF batch 1's survivor was indexed between batches
     assert accepted == [10]
-    # and the index now holds corpus + survivor
+    # and the index (flat batch-built base + stream epoch dirs) now holds
+    # corpus + survivor — readable only through the layout-tolerant reader
     idx_ids = {
-        r.doc_id for r in spark.read.parquet(str(idx / "shingles")).collect()
+        r.doc_id
+        for r in dedup_stream.read_artifact(spark, str(idx / "shingles")).collect()
     }
     assert idx_ids == {5, 7, 10}
 
@@ -997,12 +1002,12 @@ def test_streaming_dedup_recrawl_does_not_duplicate_index_rows(spark, tmp_path):
         threshold=0.3,
     )
     q.awaitTermination(120)
-    sh = spark.read.parquet(str(idx / "shingles"))
+    sh = dedup_stream.read_artifact(spark, str(idx / "shingles"))
     # id 5 still has exactly ONE shingle row; id 9 was appended
     counts = {r.doc_id: r.cnt for r in sh.groupBy("doc_id").count().withColumnRenamed("count", "cnt").collect()}
     assert counts == {5: 1, 9: 1}
     # and only doc 9's band rows were added
-    n_bands_after = spark.read.parquet(str(idx / "bands")).count()
+    n_bands_after = dedup_stream.read_artifact(spark, str(idx / "bands")).count()
     assert n_bands_after == 2 * n_bands_before
 
 
@@ -1093,7 +1098,10 @@ def test_streaming_line_dedup_equals_sequential_batches(spark, tmp_path):
     )
     q.awaitTermination(180)
     got = {
-        r.doc_id: r.text for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+        r.doc_id: r.text
+        for r in dedup_stream.read_artifact(
+            spark, str(tmp_path / "accepted")
+        ).collect()
     }
 
     # sequential-batch reference: chain dedup_batch_lines by hand
@@ -1285,7 +1293,10 @@ def test_streaming_span_dedup_equals_sequential_batches(spark, tmp_path):
     )
     q.awaitTermination(180)
     got = {
-        r.doc_id: r.text for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+        r.doc_id: r.text
+        for r in dedup_stream.read_artifact(
+            spark, str(tmp_path / "accepted")
+        ).collect()
     }
 
     idx = dedup_ops.span_index(
@@ -1339,10 +1350,159 @@ def test_streaming_bm25_index_equals_batch_build(spark, tmp_path):
     allrows = [r for b in batches for r in b]
     alldf = spark.createDataFrame(allrows, "doc_id long, text string")
     bp, bs = retrieval.bm25_index(alldf)
-    sp = spark.read.parquet(str(tmp_path / "idx" / "postings"))
-    ss = spark.read.parquet(str(tmp_path / "idx" / "doc_stats"))
+    sp = dedup_stream.read_artifact(spark, str(tmp_path / "idx" / "postings"))
+    ss = dedup_stream.read_artifact(spark, str(tmp_path / "idx" / "doc_stats"))
     assert sorted(map(tuple, sp.collect())) == sorted(map(tuple, bp.collect()))
     assert sorted(map(tuple, ss.collect())) == sorted(map(tuple, bs.collect()))
     direct = [tuple(r) for r in retrieval.bm25_topk(alldf, ["alpha", "gamma"]).collect()]
     indexed = [tuple(r) for r in retrieval.bm25_lookup(sp, ss, ["alpha", "gamma"]).collect()]
     assert direct == indexed and len(direct) > 0
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch replay idempotency (at-least-once crash-retry semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: if the epoch's writes land but the
+    checkpoint commit fails, the SAME (batch, epoch_id) replays. BM25 is
+    the consumer where plain appends are fatal — bm25_lookup COUNTS rows
+    for N/avgdl/df/tf, so a double-append silently corrupts every future
+    score. Replaying process_bm25_batch must leave postings, doc_stats,
+    and lookup scores bit-identical."""
+    from epss_spark.operators import retrieval
+    from epss_spark.streaming import dedup_stream
+
+    b1 = spark.createDataFrame(
+        [(0, "alpha beta beta gamma"), (1, "alpha delta")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame([(10, "beta gamma gamma")], "doc_id long, text string")
+    pp = str(tmp_path / "idx" / "postings")
+    ds = str(tmp_path / "idx" / "doc_stats")
+    dedup_stream.process_bm25_batch(b1, 0, pp, ds)
+    dedup_stream.process_bm25_batch(b2, 1, pp, ds)
+
+    def snapshot():
+        sp = dedup_stream.read_artifact(spark, pp)
+        ss = dedup_stream.read_artifact(spark, ds)
+        scores = [
+            tuple(r)
+            for r in retrieval.bm25_lookup(sp, ss, ["alpha", "gamma"]).collect()
+        ]
+        return (
+            sorted(map(tuple, sp.collect())),
+            sorted(map(tuple, ss.collect())),
+            scores,
+        )
+
+    before = snapshot()
+    # crash-retry: epoch 1 replays in full
+    dedup_stream.process_bm25_batch(b2, 1, pp, ds)
+    assert snapshot() == before
+    # and the replayed index still equals a one-shot batch build
+    alldf = b1.unionByName(b2)
+    direct = [tuple(r) for r in retrieval.bm25_topk(alldf, ["alpha", "gamma"]).collect()]
+    assert before[2] == direct and len(direct) > 0
+
+
+def test_span_batch_replay_is_idempotent(spark, tmp_path):
+    """The span stream's replay failure mode under plain appends is worse
+    than double rows: the retried batch would see its OWN first-attempt
+    gram fps as 'indexed' and strip strictly MORE text, leaving two
+    divergent copies of the doc. The epoch-scoped read (epochs < N only)
+    must make the replay reproduce the first attempt exactly."""
+    from epss_spark.streaming import dedup_stream
+
+    fps = str(tmp_path / "gram_fps")
+    acc = str(tmp_path / "accepted")
+    b1 = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(10, "m b c d n")], "doc_id long, text string")
+    dedup_stream.process_span_batch(b1, 0, fps, acc, k=3)
+    dedup_stream.process_span_batch(b2, 1, fps, acc, k=3)
+    first = {
+        r.doc_id: r.text
+        for r in dedup_stream.read_artifact(spark, acc).collect()
+    }
+    assert first == {0: "a b c d", 10: "m n"}
+    n_fps = dedup_stream.read_artifact(spark, fps).count()
+
+    dedup_stream.process_span_batch(b2, 1, fps, acc, k=3)  # crash-retry
+    again = {
+        r.doc_id: r.text
+        for r in dedup_stream.read_artifact(spark, acc).collect()
+    }
+    assert again == first  # notably 10 stays "m n", not stripped further
+    assert dedup_stream.read_artifact(spark, fps).count() == n_fps
+
+
+def test_line_batch_replay_is_idempotent(spark, tmp_path):
+    from epss_spark.streaming import dedup_stream
+
+    fps = str(tmp_path / "line_fps")
+    acc = str(tmp_path / "accepted")
+    b1 = spark.createDataFrame([(0, "alpha\nbanner")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(10, "banner\ngamma")], "doc_id long, text string")
+    dedup_stream.process_line_batch(b1, 0, fps, acc)
+    dedup_stream.process_line_batch(b2, 1, fps, acc)
+    first = {
+        r.doc_id: r.text
+        for r in dedup_stream.read_artifact(spark, acc).collect()
+    }
+    assert first == {0: "alpha\nbanner", 10: "gamma"}
+    n_fps = dedup_stream.read_artifact(spark, fps).count()
+
+    dedup_stream.process_line_batch(b2, 1, fps, acc)  # crash-retry
+    again = {
+        r.doc_id: r.text
+        for r in dedup_stream.read_artifact(spark, acc).collect()
+    }
+    assert again == first
+    assert dedup_stream.read_artifact(spark, fps).count() == n_fps
+
+
+def test_minhash_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying a minhash epoch must not re-admit the batch against its
+    own survivors, nor append a second row set to the index: the accepted
+    set and the per-id index row counts stay identical."""
+    from epss_spark.operators import dedup as dedup_ops
+    from epss_spark.streaming import dedup_stream
+
+    corpus = spark.createDataFrame(
+        [(5, "the quick brown fox jumps over the lazy dog at dawn")],
+        "doc_id long, text string",
+    )
+    idx = tmp_path / "idx"
+    with dedup_ops.shingle_cache(corpus) as shmap:
+        ib, ish = dedup_ops.minhash_index(corpus, shmap=shmap)
+        ib.write.parquet(str(idx / "bands"))
+        ish.write.parquet(str(idx / "shingles"))
+
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog at dusk"),
+            (9, "a brand new never seen before document about planning"),
+        ],
+        "doc_id long, text string",
+    )
+    bands_p, sh_p = str(idx / "bands"), str(idx / "shingles")
+    acc = str(tmp_path / "accepted")
+    kwargs = dict(threshold=0.3)
+    dedup_stream.process_minhash_batch(batch, 0, bands_p, sh_p, acc, **kwargs)
+
+    def snapshot():
+        accepted = sorted(
+            r.doc_id for r in dedup_stream.read_artifact(spark, acc).collect()
+        )
+        sh = dedup_stream.read_artifact(spark, sh_p)
+        per_id = sorted(
+            map(tuple, sh.groupBy("doc_id").count().collect())
+        )
+        nb = dedup_stream.read_artifact(spark, bands_p).count()
+        return accepted, per_id, nb
+
+    before = snapshot()
+    assert before[0] == [9]  # 1 lost to indexed near-dup 5
+    dedup_stream.process_minhash_batch(batch, 0, bands_p, sh_p, acc, **kwargs)
+    assert snapshot() == before
