@@ -1533,18 +1533,37 @@ def cap_per_stratum_bucketed(
     comes from the exact per-bucket counts and prefix offsets, never
     from the approximate quantiles themselves. In-bucket row_number over
     (stratum, bucket) + preceding-bucket count offsets == the windowed
-    form's global row_number, bit-for-bit."""
+    form's global row_number, bit-for-bit.
+
+    Non-numeric ids (percentile_approx needs a number): cut points are
+    estimated on an ORDER-PRESERVING numeric surrogate — the first 15 hex
+    digits (60 bits) of the id's UTF-8 bytes, right-padded with the
+    smallest digit. UTF-8 byte order equals codepoint order, so
+    id1 <= id2 implies surrogate1 <= surrogate2 and bucket assignment
+    stays monotone in the raw id — the exact-count correctness argument
+    is untouched (and the in-bucket order key is still the RAW id). Only
+    bucket BALANCE degrades when ids share a >7-char common prefix; the
+    degenerate everything-in-one-bucket case just reproduces the windowed
+    form's performance, never a wrong keep set."""
+    from pyspark.sql.types import NumericType
+
+    if isinstance(docs.schema[id_col].dataType, NumericType):
+        key = F.col(id_col)
+    else:
+        key = F.conv(
+            F.rpad(F.substring(F.hex(F.col(id_col).cast("binary")), 1, 15), 15, "0"),
+            16,
+            10,
+        ).cast("long")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = docs.groupBy(stratum_col).agg(
-        F.percentile_approx(F.col(id_col), qs, quantile_accuracy).alias("__cuts")
+        F.percentile_approx(key, qs, quantile_accuracy).alias("__cuts")
     )
-    # bucket = number of cut points strictly below id: monotone
-    # non-decreasing in id regardless of ties/duplicates in the cuts
+    # bucket = number of cut points strictly below the (surrogate) key:
+    # monotone non-decreasing in id regardless of ties/duplicates in cuts
     tagged = (
         docs.join(F.broadcast(cuts), stratum_col)
-        .withColumn(
-            "__b", F.size(F.filter("__cuts", lambda c: c < F.col(id_col)))
-        )
+        .withColumn("__b", F.size(F.filter("__cuts", lambda c: c < key)))
         .drop("__cuts")
     )
     # per-bucket counts via hash aggregate (no corpus sort), prefix over

@@ -607,7 +607,9 @@ def url_canonicalize(
     )
     path = F.regexp_replace(F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1), "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    # defragment BEFORE extracting the query: a '?' whose first appearance
+    # is inside the fragment ("…/p#a?b") is fragment text, not a query
+    query = F.regexp_extract(F.regexp_replace(c, "#.*$", ""), r"\?(.*)$", 1)
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -644,7 +646,9 @@ def compression_ratio(
 
     schema = StructType(
         [
-            StructField(id_col, LongType()),
+            # id passes through untouched — keep its REAL type (string doc
+            # ids etc.), never assume long
+            StructField(id_col, docs.schema[id_col].dataType),
             StructField("n_bytes", LongType()),
             StructField("ratio", DoubleType()),
         ]

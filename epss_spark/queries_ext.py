@@ -1285,7 +1285,7 @@ _URL_STRIP_IN = ", ".join(f"'{p}'" for p in (
       SELECT doc_id, url,
              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
-             regexp_extract(url, '\\?([^#]*)', 1) AS query
+             regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1) AS query
       FROM u
     ),
     norm AS (

@@ -1472,6 +1472,24 @@ def test_cap_per_stratum_bucketed_equals_windowed(spark):
     assert c == d
 
 
+def test_cap_per_stratum_bucketed_string_ids(spark):
+    """Non-numeric order keys go through the order-preserving byte-prefix
+    surrogate for cut-point estimation only — keep set still equals the
+    windowed cap exactly, including ids sharing a long common prefix
+    (degenerate balance, never a wrong answer)."""
+    rows = [
+        (f"doc-{s}-{i:04d}", s) for s in ("hot", "cold") for i in range(80)
+    ] + [(f"z{i}", "hot") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    for n_max in (3, 25, 70):
+        a = sorted(r.doc_id for r in dedup.cap_per_stratum(df, n_max).collect())
+        b = sorted(
+            r.doc_id
+            for r in dedup.cap_per_stratum_bucketed(df, n_max, n_buckets=8).collect()
+        )
+        assert a == b and len(a) > 0
+
+
 def test_dedup_batch_spans_equals_full_recompute_on_batch(spark):
     """Incremental span dedup == full dedup_spans(corpus ∪ batch)
     restricted to batch ids, when corpus ids precede batch ids — the
@@ -1605,6 +1623,16 @@ def test_compression_ratio_matches_zlib_and_separates_extremes(spark):
     assert got[0].ratio < 0.1 < got[1].ratio < got[2].ratio
 
 
+def test_compression_ratio_keeps_id_type(spark):
+    df = spark.createDataFrame(
+        [("u-1", "spam " * 50), ("u-2", "b")], "doc_id string, text string"
+    )
+    out = text.compression_ratio(df)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r.doc_id: r.n_bytes for r in out.collect()}
+    assert got == {"u-1": 250, "u-2": 1}
+
+
 def test_url_canonicalize_semantics(spark):
     cases = [
         # (input, expected)
@@ -1617,6 +1645,9 @@ def test_url_canonicalize_semantics(spark):
         ("http://h.io/?fbclid=only", "http://h.io/"),
         ("ftp://H.io:80/f", "ftp://h.io:80/f"),  # :80 default only for http
         ("not a url at all", "not a url at all"),  # schemeless passthrough
+        # '?' first appearing inside the fragment is NOT a query
+        ("http://h.io/p#a?b", "http://h.io/p"),
+        ("http://h.io/p?z=2&id=1#a?fbclid=x", "http://h.io/p?id=1&z=2"),
         (None, None),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
