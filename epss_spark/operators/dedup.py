@@ -1315,6 +1315,167 @@ def span_novelty(
     )
 
 
+def _raw_span_rows(docs: DataFrame, k: int, id_col: str, text_col: str):
+    """(tok_rows_with_offsets, gram_rows) for OFFSET-PRESERVING span
+    dedup. Token = maximal ASCII-alnum run in the RAW text (identity =
+    lower(run)) — identical to the normalize-based token stream except
+    for exotic case mappings where lower() turns a non-alnum codepoint
+    into an alnum one (U+212A KELVIN SIGN etc.); raw-run tokenization is
+    the RIGHT identity here because only it has well-defined offsets.
+
+    Offsets are 0-based codepoint offsets [start, end) into the raw
+    text. The separator table comes from split(text, '[A-Za-z0-9]+', -1)
+    — always exactly n_tokens+1 segments (leading/trailing empties
+    included), so token i's start = len(sep_0) + sum_{j<i}(len(tok_j) +
+    len(sep_{j+1})), computed with one per-doc cumulative window (the
+    same per-doc grain the reassembly aggregate already assumes)."""
+    base = docs.select(
+        id_col,
+        F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z0-9]+"), 0).alias("__tr"),
+        F.split(F.col(text_col), "[A-Za-z0-9]+", -1).alias("__seps"),
+    )
+    toked = base.select(id_col, F.transform("__tr", F.lower).alias("__toks"))
+    _, gram_rows = _span_rows(toked, k, id_col, "__toks")
+    z = base.select(
+        id_col,
+        F.length(F.get("__seps", 0)).alias("__lead"),
+        F.posexplode(
+            F.zip_with(
+                F.col("__tr"),
+                F.slice("__seps", 2, F.size("__tr")),
+                lambda t, s: F.struct(
+                    F.length(t).alias("tl"), F.length(s).alias("sl")
+                ),
+            )
+        ).alias("__p0", "__z"),
+    )
+    wcum = (
+        Window.partitionBy(id_col)
+        .orderBy("__p0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.col("__lead")
+        + F.coalesce(
+            F.sum(F.col("__z.tl") + F.col("__z.sl")).over(wcum), F.lit(0)
+        )
+    ).cast("long")
+    tok_rows = z.select(
+        id_col,
+        (F.col("__p0") + 1).alias("pos"),
+        start.alias("start"),
+        (start + F.col("__z.tl")).cast("long").alias("end"),
+    )
+    return tok_rows, gram_rows
+
+
+def dedup_spans_offsets(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`dedup_spans` that gives the answer back AGAINST THE RAW TEXT:
+    one row per maximal removed region, (id, span_start, span_end,
+    n_tokens) with 0-based codepoint offsets [start, end) into the
+    original text — so casing, punctuation, and markup survive excision
+    (Lee et al. 2022 edit raw bytes; the normalized-stream `dedup_spans`
+    cannot). Duplicate detection is identical keep-first k-gram coverage
+    over the lowered raw-run token stream (see `_raw_span_rows` for the
+    tokenizer delta vs `tokens()`); a removed region spans from the
+    first covered token's first char to the last covered token's last
+    char, swallowing the separators BETWEEN covered tokens and nothing
+    outside them. Docs with nothing to remove are absent. Apply with
+    `dedup_spans_raw` (or any byte editor — offsets are the artifact a
+    production excision job actually ships).
+
+    Scale shape: everything dedup_spans does plus one per-doc cumulative
+    window for offsets and one gaps-and-islands window to merge adjacent
+    covered tokens — both partition by id (the grain the reassembly
+    aggregate already shuffles on); coverage stays bounded by
+    k x duplicate occurrences, never the corpus."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 would drop every repeated token)")
+    tok_rows, gram_rows = _raw_span_rows(docs, k, id_col, text_col)
+    dup_groups = (
+        gram_rows.groupBy("fp")
+        .agg(F.min(F.struct(id_col, "pos")).alias("__first"), F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+    )
+    dup_occ = gram_rows.join(dup_groups, "fp").filter(
+        ~((F.col(id_col) == F.col(f"__first.{id_col}")) & (F.col("pos") == F.col("__first.pos")))
+    )
+    covered = dup_occ.select(
+        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos")
+    ).distinct()
+    cov_tok = covered.join(tok_rows, [id_col, "pos"])
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        cov_tok.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(id_col, "span_start", "span_end", "n_tokens")
+    )
+
+
+def dedup_spans_raw(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply `dedup_spans_offsets` to the corpus: (id, text,
+    n_spans_removed) where text is the RAW text with every removed
+    region excised and everything else — casing, punctuation, layout —
+    byte-for-byte intact. EVERY doc survives (contrast dedup_spans'
+    drop-empty contract): a fully-covered doc keeps its non-token
+    scaffolding, an untouched doc passes through unchanged
+    (n_spans_removed = 0). Single pass, as in the paper: excision can
+    abut previously-distant text; new adjacencies are not re-deduped.
+
+    The cut itself is a per-doc fold over the (bounded, sorted) span
+    array — pure JVM string ops, no Python crossing."""
+    spans = dedup_spans_offsets(docs, k, id_col, text_col)
+    agg = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("span_start", "span_end"))).alias("__sp"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    joined = docs.select(id_col, text_col).join(agg, id_col, "left")
+    txt = F.col(text_col)
+    cut_state = F.aggregate(
+        "__sp",
+        F.struct(F.lit(0).cast("long").alias("cur"), F.lit("").alias("acc")),
+        lambda a, s: F.struct(
+            s["span_end"].alias("cur"),
+            F.concat(
+                a["acc"],
+                F.substr(
+                    txt,
+                    (a["cur"] + 1).cast("int"),
+                    (s["span_start"] - a["cur"]).cast("int"),
+                ),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.substr(
+                txt,
+                (a["cur"] + 1).cast("int"),
+                (F.length(txt).cast("long") - a["cur"]).cast("int"),
+            ),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.when(F.col("__sp").isNull(), txt).otherwise(cut_state).alias(text_col),
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_spans_removed"),
+    )
+
+
 def _remove_covered_tokens(
     tok_rows: DataFrame, dup_occ: DataFrame, k: int, id_col: str, text_col: str
 ) -> DataFrame:

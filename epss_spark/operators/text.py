@@ -459,6 +459,7 @@ def bpe_merges(
     n_merges: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint_every: int = 64,
 ) -> DataFrame:
     """Learned byte-pair-encoding vocabulary training (Sennrich et al.
     2016, arXiv:1508.07909): iteratively merge the most frequent adjacent
@@ -482,9 +483,18 @@ def bpe_merges(
     Driver state is n_merges (rank, pair) rows — bounded by
     construction. Merges never cross word boundaries (per-word symbol
     sequences, no end-of-word marker). Stops early if no word has >= 2
-    symbols left."""
+    symbols left.
+
+    Plan depth stays bounded at realistic vocabulary sizes: every
+    `checkpoint_every` merges the accumulated replace chain is flushed
+    into a fresh localCheckpoint of the (still bounded) word table, so
+    analysis/codegen cost per round is O(checkpoint_every), not O(rank)
+    — a 30k-merge training run is 30k/64 cheap materializations of a
+    vocabulary-sized frame, never a 30k-deep expression tree."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     wf = (
         docs.select(F.explode_outer(tokens(text_col)).alias("w"))
         .where(F.col("w").isNotNull())
@@ -511,6 +521,8 @@ def bpe_merges(
         cur = cur.withColumn(
             "s", F.replace(F.col("s"), F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
         )
+        if rank % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
     return docs.sparkSession.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_count bigint"
     )
@@ -530,7 +542,13 @@ def bpe_segment(
     a zero-shuffle map over the corpus scan; the per-word replay is the
     same spaced-string replace chain the trainer used, so
     train-then-segment is self-consistent by construction (pinned by
-    test against a pure-Python BPE reference)."""
+    test against a pure-Python BPE reference).
+
+    Scope: the merge table is nested into ONE expression tree, so this
+    form is for small-to-moderate tables (≲ a few hundred merges) —
+    analysis/codegen cost grows with the table. For realistic 30k-merge
+    vocabularies use `bpe_segment_batched` (identical output, pinned by
+    test), which replays the table in an Arrow-batched kernel instead."""
     def seg(tok: Column) -> Column:
         s = _bpe_spaced(tok)
         for lhs, rhs in merges:
@@ -542,6 +560,100 @@ def bpe_segment(
         id_col,
         F.flatten(F.transform("__toks", seg)).alias("bpe_tokens"),
     ).withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+
+
+def bpe_segment_batched(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`bpe_segment` for LARGE merge tables: identical semantics and
+    output schema, but the rank-ordered replay runs as an Arrow-batched
+    mapInPandas kernel instead of an O(n_merges)-deep Catalyst
+    expression tree, so a realistic 30k-merge vocabulary costs zero
+    analysis/codegen blowup. Still a zero-shuffle map over the corpus
+    scan; normalization/tokenization stays JVM-side (the `normalize`
+    projection feeds the kernel, so cross-engine lower/regex semantics
+    are identical to the expression form — pinned equal by test).
+
+    The kernel replays the table with the EXACT expression-chain
+    semantics — each merge is one left-to-right non-overlapping pass, in
+    rank order, never the iterative lowest-rank-first apply (the two
+    diverge on adversarial tables) — and memoizes per DISTINCT word
+    across the partition, so Zipf skew makes the per-row cost amortized
+    O(1): a billion-token corpus segments at dictionary speed, not
+    corpus speed. Per-merge work is gated on a symbol-set membership
+    test, so out-of-vocabulary words skip nearly the whole table."""
+    from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+    merge_list = [(str(l), str(r)) for l, r in merges]
+    schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("bpe_tokens", ArrayType(StringType())),
+            StructField("n_bpe_tokens", IntegerType()),
+        ]
+    )
+    norm_docs = docs.select(id_col, normalize(text_col).alias("__norm"))
+
+    def _segment(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def seg_word(word: str) -> list[str]:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            if len(syms) > 1:
+                present = set(syms)
+                for lhs, rhs in merge_list:
+                    if lhs not in present or rhs not in present:
+                        continue
+                    out, i, n, changed = [], 0, len(syms), False
+                    while i < n:
+                        if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+                            out.append(lhs + rhs)
+                            i += 2
+                            changed = True
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    if changed:
+                        syms = out
+                        if len(syms) == 1:
+                            break
+                        present = set(syms)
+            cache[word] = syms
+            return syms
+
+        for pdf in batches:
+            toks_col: list = []
+            for s in pdf["__norm"]:
+                if s is None or (isinstance(s, float) and pd.isna(s)):
+                    # null text stays null, matching the expression form's
+                    # null propagation through transform/flatten/size
+                    toks_col.append(None)
+                    continue
+                row: list[str] = []
+                for w in s.split(" "):
+                    if w:
+                        row.extend(seg_word(w))
+                toks_col.append(row)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "bpe_tokens": toks_col,
+                    "n_bpe_tokens": pd.array(
+                        [None if t is None else len(t) for t in toks_col],
+                        dtype="Int32",
+                    ),
+                }
+            )
+
+    return norm_docs.mapInPandas(_segment, schema=schema)
 
 
 def bpe_reference(word_counts: dict, n_merges: int) -> list:

@@ -1611,6 +1611,119 @@ def dedup_spans(spark, sf_dir):
     return dedup.dedup_spans(T(spark, sf_dir, "documents"), k=_SPAN_K)
 
 
+# Offset-preserving span dedup: tokens are maximal ASCII-alnum runs in the
+# RAW text (identity = lower(run)); offsets are 0-based codepoint [start,
+# end). The oracle replays the full offset arithmetic: per-token start =
+# len(sep_0) + running sum of (token + following separator) lengths, then
+# the identical keep-first k-gram coverage, then gaps-and-islands over
+# covered token positions.
+_RAW_SPAN_BASE_SQL = f"""
+    base AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '[A-Za-z0-9]+') AS tr,
+             regexp_split_to_array(text, '[A-Za-z0-9]+') AS seps
+      FROM documents
+    ),
+    toked AS (SELECT doc_id, list_transform(tr, t -> lower(t)) AS toks FROM base),
+    tokoff AS (
+      SELECT doc_id, pos,
+             CAST(lead + coalesce(sum(tl + sl) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+             tl
+      FROM (
+        SELECT doc_id, length(seps[1]) AS lead,
+               unnest(range(1, len(tr) + 1)) AS pos,
+               unnest(list_transform(range(1, len(tr) + 1), i -> length(tr[i]))) AS tl,
+               unnest(list_transform(range(1, len(tr) + 1), i -> length(seps[i + 1]))) AS sl
+        FROM base
+      )
+    ),
+    grams AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS pos,
+             unnest(list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+                    i -> md5(array_to_string(toks[i:i+{_SPAN_K}-1], ' ')))) AS fp
+      FROM toked WHERE len(toks) >= {_SPAN_K}
+    ),
+    dup AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY fp) AS cnt
+      FROM grams
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, tpos FROM (
+        SELECT doc_id, unnest(range(pos, pos + {_SPAN_K})) AS tpos
+        FROM dup WHERE cnt >= 2 AND rn > 1
+      )
+    ),
+    spans AS (
+      SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+             CAST(max(start + tl) AS BIGINT) AS span_end,
+             count(*) AS n_tokens
+      FROM (
+        SELECT c.doc_id, c.tpos, t.start, t.tl,
+               c.tpos - row_number() OVER (PARTITION BY c.doc_id ORDER BY c.tpos) AS g
+        FROM covered c JOIN tokoff t ON c.doc_id = t.doc_id AND c.tpos = t.pos
+      ) GROUP BY doc_id, g
+    )"""
+
+
+@register(
+    "dedup_spans_offsets",
+    f"""
+    WITH {_RAW_SPAN_BASE_SQL}
+    SELECT doc_id, span_start, span_end, n_tokens FROM spans
+    """,
+)
+def dedup_spans_offsets(spark, sf_dir):
+    """Offset-preserving exact substring-span dedup
+    (operators/dedup.py::dedup_spans_offsets): every maximal removed
+    region as 0-based [start, end) codepoint offsets into the RAW text —
+    the artifact a production excision job ships (Lee et al. 2022 edit
+    raw bytes). The oracle replays the token-offset arithmetic, the
+    keep-first k-gram coverage, and the islands merge."""
+    return dedup.dedup_spans_offsets(T(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
+@register(
+    "dedup_spans_raw",
+    f"""
+    WITH {_RAW_SPAN_BASE_SQL},
+    bounds AS (
+      SELECT doc_id, span_start AS ge,
+             coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS gs
+      FROM spans
+    ),
+    gaps AS (
+      SELECT doc_id, gs, ge FROM bounds
+      UNION ALL
+      SELECT s.doc_id, max(s.span_end) AS gs, any_value(length(b.text)) AS ge
+      FROM spans s JOIN base b USING (doc_id) GROUP BY s.doc_id
+    ),
+    cutdocs AS (
+      SELECT g.doc_id,
+             string_agg(substr(b.text, CAST(g.gs + 1 AS INT), CAST(g.ge - g.gs AS INT)),
+                        '' ORDER BY g.gs) AS text
+      FROM gaps g JOIN base b USING (doc_id) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN c.doc_id IS NULL THEN d.text ELSE c.text END AS text,
+           coalesce(n.n, 0) AS n_spans_removed
+    FROM documents d
+    LEFT JOIN cutdocs c USING (doc_id)
+    LEFT JOIN (SELECT doc_id, count(*) AS n FROM spans GROUP BY doc_id) n USING (doc_id)
+    """,
+)
+def dedup_spans_raw(spark, sf_dir):
+    """Span dedup applied to the RAW text
+    (operators/dedup.py::dedup_spans_raw): removed regions excised,
+    casing/punctuation/layout byte-for-byte intact, every doc kept. The
+    oracle reassembles the survivors from the gap complement of the
+    removed spans."""
+    return dedup.dedup_spans_raw(T(spark, sf_dir, "documents"), k=_SPAN_K)
+
+
 @register(
     "dedup_paragraphs",
     """

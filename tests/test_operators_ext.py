@@ -1429,6 +1429,51 @@ def test_bpe_segment_replays_training(spark):
     assert got.n_bpe_tokens == len(expect)
 
 
+def test_bpe_segment_batched_equals_expression_chain(spark):
+    """The Arrow-batched segmenter is bit-identical to the expression
+    chain — including null text (null propagation), empty text, punct
+    stripped by normalize, and out-of-vocabulary words."""
+    train = spark.createDataFrame(
+        [(0, "low lower lowest new newer newest wide wider widest")],
+        "doc_id long, text string",
+    )
+    merges = [(r.lhs, r.rhs) for r in text.bpe_merges(train, n_merges=12).collect()]
+    assert len(merges) == 12
+    apply_df = spark.createDataFrame(
+        [
+            (0, "lowest newest tides, WIDER!"),
+            (1, "unrelated vocabulary zz"),
+            (2, ""),
+            (3, None),
+            (4, "low " * 40),
+        ],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: (r.bpe_tokens, r.n_bpe_tokens)
+         for r in text.bpe_segment(apply_df, merges).collect()}
+    b = {r.doc_id: (r.bpe_tokens, r.n_bpe_tokens)
+         for r in text.bpe_segment_batched(apply_df, merges).collect()}
+    assert a == b
+    assert a[3] == (None, None)  # null propagates in both forms
+    # and both actually merged something (not trivially char-level)
+    assert any(len(s) > 1 for s in a[0][0])
+
+
+def test_bpe_merges_checkpoint_every_is_invisible(spark):
+    """checkpoint cadence is a pure execution knob — the learned merge
+    sequence is identical at every setting."""
+    df = spark.createDataFrame(
+        [(0, "banana band ban bandana banana"), (1, "ban banana bandana")],
+        "doc_id long, text string",
+    )
+    base = [tuple(r) for r in text.bpe_merges(df, n_merges=7).collect()]
+    for ck in (1, 2, 3):
+        got = [tuple(r) for r in text.bpe_merges(df, n_merges=7, checkpoint_every=ck).collect()]
+        assert got == base
+    with pytest.raises(ValueError):
+        text.bpe_merges(df, n_merges=2, checkpoint_every=0)
+
+
 def _skewed_mix_corpus(spark, n=800):
     import random
 
@@ -1470,6 +1515,35 @@ def test_cap_per_stratum_bucketed_equals_windowed(spark):
     c = sorted(r.doc_id for r in dedup.cap_per_stratum(df, 3).collect())
     d = sorted(r.doc_id for r in dedup.cap_per_stratum_bucketed(df, 3).collect())
     assert c == d
+
+
+def test_dedup_spans_offsets_raw_text_semantics(spark):
+    """Offsets point into the RAW text: the non-first copy of a shared
+    span is excised with its internal separators, while casing,
+    punctuation, and everything outside the span survive byte-for-byte.
+    Null/empty/unique docs pass through dedup_spans_raw unchanged."""
+    shared = "The Quick Brown Fox Jumps Over The Lazy Dog"
+    rows = [
+        (0, f"INTRO: {shared}, and more unique tail zero."),
+        (1, f"{shared.lower()}!! different unique tail one here."),
+        (2, "totally unique document with no duplicated span at all."),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.dedup_spans_offsets(df, k=8).collect()
+    assert [(r.doc_id, r.span_start, r.span_end, r.n_tokens) for r in spans] == [
+        (1, 0, len(shared), 9)
+    ]
+    raw = {r.doc_id: (r.text, r.n_spans_removed)
+           for r in dedup.dedup_spans_raw(df, k=8).collect()}
+    assert raw[0] == (rows[0][1], 0)  # first occurrence keeps, verbatim
+    assert raw[1] == ("!! different unique tail one here.", 1)
+    assert raw[2] == (rows[2][1], 0)
+    assert raw[3] == (None, 0)
+    assert raw[4] == ("", 0)
+    with pytest.raises(ValueError):
+        dedup.dedup_spans_offsets(df, k=1)
 
 
 def test_cap_per_stratum_bucketed_string_ids(spark):

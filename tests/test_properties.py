@@ -362,6 +362,90 @@ def test_dedup_spans_matches_reference(spark, texts):
     assert got == {i: t for i, t in ref.items() if t}
 
 
+def _raw_span_offsets_reference(texts: dict, k: int) -> dict:
+    """Pure-Python spec for dedup_spans_offsets: {id -> raw text} in,
+    {id -> [(span_start, span_end, n_tokens)]} out. Raw-run tokens with
+    char offsets, the identical keep-first k-gram coverage as
+    span_dedup_reference, islands of consecutive covered token positions
+    merged into char spans."""
+    import re
+
+    tokoff = {
+        did: [
+            (m.start(), m.end(), m.group(0).lower())
+            for m in re.finditer(r"[A-Za-z0-9]+", texts[did] or "")
+        ]
+        for did in texts
+    }
+    first: dict = {}
+    occs: list = []
+    for did in sorted(texts):
+        toks = [x[2] for x in tokoff[did]]
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p : p + k])
+            occs.append((did, p, g))
+            first.setdefault(g, (did, p))
+    counts: dict = {}
+    for _, _, g in occs:
+        counts[g] = counts.get(g, 0) + 1
+    covered: dict = {did: set() for did in texts}
+    for did, p, g in occs:
+        if counts[g] >= 2 and first[g] != (did, p):
+            covered[did].update(range(p, p + k))
+    out: dict = {}
+    for did in texts:
+        runs: list = []
+        for p in sorted(covered[did]):
+            if runs and p == runs[-1][1]:
+                runs[-1] = (runs[-1][0], p + 1)
+            else:
+                runs.append((p, p + 1))
+        out[did] = [
+            (tokoff[did][a][0], tokoff[did][b - 1][1], b - a) for a, b in runs
+        ]
+    return out
+
+
+_raw_sep = st.sampled_from([" ", ", ", "!  ", "\n", " - ", ". "])
+_raw_word = st.sampled_from(["a", "B", "cc", "Dd1"])
+_raw_doc = st.lists(
+    st.tuples(_raw_word, _raw_sep), min_size=0, max_size=12
+).map(lambda ps: "".join(w + s for w, s in ps))
+_raw_corpora = st.lists(_raw_doc, min_size=1, max_size=5)
+
+
+@given(texts=_raw_corpora)
+@_settings
+def test_dedup_spans_offsets_matches_reference(spark, texts):
+    """dedup_spans_offsets == the pure-Python offsets spec on fuzzed
+    mixed-case/punctuated corpora, AND dedup_spans_raw == manually
+    excising those spans from the raw text — so surviving raw text keeps
+    no token position covered by a non-first duplicate k-gram, and keeps
+    everything else byte-for-byte."""
+    from epss_spark.operators import dedup
+
+    k = 3
+    tmap = dict(enumerate(texts))
+    df = spark.createDataFrame(list(tmap.items()), "doc_id long, text string")
+    ref = _raw_span_offsets_reference(tmap, k)
+    got: dict = {did: [] for did in tmap}
+    for r in dedup.dedup_spans_offsets(df, k=k).collect():
+        got[r.doc_id].append((r.span_start, r.span_end, r.n_tokens))
+    assert {d: sorted(v) for d, v in got.items()} == ref
+
+    raw = {
+        r.doc_id: (r.text, r.n_spans_removed)
+        for r in dedup.dedup_spans_raw(df, k=k).collect()
+    }
+    for did, txt in tmap.items():
+        kept, cur = [], 0
+        for s, e, _ in ref[did]:
+            kept.append(txt[cur:s])
+            cur = e
+        kept.append(txt[cur:])
+        assert raw[did] == ("".join(kept), len(ref[did]))
+
+
 # words over a 3-letter alphabet so pair ties and repeated merges occur
 _bpe_corpora = st.lists(
     st.lists(
