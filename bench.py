@@ -238,14 +238,21 @@ def main() -> None:
     t0 = time.perf_counter()
     force(client.get_changed_scores("2023-03-08", hi, sort=False))
     epss_cold_sec = time.perf_counter() - t0
-    # Pair protocol (round 7): the parity number is what the 2x contract
-    # is judged on, so it gets the same self-discounting evidence as the
-    # headline loop — two consecutive min-of-2 rounds. If the pair
-    # disagrees beyond the documented ~10% band, the artifact landed in
-    # an unstable host window; read the absolute number against
-    # calibration_sec and the PERF.md host band.
-    epss_pair: list[float] = []
-    for _ in range(2):
+    # Pair protocol (round 7) + dispersion gate (round 8): the parity
+    # number is what the 2x contract is judged on, so it gets the same
+    # self-discounting evidence as the headline loop — two consecutive
+    # min-of-2 rounds. When the pair disagrees beyond the ~10% band the
+    # artifact landed in an unstable host window: a THIRD round runs and
+    # the min stands, with every round recorded so the dispersion that
+    # triggered the retry stays visible (same-code swings up to 1.8x
+    # across host windows were most of the cross-round "regression"
+    # noise before the gate).
+    def _pair_gate(pair: list[float], run_round) -> list[float]:
+        if min(pair) > 0 and max(pair) > 1.10 * min(pair):
+            pair.append(run_round())
+        return pair
+
+    def _epss_round() -> float:
         round_min = None
         for _ in range(2):
             spark.catalog.clearCache()
@@ -253,7 +260,9 @@ def main() -> None:
             force(client.get_changed_scores("2023-03-08", hi, sort=False))
             s = time.perf_counter() - t0  # steady state: I/O+JIT warmed
             round_min = s if round_min is None else min(round_min, s)
-        epss_pair.append(round(round_min, 4))
+        return round(round_min, 4)
+
+    epss_pair = _pair_gate([_epss_round() for _ in range(2)], _epss_round)
     epss_sec = min(epss_pair)
     # Full pipeline including the canonical (date asc, cve desc) output sort.
     epss_full_sec = None
@@ -329,7 +338,8 @@ def main() -> None:
     for name in HEADLINE:  # warm-up round: JIT + plan cache, discarded
         spark.catalog.clearCache()
         force(registry.QUERIES[name](spark, bench_dir))
-    for _ in range(N_ROUNDS):
+
+    def _headline_round() -> float:
         round_timings: dict[str, float] = {}
         for _ in range(PASSES_PER_ROUND):
             for name in HEADLINE:
@@ -341,9 +351,15 @@ def main() -> None:
                 force(registry.QUERIES[name](spark, bench_dir))
                 sec = time.perf_counter() - t0
                 round_timings[name] = min(round_timings.get(name, sec), sec)
-        pair_totals.append(round(sum(round_timings.values()), 4))
         for k, v in round_timings.items():
             timings[k] = min(timings.get(k, v), v)
+        return round(sum(round_timings.values()), 4)
+
+    for _ in range(N_ROUNDS):
+        pair_totals.append(_headline_round())
+    # dispersion gate (round 8): a >10% pair gap means an unstable host
+    # window — one more round, per-query mins absorb it, rounds recorded
+    _pair_gate(pair_totals, _headline_round)
     timings = {k: round(v, 4) for k, v in timings.items()}
 
     # flagship throughput: input rows consumed by the quantization kernel.
@@ -377,11 +393,12 @@ def main() -> None:
         .withColumn("user_id", F.col("user_id") + F.col("rep").cast("bigint") * 1_000_000)
         .drop("rep")
     )
-    flagship_pair: list[float] = []
-    for _ in range(2):
+    def _flagship_round() -> float:
         t0 = time.perf_counter()
         force(changed_scores(big, key="user_id", time="ts", value="value", tiebreak="event_id"))
-        flagship_pair.append(round(time.perf_counter() - t0, 4))
+        return round(time.perf_counter() - t0, 4)
+
+    flagship_pair = _pair_gate([_flagship_round() for _ in range(2)], _flagship_round)
     scaled_sec = min(flagship_pair)
 
     total = round(sum(timings.values()), 4)

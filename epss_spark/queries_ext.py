@@ -2488,3 +2488,94 @@ def ann_ivfpq_topk(spark, sf_dir):
     books = similarity.sampled_pq_centroids(emb, _IVF_CENT_IDS, m=4)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivfpq_topk(queries, emb, coarse, books, k=5, n_probe=2)
+
+
+# Re-ranked IVF-PQ: the same composite index produces an ADC shortlist of
+# r=20, then the raw vectors of just those 20 candidates are scored with
+# exact cosine (Jegou et al. 2011 SDC->ADC->rerank pipeline). The oracle
+# replays the full ADC stage CTE-for-CTE, then the exact-cosine window.
+_IVFPQ_SHORTLIST_SQL = """
+    shortlist AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ad2, cand_id) AS rn
+        FROM scored
+      ) WHERE rn <= 20
+    )"""
+
+
+@register(
+    "ann_ivfpq_rerank",
+    f"""
+    WITH cents AS (
+      SELECT t.i, e.embedding AS cv
+      FROM (VALUES {_IVF_CENT_VALUES}) t(i, cid)
+      JOIN embeddings e ON e.vec_id = t.cid
+    ),
+    sub AS (SELECT unnest(range(0, 4)) AS m),
+    asg AS (
+      SELECT cand_id, list_id FROM (
+        SELECT e.vec_id AS cand_id, c.i AS list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_D2}, c.i) AS arn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT e.vec_id, s.m, c.i AS code,
+               row_number() OVER (PARTITION BY e.vec_id, s.m ORDER BY {_PQ_SD2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN sub s CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT e.vec_id AS query_id, c.i AS list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_D2}, c.i) AS pr
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5
+      ) WHERE pr <= 2
+    ),
+    qd AS (
+      SELECT e.vec_id AS query_id, s.m, c.i, {_PQ_SD2} AS d2
+      FROM embeddings e CROSS JOIN sub s CROSS JOIN cents c
+      WHERE e.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.query_id, a.cand_id, round(sum(qd.d2), 6) AS ad2
+      FROM probes p
+      JOIN asg a ON p.list_id = a.list_id
+      JOIN enc e ON e.vec_id = a.cand_id
+      JOIN qd ON qd.query_id = p.query_id AND qd.m = e.m AND qd.i = e.code
+      WHERE p.query_id <> a.cand_id
+      GROUP BY p.query_id, a.cand_id
+    ),
+    {_IVFPQ_SHORTLIST_SQL},
+    rer AS (
+      SELECT s.query_id, s.cand_id,
+             round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) AS cos
+      FROM shortlist s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, cos, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+      FROM rer
+    ) WHERE rn <= 5
+    """,
+)
+def ann_ivfpq_rerank(spark, sf_dir):
+    """Production ANN shape (operators/similarity.py::rerank_exact over
+    ivfpq_topk): the compressed IVF-PQ scan selects an ADC shortlist of
+    r=20 >> k=5, then exactly re-ranks just those raw vectors by cosine —
+    the Jegou et al. 2011 two-stage pipeline that recovers the recall the
+    24-bit codes lose (PERF.md round-8 recall table). The bounded
+    shortlist broadcasts against the raw-vector point lookups; the
+    oracle replays ADC CTE-for-CTE and the exact-cosine window."""
+    emb = T(spark, sf_dir, "embeddings")
+    by_id = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(_IVF_CENT_IDS)).collect()
+    }
+    coarse = [by_id[cid] for cid in _IVF_CENT_IDS]
+    books = similarity.sampled_pq_centroids(emb, _IVF_CENT_IDS, m=4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    shortlist = similarity.ivfpq_topk(queries, emb, coarse, books, k=20, n_probe=2)
+    return similarity.rerank_exact(shortlist, queries, emb, k=5)

@@ -332,6 +332,53 @@ class TestIVFPQ:
             assert all(0 <= c < 3 for c in r.codes)
 
 
+class TestRerankExact:
+    def test_full_shortlist_equals_exact(self, spark):
+        """Re-ranking a shortlist that contains EVERY candidate must equal
+        brute-force cosine top-k exactly — the identity that pins the
+        re-rank stage's scoring and windowing."""
+        _, df = _vectors(spark, n=15, dim=8)
+        queries = df.filter(F.col("vec_id") < 3)
+        full = similarity.cosine_topk(queries, df, k=14)
+        got = sorted(map(tuple, similarity.rerank_exact(full, queries, df, k=4).collect()))
+        want = sorted(map(tuple, similarity.cosine_topk(queries, df, k=4).collect()))
+        assert got == want
+
+    def test_rerank_lifts_ivfpq_recall(self, spark):
+        """The production shape (ADC shortlist r >> k, exact re-rank)
+        recovers neighbors that raw ADC ordering loses: recall@k of the
+        re-ranked IVF-PQ is >= the raw ADC run's on the same probes, and
+        the identity shortlist==corpus stays exact."""
+        rows, df = _vectors(spark, n=60, dim=16, seed=11)
+        import numpy as np
+
+        normed = similarity.normalize_vectors(df).localCheckpoint()
+        queries = normed.filter(F.col("vec_id") < 8)
+        k = 5
+        exact = {}
+        for r in similarity.cosine_topk(queries, normed, k=k).collect():
+            exact.setdefault(r.query_id, set()).add(r.cand_id)
+
+        coarse = similarity.train_ivf_centroids(normed, n_lists=6, seed=1)
+        books = similarity.train_pq_centroids(normed, m=4, k=8, seed=1)
+
+        def rec(res):
+            by_q = {}
+            for r in res.collect():
+                by_q.setdefault(r.query_id, set()).add(r.cand_id)
+            return sum(len(by_q.get(q, set()) & s) / len(s) for q, s in exact.items()) / len(exact)
+
+        raw = rec(similarity.ivfpq_topk(queries, normed, coarse, books, k=k, n_probe=3))
+        rr = rec(
+            similarity.rerank_exact(
+                similarity.ivfpq_topk(queries, normed, coarse, books, k=6 * k, n_probe=3),
+                queries, normed, k=k,
+            )
+        )
+        assert rr >= raw, (rr, raw)
+        assert rr >= 0.5, rr  # shortlist coverage floor at these settings
+
+
 def test_sample_weighted_is_proportional_and_deterministic(spark):
     """Gumbel top-k weighted sampling: heavy rows are selected far more
     often across seeds (statistical law on a deliberately skewed weight
