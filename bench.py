@@ -42,6 +42,12 @@ HEADLINE = [
     #                         constructs postings inline; the artifact-backed
     #                         lookup alone is plan-pinned tokenize-free and
     #                         is NOT what this number measures)
+    # round 8 (headline now 20 queries; totals incomparable with r7 —
+    # compare per-query, after checking calibration_sec):
+    "dedup_spans_raw",  # offset-preserving span dedup (adds the offset
+    #                     window + islands merge + raw-text excision on
+    #                     top of dedup_spans' detection stage)
+    "ann_ivfpq_rerank",  # two-stage ANN: ADC shortlist + exact re-rank
 ]
 
 # Headline workload scale-up (PERF.md bench protocol, round 5): sf0.1

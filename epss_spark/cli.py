@@ -250,6 +250,18 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--n-merges", type=int, default=32)
     bp.add_argument("--text-col", default="text")
 
+    ba = sub.add_parser(
+        "bpe-apply",
+        help="segment a documents parquet with a trained merge table "
+        "(extension): Arrow-batched replay, scales to 30k-merge "
+        "vocabularies; writes (doc_id, bpe_tokens, n_bpe_tokens)",
+    )
+    ba.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
+    ba.add_argument("--merges", required=True, help="merge-table parquet from bpe-train")
+    ba.add_argument("--output", required=True, help="segmented-corpus parquet")
+    ba.add_argument("--text-col", default="text")
+    ba.add_argument("--id-col", default="doc_id")
+
     u = sub.add_parser("urls", help="print snapshot URLs (reference epss/cli.py:117-139)")
     _add_range_flags(u)
 
@@ -385,6 +397,27 @@ def main(argv: list[str] | None = None) -> int:
         rows = spark.read.parquet(args.output).orderBy("rank").collect()
         head = ", ".join(f"{r.lhs}+{r.rhs}" for r in rows[:8])
         print(f"learned {len(rows)} merges -> {args.output} (first: {head})")
+        return 0
+
+    if args.command == "bpe-apply":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.operators import text as text_ops
+
+        merges = [
+            (r.lhs, r.rhs)
+            for r in spark.read.parquet(args.merges).orderBy("rank").collect()
+        ]
+        docs = spark.read.parquet(args.input)
+        out = text_ops.bpe_segment_batched(
+            docs, merges, id_col=args.id_col, text_col=args.text_col
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).selectExpr(
+            "count(*) AS docs", "sum(n_bpe_tokens) AS toks"
+        ).first()
+        print(f"segmented {n.docs} docs ({n.toks} subword tokens) with "
+              f"{len(merges)} merges -> {args.output}")
         return 0
 
     if args.command == "search":

@@ -1047,14 +1047,17 @@ def dedup_batch_lines(
     return kept_docs, new_fps
 
 
-def span_dedup_reference(texts: dict, k: int) -> dict:
+def span_dedup_reference(texts: dict, k: int, cross_doc_only: bool = False) -> dict:
     """Pure-Python executable spec for `dedup_spans` (the winnow_reference
     pattern): given {id -> token list}, return {id -> surviving token
     list}. A k-gram occurrence (id, pos) is a DUPLICATE iff the same
     k-token sequence occurs elsewhere in the corpus and (id, pos) is not
     its first occurrence in (id, pos) order; every token position covered
-    by a duplicate occurrence is removed. Tests assert the distributed
-    plan matches this value-for-value on fuzzed corpora."""
+    by a duplicate occurrence is removed. With cross_doc_only, a k-gram
+    that never leaves one document is exempt (its within-doc repeats all
+    survive); a cross-doc-duplicated k-gram still keeps only its global
+    first occurrence. Tests assert the distributed plan matches this
+    value-for-value on fuzzed corpora."""
     first: dict[tuple, tuple] = {}
     occs: list[tuple] = []
     for did in sorted(texts):
@@ -1064,11 +1067,15 @@ def span_dedup_reference(texts: dict, k: int) -> dict:
             occs.append((did, p, g))
             first.setdefault(g, (did, p))
     counts: dict[tuple, int] = {}
-    for _, _, g in occs:
+    docs_of: dict[tuple, set] = {}
+    for did, _, g in occs:
         counts[g] = counts.get(g, 0) + 1
+        docs_of.setdefault(g, set()).add(did)
     covered: dict = {did: set() for did in texts}
     for did, p, g in occs:
         if counts[g] >= 2 and first[g] != (did, p):
+            if cross_doc_only and len(docs_of[g]) < 2:
+                continue
             covered[did].update(range(p, p + k))
     return {
         did: [t for i, t in enumerate(texts[did]) if i not in covered[did]]
@@ -1082,6 +1089,7 @@ def dedup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     preserve_other_columns: bool = False,
+    cross_doc_only: bool = False,
 ) -> DataFrame:
     """Exact substring-span deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", ExactSubstr): remove every
@@ -1124,7 +1132,12 @@ def dedup_spans(
     twice (token branch + gram branch: Spark does not dedupe common
     subplans, the winnow_overlap_pairs precedent); a 100 TB run that has
     the token frame materialized anyway should pass it through
-    `dedup_spans_on_tokens` below to skip both re-tokenizes."""
+    `dedup_spans_on_tokens` below to skip both re-tokenizes.
+
+    cross_doc_only: exempt k-grams that never leave one document (a
+    doc's own refrain survives; Lee et al.'s primary use case is
+    cross-document boilerplate) — see _span_dup_occurrences for the
+    exact rule and its two-aggregate shape."""
     toked = docs.select(id_col, tokens(text_col).alias("__toks"))
     return dedup_spans_on_tokens(
         toked,
@@ -1133,6 +1146,7 @@ def dedup_spans(
         text_col=text_col,
         toks_col="__toks",
         other=docs.drop(text_col) if preserve_other_columns else None,
+        cross_doc_only=cross_doc_only,
     )
 
 
@@ -1143,6 +1157,7 @@ def dedup_spans_on_tokens(
     text_col: str = "text",
     toks_col: str = "toks",
     other: DataFrame | None = None,
+    cross_doc_only: bool = False,
 ) -> DataFrame:
     """dedup_spans over a pre-tokenized (id, token-array) frame — the
     entry point for pipelines that already materialized tokens (skips the
@@ -1150,18 +1165,53 @@ def dedup_spans_on_tokens(
     if k < 2:
         raise ValueError("k must be >= 2 (k=1 would drop every repeated token)")
     tok_rows, gram_rows = _span_rows(toked, k, id_col, toks_col)
-    dup_groups = (
-        gram_rows.groupBy("fp")
-        .agg(F.min(F.struct(id_col, "pos")).alias("__first"), F.count(F.lit(1)).alias("__cnt"))
-        .filter(F.col("__cnt") >= 2)
-    )
-    dup_occ = gram_rows.join(dup_groups, "fp").filter(
-        ~((F.col(id_col) == F.col(f"__first.{id_col}")) & (F.col("pos") == F.col("__first.pos")))
-    )
+    dup_occ = _span_dup_occurrences(gram_rows, id_col, cross_doc_only)
     out = _remove_covered_tokens(tok_rows, dup_occ, k, id_col, text_col)
     if other is not None:
         out = out.join(other, id_col, "left")
     return out
+
+
+def _span_dup_occurrences(
+    gram_rows: DataFrame, id_col: str, cross_doc_only: bool
+) -> DataFrame:
+    """Non-first duplicate k-gram occurrences (id, pos, fp) — the shared
+    detection stage of dedup_spans_on_tokens / dedup_spans_offsets.
+
+    Default: ONE groupBy(fp) hash aggregate (min(struct) + count,
+    map-side partials absorb boilerplate skew — the pinned plan shape).
+    cross_doc_only (Lee et al.'s primary use case — a k-gram that never
+    leaves one document is exempt, so a doc's own refrain survives):
+    the aggregate splits into a (fp, id) pre-aggregate + an fp rollup,
+    which counts distinct docs EXACTLY without a distinct-expand and
+    keeps the same keep-first rule for cross-doc-duplicated grams (the
+    global first occurrence survives, including its in-first-doc
+    repeats' exemption only if the gram never left that doc — it did,
+    so they drop). Two hash aggregates on a shared key prefix; the
+    second input is |distinct (fp, id)| rows, never the corpus."""
+    if not cross_doc_only:
+        dup_groups = (
+            gram_rows.groupBy("fp")
+            .agg(F.min(F.struct(id_col, "pos")).alias("__first"), F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") >= 2)
+        )
+    else:
+        per_doc = gram_rows.groupBy("fp", id_col).agg(
+            F.count(F.lit(1)).alias("__c"), F.min("pos").alias("__mp")
+        )
+        dup_groups = (
+            per_doc.groupBy("fp")
+            .agg(
+                F.min(F.struct(F.col(id_col), F.col("__mp").alias("pos"))).alias("__first"),
+                F.sum("__c").alias("__cnt"),
+                F.count(F.lit(1)).alias("__nd"),
+            )
+            .filter((F.col("__cnt") >= 2) & (F.col("__nd") >= 2))
+            .drop("__nd")
+        )
+    return gram_rows.join(dup_groups, "fp").filter(
+        ~((F.col(id_col) == F.col(f"__first.{id_col}")) & (F.col("pos") == F.col("__first.pos")))
+    )
 
 
 def _span_rows(toked: DataFrame, k: int, id_col: str, toks_col: str):
@@ -1374,6 +1424,7 @@ def dedup_spans_offsets(
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cross_doc_only: bool = False,
 ) -> DataFrame:
     """`dedup_spans` that gives the answer back AGAINST THE RAW TEXT:
     one row per maximal removed region, (id, span_start, span_end,
@@ -1397,14 +1448,7 @@ def dedup_spans_offsets(
     if k < 2:
         raise ValueError("k must be >= 2 (k=1 would drop every repeated token)")
     tok_rows, gram_rows = _raw_span_rows(docs, k, id_col, text_col)
-    dup_groups = (
-        gram_rows.groupBy("fp")
-        .agg(F.min(F.struct(id_col, "pos")).alias("__first"), F.count(F.lit(1)).alias("__cnt"))
-        .filter(F.col("__cnt") >= 2)
-    )
-    dup_occ = gram_rows.join(dup_groups, "fp").filter(
-        ~((F.col(id_col) == F.col(f"__first.{id_col}")) & (F.col("pos") == F.col("__first.pos")))
-    )
+    dup_occ = _span_dup_occurrences(gram_rows, id_col, cross_doc_only)
     covered = dup_occ.select(
         id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos")
     ).distinct()
@@ -1427,6 +1471,7 @@ def dedup_spans_raw(
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cross_doc_only: bool = False,
 ) -> DataFrame:
     """Apply `dedup_spans_offsets` to the corpus: (id, text,
     n_spans_removed) where text is the RAW text with every removed
@@ -1439,7 +1484,7 @@ def dedup_spans_raw(
 
     The cut itself is a per-doc fold over the (bounded, sorted) span
     array — pure JVM string ops, no Python crossing."""
-    spans = dedup_spans_offsets(docs, k, id_col, text_col)
+    spans = dedup_spans_offsets(docs, k, id_col, text_col, cross_doc_only=cross_doc_only)
     agg = spans.groupBy(id_col).agg(
         F.array_sort(F.collect_list(F.struct("span_start", "span_end"))).alias("__sp"),
         F.count(F.lit(1)).alias("__n"),

@@ -1611,6 +1611,55 @@ def dedup_spans(spark, sf_dir):
     return dedup.dedup_spans(T(spark, sf_dir, "documents"), k=_SPAN_K)
 
 
+@register(
+    "dedup_spans_cross_doc",
+    f"""
+    WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tokrow AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok
+      FROM toked
+    ),
+    grams AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS pos,
+             unnest(list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+                    i -> md5(array_to_string(toks[i:i+{_SPAN_K}-1], ' ')))) AS fp
+      FROM toked WHERE len(toks) >= {_SPAN_K}
+    ),
+    gd AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM grams GROUP BY fp),
+    dup AS (
+      SELECT g.doc_id, g.pos, gd.nd,
+             row_number() OVER (PARTITION BY g.fp ORDER BY g.doc_id, g.pos) AS rn,
+             count(*) OVER (PARTITION BY g.fp) AS cnt
+      FROM grams g JOIN gd USING (fp)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, tpos FROM (
+        SELECT doc_id, unnest(range(pos, pos + {_SPAN_K})) AS tpos
+        FROM dup WHERE cnt >= 2 AND rn > 1 AND nd >= 2
+      )
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tokrow t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.tpos
+      WHERE c.doc_id IS NULL
+    )
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+           COUNT(*) AS n_tokens_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_spans_cross_doc(spark, sf_dir):
+    """Span dedup with the cross-document exemption
+    (operators/dedup.py::dedup_spans(cross_doc_only=True), Lee et al.'s
+    primary use case): a k-gram that never leaves one document is exempt
+    — a doc's own refrain survives — while cross-document boilerplate
+    still keeps only its global first occurrence. The oracle adds an
+    exact distinct-doc count per fingerprint to the keep-first replay."""
+    return dedup.dedup_spans(
+        T(spark, sf_dir, "documents"), k=_SPAN_K, cross_doc_only=True
+    )
+
+
 # Offset-preserving span dedup: tokens are maximal ASCII-alnum runs in the
 # RAW text (identity = lower(run)); offsets are 0-based codepoint [start,
 # end). The oracle replays the full offset arithmetic: per-token start =

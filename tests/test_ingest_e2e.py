@@ -124,6 +124,37 @@ def test_cli_ingest_then_quantized_scores(spark, tmp_path, monkeypatch, capsys):
     assert "ingested 3 day(s)" in capsys.readouterr().out
 
 
+def test_cli_bpe_train_then_apply(spark, tmp_path, capsys):
+    """bpe-train writes the merge-table artifact; bpe-apply segments a
+    corpus with it via the Arrow-batched replay — the full tokenizer
+    lifecycle as two CLI steps."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import text as text_ops
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "new newer newest low")],
+        "doc_id long, text string",
+    ).write.parquet(docs_path)
+    merges_path, out_path = str(tmp_path / "merges"), str(tmp_path / "seg")
+
+    rc = cli.main(["bpe-train", "--input", docs_path, "--output", merges_path,
+                   "--n-merges", "6"])
+    assert rc == 0 and "learned 6 merges" in capsys.readouterr().out
+
+    rc = cli.main(["bpe-apply", "--input", docs_path, "--merges", merges_path,
+                   "--output", out_path])
+    assert rc == 0 and "segmented 2 docs" in capsys.readouterr().out
+    got = {r.doc_id: r.bpe_tokens for r in spark.read.parquet(out_path).collect()}
+    merges = [(r.lhs, r.rhs)
+              for r in spark.read.parquet(merges_path).orderBy("rank").collect()]
+    want = {
+        r.doc_id: r.bpe_tokens
+        for r in text_ops.bpe_segment(spark.read.parquet(docs_path), merges).collect()
+    }
+    assert got == want
+
+
 def test_snapshot_url_pattern():
     assert (
         snapshot_url("2024-01-15")

@@ -1317,6 +1317,46 @@ def test_dedup_spans_in_document_repeat(spark):
     assert got.text == "a b c" and got.n_tokens_kept == 3
 
 
+def test_dedup_spans_cross_doc_only_exempts_in_doc_refrains(spark):
+    """cross_doc_only: a k-gram that never leaves one document survives
+    in full (doc 0's refrain), while cross-document boilerplate still
+    keeps only its global first occurrence (doc 1's copy of doc 0's
+    opening, AND doc 1's own in-doc repeat of that cross-doc gram drops
+    too — the exemption is per-GRAM, not per-occurrence). Applies
+    identically to the offsets/raw variants."""
+    rows = [
+        (0, "p q r p q r"),          # pure in-doc refrain -> exempt
+        (1, "x a b c y a b c"),      # 'a b c' never leaves doc 1 either
+        (2, "s t u v w"),            # cross-doc span with doc 3 (first)
+        (3, "z s t u v w end"),      # its copy -> still drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in dedup.dedup_spans(df, k=3, cross_doc_only=True).collect()}
+    assert got[0] == "p q r p q r"
+    assert got[1] == "x a b c y a b c"
+    assert got[2] == "s t u v w"
+    assert got[3] == "z end"
+    # default (cross_doc_only=False) still strips the in-doc refrains
+    base = {r.doc_id: r.text for r in dedup.dedup_spans(df, k=3).collect()}
+    assert base[0] == "p q r" and base[1] == "x a b c y"
+    # per-GRAM exemption, not per-occurrence: once a refrain's gram also
+    # appears in ANOTHER doc, every non-first occurrence drops — even
+    # the ones inside the original doc
+    df2 = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "x a b c y")], "doc_id long, text string"
+    )
+    got2 = {r.doc_id: r.text
+            for r in dedup.dedup_spans(df2, k=3, cross_doc_only=True).collect()}
+    assert got2 == {0: "a b c", 1: "x y"}
+    # raw variant honors the flag with offsets against the raw text
+    raw = {r.doc_id: (r.text, r.n_spans_removed)
+           for r in dedup.dedup_spans_raw(df, k=3, cross_doc_only=True).collect()}
+    assert raw[0] == ("p q r p q r", 0)
+    assert raw[1] == ("x a b c y a b c", 0)
+    assert raw[2] == ("s t u v w", 0)
+    assert raw[3] == ("z  end", 1)  # one span excised, outside separators stay
+
+
 def test_dedup_spans_preserve_other_columns_and_k_guard(spark):
     rows = [(0, "p q r s t", "web"), (1, "x p q r s y", "code")]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")

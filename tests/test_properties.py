@@ -355,11 +355,14 @@ def test_dedup_spans_matches_reference(spark, texts):
 
     k = 3
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
-    got = {r.doc_id: r.text.split(" ") for r in dedup.dedup_spans(df, k=k).collect()}
-    ref = dedup.span_dedup_reference(
-        {i: [t for t in txt.split(" ") if t] for i, txt in enumerate(texts)}, k
-    )
-    assert got == {i: t for i, t in ref.items() if t}
+    toks = {i: [t for t in txt.split(" ") if t] for i, txt in enumerate(texts)}
+    for cross in (False, True):
+        got = {
+            r.doc_id: r.text.split(" ")
+            for r in dedup.dedup_spans(df, k=k, cross_doc_only=cross).collect()
+        }
+        ref = dedup.span_dedup_reference(toks, k, cross_doc_only=cross)
+        assert got == {i: t for i, t in ref.items() if t}, f"cross_doc_only={cross}"
 
 
 def _raw_span_offsets_reference(texts: dict, k: int) -> dict:

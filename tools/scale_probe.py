@@ -36,6 +36,33 @@ DEFAULT_QUERIES = [
     "dedup_spans",
 ]
 
+# `full` = the entire bench headline (round-8: every headline query gets
+# 10x evidence) plus the bm25 build/query split pseudo-queries below.
+PSEUDO = ("bm25_build", "bm25_lookup")
+
+
+def _bm25_split(spark, d: str, which: str):
+    """search_bm25_indexed's headline number fuses index BUILD + query
+    (the oracle must replay the build). The scale probe separates them:
+    bm25_build = tokenize + postings/doc_stats aggregates + parquet
+    write; bm25_lookup = the artifact-backed query alone (no corpus
+    tokenize in the plan, term-pruned)."""
+    from pyspark.sql import functions as F
+
+    from epss_spark.operators import retrieval
+    from epss_spark.tables import load_table
+
+    out = os.path.join(".scratch", f"probe_bm25_{abs(hash(d)) % 10**8}")
+    if which == "bm25_build":
+        docs = load_table(spark, d, "documents")
+        postings, doc_stats = retrieval.bm25_index(docs)
+        postings.write.mode("overwrite").parquet(os.path.join(out, "postings"))
+        doc_stats.write.mode("overwrite").parquet(os.path.join(out, "doc_stats"))
+        return spark.read.parquet(os.path.join(out, "doc_stats")).limit(1)
+    postings = spark.read.parquet(os.path.join(out, "postings"))
+    doc_stats = spark.read.parquet(os.path.join(out, "doc_stats"))
+    return retrieval.bm25_lookup(postings, doc_stats, ["dup", "spark", "data"], k=10)
+
 
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
@@ -54,9 +81,15 @@ def main() -> None:
     finally:
         bench.WORKLOAD_SCALE.update(saved)
 
+    if names == ["full"]:
+        names = list(bench.HEADLINE) + list(PSEUDO)
+
     out: dict[str, dict] = {}
     for name in names:
-        q = registry.QUERIES[name]
+        if name in PSEUDO:
+            q = lambda s, d, name=name: _bm25_split(s, d, name)
+        else:
+            q = registry.QUERIES[name]
         bench.force(q(spark, base_dir))  # warm (JIT + plan)
         t: dict[str, float] = {}
         for tag, d in [("bench_sec", base_dir), ("probe_sec", big_dir)]:
