@@ -241,6 +241,89 @@ def lsh_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_probes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Query-directed multiprobe sign-LSH top-k (Lv et al., VLDB 2007):
+    each query scans its home bucket PLUS the n_probes-1 single-bit-flip
+    buckets with the smallest |hyperplane margin| — the bits most likely
+    to have split true neighbors across the boundary. This buys back the
+    recall single-bucket LSH sheds (PERF.md round-8 recall table: at 8
+    planes the single bucket holds ~1/256 of the corpus and recall
+    collapses; probing the 3 lowest-margin flips quadruples the scanned
+    fraction and multiplies recall) WITHOUT touching the index: the
+    candidate side keeps exactly lsh_topk's one-bucket-per-vector layout
+    (partition/bucket the persistent table by `bucket` once), only the
+    broadcast query side fans out x n_probes.
+
+    Deterministic given (dim, n_planes, seed) — margins are the same
+    codegen'd dot products the bucket bits use, so the DuckDB oracle
+    replays probe selection exactly (ties on |margin| break to the lower
+    plane index). n_probes=1 degrades to lsh_topk identically (pinned)."""
+    if dim is None:
+        dim = _derive_dim(candidates, vec_col, "lsh_multiprobe_topk")
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError("n_probes must be in [1, n_planes + 1]")
+    planes = _hyperplanes(dim, n_planes, seed)
+    guard = _dim_guard(F.col(vec_col), dim, "lsh_multiprobe_topk")
+    dots = [
+        _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) for p in planes
+    ]
+    bucket = guard
+    for i, d in enumerate(dots):
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    # the flip mask rides in the sorted struct (shiftleft needs a plan-
+    # time int); sort is (|margin| asc, plane index asc) — ties to the
+    # lower plane, mirrored by the oracle's ORDER BY m, j
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(d).alias("m"),
+                    F.lit(i).alias("i"),
+                    F.lit(1 << i).alias("mask"),
+                )
+                for i, d in enumerate(dots)
+            ]
+        )
+    )
+    flips = F.transform(
+        F.slice(margins, 1, n_probes - 1),
+        lambda s: bucket.bitwiseXOR(s["mask"]),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(F.concat(F.array(bucket), flips)).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        (lsh_bucket(F.col(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_multiprobe_topk")).alias(
+            "bucket"
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
 def _centroid_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by squared L2 distance. Plan-time
     constant centroids -> pure codegen expressions; argmin via array_min

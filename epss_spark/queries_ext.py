@@ -679,6 +679,71 @@ def ann_lsh_bucketed(spark, sf_dir):
     return similarity.lsh_topk(queries, emb, k=5, n_planes=8, seed=42)
 
 
+# Multiprobe: the probe set is a pure function of the SAME plane-literal
+# dot products the bucket bits use (home bucket + the 3 lowest-|margin|
+# single-bit flips, ties to the lower plane index), so the oracle replays
+# probe selection bit-for-bit.
+def _lsh_dot_sql(p) -> str:
+    return (
+        "list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * "
+        f"([{', '.join(repr(float(x)) for x in p)}])[j]))"
+    )
+
+
+_MP_MARGIN_CASE = (
+    "CASE t.j "
+    + " ".join(f"WHEN {i} THEN abs({_lsh_dot_sql(p)})" for i, p in enumerate(_LSH_PLANES))
+    + " END"
+)
+_MP_J_VALUES = ", ".join(f"({i})" for i in range(len(_LSH_PLANES)))
+
+
+@register(
+    "ann_lsh_multiprobe",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_BUCKET_TERMS} AS bucket FROM embeddings),
+    qm AS (
+      SELECT e.vec_id, e.bucket, t.j, {_MP_MARGIN_CASE} AS m
+      FROM e CROSS JOIN (VALUES {_MP_J_VALUES}) t(j)
+      WHERE e.vec_id < 5
+    ),
+    flips AS (
+      SELECT vec_id, xor(bucket, 1 << j) AS bucket,
+             row_number() OVER (PARTITION BY vec_id ORDER BY m, j) AS pr
+      FROM qm
+    ),
+    probes AS (
+      SELECT vec_id, bucket FROM e WHERE vec_id < 5
+      UNION ALL
+      SELECT vec_id, bucket FROM flips WHERE pr <= 3
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) AS cos
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      JOIN e c ON c.bucket = p.bucket AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, cand_id, cos, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ann_lsh_multiprobe(spark, sf_dir):
+    """Query-directed multiprobe LSH (operators/similarity.py::
+    lsh_multiprobe_topk, Lv et al. 2007): each query scans its home
+    bucket plus the 3 lowest-|margin| single-bit-flip buckets — recall
+    back at the same one-bucket-per-vector index layout; only the
+    broadcast query side fans out. The oracle replays bucket bits,
+    margin ranking, and flip selection from the same plane literals."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_multiprobe_topk(
+        queries, emb, k=5, n_planes=8, n_probes=4, seed=42
+    )
+
+
 # IVF with deterministic sampled-point coarse centers: the centroids are
 # the embeddings of 8 fixed vec_ids, so BOTH engines share them exactly and
 # the whole index (assignment argmin, probe ranking, in-list top-k) is

@@ -416,6 +416,55 @@ class TestRerankExact:
         assert recall >= 0.9, recall
 
 
+class TestMultiprobeLSH:
+    def test_single_probe_equals_lsh_topk(self, spark):
+        """n_probes=1 is exactly lsh_topk — the degradation identity."""
+        _, df = _vectors(spark, n=40, dim=8, seed=5)
+        queries = df.filter(F.col("vec_id") < 6)
+        a = sorted(map(tuple, similarity.lsh_topk(
+            queries, df, k=4, n_planes=4, seed=9).collect()))
+        b = sorted(map(tuple, similarity.lsh_multiprobe_topk(
+            queries, df, k=4, n_planes=4, n_probes=1, seed=9).collect()))
+        assert a == b and len(a) > 0
+
+    def test_multiprobe_recall_dominates_single_probe(self, spark):
+        """Probing low-margin flip buckets can only ADD candidates, so
+        every single-probe hit survives and recall vs exact brute force
+        is monotone in n_probes; full-ball probing at few planes nears
+        brute force."""
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        centers = rng.standard_normal((8, 16))
+        rows = [
+            (i, [float(x) for x in centers[i % 8] + 0.4 * rng.standard_normal(16)])
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = df.filter(F.col("vec_id") < 8)
+        k = 5
+        exact = {}
+        for r in similarity.cosine_topk(queries, df, k=k).collect():
+            exact.setdefault(r.query_id, set()).add(r.cand_id)
+
+        def rec(n_probes):
+            by_q = {}
+            res = similarity.lsh_multiprobe_topk(
+                queries, df, k=k, n_planes=6, n_probes=n_probes, seed=2
+            )
+            for r in res.collect():
+                by_q.setdefault(r.query_id, set()).add(r.cand_id)
+            return sum(
+                len(by_q.get(q, set()) & s) / len(s) for q, s in exact.items()
+            ) / len(exact)
+
+        r1, r4, r7 = rec(1), rec(4), rec(7)
+        assert r1 <= r4 <= r7, (r1, r4, r7)
+        assert r7 > r1, (r1, r7)  # flips genuinely recover neighbors
+        with pytest.raises(ValueError):
+            similarity.lsh_multiprobe_topk(queries, df, n_planes=6, n_probes=8)
+
+
 def test_sample_weighted_is_proportional_and_deterministic(spark):
     """Gumbel top-k weighted sampling: heavy rows are selected far more
     often across seeds (statistical law on a deliberately skewed weight

@@ -100,6 +100,17 @@ def main() -> None:
             1 / 2**p,
         )
 
+    # multiprobe: same 8-plane index, query probes home + lowest-margin
+    # flip buckets — scan_frac scales with n_probes, not planes
+    for np_ in (2, 4, 8):
+        run(
+            f"lsh_p8_mp{np_}",
+            lambda np_=np_: similarity.lsh_multiprobe_topk(
+                queries, emb, k=k, n_planes=8, n_probes=np_
+            ),
+            np_ / 2**8,
+        )
+
     n_lists = 16
     cents = similarity.train_ivf_centroids(emb, n_lists=n_lists)
     for np_ in (1, 2, 4, 8, 16):
