@@ -1365,6 +1365,63 @@ def span_novelty(
     )
 
 
+def dedup_spans_fixpoint(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rounds: int = 16,
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """`dedup_spans` iterated to a FIXPOINT: the single pass removes
+    every duplicated k-gram occurrence, but excision can abut
+    previously-distant tokens and mint NEW duplicated k-grams (the
+    paper's single-pass caveat, noted in dedup_spans' contract);
+    iterating until a round removes nothing yields a corpus with NO
+    duplicated k-gram at all — the invariant tests pin. Same output
+    schema as dedup_spans.
+
+    Termination: every non-final round strictly decreases the corpus
+    token total, so the fixpoint arrives in <= total_tokens/k rounds and
+    in practice 2-3 (new duplicates need removals to splice matching
+    contexts). Each round localCheckpoints the shrinking corpus
+    (truncating lineage exactly like connected_components) and spends
+    one bounded count action; raises RuntimeError past max_rounds rather
+    than silently returning a non-fixpoint."""
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    cur = docs.select(id_col, tokens(text_col).alias("__toks")).localCheckpoint(
+        eager=True
+    )
+    prev_total = cur.agg(F.sum(F.size("__toks"))).first()[0] or 0
+    for _ in range(max_rounds):
+        out = dedup_spans_on_tokens(
+            cur, k=k, id_col=id_col, text_col=text_col, toks_col="__toks",
+            cross_doc_only=cross_doc_only,
+        ).localCheckpoint(eager=True)
+        total = out.agg(F.sum("n_tokens_kept")).first()[0] or 0
+        if total == prev_total:
+            return out
+        prev_total = total
+        cur = out.select(id_col, tokens(text_col).alias("__toks")).localCheckpoint(
+            eager=True
+        )
+    raise RuntimeError(
+        f"dedup_spans_fixpoint: no fixpoint within {max_rounds} rounds"
+    )
+
+
+def span_dedup_fixpoint_reference(texts: dict, k: int) -> dict:
+    """Pure-Python spec for dedup_spans_fixpoint: iterate
+    span_dedup_reference until stable."""
+    cur = dict(texts)
+    while True:
+        nxt = span_dedup_reference(cur, k)
+        if nxt == cur:
+            return {d: t for d, t in nxt.items() if t}
+        cur = nxt
+
+
 def _raw_span_rows(docs: DataFrame, k: int, id_col: str, text_col: str):
     """(tok_rows_with_offsets, gram_rows) for OFFSET-PRESERVING span
     dedup. Token = maximal ASCII-alnum run in the RAW text (identity =
@@ -1621,6 +1678,48 @@ def sample_token_budget(
         .withColumn("__cum", F.sum("n_tokens").over(w))
         .filter(F.col("__cum") <= budget)
         .drop("__cum")
+    )
+
+
+def mix_temperature_budgets(
+    docs: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.7,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixing budgets — the standard way a
+    multi-source/multilingual training mix is ACTUALLY specified (UniMax
+    / mT5 family): budget_s = total * c_s^alpha / sum_t c_t^alpha where
+    c_s is the stratum's token count. alpha=1 reproduces the natural
+    distribution, alpha=0 is uniform, ~0.7 is the usual compromise that
+    up-samples small sources without flattening big ones. Returns
+    (stratum, n_tokens, share[6dp], budget) — feed `budget` straight
+    into `sample_token_budget` / `sample_token_budget_bucketed` as the
+    per-stratum quota, closing the loop from "I have this corpus and a
+    2e11-token budget" to a deterministic keep set.
+
+    Cross-engine determinism: the only transcendental is pow(count,
+    alpha); shares round to 6 dp before integer budget arithmetic
+    (share6 * total div 1e6 — all-bigint, no double division), the same
+    discipline as the cosine/ln oracles. The stratum table is tiny, so
+    the global-sum window is a single-partition plan over n_strata rows
+    on top of one corpus token-count aggregate."""
+    if total_tokens < 0:
+        raise ValueError("total_tokens must be >= 0")
+    counts = docs.groupBy(stratum_col).agg(
+        F.sum(F.size(tokens(text_col))).alias("n_tokens")
+    )
+    wt = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    share = F.round(wt / F.sum(wt).over(Window.partitionBy()), 6)
+    return (
+        counts.withColumn("share", share)
+        .withColumn("__share6", F.round(F.col("share") * 1_000_000, 0).cast("bigint"))
+        .withColumn(
+            "budget",
+            F.expr(f"__share6 * CAST({int(total_tokens)} AS BIGINT) div 1000000"),
+        )
+        .drop("__share6")
     )
 
 

@@ -2186,6 +2186,32 @@ def sample_token_budget(spark, sf_dir):
     )
 
 
+@register(
+    "sample_mix_temperature",
+    f"""
+    WITH c AS (
+      SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.7) AS wt FROM c),
+    s AS (SELECT source, n_tokens, round(wt / sum(wt) OVER (), 6) AS share FROM w)
+    SELECT source, n_tokens, share,
+           CAST(round(share * 1000000) AS BIGINT) * CAST(100000 AS BIGINT) // 1000000 AS budget
+    FROM s
+    """,
+)
+def sample_mix_temperature(spark, sf_dir):
+    """Temperature-scaled mixing budgets (operators/dedup.py::
+    mix_temperature_budgets, the UniMax/mT5 alpha-sampling rule):
+    per-source token budgets proportional to count^0.7 of a 100k-token
+    total — the artifact a training-mix spec feeds into
+    sample_token_budget. Integer budget arithmetic after 6-dp share
+    rounding keeps both engines bit-identical."""
+    return dedup.mix_temperature_budgets(
+        T(spark, sf_dir, "documents"), total_tokens=100_000, alpha=0.7
+    )
+
+
 # same oracle SQL as sample_token_budget on purpose: the bucketed form is
 # a different PHYSICAL plan (two-pass prefix sum over md5-prefix
 # sub-buckets — the changed_scores_salted model) with contractually

@@ -1368,6 +1368,37 @@ def test_dedup_spans_preserve_other_columns_and_k_guard(spark):
         dedup.dedup_spans(df, k=1)
 
 
+def test_dedup_spans_fixpoint_closes_minted_duplicates(spark):
+    """Excision can mint NEW duplicated k-grams (removing 'x y' from doc
+    1 splices 'a c', which doc 0 already has). The single pass leaves
+    it; the fixpoint removes it and guarantees the no-duplicated-k-gram
+    invariant outright."""
+    rows = [(0, "x y a c"), (1, "a x y c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    single = {r.doc_id: r.text for r in dedup.dedup_spans(df, k=2).collect()}
+    assert single == {0: "x y a c", 1: "a c"}  # minted duplicate survives
+    fixed = {r.doc_id: r.text for r in dedup.dedup_spans_fixpoint(df, k=2).collect()}
+    ref = dedup.span_dedup_fixpoint_reference(
+        {i: t.split(" ") for i, t in rows}, 2
+    )
+    assert fixed == {d: " ".join(t) for d, t in ref.items()}
+    assert fixed == {0: "x y a c"}
+    # invariant: NO k-gram appears twice in the fixpoint corpus
+    seen = set()
+    for t in fixed.values():
+        toks = t.split(" ")
+        for i in range(len(toks) - 1):
+            g = (toks[i], toks[i + 1])
+            assert g not in seen, g
+            seen.add(g)
+    # already-clean corpus: one pass, unchanged
+    clean = spark.createDataFrame([(0, "p q r"), (1, "s t u")], "doc_id long, text string")
+    got = {r.doc_id: r.text for r in dedup.dedup_spans_fixpoint(clean, k=2).collect()}
+    assert got == {0: "p q r", 1: "s t u"}
+    with pytest.raises(ValueError):
+        dedup.dedup_spans_fixpoint(df, k=2, max_rounds=0)
+
+
 def test_dedup_spans_no_nonfirst_duplicate_gram_survives_intact(spark):
     # theorem: for every input k-gram with >= 2 occurrences, only its
     # (id, pos)-first occurrence can survive with all k tokens kept —
@@ -1555,6 +1586,39 @@ def test_cap_per_stratum_bucketed_equals_windowed(spark):
     c = sorted(r.doc_id for r in dedup.cap_per_stratum(df, 3).collect())
     d = sorted(r.doc_id for r in dedup.cap_per_stratum_bucketed(df, 3).collect())
     assert c == d
+
+
+def test_mix_temperature_budgets_semantics(spark):
+    """alpha=1 reproduces the natural token distribution, alpha=0 is
+    uniform, fractional alpha up-samples the small stratum; budgets
+    never overshoot the total, and the output feeds sample_token_budget
+    directly (the spec -> keep-set loop)."""
+    rows = (
+        [(i, "w " * 90, "big") for i in range(10)]      # 900 tokens
+        + [(100 + i, "w " * 10, "small") for i in range(10)]  # 100 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    nat = {r.source: r for r in dedup.mix_temperature_budgets(df, 1000, alpha=1.0).collect()}
+    assert nat["big"].n_tokens == 900 and nat["small"].n_tokens == 100
+    assert nat["big"].budget == 900 and nat["small"].budget == 100
+
+    uni = {r.source: r.budget for r in dedup.mix_temperature_budgets(df, 1000, alpha=0.0).collect()}
+    assert uni == {"big": 500, "small": 500}
+
+    mid = {r.source: r.budget for r in dedup.mix_temperature_budgets(df, 1000, alpha=0.5).collect()}
+    assert 100 < mid["small"] < 500 < mid["big"] < 900
+    assert mid["big"] + mid["small"] <= 1000
+
+    # closes the loop: the budgets drive an actual token-bounded keep set
+    budgets = {r.source: int(r.budget)
+               for r in dedup.mix_temperature_budgets(df, 300, alpha=0.0).collect()}
+    kept = dedup.sample_token_budget(df, budgets).groupBy("source").agg(
+        F.sum("n_tokens").alias("t")).collect()
+    for r in kept:
+        assert r.t <= budgets[r.source]
+    with pytest.raises(ValueError):
+        dedup.mix_temperature_budgets(df, -1)
 
 
 def test_dedup_spans_offsets_raw_text_semantics(spark):

@@ -365,6 +365,33 @@ def test_dedup_spans_matches_reference(spark, texts):
         assert got == {i: t for i, t in ref.items() if t}, f"cross_doc_only={cross}"
 
 
+@given(texts=_span_corpora)
+@_settings
+def test_dedup_spans_fixpoint_no_duplicate_gram_survives(spark, texts):
+    """The fixpoint's defining invariant on fuzzed corpora: NO k-gram
+    appears twice anywhere in the output (the single pass only promises
+    it for ORIGINAL adjacencies), and the result equals the iterated
+    pure-Python reference."""
+    from epss_spark.operators import dedup
+
+    k = 3
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: r.text.split(" ")
+        for r in dedup.dedup_spans_fixpoint(df, k=k).collect()
+    }
+    ref = dedup.span_dedup_fixpoint_reference(
+        {i: [t for t in txt.split(" ") if t] for i, txt in enumerate(texts)}, k
+    )
+    assert got == ref
+    seen: set = set()
+    for toks in got.values():
+        for i in range(len(toks) - k + 1):
+            g = tuple(toks[i : i + k])
+            assert g not in seen, g
+            seen.add(g)
+
+
 def _raw_span_offsets_reference(texts: dict, k: int) -> dict:
     """Pure-Python spec for dedup_spans_offsets: {id -> raw text} in,
     {id -> [(span_start, span_end, n_tokens)]} out. Raw-run tokens with
