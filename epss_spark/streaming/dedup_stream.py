@@ -425,6 +425,73 @@ def process_bm25_batch(
     _write_epoch(doc_stats, stats_path, epoch_id)
 
 
+def process_ann_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    coarse_centroids: list,
+    pq_centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One idempotent epoch of IVF-PQ index maintenance: encode the
+    batch's vectors to (id, list_id, codes) against the FROZEN quantizer
+    and epoch-overwrite. Codes are per-vector facts (like BM25 terms) —
+    no read-modify-write, no cross-batch state — so the replay argument
+    is the simple one: same input + same frozen model = same rows,
+    overwrite replaces them."""
+    if batch_df.isEmpty():
+        return
+    from epss_spark.operators import similarity
+
+    idx = similarity.ivfpq_index(
+        batch_df, coarse_centroids, pq_centroids, id_col, vec_col
+    )
+    _write_epoch(idx, index_path, epoch_id)
+
+
+def start_ann_index_maintenance(
+    vectors_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    coarse_centroids: list,
+    pq_centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Continuous IVF-PQ index maintenance: per micro-batch of new
+    embeddings, encode (id, list_id, codes) rows against a FROZEN
+    quantizer (coarse centroids + PQ codebooks are a model artifact —
+    train once offline on a sample, retrain = rebuild, exactly like any
+    production ANN system) and commit them to the index directory via
+    epoch-scoped overwrites (idempotent under foreachBatch retry —
+    module docstring). Search with
+    `ivfpq_topk(..., index=read_artifact(spark, index_dir))`, optionally
+    re-ranked with `rerank_exact` — the index is current the moment a
+    batch lands.
+
+    Scale shape per batch: ONE zero-shuffle codegen projection over the
+    batch (both quantizer assignments are plan-time-constant argmins);
+    nothing reads the existing index at maintenance time. At 100 TB the
+    artifact is ~20 B/vector; compact epoch dirs into a list_id-
+    partitioned layout periodically if file counts grow."""
+    index_path = os.path.join(index_dir, "ivfpq")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_ann_batch(
+            batch_df, epoch_id, index_path, coarse_centroids, pq_centroids,
+            id_col, vec_col,
+        )
+
+    writer = vectors_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_bm25_index_maintenance(
     docs_stream: DataFrame,
     index_dir: str,

@@ -1359,6 +1359,72 @@ def test_streaming_bm25_index_equals_batch_build(spark, tmp_path):
     assert direct == indexed and len(direct) > 0
 
 
+def test_streaming_ann_index_equals_batch_build_and_replay(spark, tmp_path):
+    """ANN index maintenance contract: after draining N micro-batches of
+    new embeddings, read_artifact(index) equals a one-shot ivfpq_index
+    over the union (frozen quantizer), ivfpq_topk over the maintained
+    index equals the inline path, and a crash-retry replay of an epoch
+    changes nothing."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from epss_spark.operators import similarity
+    from epss_spark.streaming import dedup_stream
+
+    rng = np.random.default_rng(13)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)]
+    batches = [vecs[:15], vecs[15:]]
+    alldf = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    by_id = {vid: [float(np.float32(x)) for x in v] for vid, v in vecs}
+    coarse = [by_id[0], by_id[7], by_id[19]]
+    books = similarity.sampled_pq_centroids(alldf, [2, 11, 23], m=2)
+
+    drop_dir = tmp_path / "vdrops"
+    drop_dir.mkdir()
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"vstage_{i}"
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+            1
+        ).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"v{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = dedup_stream.stream_documents(
+        spark, str(drop_dir), schema="vec_id long, embedding array<float>",
+        max_files_per_trigger=1,
+    )
+    q = dedup_stream.start_ann_index_maintenance(
+        stream, str(tmp_path / "annidx"), str(tmp_path / "annckpt"), coarse, books
+    )
+    q.awaitTermination(180)
+
+    ipath = str(tmp_path / "annidx" / "ivfpq")
+    maintained = dedup_stream.read_artifact(spark, ipath)
+    batch_idx = similarity.ivfpq_index(alldf, coarse, books)
+    assert sorted((r.vec_id, r.list_id, tuple(r.codes)) for r in maintained.collect()) == \
+        sorted((r.vec_id, r.list_id, tuple(r.codes)) for r in batch_idx.collect())
+
+    queries = alldf.filter(F.col("vec_id") < 3)
+    inline = sorted(map(tuple, similarity.ivfpq_topk(
+        queries, alldf, coarse, books, k=3, n_probe=2).collect()))
+    via_artifact = sorted(map(tuple, similarity.ivfpq_topk(
+        queries, alldf, coarse, books, k=3, n_probe=2, index=maintained).collect()))
+    assert inline == via_artifact and len(inline) > 0
+
+    # crash-retry: replay epoch 1 in full — index and search unchanged
+    b2 = spark.createDataFrame(batches[1], "vec_id long, embedding array<float>")
+    dedup_stream.process_ann_batch(b2, 1, ipath, coarse, books)
+    replayed = dedup_stream.read_artifact(spark, ipath)
+    assert sorted((r.vec_id, r.list_id, tuple(r.codes)) for r in replayed.collect()) == \
+        sorted((r.vec_id, r.list_id, tuple(r.codes)) for r in batch_idx.collect())
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch replay idempotency (at-least-once crash-retry semantics)
 # ---------------------------------------------------------------------------
