@@ -144,13 +144,79 @@ def _read_committed(
     return spark.read.parquet(*paths)
 
 
+def compact_artifact(
+    spark: SparkSession,
+    path: str,
+    partition_by: str | None = None,
+    num_files: int | None = None,
+) -> int:
+    """Compact a stream-maintained artifact directory (flat base files +
+    accumulated `epoch-N` subdirs) back into ONE flat layout — the
+    periodic maintenance step that keeps file counts bounded under
+    continuous epoch appends (DEPLOYMENT.md). Rewrites everything
+    `read_artifact` sees into `<path>.compact-tmp`, then swaps via
+    filesystem rename. Returns the number of rows compacted.
+
+    `partition_by` restores a pruned layout (e.g. `list_id` for the
+    IVF-PQ code table, so post-compaction searches scan n_probe lists
+    again); `num_files` coalesces small epochs. A partitioned layout is
+    the END-OF-STREAM serving shape: epoch appends into a
+    hive-partitioned directory are unsupported (recursive lookup cannot
+    recover partition columns from a mixed layout) — flat compaction
+    (`partition_by=None`) is the one that composes with continued
+    maintenance.
+
+    ORDERING CONTRACT (loudly): run ONLY while no maintenance stream is
+    writing the directory, and only after the stream drained/terminated
+    CLEANLY (availableNow=True queries that returned, or a stopped
+    query whose last epoch committed). A replay can only exist for an
+    epoch whose checkpoint commit never landed; compacting such an
+    epoch's rows into the flat base would double them when the restart
+    replays it. Clean termination means no such epoch exists. The swap
+    itself is rename-based — atomic on HDFS/POSIX, copy-like on object
+    stores, either way invisible to the next stream start because the
+    stream only APPENDS new epoch dirs."""
+    df = read_artifact(spark, path)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    if num_files:
+        df = df.coalesce(int(num_files))
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(conf)
+    if not fs.delete(dst, True):
+        raise IOError(f"compact_artifact: could not remove old layout at {path}")
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"compact_artifact: rename {tmp} -> {path} failed; "
+            f"compacted data is intact at {tmp}"
+        )
+    return int(n)
+
+
 def read_artifact(spark: SparkSession, path: str) -> DataFrame:
     """Read a stream-maintained artifact directory (accepted docs, index
     rows, BM25 postings/doc_stats): flat base files and all committed
     `epoch-N` subdirs together. Plain `spark.read.parquet(dir)` ignores
     plain subdirectories, so consumers of maintained artifacts must use
     this (or pass recursiveFileLookup themselves). Works unchanged on a
-    flat batch-built layout."""
+    flat batch-built layout, and on a hive-partitioned layout (e.g.
+    after `compact_artifact(partition_by=...)`) — when no epoch dirs are
+    present the read is partition-aware, so the partition column and
+    pruning survive. Do NOT mix hive partition dirs WITH epoch dirs in
+    one directory: recursive lookup cannot recover partition columns
+    (partitioned compaction is the end-of-stream serving layout)."""
+    exists, _, epochs = _list_artifact(spark, path)
+    if exists and not epochs:
+        return spark.read.parquet(path)
     return spark.read.option("recursiveFileLookup", "true").parquet(path)
 
 

@@ -398,6 +398,28 @@ def test_pq_broadcasts_queries_and_limits_before_exchange(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_rerank_broadcasts_shortlist_corpus_never_shuffles_raw(spark):
+    # Two-stage ANN: the ADC shortlist (bounded n_queries x r id rows)
+    # and the query vectors BROADCAST against the raw-vector scan — the
+    # re-rank stage adds point lookups, never a corpus shuffle of the
+    # raw embeddings. The only hash exchange is the per-query top-k
+    # window, fed by a WindowGroupLimit partial.
+    p = plan(spark, "ann_ivfpq_rerank")
+    assert p.count("BroadcastExchange") >= 2  # shortlist + query vectors
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_multiprobe_fans_out_queries_only(spark):
+    # Multiprobe LSH: the probe fan-out is an explode on the BROADCAST
+    # query side; the candidate scan keeps one bucket per vector and
+    # never re-expands. Python stays out of the plan.
+    p = plan(spark, "ann_lsh_multiprobe")
+    assert "BroadcastExchange" in p
+    assert "Generate explode" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_plan_inventory_matches_checked_in(spark):
     """Broad plan-regression net: the physical-plan shape (exchange /
     broadcast / top-k / Python-crossing counts) of EVERY driver-surface

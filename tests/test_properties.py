@@ -436,7 +436,11 @@ def _raw_span_offsets_reference(texts: dict, k: int) -> dict:
     return out
 
 
-_raw_sep = st.sampled_from([" ", ", ", "!  ", "\n", " - ", ". "])
+# separators include multibyte codepoints (é, —, 你) on purpose: offsets
+# are CODEPOINT offsets, and the reference (re.finditer on the Python
+# str) is codepoint-native — this pins Spark's length/substr semantics
+# on non-ASCII text, which the ASCII-only testdata oracles never touch
+_raw_sep = st.sampled_from([" ", ", ", "!  ", "\n", " - ", ". ", " é ", "—", "你好 "])
 _raw_word = st.sampled_from(["a", "B", "cc", "Dd1"])
 _raw_doc = st.lists(
     st.tuples(_raw_word, _raw_sep), min_size=0, max_size=12

@@ -1425,6 +1425,50 @@ def test_streaming_ann_index_equals_batch_build_and_replay(spark, tmp_path):
         sorted((r.vec_id, r.list_id, tuple(r.codes)) for r in batch_idx.collect())
 
 
+def test_compact_artifact_flattens_epochs_preserving_content(spark, tmp_path):
+    """Compaction rewrites flat base + epoch dirs into one flat layout:
+    read_artifact sees identical rows before/after, a PLAIN
+    spark.read.parquet now also works (no recursive lookup needed),
+    epoch dirs are gone, and partition_by restores a pruned layout.
+    Post-compaction epoch appends keep working (mixed layout)."""
+    import os
+
+    from epss_spark.streaming import dedup_stream
+
+    pp = str(tmp_path / "idx" / "postings")
+    b1 = spark.createDataFrame([(0, "alpha beta beta"), (1, "alpha")],
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame([(10, "beta gamma")], "doc_id long, text string")
+    ds = str(tmp_path / "idx" / "doc_stats")
+    dedup_stream.process_bm25_batch(b1, 0, pp, ds)
+    dedup_stream.process_bm25_batch(b2, 1, pp, ds)
+
+    before = sorted(map(tuple, dedup_stream.read_artifact(spark, pp).collect()))
+
+    # flat compaction: the maintenance-compatible form
+    n = dedup_stream.compact_artifact(spark, pp, num_files=1)
+    assert n == len(before)
+    assert sorted(map(tuple, dedup_stream.read_artifact(spark, pp).collect())) == before
+    assert not any(d.startswith("epoch-") for d in os.listdir(pp))
+    assert spark.read.parquet(pp).count() == n  # plain read works on flat
+    # the stream keeps appending epochs after flat compaction
+    b3 = spark.createDataFrame([(20, "delta alpha")], "doc_id long, text string")
+    dedup_stream.process_bm25_batch(b3, 2, pp, ds)
+    assert dedup_stream.read_artifact(spark, pp).count() == n + 2
+
+    # partitioned compaction: the end-of-stream serving layout —
+    # partition column survives, pruning layout on disk, read_artifact
+    # is partition-aware once no epoch dirs remain
+    n2 = dedup_stream.compact_artifact(spark, pp, partition_by="term")
+    assert n2 == n + 2
+    assert "term=alpha" in set(os.listdir(pp))
+    served = dedup_stream.read_artifact(spark, pp)
+    assert sorted(served.columns) == ["doc_id", "term", "tf"]
+    assert sorted(
+        (r.term, r.doc_id, r.tf) for r in served.collect()
+    ) == sorted(before + [("alpha", 20, 1), ("delta", 20, 1)])
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch replay idempotency (at-least-once crash-retry semantics)
 # ---------------------------------------------------------------------------
