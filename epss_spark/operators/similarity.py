@@ -691,6 +691,250 @@ def ivfpq_topk(
     )
 
 
+def _np_sub_d2(x_sub, cents):
+    """Sequential-fold squared L2 from an (n, sub) block to each of the
+    (k, sub) centroids — accumulation ORDER matches the Catalyst
+    fold ((x1-c1)^2 + ...) exactly, so doubles are bit-identical to the
+    expression form and 6-dp rounded scores can be compared with ==."""
+    import numpy as np
+
+    n, sub = x_sub.shape
+    kk = len(cents)
+    acc = np.zeros((n, kk), dtype=np.float64)
+    for j in range(sub):
+        cj = np.array([c[j] for c in cents], dtype=np.float64)
+        d = x_sub[:, j][:, None] - cj[None, :]
+        acc += d * d
+    return acc
+
+
+def pq_encode_batched(
+    vectors: DataFrame,
+    centroids: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """`pq_encode` for REALISTIC codebooks: identical semantics and
+    output (argmin by squared L2, ties to the lower index — pinned
+    bit-identical to the expression form), but the m x k distance work
+    runs in an Arrow-batched numpy kernel instead of an m*k*sub-leaf
+    Catalyst expression. The expression form is the right tool at the
+    oracle-checkable k=8; at the standard k=256 its analysis/codegen
+    cost explodes (PERF.md round-8 ladder: pq_topk 5.9 s at k=8 ->
+    135.8 s at k=256 on 500 vectors — almost all of it plan overhead)
+    while this kernel stays flat. Zero shuffle either way."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m = len(centroids)
+    sub = len(centroids[0][0])
+    dim = m * sub
+    schema = StructType(
+        [
+            StructField(id_col, vectors.schema[id_col].dataType),
+            StructField(out_col, ArrayType(IntegerType())),
+        ]
+    )
+    src = vectors.select(id_col, F.col(vec_col).alias("__v"))
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            if vecs.shape[1] != dim:
+                raise ValueError(
+                    f"pq_encode_batched: embedding dim {vecs.shape[1]} != expected {dim}"
+                )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for mi in range(m):
+                d2 = _np_sub_d2(vecs[:, mi * sub : (mi + 1) * sub], centroids[mi])
+                codes[:, mi] = d2.argmin(axis=1)  # first minimum = lower index
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: [list(map(int, c)) for c in codes]}
+            )
+
+    return src.mapInPandas(_encode, schema=schema)
+
+
+def _adc_topk_batched(
+    code_table: DataFrame,
+    q_rows: list,
+    centroids: list[list[list[float]]],
+    k: int,
+    id_col: str,
+    probes: dict | None,
+) -> DataFrame:
+    """Shared ADC scan kernel for pq_topk_batched / ivfpq_topk_batched:
+    mapInPandas over the (id[, list_id], codes) table; each Arrow batch
+    is scored against every query's precomputed m x k distance table
+    (sequential-fold doubles — see _np_sub_d2 — then rounded to 6 dp,
+    so scores are bit-identical to the expression forms). `probes`
+    (query -> allowed list_ids) masks rows per query for the IVF path.
+    The per-partition output is (query_id, cand_id, ad2) for ALL scanned
+    pairs of that batch's rows; the global per-query top-k window does
+    the final cut (same plan tail as the expression forms)."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    m = len(centroids)
+    sub = len(centroids[0][0])
+    dtabs = []
+    qids = []
+    for qid, qvec in q_rows:
+        x = np.asarray(qvec, dtype=np.float64)[None, :]
+        dtabs.append(
+            np.stack(
+                [
+                    _np_sub_d2(x[:, mi * sub : (mi + 1) * sub], centroids[mi])[0]
+                    for mi in range(m)
+                ]
+            )
+        )
+        qids.append(qid)
+    dtab_arr = np.stack(dtabs) if dtabs else np.zeros((0, m, 1))
+    id_type = code_table.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("cand_id", id_type),
+            StructField("ad2", DoubleType()),
+        ]
+    )
+    has_list = probes is not None
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not qids:
+                continue
+            codes = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            cand = pdf[id_col].to_numpy()
+            lists = pdf["list_id"].to_numpy() if has_list else None
+            out_q, out_c, out_d = [], [], []
+            for qi, qid in enumerate(qids):
+                if has_list:
+                    mask = np.isin(lists, probes[qid])
+                    mask &= cand != qid
+                else:
+                    mask = cand != qid
+                if not mask.any():
+                    continue
+                cc = codes[mask]
+                acc = np.zeros(len(cc), dtype=np.float64)
+                for mi in range(m):  # sequential over m: fold-order parity
+                    acc += dtab_arr[qi, mi][cc[:, mi]]
+                out_q.append(np.full(len(cc), qid, dtype=np.int64))
+                out_c.append(cand[mask])
+                out_d.append(np.round(acc, 6))
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "ad2": np.concatenate(out_d),
+                }
+            )
+
+    scored = code_table.mapInPandas(_score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("ad2").asc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "ad2", "rank")
+    )
+
+
+def pq_topk_batched(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """`pq_topk` for REALISTIC codebooks (k up to 256, the standard
+    8-bit-code config): same output contract (ad2 6 dp, rank by (ad2,
+    cand_id), self excluded — pinned bit-identical to the expression
+    form at small k), but the distance tables and the ADC scan run in
+    an Arrow-batched numpy kernel, so plan cost is independent of m x k
+    (PERF.md round-8 ladder: the expression form is 135.8 s at
+    k=256/500 vectors, this path stays ~flat). Queries are collected to
+    the driver (bounded by design — the same rows the expression form
+    broadcasts); the code table streams through the kernel with zero
+    shuffle before the per-query top-k window."""
+    if codes is None:
+        codes = pq_encode_batched(candidates, centroids, id_col=id_col, vec_col=vec_col)
+    q_rows = [
+        (r[0], list(r[1]))
+        for r in queries.select(id_col, vec_col).collect()
+    ]
+    return _adc_topk_batched(
+        codes.select(id_col, "codes"), q_rows, centroids, k, id_col, None
+    )
+
+
+def ivfpq_topk_batched(
+    queries: DataFrame,
+    candidates: DataFrame,
+    coarse_centroids: list[list[float]],
+    pq_centroids: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """`ivfpq_topk` for realistic codebooks: identical contract (pinned
+    == the expression form at small k), ADC in the Arrow-batched kernel.
+    Each query's probe set (n_probe nearest coarse lists, ties to the
+    lower list — same rule as the expression form) is computed
+    driver-side from the bounded query rows and masks the scan inside
+    the kernel; with a list_id-partitioned index table the mask becomes
+    partition pruning by construction."""
+    import numpy as np
+
+    if index is None:
+        if len(pq_centroids[0]) > 32:
+            enc = pq_encode_batched(candidates, pq_centroids, id_col, vec_col)
+            asg = candidates.select(
+                F.col(id_col),
+                _centroid_assign(F.col(vec_col), coarse_centroids).alias("list_id"),
+            )
+            index = enc.join(asg, id_col)
+        else:
+            index = ivfpq_index(candidates, coarse_centroids, pq_centroids, id_col, vec_col)
+    q_rows = [
+        (r[0], list(r[1]))
+        for r in queries.select(id_col, vec_col).collect()
+    ]
+    cents = np.asarray(coarse_centroids, dtype=np.float64)
+    probes = {}
+    for qid, qvec in q_rows:
+        x = np.asarray(qvec, dtype=np.float64)
+        # sequential fold over dims for parity with _centroid_assign /
+        # the probe ranking of the expression form
+        acc = np.zeros(len(cents), dtype=np.float64)
+        for j in range(cents.shape[1]):
+            d = x[j] - cents[:, j]
+            acc += d * d
+        order = np.lexsort((np.arange(len(cents)), acc))
+        probes[qid] = np.array(order[:n_probe])
+    return _adc_topk_batched(
+        index.select(id_col, "list_id", "codes"), q_rows, pq_centroids, k, id_col, probes
+    )
+
+
 def rerank_exact(
     shortlist: DataFrame,
     queries: DataFrame,

@@ -332,6 +332,55 @@ class TestIVFPQ:
             assert all(0 <= c < 3 for c in r.codes)
 
 
+class TestBatchedADC:
+    def test_encode_batched_equals_expression(self, spark):
+        rows, df = _vectors(spark, n=25, dim=8, seed=21)
+        books = similarity.train_pq_centroids(df, m=2, k=8, seed=4)
+        a = {r.vec_id: list(r.codes) for r in similarity.pq_encode(df, books).collect()}
+        b = {r.vec_id: list(r.codes)
+             for r in similarity.pq_encode_batched(df, books).collect()}
+        assert a == b
+
+    def test_pq_topk_batched_equals_expression(self, spark):
+        """The numpy kernel folds doubles in the SAME order as the
+        Catalyst expression, so 6-dp ad2 scores — and therefore ranks —
+        are bit-identical, not merely close."""
+        _, df = _vectors(spark, n=30, dim=8, seed=22)
+        books = similarity.train_pq_centroids(df, m=2, k=8, seed=4)
+        queries = df.filter(F.col("vec_id") < 4)
+        a = sorted(map(tuple, similarity.pq_topk(queries, df, books, k=5).collect()))
+        b = sorted(map(tuple, similarity.pq_topk_batched(queries, df, books, k=5).collect()))
+        assert a == b and len(a) == 20
+
+    def test_ivfpq_topk_batched_equals_expression(self, spark):
+        rows, df = _vectors(spark, n=30, dim=8, seed=23)
+        import numpy as np
+
+        by_id = {vid: [float(np.float32(x)) for x in v] for vid, v in rows}
+        coarse = [by_id[1], by_id[9], by_id[17], by_id[25]]
+        books = similarity.sampled_pq_centroids(df, [2, 6, 14], m=2)
+        queries = df.filter(F.col("vec_id") < 4)
+        a = sorted(map(tuple, similarity.ivfpq_topk(
+            queries, df, coarse, books, k=4, n_probe=2).collect()))
+        b = sorted(map(tuple, similarity.ivfpq_topk_batched(
+            queries, df, coarse, books, k=4, n_probe=2).collect()))
+        assert a == b and len(a) > 0
+
+    def test_large_codebook_runs_fast(self, spark):
+        """k=256 codebooks (the standard 8-bit config) must run through
+        the batched path without the expression form's plan explosion —
+        a smoke bound, not a benchmark (PERF.md has the ladder)."""
+        import time
+
+        _, df = _vectors(spark, n=120, dim=16, seed=24)
+        books = similarity.train_pq_centroids(df, m=4, k=64, seed=4, max_iter=2)
+        queries = df.filter(F.col("vec_id") < 3)
+        t0 = time.monotonic()
+        got = similarity.pq_topk_batched(queries, df, books, k=5).collect()
+        assert len(got) == 15
+        assert time.monotonic() - t0 < 60
+
+
 class TestRerankExact:
     def test_full_shortlist_equals_exact(self, spark):
         """Re-ranking a shortlist that contains EVERY candidate must equal
