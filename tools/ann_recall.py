@@ -159,6 +159,32 @@ def main() -> None:
         1.0,
     )
 
+    # realistic codebooks (k=64 codes/subspace) via the Arrow-batched ADC
+    # kernels — the expression forms melt at this size (PERF.md ladder)
+    books64 = similarity.train_pq_centroids(emb, m=8, k=64)
+    run(
+        "pq_m8_k64_batched",
+        lambda: similarity.pq_topk_batched(queries, emb, books64, k=k),
+        1.0,
+    )
+    run(
+        f"ivfpq_l{n_lists}_m8_k64_p4_batched",
+        lambda: similarity.ivfpq_topk_batched(
+            queries, emb, cents, books64, k=k, n_probe=4
+        ),
+        4 / n_lists,
+    )
+    run(
+        f"ivfpq_l{n_lists}_m8_k64_p4_rr{4 * k}",
+        lambda: similarity.rerank_exact(
+            similarity.ivfpq_topk_batched(
+                queries, emb, cents, books64, k=4 * k, n_probe=4
+            ),
+            queries, emb, k=k,
+        ),
+        4 / n_lists,
+    )
+
     print(
         json.dumps(
             {"k": k, "n": n, "n_queries": queries.count(),
