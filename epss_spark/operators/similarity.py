@@ -930,9 +930,15 @@ def ivfpq_topk_batched(
             acc += d * d
         order = np.lexsort((np.arange(len(cents)), acc))
         probes[qid] = np.array(order[:n_probe])
-    return _adc_topk_batched(
-        index.select(id_col, "list_id", "codes"), q_rows, pq_centroids, k, id_col, probes
+    # pre-filter to the UNION of probed lists so the prune reaches the
+    # SCAN (partition pruning on a list_id-partitioned table, row-group
+    # skipping otherwise); the per-query mask inside the kernel then
+    # only separates queries within the already-pruned scan
+    probed_union = sorted({int(x) for arr in probes.values() for x in arr})
+    pruned = index.select(id_col, "list_id", "codes").filter(
+        F.col("list_id").isin(probed_union)
     )
+    return _adc_topk_batched(pruned, q_rows, pq_centroids, k, id_col, probes)
 
 
 def rerank_exact(
