@@ -24,11 +24,19 @@ Usage:
     python -m epss_spark.cli analyze --input DOCS
         --report top-ngrams|vocab|logprob [-k N] [--output OUT]
     python -m epss_spark.cli search --input DOCS --terms "a,b,c" [-k N]
+    python -m epss_spark.cli bpe-train --input DOCS --output MERGES [--n-merges N]
+    python -m epss_spark.cli bpe-apply --input DOCS --merges MERGES --output OUT
+    python -m epss_spark.cli ann-index --input EMB --output DIR
+        [--n-lists N --m M --k-codes K]   (frozen quantizer + list_id-
+        partitioned code table — the ANN artifact lifecycle)
+    python -m epss_spark.cli ann-search --index DIR --input EMB --queries Q
+        [--k N --n-probe P --rerank R] [--output OUT]
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from epss_spark.client import EPSSClient, get_date_range
@@ -262,6 +270,35 @@ def build_parser() -> argparse.ArgumentParser:
     ba.add_argument("--text-col", default="text")
     ba.add_argument("--id-col", default="doc_id")
 
+    ai = sub.add_parser(
+        "ann-index",
+        help="build the IVF-PQ index over an embeddings parquet "
+        "(extension): train the frozen quantizer (saved as model.json), "
+        "write (id, list_id, codes) partitioned by list_id",
+    )
+    ai.add_argument("--input", required=True, help="parquet with (vec_id, embedding)")
+    ai.add_argument("--output", required=True, help="index dir (model.json + codes/)")
+    ai.add_argument("--n-lists", type=int, default=16)
+    ai.add_argument("--m", type=int, default=8)
+    ai.add_argument("--k-codes", type=int, default=64)
+    ai.add_argument("--id-col", default="vec_id")
+    ai.add_argument("--vec-col", default="embedding")
+
+    asr = sub.add_parser(
+        "ann-search",
+        help="search an ann-index artifact (extension): batched ADC "
+        "shortlist + exact re-rank against the raw vectors",
+    )
+    asr.add_argument("--index", required=True, help="dir from ann-index")
+    asr.add_argument("--input", required=True, help="raw embeddings parquet (re-rank source)")
+    asr.add_argument("--queries", required=True, help="parquet with query (vec_id, embedding)")
+    asr.add_argument("--k", type=int, default=10)
+    asr.add_argument("--n-probe", type=int, default=4)
+    asr.add_argument("--rerank", type=int, default=40, help="ADC shortlist size r (0 = raw ADC order)")
+    asr.add_argument("--output", help="write results parquet here instead of printing")
+    asr.add_argument("--id-col", default="vec_id")
+    asr.add_argument("--vec-col", default="embedding")
+
     u = sub.add_parser("urls", help="print snapshot URLs (reference epss/cli.py:117-139)")
     _add_range_flags(u)
 
@@ -420,6 +457,75 @@ def main(argv: list[str] | None = None) -> int:
               f"{len(merges)} merges -> {args.output}")
         return 0
 
+    if args.command == "ann-index":
+        import json as _json
+
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from pyspark.sql import functions as F
+        from epss_spark.operators import similarity
+
+        emb = spark.read.parquet(args.input)
+        coarse = similarity.train_ivf_centroids(
+            emb, n_lists=args.n_lists, vec_col=args.vec_col
+        )
+        books = similarity.train_pq_centroids(
+            emb, m=args.m, k=args.k_codes, vec_col=args.vec_col
+        )
+        enc = similarity.pq_encode_batched(
+            emb, books, id_col=args.id_col, vec_col=args.vec_col
+        )
+        asg = emb.select(
+            F.col(args.id_col),
+            similarity._centroid_assign(F.col(args.vec_col), coarse).alias("list_id"),
+        )
+        index = enc.join(asg, args.id_col)
+        os.makedirs(args.output, exist_ok=True)
+        index.write.mode("overwrite").partitionBy("list_id").parquet(
+            os.path.join(args.output, "codes")
+        )
+        with open(os.path.join(args.output, "model.json"), "w") as f:
+            _json.dump({"coarse": coarse, "books": books,
+                        "id_col": args.id_col, "vec_col": args.vec_col}, f)
+        n = spark.read.parquet(os.path.join(args.output, "codes")).count()
+        print(f"indexed {n} vectors: {args.n_lists} lists x {args.m} codes "
+              f"(k={args.k_codes}) -> {args.output}")
+        return 0
+
+    if args.command == "ann-search":
+        import json as _json
+
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.operators import similarity
+
+        with open(os.path.join(args.index, "model.json")) as f:
+            model = _json.load(f)
+        index = spark.read.parquet(os.path.join(args.index, "codes"))
+        queries = spark.read.parquet(args.queries)
+        r = max(args.rerank, args.k)
+        shortlist = similarity.ivfpq_topk_batched(
+            queries, None, model["coarse"], model["books"],
+            k=r, n_probe=args.n_probe, id_col=model["id_col"],
+            vec_col=model["vec_col"], index=index,
+        )
+        if args.rerank:
+            emb = spark.read.parquet(args.input)
+            out = similarity.rerank_exact(
+                shortlist, queries, emb, k=args.k,
+                id_col=model["id_col"], vec_col=model["vec_col"],
+            )
+        else:
+            out = shortlist.filter(f"rank <= {args.k}")
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"wrote {spark.read.parquet(args.output).count()} result rows "
+                  f"-> {args.output}")
+        else:
+            for row in out.orderBy("query_id", "rank").collect():
+                print(tuple(row))
+        return 0
+
     if args.command == "search":
         spark = get_spark("epss-spark-cli")
         spark.sparkContext.setLogLevel("ERROR")
@@ -449,7 +555,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "dedup-index":
-        import os
 
         spark = get_spark("epss-spark-cli")
         spark.sparkContext.setLogLevel("ERROR")
@@ -549,7 +654,6 @@ def main(argv: list[str] | None = None) -> int:
         threshold = 0.5 if args.threshold is None else args.threshold
         if args.method == "incremental":
             import json as _json
-            import os
 
             if not args.index_dir:
                 print("--method incremental requires --index-dir", file=sys.stderr)

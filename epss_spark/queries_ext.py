@@ -2292,6 +2292,24 @@ def ann_pq_topk(spark, sf_dir):
     return similarity.pq_topk(queries, emb, books, k=5)
 
 
+# Same oracle SQL as the expression forms on purpose (the
+# sample_token_budget_bucketed precedent): the batched ADC kernels are a
+# different PHYSICAL implementation (Arrow numpy kernel, fold-order-
+# matched doubles) with a contractually bit-identical result; pytest
+# additionally pins batched == expression directly.
+@register("ann_pq_topk_batched", ORACLES["ann_pq_topk"])
+def ann_pq_topk_batched(spark, sf_dir):
+    """Arrow-batched ADC search (operators/similarity.py::
+    pq_topk_batched): the production path for realistic codebooks
+    (plan cost independent of m x k — PERF.md round-8 ladder), checked
+    here against the identical DuckDB replay at the oracle-checkable
+    codebook size."""
+    emb = T(spark, sf_dir, "embeddings")
+    books = similarity.sampled_pq_centroids(emb, _IVF_CENT_IDS, m=4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk_batched(queries, emb, books, k=5)
+
+
 # DSIR oracle fragments: hashed unigram+bigram features -> 256 buckets.
 _DSIR_B = 256
 _DSIR_FEATS = (
@@ -2719,3 +2737,22 @@ def ann_ivfpq_rerank(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     shortlist = similarity.ivfpq_topk(queries, emb, coarse, books, k=20, n_probe=2)
     return similarity.rerank_exact(shortlist, queries, emb, k=5)
+
+
+@register("ann_ivfpq_topk_batched", ORACLES["ann_ivfpq_topk"])
+def ann_ivfpq_topk_batched(spark, sf_dir):
+    """Arrow-batched IVF-PQ search (operators/similarity.py::
+    ivfpq_topk_batched): list pruning pushed to the scan + the batched
+    ADC kernel (same oracle SQL as ann_ivfpq_topk — the batched form is
+    a different physical implementation with a contractually
+    bit-identical result, additionally pinned batched == expression by
+    pytest)."""
+    emb = T(spark, sf_dir, "embeddings")
+    by_id = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(_IVF_CENT_IDS)).collect()
+    }
+    coarse = [by_id[cid] for cid in _IVF_CENT_IDS]
+    books = similarity.sampled_pq_centroids(emb, _IVF_CENT_IDS, m=4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_topk_batched(queries, emb, coarse, books, k=5, n_probe=2)

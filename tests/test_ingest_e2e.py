@@ -155,6 +155,50 @@ def test_cli_bpe_train_then_apply(spark, tmp_path, capsys):
     assert got == want
 
 
+def test_cli_ann_index_then_search(spark, tmp_path, capsys):
+    """ann-index trains the frozen quantizer + writes the list_id-
+    partitioned code table; ann-search runs the batched ADC shortlist +
+    exact re-rank against it — the full ANN artifact lifecycle as two
+    CLI steps, equal to composing the library calls directly."""
+    import json
+
+    import numpy as np
+
+    import epss_spark.cli as cli
+    from epss_spark.operators import similarity
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((4, 8))
+    rows = [(i, [float(x) for x in centers[i % 4] + 0.3 * rng.standard_normal(8)])
+            for i in range(40)]
+    emb_path = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(emb_path)
+    q_path = str(tmp_path / "queries")
+    spark.read.parquet(emb_path).filter("vec_id < 2").write.parquet(q_path)
+    idx_dir, out_path = str(tmp_path / "annidx"), str(tmp_path / "hits")
+
+    rc = cli.main(["ann-index", "--input", emb_path, "--output", idx_dir,
+                   "--n-lists", "4", "--m", "2", "--k-codes", "8"])
+    assert rc == 0 and "indexed 40 vectors" in capsys.readouterr().out
+
+    rc = cli.main(["ann-search", "--index", idx_dir, "--input", emb_path,
+                   "--queries", q_path, "--k", "3", "--n-probe", "2",
+                   "--rerank", "12", "--output", out_path])
+    assert rc == 0 and "result rows" in capsys.readouterr().out
+
+    got = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    model = json.load(open(f"{idx_dir}/model.json"))
+    queries = spark.read.parquet(q_path)
+    want = sorted(map(tuple, similarity.rerank_exact(
+        similarity.ivfpq_topk_batched(
+            queries, None, model["coarse"], model["books"], k=12, n_probe=2,
+            index=spark.read.parquet(f"{idx_dir}/codes"),
+        ),
+        queries, spark.read.parquet(emb_path), k=3,
+    ).collect()))
+    assert got == want and len(got) == 6
+
+
 def test_snapshot_url_pattern():
     assert (
         snapshot_url("2024-01-15")
