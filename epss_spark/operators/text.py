@@ -127,6 +127,55 @@ def quality_filter(
     ).drop("__toks")
 
 
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_lines: int = 3,
+    require_terminal_punct: bool = True,
+    banned_line_words: tuple[str, ...] = ("javascript",),
+    banned_page_words: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style structural cleaning (Raffel et al. 2020 §2.2) — the
+    LINE-grain rules the token-statistic `quality_filter` cannot
+    express: keep only lines that end in terminal punctuation ('.', '!',
+    '?', '\"'), have >= min_words_per_line words, and avoid the banned
+    line words; drop the whole page when it contains a banned page
+    marker (lorem ipsum, curly braces = leftover code) or keeps fewer
+    than `min_lines` lines. Returns (id, text = kept lines rejoined,
+    n_lines_kept); failing pages are absent. Deviations from the paper
+    are parameters, not surprises: the English bad-words list is
+    `banned_*` (default minimal), C4's >=5-sentence rule is the
+    kept-line floor, langid/dedup are separate operators.
+
+    Scale shape: one codegen pass — split to a bound lines array, one
+    higher-order filter, re-join; no shuffle, no Python."""
+    lines = F.split(F.col(text_col), "\n")
+    def _line_ok(l: Column) -> Column:
+        t = F.trim(l)
+        ok = F.length(t) > 0
+        if require_terminal_punct:
+            ok = ok & t.rlike('[.!?"]$')
+        ok = ok & (
+            F.size(F.filter(F.split(t, " +"), lambda w: w != ""))
+            >= min_words_per_line
+        )
+        for w in banned_line_words:
+            ok = ok & ~F.lower(l).contains(w.lower())
+        return ok
+
+    base = docs.select(id_col, F.col(text_col), F.filter(lines, _line_ok).alias("__kept"))
+    page_ok = F.size("__kept") >= min_lines
+    for w in banned_page_words:
+        page_ok = page_ok & ~F.lower(F.col(text_col)).contains(w.lower())
+    return base.filter(page_ok).select(
+        id_col,
+        F.concat_ws("\n", "__kept").alias(text_col),
+        F.size("__kept").cast("long").alias("n_lines_kept"),
+    )
+
+
 def bigrams(toks: Column) -> Column:
     """Word 2-gram arrays via zip_with over shifted slices (same
     O(tokens) construction rationale as `shingles`). Docs with < 2 tokens

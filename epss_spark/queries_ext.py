@@ -1677,6 +1677,41 @@ def dedup_spans(spark, sf_dir):
 
 
 @register(
+    "text_c4_lines",
+    """
+    WITH l AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), ln ->
+               length(trim(ln)) > 0
+               AND len(list_filter(regexp_split_to_array(trim(ln), ' +'), w -> w <> '')) >= 3
+               AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM documents
+    )
+    SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept
+    FROM l
+    WHERE len(kept) >= 1
+      AND NOT contains(lower(text), 'lorem ipsum')
+      AND NOT contains(lower(text), '{')
+    """,
+)
+def text_c4_lines(spark, sf_dir):
+    """C4-style line-grain structural cleaning (operators/text.py::
+    c4_line_filter, Raffel et al. 2020 §2.2): word-count floor, banned
+    line/page markers, kept-line page floor, lines rejoined. The
+    terminal-punctuation rule is relaxed here because the synthetic
+    corpus is single-line prose without sentence punctuation (the rule
+    itself is pinned on crafted docs in tests/test_operators_ext.py);
+    everything else runs at the paper's shape."""
+    return text.c4_line_filter(
+        T(spark, sf_dir, "documents"),
+        min_words_per_line=3,
+        min_lines=1,
+        require_terminal_punct=False,
+    )
+
+
+@register(
     "dedup_spans_cross_doc",
     f"""
     WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -1588,6 +1588,33 @@ def test_cap_per_stratum_bucketed_equals_windowed(spark):
     assert c == d
 
 
+def test_c4_line_filter_semantics(spark):
+    """The C4 defaults: terminal-punct rule, per-line word floor, banned
+    line words drop LINES; lorem ipsum / braces / kept-line floor drop
+    PAGES; survivors rejoin in order."""
+    rows = [
+        (0, "A good first sentence here.\nshort.\nAnother proper line stays!\n"
+            "Click here javascript required.\nFinal sentence to pass the floor?"),
+        (1, "This page mentions Lorem Ipsum dolor sit.\nMore valid text here.\n"
+            "And another one right here."),
+        (2, "function() { return 1; }\nSome prose sentence here.\nMore prose here."),
+        (3, "no terminal punctuation on this line\nor this one either"),
+        (4, "Only one good sentence here.\nrest is garbage"),  # below line floor
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.c4_line_filter(df, min_lines=3).collect()}
+    assert set(got) == {0}
+    assert got[0].text == ("A good first sentence here.\n"
+                           "Another proper line stays!\n"
+                           "Final sentence to pass the floor?")
+    assert got[0].n_lines_kept == 3
+    # relaxed floors: doc 4 passes with its one good line
+    got2 = {r.doc_id: r.n_lines_kept
+            for r in text.c4_line_filter(df, min_lines=1).collect()}
+    assert got2 == {0: 3, 4: 1}
+
+
 def test_mix_temperature_budgets_semantics(spark):
     """alpha=1 reproduces the natural token distribution, alpha=0 is
     uniform, fractional alpha up-samples the small stratum; budgets
