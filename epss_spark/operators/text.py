@@ -176,6 +176,88 @@ def c4_line_filter(
     )
 
 
+def gopher_quality_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+) -> DataFrame:
+    """Gopher quality signals (Rae et al. 2021, Table A1) as a REPORT —
+    one row per doc with every signal plus the composite `passes`
+    verdict, so pipelines can filter (`.filter("passes")`), audit
+    per-rule kill rates, or re-threshold without re-scanning. The
+    signals the token-statistic `quality_filter` and the line-grain
+    `c4_line_filter` don't cover: word-count window, mean word length
+    window, symbol-to-word ratio ('#' and '...'), bullet-line /
+    ellipsis-line fractions, alphabetic-word fraction. Words here are
+    WHITESPACE tokens of the raw text (symbols matter), not the
+    normalized stream. Repetition rules live in `repetition_stats`.
+
+    One codegen pass over bound word/line arrays — no shuffle, no
+    Python; ratios rounded to 6 dp for cross-engine hashing."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(
+        id_col,
+        F.filter(F.split(c, r"\s+"), lambda w: w != "").alias("__w"),
+        F.split(c, "\n").alias("__l"),
+        (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).alias("__nhash"),
+        (
+            (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+        ).cast("long").alias("__nell"),
+    )
+    n_words = F.size("__w")
+    n_lines = F.greatest(F.size("__l"), F.lit(1))
+    d_words = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.round(
+        F.aggregate("__w", F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        / d_words,
+        6,
+    )
+    sym = F.round((F.col("__nhash") + F.col("__nell")) / d_words, 6)
+    bullet = F.round(
+        F.size(
+            F.filter("__l", lambda l: F.trim(l).rlike(r"^[-*•‣▪]"))
+        )
+        / n_lines.cast("double"),
+        6,
+    )
+    ell = F.round(
+        F.size(F.filter("__l", lambda l: F.rtrim(l).endswith("...")))
+        / n_lines.cast("double"),
+        6,
+    )
+    alpha = F.round(
+        F.size(F.filter("__w", lambda w: w.rlike("[A-Za-z]"))) / d_words, 6
+    )
+    rep = base.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        bullet.alias("bullet_frac"),
+        ell.alias("ellipsis_frac"),
+        alpha.alias("alpha_frac"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+    )
+    return rep.withColumn("passes", passes)
+
+
 def bigrams(toks: Column) -> Column:
     """Word 2-gram arrays via zip_with over shifted slices (same
     O(tokens) construction rationale as `shingles`). Docs with < 2 tokens

@@ -1677,6 +1677,50 @@ def dedup_spans(spark, sf_dir):
 
 
 @register(
+    "text_gopher_quality",
+    r"""
+    WITH b AS (SELECT doc_id, coalesce(text, '') AS c FROM documents),
+    base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(c, '\s+'), w -> w <> '') AS w,
+             string_split(c, chr(10)) AS l,
+             length(c) - length(replace(c, '#', '')) AS nhash,
+             CAST((length(c) - length(replace(c, '...', ''))) / 3 AS BIGINT) AS nell
+      FROM b
+    ),
+    sig AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        round(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+              / CAST(greatest(len(w), 1) AS DOUBLE), 6) AS mean_word_len,
+        round((nhash + nell) / CAST(greatest(len(w), 1) AS DOUBLE), 6) AS symbol_ratio,
+        round(len(list_filter(l, x -> regexp_matches(trim(x), '^[-*•‣▪]')))
+              / CAST(greatest(len(l), 1) AS DOUBLE), 6) AS bullet_frac,
+        round(len(list_filter(l, x -> ends_with(rtrim(x), '...')))
+              / CAST(greatest(len(l), 1) AS DOUBLE), 6) AS ellipsis_frac,
+        round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              / CAST(greatest(len(w), 1) AS DOUBLE), 6) AS alpha_frac
+      FROM base
+    )
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8) AS passes
+    FROM sig
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher quality signals as a per-doc report (operators/text.py::
+    gopher_quality_report, Rae et al. 2021 Table A1): word-count and
+    mean-word-length windows, symbol-to-word ratio, bullet/ellipsis
+    line fractions, alphabetic-word fraction, plus the composite
+    `passes` verdict — re-thresholdable without re-scanning. 6-dp
+    ratios keep both engines hash-identical."""
+    return text.gopher_quality_report(T(spark, sf_dir, "documents"))
+
+
+@register(
     "text_c4_lines",
     """
     WITH l AS (

@@ -1615,6 +1615,32 @@ def test_c4_line_filter_semantics(spark):
     assert got2 == {0: 3, 4: 1}
 
 
+def test_gopher_quality_report_rules(spark):
+    """Each Gopher rule kills exactly its crafted offender; the clean doc
+    passes. Signals are per-rule auditable, not just a verdict."""
+    good = "This is a perfectly ordinary sentence with reasonable words. " * 10
+    rows = [
+        (0, good),
+        (1, "tiny doc"),                                   # word-count floor
+        (2, "a b c d " * 30),                              # mean word len < 3
+        (3, ("ok words here " * 20) + "#" * 40),           # symbol ratio
+        (4, "\n".join("- bullet item line here ok" for _ in range(10))),  # bullets
+        (5, "\n".join("trailing ellipsis line..." for _ in range(10))),   # ellipses
+        (6, "12345 67890 " * 30),                          # alpha frac
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.gopher_quality_report(df, min_words=20).collect()}
+    assert got[0].passes
+    assert not got[1].passes and got[1].n_words == 2
+    assert not got[2].passes and got[2].mean_word_len < 3
+    assert not got[3].passes and got[3].symbol_ratio > 0.1
+    assert not got[4].passes and got[4].bullet_frac == 1.0
+    assert not got[5].passes and got[5].ellipsis_frac == 1.0
+    assert not got[6].passes and got[6].alpha_frac == 0.0
+    assert not got[7].passes and got[7].n_words == 0  # null text reports, fails
+
+
 def test_mix_temperature_budgets_semantics(spark):
     """alpha=1 reproduces the natural token distribution, alpha=0 is
     uniform, fractional alpha up-samples the small stratum; budgets
