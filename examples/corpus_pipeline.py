@@ -60,8 +60,26 @@ def main() -> None:
     )
     print(f"after span dedup: {docs.count()}")
 
-    # 1. quality gate: length / stopword-saturation / repetitiveness
-    gated = text.quality_filter(docs)
+    # 1. quality gates, cheapest-first: C4 line-grain structure (word
+    #    floor, banned markers; terminal-punct relaxed — the synthetic
+    #    corpus is unpunctuated single-line prose), then the Gopher
+    #    signal report's composite verdict, then the token-statistic
+    #    gate. All three are zero-shuffle codegen passes.
+    structured = docs.join(
+        text.c4_line_filter(
+            docs.select("doc_id", "text"), min_words_per_line=3, min_lines=1,
+            require_terminal_punct=False,
+        ).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    print(f"after C4 line filter: {structured.count()}")
+    gq = text.gopher_quality_report(structured, min_words=20)
+    structured = structured.join(
+        gq.filter(F.col("passes")).select("doc_id"), "doc_id", "left_semi"
+    )
+    print(f"after Gopher gate: {structured.count()}")
+    gated = text.quality_filter(structured)
     print(f"after quality gate: {gated.count()}")
 
     # 1b. hard per-domain cap: no source may dominate the mix
@@ -114,6 +132,18 @@ def main() -> None:
                 clean, {"src0": 1.0, "src1": 0.5}, default_rate=0.25
             )
             print(f"after per-source sampling: {mixed.count()}")
+
+            # 5b. temperature-scaled token budgets (UniMax alpha rule):
+            #     derive per-source quotas from the surviving mix's own
+            #     token counts, then enforce them deterministically
+            budgets = {
+                r[0]: int(r.budget)
+                for r in dedup.mix_temperature_budgets(
+                    mixed, total_tokens=20_000, alpha=0.7
+                ).collect()
+            }
+            mixed = dedup.sample_token_budget(mixed, budgets)
+            print(f"after temperature-budget mix (20k tokens @ a=0.7): {mixed.count()}")
 
             # 6. train/val/test split: pure hash projection, no RNG state
             split = dedup.train_split(mixed, weights=(0.8, 0.1, 0.1))
