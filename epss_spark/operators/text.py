@@ -447,6 +447,204 @@ def ppl_buckets(
     return out.select(*cols)
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    carry_cols: tuple[str, ...] = (),
+    materialize_model: bool = True,
+) -> DataFrame:
+    """Interpolated-bigram language-model score per document — the next
+    rung up from `unigram_logprob` toward the KenLM filter CCNet actually
+    runs (Wenzek et al. 2020): each token transition is scored
+    ln(lam * c(prev,cur)/c(prev) + (1-lam) * c(cur)/total) under the
+    corpus's own counts (Jelinek-Mercer interpolation with a fixed lam).
+    The unigram back-off term means unseen-in-context tokens still get
+    mass; training on the scored corpus itself means no zero
+    probabilities at all. Low scores = documents whose token ORDER is
+    atypical even when their vocabulary is not (shuffled boilerplate,
+    keyword-stuffed spam, concatenated fragments) — exactly what the
+    unigram proxy cannot see.
+
+    Returns (id, *carry, n_bigrams, avg_logprob) for every document with
+    >= 2 tokens (single-token docs have no transitions and are dropped);
+    avg_logprob is rounded to 6 dp (cross-engine float contract).
+
+    Scale shape: THREE corpus passes, each one tokenize — (1) token
+    explode -> unigram vocab aggregate, (2) zip_with-paired transition
+    explode -> bigram-count aggregate, (3) the scoring pass joining the
+    transition stream against the two model tables (AQE broadcasts while
+    they fit, skew-split sort-merge beyond) -> one per-doc aggregate.
+    Both model tables are BOUNDED (vocab is Zipf-bounded; the bigram
+    table is bounded by observed transitions, far below |V|^2), so with
+    `materialize_model=True` (default) they are localCheckpoint'd after
+    their aggregates — without it, Catalyst's DAG recomputation re-scans
+    and re-tokenizes the corpus under every branch that consumes them
+    (measured 8 parquet scans in the lazy plan vs 3 passes
+    materialized). The total-token scalar is a 1-row aggregate of the
+    vocab, broadcast — never a corpus pass. No Python crossing
+    anywhere."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    toked = ensure_parallelism(docs).select(
+        id_col, *carry_cols, tokens(text_col).alias("__toks")
+    )
+    tok = toked.select(F.explode("__toks").alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    if materialize_model:
+        vocab = vocab.localCheckpoint(eager=True)
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+
+    n_tr = F.greatest(F.size("__toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("__toks", 1, n_tr),
+        F.slice("__toks", 2, n_tr),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bg = toked.select(
+        id_col, *carry_cols, F.explode(pairs).alias("__bg")
+    ).select(id_col, *carry_cols, "__bg.prev", "__bg.cur")
+    bcounts = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__bcnt"))
+    if materialize_model:
+        bcounts = bcounts.localCheckpoint(eager=True)
+
+    pvocab = vocab.select(F.col("tok").alias("prev"), F.col("__cnt").alias("__pcnt"))
+    cvocab = vocab.select(F.col("tok").alias("cur"), F.col("__cnt").alias("__ccnt"))
+    # expression shape mirrored exactly in the DuckDB oracle: lam*(bc/pc)
+    # + (1-lam)*(cc/total), all double-division, so both engines walk the
+    # same IEEE operations before the 6-dp round
+    lp = F.log(
+        F.lit(lam) * (F.col("__bcnt").cast("double") / F.col("__pcnt").cast("double"))
+        + F.lit(1.0 - lam)
+        * (F.col("__ccnt").cast("double") / F.col("__total").cast("double"))
+    )
+    return (
+        bg.join(bcounts, ["prev", "cur"])
+        .join(pvocab, "prev")
+        .join(cvocab, "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col, *carry_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    train_mod: int = 2,
+    materialize_model: bool = True,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained and applied in one
+    declarative plan — the classic fastText-tier baseline real pipelines
+    use for quality/domain/language gating (CCNet's quality classifier,
+    the GPT-3 WebText-vs-CommonCrawl filter). Documents with
+    id % train_mod == 0 are the labeled training split; every other
+    document is scored against the trained model and assigned the
+    argmax class. add-alpha (Lidstone) smoothing over the training
+    vocabulary; priors from training-split class frequencies.
+
+    score(c, d) = ln P(c) + sum_{t in d, t in V} ln((c(c,t)+alpha) /
+    (c(c)+alpha*|V|)). Out-of-vocabulary test tokens carry no signal for
+    any class and are dropped (inner join against the model table);
+    test documents with zero in-vocabulary tokens are dropped with them.
+
+    Returns (id, actual, predicted, score, correct) for each scored
+    document; score is the winning class's rounded-6dp log-posterior
+    (unnormalized). Argmax ties break toward the lexicographically
+    smallest class label in both engines (min over (neg_score, label)).
+
+    Scale shape: train = ONE tokenize pass into the (label, tok) count
+    aggregate (map-side partials); that table is bounded (<= |V| x
+    |classes| observed rows), so with `materialize_model=True` (default)
+    it is localCheckpoint'd and every derived model table — class
+    totals, vocabulary, |V| and priors as 1-row broadcast scalars, the
+    smoothed |V| x |classes| grid — is computed from the checkpoint, not
+    by re-scanning the corpus (the lazy plan re-tokenizes the training
+    split under 5 branches: 13 parquet scans vs 2 tokenize passes + one
+    tokenize-free doc-count scan materialized). Apply = explode test
+    tokens, one join against the model grid (AQE broadcast while it
+    fits), one (doc, class) sum aggregate, one per-doc min-struct
+    argmax — no window, no Python, no driver-side weights."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(
+        id_col, F.col(label_col).alias("__lab"), tokens(text_col).alias("__toks")
+    )
+    is_train = (F.col(id_col) % train_mod) == 0
+    train = base.filter(is_train)
+    test = base.filter(~is_train)
+
+    ttok = train.select("__lab", F.explode("__toks").alias("tok"))
+    ctk = ttok.groupBy("__lab", "tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    if materialize_model:
+        ctk = ctk.localCheckpoint(eager=True)
+    ctot = ctk.groupBy("__lab").agg(F.sum("__cnt").alias("__tot"))
+    vocab = ctk.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("__V"))
+    cls = train.groupBy("__lab").agg(F.count(F.lit(1)).alias("__ndocs"))
+    if materialize_model:
+        # |classes| rows; keeps the doc-count scan from repeating under
+        # the prior / grid / total-docs branches
+        cls = cls.localCheckpoint(eager=True)
+    ndocs = cls.agg(F.sum("__ndocs").alias("__ntotal"))
+    prior = cls.crossJoin(F.broadcast(ndocs)).select(
+        "__lab",
+        F.log(F.col("__ndocs").cast("double") / F.col("__ntotal").cast("double")).alias(
+            "__lp"
+        ),
+    )
+
+    model = (
+        vocab.crossJoin(F.broadcast(cls.select("__lab")))
+        .join(ctk, ["__lab", "tok"], "left")
+        .join(ctot, "__lab")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "__lab",
+            "tok",
+            F.log(
+                (F.coalesce(F.col("__cnt"), F.lit(0)).cast("double") + F.lit(alpha))
+                / (F.col("__tot").cast("double") + F.lit(alpha) * F.col("__V").cast("double"))
+            ).alias("__ll"),
+        )
+    )
+
+    tetok = test.select(
+        id_col, F.col("__lab").alias("actual"), F.explode("__toks").alias("tok")
+    )
+    scored = (
+        tetok.join(model, "tok")
+        .groupBy(id_col, "actual", "__lab")
+        .agg(F.sum("__ll").alias("__sumll"))
+        .join(F.broadcast(prior), "__lab")
+        .select(
+            id_col,
+            "actual",
+            "__lab",
+            F.round(F.col("__sumll") + F.col("__lp"), 6).alias("__score"),
+        )
+    )
+    best = scored.groupBy(id_col, "actual").agg(
+        F.min(F.struct((-F.col("__score")).alias("ns"), F.col("__lab").alias("lab"))).alias(
+            "__m"
+        )
+    )
+    return best.select(
+        id_col,
+        "actual",
+        F.col("__m.lab").alias("predicted"),
+        (-F.col("__m.ns")).alias("score"),
+        (F.col("actual") == F.col("__m.lab")).alias("correct"),
+    )
+
+
 def top_ngrams(
     docs: DataFrame, k: int = 20, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

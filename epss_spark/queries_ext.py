@@ -2526,6 +2526,100 @@ def text_ppl_buckets(spark, sf_dir):
     return text.ppl_buckets(T(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_bigram_ppl",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT unnest(toks) AS tok FROM t),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    bg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks) - 1]) AS prev,
+             unnest(toks[2:len(toks)]) AS cur
+      FROM t WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT prev, cur, COUNT(*) AS bcnt FROM bg GROUP BY prev, cur)
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+           round(avg(ln(
+             0.75 * (CAST(bc.bcnt AS DOUBLE) / CAST(pv.cnt AS DOUBLE))
+             + 0.25 * (CAST(cv.cnt AS DOUBLE) / CAST(total AS DOUBLE))
+           )), 6) AS avg_logprob
+    FROM bg
+    JOIN bc ON bc.prev = bg.prev AND bc.cur = bg.cur
+    JOIN vocab pv ON pv.tok = bg.prev
+    JOIN vocab cv ON cv.tok = bg.cur
+    CROSS JOIN tot
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_ppl(spark, sf_dir):
+    """Interpolated-bigram LM typicality score (operators/text.py::
+    bigram_logprob): per-document mean transition log-probability under
+    Jelinek-Mercer interpolation (lam=0.75) of corpus bigram and unigram
+    counts — the token-ORDER-sensitive upgrade of the unigram perplexity
+    proxy, one rung below the KenLM filter CCNet runs."""
+    return text.bigram_logprob(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_nb_classify",
+    f"""
+    WITH base AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    tr AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+    te AS (SELECT * FROM base WHERE doc_id % 2 <> 0),
+    ttok AS (SELECT lang, unnest(toks) AS tok FROM tr),
+    ctk AS (SELECT lang, tok, COUNT(*) AS cnt FROM ttok GROUP BY lang, tok),
+    ctot AS (SELECT lang, SUM(cnt) AS tot FROM ctk GROUP BY lang),
+    vocab AS (SELECT DISTINCT tok FROM ctk),
+    vs AS (SELECT COUNT(*) AS V FROM vocab),
+    cls AS (SELECT lang, COUNT(*) AS ndocs FROM tr GROUP BY lang),
+    nd AS (SELECT SUM(ndocs) AS ntotal FROM cls),
+    prior AS (
+      SELECT lang, ln(CAST(ndocs AS DOUBLE) / CAST(ntotal AS DOUBLE)) AS lp
+      FROM cls CROSS JOIN nd
+    ),
+    model AS (
+      SELECT c.lang, v.tok,
+             ln((CAST(COALESCE(k.cnt, 0) AS DOUBLE) + 0.5)
+                / (CAST(t.tot AS DOUBLE) + 0.5 * CAST(V AS DOUBLE))) AS ll
+      FROM vocab v
+      CROSS JOIN cls c
+      JOIN ctot t ON t.lang = c.lang
+      LEFT JOIN ctk k ON k.lang = c.lang AND k.tok = v.tok
+      CROSS JOIN vs
+    ),
+    tetok AS (SELECT doc_id, lang AS actual, unnest(toks) AS tok FROM te),
+    sc AS (
+      SELECT tt.doc_id, tt.actual, m.lang,
+             round(SUM(m.ll) + ANY_VALUE(p.lp), 6) AS score
+      FROM tetok tt
+      JOIN model m ON m.tok = tt.tok
+      JOIN prior p ON p.lang = m.lang
+      GROUP BY tt.doc_id, tt.actual, m.lang
+    ),
+    ranked AS (
+      SELECT doc_id, actual, lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      FROM sc
+    )
+    SELECT doc_id, actual, lang AS predicted, score,
+           actual = lang AS correct
+    FROM ranked WHERE rn = 1
+    """,
+)
+def text_nb_classify(spark, sf_dir):
+    """Multinomial Naive Bayes classifier, trained AND applied in one
+    declarative plan (operators/text.py::nb_classify): documents with
+    even doc_id train per-class token log-likelihoods (add-0.5 smoothing
+    over the training vocabulary) and class priors; every odd-id
+    document is scored and assigned the argmax lang — the fastText-tier
+    quality/domain/language gate real pipelines run (CCNet, the GPT-3
+    WebText-vs-CommonCrawl filter), with no driver-side weights and no
+    Python crossing."""
+    return text.nb_classify(T(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Mergeable sketches
 # ---------------------------------------------------------------------------

@@ -1921,3 +1921,91 @@ def test_dedup_paragraphs_sep_semantics(spark):
     lines = {r.doc_id: r.text for r in dedup.dedup_corpus_lines(df).collect()}
     assert lines[0] == "intro para\n\nshared block\n\ntail zero"
     assert lines[1] == "\nunique one"  # block line deduped; blank survives
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Tiny corpus where every model count is hand-derivable: corpus =
+    two docs over tokens {a, b}. Transitions and counts:
+      doc 0: "a b a"  -> (a,b), (b,a)
+      doc 1: "a b"    -> (a,b)
+    unigrams: a=3, b=2, total=5; bigrams: (a,b)=2, (b,a)=1.
+    lam=0.75: P(b|a) = .75*(2/3) + .25*(2/5); P(a|b) = .75*(1/2) + .25*(3/5).
+    """
+    import math
+
+    df = spark.createDataFrame([(0, "a b a"), (1, "a b")], "doc_id long, text string")
+    got = {r.doc_id: r for r in text.bigram_logprob(df).collect()}
+    p_ab = 0.75 * (2 / 3) + 0.25 * (2 / 5)
+    p_ba = 0.75 * (1 / 2) + 0.25 * (3 / 5)
+    assert got[0].n_bigrams == 2
+    assert got[0].avg_logprob == round((math.log(p_ab) + math.log(p_ba)) / 2, 6)
+    assert got[1].n_bigrams == 1
+    assert got[1].avg_logprob == round(math.log(p_ab), 6)
+
+
+def test_bigram_logprob_drops_single_token_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "one"), (1, ""), (2, "two tokens here")], "doc_id long, text string"
+    )
+    got = text.bigram_logprob(df).collect()
+    assert [r.doc_id for r in got] == [2]
+    assert got[0].n_bigrams == 2
+
+
+def test_bigram_orders_unigram_cannot_separate(spark):
+    """The operator's reason to exist: two docs with IDENTICAL token
+    multisets — the unigram proxy scores them equal, the bigram LM ranks
+    the one whose transitions match the corpus majority higher."""
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(9)] + [(9, "mat the on sat cat the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r.doc_id: r.avg_logprob for r in text.unigram_logprob(df).collect()}
+    assert uni[0] == uni[9]  # blind to order
+    bi = {r.doc_id: r.avg_logprob for r in text.bigram_logprob(df).collect()}
+    assert bi[9] < bi[0]  # shuffled doc is atypical under the bigram LM
+
+
+def test_nb_classify_disjoint_vocab_is_perfect(spark):
+    """Two classes with disjoint vocabularies: every held-out doc must be
+    classified correctly (the smoothed cross-class likelihood is strictly
+    smaller than the in-class one)."""
+    rows = [
+        (i, "alpha beta gamma delta", "x") for i in range(0, 8, 2)  # train x
+    ] + [
+        (i, "uno dos tres cuatro", "y") for i in range(10, 18, 2)  # train y
+    ] + [
+        (101, "uno tres tres dos", "y"),  # odd -> test
+        (103, "alpha delta gamma", "x"),  # odd -> test
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in text.nb_classify(df, label_col="lang").collect()}
+    assert set(got) == {101, 103}
+    assert all(r.correct for r in got.values())
+    assert got[103].predicted == "x" and got[101].predicted == "y"
+
+
+def test_nb_classify_oov_only_docs_drop(spark):
+    rows = [
+        (0, "seen tokens here", "a"),
+        (2, "more seen tokens", "a"),
+        (1, "seen here", "a"),  # test, in-vocab
+        (3, "zzz qqq www", "a"),  # test, fully out-of-vocabulary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = text.nb_classify(df, label_col="lang").collect()
+    assert [r.doc_id for r in got] == [1]
+
+
+def test_nb_classify_tie_breaks_to_smallest_label(spark):
+    """Symmetric training data: both classes assign every test token the
+    identical smoothed likelihood and identical priors, so scores tie
+    exactly and the argmax must deterministically pick the
+    lexicographically smallest label in both engines."""
+    rows = [
+        (0, "tok tok", "b"),
+        (2, "tok tok", "a"),
+        (1, "tok tok", "b"),  # held out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = text.nb_classify(df, label_col="lang").collect()
+    assert len(got) == 1 and got[0].predicted == "a" and not got[0].correct
