@@ -447,6 +447,131 @@ def ppl_buckets(
     return out.select(*cols)
 
 
+def _bigram_pairs(toks: Column) -> Column:
+    """zip_with-paired (prev, cur) transition structs over a token array."""
+    n_tr = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n_tr),
+        F.slice(toks, 2, n_tr),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+
+
+def bigram_lm_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the interpolated-bigram LM: two count tables over the
+    training corpus — `vocab(tok, cnt)` and `bigrams(prev, cur, cnt)`.
+    These ARE the frozen model artifact: plain DataFrames, persistable as
+    parquet next to the LSH/BM25/IVF-PQ index artifacts, so the real
+    CCNet deployment shape — train on a trusted reference corpus once,
+    score every crawl batch against it — is `bigram_lm_train(wiki)` +
+    `write.parquet` nightly zero times, `bigram_lm_score(batch, ...)`
+    per batch.
+
+    Scale shape: two corpus passes, one tokenize each — token explode ->
+    vocab aggregate, transition explode -> bigram aggregate, both with
+    map-side partials. Both tables are bounded (vocab is Zipf-bounded;
+    bigrams bounded by observed transitions, far below |V|^2) and
+    localCheckpoint'd under `materialize=True` so downstream consumers
+    never re-tokenize the training corpus through Catalyst DAG
+    recomputation."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    toked = ensure_parallelism(docs).select(tokens(text_col).alias("__toks"))
+    vocab = (
+        toked.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bigrams = (
+        toked.select(F.explode(_bigram_pairs(F.col("__toks"))).alias("__bg"))
+        .select("__bg.prev", "__bg.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if materialize:
+        vocab = vocab.localCheckpoint(eager=True)
+        bigrams = bigrams.localCheckpoint(eager=True)
+    return vocab, bigrams
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score documents under a FROZEN interpolated-bigram LM
+    (`bigram_lm_train`, possibly read back from parquet): each transition
+    is scored ln(lam * c(prev,cur)/c(prev) + (1-lam) * c(cur)/total) —
+    Jelinek-Mercer interpolation of the model's bigram and unigram
+    counts. Frozen-model semantics for a corpus the model never saw:
+    an unseen (prev, cur) pair contributes only its back-off unigram
+    mass (bigram term 0); an unseen `cur` token has NO mass under the
+    model and the transition is dropped entirely (reported in n_oov) —
+    mirroring nb_apply's out-of-vocabulary contract rather than scoring
+    ln(0).
+
+    Returns (id, *carry, n_bigrams, n_oov, avg_logprob): n_bigrams =
+    transitions scored, n_oov = transitions dropped for OOV cur,
+    avg_logprob rounded to 6 dp. Documents with < 2 tokens, or with all
+    transitions OOV, are dropped.
+
+    Scale shape: ONE corpus pass — transition explode, three joins
+    against the bounded model tables (AQE broadcasts while they fit,
+    skew-split sort-merge beyond), one per-doc aggregate; the
+    total-token scalar is a 1-row aggregate of the vocab, broadcast.
+    No Python crossing."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    total = vocab.agg(F.sum("cnt").alias("__total"))
+    bc = bigrams.select("prev", "cur", F.col("cnt").alias("__bcnt"))
+    pvocab = vocab.select(F.col("tok").alias("prev"), F.col("cnt").alias("__pcnt"))
+    cvocab = vocab.select(F.col("tok").alias("cur"), F.col("cnt").alias("__ccnt"))
+
+    bg = (
+        ensure_parallelism(docs)
+        .select(id_col, *carry_cols, tokens(text_col).alias("__toks"))
+        .select(id_col, *carry_cols, F.explode(_bigram_pairs(F.col("__toks"))).alias("__bg"))
+        .select(id_col, *carry_cols, "__bg.prev", "__bg.cur")
+    )
+    # left joins so unseen pairs/tokens survive to the OOV accounting;
+    # for in-model transitions the coalesces are no-ops and the double
+    # arithmetic is identical to the self-trained expression the DuckDB
+    # oracle replays
+    scored = (
+        bg.join(bc, ["prev", "cur"], "left")
+        .join(pvocab, "prev", "left")
+        .join(cvocab, "cur", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    in_vocab = F.col("__ccnt").isNotNull()
+    lp = F.log(
+        F.lit(lam)
+        * (
+            F.coalesce(F.col("__bcnt"), F.lit(0)).cast("double")
+            / F.coalesce(F.col("__pcnt"), F.lit(1)).cast("double")
+        )
+        + F.lit(1.0 - lam)
+        * (F.col("__ccnt").cast("double") / F.col("__total").cast("double"))
+    )
+    return (
+        scored.groupBy(id_col, *carry_cols)
+        .agg(
+            F.sum(in_vocab.cast("long")).alias("n_bigrams"),
+            F.sum((~in_vocab).cast("long")).alias("n_oov"),
+            F.round(F.avg(F.when(in_vocab, lp)), 6).alias("avg_logprob"),
+        )
+        .where(F.col("n_bigrams") > 0)
+    )
+
+
 def bigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -457,79 +582,157 @@ def bigram_logprob(
 ) -> DataFrame:
     """Interpolated-bigram language-model score per document — the next
     rung up from `unigram_logprob` toward the KenLM filter CCNet actually
-    runs (Wenzek et al. 2020): each token transition is scored
-    ln(lam * c(prev,cur)/c(prev) + (1-lam) * c(cur)/total) under the
-    corpus's own counts (Jelinek-Mercer interpolation with a fixed lam).
-    The unigram back-off term means unseen-in-context tokens still get
-    mass; training on the scored corpus itself means no zero
-    probabilities at all. Low scores = documents whose token ORDER is
+    runs (Wenzek et al. 2020): `bigram_lm_train` on the corpus itself,
+    `bigram_lm_score` against it. Self-training means every token has
+    count >= 1 — no OOV transitions exist, so the n_oov diagnostic is
+    dropped from the output. Low scores = documents whose token ORDER is
     atypical even when their vocabulary is not (shuffled boilerplate,
     keyword-stuffed spam, concatenated fragments) — exactly what the
     unigram proxy cannot see.
 
     Returns (id, *carry, n_bigrams, avg_logprob) for every document with
-    >= 2 tokens (single-token docs have no transitions and are dropped);
-    avg_logprob is rounded to 6 dp (cross-engine float contract).
+    >= 2 tokens; avg_logprob rounded to 6 dp (cross-engine float
+    contract). Three corpus passes total (two train, one score) — see
+    the pair's docstrings for the per-pass shape."""
+    vocab, bigrams = bigram_lm_train(docs, text_col, materialize=materialize_model)
+    return bigram_lm_score(
+        docs, vocab, bigrams, id_col, text_col, lam=lam, carry_cols=carry_cols
+    ).drop("n_oov")
 
-    Scale shape: THREE corpus passes, each one tokenize — (1) token
-    explode -> unigram vocab aggregate, (2) zip_with-paired transition
-    explode -> bigram-count aggregate, (3) the scoring pass joining the
-    transition stream against the two model tables (AQE broadcasts while
-    they fit, skew-split sort-merge beyond) -> one per-doc aggregate.
-    Both model tables are BOUNDED (vocab is Zipf-bounded; the bigram
-    table is bounded by observed transitions, far below |V|^2), so with
-    `materialize_model=True` (default) they are localCheckpoint'd after
-    their aggregates — without it, Catalyst's DAG recomputation re-scans
-    and re-tokenizes the corpus under every branch that consumes them
-    (measured 8 parquet scans in the lazy plan vs 3 passes
-    materialized). The total-token scalar is a 1-row aggregate of the
-    vocab, broadcast — never a corpus pass. No Python crossing
-    anywhere."""
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial Naive Bayes text classifier — the classic
+    fastText-tier baseline real pipelines use for quality/domain/language
+    gating (CCNet's quality classifier, the GPT-3
+    WebText-vs-CommonCrawl filter). Returns the FROZEN model as two
+    plain DataFrames, persistable as parquet next to the LSH/BM25/IVF-PQ
+    index artifacts: `model(label, tok, ll)` — the add-alpha (Lidstone)
+    smoothed per-class token log-likelihoods over the training
+    vocabulary, ln((c(c,t)+alpha) / (c(c)+alpha*|V|)) — and
+    `prior(label, lp)` — ln of the class document frequencies. The
+    production shape is train-once / score-every-batch:
+    `nb_train(labeled_seed)` + `write.parquet`, then `nb_apply(batch,
+    model, prior)` per crawl batch against the frozen artifact.
+
+    Scale shape: ONE tokenize pass into the (label, tok) count aggregate
+    (map-side partials); that table is bounded (<= |V| x |classes|
+    observed rows) and localCheckpoint'd under `materialize=True`, so
+    every derived table — class totals, vocabulary, |V| and priors as
+    1-row broadcast scalars, the smoothed |V| x |classes| grid — is
+    computed from the checkpoint, never by re-scanning the corpus
+    (the lazy plan re-tokenizes the training split under 5 branches:
+    13 parquet scans vs 1 tokenize pass + one tokenize-free doc-count
+    scan materialized). Classes are FEW, so the grid is vocab-sized,
+    built with one broadcast cross-join and one left join."""
     from epss_spark.operators.layout import ensure_parallelism
 
-    toked = ensure_parallelism(docs).select(
-        id_col, *carry_cols, tokens(text_col).alias("__toks")
+    base = ensure_parallelism(docs).select(
+        F.col(label_col).alias("label"), tokens(text_col).alias("__toks")
     )
-    tok = toked.select(F.explode("__toks").alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
-    if materialize_model:
-        vocab = vocab.localCheckpoint(eager=True)
-    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    ttok = base.select("label", F.explode("__toks").alias("tok"))
+    ctk = ttok.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    if materialize:
+        ctk = ctk.localCheckpoint(eager=True)
+    ctot = ctk.groupBy("label").agg(F.sum("__cnt").alias("__tot"))
+    vocab = ctk.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("__V"))
+    cls = base.groupBy("label").agg(F.count(F.lit(1)).alias("__ndocs"))
+    if materialize:
+        # |classes| rows; keeps the doc-count scan from repeating under
+        # the prior / grid / total-docs branches
+        cls = cls.localCheckpoint(eager=True)
+    ndocs = cls.agg(F.sum("__ndocs").alias("__ntotal"))
+    prior = cls.crossJoin(F.broadcast(ndocs)).select(
+        "label",
+        F.log(F.col("__ndocs").cast("double") / F.col("__ntotal").cast("double")).alias(
+            "lp"
+        ),
+    )
 
-    n_tr = F.greatest(F.size("__toks") - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice("__toks", 1, n_tr),
-        F.slice("__toks", 2, n_tr),
-        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
-    )
-    bg = toked.select(
-        id_col, *carry_cols, F.explode(pairs).alias("__bg")
-    ).select(id_col, *carry_cols, "__bg.prev", "__bg.cur")
-    bcounts = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__bcnt"))
-    if materialize_model:
-        bcounts = bcounts.localCheckpoint(eager=True)
-
-    pvocab = vocab.select(F.col("tok").alias("prev"), F.col("__cnt").alias("__pcnt"))
-    cvocab = vocab.select(F.col("tok").alias("cur"), F.col("__cnt").alias("__ccnt"))
-    # expression shape mirrored exactly in the DuckDB oracle: lam*(bc/pc)
-    # + (1-lam)*(cc/total), all double-division, so both engines walk the
-    # same IEEE operations before the 6-dp round
-    lp = F.log(
-        F.lit(lam) * (F.col("__bcnt").cast("double") / F.col("__pcnt").cast("double"))
-        + F.lit(1.0 - lam)
-        * (F.col("__ccnt").cast("double") / F.col("__total").cast("double"))
-    )
-    return (
-        bg.join(bcounts, ["prev", "cur"])
-        .join(pvocab, "prev")
-        .join(cvocab, "cur")
-        .crossJoin(F.broadcast(total))
-        .groupBy(id_col, *carry_cols)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(lp), 6).alias("avg_logprob"),
+    model = (
+        vocab.crossJoin(F.broadcast(cls.select("label")))
+        .join(ctk, ["label", "tok"], "left")
+        .join(ctot, "label")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "label",
+            "tok",
+            F.log(
+                (F.coalesce(F.col("__cnt"), F.lit(0)).cast("double") + F.lit(alpha))
+                / (F.col("__tot").cast("double") + F.lit(alpha) * F.col("__V").cast("double"))
+            ).alias("ll"),
         )
     )
+    if materialize:
+        model = model.localCheckpoint(eager=True)
+        prior = prior.localCheckpoint(eager=True)
+    return model, prior
+
+
+def nb_apply(
+    docs: DataFrame,
+    model: DataFrame,
+    prior: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str | None = None,
+) -> DataFrame:
+    """Classify documents against a FROZEN Naive Bayes model (`nb_train`,
+    possibly read back from parquet): score(c, d) = ln P(c) +
+    sum_{t in d, t in V} ln-likelihood(c, t), argmax over classes.
+    Out-of-vocabulary tokens carry no signal for any class and are
+    dropped (inner join against the model grid); documents with zero
+    in-vocabulary tokens are dropped with them. Argmax ties break toward
+    the lexicographically smallest class label in both engines (min over
+    (neg_score, label) — no window).
+
+    Returns (id, predicted, score) — score is the winning class's
+    rounded-6dp unnormalized log-posterior — plus (actual, correct) when
+    `label_col` names a ground-truth column to carry through.
+
+    Scale shape: ONE corpus pass — explode tokens, one join against the
+    model grid (AQE broadcast while it fits, skew-split sort-merge
+    beyond), one (doc, class) sum aggregate, one per-doc min-struct
+    argmax. No Python, no driver-side weights."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    carry = [F.col(label_col).alias("actual")] if label_col else []
+    tetok = ensure_parallelism(docs).select(
+        id_col, *carry, F.explode(tokens(text_col)).alias("tok")
+    )
+    group_carry = ["actual"] if label_col else []
+    scored = (
+        tetok.join(model, "tok")
+        .groupBy(id_col, *group_carry, "label")
+        .agg(F.sum("ll").alias("__sumll"))
+        .join(F.broadcast(prior), "label")
+        .select(
+            id_col,
+            *group_carry,
+            "label",
+            F.round(F.col("__sumll") + F.col("lp"), 6).alias("__score"),
+        )
+    )
+    best = scored.groupBy(id_col, *group_carry).agg(
+        F.min(F.struct((-F.col("__score")).alias("ns"), F.col("label").alias("lab"))).alias(
+            "__m"
+        )
+    )
+    out = [
+        F.col(id_col),
+        *group_carry,
+        F.col("__m.lab").alias("predicted"),
+        (-F.col("__m.ns")).alias("score"),
+    ]
+    if label_col:
+        out.append((F.col("actual") == F.col("__m.lab")).alias("correct"))
+    return best.select(*out)
 
 
 def nb_classify(
@@ -541,108 +744,22 @@ def nb_classify(
     train_mod: int = 2,
     materialize_model: bool = True,
 ) -> DataFrame:
-    """Multinomial Naive Bayes text classifier, trained and applied in one
-    declarative plan — the classic fastText-tier baseline real pipelines
-    use for quality/domain/language gating (CCNet's quality classifier,
-    the GPT-3 WebText-vs-CommonCrawl filter). Documents with
-    id % train_mod == 0 are the labeled training split; every other
-    document is scored against the trained model and assigned the
-    argmax class. add-alpha (Lidstone) smoothing over the training
-    vocabulary; priors from training-split class frequencies.
-
-    score(c, d) = ln P(c) + sum_{t in d, t in V} ln((c(c,t)+alpha) /
-    (c(c)+alpha*|V|)). Out-of-vocabulary test tokens carry no signal for
-    any class and are dropped (inner join against the model table);
-    test documents with zero in-vocabulary tokens are dropped with them.
-
-    Returns (id, actual, predicted, score, correct) for each scored
-    document; score is the winning class's rounded-6dp log-posterior
-    (unnormalized). Argmax ties break toward the lexicographically
-    smallest class label in both engines (min over (neg_score, label)).
-
-    Scale shape: train = ONE tokenize pass into the (label, tok) count
-    aggregate (map-side partials); that table is bounded (<= |V| x
-    |classes| observed rows), so with `materialize_model=True` (default)
-    it is localCheckpoint'd and every derived model table — class
-    totals, vocabulary, |V| and priors as 1-row broadcast scalars, the
-    smoothed |V| x |classes| grid — is computed from the checkpoint, not
-    by re-scanning the corpus (the lazy plan re-tokenizes the training
-    split under 5 branches: 13 parquet scans vs 2 tokenize passes + one
-    tokenize-free doc-count scan materialized). Apply = explode test
-    tokens, one join against the model grid (AQE broadcast while it
-    fits), one (doc, class) sum aggregate, one per-doc min-struct
-    argmax — no window, no Python, no driver-side weights."""
-    from epss_spark.operators.layout import ensure_parallelism
-
-    base = ensure_parallelism(docs).select(
-        id_col, F.col(label_col).alias("__lab"), tokens(text_col).alias("__toks")
-    )
+    """Train-and-apply Naive Bayes in one call: documents with
+    id % train_mod == 0 are the labeled training split (`nb_train`);
+    every other document is scored and assigned the argmax class
+    (`nb_apply`), with the ground-truth label carried through for
+    accuracy auditing. Returns (id, actual, predicted, score, correct)
+    per scored document — see the pair's docstrings for semantics and
+    the per-pass scale shape (1 train tokenize + 1 cheap doc-count scan
+    + 1 apply tokenize, all model tables bounded and checkpointed)."""
     is_train = (F.col(id_col) % train_mod) == 0
-    train = base.filter(is_train)
-    test = base.filter(~is_train)
-
-    ttok = train.select("__lab", F.explode("__toks").alias("tok"))
-    ctk = ttok.groupBy("__lab", "tok").agg(F.count(F.lit(1)).alias("__cnt"))
-    if materialize_model:
-        ctk = ctk.localCheckpoint(eager=True)
-    ctot = ctk.groupBy("__lab").agg(F.sum("__cnt").alias("__tot"))
-    vocab = ctk.select("tok").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).alias("__V"))
-    cls = train.groupBy("__lab").agg(F.count(F.lit(1)).alias("__ndocs"))
-    if materialize_model:
-        # |classes| rows; keeps the doc-count scan from repeating under
-        # the prior / grid / total-docs branches
-        cls = cls.localCheckpoint(eager=True)
-    ndocs = cls.agg(F.sum("__ndocs").alias("__ntotal"))
-    prior = cls.crossJoin(F.broadcast(ndocs)).select(
-        "__lab",
-        F.log(F.col("__ndocs").cast("double") / F.col("__ntotal").cast("double")).alias(
-            "__lp"
-        ),
+    model, prior = nb_train(
+        docs.filter(is_train), label_col, text_col, alpha=alpha,
+        materialize=materialize_model,
     )
-
-    model = (
-        vocab.crossJoin(F.broadcast(cls.select("__lab")))
-        .join(ctk, ["__lab", "tok"], "left")
-        .join(ctot, "__lab")
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "__lab",
-            "tok",
-            F.log(
-                (F.coalesce(F.col("__cnt"), F.lit(0)).cast("double") + F.lit(alpha))
-                / (F.col("__tot").cast("double") + F.lit(alpha) * F.col("__V").cast("double"))
-            ).alias("__ll"),
-        )
-    )
-
-    tetok = test.select(
-        id_col, F.col("__lab").alias("actual"), F.explode("__toks").alias("tok")
-    )
-    scored = (
-        tetok.join(model, "tok")
-        .groupBy(id_col, "actual", "__lab")
-        .agg(F.sum("__ll").alias("__sumll"))
-        .join(F.broadcast(prior), "__lab")
-        .select(
-            id_col,
-            "actual",
-            "__lab",
-            F.round(F.col("__sumll") + F.col("__lp"), 6).alias("__score"),
-        )
-    )
-    best = scored.groupBy(id_col, "actual").agg(
-        F.min(F.struct((-F.col("__score")).alias("ns"), F.col("__lab").alias("lab"))).alias(
-            "__m"
-        )
-    )
-    return best.select(
-        id_col,
-        "actual",
-        F.col("__m.lab").alias("predicted"),
-        (-F.col("__m.ns")).alias("score"),
-        (F.col("actual") == F.col("__m.lab")).alias("correct"),
-    )
+    return nb_apply(
+        docs.filter(~is_train), model, prior, id_col, text_col, label_col=label_col
+    ).select(id_col, "actual", "predicted", "score", "correct")
 
 
 def top_ngrams(

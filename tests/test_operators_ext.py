@@ -2009,3 +2009,63 @@ def test_nb_classify_tie_breaks_to_smallest_label(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     got = text.nb_classify(df, label_col="lang").collect()
     assert len(got) == 1 and got[0].predicted == "a" and not got[0].correct
+
+
+def test_nb_frozen_model_parquet_roundtrip_scores_new_corpus(spark, tmp_path):
+    """The production shape: train on a labeled seed, persist the model
+    as parquet, read it back, classify a corpus the model never saw.
+    Disjoint class vocabularies make the expected labels unambiguous;
+    the unseen corpus mixes in OOV tokens, which must carry no signal."""
+    seed = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "x"),
+            (1, "alpha gamma gamma beta", "x"),
+            (2, "uno dos tres", "y"),
+            (3, "dos dos tres uno", "y"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    model, prior = text.nb_train(seed, label_col="lang")
+    mp, pp = str(tmp_path / "nb_model"), str(tmp_path / "nb_prior")
+    model.write.parquet(mp)
+    prior.write.parquet(pp)
+
+    new = spark.createDataFrame(
+        [
+            (10, "beta gamma NOVEL tokens alpha"),  # x vocab + OOV noise
+            (11, "tres uno BRAND new dos"),  # y vocab + OOV noise
+            (12, "wholly unseen words only"),  # fully OOV -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in text.nb_apply(
+            new, spark.read.parquet(mp), spark.read.parquet(pp)
+        ).collect()
+    }
+    assert set(got) == {10, 11}
+    assert got[10].predicted == "x" and got[11].predicted == "y"
+    # no ground-truth column requested -> no actual/correct columns
+    assert "actual" not in got[10].asDict() and "correct" not in got[10].asDict()
+
+
+def test_bigram_frozen_model_oov_accounting(spark):
+    """Frozen-LM scoring of a corpus the model never saw: transitions
+    whose cur token is OOV are dropped and counted in n_oov; unseen
+    (prev, cur) pairs of in-vocab tokens fall back to unigram mass."""
+    import math
+
+    train = spark.createDataFrame([(0, "a b a b a")], "doc_id long, text string")
+    vocab, bigrams = text.bigram_lm_train(train)
+    # model: a=3 b=2 total=5; (a,b)=2 (b,a)=2
+    new = spark.createDataFrame(
+        [(10, "b b zzz a")],  # transitions: (b,b) unseen pair, (b,zzz) OOV cur, (zzz,a) OOV prev
+        "doc_id long, text string",
+    )
+    got = text.bigram_lm_score(new, vocab, bigrams).collect()[0]
+    # (b,b): pair unseen -> 0.75*(0/2) + 0.25*(2/5); (b,zzz): OOV cur, dropped;
+    # (zzz,a): prev OOV (pcnt->1), bigram term 0 -> 0.25*(3/5)
+    assert got.n_bigrams == 2 and got.n_oov == 1
+    expected = (math.log(0.25 * (2 / 5)) + math.log(0.25 * (3 / 5))) / 2
+    assert got.avg_logprob == round(expected, 6)
