@@ -2563,6 +2563,66 @@ def text_bigram_ppl(spark, sf_dir):
 
 
 @register(
+    "text_bigram_frozen",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tr AS (SELECT toks FROM base WHERE doc_id % 2 = 0),
+    vocab AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(toks) AS tok FROM tr) GROUP BY tok
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    bgm AS (
+      SELECT prev, cur, COUNT(*) AS bcnt FROM (
+        SELECT unnest(toks[1:len(toks) - 1]) AS prev,
+               unnest(toks[2:len(toks)]) AS cur
+        FROM tr WHERE len(toks) >= 2
+      ) GROUP BY prev, cur
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks) - 1]) AS prev,
+             unnest(toks[2:len(toks)]) AS cur
+      FROM base WHERE doc_id % 2 <> 0 AND len(toks) >= 2
+    ),
+    sc AS (
+      SELECT bg.doc_id,
+             cv.cnt IS NOT NULL AS in_vocab,
+             ln(0.75 * (CAST(COALESCE(b.bcnt, 0) AS DOUBLE)
+                        / CAST(COALESCE(pv.cnt, 1) AS DOUBLE))
+                + 0.25 * (CAST(cv.cnt AS DOUBLE) / CAST(total AS DOUBLE))) AS lp
+      FROM bg
+      LEFT JOIN bgm b ON b.prev = bg.prev AND b.cur = bg.cur
+      LEFT JOIN vocab pv ON pv.tok = bg.prev
+      LEFT JOIN vocab cv ON cv.tok = bg.cur
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) FILTER (WHERE in_vocab) AS n_bigrams,
+           COUNT(*) FILTER (WHERE NOT in_vocab) AS n_oov,
+           round(avg(CASE WHEN in_vocab THEN lp END), 6) AS avg_logprob
+    FROM sc GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE in_vocab) > 0
+    """,
+)
+def text_bigram_frozen(spark, sf_dir):
+    """FROZEN-model bigram LM scoring (operators/text.py::bigram_lm_train
+    + bigram_lm_score): the model is trained on the even-doc_id half of
+    the corpus only, then scores the odd half it never saw — the real
+    CCNet deployment shape (train on a trusted reference corpus, score
+    every crawl batch against the persisted artifact). Exercises the
+    frozen-model OOV contract cross-engine: transitions whose cur token
+    is outside the model vocabulary carry no mass and are dropped
+    (counted in n_oov); unseen (prev, cur) pairs of in-vocab tokens back
+    off to their unigram term."""
+    docs = T(spark, sf_dir, "documents")
+    vocab, bigrams = text.bigram_lm_train(docs.filter(F.col("doc_id") % 2 == 0))
+    return text.bigram_lm_score(
+        docs.filter(F.col("doc_id") % 2 != 0), vocab, bigrams
+    )
+
+
+@register(
     "text_nb_classify",
     f"""
     WITH base AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
