@@ -76,6 +76,42 @@ def exact_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def keep_latest(
+    df: DataFrame,
+    key_cols,
+    version_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Snapshot compaction: keep exactly ONE row per key — the one with
+    the greatest `version_col` (ties broken by the greatest
+    `tiebreak_col`, then by the remaining payload; pass a unique
+    tiebreak for full determinism). The crawl-pipeline shape this
+    serves: re-fetched pages keyed by canonical URL (url_canonicalize)
+    with a fetch sequence/timestamp — compacting N snapshots per page
+    down to the newest before any content-level dedup runs. Also the
+    generic SCD-1 / changelog-compaction primitive (latest record per
+    entity id).
+
+    Scale shape: ONE aggregate shuffle of (key, max(struct)) with
+    map-side partial max — hot keys (pages recrawled millions of times)
+    collapse to one row per map partition before the exchange. No
+    window (no full per-key materialization), no join-back (the payload rides inside
+    the max struct). Extension operator (no reference analogue — the
+    reference's per-date files are already one-row-per-cve); standard
+    crawl/CDC compaction."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in df.columns if c not in keys]
+    order = [F.col(version_col).alias("__v")]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).alias("__t"))
+    packed = F.struct(
+        *order, F.struct(*[F.col(c) for c in payload]).alias("__p")
+    )
+    won = df.groupBy(*keys).agg(F.max(packed).alias("__m"))
+    out = won.select(*keys, *[F.col(f"__m.__p.{c}").alias(c) for c in payload])
+    return out.select(*df.columns)
+
+
 def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from epss_spark.operators.layout import ensure_parallelism
 

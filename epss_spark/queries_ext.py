@@ -158,6 +158,47 @@ def dedup_exact_docs(spark, sf_dir):
 
 
 @register(
+    "dedup_url_latest",
+    """
+    WITH snap AS (
+      SELECT 'https://site.org/p/' || CAST(doc_id % 97 AS VARCHAR)
+             || '?k=' || CAST(doc_id % 97 AS VARCHAR) AS url,
+             (doc_id * 7919) % 101 AS version,
+             doc_id, lang, n_chars
+      FROM documents
+    )
+    SELECT url, version, doc_id, lang, n_chars FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY version DESC, doc_id DESC) AS rn
+      FROM snap
+    ) WHERE rn = 1
+    """,
+)
+def dedup_url_latest(spark, sf_dir):
+    """Crawl-snapshot compaction (operators/dedup.py::keep_latest over
+    operators/text.py::url_canonicalize keys): re-fetched pages —
+    synthetic messy URLs (mixed case, default port, tracking params)
+    mapping ~97 docs onto each canonical page, each fetch carrying a
+    colliding version counter — are compacted to the single newest
+    snapshot per canonical URL (max version, doc_id tiebreak). The
+    Spark side canonicalizes the messy form; the oracle writes the
+    canonical form directly and replays the keep rule with a window —
+    vs the engine's windowless one-shuffle max(struct) aggregate."""
+    docs = T(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 97).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://Site.ORG:443/p/"), page,
+        F.lit("?utm_campaign=x&k="), page,
+    )
+    snap = docs.select(
+        text.url_canonicalize(url).alias("url"),
+        ((F.col("doc_id") * 7919) % 101).alias("version"),
+        "doc_id", "lang", "n_chars",
+    )
+    return dedup.keep_latest(snap, "url", "version", tiebreak_col="doc_id")
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -2069,3 +2069,36 @@ def test_bigram_frozen_model_oov_accounting(spark):
     assert got.n_bigrams == 2 and got.n_oov == 1
     expected = (math.log(0.25 * (2 / 5)) + math.log(0.25 * (3 / 5))) / 2
     assert got.avg_logprob == round(expected, 6)
+
+
+def test_keep_latest_max_version_per_key_with_tiebreak(spark):
+    rows = [
+        # key "a": versions 2, 5, 5 -> version-5 tie broken by max id (31)
+        ("a", 2, 10, "x"),
+        ("a", 5, 30, "y"),
+        ("a", 5, 31, "z"),
+        # key "b": single row survives untouched
+        ("b", 1, 40, "w"),
+    ]
+    df = spark.createDataFrame(rows, "k string, v long, id long, payload string")
+    got = {
+        r.k: r
+        for r in dedup.keep_latest(df, "k", "v", tiebreak_col="id").collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert (got["a"].v, got["a"].id, got["a"].payload) == (5, 31, "z")
+    assert (got["b"].v, got["b"].id, got["b"].payload) == (1, 40, "w")
+    # original column order preserved
+    assert dedup.keep_latest(df, "k", "v", tiebreak_col="id").columns == df.columns
+
+
+def test_keep_latest_composite_key(spark):
+    rows = [
+        ("u1", "en", 1, "old"),
+        ("u1", "en", 3, "new"),
+        ("u1", "de", 2, "other-partition"),
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string, seq long, body string")
+    got = dedup.keep_latest(df, ["url", "lang"], "seq").collect()
+    bodies = {(r.url, r.lang): r.body for r in got}
+    assert bodies == {("u1", "en"): "new", ("u1", "de"): "other-partition"}
