@@ -447,6 +447,72 @@ def ppl_buckets(
     return out.select(*cols)
 
 
+def token_divergence(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-slice token-distribution drift monitor: for each value of
+    `group_col` (language, source domain, crawl snapshot, mixture
+    component), the KL and Jensen-Shannon divergence between the
+    slice's unigram distribution P_g and the whole corpus's P_c. The
+    pipeline use: a slice whose divergence jumps between snapshots has
+    shifted content (spam influx, scraper drift, encoding regression)
+    even when volume and mean-quality metrics look flat; JS is the
+    symmetric, bounded ([0, ln 2]) form comparable across slices, KL
+    the classic surprise-of-slice-under-corpus. KL(P_g || P_c) is
+    always finite here because every slice token is a corpus token.
+
+    Returns (group_col, n_tokens, n_types, kl, js), divergences
+    rounded to 6 dp.
+
+    Scale shape: ONE tokenize pass -> (group, tok) count aggregate;
+    corpus counts, per-group totals, and the corpus total are all
+    re-aggregations of that bounded table, never a second corpus scan.
+    The JS cross-entropy term needs P_c mass where the slice is absent,
+    so the sum runs over the groups x vocab grid — |groups| is small
+    (broadcast cross join, same shape as nb_train's smoothing grid) and
+    vocab is Zipf-bounded. No Python crossing."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    tok = ensure_parallelism(docs).select(
+        F.col(group_col).alias("__grp"), F.explode(tokens(text_col)).alias("tok")
+    )
+    gcnt = tok.groupBy("__grp", "tok").agg(F.count(F.lit(1)).alias("__gc"))
+    if materialize:
+        # bounded table; stops the tokenize pass re-running under the
+        # ccnt / gtot / grid branches of the lazy plan
+        gcnt = gcnt.localCheckpoint(eager=True)
+    ccnt = gcnt.groupBy("tok").agg(F.sum("__gc").alias("__cc"))
+    gtot = gcnt.groupBy("__grp").agg(F.sum("__gc").alias("__gt"))
+    ctot = ccnt.agg(F.sum("__cc").alias("__ct"))
+
+    grid = (
+        ccnt.crossJoin(F.broadcast(gtot))
+        .join(gcnt, ["__grp", "tok"], "left")
+        .crossJoin(F.broadcast(ctot))
+    )
+    pg = F.col("__gc").cast("double") / F.col("__gt").cast("double")
+    pc = F.col("__cc").cast("double") / F.col("__ct").cast("double")
+    m = (F.coalesce(F.col("__gc").cast("double") / F.col("__gt"), F.lit(0.0)) + pc) / 2
+    in_slice = F.col("__gc").isNotNull()
+    return (
+        grid.groupBy("__grp")
+        .agg(
+            F.max("__gt").alias("n_tokens"),
+            F.sum(in_slice.cast("long")).alias("n_types"),
+            F.round(F.sum(F.when(in_slice, pg * F.log(pg / pc))), 6).alias("kl"),
+            F.round(
+                F.lit(0.5) * F.sum(F.when(in_slice, pg * F.log(pg / m)))
+                + F.lit(0.5) * F.sum(pc * F.log(pc / m)),
+                6,
+            ).alias("js"),
+        )
+        .withColumnRenamed("__grp", group_col)
+    )
+
+
 def _bigram_pairs(toks: Column) -> Column:
     """zip_with-paired (prev, cur) transition structs over a token array."""
     n_tr = F.greatest(F.size(toks) - 1, F.lit(0))

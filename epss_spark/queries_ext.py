@@ -2604,6 +2604,51 @@ def text_bigram_ppl(spark, sf_dir):
 
 
 @register(
+    "text_token_divergence",
+    f"""
+    WITH tok AS (SELECT lang AS grp, unnest({_TOKS_SQL}) AS tok FROM documents),
+    gcnt AS (SELECT grp, tok, COUNT(*) AS gc FROM tok GROUP BY grp, tok),
+    ccnt AS (SELECT tok, CAST(SUM(gc) AS BIGINT) AS cc FROM gcnt GROUP BY tok),
+    gtot AS (SELECT grp, CAST(SUM(gc) AS BIGINT) AS gt FROM gcnt GROUP BY grp),
+    ctot AS (SELECT CAST(SUM(cc) AS BIGINT) AS ct FROM ccnt),
+    grid AS (
+      SELECT t.grp, c.tok, c.cc, t.gt, k.gc, ctot.ct
+      FROM ccnt c
+      CROSS JOIN gtot t
+      LEFT JOIN gcnt k ON k.grp = t.grp AND k.tok = c.tok
+      CROSS JOIN ctot
+    )
+    SELECT grp AS lang,
+           MAX(gt) AS n_tokens,
+           COUNT(gc) AS n_types,
+           round(SUM(CASE WHEN gc IS NOT NULL THEN
+             (CAST(gc AS DOUBLE) / gt)
+             * ln((CAST(gc AS DOUBLE) / gt) / (CAST(cc AS DOUBLE) / ct)) END), 6) AS kl,
+           round(
+             0.5 * SUM(CASE WHEN gc IS NOT NULL THEN
+               (CAST(gc AS DOUBLE) / gt)
+               * ln((CAST(gc AS DOUBLE) / gt)
+                    / ((COALESCE(CAST(gc AS DOUBLE) / gt, 0) + CAST(cc AS DOUBLE) / ct) / 2)) END)
+             + 0.5 * SUM(
+               (CAST(cc AS DOUBLE) / ct)
+               * ln((CAST(cc AS DOUBLE) / ct)
+                    / ((COALESCE(CAST(gc AS DOUBLE) / gt, 0) + CAST(cc AS DOUBLE) / ct) / 2))),
+             6) AS js
+    FROM grid GROUP BY grp
+    """,
+)
+def text_token_divergence(spark, sf_dir):
+    """Corpus-drift monitor (operators/text.py::token_divergence):
+    per-language KL and Jensen-Shannon divergence between the slice's
+    unigram distribution and the whole corpus's — the signal that
+    catches content shift (spam influx, scraper drift) when volume and
+    mean-quality metrics stay flat. One tokenize pass; corpus counts,
+    slice totals, and the JS grid are all re-aggregations of the
+    bounded (group, token) count table."""
+    return text.token_divergence(T(spark, sf_dir, "documents"))
+
+
+@register(
     "text_bigram_frozen",
     f"""
     WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

@@ -2102,3 +2102,28 @@ def test_keep_latest_composite_key(spark):
     got = dedup.keep_latest(df, ["url", "lang"], "seq").collect()
     bodies = {(r.url, r.lang): r.body for r in got}
     assert bodies == {("u1", "en"): "new", ("u1", "de"): "other-partition"}
+
+
+def test_token_divergence_hand_computed(spark):
+    """KL/JS of the 'en' slice vs the pooled corpus, checked against a
+    direct python computation of the same distributions."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a c", "en"), (2, "a b b d", "en"), (3, "x y x y a", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.lang: r for r in text.token_divergence(df).collect()}
+    # en: a3 b3 c1 d1 (gt=8); corpus: a4 b3 c1 d1 x2 y2 (ct=13)
+    pg = {"a": 3 / 8, "b": 3 / 8, "c": 1 / 8, "d": 1 / 8}
+    pc = {t: c / 13 for t, c in
+          {"a": 4, "b": 3, "c": 1, "d": 1, "x": 2, "y": 2}.items()}
+    kl = sum(p * math.log(p / pc[t]) for t, p in pg.items())
+    js = 0.5 * sum(p * math.log(p / ((p + pc[t]) / 2)) for t, p in pg.items()) + 0.5 * sum(
+        q * math.log(q / ((pg.get(t, 0.0) + q) / 2)) for t, q in pc.items()
+    )
+    en = got["en"]
+    assert (en.n_tokens, en.n_types) == (8, 4)
+    assert en.kl == round(kl, 6) and en.js == round(js, 6)
+    # JS is bounded by ln 2 and symmetric-positive for a true shift
+    assert 0 < got["de"].js <= math.log(2)
