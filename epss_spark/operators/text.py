@@ -447,6 +447,58 @@ def ppl_buckets(
     return out.select(*cols)
 
 
+# Fixed entity-decode table for strip_html: the common named + numeric
+# entities crawl text actually contains, applied as literal replaces
+# (same chained-replace precedent as the mojibake repair table). &amp;
+# MUST stay last — decoding it earlier would re-activate double-escaped
+# entities ("&amp;lt;" must yield "&lt;", not "<").
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#34;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&mdash;", "—"),
+    ("&ndash;", "–"), ("&hellip;", "…"), ("&lsquo;", "‘"),
+    ("&rsquo;", "’"), ("&ldquo;", "“"), ("&rdquo;", "”"),
+    ("&copy;", "©"), ("&reg;", "®"), ("&amp;", "&"),
+)
+
+# Closing block-level tags (and <br>/<hr>) become newlines so the line
+# structure survives for the line-grain operators (c4_line_filter,
+# dedup_corpus_lines); every other tag becomes a space.
+_HTML_BLOCK_RE = (
+    r"(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\s*>|<(?:br|hr)\s*/?>"
+)
+
+
+def strip_html(col: Column | str = "text") -> Column:
+    """HTML -> text for crawl ingestion, the step upstream of every
+    quality/dedup operator when the corpus arrives as raw markup:
+    drop comments and script/style blocks (content-free), turn closing
+    block tags into newlines (preserving line grain for the line-level
+    operators), strip remaining tags to spaces, decode the common
+    entities (HTML_ENTITIES — fixed table, &amp; last), and normalize
+    whitespace (runs of spaces/tabs to one space, spaces trimmed around
+    newlines, blank-line runs collapsed, ends trimmed).
+
+    Deliberately regex/replace-only Catalyst expressions — no parser,
+    no Python — and every pattern is RE2-compatible (no backreferences:
+    script and style get separate non-greedy patterns), so the DuckDB
+    oracle runs the character-identical transformation. A real HTML5
+    parser handles pathological markup better; this is the streaming-
+    safe 99% path (lxml/bs4 are not in this container, and per-row
+    parsing would be a Python crossing on the hottest input path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, _HTML_BLOCK_RE, "\n")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def token_divergence(
     docs: DataFrame,
     group_col: str = "lang",

@@ -1469,6 +1469,60 @@ def text_fix_mojibake(spark, sf_dir):
     return docs.select("doc_id", text.fix_mojibake(dirty).alias("text"))
 
 
+def _strip_html_sql(expr: str) -> str:
+    """DuckDB replay of operators/text.py::strip_html — the identical
+    RE2-compatible pattern sequence and entity-replace chain."""
+    e = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    e = f"regexp_replace({e}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g')"
+    e = f"regexp_replace({e}, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g')"
+    e = (
+        f"regexp_replace({e}, "
+        "'(?i)</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\\s*>|<(?:br|hr)\\s*/?>',"
+        " chr(10), 'g')"
+    )
+    e = f"regexp_replace({e}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in text.HTML_ENTITIES:
+        e = f"replace({e}, {_sqlq(ent)}, {_sqlq(ch)})"
+    e = f"regexp_replace({e}, '[ \\t]+', ' ', 'g')"
+    e = f"regexp_replace({e}, ' ?\\n ?', chr(10), 'g')"
+    e = f"regexp_replace({e}, '\\n{{2,}}', chr(10), 'g')"
+    return f"regexp_replace({e}, '^\\s+|\\s+$', '', 'g')"
+
+
+_HTML_WRAP_SQL = (
+    "'<html><head><style>p{color:red}</style></head><body><!-- ' || lang"
+    " || ' --><h1>' || source || ' &amp; co</h1><p>' || coalesce(text, '')"
+    " || '</p><br><script>var x=1;</script></body></html>'"
+)
+
+
+@register(
+    "text_strip_html",
+    f"""
+    SELECT doc_id, {_strip_html_sql(_HTML_WRAP_SQL)} AS text
+    FROM documents
+    """,
+)
+def text_strip_html(spark, sf_dir):
+    """HTML-to-text crawl ingestion (operators/text.py::strip_html):
+    every document is wrapped in synthetic markup — comments, style and
+    script blocks, headings, block tags, entities including the
+    double-escaped &amp;lt; trap — and both engines must produce the
+    byte-identical stripped text (tags out, block structure to
+    newlines, fixed entity table decoded, whitespace normalized)."""
+    docs = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style></head><body><!-- "),
+        F.col("lang"),
+        F.lit(" --><h1>"),
+        F.col("source"),
+        F.lit(" &amp; co</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><br><script>var x=1;</script></body></html>"),
+    )
+    return docs.select("doc_id", text.strip_html(html).alias("text"))
+
+
 # q-digest oracle: `levels` chained CTE rounds replaying the bottom-up
 # family compression bit-for-bit (integer counts, integer thresholds,
 # integer rank arithmetic — classic q-digest has no randomness), then the

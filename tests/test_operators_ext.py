@@ -2127,3 +2127,26 @@ def test_token_divergence_hand_computed(spark):
     assert en.kl == round(kl, 6) and en.js == round(js, 6)
     # JS is bounded by ln 2 and symmetric-positive for a true shift
     assert 0 < got["de"].js <= math.log(2)
+
+
+def test_strip_html_structure_entities_and_double_escape(spark):
+    html = (
+        '<html><head><style>p {c}</style></head><body><!-- note -->'
+        '<h1>Head &amp; Tail</h1>\n<p>First&nbsp;para with <b>bold</b> '
+        'and &lt;kept&gt;.</p><p>Tail&hellip; &amp;lt; stays escaped</p>'
+        '<script>var s = "<p>never text</p>";</script>'
+        '<ul><li>one</li><li>two</li></ul></body></html>'
+    )
+    df = spark.createDataFrame([(1, html)], "id long, text string")
+    got = df.select(text.strip_html("text").alias("t")).collect()[0].t
+    assert got == (
+        "Head & Tail\nFirst para with bold and <kept>.\n"
+        "Tail… &lt; stays escaped\none\ntwo"
+    )
+
+
+def test_strip_html_plain_text_passthrough(spark):
+    df = spark.createDataFrame([(1, "no markup here, 1 < 2 stays")], "id long, t string")
+    # a bare '<' that never closes is not a tag and survives
+    got = df.select(text.strip_html("t").alias("s")).collect()[0].s
+    assert got == "no markup here, 1 < 2 stays"
