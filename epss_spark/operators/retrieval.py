@@ -291,3 +291,66 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the top-k terms of every
+    document by TF-IDF — tf(d, t) * (ln((1 + N) / (1 + df(t))) + 1),
+    the sklearn smooth-idf form (always positive, defined even for
+    df = N). The per-doc complement of bm25_topk (which ranks DOCS for
+    one query; this ranks TERMS for every doc): the standard input to
+    topic labeling, weak-supervision features, and per-domain keyword
+    drift dashboards. Scores rounded to 6 dp; ties break on ascending
+    term, so the selected k are deterministic cross-engine.
+
+    Returns (id, term, tf, df, tfidf, rank), rank 1..k per document.
+
+    Scale shape: ONE tokenize pass -> (doc, term) tf aggregate
+    (map-side partials); document frequencies are a re-aggregation of
+    that bounded table (localCheckpoint'd so the corpus is not
+    re-tokenized under the second branch); N is a 1-row broadcast. The
+    top-k cut is a row_number window partitioned BY DOCUMENT — maximal
+    parallelism, per-partition state bounded by one doc's vocabulary,
+    no corpus-wide sort."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    tok = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # bounded (doc, term, tf) table; stops the tokenize re-running under
+    # the df re-aggregation branch
+    tf = tf.localCheckpoint(eager=True)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("__n"))
+                        / (F.lit(1.0) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

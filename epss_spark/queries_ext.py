@@ -2233,6 +2233,36 @@ def text_vocab_stats(spark, sf_dir):
 
 
 @register(
+    "search_tfidf_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(CAST(tf.tf AS DOUBLE)
+                   * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def search_tfidf_topk(spark, sf_dir):
+    """Per-document keyword extraction (operators/retrieval.py::
+    tfidf_topk): top-5 terms per document by smooth-idf TF-IDF, ties on
+    ascending term — the per-doc complement of BM25's per-query doc
+    ranking. One tokenize pass; document frequencies re-aggregate the
+    bounded (doc, term) table; the top-k window partitions by document
+    (bounded per-partition state, no corpus-wide sort)."""
+    return retrieval.tfidf_topk(T(spark, sf_dir, "documents"), k=5)
+
+
+@register(
     "search_hybrid_rrf",
     f"""
     WITH bm AS (SELECT * FROM ({_BM25_TOPK_SQL}) AS bm_topk),

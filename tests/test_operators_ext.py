@@ -2150,3 +2150,24 @@ def test_strip_html_plain_text_passthrough(spark):
     # a bare '<' that never closes is not a tag and survives
     got = df.select(text.strip_html("t").alias("s")).collect()[0].s
     assert got == "no markup here, 1 < 2 stays"
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from epss_spark.operators import retrieval
+
+    df = spark.createDataFrame(
+        [(1, "spark spark window join"), (2, "window join join duck")],
+        "doc_id long, text string",
+    )
+    got = retrieval.tfidf_topk(df, k=2).orderBy("doc_id", "rank").collect()
+    # N=2; df: spark 1, window 2, join 2, duck 1
+    idf_rare = math.log((1 + 2) / (1 + 1)) + 1
+    idf_common = math.log((1 + 2) / (1 + 2)) + 1  # = 1.0
+    by = {(r.doc_id, r.rank): r for r in got}
+    assert by[(1, 1)].term == "spark"
+    assert by[(1, 1)].tfidf == round(2 * idf_rare, 6)
+    # doc 1 rank 2: join/window both tf=1*idf_common -> tie, 'join' < 'window'
+    assert by[(1, 2)].term == "join" and by[(1, 2)].tfidf == round(idf_common, 6)
+    assert by[(2, 1)].term == "join" and by[(2, 1)].tf == 2
