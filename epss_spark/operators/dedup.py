@@ -112,6 +112,46 @@ def keep_latest(
     return out.select(*df.columns)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: compare two crawls/dumps by id and content
+    fingerprint (md5 of normalized text, same identity as exact_groups)
+    and emit one row per DIFFERENCE — status 'added' (id only in new),
+    'removed' (id only in old), 'changed' (both present, fingerprint
+    differs). Unchanged documents produce no row: the document-grain
+    analogue of the reference's drop-unchanged score diff
+    (epss/client.py:453-462 get_changed_scores, :38 drop_unchanged_scores
+    — diffs keep only rows whose value moved), and the input a nightly
+    pipeline feeds to its
+    incremental index maintenance (added+changed -> index/dedup ingest,
+    removed -> tombstones).
+
+    Returns (id, status, old_fp, new_fp); the absent side's fp is NULL.
+
+    Scale shape: each side is one fingerprint projection (text never
+    survives past md5) followed by a single id-equi full outer join —
+    sort-merge on id, co-partitioned for free when both snapshots are
+    bucketed by id (the DEPLOYMENT.md layout); the unchanged majority
+    is filtered AFTER the join without materializing anything per-row
+    beyond the two 16-byte fps."""
+    o = old.select(F.col(id_col), F.md5(normalize(text_col)).alias("old_fp"))
+    n = new.select(F.col(id_col), F.md5(normalize(text_col)).alias("new_fp"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+    )
+    return (
+        j.select(F.col(id_col), status.alias("status"), "old_fp", "new_fp")
+        .where(F.col("status").isNotNull())
+    )
+
+
 def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from epss_spark.operators.layout import ensure_parallelism
 

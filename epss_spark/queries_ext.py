@@ -158,6 +158,47 @@ def dedup_exact_docs(spark, sf_dir):
 
 
 @register(
+    "dedup_snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS old_fp
+      FROM documents WHERE doc_id % 11 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             md5({_NORM_SQL.replace("text", "(coalesce(text, '') || CASE WHEN doc_id % 7 = 0 THEN ' revised' ELSE '' END)")}) AS new_fp
+      FROM documents WHERE doc_id % 13 <> 0
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                WHEN old_fp <> new_fp THEN 'changed' END AS status,
+           old_fp, new_fp
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+    """,
+)
+def dedup_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/dedup.py::snapshot_diff): two
+    synthetic crawls of the documents table — the old one missing every
+    11th doc, the new one missing every 13th and with every 7th doc's
+    text revised — reduced to added/removed/changed rows by id +
+    content fingerprint, unchanged majority dropped (the reference's
+    drop-unchanged diff semantics at document grain, reference
+    epss/client.py:453-462)."""
+    docs = T(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0)
+    new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" revised")).otherwise(F.lit("")),
+        ),
+    )
+    return dedup.snapshot_diff(old, new)
+
+
+@register(
     "dedup_url_latest",
     """
     WITH snap AS (

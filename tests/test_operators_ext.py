@@ -2171,3 +2171,22 @@ def test_tfidf_topk_hand_computed(spark):
     # doc 1 rank 2: join/window both tf=1*idf_common -> tie, 'join' < 'window'
     assert by[(1, 2)].term == "join" and by[(1, 2)].tfidf == round(idf_common, 6)
     assert by[(2, 1)].term == "join" and by[(2, 1)].tf == 2
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.snapshot_diff(old, new).collect()}
+    assert set(got) == {2, 3, 4}  # unchanged doc 1 emits no row
+    assert got[2].status == "changed" and got[2].old_fp and got[2].new_fp
+    assert got[3].status == "removed" and got[3].new_fp is None
+    assert got[4].status == "added" and got[4].old_fp is None
+    # fingerprint identity is normalized: case/punct differences are not changes
+    new2 = spark.createDataFrame([(1, "SAME   text!")], "doc_id long, text string")
+    assert dedup.snapshot_diff(old.filter("doc_id = 1"), new2).count() == 0
