@@ -1813,6 +1813,67 @@ def dedup_spans(spark, sf_dir):
 
 
 @register(
+    "prep_quality_funnel",
+    f"""
+    WITH base AS (SELECT doc_id, lang, n_chars, {_TOKS_SQL} AS toks FROM documents),
+    per AS (
+      SELECT CASE
+               WHEN NOT COALESCE(n_chars >= 200, FALSE) THEN 1
+               WHEN NOT COALESCE(len(toks) >= 30, FALSE) THEN 2
+               WHEN NOT COALESCE(
+                 (CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                  / greatest(len(toks), 1)) BETWEEN 3 AND 10, FALSE) THEN 3
+               WHEN NOT COALESCE(lang = 'en', FALSE) THEN 4
+               ELSE 5 END AS ff
+      FROM base
+    ),
+    counts AS (SELECT ff, COUNT(*) AS n FROM per GROUP BY ff),
+    stages AS (
+      SELECT * FROM (VALUES (1, 'min_chars'), (2, 'min_tokens'),
+                            (3, 'mean_word_len'), (4, 'lang_en')) AS t(stage, name)
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM documents),
+    funnel AS (
+      SELECT CAST(stage AS BIGINT) AS stage, name,
+             CAST(total - COALESCE(SUM(COALESCE(n, 0)) OVER (
+               ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_in,
+             CAST(COALESCE(n, 0) AS BIGINT) AS n_dropped
+      FROM stages LEFT JOIN counts ON counts.ff = stages.stage CROSS JOIN tot
+    )
+    SELECT stage, name, n_in,
+           n_in - n_dropped AS n_out,
+           n_dropped,
+           round(CASE WHEN n_in > 0
+                 THEN CAST(n_in - n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE) END,
+                 6) AS retention
+    FROM funnel ORDER BY stage
+    """,
+)
+def prep_quality_funnel(spark, sf_dir):
+    """Gate-by-gate retention report (operators/prep.py::quality_funnel)
+    over a realistic 4-gate quality pipeline — min chars, min tokens,
+    Gopher-style mean-word-length band, language gate — applied
+    cumulatively in pipeline order. ONE corpus pass regardless of gate
+    count (each doc maps to its first failing gate in a single chained
+    CASE projection); the funnel arithmetic runs over the 4-row count
+    table. The tokenize tree is aliased once in a stacked projection so
+    the two token-based gates share it."""
+    docs = T(spark, sf_dir, "documents")
+    base = docs.select("*", text.tokens("text").alias("__toks"))
+    mean_wl = F.length(F.concat_ws("", F.col("__toks"))).cast("double") / F.greatest(
+        F.size("__toks"), F.lit(1)
+    )
+    gates = [
+        ("min_chars", F.col("n_chars") >= 200),
+        ("min_tokens", F.size("__toks") >= 30),
+        ("mean_word_len", (mean_wl >= 3) & (mean_wl <= 10)),
+        ("lang_en", F.col("lang") == "en"),
+    ]
+    return prep.quality_funnel(base, gates)
+
+
+@register(
     "text_gopher_quality",
     r"""
     WITH b AS (SELECT doc_id, coalesce(text, '') AS c FROM documents),

@@ -2190,3 +2190,32 @@ def test_snapshot_diff_statuses(spark):
     # fingerprint identity is normalized: case/punct differences are not changes
     new2 = spark.createDataFrame([(1, "SAME   text!")], "doc_id long, text string")
     assert dedup.snapshot_diff(old.filter("doc_id = 1"), new2).count() == 0
+
+
+def test_quality_funnel_cumulative_one_pass(spark):
+    from epss_spark.operators import prep
+
+    df = spark.createDataFrame(
+        [(i, "x" * i) for i in range(10)], "doc_id long, text string"
+    )
+    gates = [
+        ("len>=2", F.length("text") >= 2),
+        ("len>=5", F.length("text") >= 5),
+        ("even", F.col("doc_id") % 2 == 0),
+    ]
+    rows = prep.quality_funnel(df, gates).collect()
+    got = [(r.stage, r.name, r.n_in, r.n_out, r.n_dropped, r.retention) for r in rows]
+    assert got == [
+        (1, "len>=2", 10, 8, 2, 0.8),
+        (2, "len>=5", 8, 5, 3, 0.625),
+        (3, "even", 5, 2, 3, 0.4),
+    ]
+    # a NULL predicate counts as a failure, not a pass-through
+    df2 = spark.createDataFrame([(1, None), (2, "xxxxx")], "doc_id long, text string")
+    r = prep.quality_funnel(df2, [("nonnull_len", F.length("text") >= 1)]).collect()[0]
+    assert (r.n_in, r.n_out, r.n_dropped) == (2, 1, 1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prep.quality_funnel(df, [])
