@@ -45,7 +45,14 @@ DRIVER_SURFACE: tuple[str, ...] = (
     # flagship
     "window_lag_diff",
     # LLM-data-pipeline extensions (round-1 gap: zero driver rows)
-    "text_stats",
+    # round-8 rotation: text_strip_html — HTML-to-text crawl ingestion
+    # (RE2-safe tag/comment/script stripping, entity decode, whitespace
+    # normalization, byte-identical in both engines) — a markup-
+    # ingestion class nothing else on the surface represents, in place
+    # of text_stats, whose text-analysis class stays driver-green via
+    # text_langid + text_ppl_buckets (text_stats remains oracle-checked
+    # in the pytest tier)
+    "text_strip_html",
     "text_langid",
     # round-8 rotation (judge item 7): text_bpe_segment — the FULL
     # learned-BPE train->apply cycle (the oracle re-trains the merge
