@@ -24,6 +24,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
@@ -324,17 +326,21 @@ def quality_funnel(
     `stages` is an ordered list of (name, boolean Column) gates applied
     CUMULATIVELY (a document reaches stage i+1 only if it passed
     1..i — the order documents actually flow through the pipeline).
-    Returns one row per stage: (stage, name, n_in, n_out, n_dropped,
-    retention) with retention = n_out / n_in rounded to 6 dp — the
-    first artifact a pipeline owner reads when a corpus shrinks
-    unexpectedly (WHICH gate got hungrier?).
+    NULL predicates count as failures. Returns one row per stage:
+    (stage, name, n_in, n_out, n_dropped, retention) with retention =
+    n_out / n_in rounded to 6 dp — the first artifact a pipeline owner
+    reads when a corpus shrinks unexpectedly (WHICH gate got hungrier?).
 
     Scale shape: ONE corpus pass total, independent of the number of
     gates — each doc is mapped to the index of its first failing gate
-    (a single chained CASE projection), one tiny groupBy over at most
-    n_stages+1 distinct values, and the cumulative funnel is a window
-    over those n_stages rows on the driver-sized result. Compare the
-    naive loop (filter + count per gate = n_stages corpus scans)."""
+    (a single chained CASE projection) and aggregated into at most
+    n_stages+1 count rows. Those rows are a bounded eager fetch (the
+    DSIR-weights / BM25-stats precedent); the cumulative funnel
+    arithmetic is plain Python over them, returned as a literal
+    DataFrame. The corpus total is the SUM of the first-fail counts
+    (every doc lands in exactly one bucket), so there is no separate
+    count() pass. Compare the naive loop: filter + count per gate =
+    n_stages corpus scans."""
     stage_list = list(stages)
     if not stage_list:
         raise ValueError("stages must be non-empty")
@@ -344,44 +350,24 @@ def quality_funnel(
         first_fail = F.when(~F.coalesce(pred, F.lit(False)), F.lit(i + 1)).otherwise(
             first_fail
         )
-    counts = (
+    counts = dict(
         docs.select(first_fail.alias("__ff"))
         .groupBy("__ff")
         .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
     )
-    spark = docs.sparkSession
-    names = spark.createDataFrame(
-        [(i + 1, nm) for i, (nm, _) in enumerate(stage_list)], "stage long, name string"
-    )
-    # n_in(stage i) = total - docs that already failed at an earlier
-    # stage: a running prefix-sum over the n_stages count rows —
-    # driver-sized, the corpus is touched exactly once above.
-    from pyspark.sql import Window
-
-    per_stage = names.join(counts, names.stage == counts.__ff, "left").select(
-        "stage", "name", F.coalesce("__n", F.lit(0)).alias("__fail_here")
-    )
-    total = docs.count()
-    w_prev = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, -1)
-    out = per_stage.withColumn(
-        "n_in",
-        F.lit(total) - F.coalesce(F.sum("__fail_here").over(w_prev), F.lit(0)),
-    )
-    return (
-        out.select(
-            "stage",
-            "name",
-            "n_in",
-            (F.col("n_in") - F.col("__fail_here")).alias("n_out"),
-            F.col("__fail_here").alias("n_dropped"),
-            F.round(
-                F.when(
-                    F.col("n_in") > 0,
-                    (F.col("n_in") - F.col("__fail_here")).cast("double")
-                    / F.col("n_in").cast("double"),
-                ).otherwise(F.lit(None)),
-                6,
-            ).alias("retention"),
-        )
-        .orderBy("stage")
+    n_in = sum(counts.values())
+    rows = []
+    for i, (name, _) in enumerate(stage_list):
+        dropped = counts.get(i + 1, 0)
+        out = n_in - dropped
+        # HALF_UP like SQL round(), not Python's banker's round — keeps
+        # the 6-dp retention identical to the engines' rounding
+        retention = math.floor(out / n_in * 1e6 + 0.5) / 1e6 if n_in > 0 else None
+        rows.append((i + 1, name, n_in, out, dropped, retention))
+        n_in = out
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "stage long, name string, n_in long, n_out long, "
+        "n_dropped long, retention double",
     )
