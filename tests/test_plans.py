@@ -506,3 +506,33 @@ def test_token_budget_bucketed_offsets_avoid_corpus_sort(spark):
 
     specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", p)
     assert specs and all("__b" in s for s in specs), specs
+
+
+def test_keep_latest_plan_one_aggregate_no_window_no_join(spark):
+    # crawl compaction must stay a single aggregate shuffle with map-side
+    # partials: a Window (full per-key materialization) or a join-back
+    # (second shuffle of the payload) would regress the 100 TB posture
+    p = plan(spark, "dedup_url_latest")
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "partial_max" in p  # map-side combine before the exchange
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_snapshot_diff_plan_fp_projection_before_join(spark):
+    # the diff joins two 16-byte fingerprints by id — the text column must
+    # not survive past the md5 projection into the join
+    p = plan(spark, "dedup_snapshot_diff")
+    assert "Window" not in p
+    assert p.count("md5") >= 2  # one fingerprint projection per side
+    join_section = p[: p.index("md5")]  # everything above the first md5
+    assert "text" not in join_section  # no text column flows into the join
+
+
+def test_quality_funnel_single_case_projection(spark):
+    # the funnel result is a literal DataFrame (the corpus was read exactly
+    # once, eagerly, into <= n_stages+1 count rows) — the returned plan must
+    # contain no corpus scan at all
+    p = plan(spark, "prep_quality_funnel")
+    assert "parquet" not in p.lower()
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p
