@@ -565,3 +565,36 @@ def test_cap_bucketed_equivalence_fuzz(spark, rows, n_max):
         r.doc_id for r in dedup.cap_per_stratum_bucketed(df, n_max, n_buckets=4).collect()
     )
     assert a == b
+
+
+# keep_latest: rows with (small key space, version space forcing ties,
+# unique id tiebreak)
+_kl_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=3),
+        st.text(alphabet="xyz", min_size=0, max_size=3),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_kl_rows)
+@_settings
+def test_keep_latest_matches_python_reference(spark, rows):
+    """keep_latest == group-wise argmax of (version, tiebreak id) for ANY
+    input, including version ties and duplicate (key, version) rows."""
+    from epss_spark.operators.dedup import keep_latest
+
+    data = [(k, v, i, p) for i, (k, v, p) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, v long, id long, payload string")
+    got = {
+        r.k: (r.v, r.id, r.payload)
+        for r in keep_latest(df, "k", "v", tiebreak_col="id").collect()
+    }
+    want = {}
+    for k, v, i, p in data:
+        if k not in want or (v, i) > want[k][:2]:
+            want[k] = (v, i, p)
+    assert got == want
