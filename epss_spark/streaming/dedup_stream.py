@@ -149,6 +149,7 @@ def compact_artifact(
     path: str,
     partition_by: str | None = None,
     num_files: int | None = None,
+    transform=None,
 ) -> int:
     """Compact a stream-maintained artifact directory (flat base files +
     accumulated `epoch-N` subdirs) back into ONE flat layout — the
@@ -175,8 +176,18 @@ def compact_artifact(
     replays it. Clean termination means no such epoch exists. The swap
     itself is rename-based — atomic on HDFS/POSIX, copy-like on object
     stores, either way invisible to the next stream start because the
-    stream only APPENDS new epoch dirs."""
+    stream only APPENDS new epoch dirs.
+
+    `transform` (DataFrame -> DataFrame, optional) rewrites THROUGH a
+    semantic compaction instead of verbatim: e.g. a keep-latest store
+    folds superseded versions away with
+    `transform=lambda df: keep_latest(df, key, version, tiebreak)`.
+    Only use transforms whose result is a fixpoint of the serving read
+    (keep_latest is: latest_snapshot of the compacted store equals the
+    pre-compaction view)."""
     df = read_artifact(spark, path)
+    if transform is not None:
+        df = transform(df)
     tmp = path.rstrip("/") + ".compact-tmp"
     if num_files:
         df = df.coalesce(int(num_files))
@@ -489,6 +500,84 @@ def process_bm25_batch(
     postings, doc_stats = retrieval.bm25_index(batch_df, id_col, text_col)
     _write_epoch(postings, postings_path, epoch_id)
     _write_epoch(doc_stats, stats_path, epoch_id)
+
+
+def process_keep_latest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    store_path: str,
+    key_cols,
+    version_col: str,
+    tiebreak_col: str | None = None,
+) -> None:
+    """One idempotent epoch of latest-snapshot store maintenance: compact
+    the batch to one row per key (operators/dedup.py::keep_latest) and
+    commit it epoch-scoped. Idempotency here is belt-and-braces rather
+    than load-bearing: the serving read (`latest_snapshot`) merges with
+    a per-key MAX — idempotent, commutative, associative — so even a
+    plain-append replay could never corrupt the view; the epoch
+    overwrite just keeps storage from growing under retries."""
+    if batch_df.isEmpty():
+        return
+    _write_epoch(
+        dedup.keep_latest(batch_df, key_cols, version_col, tiebreak_col),
+        store_path,
+        epoch_id,
+    )
+
+
+def latest_snapshot(
+    spark: SparkSession,
+    store_path: str,
+    key_cols,
+    version_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Serving view of a stream-maintained keep-latest store: flat base +
+    every committed epoch, merged to one row per key. Each epoch is
+    already per-batch compacted, so the merge input is bounded by
+    (keys x epochs since last compaction); fold superseded versions away
+    periodically with
+    `compact_artifact(spark, store, transform=lambda df:
+    keep_latest(df, ...))`."""
+    return dedup.keep_latest(
+        read_artifact(spark, store_path), key_cols, version_col, tiebreak_col
+    )
+
+
+def start_keep_latest_maintenance(
+    snapshots_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_cols,
+    version_col: str,
+    tiebreak_col: str | None = None,
+    available_now: bool = True,
+):
+    """Continuous crawl-compaction: per micro-batch of re-fetched
+    snapshots (canonical URL key + fetch sequence, or any SCD-1 /
+    changelog shape), commit the batch's newest-row-per-key to the store
+    via epoch-scoped overwrites; serve the current state with
+    `latest_snapshot`. The batch-mode equivalent is one
+    `keep_latest(all_snapshots, ...)` — the stream == sequential-batch
+    equivalence is pinned in tests, same contract as the dedup and index
+    streams.
+
+    Scale shape per batch: one aggregate shuffle over the BATCH only
+    (map-side partial max); nothing reads the existing store at
+    maintenance time — merge costs land on readers, bounded by the
+    compaction cadence."""
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_keep_latest_batch(
+            batch_df, epoch_id, store_dir, key_cols, version_col, tiebreak_col
+        )
+
+    writer = snapshots_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def process_ann_batch(

@@ -1616,3 +1616,98 @@ def test_minhash_batch_replay_is_idempotent(spark, tmp_path):
     assert before[0] == [9]  # 1 lost to indexed near-dup 5
     dedup_stream.process_minhash_batch(batch, 0, bands_p, sh_p, acc, **kwargs)
     assert snapshot() == before
+
+
+def test_streaming_keep_latest_equals_batch_replay_and_compaction(spark, tmp_path):
+    """Keep-latest store contract: after draining N micro-batches of
+    re-fetched snapshots, latest_snapshot == one-shot keep_latest over
+    the union; an epoch replay changes nothing (max-merge idempotency);
+    compacting through keep_latest preserves the serving view while
+    dropping superseded rows."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import dedup
+    from epss_spark.streaming import dedup_stream
+
+    batches = [
+        [("u1", 1, 100, "v1"), ("u2", 1, 101, "v1")],
+        [("u1", 3, 102, "v3"), ("u3", 1, 103, "v1")],
+        [("u1", 2, 104, "late-arrival"), ("u2", 2, 105, "v2")],
+    ]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"stage_{i}"
+        spark.createDataFrame(
+            rows, "url string, fetch_seq long, doc_id long, body string"
+        ).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema("url string, fetch_seq long, doc_id long, body string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = dedup_stream.start_keep_latest_maintenance(
+        stream, store, str(tmp_path / "ckpt"), "url", "fetch_seq", "doc_id"
+    )
+    q.awaitTermination(180)
+
+    allrows = [r for b in batches for r in b]
+    alldf = spark.createDataFrame(
+        allrows, "url string, fetch_seq long, doc_id long, body string"
+    )
+    want = sorted(
+        map(tuple, dedup.keep_latest(alldf, "url", "fetch_seq", "doc_id").collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            dedup_stream.latest_snapshot(
+                spark, store, "url", "fetch_seq", "doc_id"
+            ).collect(),
+        )
+    )
+    assert got == want
+    # u1 must be its seq-3 fetch, not the late-arriving seq-2 one
+    assert [t for t in got if t[0] == "u1"][0][1] == 3
+
+    # crash-retry replay of the last epoch: serving view unchanged
+    last_batch = spark.createDataFrame(
+        batches[-1], "url string, fetch_seq long, doc_id long, body string"
+    )
+    dedup_stream.process_keep_latest_batch(
+        last_batch, 2, store, "url", "fetch_seq", "doc_id"
+    )
+    got2 = sorted(
+        map(
+            tuple,
+            dedup_stream.latest_snapshot(
+                spark, store, "url", "fetch_seq", "doc_id"
+            ).collect(),
+        )
+    )
+    assert got2 == want
+
+    # semantic compaction folds superseded versions away, view preserved
+    n = dedup_stream.compact_artifact(
+        spark,
+        store,
+        transform=lambda df: dedup.keep_latest(df, "url", "fetch_seq", "doc_id"),
+    )
+    assert n == len(want)  # exactly one surviving row per key
+    got3 = sorted(
+        map(
+            tuple,
+            dedup_stream.latest_snapshot(
+                spark, store, "url", "fetch_seq", "doc_id"
+            ).collect(),
+        )
+    )
+    assert got3 == want
