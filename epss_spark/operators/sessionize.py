@@ -10,6 +10,8 @@ F.session_window aggregation.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,4 +57,64 @@ def session_stats(
         ((F.unix_micros(F.max(time)) - F.unix_micros(F.min(time))) / 1_000_000.0).alias(
             "duration_sec"
         ),
+    )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    type_col: str = "event_type",
+    time: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Ordered-sequence conversion funnel: for the step sequence
+    [s1, s2, ...], a key converts through step i when an event of type
+    s_i occurs STRICTLY AFTER its step-(i-1) event in (time, tiebreak)
+    order — the product-analytics funnel (signup -> view -> purchase),
+    which is NOT the cumulative-predicate funnel (prep.quality_funnel):
+    order matters, and the same event type occurring before the previous
+    step does not count.
+
+    Returns one row per step: (step, event_type, n_converted,
+    conversion) where conversion = n_converted / previous step's count
+    (step 1 converts from the total distinct-key base), rounded to 6 dp.
+
+    Scale shape: events are FILTERED to the step types before the one
+    (key)-aggregate shuffle (pushed to the scan); each key folds its
+    time-sorted (time, tiebreak, type) structs through a single
+    JVM-side F.aggregate that walks the sequence once (state = steps
+    reached so far) — no self-join per step, no window. Per-key state is
+    that key's step-type events only. The per-step histogram is a
+    bounded eager fetch (<= n_steps+1 rows, the quality_funnel
+    precedent); the result is a literal DataFrame."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.filter(F.col(type_col).isin(list(steps)))
+    per_key = ev.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(time), F.col(tiebreak), F.col(type_col)))
+        ).alias("__seq")
+    )
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    reached = F.aggregate(
+        "__seq",
+        F.lit(0),
+        lambda acc, x: F.when(
+            (acc < len(steps)) & (x[type_col] == F.element_at(steps_lit, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    hist = dict(
+        per_key.select(reached.alias("__r")).groupBy("__r").count().collect()
+    )
+    base = events.select(key).distinct().count()
+    rows, prev = [], base
+    for i, s in enumerate(steps):
+        n = sum(c for r, c in hist.items() if r >= i + 1)
+        conv = math.floor(n / prev * 1e6 + 0.5) / 1e6 if prev > 0 else None
+        rows.append((i + 1, s, n, conv))
+        prev = n
+    return events.sparkSession.createDataFrame(
+        rows, "step long, event_type string, n_converted long, conversion double"
     )

@@ -545,6 +545,62 @@ def session_stats(spark, sf_dir):
 
 
 @register(
+    "event_funnel",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('signup', 'view', 'purchase')
+    ),
+    base AS (SELECT COUNT(DISTINCT user_id) AS b FROM events),
+    s1 AS (
+      SELECT user_id, min(ROW(ts, event_id)) AS k FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT ev.user_id, min(ROW(ts, event_id)) AS k
+      FROM ev JOIN s1 USING (user_id)
+      WHERE event_type = 'view' AND ROW(ts, event_id) > s1.k
+      GROUP BY ev.user_id
+    ),
+    s3 AS (
+      SELECT ev.user_id, min(ROW(ts, event_id)) AS k
+      FROM ev JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ROW(ts, event_id) > s2.k
+      GROUP BY ev.user_id
+    ),
+    n AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3,
+             (SELECT b FROM base) AS b
+    )
+    SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, n1 AS n_converted,
+           CASE WHEN b > 0 THEN round(CAST(n1 AS DOUBLE) / b, 6) END AS conversion
+    FROM n
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'view', n2,
+           CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END FROM n
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', n3,
+           CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
+    """,
+)
+def event_funnel(spark, sf_dir):
+    """Ordered-sequence conversion funnel (operators/sessionize.py::
+    event_funnel): signup -> view -> purchase, each step counting only
+    when it occurs strictly after the previous step's event in
+    (ts, event_id) order. The engine folds each user's time-sorted
+    events through one JVM-side F.aggregate (no per-step self-join, no
+    window); the oracle replays the same semantics as a chained
+    min(ROW(ts, event_id)) CTE per step."""
+    from epss_spark.operators import sessionize as sz
+
+    return sz.event_funnel(
+        T(spark, sf_dir, "events"), ["signup", "view", "purchase"]
+    )
+
+
+@register(
     "agg_percentiles",
     """
     SELECT l_returnflag,

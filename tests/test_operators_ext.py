@@ -2219,3 +2219,40 @@ def test_quality_funnel_cumulative_one_pass(spark):
 
     with _pytest.raises(ValueError):
         prep.quality_funnel(df, [])
+
+
+def test_event_funnel_order_sensitivity(spark):
+    import datetime as dt
+
+    from epss_spark.operators import sessionize as sz
+
+    D = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, D, 1, "signup"), (1, D.replace(hour=1), 2, "view"),
+        (1, D.replace(hour=2), 3, "purchase"),
+        # user 2: view BEFORE signup -> converts step 1 only
+        (2, D.replace(hour=1), 4, "view"), (2, D.replace(hour=2), 5, "signup"),
+        # user 3: signup only
+        (3, D, 6, "signup"),
+        # user 4: never enters the funnel (still in the step-1 base)
+        (4, D, 7, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r.step: r
+        for r in sz.event_funnel(df, ["signup", "view", "purchase"]).collect()
+    }
+    assert (got[1].n_converted, got[1].conversion) == (3, 0.75)
+    assert (got[2].n_converted, got[2].conversion) == (1, 0.333333)
+    assert (got[3].n_converted, got[3].conversion) == (1, 1.0)
+    # same-timestamp tiebreak: view at the SAME ts as signup but a later
+    # event_id still counts as "after"
+    df2 = spark.createDataFrame(
+        [(9, D, 1, "signup"), (9, D, 2, "view")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got2 = {r.step: r.n_converted for r in sz.event_funnel(df2, ["signup", "view"]).collect()}
+    assert got2 == {1: 1, 2: 1}
