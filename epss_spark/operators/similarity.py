@@ -55,6 +55,59 @@ def normalize_vectors(
     return vectors.withColumn(out_col or vec_col, normed)
 
 
+def truncate_normalize(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) truncation: keep the first
+    `dim` components and L2-renormalize — the standard storage/compute
+    dial for MRL-trained embeddings (a 64-dim prefix of a 768-dim
+    vector is a working embedding at 1/12 the scan cost). Pure
+    projection (slice + transform), no shuffle, no Python; zero-norm
+    prefixes pass through as zeros. Components rounded to `dp` (the
+    normalize_vectors contract).
+
+    Compose with any of the ANN operators: cosine over the truncated
+    column approximates full cosine with energy `mrl_energy` reports."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    c = F.slice(F.col(vec_col), 1, dim)
+    n = _norm(c)
+    normed = F.when(n == 0, c.cast("array<double>")).otherwise(
+        F.transform(c, lambda x: F.round(x.cast("double") / n, dp))
+    )
+    return vectors.withColumn(out_col or vec_col, normed)
+
+
+def mrl_energy(
+    vectors: DataFrame,
+    dims: tuple[int, ...] = (16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-vector retained energy of Matryoshka prefixes:
+    energy_d = ||v[:d]|| / ||v||, which IS cos(v, v[:d] zero-padded) —
+    the exact similarity a truncated index preserves for this vector.
+    The tuning report to read before choosing an MRL serving dim: if
+    energy_64's p5 is 0.98 the 64-dim index is safe; if it's 0.6 the
+    embeddings were not MRL-trained and truncation will shred recall.
+    One zero-shuffle projection; (id, energy_<d>...) rounded to `dp`."""
+    full = _norm(F.col(vec_col))
+    cols = [F.col(id_col)]
+    for d in dims:
+        pre = _norm(F.slice(F.col(vec_col), 1, d))
+        cols.append(
+            F.round(
+                F.when(full == 0, F.lit(None)).otherwise(pre / full), dp
+            ).alias(f"energy_{d}")
+        )
+    return vectors.select(*cols)
+
+
 def quantize_int8(
     vectors: DataFrame, vec_col: str = "embedding", out_col: str = "q", scale_col: str = "scale"
 ) -> DataFrame:

@@ -1101,6 +1101,33 @@ def ann_quantize_int8(spark, sf_dir):
     return similarity.dequantize_error(emb)
 
 
+@register(
+    "ann_mrl_energy",
+    """
+    WITH x AS (SELECT vec_id,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+               FROM embeddings),
+    n AS (SELECT vec_id,
+                 sqrt(list_sum(list_transform(x, v -> v * v))) AS full_n,
+                 sqrt(list_sum(list_transform(x[1:16], v -> v * v))) AS n16,
+                 sqrt(list_sum(list_transform(x[1:32], v -> v * v))) AS n32
+          FROM x)
+    SELECT vec_id,
+           round(CASE WHEN full_n = 0 THEN NULL ELSE n16 / full_n END, 6) AS energy_16,
+           round(CASE WHEN full_n = 0 THEN NULL ELSE n32 / full_n END, 6) AS energy_32
+    FROM n
+    """,
+)
+def ann_mrl_energy(spark, sf_dir):
+    """Matryoshka-truncation energy report (operators/similarity.py::
+    mrl_energy): per vector, ||v[:d]|| / ||v|| for d in (16, 32) — the
+    exact cosine a d-dim prefix index preserves for that vector, i.e.
+    the evidence to read before serving MRL-truncated embeddings
+    (compose truncate_normalize with any ANN operator). One zero-shuffle
+    projection."""
+    return similarity.mrl_energy(T(spark, sf_dir, "embeddings"))
+
+
 # Stratified-sampling thresholds shared verbatim by both engines (integer
 # literals, computed once here — no float math at comparison time).
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}

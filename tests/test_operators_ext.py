@@ -2256,3 +2256,30 @@ def test_event_funnel_order_sensitivity(spark):
     )
     got2 = {r.step: r.n_converted for r in sz.event_funnel(df2, ["signup", "view"]).collect()}
     assert got2 == {1: 1, 2: 1}
+
+
+def test_truncate_normalize_and_mrl_energy(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 1.0]), (3, [0.0] * 4)],
+        "vec_id long, embedding array<float>",
+    )
+    t = {
+        r.vec_id: r.embedding
+        for r in similarity.truncate_normalize(df, 2).collect()
+    }
+    assert t[1] == [0.6, 0.8]  # unit-normalized prefix
+    assert t[2] == [0.0, 0.0]  # zero-norm prefix passes through as zeros
+    assert t[3] == [0.0, 0.0]
+    e = {r.vec_id: r for r in similarity.mrl_energy(df, dims=(2, 4)).collect()}
+    assert e[1].energy_2 == 1.0 and e[1].energy_4 == 1.0  # all energy in prefix
+    assert e[2].energy_2 == 0.0 and e[2].energy_4 == 1.0  # none in prefix
+    assert e[3].energy_2 is None  # zero vector: undefined, not division error
+    # energy IS the cosine between the full vector and its padded prefix
+    v = [1.0, 2.0, 3.0, 4.0]
+    df2 = spark.createDataFrame([(9, v)], "vec_id long, embedding array<float>")
+    got = similarity.mrl_energy(df2, dims=(2,)).collect()[0].energy_2
+    pre = math.sqrt(1 + 4)
+    full = math.sqrt(1 + 4 + 9 + 16)
+    assert got == round(pre / full, 6)
