@@ -499,6 +499,66 @@ def strip_html(col: Column | str = "text") -> Column:
     return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
+def dataset_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """The one-row corpus summary a dataset release publishes (the
+    quantitative half of a dataset card): document and token volume,
+    vocabulary size, slice count, exact-duplicate rate (by normalized
+    content fingerprint), and the token-length distribution (mean +
+    exact median). The nightly trend of this row is the cheapest
+    whole-pipeline health signal — a dup-rate or median-length step
+    change means an upstream stage broke.
+
+    Returns one row: (n_docs, n_tokens, vocab_size, n_groups, n_unique,
+    dup_rate[6dp], mean_tokens[6dp], median_tokens).
+
+    Scale shape: TWO tokenize passes — (a) a per-doc
+    (n_toks, fp, group) projection folded into one scalar aggregate
+    (count/sum/mean/count-distinct + exact percentile — at 100 TB swap
+    F.percentile for percentile_approx and count_distinct for
+    approx_count_distinct; exact forms are kept here for the
+    cross-engine contract), (b) an explode->distinct for vocabulary
+    size (checkpointing the token arrays to save the second pass would
+    materialize more bytes than the pass costs). No joins beyond the
+    1-row vocab broadcast, no windows."""
+    from epss_spark.operators.layout import ensure_parallelism
+
+    base = ensure_parallelism(docs)
+    per_doc = base.select(
+        F.col(group_col).alias("__grp"),
+        F.md5(normalize(text_col)).alias("__fp"),
+        F.size(tokens(text_col)).cast("long").alias("__nt"),
+    )
+    vocab_size = base.select(F.explode(tokens(text_col)).alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.count_distinct("__grp").alias("n_groups"),
+        F.count_distinct("__fp").alias("n_unique"),
+        F.round(F.avg(F.col("__nt").cast("double")), 6).alias("mean_tokens"),
+        F.percentile(F.col("__nt"), F.lit(0.5)).alias("median_tokens"),
+    )
+    return stats.crossJoin(F.broadcast(vocab_size)).select(
+        "n_docs",
+        "n_tokens",
+        F.col("v").alias("vocab_size"),
+        "n_groups",
+        "n_unique",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_unique").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        "mean_tokens",
+        "median_tokens",
+    )
+
+
 def token_divergence(
     docs: DataFrame,
     group_col: str = "lang",

@@ -2873,6 +2873,39 @@ def text_bigram_ppl(spark, sf_dir):
 
 
 @register(
+    "corpus_dataset_card",
+    f"""
+    WITH per AS (
+      SELECT lang AS grp, md5({_NORM_SQL}) AS fp,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS nt
+      FROM documents
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest({_TOKS_SQL}) AS t FROM documents)
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           (SELECT v FROM v) AS vocab_size,
+           COUNT(DISTINCT grp) AS n_groups,
+           COUNT(DISTINCT fp) AS n_unique,
+           round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+           round(avg(CAST(nt AS DOUBLE)), 6) AS mean_tokens,
+           quantile_cont(nt, 0.5) AS median_tokens
+    FROM per
+    """,
+)
+def corpus_dataset_card(spark, sf_dir):
+    """One-row dataset-card summary (operators/text.py::dataset_card):
+    doc/token volume, vocabulary size, language-slice count,
+    exact-duplicate rate by normalized fingerprint, mean + exact-median
+    token length — the nightly whole-pipeline health row. Two tokenize
+    passes (per-doc stats aggregate; vocab explode-distinct), no joins
+    beyond the 1-row vocab broadcast."""
+    return text.dataset_card(T(spark, sf_dir, "documents"))
+
+
+@register(
     "text_token_divergence",
     f"""
     WITH tok AS (SELECT lang AS grp, unnest({_TOKS_SQL}) AS tok FROM documents),

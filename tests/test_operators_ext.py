@@ -2283,3 +2283,16 @@ def test_truncate_normalize_and_mrl_energy(spark):
     pre = math.sqrt(1 + 4)
     full = math.sqrt(1 + 4 + 9 + 16)
     assert got == round(pre / full, 6)
+
+
+def test_dataset_card_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a", "en"), (2, "a b a", "en"), (3, "x y z w", "de")],
+        "doc_id long, text string, lang string",
+    )
+    r = text.dataset_card(df).collect()[0]
+    assert (r.n_docs, r.n_tokens, r.vocab_size, r.n_groups, r.n_unique) == (
+        3, 10, 6, 2, 2,
+    )
+    assert r.dup_rate == 0.333333  # docs 1 and 2 are exact duplicates
+    assert r.mean_tokens == 3.333333 and r.median_tokens == 3.0
