@@ -208,7 +208,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     an.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
     an.add_argument(
-        "--report", required=True, choices=["top-ngrams", "vocab", "logprob"]
+        "--report",
+        required=True,
+        choices=["top-ngrams", "vocab", "logprob", "card", "divergence"],
     )
     an.add_argument("--id-col", default="doc_id")
     an.add_argument("--text-col", default="text")
@@ -298,6 +300,38 @@ def build_parser() -> argparse.ArgumentParser:
     asr.add_argument("--output", help="write results parquet here instead of printing")
     asr.add_argument("--id-col", default="vec_id")
     asr.add_argument("--vec-col", default="embedding")
+
+    cp = sub.add_parser(
+        "compact",
+        help="keep-latest snapshot compaction (extension): one row per "
+        "key — the newest by version (unique tiebreak for determinism); "
+        "the crawl re-fetch / SCD-1 / changelog primitive. Optional "
+        "--canonicalize-url rewrites the key column through "
+        "url_canonicalize first",
+    )
+    cp.add_argument("--input", required=True, help="snapshots parquet")
+    cp.add_argument("--output", required=True, help="compacted parquet")
+    cp.add_argument("--key-cols", required=True, help="comma-separated key columns")
+    cp.add_argument("--version-col", required=True)
+    cp.add_argument("--tiebreak-col", help="unique column for deterministic ties")
+    cp.add_argument(
+        "--canonicalize-url",
+        action="store_true",
+        help="url_canonicalize the (single) key column before compacting",
+    )
+
+    df_ = sub.add_parser(
+        "diff",
+        help="corpus snapshot diff (extension): added/removed/changed "
+        "rows by id + normalized-content fingerprint; unchanged majority "
+        "dropped (the reference's drop-unchanged semantics at document "
+        "grain, epss/client.py:453-462)",
+    )
+    df_.add_argument("--old", required=True, help="previous snapshot parquet")
+    df_.add_argument("--new", required=True, help="current snapshot parquet")
+    df_.add_argument("--output", help="write the diff parquet here")
+    df_.add_argument("--id-col", default="doc_id")
+    df_.add_argument("--text-col", default="text")
 
     u = sub.add_parser("urls", help="print snapshot URLs (reference epss/cli.py:117-139)")
     _add_range_flags(u)
@@ -410,6 +444,14 @@ def main(argv: list[str] | None = None) -> int:
             out = text_ops.vocab_stats(
                 docs, stratum_col=args.stratum_col, text_col=args.text_col
             ).orderBy("stratum")
+        elif args.report == "card":
+            out = text_ops.dataset_card(
+                docs, text_col=args.text_col, group_col=args.stratum_col
+            )
+        elif args.report == "divergence":
+            out = text_ops.token_divergence(
+                docs, group_col=args.stratum_col, text_col=args.text_col
+            ).orderBy(args.stratum_col)
         else:
             # least-typical docs first: the review queue for OCR/tag soup
             out = (
@@ -421,6 +463,49 @@ def main(argv: list[str] | None = None) -> int:
         shown = out.limit(args.k) if args.report != "top-ngrams" else out
         for row in shown.collect():
             print("  ".join(str(v) for v in row))
+        return 0
+
+    if args.command == "compact":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.operators import dedup as dedup_ops
+
+        snaps = spark.read.parquet(args.input)
+        keys = [k.strip() for k in args.key_cols.split(",") if k.strip()]
+        if args.canonicalize_url:
+            if len(keys) != 1:
+                print("compact: --canonicalize-url needs exactly one key column",
+                      file=sys.stderr)
+                return 2
+            from epss_spark.operators import text as text_ops
+
+            snaps = snaps.withColumn(keys[0], text_ops.url_canonicalize(keys[0]))
+        out = dedup_ops.keep_latest(
+            snaps, keys, args.version_col, tiebreak_col=args.tiebreak_col
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n_in = snaps.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(f"compact: {n_in} snapshots -> {n_out} latest -> {args.output}")
+        return 0
+
+    if args.command == "diff":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from pyspark.sql import functions as F
+
+        from epss_spark.operators import dedup as dedup_ops
+
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        d = dedup_ops.snapshot_diff(old, new, args.id_col, args.text_col)
+        if args.output:
+            d.write.mode("overwrite").parquet(args.output)
+            d = spark.read.parquet(args.output)
+        counts = {r.status: r.n for r in
+                  d.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+        print("diff: " + "  ".join(
+            f"{s}={counts.get(s, 0)}" for s in ("added", "changed", "removed")))
         return 0
 
     if args.command == "bpe-train":

@@ -232,3 +232,63 @@ def test_cli_dedup_spans_method(spark, tmp_path, capsys):
     assert got[0] == "one two three four five"
     assert got[1] == "x y"
     assert got[2] == "solo doc"
+
+
+def test_cli_compact_then_diff(spark, tmp_path, capsys):
+    """compact keeps the newest fetch per canonical URL; diff reports the
+    delta vs a previous compacted dump — the crawl-ingestion tier as two
+    CLI steps."""
+    import epss_spark.cli as cli
+
+    snaps = str(tmp_path / "snaps")
+    spark.createDataFrame(
+        [
+            ("HTTP://A.com:80/p?utm_source=x", 1, 100, "old a"),
+            ("http://a.com/p", 2, 101, "new a"),
+            ("http://b.com/q", 1, 102, "only b"),
+        ],
+        "url string, fetch_seq long, doc_id long, text string",
+    ).write.parquet(snaps)
+    compacted = str(tmp_path / "latest")
+    rc = cli.main([
+        "compact", "--input", snaps, "--output", compacted,
+        "--key-cols", "url", "--version-col", "fetch_seq",
+        "--tiebreak-col", "doc_id", "--canonicalize-url",
+    ])
+    assert rc == 0 and "3 snapshots -> 2 latest" in capsys.readouterr().out
+    got = {r.url: r for r in spark.read.parquet(compacted).collect()}
+    # messy and clean forms collapse to one canonical key; newest wins
+    assert got["http://a.com/p"].text == "new a"
+
+    old = str(tmp_path / "old")
+    spark.createDataFrame(
+        [(100, "was a"), (103, "gone")], "doc_id long, text string"
+    ).write.parquet(old)
+    new = str(tmp_path / "new")
+    spark.createDataFrame(
+        [(100, "was a"), (101, "fresh")], "doc_id long, text string"
+    ).write.parquet(new)
+    out = str(tmp_path / "delta")
+    rc = cli.main(["diff", "--old", old, "--new", new, "--output", out])
+    assert rc == 0
+    assert "added=1  changed=0  removed=1" in capsys.readouterr().out
+    st = {r.doc_id: r.status for r in spark.read.parquet(out).collect()}
+    assert st == {101: "added", 103: "removed"}
+
+
+def test_cli_analyze_card_and_divergence(spark, tmp_path, capsys):
+    import epss_spark.cli as cli
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b a", "en", "s0"), (2, "a b a", "en", "s0"), (3, "x y z w", "de", "s1")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(docs)
+    rc = cli.main(["analyze", "--input", docs, "--report", "card",
+                   "--stratum-col", "lang"])
+    out = capsys.readouterr().out
+    assert rc == 0 and out.strip().startswith("3  10  6  2  2  0.333333")
+    rc = cli.main(["analyze", "--input", docs, "--report", "divergence",
+                   "--stratum-col", "lang"])
+    out = capsys.readouterr().out
+    assert rc == 0 and out.startswith("de  ") and "en  " in out
