@@ -564,6 +564,7 @@ def token_divergence(
     group_col: str = "lang",
     text_col: str = "text",
     materialize: bool = True,
+    kl_only: bool = False,
 ) -> DataFrame:
     """Per-slice token-distribution drift monitor: for each value of
     `group_col` (language, source domain, crawl snapshot, mixture
@@ -577,7 +578,7 @@ def token_divergence(
     always finite here because every slice token is a corpus token.
 
     Returns (group_col, n_tokens, n_types, kl, js), divergences
-    rounded to 6 dp.
+    rounded to 6 dp. With `kl_only=True` the js column is omitted.
 
     Scale shape: ONE tokenize pass -> (group, tok) count aggregate;
     corpus counts, per-group totals, and the corpus total are all
@@ -585,7 +586,12 @@ def token_divergence(
     The JS cross-entropy term needs P_c mass where the slice is absent,
     so the sum runs over the groups x vocab grid — |groups| is small
     (broadcast cross join, same shape as nb_train's smoothing grid) and
-    vocab is Zipf-bounded. No Python crossing."""
+    vocab is Zipf-bounded. With THOUSANDS of slices (per-domain
+    monitoring) the grid stops being small: pass `kl_only=True`, which
+    drops the cross join entirely — KL sums only over the slice's own
+    (group, tok) rows (one inner join against corpus counts), so cost
+    returns to O(sum of slice vocabularies) regardless of slice count.
+    No Python crossing."""
     from epss_spark.operators.layout import ensure_parallelism
 
     tok = ensure_parallelism(docs).select(
@@ -600,13 +606,30 @@ def token_divergence(
     gtot = gcnt.groupBy("__grp").agg(F.sum("__gc").alias("__gt"))
     ctot = ccnt.agg(F.sum("__cc").alias("__ct"))
 
+    pg = F.col("__gc").cast("double") / F.col("__gt").cast("double")
+    pc = F.col("__cc").cast("double") / F.col("__ct").cast("double")
+
+    if kl_only:
+        joined = (
+            gcnt.join(ccnt, "tok")
+            .join(F.broadcast(gtot), "__grp")
+            .crossJoin(F.broadcast(ctot))
+        )
+        return (
+            joined.groupBy("__grp")
+            .agg(
+                F.max("__gt").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_types"),
+                F.round(F.sum(pg * F.log(pg / pc)), 6).alias("kl"),
+            )
+            .withColumnRenamed("__grp", group_col)
+        )
+
     grid = (
         ccnt.crossJoin(F.broadcast(gtot))
         .join(gcnt, ["__grp", "tok"], "left")
         .crossJoin(F.broadcast(ctot))
     )
-    pg = F.col("__gc").cast("double") / F.col("__gt").cast("double")
-    pc = F.col("__cc").cast("double") / F.col("__ct").cast("double")
     m = (F.coalesce(F.col("__gc").cast("double") / F.col("__gt"), F.lit(0.0)) + pc) / 2
     in_slice = F.col("__gc").isNotNull()
     return (

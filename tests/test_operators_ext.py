@@ -2296,3 +2296,22 @@ def test_dataset_card_hand_computed(spark):
     )
     assert r.dup_rate == 0.333333  # docs 1 and 2 are exact duplicates
     assert r.mean_tokens == 3.333333 and r.median_tokens == 3.0
+
+
+def test_token_divergence_kl_only_matches_grid_kl(spark):
+    """The many-slices mode (no JS grid) must produce the identical KL,
+    n_tokens, and n_types as the full form."""
+    df = spark.createDataFrame(
+        [(1, "a b a c", "en"), (2, "a b b d", "en"), (3, "x y x y a", "de")],
+        "doc_id long, text string, lang string",
+    )
+    full = {r.lang: (r.n_tokens, r.n_types, r.kl)
+            for r in text.token_divergence(df).collect()}
+    lean = text.token_divergence(df, kl_only=True)
+    assert "js" not in lean.columns
+    got = {r.lang: (r.n_tokens, r.n_types, r.kl) for r in lean.collect()}
+    assert got == full
+    # and the lean plan has no groups x vocab cross join
+    p = lean._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2  # only the two 1-row scalars
