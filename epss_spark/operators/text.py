@@ -503,6 +503,7 @@ def dataset_card(
     docs: DataFrame,
     text_col: str = "text",
     group_col: str = "lang",
+    approx: bool = False,
 ) -> DataFrame:
     """The one-row corpus summary a dataset release publishes (the
     quantitative half of a dataset card): document and token volume,
@@ -516,16 +517,18 @@ def dataset_card(
     dup_rate[6dp], mean_tokens[6dp], median_tokens).
 
     Scale shape: TWO tokenize passes — (a) a per-doc
-    (n_toks, fp, group) projection folded into one scalar aggregate
-    (count/sum/mean/count-distinct + exact percentile — at 100 TB swap
-    F.percentile for percentile_approx and count_distinct for
-    approx_count_distinct; exact forms are kept here for the
-    cross-engine contract), (b) an explode->distinct for vocabulary
-    size (checkpointing the token arrays to save the second pass would
-    materialize more bytes than the pass costs). No joins beyond the
-    1-row vocab broadcast, no windows."""
+    (n_toks, fp, group) projection folded into one scalar aggregate,
+    (b) an explode->distinct for vocabulary size (checkpointing the
+    token arrays to save the second pass would materialize more bytes
+    than the pass costs). No joins beyond the 1-row vocab broadcast, no
+    windows. `approx=False` (default) uses exact count-distinct and
+    exact percentile — the cross-engine oracle contract; `approx=True`
+    is the 100 TB mode: HLL++ approx_count_distinct (no distinct
+    shuffle for fp/vocab) and percentile_approx (bounded sketch instead
+    of a full sort) — same row shape, ~1-2% error, engine-specific."""
     from epss_spark.operators.layout import ensure_parallelism
 
+    cd = F.approx_count_distinct if approx else F.count_distinct
     base = ensure_parallelism(docs)
     per_doc = base.select(
         F.col(group_col).alias("__grp"),
@@ -533,15 +536,20 @@ def dataset_card(
         F.size(tokens(text_col)).cast("long").alias("__nt"),
     )
     vocab_size = base.select(F.explode(tokens(text_col)).alias("t")).agg(
-        F.count_distinct("t").alias("v")
+        cd("t").alias("v")
+    )
+    median = (
+        F.percentile_approx(F.col("__nt"), F.lit(0.5)).cast("double")
+        if approx
+        else F.percentile(F.col("__nt"), F.lit(0.5))
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__nt").alias("n_tokens"),
-        F.count_distinct("__grp").alias("n_groups"),
-        F.count_distinct("__fp").alias("n_unique"),
+        cd("__grp").alias("n_groups"),
+        cd("__fp").alias("n_unique"),
         F.round(F.avg(F.col("__nt").cast("double")), 6).alias("mean_tokens"),
-        F.percentile(F.col("__nt"), F.lit(0.5)).alias("median_tokens"),
+        median.alias("median_tokens"),
     )
     return stats.crossJoin(F.broadcast(vocab_size)).select(
         "n_docs",

@@ -2315,3 +2315,19 @@ def test_token_divergence_kl_only_matches_grid_kl(spark):
     p = lean._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 2  # only the two 1-row scalars
+
+
+def test_dataset_card_approx_mode_close_to_exact(spark):
+    """The 100 TB mode (HLL++ distinct, sketch percentile) must agree
+    with the exact card within sketch tolerance on real testdata."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = text.dataset_card(docs).collect()[0]
+    approx = text.dataset_card(docs, approx=True).collect()[0]
+    assert approx.n_docs == exact.n_docs and approx.n_tokens == exact.n_tokens
+    assert approx.n_groups == exact.n_groups  # 5 langs: HLL exact at tiny card.
+    for fld in ("n_unique", "vocab_size"):
+        assert abs(approx[fld] - exact[fld]) / exact[fld] < 0.05
+    assert abs(approx.median_tokens - exact.median_tokens) <= max(
+        2.0, 0.05 * exact.median_tokens
+    )
+    assert approx.mean_tokens == exact.mean_tokens  # mean is exact in both
