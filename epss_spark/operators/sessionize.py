@@ -67,6 +67,7 @@ def event_funnel(
     type_col: str = "event_type",
     time: str = "ts",
     tiebreak: str = "event_id",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-sequence conversion funnel: for the step sequence
     [s1, s2, ...], a key converts through step i when an event of type
@@ -79,6 +80,13 @@ def event_funnel(
     Returns one row per step: (step, event_type, n_converted,
     conversion) where conversion = n_converted / previous step's count
     (step 1 converts from the total distinct-key base), rounded to 6 dp.
+
+    `max_gap_seconds` bounds the time between CONSECUTIVE steps (the
+    "purchase within a day of viewing" form). Because the gap to the
+    previous step grows monotonically with event time, "first matching
+    event must fall within the gap" and "earliest matching event within
+    the gap" coincide — the fold checks the gap on the candidate match,
+    and the SQL replay is still a per-step min over gap-filtered keys.
 
     Scale shape: events are FILTERED to the step types before the one
     (key)-aggregate shuffle (pushed to the scan); each key folds its
@@ -97,14 +105,39 @@ def event_funnel(
         ).alias("__seq")
     )
     steps_lit = F.array(*[F.lit(s) for s in steps])
-    reached = F.aggregate(
-        "__seq",
-        F.lit(0),
-        lambda acc, x: F.when(
-            (acc < len(steps)) & (x[type_col] == F.element_at(steps_lit, acc + 1)),
-            acc + 1,
-        ).otherwise(acc),
-    )
+    if max_gap_seconds is None:
+        reached = F.aggregate(
+            "__seq",
+            F.lit(0),
+            lambda acc, x: F.when(
+                (acc < len(steps)) & (x[type_col] == F.element_at(steps_lit, acc + 1)),
+                acc + 1,
+            ).otherwise(acc),
+        )
+    else:
+        # state carries (step, micros of the previous step's event) so the
+        # gap check stays exact integer arithmetic (the sessionize rule)
+        gap_us = F.lit(int(max_gap_seconds) * 1_000_000)
+        init = F.struct(
+            F.lit(0).alias("step"), F.lit(0).cast("long").alias("us")
+        )
+        reached = F.aggregate(
+            "__seq",
+            init,
+            lambda acc, x: F.when(
+                (acc["step"] < len(steps))
+                & (x[type_col] == F.element_at(steps_lit, acc["step"] + 1))
+                & (
+                    (acc["step"] == 0)
+                    | (F.unix_micros(x[time]) - acc["us"] <= gap_us)
+                ),
+                F.struct(
+                    (acc["step"] + 1).alias("step"),
+                    F.unix_micros(x[time]).alias("us"),
+                ),
+            ).otherwise(acc),
+            lambda acc: acc["step"],
+        )
     hist = dict(
         per_key.select(reached.alias("__r")).groupBy("__r").count().collect()
     )

@@ -601,6 +601,63 @@ def event_funnel(spark, sf_dir):
 
 
 @register(
+    "event_funnel_windowed",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('signup', 'view', 'purchase')
+    ),
+    base AS (SELECT COUNT(DISTINCT user_id) AS b FROM events),
+    s1 AS (
+      SELECT user_id, min(struct_pack(ts := ts, eid := event_id)) AS k FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT ev.user_id, min(struct_pack(ts := ts, eid := event_id)) AS k
+      FROM ev JOIN s1 USING (user_id)
+      WHERE event_type = 'view' AND struct_pack(ts := ts, eid := event_id) > s1.k
+        AND epoch_us(ts) - epoch_us(s1.k.ts) <= 86400000000
+      GROUP BY ev.user_id
+    ),
+    s3 AS (
+      SELECT ev.user_id, min(struct_pack(ts := ts, eid := event_id)) AS k
+      FROM ev JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND struct_pack(ts := ts, eid := event_id) > s2.k
+        AND epoch_us(ts) - epoch_us(s2.k.ts) <= 86400000000
+      GROUP BY ev.user_id
+    ),
+    n AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3,
+             (SELECT b FROM base) AS b
+    )
+    SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, n1 AS n_converted,
+           CASE WHEN b > 0 THEN round(CAST(n1 AS DOUBLE) / b, 6) END AS conversion
+    FROM n
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'view', n2,
+           CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END FROM n
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', n3,
+           CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
+    """,
+)
+def event_funnel_windowed(spark, sf_dir):
+    """Time-windowed conversion funnel: each step must occur within 24 h
+    of the previous step's event (exact integer-microsecond arithmetic,
+    the sessionize rule). The fold carries (step, prev-step micros) as
+    its state; the oracle replays with gap-filtered per-step min keys —
+    equivalent because the gap grows monotonically with event time."""
+    from epss_spark.operators import sessionize as sz
+
+    return sz.event_funnel(
+        T(spark, sf_dir, "events"), ["signup", "view", "purchase"],
+        max_gap_seconds=86400,
+    )
+
+
+@register(
     "agg_percentiles",
     """
     SELECT l_returnflag,

@@ -2331,3 +2331,28 @@ def test_dataset_card_approx_mode_close_to_exact(spark):
         2.0, 0.05 * exact.median_tokens
     )
     assert approx.mean_tokens == exact.mean_tokens  # mean is exact in both
+
+
+def test_event_funnel_max_gap(spark):
+    import datetime as dt
+
+    from epss_spark.operators import sessionize as sz
+
+    D = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view 1h after signup (inside a 2h gap)
+        (1, D, 1, "signup"), (1, D + dt.timedelta(hours=1), 2, "view"),
+        # user 2: view 3h after signup (outside), later view even further
+        (2, D, 3, "signup"), (2, D + dt.timedelta(hours=3), 4, "view"),
+        (2, D + dt.timedelta(hours=9), 5, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    unbounded = {r.step: r.n_converted
+                 for r in sz.event_funnel(df, ["signup", "view"]).collect()}
+    assert unbounded == {1: 2, 2: 2}
+    gapped = {r.step: r.n_converted
+              for r in sz.event_funnel(df, ["signup", "view"],
+                                       max_gap_seconds=7200).collect()}
+    assert gapped == {1: 2, 2: 1}  # user 2's first view misses the window
