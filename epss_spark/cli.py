@@ -301,6 +301,34 @@ def build_parser() -> argparse.ArgumentParser:
     asr.add_argument("--id-col", default="vec_id")
     asr.add_argument("--vec-col", default="embedding")
 
+    nt = sub.add_parser(
+        "nb-train",
+        help="train the Naive Bayes gating classifier on a labeled "
+        "parquet (extension): writes the frozen model artifact "
+        "(model/ log-likelihood grid + prior/) for classify",
+    )
+    nt.add_argument("--input", required=True, help="labeled parquet (text + label col)")
+    nt.add_argument("--output", required=True, help="model dir (model/ + prior/)")
+    nt.add_argument("--label-col", default="lang")
+    nt.add_argument("--text-col", default="text")
+    nt.add_argument("--alpha", type=float, default=0.5, help="Lidstone smoothing")
+
+    cl = sub.add_parser(
+        "classify",
+        help="classify a documents parquet against a frozen nb-train "
+        "model artifact (extension): one tokenize pass + one join "
+        "against the model grid; writes (id, predicted, score)",
+    )
+    cl.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
+    cl.add_argument("--model", required=True, help="model dir from nb-train")
+    cl.add_argument("--output", required=True, help="output parquet")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument(
+        "--label-col",
+        help="ground-truth column to carry through (adds actual/correct + prints accuracy)",
+    )
+
     cp = sub.add_parser(
         "compact",
         help="keep-latest snapshot compaction (extension): one row per "
@@ -463,6 +491,49 @@ def main(argv: list[str] | None = None) -> int:
         shown = out.limit(args.k) if args.report != "top-ngrams" else out
         for row in shown.collect():
             print("  ".join(str(v) for v in row))
+        return 0
+
+    if args.command == "nb-train":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        import os as _os
+
+        from epss_spark.operators import text as text_ops
+
+        docs = spark.read.parquet(args.input)
+        model, prior = text_ops.nb_train(
+            docs, label_col=args.label_col, text_col=args.text_col, alpha=args.alpha
+        )
+        model.write.mode("overwrite").parquet(_os.path.join(args.output, "model"))
+        prior.write.mode("overwrite").parquet(_os.path.join(args.output, "prior"))
+        n_cls = spark.read.parquet(_os.path.join(args.output, "prior")).count()
+        n_rows = spark.read.parquet(_os.path.join(args.output, "model")).count()
+        print(f"nb-train: {n_cls} classes, {n_rows} grid rows -> {args.output}")
+        return 0
+
+    if args.command == "classify":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from epss_spark.operators import text as text_ops
+
+        docs = spark.read.parquet(args.input)
+        model = spark.read.parquet(_os.path.join(args.model, "model"))
+        prior = spark.read.parquet(_os.path.join(args.model, "prior"))
+        out = text_ops.nb_apply(
+            docs, model, prior, args.id_col, args.text_col, label_col=args.label_col
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        scored = spark.read.parquet(args.output)
+        n = scored.count()
+        msg = f"classify: {docs.count()} docs -> {n} scored -> {args.output}"
+        if args.label_col:
+            acc = scored.agg(F.avg(F.col("correct").cast("double"))).first()[0]
+            msg += f" (accuracy {acc:.4f})" if acc is not None else ""
+        print(msg)
         return 0
 
     if args.command == "compact":

@@ -292,3 +292,34 @@ def test_cli_analyze_card_and_divergence(spark, tmp_path, capsys):
                    "--stratum-col", "lang"])
     out = capsys.readouterr().out
     assert rc == 0 and out.startswith("de  ") and "en  " in out
+
+
+def test_cli_nb_train_then_classify(spark, tmp_path, capsys):
+    """nb-train writes the frozen classifier artifact; classify gates a
+    corpus against it — the quality/language-gate lifecycle as two CLI
+    steps (disjoint class vocabularies make expectations unambiguous)."""
+    import epss_spark.cli as cli
+
+    seed = str(tmp_path / "seed")
+    spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "x"), (1, "alpha gamma beta", "x"),
+            (2, "uno dos tres", "y"), (3, "dos tres uno dos", "y"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(seed)
+    model_dir = str(tmp_path / "nb")
+    rc = cli.main(["nb-train", "--input", seed, "--output", model_dir])
+    assert rc == 0 and "2 classes" in capsys.readouterr().out
+
+    new = str(tmp_path / "new")
+    spark.createDataFrame(
+        [(10, "beta gamma NOISE", "x"), (11, "tres uno EXTRA", "y")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(new)
+    out = str(tmp_path / "pred")
+    rc = cli.main(["classify", "--input", new, "--model", model_dir,
+                   "--output", out, "--label-col", "lang"])
+    assert rc == 0 and "accuracy 1.0000" in capsys.readouterr().out
+    got = {r.doc_id: r.predicted for r in spark.read.parquet(out).collect()}
+    assert got == {10: "x", 11: "y"}
