@@ -89,7 +89,9 @@ def main() -> None:
         if name in PSEUDO:
             q = lambda s, d, name=name: _bm25_split(s, d, name)
         else:
-            q = registry.QUERIES[name]
+            # full registry, not just the driver surface — pytest-tier
+            # queries get scale evidence too
+            q = registry.get_all_queries()[name]
         bench.force(q(spark, base_dir))  # warm (JIT + plan)
         t: dict[str, float] = {}
         for tag, d in [("bench_sec", base_dir), ("probe_sec", big_dir)]:
