@@ -371,3 +371,40 @@ def quality_funnel(
         "stage long, name string, n_in long, n_out long, "
         "n_dropped long, retention double",
     )
+
+
+def pack_efficiency(
+    assignments: DataFrame,
+    budget: int,
+) -> DataFrame:
+    """Padding-waste report over a pack_sequences assignment — THE
+    packing metric: every token a bin leaves unfilled is a padding
+    token the training step pays for. One row:
+    (n_bins, n_docs, n_tokens, capacity, fill_rate[6dp],
+    n_overlong_bins) where capacity = n_bins * budget, fill_rate =
+    n_tokens / capacity, and n_overlong_bins counts single-doc bins
+    whose document alone exceeds the budget (those bins are truncation
+    candidates, not padding waste — their fill_rate contribution is
+    capped at 1 bin's budget so the rate stays <= 1 in their absence
+    and interpretable with them).
+
+    One aggregate over the (bucket, bin) groups of the assignment
+    table — integer-only, oracle-exact."""
+    per_bin = assignments.groupBy("bucket", "bin").agg(
+        F.count(F.lit(1)).alias("__docs"),
+        F.sum("n_tokens").alias("__toks"),
+    )
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("__docs").alias("n_docs"),
+        F.sum("__toks").alias("n_tokens"),
+        (F.count(F.lit(1)) * F.lit(int(budget))).alias("capacity"),
+        F.round(
+            F.sum(F.least(F.col("__toks"), F.lit(int(budget)))).cast("double")
+            / (F.count(F.lit(1)) * F.lit(int(budget))).cast("double"),
+            6,
+        ).alias("fill_rate"),
+        F.sum((F.col("__toks") > F.lit(int(budget))).cast("long")).alias(
+            "n_overlong_bins"
+        ),
+    )

@@ -1333,6 +1333,39 @@ def pack_sequences(spark, sf_dir):
 
 
 @register(
+    "pack_efficiency",
+    _PACK_CTE
+    + f"""
+    , per_bin AS (
+      SELECT bucket, bin, COUNT(*) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS toks
+      FROM packed GROUP BY bucket, bin
+    )
+    SELECT COUNT(*) AS n_bins,
+           CAST(SUM(docs) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) * {_PACK_BUDGET} AS BIGINT) AS capacity,
+           round(CAST(SUM(least(toks, {_PACK_BUDGET})) AS DOUBLE)
+                 / CAST(COUNT(*) * {_PACK_BUDGET} AS DOUBLE), 6) AS fill_rate,
+           CAST(SUM(CASE WHEN toks > {_PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlong_bins
+    FROM per_bin
+    """,
+)
+def pack_efficiency(spark, sf_dir):
+    """Padding-waste report (operators/prep.py::pack_efficiency) over the
+    pack_sequences assignment — the metric that decides whether the
+    budget/bucketing is right: fill_rate is the fraction of training
+    capacity carrying real tokens (the rest is padding the training step
+    pays for); overlong single-doc bins are truncation candidates. One
+    integer-only aggregate over (bucket, bin) groups; the oracle replays
+    the full recursive-CTE packing underneath."""
+    a = prep.pack_sequences(
+        T(spark, sf_dir, "documents"), budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )
+    return prep.pack_efficiency(a, _PACK_BUDGET)
+
+
+@register(
     "dedup_winnow_pairs",
     _WINNOW_CTE
     + """

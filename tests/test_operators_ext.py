@@ -2356,3 +2356,19 @@ def test_event_funnel_max_gap(spark):
               for r in sz.event_funnel(df, ["signup", "view"],
                                        max_gap_seconds=7200).collect()}
     assert gapped == {1: 2, 2: 1}  # user 2's first view misses the window
+
+
+def test_pack_efficiency_hand_computed(spark):
+    from epss_spark.operators import prep
+
+    # direct assignment table: bucket 0 has a full bin (10) and a half
+    # bin (5); bucket 1 has one overlong single-doc bin (14 > budget 10)
+    a = spark.createDataFrame(
+        [(1, 0, 0, 6), (2, 0, 0, 4), (3, 0, 1, 5), (4, 1, 0, 14)],
+        "doc_id long, bucket long, bin long, n_tokens long",
+    )
+    r = prep.pack_efficiency(a, budget=10).collect()[0]
+    assert (r.n_bins, r.n_docs, r.n_tokens, r.capacity) == (3, 4, 29, 30)
+    # fill counts the overlong bin as min(14, 10): (10 + 5 + 10) / 30
+    assert r.fill_rate == 0.833333
+    assert r.n_overlong_bins == 1
