@@ -2372,3 +2372,22 @@ def test_pack_efficiency_hand_computed(spark):
     # fill counts the overlong bin as min(14, 10): (10 + 5 + 10) / 30
     assert r.fill_rate == 0.833333
     assert r.n_overlong_bins == 1
+
+
+def test_strip_html_preserves_line_grain_for_line_operators(spark):
+    """strip_html turns closing block tags into newlines precisely so the
+    line-grain operators see real lines: a boilerplate <li> repeated
+    across pages must be strippable by corpus line dedup afterward."""
+    pages = [
+        (1, "<ul><li>same cookie banner here</li></ul><p>unique body one is long</p>"),
+        (2, "<ul><li>same cookie banner here</li></ul><p>another unique body two</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string").select(
+        "doc_id", text.strip_html("text").alias("text")
+    )
+    stripped = {r.doc_id: r.text for r in df.collect()}
+    assert stripped[1] == "same cookie banner here\nunique body one is long"
+    deduped = {r.doc_id: r.text for r in dedup.dedup_corpus_lines(df).collect()}
+    # first occurrence keeps the banner; the second page loses it
+    assert deduped[1] == "same cookie banner here\nunique body one is long"
+    assert deduped[2] == "another unique body two"
