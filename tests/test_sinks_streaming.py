@@ -1711,3 +1711,74 @@ def test_streaming_keep_latest_equals_batch_replay_and_compaction(spark, tmp_pat
         )
     )
     assert got3 == want
+
+
+def test_streaming_funnel_equals_batch_and_replay(spark, tmp_path):
+    """Funnel-stream contract: after draining time-partitioned batches,
+    funnel_snapshot == the one-shot event_funnel over the union (both
+    gapless and gapped forms), and replaying an epoch changes nothing."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import sessionize as sz
+    from epss_spark.streaming import funnel_stream
+
+    D = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, D, 1, "signup"), (2, D, 2, "signup"), (3, D, 3, "click"),
+        (1, D + dt.timedelta(hours=1), 4, "view"),
+        (2, D + dt.timedelta(hours=30), 5, "view"),  # outside a 1-day gap
+        (1, D + dt.timedelta(hours=2), 6, "purchase"),
+        (4, D + dt.timedelta(hours=3), 7, "view"),  # view with no signup
+    ]
+    rows.sort(key=lambda r: r[1])
+    batches = [rows[:3], rows[3:5], rows[5:]]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    for i, b in enumerate(batches):
+        staging = tmp_path / f"stage_{i}"
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    steps = ["signup", "view", "purchase"]
+    alldf = spark.createDataFrame(rows, schema)
+
+    for gap, state_name in [(None, "state_nogap"), (86400, "state_gap")]:
+        state = str(tmp_path / state_name)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop_dir))
+        )
+        q = funnel_stream.start_funnel_stream(
+            stream, state, str(tmp_path / f"ckpt_{state_name}"), steps,
+            max_gap_seconds=gap,
+        )
+        q.awaitTermination(180)
+        want = sorted(
+            map(tuple, sz.event_funnel(alldf, steps, max_gap_seconds=gap).collect())
+        )
+        got = sorted(
+            map(tuple, funnel_stream.funnel_snapshot(spark, state, steps).collect())
+        )
+        assert got == want, (gap, got, want)
+
+    # crash-retry replay of the LAST epoch must leave the report unchanged
+    state = str(tmp_path / "state_gap")
+    last = spark.createDataFrame(batches[-1], schema)
+    funnel_stream.process_funnel_batch(
+        last, 2, state, steps, max_gap_seconds=86400
+    )
+    want = sorted(
+        map(tuple, sz.event_funnel(alldf, steps, max_gap_seconds=86400).collect())
+    )
+    got = sorted(
+        map(tuple, funnel_stream.funnel_snapshot(spark, state, steps).collect())
+    )
+    assert got == want
