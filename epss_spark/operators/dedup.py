@@ -1399,6 +1399,50 @@ def dedup_batch_spans(
     return kept_docs, new_fps
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination by SPAN EXCISION — the editing form of
+    the GPT-3 13-gram rule (Brown et al. 2020 removed leaked spans plus
+    a margin; Lee et al. 2022 §5 argue span edits over doc drops):
+    every >= k-token span of a training document that also appears
+    (normalized) in the benchmark is removed; the document survives
+    minus the leak. `benchmark_contamination` / `bloom_contamination`
+    are the doc-grain DROP-decision diagnostics; this is the EDIT
+    action. Within-corpus duplication is deliberately untouched — only
+    benchmark-overlapping spans go (run dedup_spans separately for
+    that).
+
+    Returns (id, text, n_tokens_kept) over the normalized token stream
+    (the dedup_spans contract); fully-covered and token-free docs drop.
+
+    Scale shape: the benchmark's distinct gram-fp set is tiny relative
+    to the corpus (an eval suite, not a crawl) — the hit join
+    broadcasts it in practice; one pass over the corpus gram rows,
+    coverage expansion bounded by k x leaked occurrences, reassembly on
+    id. The corpus is tokenized once."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    bench_fps = span_index(
+        benchmark,
+        k=k,
+        id_col=bench_id_col or id_col,
+        text_col=bench_text_col or text_col,
+    )
+    toked = docs.select(id_col, tokens(text_col).alias("__toks"))
+    tok_rows, gram_rows = _span_rows(toked, k, id_col, "__toks")
+    hits = gram_rows.join(
+        bench_fps.select(F.col("gram_fp").alias("fp")), "fp"
+    ).select(id_col, "pos", "fp")
+    return _remove_covered_tokens(tok_rows, hits, k, id_col, text_col)
+
+
 def span_novelty(
     docs: DataFrame,
     k: int = 8,

@@ -2417,6 +2417,61 @@ def dedup_spans_incremental(spark, sf_dir):
 
 
 @register(
+    "dedup_decontam_spans",
+    f"""
+    WITH btoked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+                    WHERE doc_id < 10),
+    bench_fp AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+             i -> md5(array_to_string(toks[i:i+{_SPAN_K}-1], ' ')))) AS gram_fp
+      FROM btoked WHERE len(toks) >= {_SPAN_K}
+    ),
+    ttoked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+               WHERE doc_id >= 10),
+    ttok AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok
+      FROM ttoked
+    ),
+    tgrams AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS pos,
+             unnest(list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+                    i -> md5(array_to_string(toks[i:i+{_SPAN_K}-1], ' ')))) AS fp
+      FROM ttoked WHERE len(toks) >= {_SPAN_K}
+    ),
+    hit AS (
+      SELECT doc_id, pos FROM tgrams WHERE fp IN (SELECT gram_fp FROM bench_fp)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, tpos FROM (
+        SELECT doc_id, unnest(range(pos, pos + {_SPAN_K})) AS tpos FROM hit
+      )
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM ttok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.tpos
+      WHERE c.doc_id IS NULL
+    )
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+           COUNT(*) AS n_tokens_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_decontam_spans(spark, sf_dir):
+    """Benchmark decontamination by span excision (operators/dedup.py::
+    decontaminate_spans, the editing form of the GPT-3 13-gram rule):
+    docs 0-9 stand in for an eval suite; every >= 8-token span of the
+    remaining corpus that also appears in the benchmark is removed
+    while the documents survive. Within-corpus duplication is
+    untouched — only the leak goes."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.decontaminate_spans(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        k=_SPAN_K,
+    )
+
+
+@register(
     "dedup_lines_incremental",
     """
     WITH corpus_fp AS (

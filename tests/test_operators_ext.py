@@ -2391,3 +2391,30 @@ def test_strip_html_preserves_line_grain_for_line_operators(spark):
     # first occurrence keeps the banner; the second page loses it
     assert deduped[1] == "same cookie banner here\nunique body one is long"
     assert deduped[2] == "another unique body two"
+
+
+def test_decontaminate_spans_excises_only_benchmark_overlap(spark):
+    """The leaked span goes; the doc survives; within-corpus duplication
+    is untouched (that's dedup_spans' job, not decontamination's)."""
+    leak = "the quick brown fox jumps over the lazy dog"
+    bench = spark.createDataFrame(
+        [(100, f"eval question about {leak} end")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} outro words"),
+            # doc 2 and 3 duplicate each other but share nothing with bench
+            (2, "totally clean content repeated verbatim here"),
+            (3, "totally clean content repeated verbatim here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.decontaminate_spans(docs, bench, k=9).collect()
+    }
+    assert got[1].text == "intro words outro words"
+    assert got[2].text == got[3].text == "totally clean content repeated verbatim here"
+    # a fully-leaked doc drops entirely
+    full = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    assert dedup.decontaminate_spans(full, bench, k=9).count() == 0
