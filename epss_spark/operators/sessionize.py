@@ -151,3 +151,60 @@ def event_funnel(
     return events.sparkSession.createDataFrame(
         rows, "step long, event_type string, n_converted long, conversion double"
     )
+
+
+def value_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Robust per-group anomaly summary: median and MAD (median absolute
+    deviation, scaled by the normal-consistency constant 1.4826) of
+    `value_col`, and how many rows fall outside median +- n_sigmas
+    robust sigmas — the monitoring rule that survives the outliers it
+    is hunting (mean/stddev get dragged by the very anomalies a burst
+    of bad telemetry injects; the median/MAD breakdown point is 50%).
+
+    Returns one row per group: (group_col, n, median, mad,
+    lo[6dp], hi[6dp], n_outliers).
+
+    Scale shape: two grouped aggregates over the SAME key (the second
+    over |x - median|, which needs the first's result joined back —
+    groups are FEW, so the join broadcasts) plus one counting pass.
+    Exact percentiles for the cross-engine contract; swap
+    percentile_approx in at 100 TB the same way dataset_card documents.
+    NULL values are ignored (percentile semantics) and never counted as
+    outliers."""
+    ev = events.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+    med = ev.groupBy("__g").agg(F.percentile("__v", F.lit(0.5)).alias("__med"))
+    dev = (
+        ev.join(F.broadcast(med), "__g")
+        .select("__g", "__med", F.abs(F.col("__v") - F.col("__med")).alias("__ad"))
+        .groupBy("__g")
+        .agg(
+            F.max("__med").alias("__med"),
+            (F.percentile("__ad", F.lit(0.5)) * F.lit(1.4826)).alias("__mad"),
+        )
+    )
+    lo = F.col("__med") - F.lit(float(n_sigmas)) * F.col("__mad")
+    hi = F.col("__med") + F.lit(float(n_sigmas)) * F.col("__mad")
+    flagged = (
+        ev.join(F.broadcast(dev), "__g")
+        .select(
+            "__g", "__med", "__mad",
+            ((F.col("__v") < lo) | (F.col("__v") > hi)).alias("__out"),
+            F.col("__v").isNotNull().alias("__nn"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("__nn").cast("long")).alias("n"),
+            F.round(F.max("__med"), 6).alias("median"),
+            F.round(F.max("__mad"), 6).alias("mad"),
+            F.round(F.max(lo), 6).alias("lo"),
+            F.round(F.max(hi), 6).alias("hi"),
+            F.sum(F.coalesce(F.col("__out").cast("long"), F.lit(0))).alias("n_outliers"),
+        )
+        .withColumnRenamed("__g", group_col)
+    )
+    return flagged

@@ -601,6 +601,39 @@ def event_funnel(spark, sf_dir):
 
 
 @register(
+    "event_value_outliers",
+    """
+    WITH ev AS (SELECT event_type AS g, value AS v FROM events),
+    med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM ev GROUP BY g),
+    dev AS (
+      SELECT ev.g, MAX(med.med) AS med,
+             quantile_cont(abs(v - med.med), 0.5) * 1.4826 AS mad
+      FROM ev JOIN med USING (g) GROUP BY ev.g
+    )
+    SELECT ev.g AS event_type,
+           COUNT(v) AS n,
+           round(MAX(dev.med), 6) AS median,
+           round(MAX(dev.mad), 6) AS mad,
+           round(MAX(dev.med - 3.0 * dev.mad), 6) AS lo,
+           round(MAX(dev.med + 3.0 * dev.mad), 6) AS hi,
+           CAST(COALESCE(SUM(CASE WHEN v < dev.med - 3.0 * dev.mad
+                               OR v > dev.med + 3.0 * dev.mad
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
+    FROM ev JOIN dev USING (g) GROUP BY ev.g
+    """,
+)
+def event_value_outliers(spark, sf_dir):
+    """Robust per-type anomaly summary over the events value column
+    (operators/sessionize.py::value_outliers): median/MAD bounds at 3
+    robust sigmas and the out-of-bounds count — the telemetry-health
+    rule whose estimators the anomalies themselves cannot drag (50%
+    breakdown point, vs mean/stddev's 0%)."""
+    from epss_spark.operators import sessionize as sz
+
+    return sz.value_outliers(T(spark, sf_dir, "events"))
+
+
+@register(
     "event_funnel_windowed",
     """
     WITH ev AS (

@@ -2418,3 +2418,19 @@ def test_decontaminate_spans_excises_only_benchmark_overlap(spark):
     # a fully-leaked doc drops entirely
     full = spark.createDataFrame([(9, leak)], "doc_id long, text string")
     assert dedup.decontaminate_spans(full, bench, k=9).count() == 0
+
+
+def test_value_outliers_hand_computed(spark):
+    from epss_spark.operators import sessionize as sz
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 100]] + [
+        ("b", 7.0), ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r.event_type: r for r in sz.value_outliers(df).collect()}
+    a = got["a"]
+    # median 3.5; abs devs [2.5,1.5,.5,.5,1.5,96.5] -> MAD = 1.5 * 1.4826
+    assert (a.n, a.median, a.mad) == (6, 3.5, round(1.5 * 1.4826, 6))
+    assert a.n_outliers == 1  # only the 100
+    b = got["b"]
+    assert (b.n, b.mad, b.n_outliers) == (1, 0.0, 0)  # NULL ignored, not outlier
