@@ -85,7 +85,8 @@ def keep_latest(
     """Snapshot compaction: keep exactly ONE row per key — the one with
     the greatest `version_col` (ties broken by the greatest
     `tiebreak_col`, then by the remaining payload; pass a unique
-    tiebreak for full determinism). The crawl-pipeline shape this
+    tiebreak for full determinism — REQUIRED when the payload contains
+    unorderable columns like maps, which cannot be tie-compared). The crawl-pipeline shape this
     serves: re-fetched pages keyed by canonical URL (url_canonicalize)
     with a fetch sequence/timestamp — compacting N snapshots per page
     down to the newest before any content-level dedup runs. Also the

@@ -601,6 +601,48 @@ def event_funnel(spark, sf_dir):
 
 
 @register(
+    "event_daily_growth",
+    """
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    first_day AS (SELECT user_id, MIN(day) AS day FROM d GROUP BY user_id),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS active_users FROM d GROUP BY day),
+    nu AS (SELECT day, COUNT(*) AS new_users FROM first_day GROUP BY day)
+    SELECT dau.day, dau.active_users,
+           COALESCE(nu.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(nu.new_users, 0)) OVER (
+             ORDER BY dau.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cumulative_users
+    FROM dau LEFT JOIN nu USING (day)
+    """,
+)
+def event_daily_growth(spark, sf_dir):
+    """Daily-active / new / cumulative user growth from the events
+    stream — the standard product-growth rollup. Shape: one distinct
+    (user, day) aggregate for DAU, one min-day-per-user aggregate for
+    first-seen, a small per-day join and a running sum over the
+    day-count rows (days are few; the window is driver-tiny). All
+    exact; at 100 TB swap DAU's count-distinct for the HLL sketch
+    tables (sketches.py) merged per day."""
+    ev = T(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day"))
+    dau = d.groupBy("day").agg(F.count_distinct("user_id").alias("active_users"))
+    first_day = d.groupBy("user_id").agg(F.min("day").alias("day"))
+    nu = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(nu, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+    )
+
+
+@register(
     "event_value_outliers",
     """
     WITH ev AS (SELECT event_type AS g, value AS v FROM events),
