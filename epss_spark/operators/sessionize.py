@@ -208,3 +208,46 @@ def value_outliers(
         .withColumnRenamed("__g", group_col)
     )
     return flagged
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key: str = "user_id",
+    time: str = "ts",
+) -> DataFrame:
+    """Day-N retention matrix: users cohorted by first-seen day; for
+    each (cohort_day, day_offset), how many cohort members were active
+    that many days later and what fraction of the cohort that is — the
+    standard growth-accounting companion to the DAU rollup (is the
+    product keeping the users each cohort brought?).
+
+    Returns (cohort_day, day_offset, n_active, cohort_size,
+    retention_rate[6dp]) with day_offset 0 rows equal to the cohort
+    size by construction.
+
+    Scale shape: one distinct (user, day) aggregate, one min-day
+    cohorting aggregate, a key-equi join back (co-partitions on the
+    user key), and a (cohort, offset) count — output is bounded by
+    days^2 / 2 regardless of user count."""
+    d = events.select(F.col(key).alias("__u"), F.col(time).cast("date").alias("__day")).distinct()
+    first = d.groupBy("__u").agg(F.min("__day").alias("__cohort"))
+    act = (
+        d.join(first, "__u")
+        .select("__cohort", F.datediff("__day", F.col("__cohort")).alias("__off"))
+        .groupBy("__cohort", "__off")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    size = first.groupBy("__cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        act.join(F.broadcast(size), "__cohort")
+        .select(
+            F.col("__cohort").alias("cohort_day"),
+            F.col("__off").cast("long").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+    )

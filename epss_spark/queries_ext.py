@@ -643,6 +643,35 @@ def event_daily_growth(spark, sf_dir):
 
 
 @register(
+    "event_retention_cohorts",
+    """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id),
+    act AS (
+      SELECT cohort, day - cohort AS off, COUNT(*) AS n_active
+      FROM d JOIN first USING (user_id) GROUP BY cohort, day - cohort
+    ),
+    sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort)
+    SELECT act.cohort AS cohort_day,
+           CAST(off AS BIGINT) AS day_offset,
+           n_active, cohort_size,
+           round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention_rate
+    FROM act JOIN sz USING (cohort)
+    """,
+)
+def event_retention_cohorts(spark, sf_dir):
+    """Day-N retention matrix (operators/sessionize.py::
+    retention_cohorts): users cohorted by first-seen day, per
+    (cohort, offset) active counts and retention fractions — the
+    growth-accounting companion to event_daily_growth. Output bounded
+    by days^2/2 regardless of user count; the user-key join
+    co-partitions."""
+    from epss_spark.operators import sessionize as sz
+
+    return sz.retention_cohorts(T(spark, sf_dir, "events"))
+
+
+@register(
     "event_value_outliers",
     """
     WITH ev AS (SELECT event_type AS g, value AS v FROM events),

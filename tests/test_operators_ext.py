@@ -2470,3 +2470,28 @@ def test_event_daily_growth_semantics(spark):
     assert [(r.active_users, r.new_users, r.cumulative_users) for r in out] == [
         (2, 2, 2), (2, 1, 3),
     ]
+
+
+def test_retention_cohorts_hand_computed(spark):
+    import datetime as dt
+
+    from epss_spark.operators import sessionize as sz
+
+    D = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, D), (2, D),
+            (1, D + dt.timedelta(days=1)), (3, D + dt.timedelta(days=1)),
+            (2, D + dt.timedelta(days=2)), (3, D + dt.timedelta(days=2)),
+            (1, D),  # same-day repeat must not inflate n_active
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (str(r.cohort_day), r.day_offset): (r.n_active, r.cohort_size, r.retention_rate)
+        for r in sz.retention_cohorts(ev).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)  # only user 1 returns day 2
+    assert got[("2024-01-01", 2)] == (1, 2, 0.5)  # only user 2 on day 3
+    assert got[("2024-01-02", 1)] == (1, 1, 1.0)  # user 3's own cohort
