@@ -27,7 +27,6 @@ keep_latest(df, key, "__epoch"))` on the keep-latest fixpoint rule.
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
