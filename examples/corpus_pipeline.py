@@ -114,6 +114,15 @@ def main() -> None:
             )
             print(f"after decontamination: {clean.count()}")
 
+            # 4a. span-excision decontamination for the docs that SURVIVED
+            #     the drop rule: any >= 8-token span still shared with the
+            #     benchmark is edited out (the GPT-3 13-gram rule as an
+            #     edit, not a drop) — survivors keep their clean majority
+            clean = dedup.decontaminate_spans(clean, bench, k=8).join(
+                clean.drop("text"), "doc_id"
+            ).drop("n_tokens_kept")
+            print(f"after span-excision decontamination: {clean.count()}")
+
             # 4b. DSIR importance selection: score every surviving doc
             #     against a target-domain sample (here: the corpus's own
             #     English subset stands in for a trusted quality set) and
