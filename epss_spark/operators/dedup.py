@@ -10,7 +10,7 @@ Scale design notes (the point of each algorithm, not just its output):
 - ngram_jaccard_pairs: exact Jaccard via a shingle-equality self-join with
   map-side distinct. Quadratic only within identical-shingle groups; used as
   the verifier behind LSH candidates (and standalone at moderate scale).
-- simhash_groups: 1-shuffle near-dup clustering by a 32/64-bit majority-vote
+- simhash_groups: 1-shuffle near-dup clustering by a 32-63-bit majority-vote
   fingerprint of token hashes.
 - minhash_index / minhash_lookup: incremental dedup for daily appends —
   the indexed corpus never re-shingles and its band rows never shuffle
@@ -2060,12 +2060,26 @@ def simhash(
     hash_mode:
     - "md5" (default): 60-bit int from the md5 hex prefix — identical in
       every engine (DuckDB: CAST('0x'||substr(md5(t),1,15) AS BIGINT)),
-      so results are oracle-checkable bit-for-bit.
+      so results are oracle-checkable bit-for-bit. CEILING: only 60
+      hash bits exist, so bits > 60 would silently zero the top
+      fingerprint bits (constant -1 votes) — rejected loudly instead;
+      use hash_mode="xxhash64" for 64-bit fingerprints.
     - "xxhash64": Spark's native vectorized hash — faster (no hex
       round-trip), engine-specific; the scale mode when cross-engine
       reproducibility isn't needed.
     """
     from epss_spark.operators.layout import ensure_parallelism
+
+    if hash_mode == "md5" and bits > 60:
+        raise ValueError(
+            f"bits={bits} exceeds the md5 hash's 60 usable bits (bits 60+ "
+            "would be constant 0); use hash_mode='xxhash64' for wider "
+            "fingerprints"
+        )
+    if bits > 63:
+        # fingerprints are positive BIGINTs: bit 63 is the sign bit and
+        # 1 << 63 overflows the long literal — 63 is the ceiling
+        raise ValueError(f"bits={bits} must be <= 63 (positive-long fingerprint)")
 
     # explode_outer + null filter: keeps the optimizer from inferring a
     # pre-exchange Generate filter that re-runs the tokenize regex twice

@@ -885,7 +885,10 @@ def _adc_topk_batched(
                 acc = np.zeros(len(cc), dtype=np.float64)
                 for mi in range(m):  # sequential over m: fold-order parity
                     acc += dtab_arr[qi, mi][cc[:, mi]]
-                out_q.append(np.full(len(cc), qid, dtype=np.int64))
+                # dtype-preserving: qid may be a string id (the output
+                # schema keeps the table's real id type — int64 would
+                # raise on strings inside the Arrow kernel)
+                out_q.append(np.full(len(cc), qid, dtype=cand.dtype))
                 out_c.append(cand[mask])
                 out_d.append(np.round(acc, 6))
             if not out_q:

@@ -1489,9 +1489,12 @@ def winnow_fingerprints(
         raise ValueError("vectorized winnowing is specialized to the Mersenne prime 2^61-1")
     if not (2 <= base < 2**31):
         raise ValueError("base must be in [2, 2^31) for overflow-free uint64 mulmod")
+    # the id keeps its source type (string doc ids — e.g. canonical
+    # URLs — must not be nulled by a silent long cast; the _pack_schema
+    # rule)
     schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, docs.schema[id_col].dataType),
             StructField("pos", LongType()),
             StructField("fp", LongType()),
         ]

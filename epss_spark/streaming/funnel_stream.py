@@ -77,10 +77,17 @@ def process_funnel_batch(
         "__epoch",
     ).select(key, F.col("step").alias("__pstep"), F.col("us").alias("__pus"))
 
+    # non-step events can never advance the fold — wrap the struct in a
+    # when() so collect_list skips them (it drops nulls) while the
+    # groupBy still emits a row for EVERY key seen, which is what the
+    # snapshot's base count needs. At typical step-type selectivity this
+    # cuts the shuffled/sorted payload by orders of magnitude.
+    step_struct = F.when(
+        F.col(type_col).isin(list(steps)),
+        F.struct(F.col(time), F.col(tiebreak), F.col(type_col)),
+    )
     per_key = batch_df.groupBy(key).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(time), F.col(tiebreak), F.col(type_col)))
-        ).alias("__seq")
+        F.array_sort(F.collect_list(step_struct)).alias("__seq")
     )
     joined = per_key.join(prior, key, "left")
     init = F.struct(

@@ -2495,3 +2495,24 @@ def test_retention_cohorts_hand_computed(spark):
     assert got[("2024-01-01", 1)] == (1, 2, 0.5)  # only user 1 returns day 2
     assert got[("2024-01-01", 2)] == (1, 2, 0.5)  # only user 2 on day 3
     assert got[("2024-01-02", 1)] == (1, 1, 1.0)  # user 3's own cohort
+
+
+def test_winnow_fingerprints_string_ids(spark):
+    """String doc ids (canonical URLs) must survive the Arrow kernel —
+    the id column keeps its source type."""
+    df = spark.createDataFrame(
+        [("http://a.com/p", "some shared words appear in this text body here")],
+        "doc_id string, text string",
+    )
+    rows = text.winnow_fingerprints(df).collect()
+    assert rows and all(r.doc_id == "http://a.com/p" for r in rows)
+
+
+def test_simhash_bit_width_ceilings(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="60 usable bits"):
+        dedup.simhash(df, bits=64)
+    with pytest.raises(ValueError, match="<= 63"):
+        dedup.simhash(df, bits=64, hash_mode="xxhash64")
+    # the widest supported fingerprint
+    assert dedup.simhash(df, bits=63, hash_mode="xxhash64").count() == 1

@@ -535,3 +535,23 @@ def test_sample_weighted_is_proportional_and_deterministic(spark):
         assert heavy >= 8, (seed, heavy)
     a = [r.doc_id for r in selection.sample_weighted(df, 20, "w", seed="s1").collect()]
     assert a == picks["s1"]  # exact reproducibility, order included
+
+
+def test_pq_topk_batched_string_ids(spark):
+    """Review regression: the batched ADC kernel must preserve string ids
+    (the output schema is built from the table's real id type)."""
+    import numpy as np
+
+    from epss_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    vecs = [(f"doc-{i}", [float(x) for x in rng.standard_normal(8)]) for i in range(12)]
+    df = spark.createDataFrame(vecs, "vec_id string, embedding array<float>")
+    cents = similarity.sampled_pq_centroids(
+        df, ids=["doc-0", "doc-3", "doc-7", "doc-9"], m=2, id_col="vec_id"
+    )
+    out = similarity.pq_topk_batched(
+        df.limit(2), df, cents, k=3, id_col="vec_id"
+    ).collect()
+    assert out and all(r.query_id.startswith("doc-") for r in out)
+    assert all(r.cand_id.startswith("doc-") for r in out)
