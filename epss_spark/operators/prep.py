@@ -96,13 +96,24 @@ def chunk_tokens(
     posexplode(sequence(...)) + slice — a generator expression inside
     codegen; per-row fan-out only (no shuffle). At 100 TB this runs as a
     map-only stage: chunks land in the same partition as their document.
+
+    Start generation stops once a chunk has reached the document end
+    (upper bound size - chunk_size + stride, not size): a later start
+    would yield a chunk that is a strict SUBSET of the previous one —
+    silent training-data duplication of exactly the kind the dedup
+    stages upstream remove. The final chunk may still be shorter than
+    chunk_size (the non-subset tail).
     """
     if stride < 1 or chunk_size < 1:
         raise ValueError("chunk_size and stride must be >= 1")
     toks = docs.select(
         F.col(id_col), tokens(text_col).alias("_toks")
     )
-    starts = F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1)), F.lit(stride))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("_toks") - F.lit(chunk_size - stride), F.lit(1)),
+        F.lit(stride),
+    )
     exploded = toks.select(
         F.col(id_col), F.col("_toks"), F.posexplode(starts).alias("chunk_idx", "_start")
     )

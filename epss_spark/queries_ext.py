@@ -1370,7 +1370,7 @@ def text_pii_redact(spark, sf_dir):
     WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     ex AS (
       SELECT doc_id, toks,
-             unnest(generate_series(1, greatest(len(toks), 1), 24)) AS start
+             unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS start
       FROM base
     )
     SELECT doc_id,

@@ -905,15 +905,16 @@ def test_chunk_tokens_overlap_and_tail(spark):
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
     c0 = sorted(by_doc[0], key=lambda r: r.chunk_idx)
-    # starts 1,4,7,10 -> 4 chunks; consecutive chunks overlap by 1 token
+    # starts 1,4,7 -> 3 chunks; consecutive chunks overlap by 1 token.
+    # NO start 10: chunk 3 already reaches the document end, so a "w9"
+    # chunk would be a strict subset (silent training duplication)
     assert [r.chunk_text for r in c0] == [
         "w0 w1 w2 w3",
         "w3 w4 w5 w6",
         "w6 w7 w8 w9",
-        "w9",
     ]
-    assert [r.n_tokens for r in c0] == [4, 4, 4, 1]
-    assert [r.chunk_idx for r in c0] == [0, 1, 2, 3]
+    assert [r.n_tokens for r in c0] == [4, 4, 4]
+    assert [r.chunk_idx for r in c0] == [0, 1, 2]
     # short doc: a single partial chunk; empty doc: no chunks at all
     assert [r.chunk_text for r in by_doc[1]] == ["only two"]
     assert 2 not in by_doc

@@ -598,3 +598,40 @@ def test_keep_latest_matches_python_reference(spark, rows):
         if k not in want or (v, i) > want[k][:2]:
             want[k] = (v, i, p)
     assert got == want
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=40),
+    chunk_size=st.integers(min_value=2, max_value=8),
+    overlap=st.integers(min_value=1, max_value=6),
+)
+@_settings
+def test_chunk_tokens_overlapping_covers_without_subset_chunks(
+    spark, n_tokens, chunk_size, overlap
+):
+    """Overlapping chunking laws: every token position is covered, and no
+    chunk is a strict subset of an earlier one (subset chunks are silent
+    training-data duplication)."""
+    from epss_spark.operators.prep import chunk_tokens
+
+    stride = max(1, chunk_size - overlap)
+    words = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    out = sorted(
+        chunk_tokens(df, chunk_size=chunk_size, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    if n_tokens == 0:
+        assert not out
+        return
+    spans = []
+    for r in out:
+        toks = r.chunk_text.split(" ")
+        start = int(toks[0][1:])
+        spans.append((start, start + len(toks) - 1))
+    covered = set()
+    for a, b in spans:
+        covered.update(range(a, b + 1))
+    assert covered == set(range(n_tokens))  # full coverage
+    ends = [b for _, b in spans]
+    assert ends == sorted(ends) and len(set(ends)) == len(ends)  # strictly extending
