@@ -811,7 +811,7 @@ def test_streaming_incremental_pack_matches_sequential_batches(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(
         (r.doc_id, r.bucket, r.bin, r.n_tokens)
-        for r in spark.read.parquet(str(tmp_path / "packed")).collect()
+        for r in pack_stream.read_artifact(spark, str(tmp_path / "packed")).collect()
     )
 
     # reference: sequential batch calls threading the state explicitly
@@ -891,7 +891,7 @@ def test_streaming_pack_three_batches_never_overfills(spark, tmp_path):
         n_buckets=1,
     )
     q.awaitTermination(180)
-    rows = spark.read.parquet(str(tmp_path / "packed")).collect()
+    rows = pack_stream.read_artifact(spark, str(tmp_path / "packed")).collect()
     assert sorted(r.doc_id for r in rows) == list(range(6))
     fills, members = {}, {}
     for r in rows:
@@ -1782,3 +1782,36 @@ def test_streaming_funnel_equals_batch_and_replay(spark, tmp_path):
         map(tuple, funnel_stream.funnel_snapshot(spark, state, steps).collect())
     )
     assert got == want
+
+
+def test_streaming_pack_replay_is_idempotent(spark, tmp_path):
+    """Crash-retry contract (review regression): replaying an epoch must
+    REPLACE its packed rows and state, not append duplicates into fresh
+    bins — the at-least-once corruption the epoch-scoped writes exist to
+    prevent."""
+    from epss_spark.streaming import pack_stream
+
+    state = str(tmp_path / "state")
+    packed = str(tmp_path / "packed")
+    b0 = spark.createDataFrame(
+        [(i, " ".join(["t"] * 7)) for i in range(2)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(i, " ".join(["t"] * 7)) for i in range(2, 4)], "doc_id long, text string"
+    )
+    pack_stream.process_pack_batch(b0, 0, state, packed, budget=20, n_buckets=1)
+    pack_stream.process_pack_batch(b1, 1, state, packed, budget=20, n_buckets=1)
+    want = sorted(
+        map(tuple, pack_stream.read_artifact(spark, packed).collect())
+    )
+    st_want = sorted(
+        map(tuple, pack_stream.read_pack_state(spark, state).collect())
+    )
+    # replay the LAST epoch (checkpoint commit lost) — output unchanged
+    pack_stream.process_pack_batch(b1, 1, state, packed, budget=20, n_buckets=1)
+    got = sorted(map(tuple, pack_stream.read_artifact(spark, packed).collect()))
+    st_got = sorted(map(tuple, pack_stream.read_pack_state(spark, state).collect()))
+    assert got == want
+    assert st_got == st_want
+    # every doc appears exactly once
+    assert sorted(r[0] for r in got) == [0, 1, 2, 3]
