@@ -281,10 +281,20 @@ def sort_file(spark: SparkSession, path: str, by: list[str], descending: bool = 
         out = os.path.join(tmp, "out")
         write_any(df.orderBy(*cols).coalesce(1), out, fmt)
         if os.path.isdir(path):
-            # dataset-dir input: swap the whole directory, old dir last
+            # dataset-dir input: swap the whole directory. The original
+            # briefly lives inside tmp — if landing the replacement
+            # fails, restore it BEFORE the finally-cleanup can delete it
+            # (a bare rename+move would destroy both copies on a failed
+            # swap, violating the contract above)
             old = os.path.join(tmp, "old")
             os.rename(path, old)
-            shutil.move(out, path)
+            try:
+                shutil.move(out, path)
+            except BaseException:
+                if os.path.exists(path):  # partially-landed replacement
+                    shutil.rmtree(path, ignore_errors=True)
+                os.rename(old, path)
+                raise
         else:
             parts = _glob.glob(os.path.join(out, "part-*"))
             if len(parts) != 1:  # coalesce(1) guarantees this; fail safe

@@ -1815,3 +1815,33 @@ def test_streaming_pack_replay_is_idempotent(spark, tmp_path):
     assert st_got == st_want
     # every doc appears exactly once
     assert sorted(r[0] for r in got) == [0, 1, 2, 3]
+
+
+def test_sort_file_dir_swap_failure_leaves_original_intact(spark, tmp_path, monkeypatch):
+    """Review regression: if landing the sorted replacement fails mid-swap,
+    the original dataset directory must be restored, not destroyed with
+    the temp dir."""
+    import shutil as _shutil
+
+    from epss_spark.sources import sinks
+
+    path = str(tmp_path / "data.parquet")
+    spark.createDataFrame([(2, "b"), (1, "a")], "k long, v string").write.parquet(path)
+    orig = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    real_move = _shutil.move
+
+    def exploding_move(src, dst, *a, **kw):
+        if dst == path:
+            raise OSError("simulated failure landing the replacement")
+        return real_move(src, dst, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "move", exploding_move)
+    with pytest.raises(OSError, match="simulated"):
+        sinks.sort_file(spark, path, by=["k"])
+    monkeypatch.undo()
+    # the original is back, bit-for-bit
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == orig
+    # and the normal path still works afterwards
+    sinks.sort_file(spark, path, by=["k"])
+    assert [r.k for r in spark.read.parquet(path).collect()] == [1, 2]
