@@ -55,14 +55,19 @@ def download_snapshot(
     date = parse_date(date)
     os.makedirs(workdir, exist_ok=True)
     dest = os.path.join(workdir, f"epss_scores-{date.isoformat()}.csv")
+    gz = dest + ".gz"
+    if not decompress:
+        # the data stays gzipped: the .gz IS the artifact — return (and
+        # idempotency-check) that path, not a .csv that never exists
+        if not os.path.exists(gz):
+            (fetch or _default_fetch)(snapshot_url(date), gz)
+        return gz
     if os.path.exists(dest):
         return dest
-    tmp = dest + ".gz"
-    (fetch or _default_fetch)(snapshot_url(date), tmp)
-    if decompress:
-        with gzip.open(tmp, "rb") as src, open(dest, "wb") as out:
-            shutil.copyfileobj(src, out)
-        os.remove(tmp)
+    (fetch or _default_fetch)(snapshot_url(date), gz)
+    with gzip.open(gz, "rb") as src, open(dest, "wb") as out:
+        shutil.copyfileobj(src, out)
+    os.remove(gz)
     return dest
 
 

@@ -62,9 +62,18 @@ def streaming_changed_values(events: DataFrame) -> DataFrame:
         # cross-batch contract holds as long as the source replays in order
         # per key (true for date-partitioned snapshot drops).
         #
-        # Within a chunk the change test is vectorized (shift/compare over
-        # numpy arrays): only the chunk BOUNDARY carries scalar state.
-        # "Changed" is a consecutive comparison, so after sorting, row i
+        # A key's micro-batch rows can arrive as SEVERAL Arrow chunks
+        # (arrow.maxRecordsPerBatch), and chunk order follows raw file
+        # order, not event time — so all chunks are concatenated and
+        # sorted ONCE before the change test (a per-chunk sort would
+        # process chunk 2's earlier timestamps after chunk 1's tail,
+        # emitting spurious changes and storing a non-final last value).
+        # Memory is one key's rows within one micro-batch — the same
+        # bound applyInPandasWithState already imposes on the state
+        # function's inputs.
+        #
+        # The change test is vectorized (shift/compare over numpy):
+        # "changed" is a consecutive comparison, so after sorting, row i
         # changes iff v[i] != v[i-1] (with the state's last value standing
         # in at i=0) — the running last-emitted value always equals the
         # last-seen value, so no sequential dependency survives.
@@ -78,38 +87,39 @@ def streaming_changed_values(events: DataFrame) -> DataFrame:
             last_ts, last_value = None, None
         has_state = last_value is not None
 
-        outs = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"] if "event_id" in pdf else ["ts"])
-            v = pdf["value"].to_numpy()
-            n = len(v)
-            mask = np.empty(n, dtype=bool)
-            np.not_equal(v[1:], v[:-1], out=mask[1:])
-            # NaN semantics match the scalar spec: NaN != anything is True
-            mask[0] = (not has_state) or bool(v[0] != last_value)
-            prev = np.empty(n, dtype=object)
-            prev[1:] = v[:-1]
-            prev[0] = last_value if has_state else None
-            keep = np.flatnonzero(mask)
-            if keep.size:
-                sub = pdf.iloc[keep]
-                outs.append(
-                    _pd.DataFrame(
-                        {
-                            "user_id": np.full(keep.size, user_id, dtype="int64"),
-                            "ts": sub["ts"].to_numpy(),
-                            "value": sub["value"].to_numpy(),
-                            "prev_value": _pd.Series(prev[keep], dtype="float64"),
-                        }
-                    )
-                )
-            last_value = float(v[-1])
-            has_state = True
-            last_ts = int(_pd.Timestamp(pdf["ts"].iloc[-1]).value // 1000)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update((last_ts, last_value))
+            return
+        pdf = chunks[0] if len(chunks) == 1 else _pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"] if "event_id" in pdf else ["ts"])
+        v = pdf["value"].to_numpy()
+        n = len(v)
+        mask = np.empty(n, dtype=bool)
+        np.not_equal(v[1:], v[:-1], out=mask[1:])
+        # NaN semantics match the scalar spec: NaN != anything is True
+        mask[0] = (not has_state) or bool(v[0] != last_value)
+        prev = np.empty(n, dtype=object)
+        prev[1:] = v[:-1]
+        prev[0] = last_value if has_state else None
+        keep = np.flatnonzero(mask)
+        out = None
+        if keep.size:
+            sub = pdf.iloc[keep]
+            out = _pd.DataFrame(
+                {
+                    "user_id": np.full(keep.size, user_id, dtype="int64"),
+                    "ts": sub["ts"].to_numpy(),
+                    "value": sub["value"].to_numpy(),
+                    "prev_value": _pd.Series(prev[keep], dtype="float64"),
+                }
+            )
+        last_value = float(v[-1])
+        last_ts = int(_pd.Timestamp(pdf["ts"].iloc[-1]).value // 1000)
         state.update((last_ts, last_value))
-        yield from outs
+        if out is not None:
+            yield out
 
     return (
         events.withWatermark("ts", "1 day")

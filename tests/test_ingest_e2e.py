@@ -323,3 +323,27 @@ def test_cli_nb_train_then_classify(spark, tmp_path, capsys):
     assert rc == 0 and "accuracy 1.0000" in capsys.readouterr().out
     got = {r.doc_id: r.predicted for r in spark.read.parquet(out).collect()}
     assert got == {10: "x", 11: "y"}
+
+
+def test_download_snapshot_compressed_mode_returns_real_path(tmp_path):
+    """Review regression: decompress=False must return the path of the
+    file that actually exists (the .gz) and be idempotent on it."""
+    import gzip
+    import os
+
+    from epss_spark.sources import ingest
+
+    calls = []
+
+    def fake_fetch(url, dest):
+        calls.append(url)
+        with gzip.open(dest, "wb") as f:
+            f.write(b"cve,epss,percentile\n")
+
+    p = ingest.download_snapshot(str(tmp_path), "2024-01-02", fetch=fake_fetch,
+                                 decompress=False)
+    assert p.endswith(".csv.gz") and os.path.exists(p)
+    # idempotent: a second call does not re-download
+    p2 = ingest.download_snapshot(str(tmp_path), "2024-01-02", fetch=fake_fetch,
+                                  decompress=False)
+    assert p2 == p and len(calls) == 1
