@@ -61,14 +61,33 @@ def daily_change_counts(spark: SparkSession, events_path: str) -> DataFrame:
     ts as TIMESTAMP(NANOS) (read as long, truncated to micros) and as
     TIMESTAMP(MICROS); readStream needs an explicit schema, so probe the
     footer with a batch read (cheap, metadata-only) and mirror tables.py's
-    dual handling."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    dual handling.
+
+    The two legacy-parquet configs are needed only for the schema PROBE;
+    they are set, probed under, and restored to their prior values so
+    building this query does not silently change how unrelated batch
+    reads in the same session decode TIMESTAMP(NANOS). The explicit
+    readStream schema below makes the stream itself independent of the
+    session setting."""
     from pyspark.sql.types import LongType
 
-    ts_is_long = isinstance(
-        spark.read.parquet(events_path).schema["ts"].dataType, LongType
-    )
+    _probe_confs = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in _probe_confs}
+    for k, v in _probe_confs.items():
+        spark.conf.set(k, v)
+    try:
+        ts_is_long = isinstance(
+            spark.read.parquet(events_path).schema["ts"].dataType, LongType
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     if ts_is_long:
         raw = spark.readStream.schema(
             "event_id long, ts long, user_id long, event_type string,"
@@ -109,14 +128,30 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
+) -> None:
     """Drain all currently-available input into an in-memory table (test &
-    backfill harness): availableNow processes the full backlog then stops."""
+    backfill harness): availableNow processes the full backlog then stops.
+
+    `output_mode`: "complete" for the aggregation streams (daily_volume,
+    daily_change_counts); pass "append" for non-aggregating streams
+    (dedup_stream, stateful.streaming_changed_values) — Spark rejects
+    complete mode without a streaming aggregation. Raises TimeoutError
+    (after stopping the query) if the backlog does not drain within
+    `timeout_sec`, instead of silently returning a partial table."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"run_to_memory({name!r}): backlog not drained in {timeout_sec}s"
+        )

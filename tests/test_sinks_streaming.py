@@ -1845,3 +1845,79 @@ def test_sort_file_dir_swap_failure_leaves_original_intact(spark, tmp_path, monk
     # and the normal path still works afterwards
     sinks.sort_file(spark, path, by=["k"])
     assert [r.k for r in spark.read.parquet(path).collect()] == [1, 2]
+
+
+def test_run_to_memory_append_mode_for_non_aggregating_streams(spark, tmp_path):
+    """Review regression: run_to_memory must work for non-aggregating
+    streams via append mode (complete mode is rejected by Spark there)."""
+    import datetime as dt
+
+    from epss_spark.streaming import scores_stream
+
+    src = tmp_path / "ev"
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0), (1, dt.datetime(2024, 1, 1), 1.0),
+         (2, dt.datetime(2024, 1, 1), 2.0)],
+        "event_id long, ts timestamp, value double",
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .parquet(str(src))
+    )
+    dd = scores_stream.dedup_stream(stream, ["event_id"])
+    scores_stream.run_to_memory(dd, "dedup_append_test", output_mode="append")
+    rows = spark.sql("SELECT * FROM dedup_append_test").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_daily_change_counts_restores_session_confs(spark, tmp_path):
+    """Review regression: building the streaming query must not leave the
+    legacy nanos configs flipped for unrelated batch reads in the session."""
+    import datetime as dt
+
+    from epss_spark.streaming import scores_stream
+
+    src = tmp_path / "ev"
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 10, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(src))
+    before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    scores_stream.daily_change_counts(spark, str(src))
+    after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    assert after == before
+
+
+def test_daily_change_counts_nanos_file_end_to_end(spark, tmp_path):
+    """A real TIMESTAMP(NANOS) parquet must stream correctly through
+    daily_change_counts with the probe confs RESTORED afterwards — the
+    explicit readStream schema (ts long + truncation) carries the scan
+    without the session-wide legacy flag."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epss_spark.streaming import scores_stream
+
+    src = tmp_path / "ev_nanos"
+    os.makedirs(src)
+    t = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(
+            [1704067200_000_000_000, 1704067260_000_000_000], pa.timestamp("ns")
+        ),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    })
+    pq.write_table(t, str(src / "p.parquet"), version="2.6", store_schema=False)
+    df = scores_stream.daily_change_counts(spark, str(src))
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+    scores_stream.run_to_memory(df, "nanos_counts_test")
+    rows = spark.sql("SELECT * FROM nanos_counts_test").collect()
+    assert sorted((str(r.date), r.event_type, r.n) for r in rows) == [
+        ("2024-01-01", "click", 1), ("2024-01-01", "view", 1),
+    ]
