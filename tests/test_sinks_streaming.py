@@ -1914,8 +1914,11 @@ def test_daily_change_counts_nanos_file_end_to_end(spark, tmp_path):
         "props": pa.array(["{}", "{}"]),
     })
     pq.write_table(t, str(src / "p.parquet"), version="2.6", store_schema=False)
+    before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     df = scores_stream.daily_change_counts(spark, str(src))
-    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+    # the probe conf is restored to whatever it was — not force-unset
+    # (another component may legitimately hold it for the session)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) == before
     scores_stream.run_to_memory(df, "nanos_counts_test")
     rows = spark.sql("SELECT * FROM nanos_counts_test").collect()
     assert sorted((str(r.date), r.event_type, r.n) for r in rows) == [
