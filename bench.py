@@ -339,26 +339,29 @@ def main() -> None:
     # ~10% band, the artifact landed in an unstable host window and its
     # absolute numbers should be read against calibration_sec.
     N_ROUNDS, PASSES_PER_ROUND = 2, 2
-    timings: dict[str, float] = {}
+    query_rounds: dict[str, list[float]] = {}
     pair_totals: list[float] = []
     for name in HEADLINE:  # warm-up round: JIT + plan cache, discarded
         spark.catalog.clearCache()
         force(registry.QUERIES[name](spark, bench_dir))
 
+    def _timed_query(name: str) -> float:
+        spark.catalog.clearCache()
+        # GC outside the timed region: collections triggered DURING
+        # a multi-second query are the main cross-run variance source
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        force(registry.QUERIES[name](spark, bench_dir))
+        return time.perf_counter() - t0
+
     def _headline_round() -> float:
         round_timings: dict[str, float] = {}
         for _ in range(PASSES_PER_ROUND):
             for name in HEADLINE:
-                spark.catalog.clearCache()
-                # GC outside the timed region: collections triggered DURING
-                # a multi-second query are the main cross-run variance source
-                spark.sparkContext._jvm.System.gc()
-                t0 = time.perf_counter()
-                force(registry.QUERIES[name](spark, bench_dir))
-                sec = time.perf_counter() - t0
+                sec = _timed_query(name)
                 round_timings[name] = min(round_timings.get(name, sec), sec)
         for k, v in round_timings.items():
-            timings[k] = min(timings.get(k, v), v)
+            query_rounds.setdefault(k, []).append(round(v, 4))
         return round(sum(round_timings.values()), 4)
 
     for _ in range(N_ROUNDS):
@@ -366,7 +369,25 @@ def main() -> None:
     # dispersion gate (round 8): a >10% pair gap means an unstable host
     # window — one more round, per-query mins absorb it, rounds recorded
     _pair_gate(pair_totals, _headline_round)
-    timings = {k: round(v, 4) for k, v in timings.items()}
+    # per-query dispersion gate (round 9): the total-level gate can hide a
+    # single query swinging while the rest cancel — exactly the noise that
+    # produced round-8's false "join_multi regressed +16.6%" reading. Any
+    # query whose per-round mins disagree beyond the same ~10% band gets a
+    # targeted extra round; every round's value is recorded in the
+    # artifact (query_pairs) so cross-round comparisons can see the
+    # dispersion instead of trusting one number.
+    def _single_query_round(name: str) -> float:
+        best = None
+        for _ in range(PASSES_PER_ROUND):
+            sec = _timed_query(name)
+            best = sec if best is None else min(best, sec)
+        return round(best, 4)
+
+    for name in HEADLINE:
+        vals = query_rounds.get(name, [])
+        if vals and min(vals) > 0 and max(vals) > 1.10 * min(vals):
+            vals.append(_single_query_round(name))
+    timings = {k: round(min(v), 4) for k, v in query_rounds.items()}
 
     # flagship throughput: input rows consumed by the quantization kernel.
     # Fixed job overhead (~0.3-0.5s local) dominates at 100k rows, so also
@@ -418,6 +439,7 @@ def main() -> None:
                 "sf": os.path.basename(os.path.normpath(target)),
                 "workload_scale": WORKLOAD_SCALE,
                 "pair_totals": pair_totals,
+                "query_pairs": query_rounds,
                 "calibration_sec": round(calib, 4),
                 "flagship_input_rows": n_events,
                 "flagship_rows_per_sec": round(n_events / steady) if steady else None,

@@ -83,33 +83,41 @@ def keep_latest(
     tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Snapshot compaction: keep exactly ONE row per key — the one with
-    the greatest `version_col` (ties broken by the greatest
-    `tiebreak_col`, then by the remaining payload; pass a unique
-    tiebreak for full determinism — REQUIRED when the payload contains
-    unorderable columns like maps, which cannot be tie-compared). The crawl-pipeline shape this
+    the greatest `version_col`. With a `tiebreak_col`, the winner is
+    picked by max_by over (version, tiebreak) ONLY — the payload never
+    enters the ordering, so map-typed (and other unorderable) payload
+    columns are supported; pass a UNIQUE tiebreak for determinism
+    (max_by is free to pick either row on a full (version, tiebreak)
+    tie). Without a tiebreak, ties are broken by the greatest payload
+    struct — fully deterministic, but every payload column must then be
+    orderable (maps are not). The crawl-pipeline shape this
     serves: re-fetched pages keyed by canonical URL (url_canonicalize)
     with a fetch sequence/timestamp — compacting N snapshots per page
     down to the newest before any content-level dedup runs. Also the
     generic SCD-1 / changelog-compaction primitive (latest record per
     entity id).
 
-    Scale shape: ONE aggregate shuffle of (key, max(struct)) with
-    map-side partial max — hot keys (pages recrawled millions of times)
+    Scale shape: ONE aggregate shuffle of (key, max/max_by) with
+    map-side partial merge — hot keys (pages recrawled millions of times)
     collapse to one row per map partition before the exchange. No
     window (no full per-key materialization), no join-back (the payload rides inside
-    the max struct). Extension operator (no reference analogue — the
+    the aggregate). Extension operator (no reference analogue — the
     reference's per-date files are already one-row-per-cve); standard
     crawl/CDC compaction."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload = [c for c in df.columns if c not in keys]
-    order = [F.col(version_col).alias("__v")]
+    pstruct = F.struct(*[F.col(c) for c in payload])
     if tiebreak_col is not None:
-        order.append(F.col(tiebreak_col).alias("__t"))
-    packed = F.struct(
-        *order, F.struct(*[F.col(c) for c in payload]).alias("__p")
-    )
-    won = df.groupBy(*keys).agg(F.max(packed).alias("__m"))
-    out = won.select(*keys, *[F.col(f"__m.__p.{c}").alias(c) for c in payload])
+        # ordering key excludes the payload: maps etc. stay un-compared
+        okey = F.struct(
+            F.col(version_col).alias("__v"), F.col(tiebreak_col).alias("__t")
+        )
+        won = df.groupBy(*keys).agg(F.max_by(pstruct, okey).alias("__p"))
+        out = won.select(*keys, *[F.col(f"__p.{c}").alias(c) for c in payload])
+    else:
+        packed = F.struct(F.col(version_col).alias("__v"), pstruct.alias("__p"))
+        won = df.groupBy(*keys).agg(F.max(packed).alias("__m"))
+        out = won.select(*keys, *[F.col(f"__m.__p.{c}").alias(c) for c in payload])
     return out.select(*df.columns)
 
 

@@ -60,6 +60,186 @@ def session_stats(
     )
 
 
+def _funnel_chunk_tables(
+    ev: DataFrame,
+    steps: list[str],
+    key: str,
+    type_col: str,
+    time: str,
+    tiebreak: str,
+    max_gap_seconds: int | None,
+    chunk_size: int,
+) -> DataFrame:
+    """Per-(key, chunk) funnel TRANSITION TABLES — the associative
+    summary that makes the funnel fold hot-key safe. Each key's
+    time-ordered step-type events are split into bounded chunks of
+    `chunk_size` (row_number over the same (time, tiebreak, type) order
+    the monolithic fold sorts by — the window sort spills, it never
+    materializes a per-key array); each chunk is folded ONCE into a
+    table with one entry per possible incoming step s0 in 0..n:
+
+      entry[s0] = (m, step, us) where m is the micros of the chunk's
+      FIRST event of type steps[s0+1] (null if none — the chunk cannot
+      advance a key sitting at s0), and (step, us) is the state after
+      folding the chunk's remainder from (s0+1, m).
+
+    Why one first-match suffices under max_gap_seconds: events are
+    time-ordered, so if the first steps[s0+1] match fails the gap
+    against the incoming us, every later match fails it too (larger
+    us, same incoming us) — the chunk either advances at its first
+    match or leaves the state untouched. Once advanced, all further
+    gap checks are chunk-internal (real us), so the rest of the table
+    entry is independent of the incoming us; the merge
+    (`_funnel_apply_tables`) re-checks only the entry's m against the
+    carried state. Per-event cost is (n_steps+1) parallel entries —
+    bounded and tiny; per-key reduce payload is
+    ceil(events/chunk_size) tables of n+1 structs."""
+    n = len(steps)
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    gap_us = (
+        F.lit(int(max_gap_seconds) * 1_000_000) if max_gap_seconds is not None else None
+    )
+    order = [F.col(time).asc(), F.col(tiebreak).asc(), F.col(type_col).asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    ck = ev.withColumn(
+        "__chunk",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(int(chunk_size))).cast("long"),
+    )
+    # hash(key) partitioning from the window satisfies (key, chunk)
+    # clustering — no second exchange for this groupBy or the per-key one
+    per_chunk = ck.groupBy(key, "__chunk").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(time), F.col(tiebreak), F.col(type_col)))
+        ).alias("__seq")
+    )
+    init = F.array(
+        *[
+            F.struct(
+                F.lit(False).alias("started"),
+                F.lit(None).cast("long").alias("m"),
+                F.lit(i).cast("long").alias("step"),
+                F.lit(0).cast("long").alias("us"),
+            )
+            for i in range(n + 1)
+        ]
+    )
+
+    def merge(acc, x):
+        xus = F.unix_micros(x[time])
+
+        def upd(e):
+            match = (e["step"] < n) & (
+                x[type_col] == F.element_at(steps_lit, (e["step"] + 1).cast("int"))
+            )
+            first = (~e["started"]) & match
+            adv = e["started"] & match
+            if gap_us is not None:
+                adv = adv & ((e["step"] == 0) | (xus - e["us"] <= gap_us))
+            return (
+                F.when(
+                    first,
+                    F.struct(
+                        F.lit(True).alias("started"),
+                        xus.alias("m"),
+                        (e["step"] + 1).alias("step"),
+                        xus.alias("us"),
+                    ),
+                )
+                .when(
+                    adv,
+                    F.struct(
+                        e["started"].alias("started"),
+                        e["m"].alias("m"),
+                        (e["step"] + 1).alias("step"),
+                        xus.alias("us"),
+                    ),
+                )
+                .otherwise(e)
+            )
+
+        return F.transform(acc, upd)
+
+    table = F.aggregate(
+        "__seq",
+        init,
+        merge,
+        lambda acc: F.transform(
+            acc,
+            lambda e: F.struct(
+                e["m"].alias("m"), e["step"].alias("step"), e["us"].alias("us")
+            ),
+        ),
+    )
+    return per_chunk.select(key, F.col("__chunk"), table.alias("__table"))
+
+
+def _funnel_apply_tables(tabs_col, init_state, max_gap_seconds: int | None):
+    """Compose chunk transition tables (sorted by chunk) onto a carried
+    (step, us) state — the associative merge for `_funnel_chunk_tables`.
+    `tabs_col` is an array of struct(c, t) sorted by chunk id; the gap
+    check against each entry's first-match micros mirrors the
+    monolithic fold exactly (no check from step 0)."""
+    gap_us = (
+        F.lit(int(max_gap_seconds) * 1_000_000) if max_gap_seconds is not None else None
+    )
+
+    def merge(acc, ct):
+        e = F.element_at(ct["t"], (acc["step"] + 1).cast("int"))
+        ok = e["m"].isNotNull()
+        if gap_us is not None:
+            ok = ok & ((acc["step"] == 0) | (e["m"] - acc["us"] <= gap_us))
+        return F.when(
+            ok, F.struct(e["step"].alias("step"), e["us"].alias("us"))
+        ).otherwise(acc)
+
+    return F.aggregate(tabs_col, init_state, merge)
+
+
+def funnel_fold_states(
+    ev: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    type_col: str = "event_type",
+    time: str = "ts",
+    tiebreak: str = "event_id",
+    max_gap_seconds: int | None = None,
+    chunk_size: int = 65536,
+    prior: DataFrame | None = None,
+) -> DataFrame:
+    """Hot-key-safe funnel fold: (key, step, us) final state per key in
+    `ev` (which must already be filtered to step-type events). `prior`
+    optionally carries resumed state as (key, __pstep, __pus) — the
+    streaming form's per-key init. Identical results to the monolithic
+    per-key array fold (pinned in tests), but no task ever holds more
+    than chunk_size events of one key: a bot key with millions of
+    step-type events becomes ceil(events/chunk_size) bounded chunk
+    folds plus one tiny table-composition fold."""
+    tables = _funnel_chunk_tables(
+        ev, steps, key, type_col, time, tiebreak, max_gap_seconds, chunk_size
+    )
+    per_key = tables.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__chunk").alias("c"), F.col("__table").alias("t")))
+        ).alias("__tabs")
+    )
+    if prior is not None:
+        per_key = per_key.join(prior, key, "left")
+        init = F.struct(
+            F.coalesce(F.col("__pstep"), F.lit(0)).cast("long").alias("step"),
+            F.coalesce(F.col("__pus"), F.lit(0)).cast("long").alias("us"),
+        )
+    else:
+        init = F.struct(
+            F.lit(0).cast("long").alias("step"), F.lit(0).cast("long").alias("us")
+        )
+    st = _funnel_apply_tables(F.col("__tabs"), init, max_gap_seconds)
+    return per_key.select(
+        F.col(key),
+        st["step"].alias("step"),
+        st["us"].alias("us"),
+    )
+
+
 def event_funnel(
     events: DataFrame,
     steps: list[str],
@@ -68,6 +248,7 @@ def event_funnel(
     time: str = "ts",
     tiebreak: str = "event_id",
     max_gap_seconds: int | None = None,
+    chunk_size: int | None = 65536,
 ) -> DataFrame:
     """Ordered-sequence conversion funnel: for the step sequence
     [s1, s2, ...], a key converts through step i when an event of type
@@ -88,59 +269,68 @@ def event_funnel(
     the gap" coincide — the fold checks the gap on the candidate match,
     and the SQL replay is still a per-step min over gap-filtered keys.
 
-    Scale shape: events are FILTERED to the step types before the one
-    (key)-aggregate shuffle (pushed to the scan); each key folds its
-    time-sorted (time, tiebreak, type) structs through a single
-    JVM-side F.aggregate that walks the sequence once (state = steps
-    reached so far) — no self-join per step, no window. Per-key state is
-    that key's step-type events only. The per-step histogram is a
-    bounded eager fetch (<= n_steps+1 rows, the quality_funnel
-    precedent); the result is a literal DataFrame."""
+    Scale shape: events are FILTERED to the step types before any
+    shuffle (pushed to the scan). Default path (`chunk_size` set) is
+    the hot-key-safe chunked prefix-fold (`funnel_fold_states`): no
+    task ever materializes more than chunk_size events of one key —
+    a bot key holding 10% of all events costs ceil(events/chunk_size)
+    bounded chunk folds, not one giant array in one task. One hash
+    exchange on the key (window + both groupBys share it). The
+    monolithic single-array fold (`chunk_size=None`) is kept as the
+    reference semantics; equality of the two paths is pinned in tests.
+    The per-step histogram is a bounded eager fetch (<= n_steps+1
+    rows, the quality_funnel precedent); the result is a literal
+    DataFrame."""
     if not steps:
         raise ValueError("steps must be non-empty")
     ev = events.filter(F.col(type_col).isin(list(steps)))
-    per_key = ev.groupBy(key).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(time), F.col(tiebreak), F.col(type_col)))
-        ).alias("__seq")
-    )
-    steps_lit = F.array(*[F.lit(s) for s in steps])
-    if max_gap_seconds is None:
-        reached = F.aggregate(
-            "__seq",
-            F.lit(0),
-            lambda acc, x: F.when(
-                (acc < len(steps)) & (x[type_col] == F.element_at(steps_lit, acc + 1)),
-                acc + 1,
-            ).otherwise(acc),
-        )
+    if chunk_size is not None:
+        reached_df = funnel_fold_states(
+            ev, steps, key, type_col, time, tiebreak, max_gap_seconds,
+            chunk_size=chunk_size,
+        ).select(F.col("step").alias("__r"))
     else:
-        # state carries (step, micros of the previous step's event) so the
-        # gap check stays exact integer arithmetic (the sessionize rule)
-        gap_us = F.lit(int(max_gap_seconds) * 1_000_000)
-        init = F.struct(
-            F.lit(0).alias("step"), F.lit(0).cast("long").alias("us")
+        per_key = ev.groupBy(key).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(time), F.col(tiebreak), F.col(type_col)))
+            ).alias("__seq")
         )
-        reached = F.aggregate(
-            "__seq",
-            init,
-            lambda acc, x: F.when(
-                (acc["step"] < len(steps))
-                & (x[type_col] == F.element_at(steps_lit, acc["step"] + 1))
-                & (
-                    (acc["step"] == 0)
-                    | (F.unix_micros(x[time]) - acc["us"] <= gap_us)
-                ),
-                F.struct(
-                    (acc["step"] + 1).alias("step"),
-                    F.unix_micros(x[time]).alias("us"),
-                ),
-            ).otherwise(acc),
-            lambda acc: acc["step"],
-        )
-    hist = dict(
-        per_key.select(reached.alias("__r")).groupBy("__r").count().collect()
-    )
+        steps_lit = F.array(*[F.lit(s) for s in steps])
+        if max_gap_seconds is None:
+            reached = F.aggregate(
+                "__seq",
+                F.lit(0),
+                lambda acc, x: F.when(
+                    (acc < len(steps)) & (x[type_col] == F.element_at(steps_lit, acc + 1)),
+                    acc + 1,
+                ).otherwise(acc),
+            )
+        else:
+            # state carries (step, micros of the previous step's event) so the
+            # gap check stays exact integer arithmetic (the sessionize rule)
+            gap_us = F.lit(int(max_gap_seconds) * 1_000_000)
+            init = F.struct(
+                F.lit(0).alias("step"), F.lit(0).cast("long").alias("us")
+            )
+            reached = F.aggregate(
+                "__seq",
+                init,
+                lambda acc, x: F.when(
+                    (acc["step"] < len(steps))
+                    & (x[type_col] == F.element_at(steps_lit, acc["step"] + 1))
+                    & (
+                        (acc["step"] == 0)
+                        | (F.unix_micros(x[time]) - acc["us"] <= gap_us)
+                    ),
+                    F.struct(
+                        (acc["step"] + 1).alias("step"),
+                        F.unix_micros(x[time]).alias("us"),
+                    ),
+                ).otherwise(acc),
+                lambda acc: acc["step"],
+            )
+        reached_df = per_key.select(reached.alias("__r"))
+    hist = dict(reached_df.groupBy("__r").count().collect())
     base = events.select(key).distinct().count()
     rows, prev = [], base
     for i, s in enumerate(steps):
@@ -153,11 +343,29 @@ def event_funnel(
     )
 
 
+def _broadcast_if_bounded(events_keys: DataFrame, max_groups: int | None):
+    """Shared guard for the per-group broadcast joins in this module:
+    probe the group count with ONE bounded aggregate job
+    (distinct().limit(max+1).count() — map-side partial distinct, short-
+    circuits at the cap) and return F.broadcast only when the per-group
+    table provably fits. Above the cap — or with max_groups=None (skip
+    the probe, the conservative default for unknown 100 TB inputs) — the
+    joins go in plain, and AQE/sort-merge co-partitions on the group key
+    instead of shipping an unbounded table to every executor."""
+    if max_groups is None:
+        return lambda df: df
+    n = events_keys.distinct().limit(int(max_groups) + 1).count()
+    if n > int(max_groups):
+        return lambda df: df
+    return F.broadcast
+
+
 def value_outliers(
     events: DataFrame,
     group_col: str = "event_type",
     value_col: str = "value",
     n_sigmas: float = 3.0,
+    max_broadcast_groups: int | None = 100_000,
 ) -> DataFrame:
     """Robust per-group anomaly summary: median and MAD (median absolute
     deviation, scaled by the normal-consistency constant 1.4826) of
@@ -170,16 +378,23 @@ def value_outliers(
     lo[6dp], hi[6dp], n_outliers).
 
     Scale shape: two grouped aggregates over the SAME key (the second
-    over |x - median|, which needs the first's result joined back —
-    groups are FEW, so the join broadcasts) plus one counting pass.
-    Exact percentiles for the cross-engine contract; swap
-    percentile_approx in at 100 TB the same way dataset_card documents.
-    NULL values are ignored (percentile semantics) and never counted as
-    outliers."""
+    over |x - median|, which needs the first's result joined back) plus
+    one counting pass. The join-back broadcasts only when a one-job
+    probe proves the group count is under `max_broadcast_groups`
+    (default 100k rows — trivially shippable); beyond the cap, or with
+    max_broadcast_groups=None, the joins run plain and co-partition on
+    the group key (sort-merge/AQE) — a per-group table with millions of
+    groups must never be forced to every executor. Exact percentiles
+    for the cross-engine contract; swap percentile_approx in at 100 TB
+    the same way dataset_card documents. NULL values are ignored
+    (percentile semantics) and never counted as outliers."""
     ev = events.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+    bcast = _broadcast_if_bounded(
+        ev.select("__g"), max_broadcast_groups
+    )
     med = ev.groupBy("__g").agg(F.percentile("__v", F.lit(0.5)).alias("__med"))
     dev = (
-        ev.join(F.broadcast(med), "__g")
+        ev.join(bcast(med), "__g")
         .select("__g", "__med", F.abs(F.col("__v") - F.col("__med")).alias("__ad"))
         .groupBy("__g")
         .agg(
@@ -190,7 +405,7 @@ def value_outliers(
     lo = F.col("__med") - F.lit(float(n_sigmas)) * F.col("__mad")
     hi = F.col("__med") + F.lit(float(n_sigmas)) * F.col("__mad")
     flagged = (
-        ev.join(F.broadcast(dev), "__g")
+        ev.join(bcast(dev), "__g")
         .select(
             "__g", "__med", "__mad",
             ((F.col("__v") < lo) | (F.col("__v") > hi)).alias("__out"),
@@ -214,6 +429,7 @@ def retention_cohorts(
     events: DataFrame,
     key: str = "user_id",
     time: str = "ts",
+    max_broadcast_groups: int | None = 100_000,
 ) -> DataFrame:
     """Day-N retention matrix: users cohorted by first-seen day; for
     each (cohort_day, day_offset), how many cohort members were active
@@ -228,8 +444,16 @@ def retention_cohorts(
     Scale shape: one distinct (user, day) aggregate, one min-day
     cohorting aggregate, a key-equi join back (co-partitions on the
     user key), and a (cohort, offset) count — output is bounded by
-    days^2 / 2 regardless of user count."""
+    days^2 / 2 regardless of user count. The cohort-size join
+    broadcasts only when a one-job probe proves the distinct-DAY count
+    is under `max_broadcast_groups` (cohorts <= days; any calendar
+    history passes trivially — the guard exists for degenerate
+    "cohort by freeform column" misuse); beyond it, or with
+    max_broadcast_groups=None, the join runs plain on the cohort key."""
     d = events.select(F.col(key).alias("__u"), F.col(time).cast("date").alias("__day")).distinct()
+    bcast = _broadcast_if_bounded(
+        d.select("__day"), max_broadcast_groups
+    )
     first = d.groupBy("__u").agg(F.min("__day").alias("__cohort"))
     act = (
         d.join(first, "__u")
@@ -239,7 +463,7 @@ def retention_cohorts(
     )
     size = first.groupBy("__cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
     return (
-        act.join(F.broadcast(size), "__cohort")
+        act.join(bcast(size), "__cohort")
         .select(
             F.col("__cohort").alias("cohort_day"),
             F.col("__off").cast("long").alias("day_offset"),

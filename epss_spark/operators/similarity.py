@@ -377,6 +377,63 @@ def lsh_multiprobe_topk(
     )
 
 
+def lsh_multiprobe_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    r: int = 40,
+    shortlist_dims: int | None = None,
+    n_planes: int = 8,
+    n_probes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Two-stage cheap-index ANN — the LSH analog of
+    `rerank_exact(ivfpq_topk(...))` (Jegou et al. 2011 §V applied to the
+    hash index): stage 1 selects an r >> k shortlist with query-directed
+    multiprobe sign-LSH (`lsh_multiprobe_topk`, Lv et al. 2007); stage 2
+    fetches the raw vectors of JUST the shortlist and re-ranks them by
+    exact full-dim cosine (`rerank_exact`).
+
+    `shortlist_dims=d' < dim` makes stage 1 genuinely cheap: planes are
+    drawn in d'-dim space and the shortlist is ordered by the cosine of
+    the d'-dim Matryoshka prefix (truncation is all stage 1 ever reads —
+    a serving index stores d'/dim of the vector bytes; MRL, Kusupati et
+    al. 2022), and stage 2 restores the full-dim ordering the truncated
+    scores blur. recall@k then measures only whether true neighbors
+    reached the shortlist — >= the truncated multiprobe's recall at
+    equal scan fraction (PERF.md recall ladder). With
+    `shortlist_dims=None` stage 1 already scores exact cosine, so the
+    composition is an order-preserving truncation of
+    `lsh_multiprobe_topk` (pinned in tests) — correct, but pointless at
+    scale; pass d' in production.
+
+    Output schema == cosine_topk (query_id, cand_id, cos, rank).
+
+    Scale shape: stage 1 is the multiprobe broadcast-bucket join over
+    prefix bytes only; the bounded shortlist (n_queries x r ids)
+    broadcasts against the raw-vector point lookups; the full-width
+    corpus never shuffles in either stage."""
+    if shortlist_dims is None:
+        sq, sc, sdim = queries, candidates, dim
+    else:
+        if shortlist_dims < 1:
+            raise ValueError("shortlist_dims must be >= 1")
+        cut = F.slice(F.col(vec_col), 1, shortlist_dims)
+        sq = queries.withColumn(vec_col, cut)
+        sc = candidates.withColumn(vec_col, cut)
+        sdim = shortlist_dims
+    shortlist = lsh_multiprobe_topk(
+        sq, sc, k=r, n_planes=n_planes, n_probes=n_probes, seed=seed,
+        id_col=id_col, vec_col=vec_col, dim=sdim,
+    )
+    return rerank_exact(
+        shortlist, queries, candidates, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def _centroid_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by squared L2 distance. Plan-time
     constant centroids -> pure codegen expressions; argmin via array_min

@@ -1043,6 +1043,101 @@ def ann_lsh_multiprobe(spark, sf_dir):
     )
 
 
+# Two-stage LSH: stage 1 runs on the 16-dim Matryoshka prefix (planes drawn
+# in 16-dim space, truncated-cosine shortlist of r=20), stage 2 re-ranks the
+# shortlist by full 64-dim cosine. Same plan-time plane-literal trick as the
+# single-stage LSH oracles, at dim 16.
+_LSH16_PLANES = similarity._hyperplanes(16, 8, 42)
+
+
+def _lsh16_dot_sql(p) -> str:
+    return (
+        "list_sum(list_transform(range(1, 17), j -> CAST(embedding[j] AS DOUBLE) * "
+        f"([{', '.join(repr(float(x)) for x in p)}])[j]))"
+    )
+
+
+_BUCKET16_TERMS = " + ".join(
+    f"(CASE WHEN {_lsh16_dot_sql(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_LSH16_PLANES)
+)
+_MP16_MARGIN_CASE = (
+    "CASE t.j "
+    + " ".join(
+        f"WHEN {i} THEN abs({_lsh16_dot_sql(p)})" for i, p in enumerate(_LSH16_PLANES)
+    )
+    + " END"
+)
+_DOT16_SQL = (
+    "list_sum(list_transform(range(1, 17), i -> "
+    "CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+)
+_NORM16_Q = "sqrt(list_sum(list_transform(range(1, 17), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+_NORM16_C = "sqrt(list_sum(list_transform(range(1, 17), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))"
+
+
+@register(
+    "ann_lsh_multiprobe_rerank",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_BUCKET16_TERMS} AS bucket FROM embeddings),
+    qm AS (
+      SELECT e.vec_id, e.bucket, t.j, {_MP16_MARGIN_CASE} AS m
+      FROM e CROSS JOIN (VALUES {_MP_J_VALUES}) t(j)
+      WHERE e.vec_id < 5
+    ),
+    flips AS (
+      SELECT vec_id, xor(bucket, 1 << j) AS bucket,
+             row_number() OVER (PARTITION BY vec_id ORDER BY m, j) AS pr
+      FROM qm
+    ),
+    probes AS (
+      SELECT vec_id, bucket FROM e WHERE vec_id < 5
+      UNION ALL
+      SELECT vec_id, bucket FROM flips WHERE pr <= 3
+    ),
+    scored16 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({_DOT16_SQL} / ({_NORM16_Q} * {_NORM16_C}), 6) AS cos
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.vec_id
+      JOIN e c ON c.bucket = p.bucket AND q.vec_id <> c.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+        FROM scored16
+      ) WHERE rn <= 20
+    ),
+    rer AS (
+      SELECT s.query_id, s.cand_id,
+             round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) AS cos
+      FROM shortlist s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, cos, rn AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+      FROM rer
+    ) WHERE rn <= 5
+    """,
+)
+def ann_lsh_multiprobe_rerank(spark, sf_dir):
+    """The cheap-index two-stage ANN (operators/similarity.py::
+    lsh_multiprobe_rerank): multiprobe sign-LSH over the 16-dim
+    Matryoshka prefix selects an r=20 shortlist (home bucket + 3
+    lowest-|margin| flips, truncated-cosine ordering), then exact 64-dim
+    cosine re-ranks just those raw vectors to k=5 — the hash-index
+    analog of ann_ivfpq_rerank. The oracle replays 16-dim bucket bits,
+    margin flips, the truncated-cosine shortlist window, and the
+    full-dim re-rank CTE-for-CTE."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_multiprobe_rerank(
+        queries, emb, k=5, r=20, shortlist_dims=16,
+        n_planes=8, n_probes=4, seed=42,
+    )
+
+
 # IVF with deterministic sampled-point coarse centers: the centroids are
 # the embeddings of 8 fixed vec_ids, so BOTH engines share them exactly and
 # the whole index (assignment argmin, probe ranking, in-list top-k) is

@@ -75,10 +75,22 @@ def stream_documents(
 # --------------------------------------------------------------------------
 
 _EPOCH_PREFIX = "epoch-"
+# marker file inside an epoch dir whose presence declares "this epoch's
+# rows are the FULL folded store state as of this epoch" — written by
+# autocompact_epoch after the fold lands. Underscore-prefixed, so parquet
+# readers treat it as hidden metadata.
+_COMPACT_MARKER = "_COMPACTED"
 
 
 def _epoch_dir(path: str, epoch_id: int) -> str:
     return os.path.join(path, f"{_EPOCH_PREFIX}{int(epoch_id)}")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(sc._jsc.hadoopConfiguration())
 
 
 def _write_epoch(df: DataFrame, path: str, epoch_id: int) -> None:
@@ -92,11 +104,13 @@ def _list_artifact(spark: SparkSession, path: str):
     """List an artifact directory through Spark's Hadoop filesystem layer
     (works for hdfs:// s3a:// file:// alike — a driver-local os.listdir
     would silently see nothing on remote stores). Returns
-    (path_exists, has_flat_files, [(epoch_int, epoch_dir_path), ...])."""
-    sc = spark.sparkContext
-    jvm = sc._jvm
+    (path_exists, has_flat_files,
+     [(epoch_int, epoch_dir_path, is_compacted), ...]) sorted by epoch;
+    is_compacted = the epoch dir carries the _COMPACTED marker, i.e. its
+    rows are the full folded store state and everything older (flat base
+    included) is subsumed."""
+    jvm, fs = _hadoop_fs(spark, path)
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return False, False, []
     has_flat = False
@@ -106,9 +120,13 @@ def _list_artifact(spark: SparkSession, path: str):
         if st.isDirectory():
             if name.startswith(_EPOCH_PREFIX):
                 try:
-                    epochs.append((int(name[len(_EPOCH_PREFIX):]), st.getPath().toString()))
+                    e = int(name[len(_EPOCH_PREFIX):])
                 except ValueError:
-                    pass
+                    continue
+                marker = jvm.org.apache.hadoop.fs.Path(
+                    st.getPath(), _COMPACT_MARKER
+                )
+                epochs.append((e, st.getPath().toString(), bool(fs.exists(marker))))
         elif not name.startswith(("_", ".")):
             has_flat = True
     return True, has_flat, sorted(epochs)
@@ -129,16 +147,36 @@ def _read_committed(
     `empty_schema=None` means the artifact must already exist (the
     minhash stream's pre-built-index contract): a missing/empty path
     raises via the plain read. With a schema, missing/empty bootstraps
-    to an empty frame (first batch of a self-building index)."""
+    to an empty frame (first batch of a self-building index).
+
+    Compaction-aware: when a committed epoch carries the _COMPACTED
+    marker (autocompact_epoch), its rows ARE the full state as of that
+    epoch — the read starts there and takes only later epochs, ignoring
+    the flat base and older dirs (which may still exist until the next
+    GC pass deletes them; reading them too would double-count)."""
     exists, has_flat, epochs = _list_artifact(spark, path)
-    paths = ([path] if has_flat else []) + [
-        p for e, p in epochs if e < before_epoch
-    ]
+    committed = [(e, p, c) for e, p, c in epochs if e < before_epoch]
+    compacted = [e for e, _, c in committed if c]
+    if compacted:
+        newest = max(compacted)
+        paths = [p for e, p, _ in committed if e >= newest]
+    else:
+        paths = ([path] if has_flat else []) + [p for _, p, _ in committed]
     if not paths:
-        if empty_schema is None or (exists and epochs):
+        if exists and epochs:
             # exists-with-only-future-epochs is a replay reading an index
             # no first attempt could have seen — impossible under one
-            # stream per dir; surface it rather than treat as bootstrap
+            # stream per dir; name the condition instead of falling
+            # through to an opaque 'Unable to infer schema' read
+            raise RuntimeError(
+                f"epoch-scoped artifact {path} holds only epochs >= "
+                f"{before_epoch} ({sorted(e for e, _, _ in epochs)}): epoch "
+                f"{before_epoch} cannot have produced them under one "
+                "maintenance stream per directory — two streams sharing "
+                "this directory, or a checkpoint reset against a "
+                "non-reset store?"
+            )
+        if empty_schema is None:
             return spark.read.parquet(path)
         return spark.createDataFrame([], empty_schema)
     return spark.read.parquet(*paths)
@@ -197,20 +235,125 @@ def compact_artifact(
     writer.parquet(tmp)
     n = spark.read.parquet(tmp).count()
 
+    # three-step swap so the serving path is readable at every instant:
+    # park the old layout at `.compact-old`, rename the new one into
+    # place, then delete the parked copy. A crash between the renames
+    # leaves the data recoverable at a named sibling (and the failure
+    # path below restores the old layout); the previous delete-then-
+    # rename left a window with NO readable layout at `path`.
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(tmp)
     dst = jvm.org.apache.hadoop.fs.Path(path)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact-old")
     fs = dst.getFileSystem(conf)
-    if not fs.delete(dst, True):
-        raise IOError(f"compact_artifact: could not remove old layout at {path}")
+    if fs.exists(old) and not fs.delete(old, True):
+        raise IOError(f"compact_artifact: could not clear stale {old}")
+    if not fs.rename(dst, old):
+        raise IOError(
+            f"compact_artifact: could not park old layout at {old}; "
+            f"serving layout untouched, compacted data intact at {tmp}"
+        )
     if not fs.rename(src, dst):
+        fs.rename(old, dst)  # restore — leave the directory serveable
         raise IOError(
             f"compact_artifact: rename {tmp} -> {path} failed; "
-            f"compacted data is intact at {tmp}"
+            f"old layout restored, compacted data intact at {tmp}"
         )
+    fs.delete(old, True)
     return int(n)
+
+
+def autocompact_epoch(
+    spark: SparkSession,
+    path: str,
+    epoch_id: int,
+    every: int | None,
+    transform=None,
+) -> bool:
+    """In-stream compaction: call at the END of a foreachBatch epoch,
+    after the epoch's own `_write_epoch`. Every `every` epochs it (a)
+    garbage-collects layout subsumed by the newest COMMITTED compaction
+    marker — epoch dirs below it and the flat base — and (b) rewrites
+    the store's full state (committed state before this epoch + this
+    epoch's fresh rows, through `transform` if given) into THIS epoch's
+    dir, marking it _COMPACTED. Keeps per-batch state reads O(every)
+    instead of O(all epochs) for a long-running maintenance stream
+    (readers are marker-aware: `_read_committed` / `read_artifact`
+    start at the newest marker).
+
+    Replay safety, spelled out:
+    - the fold reads `_read_committed(epoch_id)` — never its own
+      output — plus the epoch's freshly (re)written rows, so a replay
+      recomputes the identical folded state;
+    - the epoch's normal `_write_epoch` (mode overwrite) already wiped
+      any first-attempt marker, so a half-replayed compaction epoch is
+      read as a plain epoch until the fold re-lands;
+    - GC deletes only dirs below a marker whose epoch < epoch_id —
+      committed by foreachBatch's serial execution — and deleting them
+      is idempotent and invisible to marker-aware readers;
+    - the tmp-dir swap can only lose the epoch dir between delete and
+      rename, and only a crash there matters — the checkpoint has not
+      committed, so the restart replays the whole epoch from scratch.
+
+    `transform` must be a fixpoint of the serving read, same contract
+    as `compact_artifact` (verbatim union for append-only fact stores —
+    pass None; `keep_latest(df, key, version)` for snapshot stores).
+    Returns True when a compaction ran."""
+    if not every or int(epoch_id) <= 0 or int(epoch_id) % int(every) != 0:
+        return False
+    epoch_id = int(epoch_id)
+    exists, has_flat, epochs = _list_artifact(spark, path)
+    if not exists:
+        return False
+    cur = _epoch_dir(path, epoch_id)
+    if epoch_id not in [e for e, _, _ in epochs]:
+        # empty batch wrote nothing this epoch — compact next cadence hit
+        return False
+
+    jvm, fs = _hadoop_fs(spark, path)
+
+    # (a) GC below the newest committed marker
+    markers = [e for e, _, c in epochs if c and e < epoch_id]
+    if markers:
+        newest = max(markers)
+        for e, p, _ in epochs:
+            if e < newest:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+        if has_flat:
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            for st in fs.listStatus(hpath):
+                name = st.getPath().getName()
+                if not st.isDirectory() and not name.startswith(("_", ".")):
+                    fs.delete(st.getPath(), False)
+
+    # (b) fold committed-before state + this epoch's fresh rows into
+    # this epoch's dir
+    prior_paths = []
+    committed = [(e, p, c) for e, p, c in epochs if e < epoch_id]
+    comp = [e for e, _, c in committed if c]
+    if comp:
+        newest = max(comp)
+        prior_paths = [p for e, p, _ in committed if e >= newest]
+    else:
+        prior_paths = ([path] if has_flat else []) + [p for _, p, _ in committed]
+    full = spark.read.parquet(*(prior_paths + [cur]))
+    if transform is not None:
+        full = transform(full)
+    tmp = cur.rstrip("/") + ".compact-tmp"
+    full.write.mode("overwrite").parquet(tmp)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(cur)
+    if not fs.delete(dst, True):
+        raise IOError(f"autocompact_epoch: could not replace {cur}")
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"autocompact_epoch: rename {tmp} -> {cur} failed; the "
+            "stream must restart this epoch (checkpoint not committed)"
+        )
+    fs.create(jvm.org.apache.hadoop.fs.Path(dst, _COMPACT_MARKER), True).close()
+    return True
 
 
 def read_artifact(spark: SparkSession, path: str) -> DataFrame:
@@ -224,10 +367,18 @@ def read_artifact(spark: SparkSession, path: str) -> DataFrame:
     present the read is partition-aware, so the partition column and
     pruning survive. Do NOT mix hive partition dirs WITH epoch dirs in
     one directory: recursive lookup cannot recover partition columns
-    (partitioned compaction is the end-of-stream serving layout)."""
+    (partitioned compaction is the end-of-stream serving layout).
+
+    Compaction-aware: with a _COMPACTED epoch present (autocompact_epoch),
+    the read is the newest such epoch plus every later epoch — the flat
+    base and older dirs are subsumed state awaiting GC, not data."""
     exists, _, epochs = _list_artifact(spark, path)
     if exists and not epochs:
         return spark.read.parquet(path)
+    compacted = [e for e, _, c in epochs if c]
+    if compacted:
+        newest = max(compacted)
+        return spark.read.parquet(*[p for e, p, _ in epochs if e >= newest])
     return spark.read.option("recursiveFileLookup", "true").parquet(path)
 
 
@@ -247,6 +398,7 @@ def process_minhash_batch(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    compact_every: int | None = 64,
 ) -> None:
     """One idempotent epoch of the minhash dedup stream: look the batch up
     against the index as of epochs < epoch_id, drop duplicates (indexed
@@ -297,6 +449,8 @@ def process_minhash_batch(
             )
             _write_epoch(kb, bands_path, epoch_id)
             _write_epoch(ks, sh_path, epoch_id)
+            for apath in (accepted_dir, bands_path, sh_path):
+                autocompact_epoch(spark, apath, epoch_id, compact_every)
         finally:
             kept.unpersist()
 
@@ -311,6 +465,7 @@ def start_incremental_dedup(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    compact_every: int | None = 64,
     available_now: bool = True,
 ):
     """Wire the stream into the incremental-dedup ACTION: per micro-batch,
@@ -342,6 +497,7 @@ def start_incremental_dedup(
             num_hashes=num_hashes,
             bands=bands,
             threshold=threshold,
+            compact_every=compact_every,
         )
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
@@ -360,6 +516,7 @@ def process_line_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_line_chars: int = 1,
+    compact_every: int | None = 64,
 ) -> None:
     """One idempotent epoch of the line dedup stream: drop every line the
     index (as of epochs < epoch_id) has seen, overwrite this epoch's
@@ -374,6 +531,8 @@ def process_line_batch(
     )
     _write_epoch(kept, accepted_dir, epoch_id)
     _write_epoch(new_fps, fps_path, epoch_id)
+    for apath in (accepted_dir, fps_path):
+        autocompact_epoch(spark, apath, epoch_id, compact_every)
 
 
 def start_incremental_line_dedup(
@@ -384,6 +543,7 @@ def start_incremental_line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_line_chars: int = 1,
+    compact_every: int | None = 64,
     available_now: bool = True,
 ):
     """The line-level sibling of `start_incremental_dedup`: per
@@ -405,7 +565,7 @@ def start_incremental_line_dedup(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         process_line_batch(
             batch_df, epoch_id, fps_path, accepted_dir, id_col, text_col,
-            min_line_chars,
+            min_line_chars, compact_every=compact_every,
         )
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
@@ -424,6 +584,7 @@ def process_span_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    compact_every: int | None = 64,
 ) -> None:
     """One idempotent epoch of the span dedup stream. The epoch-scoped
     index read matters MOST here: a replay against an index already
@@ -439,6 +600,8 @@ def process_span_batch(
     kept, new_fps = dedup.dedup_batch_spans(batch_df, idx, k, id_col, text_col)
     _write_epoch(kept, accepted_dir, epoch_id)
     _write_epoch(new_fps, fps_path, epoch_id)
+    for apath in (accepted_dir, fps_path):
+        autocompact_epoch(spark, apath, epoch_id, compact_every)
 
 
 def start_incremental_span_dedup(
@@ -449,6 +612,7 @@ def start_incremental_span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    compact_every: int | None = 64,
     available_now: bool = True,
 ):
     """The span-level sibling of `start_incremental_line_dedup`: per
@@ -468,7 +632,8 @@ def start_incremental_span_dedup(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         process_span_batch(
-            batch_df, epoch_id, fps_path, accepted_dir, id_col, text_col, k
+            batch_df, epoch_id, fps_path, accepted_dir, id_col, text_col, k,
+            compact_every=compact_every,
         )
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
@@ -486,6 +651,7 @@ def process_bm25_batch(
     stats_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 64,
 ) -> None:
     """One idempotent epoch of BM25 index maintenance. Idempotency is
     load-bearing here, not hygiene: bm25_lookup COUNTS rows (N, avgdl
@@ -500,6 +666,9 @@ def process_bm25_batch(
     postings, doc_stats = retrieval.bm25_index(batch_df, id_col, text_col)
     _write_epoch(postings, postings_path, epoch_id)
     _write_epoch(doc_stats, stats_path, epoch_id)
+    spark = batch_df.sparkSession
+    for apath in (postings_path, stats_path):
+        autocompact_epoch(spark, apath, epoch_id, compact_every)
 
 
 def process_keep_latest_batch(
@@ -509,6 +678,7 @@ def process_keep_latest_batch(
     key_cols,
     version_col: str,
     tiebreak_col: str | None = None,
+    compact_every: int | None = 64,
 ) -> None:
     """One idempotent epoch of latest-snapshot store maintenance: compact
     the batch to one row per key (operators/dedup.py::keep_latest) and
@@ -523,6 +693,15 @@ def process_keep_latest_batch(
         dedup.keep_latest(batch_df, key_cols, version_col, tiebreak_col),
         store_path,
         epoch_id,
+    )
+    autocompact_epoch(
+        batch_df.sparkSession,
+        store_path,
+        epoch_id,
+        compact_every,
+        transform=lambda df: dedup.keep_latest(
+            df, key_cols, version_col, tiebreak_col
+        ),
     )
 
 
@@ -552,6 +731,7 @@ def start_keep_latest_maintenance(
     key_cols,
     version_col: str,
     tiebreak_col: str | None = None,
+    compact_every: int | None = 64,
     available_now: bool = True,
 ):
     """Continuous crawl-compaction: per micro-batch of re-fetched
@@ -569,7 +749,8 @@ def start_keep_latest_maintenance(
     compaction cadence."""
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         process_keep_latest_batch(
-            batch_df, epoch_id, store_dir, key_cols, version_col, tiebreak_col
+            batch_df, epoch_id, store_dir, key_cols, version_col, tiebreak_col,
+            compact_every=compact_every,
         )
 
     writer = snapshots_stream.writeStream.foreachBatch(process_batch).option(
@@ -588,6 +769,7 @@ def process_ann_batch(
     pq_centroids: list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = 64,
 ) -> None:
     """One idempotent epoch of IVF-PQ index maintenance: encode the
     batch's vectors to (id, list_id, codes) against the FROZEN quantizer
@@ -603,6 +785,7 @@ def process_ann_batch(
         batch_df, coarse_centroids, pq_centroids, id_col, vec_col
     )
     _write_epoch(idx, index_path, epoch_id)
+    autocompact_epoch(batch_df.sparkSession, index_path, epoch_id, compact_every)
 
 
 def start_ann_index_maintenance(
@@ -613,6 +796,7 @@ def start_ann_index_maintenance(
     pq_centroids: list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = 64,
     available_now: bool = True,
 ):
     """Continuous IVF-PQ index maintenance: per micro-batch of new
@@ -636,7 +820,7 @@ def start_ann_index_maintenance(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         process_ann_batch(
             batch_df, epoch_id, index_path, coarse_centroids, pq_centroids,
-            id_col, vec_col,
+            id_col, vec_col, compact_every=compact_every,
         )
 
     writer = vectors_stream.writeStream.foreachBatch(process_batch).option(
@@ -653,6 +837,7 @@ def start_bm25_index_maintenance(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 64,
     available_now: bool = True,
 ):
     """Continuous lexical-index maintenance: per micro-batch, commit the
@@ -673,7 +858,8 @@ def start_bm25_index_maintenance(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         process_bm25_batch(
-            batch_df, epoch_id, postings_path, stats_path, id_col, text_col
+            batch_df, epoch_id, postings_path, stats_path, id_col, text_col,
+            compact_every=compact_every,
         )
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(

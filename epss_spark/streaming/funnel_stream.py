@@ -16,7 +16,13 @@ key's time-sorted sequence into prefix folds with carried state IS the
 batch fold, so `funnel_snapshot` equals the one-shot `event_funnel`
 over the union (pinned in tests). A late event older than a key's
 current step timestamp is processed at arrival order, same as the
-sessionize streams.
+sessionize streams — but it is no longer silent: each epoch counts the
+step-type events that arrived older than their key's committed fold
+timestamp and commits (epoch, n_late_events, n_late_keys) to the
+`<state_dir>.late` sibling artifact (epoch-scoped, so replay-stable);
+read it with `late_counts`. A nonzero counter means the
+time-partitioned-per-key contract was violated and the snapshot may
+undercount conversions relative to a batch re-run.
 
 State size: one (key, step, micros) row per key per epoch it appears
 in; compact with
@@ -31,10 +37,11 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from epss_spark.operators import dedup
+from epss_spark.operators import dedup, sessionize
 from epss_spark.streaming.dedup_stream import (
     _read_committed,
     _write_epoch,
+    autocompact_epoch,
     read_artifact,
 )
 
@@ -49,6 +56,9 @@ def process_funnel_batch(
     time: str = "ts",
     tiebreak: str = "event_id",
     max_gap_seconds: int | None = None,
+    chunk_size: int = 65536,
+    track_late: bool = True,
+    compact_every: int | None = 64,
 ) -> None:
     """One idempotent epoch: resume every key's funnel fold from its
     committed state (as of BEFORE this epoch — a replay recomputes the
@@ -56,7 +66,15 @@ def process_funnel_batch(
     key that appears in the batch gets a state row even when no step
     matches — the snapshot's base count needs users-seen, matching the
     batch funnel's distinct-key base. The `steps` list is part of the
-    store's identity: one store, one step sequence."""
+    store's identity: one store, one step sequence.
+
+    The fold itself is the hot-key-safe chunked prefix-fold
+    (operators/sessionize.py::funnel_fold_states) with the committed
+    state as each key's init — a bot key flooding one batch never
+    materializes more than `chunk_size` of its events in one task.
+    `track_late` additionally commits this epoch's out-of-order count
+    to the `<state_path>.late` sibling (module docstring) — one extra
+    bounded aggregate over the batch joined to the prior state."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -77,55 +95,73 @@ def process_funnel_batch(
         "__epoch",
     ).select(key, F.col("step").alias("__pstep"), F.col("us").alias("__pus"))
 
-    # non-step events can never advance the fold — wrap the struct in a
-    # when() so collect_list skips them (it drops nulls) while the
-    # groupBy still emits a row for EVERY key seen, which is what the
-    # snapshot's base count needs. At typical step-type selectivity this
-    # cuts the shuffled/sorted payload by orders of magnitude.
-    step_struct = F.when(
-        F.col(type_col).isin(list(steps)),
-        F.struct(F.col(time), F.col(tiebreak), F.col(type_col)),
+    # only step-type events can advance the fold — filter before any
+    # shuffle; keys whose batch events are all non-step still get a
+    # state row (the snapshot's base count needs users-seen), carried
+    # over from the prior state or bootstrapped at step 0 below.
+    ev = batch_df.filter(F.col(type_col).isin(list(steps)))
+    states = sessionize.funnel_fold_states(
+        ev, steps, key, type_col, time, tiebreak, max_gap_seconds,
+        chunk_size=chunk_size, prior=prior,
     )
-    per_key = batch_df.groupBy(key).agg(
-        F.array_sort(F.collect_list(step_struct)).alias("__seq")
-    )
-    joined = per_key.join(prior, key, "left")
-    init = F.struct(
-        F.coalesce(F.col("__pstep"), F.lit(0)).cast("long").alias("step"),
-        F.coalesce(F.col("__pus"), F.lit(0)).cast("long").alias("us"),
-    )
-    steps_lit = F.array(*[F.lit(s) for s in steps])
-    n = len(steps)
-    gap_us = (
-        F.lit(int(max_gap_seconds) * 1_000_000) if max_gap_seconds is not None else None
-    )
-
-    def merge(acc, x):
-        cond = (acc["step"] < n) & (
-            x[type_col] == F.element_at(steps_lit, (acc["step"] + 1).cast("int"))
+    all_keys = batch_df.select(key).distinct()
+    new_state = (
+        all_keys.join(states, key, "left")
+        .join(prior, key, "left")
+        .select(
+            key,
+            F.coalesce(F.col("step"), F.col("__pstep"), F.lit(0))
+            .cast("long")
+            .alias("step"),
+            F.coalesce(F.col("us"), F.col("__pus"), F.lit(0))
+            .cast("long")
+            .alias("us"),
+            F.lit(int(epoch_id)).alias("__epoch"),
         )
-        if gap_us is not None:
-            cond = cond & (
-                (acc["step"] == 0) | (F.unix_micros(x[time]) - acc["us"] <= gap_us)
-            )
-        return F.when(
-            cond,
-            F.struct(
-                (acc["step"] + 1).alias("step"),
-                F.unix_micros(x[time]).alias("us"),
-            ),
-        ).otherwise(acc)
-
-    new_state = joined.select(
-        F.col(key),
-        F.aggregate("__seq", init, merge).alias("__st"),
-    ).select(
-        key,
-        F.col("__st.step").alias("step"),
-        F.col("__st.us").alias("us"),
-        F.lit(int(epoch_id)).alias("__epoch"),
     )
     _write_epoch(new_state, state_path, epoch_id)
+    if track_late:
+        late = (
+            ev.join(prior, key, "inner")
+            .filter(
+                (F.col("__pstep") > 0)
+                & (F.unix_micros(F.col(time)) < F.col("__pus"))
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_late_events"),
+                F.countDistinct(key).alias("n_late_keys"),
+            )
+            .select(
+                F.lit(int(epoch_id)).alias("epoch"),
+                "n_late_events",
+                "n_late_keys",
+            )
+        )
+        _write_epoch(late, _late_path(state_path), epoch_id)
+        autocompact_epoch(spark, _late_path(state_path), epoch_id, compact_every)
+    # the state store folds superseded per-key rows away (keep-latest
+    # fixpoint) so per-batch prior reads stay O(compact_every) epochs
+    autocompact_epoch(
+        spark,
+        state_path,
+        epoch_id,
+        compact_every,
+        transform=lambda df: dedup.keep_latest(df, key, "__epoch"),
+    )
+
+
+def _late_path(state_path: str) -> str:
+    return state_path.rstrip("/") + ".late"
+
+
+def late_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """Out-of-order accounting for a funnel state store: one row per
+    epoch that processed step-type events older than their key's
+    committed fold timestamp — (epoch, n_late_events, n_late_keys).
+    All-zero rows mean the time-partitioned-per-key contract held;
+    nonzero rows name the epochs where arrival-order folding may have
+    undercounted conversions vs a batch re-run."""
+    return read_artifact(spark, _late_path(state_path)).orderBy("epoch")
 
 
 def funnel_snapshot(
@@ -163,19 +199,24 @@ def start_funnel_stream(
     time: str = "ts",
     tiebreak: str = "event_id",
     max_gap_seconds: int | None = None,
+    chunk_size: int = 65536,
+    track_late: bool = True,
+    compact_every: int | None = 64,
     available_now: bool = True,
 ):
     """Continuous funnel maintenance over an event stream: per
     micro-batch, advance every appearing key's (step, micros) fold from
     the committed state and append the new states epoch-scoped; read
     the live report any time with `funnel_snapshot`. Scale shape per
-    batch: one key-aggregate over the BATCH plus one join against the
-    latest state of the touched keys' store (state is one short row per
-    key — bucket the store by key when keys reach billions)."""
+    batch: one hot-key-safe chunked key-aggregate over the BATCH plus
+    one join against the latest state of the touched keys' store (state
+    is one short row per key — bucket the store by key when keys reach
+    billions)."""
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         process_funnel_batch(
             batch_df, epoch_id, state_dir, steps, key, type_col, time,
-            tiebreak, max_gap_seconds,
+            tiebreak, max_gap_seconds, chunk_size=chunk_size,
+            track_late=track_late, compact_every=compact_every,
         )
 
     writer = events_stream.writeStream.foreachBatch(process_batch).option(

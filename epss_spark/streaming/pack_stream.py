@@ -35,8 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from epss_spark.operators import prep
 from epss_spark.streaming.dedup_stream import (  # noqa: F401  (same reader)
+    _hadoop_fs,
     _list_artifact,
     _write_epoch,
+    autocompact_epoch,
     read_artifact,
     stream_documents,
 )
@@ -59,6 +61,7 @@ def read_pack_state(
     (non-epoch) layout — e.g. a batch-written seed state — is read
     as the pre-stream state."""
     exists, has_flat, epochs = _list_artifact(spark, state_dir)
+    epochs = [(e, p) for e, p, _ in epochs]
     if before_epoch is not None:
         epochs = [(e, p) for e, p in epochs if e < before_epoch]
     if epochs:
@@ -88,6 +91,7 @@ def process_pack_batch(
     n_buckets: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 64,
 ) -> None:
     """One idempotent epoch of incremental packing (module docstring for
     the replay argument). Module-level so tests can replay an epoch
@@ -117,8 +121,32 @@ def process_pack_batch(
             )
             new_state = new_state.unionByName(untouched)
         _write_pack_state(spark, state_dir, new_state, epoch_id)
+        # packed rows are append-only facts: fold committed epochs into
+        # this one every `compact_every` epochs (replay-safe — see
+        # autocompact_epoch). The STATE store needs no fold — each epoch
+        # already holds the complete state — so it gets pure GC: drop
+        # state epochs below the newest one committed BEFORE this epoch
+        # (the resume point a replay of this epoch would read).
+        if autocompact_epoch(spark, packed_dir, epoch_id, compact_every):
+            _gc_pack_state(spark, state_dir, int(epoch_id))
     finally:
         packed.unpersist()
+
+
+def _gc_pack_state(spark: SparkSession, state_dir: str, epoch_id: int) -> None:
+    """Delete state epochs subsumed by the replay resume point: a replay
+    of `epoch_id` resumes from the newest epoch < epoch_id, and every
+    later reader resumes from something >= that — older dirs are
+    unreachable. Idempotent (re-deleting is a no-op)."""
+    _, _, epochs = _list_artifact(spark, state_dir)
+    committed = [e for e, _, _ in epochs if e < epoch_id]
+    if not committed:
+        return
+    keep = max(committed)
+    jvm, fs = _hadoop_fs(spark, state_dir)
+    for e, p, _ in epochs:
+        if e < keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
 
 
 def start_incremental_pack(
@@ -130,6 +158,7 @@ def start_incremental_pack(
     n_buckets: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 64,
     available_now: bool = True,
 ):
     """Pack a document stream into training sequences incrementally: per
@@ -147,6 +176,7 @@ def start_incremental_pack(
         process_pack_batch(
             batch_df, epoch_id, state_dir, packed_dir,
             budget, n_buckets, id_col, text_col,
+            compact_every=compact_every,
         )
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(

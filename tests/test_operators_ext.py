@@ -2286,6 +2286,52 @@ def test_truncate_normalize_and_mrl_energy(spark):
     assert got == round(pre / full, 6)
 
 
+def test_lsh_multiprobe_rerank_two_stage(spark):
+    """lsh_multiprobe_rerank contracts: (1) with shortlist_dims=None the
+    composition is an order-preserving truncation of lsh_multiprobe_topk
+    (stage 1 already scores exact cosine); (2) with a truncated stage 1,
+    recall@k vs brute force is >= the truncated-only multiprobe's at
+    equal scan fraction (re-ranking can only fix orderings, never lose a
+    shortlisted true neighbor)."""
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    full = sorted(map(tuple, similarity.lsh_multiprobe_topk(
+        queries, emb, k=5, n_planes=6, n_probes=3, seed=7).collect()))
+    composed = sorted(map(tuple, similarity.lsh_multiprobe_rerank(
+        queries, emb, k=5, r=40, shortlist_dims=None,
+        n_planes=6, n_probes=3, seed=7).collect()))
+    assert composed == full
+
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in similarity.cosine_topk(queries, emb, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.cand_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    trunc_only = similarity.lsh_multiprobe_rerank(
+        queries, emb, k=5, r=5, shortlist_dims=16, n_planes=6, n_probes=3, seed=7
+    )
+    two_stage = similarity.lsh_multiprobe_rerank(
+        queries, emb, k=5, r=40, shortlist_dims=16, n_planes=6, n_probes=3, seed=7
+    )
+    # r=5 IS the truncated-only ranking (rerank of an exactly-k shortlist
+    # re-scores but cannot widen it); r=40 widens the shortlist
+    assert recall(two_stage) >= recall(trunc_only)
+    # stage-2 output is ranked by full-dim cosine with dense 1..k ranks
+    for row in two_stage.collect():
+        assert 1 <= row.rank <= 5
+
+
 def test_dataset_card_hand_computed(spark):
     df = spark.createDataFrame(
         [(1, "a b a", "en"), (2, "a b a", "en"), (3, "x y z w", "de")],
@@ -2357,6 +2403,74 @@ def test_event_funnel_max_gap(spark):
               for r in sz.event_funnel(df, ["signup", "view"],
                                        max_gap_seconds=7200).collect()}
     assert gapped == {1: 2, 2: 1}  # user 2's first view misses the window
+
+
+def test_event_funnel_chunked_equals_monolithic(spark):
+    """The hot-key-safe chunked prefix-fold (transition-table
+    composition) is pinned bit-identical to the monolithic per-key
+    array fold — including a bot key holding ~40% of all events, gap
+    windows that straddle chunk boundaries, and chunk sizes down to 2
+    (every boundary case exercised)."""
+    import datetime as dt
+    import random
+
+    from epss_spark.operators import sessionize as sz
+
+    rng = random.Random(41)
+    D = dt.datetime(2024, 3, 1)
+    types = ["signup", "view", "purchase", "click", "refund"]
+    rows = []
+    for i in range(360):
+        u = rng.randint(1, 12)
+        rows.append((u, D + dt.timedelta(seconds=rng.randint(0, 400_000)),
+                     i, rng.choice(types)))
+    for i in range(360, 600):  # the bot key
+        rows.append((77, D + dt.timedelta(seconds=rng.randint(0, 400_000)),
+                     i, rng.choice(types)))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    steps = ["signup", "view", "purchase"]
+    for gap in (None, 3600, 40_000):
+        mono = sorted(map(tuple, sz.event_funnel(
+            df, steps, max_gap_seconds=gap, chunk_size=None).collect()))
+        for cs in (2, 5, 64, 10_000):
+            chunked = sorted(map(tuple, sz.event_funnel(
+                df, steps, max_gap_seconds=gap, chunk_size=cs).collect()))
+            assert chunked == mono, (gap, cs)
+
+
+def test_funnel_fold_states_resumes_from_prior(spark):
+    """funnel_fold_states with a prior-state init equals folding the
+    concatenated sequence — the carried-state contract the streaming
+    funnel relies on, checked at the operator level."""
+    import datetime as dt
+
+    from epss_spark.operators import sessionize as sz
+
+    D = dt.datetime(2024, 3, 1)
+    rows1 = [(1, D, 1, "signup"), (2, D, 2, "signup")]
+    rows2 = [(1, D + dt.timedelta(hours=1), 3, "view"),
+             (2, D + dt.timedelta(hours=9), 4, "view")]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    df1 = spark.createDataFrame(rows1, schema)
+    df2 = spark.createDataFrame(rows2, schema)
+    both = spark.createDataFrame(rows1 + rows2, schema)
+    steps = ["signup", "view"]
+    for gap in (None, 7200):
+        s1 = sz.funnel_fold_states(df1, steps, max_gap_seconds=gap, chunk_size=1)
+        prior = s1.select(
+            "user_id",
+            s1["step"].alias("__pstep"),
+            s1["us"].alias("__pus"),
+        )
+        resumed = sorted(map(tuple, sz.funnel_fold_states(
+            df2, steps, max_gap_seconds=gap, chunk_size=1, prior=prior
+        ).collect()))
+        oneshot = sorted(map(tuple, sz.funnel_fold_states(
+            both, steps, max_gap_seconds=gap, chunk_size=1
+        ).collect()))
+        assert resumed == oneshot
 
 
 def test_pack_efficiency_hand_computed(spark):
@@ -2435,6 +2549,38 @@ def test_value_outliers_hand_computed(spark):
     assert a.n_outliers == 1  # only the 100
     b = got["b"]
     assert (b.n, b.mad, b.n_outliers) == (1, 0.0, 0)  # NULL ignored, not outlier
+
+
+def test_group_broadcast_guard_fallback_paths(spark):
+    """The per-group broadcast guard (sessionize._broadcast_if_bounded):
+    above the cap — or with max_broadcast_groups=None — value_outliers
+    and retention_cohorts take the plain-join (sort-merge/AQE) path and
+    must produce identical rows; the physical plan must then contain no
+    forced broadcast exchange of the per-group table."""
+    import datetime as dt
+
+    from epss_spark.operators import sessionize as sz
+
+    rows = [(f"g{i % 5}", float(i % 17)) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    want = sorted(map(tuple, sz.value_outliers(df).collect()))
+    for cap in (None, 2):  # skip-probe and over-cap fallback
+        got = sorted(map(tuple, sz.value_outliers(
+            df, max_broadcast_groups=cap).collect()))
+        assert got == want, cap
+    plan = sz.value_outliers(df, max_broadcast_groups=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+
+    D = dt.datetime(2024, 1, 1)
+    erows = [
+        (i % 7, D + dt.timedelta(days=i % 4, hours=i % 3)) for i in range(100)
+    ]
+    edf = spark.createDataFrame(erows, "user_id long, ts timestamp")
+    want = sorted(map(tuple, sz.retention_cohorts(edf).collect()))
+    for cap in (None, 1):
+        got = sorted(map(tuple, sz.retention_cohorts(
+            edf, max_broadcast_groups=cap).collect()))
+        assert got == want, cap
 
 
 def test_event_daily_growth_semantics(spark):

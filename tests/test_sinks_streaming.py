@@ -1784,6 +1784,147 @@ def test_streaming_funnel_equals_batch_and_replay(spark, tmp_path):
     assert got == want
 
 
+def _epoch_dirs(path):
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(str(path), "epoch-*")))
+
+
+def test_autocompact_bounds_epochs_and_preserves_snapshot(spark, tmp_path):
+    """Auto-compaction contract (keep-latest store, the state-fold case):
+    over 3N+ micro-batches with compact_every=N, (a) the epoch-dir count
+    stays bounded by ~2N instead of growing linearly, (b) the serving
+    snapshot is identical to an uncompacted run, and (c) replaying a
+    compaction epoch — and a plain epoch after one — changes nothing."""
+    from epss_spark.streaming import dedup_stream
+
+    plain = str(tmp_path / "plain")
+    auto = str(tmp_path / "auto")
+    batches = []
+    for e in range(10):
+        batches.append(spark.createDataFrame(
+            [(f"u{u}", e, e * 100 + u, f"v{e}_{u}") for u in range(e % 4 + 1)],
+            "url string, fetch_seq long, doc_id long, text string",
+        ))
+    for e, b in enumerate(batches):
+        dedup_stream.process_keep_latest_batch(
+            b, e, plain, "url", "fetch_seq", "doc_id", compact_every=None
+        )
+        dedup_stream.process_keep_latest_batch(
+            b, e, auto, "url", "fetch_seq", "doc_id", compact_every=3
+        )
+    want = sorted(map(tuple, dedup_stream.latest_snapshot(
+        spark, plain, "url", "fetch_seq", "doc_id").collect()))
+    got = sorted(map(tuple, dedup_stream.latest_snapshot(
+        spark, auto, "url", "fetch_seq", "doc_id").collect()))
+    assert got == want
+    # (a) bounded: epochs below the newest marker (epoch 9) are GC'd at
+    # the NEXT compaction; after epoch 9's compaction, dirs 0..5 from
+    # before marker 6 are gone — far fewer than the 10 the plain run keeps
+    assert len(_epoch_dirs(plain)) == 10
+    assert len(_epoch_dirs(auto)) <= 2 * 3 + 1
+    # (c) replay the last compaction epoch (9), then a plain epoch replay
+    dedup_stream.process_keep_latest_batch(
+        batches[9], 9, auto, "url", "fetch_seq", "doc_id", compact_every=3
+    )
+    got = sorted(map(tuple, dedup_stream.latest_snapshot(
+        spark, auto, "url", "fetch_seq", "doc_id").collect()))
+    assert got == want
+    # the re-run compaction epoch must carry the marker again
+    exists, _, epochs = dedup_stream._list_artifact(spark, auto)
+    assert (9, True) in [(e, c) for e, _, c in epochs]
+
+
+def test_autocompact_fact_store_keeps_bm25_counts_exact(spark, tmp_path):
+    """Auto-compaction on an append-only fact store whose consumer COUNTS
+    rows (BM25): compacted and uncompacted runs must score identically —
+    any double-read of a subsumed epoch or flat base would corrupt
+    df/tf/N. Starts from a FLAT batch-built index to pin flat-base
+    subsumption, and replays both a compaction epoch and the epoch after
+    it."""
+    from epss_spark.operators import retrieval
+    from epss_spark.streaming import dedup_stream
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"alpha beta doc{i} " + "gamma " * (i % 3)) for i in range(lo, hi)],
+            "doc_id long, text string",
+        )
+
+    stores = {}
+    for name, every in [("plain", None), ("auto", 2)]:
+        pp = str(tmp_path / name / "postings")
+        ds = str(tmp_path / name / "stats")
+        # flat batch-built seed index
+        p0, s0 = retrieval.bm25_index(mk(0, 4))
+        p0.write.parquet(pp)
+        s0.write.parquet(ds)
+        for e in range(7):
+            dedup_stream.process_bm25_batch(
+                mk(10 * (e + 1), 10 * (e + 1) + 3), e, pp, ds,
+                compact_every=every,
+            )
+        stores[name] = (pp, ds)
+
+    def scores(pp, ds):
+        sp = dedup_stream.read_artifact(spark, pp)
+        ss = dedup_stream.read_artifact(spark, ds)
+        return sorted(
+            map(tuple, retrieval.bm25_lookup(sp, ss, ["alpha", "gamma"]).collect())
+        )
+
+    want = scores(*stores["plain"])
+    assert scores(*stores["auto"]) == want
+    pp, ds = stores["auto"]
+    assert len(_epoch_dirs(pp)) <= 2 * 2 + 1
+    # flat base is GC'd once a marker exists (subsumed by the fold)
+    import glob
+    import os
+
+    assert glob.glob(os.path.join(pp, "part-*.parquet")) == []
+    # replay the last compaction epoch (6) then the prior plain epoch (5)
+    dedup_stream.process_bm25_batch(mk(70, 73), 6, pp, ds, compact_every=2)
+    assert scores(pp, ds) == want
+    dedup_stream.process_bm25_batch(mk(60, 63), 5, pp, ds, compact_every=2)
+    assert scores(pp, ds) == want
+
+
+def test_funnel_stream_late_event_counter(spark, tmp_path):
+    """Out-of-order accounting: an epoch whose step-type events are
+    older than their key's committed fold timestamp shows up in
+    late_counts; in-order epochs report zero; a replayed epoch does not
+    double-count."""
+    import datetime as dt
+
+    from epss_spark.streaming import funnel_stream
+
+    D = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    steps = ["signup", "view"]
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, D + dt.timedelta(hours=5), 1, "signup")], schema
+    )
+    # user 1's view is OLDER than its committed signup timestamp -> late;
+    # user 2 is fresh -> not late
+    b1 = spark.createDataFrame(
+        [(1, D + dt.timedelta(hours=1), 2, "view"),
+         (2, D + dt.timedelta(hours=6), 3, "signup")],
+        schema,
+    )
+    funnel_stream.process_funnel_batch(b0, 0, state, steps)
+    funnel_stream.process_funnel_batch(b1, 1, state, steps)
+    got = {r.epoch: (r.n_late_events, r.n_late_keys)
+           for r in funnel_stream.late_counts(spark, state).collect()}
+    assert got == {0: (0, 0), 1: (1, 1)}
+    # replay of epoch 1 overwrites its counter row, never appends
+    funnel_stream.process_funnel_batch(b1, 1, state, steps)
+    got2 = {r.epoch: (r.n_late_events, r.n_late_keys)
+            for r in funnel_stream.late_counts(spark, state).collect()}
+    assert got2 == got
+
+
 def test_streaming_pack_replay_is_idempotent(spark, tmp_path):
     """Crash-retry contract (review regression): replaying an epoch must
     REPLACE its packed rows and state, not append duplicates into fresh
