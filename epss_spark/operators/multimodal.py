@@ -3,14 +3,19 @@ opaque `binary` columns with typed metadata, processed via Arrow-batched
 mapInPandas.
 
 The Spark-side plumbing (schemas, batch iteration, partition parallelism,
-metadata propagation) is real and tested. Decoding: 24-bit BMP, binary
-PPM, and 8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfilter)
-decode and resize for real with no imaging libraries (decode_image /
-decode_png / nn_resize); remaining compressed codecs (JPEG/audio/video)
-have no decoder in this environment, so feature extraction's `decode_fn`
-defaults to a deterministic fake and resize passes those payloads
-through (strict=True raises instead). Swap in a real decoder
-(PIL / torchaudio / pyav) via `decode_fn`.
+metadata propagation) is real and tested. Decoding is tiered:
+1. stdlib/numpy decoders, always available: 24-bit BMP, binary PPM, and
+   8-bit non-interlaced PNG (zlib inflate + numpy unfilter) — decode_image
+   / decode_png / nn_resize;
+2. an OPTIONAL-dependency adapter for compressed codecs: when Pillow is
+   importable on the executors, decode_image_any decodes JPEG/WEBP/etc.
+   through it (capability probed once per worker process, zero cost when
+   absent). Ship Pillow to workers the standard ways — cluster image,
+   `spark.submit.pyFiles`, conda/venv archives (DEPLOYMENT.md §codecs);
+3. without Pillow, compressed payloads pass through unchanged
+   (strict=True raises naming the missing dependency); audio/video
+   feature extraction's `decode_fn` defaults to a deterministic fake —
+   swap in torchaudio/pyav via `decode_fn` the same executor-side way.
 
 Design notes for 100 TB:
 - binary payloads ride in the same parquet row group as their metadata —
@@ -339,6 +344,48 @@ def decode_image(payload: bytes):
     return None
 
 
+_PIL_PROBE: list = []  # [] = unprobed; [None] = absent; [module] = usable
+
+
+def _optional_pil():
+    """Per-worker-process capability probe for the optional Pillow
+    dependency: one import attempt per Python worker (module state is
+    per-process and workers are reused), so the absent case costs a
+    single cached None check per payload, not an ImportError per row."""
+    if not _PIL_PROBE:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _PIL_PROBE.append(Image)
+        except Exception:
+            _PIL_PROBE.append(None)
+    return _PIL_PROBE[0]
+
+
+def decode_image_any(payload: bytes):
+    """Tiered image decode: stdlib/numpy first (BMP/PPM/PNG —
+    `decode_image`, always available), then the optional Pillow adapter
+    for compressed codecs (JPEG/WEBP/...) when it is importable on this
+    worker (`_optional_pil`). Returns an HxWx3 uint8 RGB array, or None
+    when no available tier can decode the payload — malformed media in
+    a 100 TB corpus must degrade, not kill the stage."""
+    arr = decode_image(payload)
+    if arr is not None:
+        return arr
+    Image = _optional_pil()
+    if Image is None or not payload:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None
+
+
 def encode_ppm(arr) -> bytes:
     """Encode an HxWx3 uint8 RGB array as binary PPM (P6)."""
     h, w = arr.shape[:2]
@@ -356,14 +403,17 @@ def nn_resize(arr, width: int, height: int):
 
 
 def resize_images(media: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
-    """Image resize over Arrow batches. Codec-free payloads (24-bit BMP,
-    binary PPM, 8-bit non-interlaced PNG) are REALLY decoded,
-    nearest-neighbor resized in numpy, and re-encoded as PPM with
-    width/height metadata updated. Remaining compressed formats
-    (JPEG/...) need a codec this environment doesn't ship: they pass
-    through unchanged keeping their original metadata — or raise when
-    ``strict=True``. Dedup-before-decode applies per batch (identical
-    payloads resize once)."""
+    """Image resize over Arrow batches. Decodes through the tiered
+    adapter (`decode_image_any`): 24-bit BMP / binary PPM / 8-bit
+    non-interlaced PNG always (stdlib+numpy), compressed codecs
+    (JPEG/WEBP/...) when Pillow is importable on the executors
+    (DEPLOYMENT.md §codecs) — decoded payloads are nearest-neighbor
+    resized in numpy and re-encoded as PPM with width/height metadata
+    updated. A payload NO available tier can decode passes through
+    unchanged keeping its original metadata — or raises when
+    ``strict=True``, naming the missing optional dependency.
+    Dedup-before-decode applies per batch (identical payloads resize
+    once)."""
 
     def _resize(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -374,15 +424,23 @@ def resize_images(media: DataFrame, width: int, height: int, strict: bool = Fals
             for row in pdf.itertuples(index=False):
                 b = bytes(row.payload) if row.payload is not None else b""
                 if b not in cache:
-                    arr = decode_image(b) if b else None
+                    arr = decode_image_any(b) if b else None
                     if arr is not None:
                         resized = nn_resize(arr, width, height)
                         cache[b] = (encode_ppm(resized), "image/x-portable-pixmap", width, height)
                     elif strict:
+                        have_pil = _optional_pil() is not None
                         raise NotImplementedError(
-                            f"cannot decode payload (mime={row.mime!r}): only uncompressed "
-                            "BMP/PPM decode without an imaging library; pass strict=False "
-                            "to pass compressed payloads through"
+                            f"cannot decode payload (mime={row.mime!r}): "
+                            + (
+                                "payload is malformed or an unsupported codec "
+                                "(Pillow is present on this worker)"
+                                if have_pil
+                                else "stdlib decoders cover BMP/PPM/PNG only; "
+                                "install Pillow on the executors (DEPLOYMENT.md "
+                                "§codecs) for JPEG/WEBP/..."
+                            )
+                            + "; pass strict=False to pass undecodable payloads through"
                         )
                     else:
                         cache[b] = (row.payload, row.mime, row.width, row.height)

@@ -61,22 +61,23 @@ def session_stats(
 
 
 def _funnel_chunk_tables(
-    ev: DataFrame,
+    ck: DataFrame,
     steps: list[str],
     key: str,
     type_col: str,
     time: str,
     tiebreak: str,
     max_gap_seconds: int | None,
-    chunk_size: int,
+    chunk_size: int | None = None,
+    full_tables: bool = True,
 ) -> DataFrame:
     """Per-(key, chunk) funnel TRANSITION TABLES — the associative
-    summary that makes the funnel fold hot-key safe. Each key's
-    time-ordered step-type events are split into bounded chunks of
-    `chunk_size` (row_number over the same (time, tiebreak, type) order
-    the monolithic fold sorts by — the window sort spills, it never
-    materializes a per-key array); each chunk is folded ONCE into a
-    table with one entry per possible incoming step s0 in 0..n:
+    summary that makes the funnel fold hot-key safe. `ck` carries a
+    precomputed `__chunk` id: each key's time-ordered step-type events
+    split into bounded chunks (row_number over the same (time, tiebreak,
+    type) order the monolithic fold sorts by — the window sort spills,
+    it never materializes a per-key array); each chunk is folded ONCE
+    into a table with one entry per possible incoming step s0 in 0..n:
 
       entry[s0] = (m, step, us) where m is the micros of the chunk's
       FIRST event of type steps[s0+1] (null if none — the chunk cannot
@@ -93,36 +94,47 @@ def _funnel_chunk_tables(
     (`_funnel_apply_tables`) re-checks only the entry's m against the
     carried state. Per-event cost is (n_steps+1) parallel entries —
     bounded and tiny; per-key reduce payload is
-    ceil(events/chunk_size) tables of n+1 structs."""
+    ceil(events/chunk_size) tables of n+1 structs.
+
+    Hybrid cost dial: with `full_tables=False` (legal ONLY when the
+    per-key fold starts from step 0 — batch, no resumed state) and
+    `chunk_size` given, a key whose WHOLE sequence fits one chunk (its
+    windowed `__n` <= chunk_size) gets a one-entry table — entry 0 is
+    all `_funnel_apply_tables` will ever read for it — so the common-
+    case key pays the same single-state walk as the monolithic fold;
+    only genuinely hot keys pay the (n_steps+1)-entry fold."""
     n = len(steps)
     steps_lit = F.array(*[F.lit(s) for s in steps])
     gap_us = (
         F.lit(int(max_gap_seconds) * 1_000_000) if max_gap_seconds is not None else None
     )
-    order = [F.col(time).asc(), F.col(tiebreak).asc(), F.col(type_col).asc()]
-    w = Window.partitionBy(key).orderBy(*order)
-    ck = ev.withColumn(
-        "__chunk",
-        ((F.row_number().over(w) - F.lit(1)) / F.lit(int(chunk_size))).cast("long"),
-    )
-    # hash(key) partitioning from the window satisfies (key, chunk)
-    # clustering — no second exchange for this groupBy or the per-key one
-    per_chunk = ck.groupBy(key, "__chunk").agg(
+    # hash(key) partitioning from the caller's window satisfies (key,
+    # chunk) clustering — no second exchange for this groupBy or the
+    # per-key one
+    agg_cols = [
         F.array_sort(
             F.collect_list(F.struct(F.col(time), F.col(tiebreak), F.col(type_col)))
         ).alias("__seq")
-    )
-    init = F.array(
-        *[
-            F.struct(
-                F.lit(False).alias("started"),
-                F.lit(None).cast("long").alias("m"),
-                F.lit(i).cast("long").alias("step"),
-                F.lit(0).cast("long").alias("us"),
-            )
-            for i in range(n + 1)
-        ]
-    )
+    ]
+    if not full_tables:
+        agg_cols.append(F.max("__n").alias("__n"))
+    per_chunk = ck.groupBy(key, "__chunk").agg(*agg_cols)
+
+    def entry(i: int):
+        return F.struct(
+            F.lit(False).alias("started"),
+            F.lit(None).cast("long").alias("m"),
+            F.lit(i).cast("long").alias("step"),
+            F.lit(0).cast("long").alias("us"),
+        )
+
+    full_init = F.array(*[entry(i) for i in range(n + 1)])
+    if full_tables:
+        init = full_init
+    else:
+        init = F.when(
+            F.col("__n") <= F.lit(int(chunk_size)), F.array(entry(0))
+        ).otherwise(full_init)
 
     def merge(acc, x):
         xus = F.unix_micros(x[time])
@@ -195,6 +207,20 @@ def _funnel_apply_tables(tabs_col, init_state, max_gap_seconds: int | None):
     return F.aggregate(tabs_col, init_state, merge)
 
 
+def _prior_init(per_key: DataFrame, key: str, prior: DataFrame | None):
+    if prior is not None:
+        per_key = per_key.join(prior, key, "left")
+    init = F.struct(
+        (F.coalesce(F.col("__pstep"), F.lit(0)) if prior is not None else F.lit(0))
+        .cast("long")
+        .alias("step"),
+        (F.coalesce(F.col("__pus"), F.lit(0)) if prior is not None else F.lit(0))
+        .cast("long")
+        .alias("us"),
+    )
+    return per_key, init
+
+
 def funnel_fold_states(
     ev: DataFrame,
     steps: list[str],
@@ -211,32 +237,44 @@ def funnel_fold_states(
     optionally carries resumed state as (key, __pstep, __pus) — the
     streaming form's per-key init. Identical results to the monolithic
     per-key array fold (pinned in tests), but no task ever holds more
-    than chunk_size events of one key: a bot key with millions of
-    step-type events becomes ceil(events/chunk_size) bounded chunk
-    folds plus one tiny table-composition fold."""
+    than chunk_size events of one key.
+
+    Hybrid execution, ONE plan and one key exchange: a single windowed
+    pass tags every event with its per-key chunk id and per-key total
+    (row_number + count over the same key partitioning). Without a
+    `prior` (the batch shape), keys whose whole sequence fits one chunk
+    — in real event data, virtually all of them — fold a ONE-entry
+    transition table (entry 0 is all the merge will read for them:
+    identical per-event work to the monolithic single-state walk); only
+    keys exceeding chunk_size fold the full (n_steps+1)-entry tables,
+    bounded at chunk_size events per task regardless of how hot the key
+    is. With a `prior`, the resumed step is unknown at chunk-fold time,
+    so every key folds full tables — per-batch input, where the
+    (n_steps+1)x constant is immaterial. The skew probe
+    (tools/funnel_skew_probe.py, PERF.md) prices both kernels."""
+    order = [F.col(time).asc(), F.col(tiebreak).asc(), F.col(type_col).asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    wall = Window.partitionBy(key)
+    ck = ev.select(
+        F.col(key), F.col(time), F.col(tiebreak), F.col(type_col),
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(int(chunk_size)))
+        .cast("long")
+        .alias("__chunk"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
     tables = _funnel_chunk_tables(
-        ev, steps, key, type_col, time, tiebreak, max_gap_seconds, chunk_size
+        ck, steps, key, type_col, time, tiebreak, max_gap_seconds,
+        chunk_size=chunk_size, full_tables=prior is not None,
     )
     per_key = tables.groupBy(key).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("__chunk").alias("c"), F.col("__table").alias("t")))
         ).alias("__tabs")
     )
-    if prior is not None:
-        per_key = per_key.join(prior, key, "left")
-        init = F.struct(
-            F.coalesce(F.col("__pstep"), F.lit(0)).cast("long").alias("step"),
-            F.coalesce(F.col("__pus"), F.lit(0)).cast("long").alias("us"),
-        )
-    else:
-        init = F.struct(
-            F.lit(0).cast("long").alias("step"), F.lit(0).cast("long").alias("us")
-        )
+    per_key, init = _prior_init(per_key, key, prior)
     st = _funnel_apply_tables(F.col("__tabs"), init, max_gap_seconds)
     return per_key.select(
-        F.col(key),
-        st["step"].alias("step"),
-        st["us"].alias("us"),
+        F.col(key), st["step"].alias("step"), st["us"].alias("us")
     )
 
 

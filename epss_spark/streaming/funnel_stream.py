@@ -25,9 +25,10 @@ time-partitioned-per-key contract was violated and the snapshot may
 undercount conversions relative to a batch re-run.
 
 State size: one (key, step, micros) row per key per epoch it appears
-in; compact with
-`compact_artifact(spark, state_dir, transform=lambda df:
-keep_latest(df, key, "__epoch"))` on the keep-latest fixpoint rule.
+in. The store auto-compacts in-stream every `compact_every` epochs
+(dedup_stream.autocompact_epoch, keep-latest fixpoint transform), so
+per-batch prior reads stay O(compact_every) epoch dirs; a terminated
+stream's store can still be flattened with `compact_artifact`.
 """
 
 from __future__ import annotations

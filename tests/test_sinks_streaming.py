@@ -310,8 +310,60 @@ def test_corpus_scope_decodes_each_distinct_payload_once(spark):
         multimodal.extract_features(media, scope="bogus")
 
 
-def test_extract_features_with_real_pil_decoder(spark):
-    """Production decode path: a PIL-backed decode_fn through the SAME
+def test_decode_image_any_tiers(spark):
+    """The tiered codec adapter: stdlib formats decode identically to
+    decode_image in every environment; a compressed payload either
+    decodes through the optional Pillow tier (when importable) or
+    degrades to None with a strict= error that NAMES the missing
+    dependency — no environment leaves the behavior undefined."""
+    import numpy as np
+
+    arr = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    ppm = multimodal.encode_ppm(arr)
+    assert (multimodal.decode_image_any(ppm) == multimodal.decode_image(ppm)).all()
+
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 64  # truncated JPEG
+    rows = [(1, "image", "image/jpeg", None, None, None, jpeg_magic)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    if multimodal._optional_pil() is None:
+        assert multimodal.decode_image_any(jpeg_magic) is None
+        # strict path names the missing optional dependency
+        with pytest.raises(Exception, match="Pillow"):
+            multimodal.resize_images(media, 2, 2, strict=True).collect()
+        # non-strict: passes through with metadata untouched
+        out = multimodal.resize_images(media, 2, 2).collect()[0]
+        assert bytes(out.payload) == jpeg_magic and out.mime == "image/jpeg"
+    else:  # a malformed JPEG still degrades to None, never raises
+        assert multimodal.decode_image_any(jpeg_magic) is None
+
+
+def test_resize_images_jpeg_golden_with_pil(spark):
+    """Golden JPEG path through the SAME resize plumbing the stdlib
+    formats use: with Pillow on the workers, a real JPEG payload is
+    decoded by the optional tier, resized, and re-encoded as PPM under
+    strict=True (the round-8 'honestly stubbed' surface, now closed by
+    the optional-dependency adapter). Skips cleanly without PIL."""
+    pil_image = pytest.importorskip("PIL.Image")
+    import numpy as np
+
+    arr = np.zeros((8, 6, 3), dtype=np.uint8)
+    arr[:4] = [255, 0, 0]  # top half red, bottom half black
+    buf = io.BytesIO()
+    pil_image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    rows = [(7, "image", "image/jpeg", 6, 8, None, buf.getvalue())]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, 3, 4, strict=True).collect()[0]
+    assert (out.mime, out.width, out.height) == ("image/x-portable-pixmap", 3, 4)
+    got = multimodal.decode_image(bytes(out.payload))
+    assert got.shape == (4, 3, 3)
+    # top rows stay red-dominant, bottom rows near black (JPEG is lossy:
+    # compare dominance, not exact bytes)
+    assert got[0].astype(int)[:, 0].mean() > 180 and got[3].astype(int).mean() < 60
+
+
+def test_extract_features_with_real_pil_decoder_corpus_scope(spark):
+    """(Was shadowed by a later same-named test — renamed so it collects.)
+    Production decode path: a PIL-backed decode_fn through the SAME
     corpus-scope plumbing (hash projection, dedup-before-decode, Arrow
     batches, join-back) that the deterministic fake exercises — so the
     real-codec path is covered wherever an imaging lib exists. Skips

@@ -111,6 +111,21 @@ def main() -> None:
             np_ / 2**8,
         )
 
+    # two-stage cheap-index path (round 9): stage 1 on the 16-dim
+    # Matryoshka prefix (planes + shortlist ordering both truncated —
+    # 1/4 of the scan bytes), stage 2 exact full-dim re-rank. r=k is the
+    # truncated-only baseline (same shortlist membership as truncated
+    # multiprobe top-k); r >> k shows what re-rank + a wider shortlist
+    # buys at the SAME probed-bucket scan fraction.
+    for r in (k, 4 * k, 10 * k):
+        run(
+            f"lsh16_p8_mp4_rr{r}",
+            lambda r=r: similarity.lsh_multiprobe_rerank(
+                queries, emb, k=k, r=r, shortlist_dims=16, n_planes=8, n_probes=4
+            ),
+            4 / 2**8,
+        )
+
     n_lists = 16
     cents = similarity.train_ivf_centroids(emb, n_lists=n_lists)
     for np_ in (1, 2, 4, 8, 16):
