@@ -121,6 +121,64 @@ def keep_latest(
     return out.select(*df.columns)
 
 
+def snapshot_history(
+    snapshots: DataFrame,
+    key_cols,
+    version_col: str,
+    fp_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """SCD-2 interval compaction — the history-keeping sibling of
+    `keep_latest` (SCD-1) and `snapshot_diff` (two-snapshot delta): from
+    a changelog of keyed snapshots, emit one row per CONSECUTIVE run of
+    unchanged content — (keys..., fp, valid_from, valid_to, n_versions)
+    with valid_from = the run's first version, valid_to = the next run's
+    first version (NULL for the current run, the half-open [from, to)
+    convention), and n_versions = how many fetches saw that content.
+    The crawl shape this serves: "when did this page last change, and
+    how long did each revision live?" — the audit/history table a
+    compliance or freshness pipeline keeps NEXT TO the keep_latest
+    serving view. `fp_col` defines sameness (e.g. md5 of normalized
+    text); NULL fps compare null-safely (two missing fetches are the
+    same run). With `tiebreak_col`, duplicate (key, version) rows
+    compact to the greatest tiebreak first.
+
+    Scale shape: ONE hash exchange on the key — the change-flag lag, the
+    run-numbering running sum, the per-run aggregate, and the lead() for
+    valid_to all reuse the same key partitioning (the extra sorts are
+    partition-local); no joins, no per-key array materialization
+    (windows stream + spill). Extension operator (the reference's
+    per-date score files are the already-exploded form of exactly this
+    table — epss/client.py:453-475 reconstructs changes FROM it)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if tiebreak_col is not None:
+        snapshots = keep_latest(snapshots, keys + [version_col], tiebreak_col)
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).asc())
+    prev_fp = F.lag(F.col(fp_col)).over(w)
+    chg = (
+        (F.row_number().over(w) == 1)
+        | ~F.col(fp_col).eqNullSafe(prev_fp)
+    ).cast("int")
+    run = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = (
+        snapshots.withColumn("__run", run)
+        .groupBy(*keys, "__run")
+        .agg(
+            F.min(fp_col).alias(fp_col),
+            F.min(version_col).alias("valid_from"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col("valid_from").asc())
+    return runs.select(
+        *keys,
+        fp_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_versions",
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -377,6 +377,39 @@ def lsh_multiprobe_topk(
     )
 
 
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Index-health evaluation: per-query recall of an approximate
+    top-k result against the exact one — the number a production ANN
+    deployment monitors continuously (recall collapse = the index needs
+    retraining/re-probing; PERF.md's recall ladder is this operator run
+    over a parameter grid). Both inputs are (query_id, cand_id [,...])
+    frames — compose with any tier: `topk_recall(lsh_topk(...),
+    cosine_topk(...))`. Returns (query_id, n_exact, n_hit,
+    recall[6dp]); aggregate mean(recall) for the dashboard scalar.
+
+    Scale shape: both sides are bounded (n_queries x k id pairs) — one
+    equi-join and one per-query count; at monitoring scale the exact
+    side comes from a SAMPLED query set, never the full corpus."""
+    ex = exact.select("query_id", "cand_id")
+    ap = approx.select("query_id", "cand_id").withColumn("__hit", F.lit(1))
+    return (
+        ex.join(ap, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def lsh_multiprobe_rerank(
     queries: DataFrame,
     candidates: DataFrame,

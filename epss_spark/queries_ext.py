@@ -240,6 +240,75 @@ def dedup_url_latest(spark, sf_dir):
 
 
 @register(
+    "dedup_url_history",
+    """
+    WITH snap AS (
+      SELECT 'https://site.org/p/' || CAST(doc_id % 97 AS VARCHAR)
+             || '?k=' || CAST(doc_id % 97 AS VARCHAR) AS url,
+             (doc_id * 7919) % 101 AS version,
+             doc_id, lang
+      FROM documents
+    ),
+    vers AS (
+      SELECT url, version, lang FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY url, version ORDER BY doc_id DESC) AS rn
+        FROM snap
+      ) WHERE rn = 1
+    ),
+    marked AS (
+      SELECT url, version, lang,
+             CASE WHEN row_number() OVER (PARTITION BY url ORDER BY version) = 1
+                  OR NOT (lang IS NOT DISTINCT FROM
+                          lag(lang) OVER (PARTITION BY url ORDER BY version))
+                  THEN 1 ELSE 0 END AS chg
+      FROM vers
+    ),
+    runs AS (
+      SELECT url, version, lang,
+             SUM(chg) OVER (PARTITION BY url ORDER BY version
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM marked
+    ),
+    agg AS (
+      SELECT url, grp, min(lang) AS lang, min(version) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_versions
+      FROM runs GROUP BY url, grp
+    )
+    SELECT url, lang, valid_from,
+           lead(valid_from) OVER (PARTITION BY url ORDER BY valid_from) AS valid_to,
+           n_versions
+    FROM agg
+    """,
+)
+def dedup_url_history(spark, sf_dir):
+    """SCD-2 crawl history (operators/dedup.py::snapshot_history): the
+    same synthetic re-fetch stream dedup_url_latest compacts to its
+    newest row is here compacted to one row per consecutive
+    unchanged-content RUN — (url, content class, valid_from, valid_to,
+    n_versions), half-open intervals, NULL valid_to marking the live
+    revision. `lang` stands in as the content fingerprint so runs are
+    nontrivial at every SF. The oracle replays the (url, version)
+    tiebreak, the null-safe change flag, the running-sum run ids, and
+    the lead() interval close; the engine plans it all inside ONE key
+    exchange."""
+    docs = T(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 97).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://Site.ORG:443/p/"), page,
+        F.lit("?utm_campaign=x&k="), page,
+    )
+    snap = docs.select(
+        text.url_canonicalize(url).alias("url"),
+        ((F.col("doc_id") * 7919) % 101).alias("version"),
+        "doc_id", "lang",
+    )
+    return dedup.snapshot_history(
+        snap, "url", "version", "lang", tiebreak_col="doc_id"
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -1041,6 +1110,61 @@ def ann_lsh_multiprobe(spark, sf_dir):
     return similarity.lsh_multiprobe_topk(
         queries, emb, k=5, n_planes=8, n_probes=4, seed=42
     )
+
+
+@register(
+    "ann_recall_lsh",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) AS cos
+      FROM q, c WHERE q.vec_id <> c.vec_id
+    ),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+        FROM ex_scored
+      ) WHERE rn <= 5
+    ),
+    e AS (SELECT vec_id, embedding, {_BUCKET_TERMS} AS bucket FROM embeddings),
+    ap_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) AS cos
+      FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    ),
+    approx AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+        FROM ap_scored
+      ) WHERE rn <= 5
+    )
+    SELECT ex.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM exact ex
+    LEFT JOIN approx ap ON ap.query_id = ex.query_id AND ap.cand_id = ex.cand_id
+    GROUP BY ex.query_id
+    """,
+)
+def ann_recall_lsh(spark, sf_dir):
+    """Index-health evaluation in-engine (operators/similarity.py::
+    topk_recall): per-query recall@5 of the 8-plane sign-LSH index
+    against exact brute-force cosine — the monitoring query a deployed
+    ANN system runs on a sampled query set every maintenance cycle. The
+    oracle replays BOTH tiers (the already-pinned brute and bucketed
+    CTE chains) and the hit-join; low recall here is corpus geometry
+    (near-iid testdata — PERF.md), measured identically by both
+    engines."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = similarity.lsh_topk(queries, emb, k=5, n_planes=8, seed=42)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    return similarity.topk_recall(approx, exact)
 
 
 # Two-stage LSH: stage 1 runs on the 16-dim Matryoshka prefix (planes drawn

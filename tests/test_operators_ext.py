@@ -2551,6 +2551,55 @@ def test_value_outliers_hand_computed(spark):
     assert (b.n, b.mad, b.n_outliers) == (1, 0.0, 0)  # NULL ignored, not outlier
 
 
+def test_topk_recall_hand_computed(spark):
+    """topk_recall semantics: hits counted per query against the exact
+    set; queries the approximate tier missed entirely still appear with
+    recall 0 (they come from the EXACT side of the join)."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, cand_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)],  # q3 missing entirely
+        "query_id long, cand_id long",
+    )
+    got = {
+        r.query_id: (r.n_exact, r.n_hit, r.recall)
+        for r in similarity.topk_recall(approx, exact).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 2, 1.0), 3: (1, 0, 0.0)}
+
+
+def test_snapshot_history_hand_computed(spark):
+    """SCD-2 interval compaction: runs of unchanged fps collapse with
+    half-open [valid_from, valid_to) intervals, NULL valid_to on the
+    live run, null-safe fp comparison, and (key, version) collisions
+    resolved by the tiebreak before run detection."""
+    from epss_spark.operators import dedup
+
+    rows = [
+        # url a: fp runs A,A | B | A  (change back re-opens a NEW run)
+        ("a", 1, 1, "A"), ("a", 2, 2, "A"), ("a", 3, 3, "B"), ("a", 4, 4, "A"),
+        # url b: null fps are one run, then a value
+        ("b", 1, 5, None), ("b", 2, 6, None), ("b", 3, 7, "X"),
+        # url c: duplicate version — tiebreak (max snap_id) wins, so fp
+        # at version 1 is "Z" and the whole history is one run
+        ("c", 1, 8, "Y"), ("c", 1, 9, "Z"), ("c", 2, 10, "Z"),
+    ]
+    df = spark.createDataFrame(rows, "url string, version long, snap_id long, fp string")
+    got = {
+        (r.url, r.valid_from): (r.fp, r.valid_to, r.n_versions)
+        for r in dedup.snapshot_history(df, "url", "version", "fp", "snap_id").collect()
+    }
+    assert got[("a", 1)] == ("A", 3, 2)
+    assert got[("a", 3)] == ("B", 4, 1)
+    assert got[("a", 4)] == ("A", None, 1)
+    assert got[("b", 1)] == (None, 3, 2)
+    assert got[("b", 3)] == ("X", None, 1)
+    assert got[("c", 1)] == ("Z", None, 2)
+    assert len(got) == 6
+
+
 def test_group_broadcast_guard_fallback_paths(spark):
     """The per-group broadcast guard (sessionize._broadcast_if_bounded):
     above the cap — or with max_broadcast_groups=None — value_outliers

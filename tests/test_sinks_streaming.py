@@ -1942,6 +1942,103 @@ def test_autocompact_fact_store_keeps_bm25_counts_exact(spark, tmp_path):
     assert scores(pp, ds) == want
 
 
+def test_history_stream_equals_batch_and_replay(spark, tmp_path):
+    """SCD-2 stream contract: after version-partitioned batches,
+    history_snapshot == the one-shot batch snapshot_history over the
+    union (runs closed across batch boundaries, re-opened fps, keys
+    absent from later batches, null fps); replaying the last epoch
+    changes nothing; late rows are dropped and counted."""
+    from epss_spark.operators import dedup
+    from epss_spark.streaming import history_stream
+
+    schema = "url string, version long, snap_id long, fp string"
+    batches = [
+        # b0: a opens A; b opens (null)
+        [("a", 1, 1, "A"), ("a", 2, 2, "A"), ("b", 1, 3, None)],
+        # b1: a changes to B (closes A-run); b still null (same run)
+        [("a", 3, 4, "B"), ("b", 2, 5, None)],
+        # b2: a returns to A (new run, not merged with the old A-run);
+        #     c appears; b absent entirely
+        [("a", 4, 6, "A"), ("c", 1, 7, "X")],
+    ]
+    hdir = str(tmp_path / "hist")
+    for e, rows in enumerate(batches):
+        history_stream.process_history_batch(
+            spark.createDataFrame(rows, schema), e, hdir,
+            "url", "version", "fp", tiebreak_col="snap_id",
+        )
+    alldf = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = sorted(map(tuple, dedup.snapshot_history(
+        alldf, "url", "version", "fp", "snap_id").collect()))
+    got = sorted(map(tuple, history_stream.history_snapshot(
+        spark, hdir, "url").select("url", "fp", "valid_from", "valid_to", "n_versions").collect()))
+    assert got == want
+    # replay of the last epoch is idempotent
+    history_stream.process_history_batch(
+        spark.createDataFrame(batches[-1], schema), 2, hdir,
+        "url", "version", "fp", tiebreak_col="snap_id",
+    )
+    got = sorted(map(tuple, history_stream.history_snapshot(
+        spark, hdir, "url").select("url", "fp", "valid_from", "valid_to", "n_versions").collect()))
+    assert got == want
+    # a late batch (version <= committed last) is dropped AND counted
+    history_stream.process_history_batch(
+        spark.createDataFrame([("a", 2, 99, "Z")], schema), 3, hdir,
+        "url", "version", "fp", tiebreak_col="snap_id",
+    )
+    got = sorted(map(tuple, history_stream.history_snapshot(
+        spark, hdir, "url").select("url", "fp", "valid_from", "valid_to", "n_versions").collect()))
+    assert got == want  # history unchanged
+    lates = {r.epoch: (r.n_late_events, r.n_late_keys)
+             for r in history_stream.late_counts(spark, hdir).collect()}
+    assert lates[3] == (1, 1) and lates[0] == (0, 0)
+
+
+def test_history_stream_via_streaming_query(spark, tmp_path):
+    """End-to-end through Structured Streaming (file drops +
+    start_history_maintenance) with a small compact_every: result
+    equals batch, and the open-store epoch dirs stay bounded."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import dedup
+    from epss_spark.streaming import history_stream
+
+    schema = "url string, version long, snap_id long, fp string"
+    rows = [("u%d" % (i % 5), i // 5 + 1, i, "f%d" % (i % 3)) for i in range(40)]
+    # version blocks -> batches arrive version-partitioned per key
+    rows.sort(key=lambda r: r[1])
+    batches = [rows[:10], rows[10:20], rows[20:30], rows[30:]]
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    for i, b in enumerate(batches):
+        staging = tmp_path / f"stage_{i}"
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+    hdir = str(tmp_path / "hist")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = history_stream.start_history_maintenance(
+        stream, hdir, str(tmp_path / "ckpt"), "url", "version", "fp",
+        tiebreak_col="snap_id", compact_every=2,
+    )
+    q.awaitTermination(180)
+    alldf = spark.createDataFrame(rows, schema)
+    want = sorted(map(tuple, dedup.snapshot_history(
+        alldf, "url", "version", "fp", "snap_id").collect()))
+    got = sorted(map(tuple, history_stream.history_snapshot(
+        spark, hdir, "url").select("url", "fp", "valid_from", "valid_to", "n_versions").collect()))
+    assert got == want
+    assert len(_epoch_dirs(os.path.join(hdir, "open"))) <= 2 * 2 + 1
+
+
 def test_funnel_stream_late_event_counter(spark, tmp_path):
     """Out-of-order accounting: an epoch whose step-type events are
     older than their key's committed fold timestamp shows up in
