@@ -348,6 +348,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="url_canonicalize the (single) key column before compacting",
     )
 
+    hi = sub.add_parser(
+        "history",
+        help="SCD-2 interval compaction (extension): one row per "
+        "consecutive unchanged-content run — (keys, fp, valid_from, "
+        "valid_to, n_versions), half-open intervals, NULL valid_to on "
+        "the live revision; the audit/history companion to `compact`",
+    )
+    hi.add_argument("--input", required=True, help="snapshots parquet")
+    hi.add_argument("--output", required=True, help="history parquet")
+    hi.add_argument("--key-cols", required=True, help="comma-separated key columns")
+    hi.add_argument("--version-col", required=True)
+    hi.add_argument("--fp-col", required=True,
+                    help="column whose equality defines 'unchanged'")
+    hi.add_argument("--tiebreak-col", help="unique column for deterministic ties")
+
     df_ = sub.add_parser(
         "diff",
         help="corpus snapshot diff (extension): added/removed/changed "
@@ -558,6 +573,27 @@ def main(argv: list[str] | None = None) -> int:
         n_in = snaps.count()
         n_out = spark.read.parquet(args.output).count()
         print(f"compact: {n_in} snapshots -> {n_out} latest -> {args.output}")
+        return 0
+
+    if args.command == "history":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from pyspark.sql import functions as F
+
+        from epss_spark.operators import dedup as dedup_ops
+
+        snaps = spark.read.parquet(args.input)
+        keys = [k.strip() for k in args.key_cols.split(",") if k.strip()]
+        out = dedup_ops.snapshot_history(
+            snaps, keys, args.version_col, args.fp_col,
+            tiebreak_col=args.tiebreak_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        h = spark.read.parquet(args.output)
+        n_runs = h.count()
+        n_open = h.filter(F.col("valid_to").isNull()).count()
+        print(f"history: {snaps.count()} snapshots -> {n_runs} runs "
+              f"({n_open} open) -> {args.output}")
         return 0
 
     if args.command == "diff":

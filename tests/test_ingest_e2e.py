@@ -276,6 +276,37 @@ def test_cli_compact_then_diff(spark, tmp_path, capsys):
     assert st == {101: "added", 103: "removed"}
 
 
+def test_cli_history(spark, tmp_path, capsys):
+    """history builds the SCD-2 interval table from a snapshot changelog:
+    runs collapse, the live revision has NULL valid_to, and the open-run
+    count is reported."""
+    import epss_spark.cli as cli
+
+    snaps = str(tmp_path / "snaps")
+    spark.createDataFrame(
+        [
+            ("a", 1, 1, "A"), ("a", 2, 2, "A"), ("a", 3, 3, "B"),
+            ("b", 1, 4, "X"),
+        ],
+        "url string, fetch_seq long, snap_id long, fp string",
+    ).write.parquet(snaps)
+    out = str(tmp_path / "hist")
+    rc = cli.main([
+        "history", "--input", snaps, "--output", out,
+        "--key-cols", "url", "--version-col", "fetch_seq",
+        "--fp-col", "fp", "--tiebreak-col", "snap_id",
+    ])
+    assert rc == 0
+    assert "4 snapshots -> 3 runs (2 open)" in capsys.readouterr().out
+    got = {(r.url, r.valid_from): (r.fp, r.valid_to, r.n_versions)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("a", 1): ("A", 3, 2),
+        ("a", 3): ("B", None, 1),
+        ("b", 1): ("X", None, 1),
+    }
+
+
 def test_cli_analyze_card_and_divergence(spark, tmp_path, capsys):
     import epss_spark.cli as cli
 
