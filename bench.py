@@ -48,6 +48,13 @@ HEADLINE = [
     #                     window + islands merge + raw-text excision on
     #                     top of dedup_spans' detection stage)
     "ann_ivfpq_rerank",  # two-stage ANN: ADC shortlist + exact re-rank
+    # round 9 (headline now 22 queries; totals incomparable with r8 —
+    # compare per-query via query_pairs, after checking calibration_sec):
+    "event_funnel",  # ordered-sequence conversion funnel over the
+    #                  hot-key-safe chunked prefix-fold (events tier's
+    #                  first headline row)
+    "dedup_url_history",  # SCD-2 interval compaction (lag + run-sum +
+    #                       agg + lead in ONE key exchange)
 ]
 
 # Headline workload scale-up (PERF.md bench protocol, round 5): sf0.1

@@ -143,16 +143,29 @@ def snapshot_history(
     same run). With `tiebreak_col`, duplicate (key, version) rows
     compact to the greatest tiebreak first.
 
-    Scale shape: ONE hash exchange on the key — the change-flag lag, the
-    run-numbering running sum, the per-run aggregate, and the lead() for
-    valid_to all reuse the same key partitioning (the extra sorts are
-    partition-local); no joins, no per-key array materialization
-    (windows stream + spill). Extension operator (the reference's
-    per-date score files are the already-exploded form of exactly this
-    table — epss/client.py:453-475 reconstructs changes FROM it)."""
+    Scale shape: ONE hash exchange on the key (plan-pinned) — the
+    tiebreak dedup, the change-flag lag, the run-numbering running sum,
+    the per-run aggregate, and the lead() for valid_to all reuse the
+    same key partitioning (the tiebreak filter even shares the main
+    window's sort: ordering by (version asc, tiebreak desc) makes
+    "first row per version" the tiebreak winner AND is a sorted prefix
+    for the version-ordered lag); no joins, no per-key array
+    materialization (windows stream + spill). Extension operator (the
+    reference's per-date score files are the already-exploded form of
+    exactly this table — epss/client.py:453-475 reconstructs changes
+    FROM it)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if tiebreak_col is not None:
-        snapshots = keep_latest(snapshots, keys + [version_col], tiebreak_col)
+        wv = Window.partitionBy(*keys).orderBy(
+            F.col(version_col).asc(), F.col(tiebreak_col).desc()
+        )
+        snapshots = (
+            snapshots.withColumn(
+                "__dup", F.lag(version_col).over(wv).eqNullSafe(F.col(version_col))
+            )
+            .filter(~F.col("__dup"))
+            .drop("__dup")
+        )
     w = Window.partitionBy(*keys).orderBy(F.col(version_col).asc())
     prev_fp = F.lag(F.col(fp_col)).over(w)
     chg = (

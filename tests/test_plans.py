@@ -519,6 +519,16 @@ def test_keep_latest_plan_one_aggregate_no_window_no_join(spark):
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
 
 
+def test_snapshot_history_plan_single_key_exchange(spark):
+    # the SCD-2 fold (tiebreak compaction + change-flag lag + run-number
+    # running sum + per-run aggregate + valid_to lead) must all reuse ONE
+    # hash exchange on the key: an extra exchange would re-shuffle the
+    # changelog once per window at 100 TB. Joins stay out entirely.
+    p = plan(spark, "dedup_url_history")
+    assert "Join" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
 def test_snapshot_diff_plan_fp_projection_before_join(spark):
     # the diff joins two 16-byte fingerprints by id — the text column must
     # not survive past the md5 projection into the join
