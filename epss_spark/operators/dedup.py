@@ -159,9 +159,14 @@ def snapshot_history(
         wv = Window.partitionBy(*keys).orderBy(
             F.col(version_col).asc(), F.col(tiebreak_col).desc()
         )
+        # row_number guards the first row per key: its lag is NULL, and a
+        # NULL version would null-safe-equal it — dropping the key's
+        # entire NULL-version history instead of keeping one row
         snapshots = (
             snapshots.withColumn(
-                "__dup", F.lag(version_col).over(wv).eqNullSafe(F.col(version_col))
+                "__dup",
+                (F.row_number().over(wv) > 1)
+                & F.lag(version_col).over(wv).eqNullSafe(F.col(version_col)),
             )
             .filter(~F.col("__dup"))
             .drop("__dup")

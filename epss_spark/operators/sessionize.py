@@ -386,10 +386,18 @@ def _broadcast_if_bounded(events_keys: DataFrame, max_groups: int | None):
     probe the group count with ONE bounded aggregate job
     (distinct().limit(max+1).count() — map-side partial distinct, short-
     circuits at the cap) and return F.broadcast only when the per-group
-    table provably fits. Above the cap — or with max_groups=None (skip
-    the probe, the conservative default for unknown 100 TB inputs) — the
-    joins go in plain, and AQE/sort-merge co-partitions on the group key
-    instead of shipping an unbounded table to every executor."""
+    table provably fits. Above the cap the joins go in plain, and
+    AQE/sort-merge co-partitions on the group key instead of shipping an
+    unbounded table to every executor.
+
+    The probe is an EAGER Spark job (one extra scan of the probed input,
+    launched at DataFrame-CONSTRUCTION time), so max_groups=None — skip
+    it entirely, keep the operator lazy — is the DEFAULT: the plain join
+    costs nothing extra, and AQE's runtime shuffle stats convert it to a
+    broadcast join anyway whenever the built side turns out small
+    (spark.sql.adaptive.autoBroadcastJoinThreshold), without the extra
+    pass. Pass a cap only when the plan must be broadcast-pinned up
+    front (AQE off, or a provably tiny group domain worth one probe)."""
     if max_groups is None:
         return lambda df: df
     n = events_keys.distinct().limit(int(max_groups) + 1).count()
@@ -403,7 +411,7 @@ def value_outliers(
     group_col: str = "event_type",
     value_col: str = "value",
     n_sigmas: float = 3.0,
-    max_broadcast_groups: int | None = 100_000,
+    max_broadcast_groups: int | None = None,
 ) -> DataFrame:
     """Robust per-group anomaly summary: median and MAD (median absolute
     deviation, scaled by the normal-consistency constant 1.4826) of
@@ -417,12 +425,14 @@ def value_outliers(
 
     Scale shape: two grouped aggregates over the SAME key (the second
     over |x - median|, which needs the first's result joined back) plus
-    one counting pass. The join-back broadcasts only when a one-job
-    probe proves the group count is under `max_broadcast_groups`
-    (default 100k rows — trivially shippable); beyond the cap, or with
-    max_broadcast_groups=None, the joins run plain and co-partition on
-    the group key (sort-merge/AQE) — a per-group table with millions of
-    groups must never be forced to every executor. Exact percentiles
+    one counting pass. By default (max_broadcast_groups=None) the
+    join-backs run plain and LAZY — co-partitioned on the group key,
+    with AQE's runtime stats converting them to broadcast whenever the
+    per-group table turns out small, at zero extra cost. Passing a cap
+    force-broadcasts under a proven bound instead, at the price of one
+    EAGER probe job (an extra scan at construction time) — for AQE-off
+    deployments; a per-group table with millions of groups is never
+    forced to every executor either way. Exact percentiles
     for the cross-engine contract; swap percentile_approx in at 100 TB
     the same way dataset_card documents. NULL values are ignored
     (percentile semantics) and never counted as outliers."""
@@ -467,7 +477,7 @@ def retention_cohorts(
     events: DataFrame,
     key: str = "user_id",
     time: str = "ts",
-    max_broadcast_groups: int | None = 100_000,
+    max_broadcast_groups: int | None = None,
 ) -> DataFrame:
     """Day-N retention matrix: users cohorted by first-seen day; for
     each (cohort_day, day_offset), how many cohort members were active
@@ -483,11 +493,12 @@ def retention_cohorts(
     cohorting aggregate, a key-equi join back (co-partitions on the
     user key), and a (cohort, offset) count — output is bounded by
     days^2 / 2 regardless of user count. The cohort-size join
-    broadcasts only when a one-job probe proves the distinct-DAY count
-    is under `max_broadcast_groups` (cohorts <= days; any calendar
-    history passes trivially — the guard exists for degenerate
-    "cohort by freeform column" misuse); beyond it, or with
-    max_broadcast_groups=None, the join runs plain on the cohort key."""
+    runs plain and lazy by default (max_broadcast_groups=None — AQE
+    converts it to broadcast at runtime; cohorts <= days, so the built
+    side is tiny for any calendar history); passing a cap instead
+    force-broadcasts after one EAGER probe job proves the distinct-DAY
+    count is under it (for AQE-off deployments — the guard still bounds
+    degenerate "cohort by freeform column" misuse)."""
     d = events.select(F.col(key).alias("__u"), F.col(time).cast("date").alias("__day")).distinct()
     bcast = _broadcast_if_bounded(
         d.select("__day"), max_broadcast_groups

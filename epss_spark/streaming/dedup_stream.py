@@ -256,7 +256,16 @@ def compact_artifact(
             f"serving layout untouched, compacted data intact at {tmp}"
         )
     if not fs.rename(src, dst):
-        fs.rename(old, dst)  # restore — leave the directory serveable
+        # restore — leave the directory serveable; if even the restore
+        # fails, say so truthfully and name where the data lives instead
+        # of claiming a serveable path that does not exist
+        if not fs.rename(old, dst):
+            raise IOError(
+                f"compact_artifact: rename {tmp} -> {path} failed AND the "
+                f"parked old layout could not be restored — {path} is "
+                f"ABSENT; old layout intact at {old}, compacted data at "
+                f"{tmp}; rename one of them into place manually"
+            )
         raise IOError(
             f"compact_artifact: rename {tmp} -> {path} failed; "
             f"old layout restored, compacted data intact at {tmp}"
@@ -293,9 +302,15 @@ def autocompact_epoch(
     - GC deletes only dirs below a marker whose epoch < epoch_id —
       committed by foreachBatch's serial execution — and deleting them
       is idempotent and invisible to marker-aware readers;
-    - the tmp-dir swap can only lose the epoch dir between delete and
-      rename, and only a crash there matters — the checkpoint has not
-      committed, so the restart replays the whole epoch from scratch.
+    - the fold is staged OUTSIDE the store (`<path>.autocompact-N.tmp`,
+      marker written inside BEFORE the swap) and the swap parks the
+      pre-fold epoch dir at `<path>.autocompact-N.old`, so no reader —
+      marker-aware or the recursive fallback — ever sees a half-landed
+      full-state copy next to the state it folds, and a marker is never
+      visible without its fold's rows. A crash mid-swap can only leave
+      the IN-FLIGHT epoch dir absent — the checkpoint has not
+      committed, so the restart replays the whole epoch from scratch
+      (stale tmp is overwritten, a stale parked dir is cleared).
 
     `transform` must be a fixpoint of the serving read, same contract
     as `compact_artifact` (verbatim union for append-only fact stores —
@@ -341,18 +356,50 @@ def autocompact_epoch(
     full = spark.read.parquet(*(prior_paths + [cur]))
     if transform is not None:
         full = transform(full)
-    tmp = cur.rstrip("/") + ".compact-tmp"
+    # tmp lives OUTSIDE the store: read_artifact's recursive fallback
+    # (no marker anywhere yet — e.g. a crash during the FIRST-ever
+    # compaction) must never see a half-landed full-state fold sitting
+    # next to the state it folds, which would double every row
+    tmp = path.rstrip("/") + f".autocompact-{epoch_id}.tmp"
     full.write.mode("overwrite").parquet(tmp)
     src = jvm.org.apache.hadoop.fs.Path(tmp)
+    # the marker lands INSIDE tmp BEFORE the swap, so fold + marker
+    # become visible in ONE rename — at no instant does the epoch dir
+    # hold the full folded state while reading as a plain epoch (which
+    # would double-count against the not-yet-GC'd base). The swap parks
+    # the pre-fold epoch dir at a named sibling (also outside the
+    # store) instead of deleting it, so a failed swap is restorable;
+    # the remaining exposure is the one-rename gap where the IN-FLIGHT
+    # (not yet checkpoint-committed) epoch dir is absent — the same
+    # transient _write_epoch's own mode=overwrite already has.
+    fs.create(jvm.org.apache.hadoop.fs.Path(src, _COMPACT_MARKER), True).close()
     dst = jvm.org.apache.hadoop.fs.Path(cur)
-    if not fs.delete(dst, True):
-        raise IOError(f"autocompact_epoch: could not replace {cur}")
-    if not fs.rename(src, dst):
+    old = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + f".autocompact-{epoch_id}.old"
+    )
+    if fs.exists(old) and not fs.delete(old, True):
+        raise IOError(f"autocompact_epoch: could not clear stale {old}")
+    if not fs.rename(dst, old):
         raise IOError(
-            f"autocompact_epoch: rename {tmp} -> {cur} failed; the "
-            "stream must restart this epoch (checkpoint not committed)"
+            f"autocompact_epoch: could not park {cur} at {old}; epoch "
+            "dir untouched — the stream must restart this epoch "
+            "(checkpoint not committed)"
         )
-    fs.create(jvm.org.apache.hadoop.fs.Path(dst, _COMPACT_MARKER), True).close()
+    if not fs.rename(src, dst):
+        if not fs.rename(old, dst):
+            raise IOError(
+                f"autocompact_epoch: rename {tmp} -> {cur} failed AND "
+                f"the parked epoch could not be restored — {cur} is "
+                f"ABSENT; pre-fold rows at {old}, fold at {tmp}; the "
+                "stream must restart this epoch (checkpoint not "
+                "committed)"
+            )
+        raise IOError(
+            f"autocompact_epoch: rename {tmp} -> {cur} failed; parked "
+            f"epoch restored, fold intact at {tmp}; the stream must "
+            "restart this epoch (checkpoint not committed)"
+        )
+    fs.delete(old, True)
     return True
 
 
@@ -380,6 +427,20 @@ def read_artifact(spark: SparkSession, path: str) -> DataFrame:
         newest = max(compacted)
         return spark.read.parquet(*[p for e, p, _ in epochs if e >= newest])
     return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
+def _late_path(state_path: str) -> str:
+    """Sibling artifact holding per-epoch dropped/late-row accounting for
+    a maintained state store — one suffix rule shared by every stream
+    that tracks ordering-contract violations (funnel, history)."""
+    return state_path.rstrip("/") + ".late"
+
+
+def read_late_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """Per-epoch late-row accounting for `state_path`'s `.late` sibling:
+    (epoch, n_late_events, n_late_keys) ordered by epoch — all-zero when
+    the stream's ordering contract held."""
+    return read_artifact(spark, _late_path(state_path)).orderBy("epoch")
 
 
 # --------------------------------------------------------------------------

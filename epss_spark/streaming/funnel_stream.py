@@ -40,10 +40,12 @@ from pyspark.sql import functions as F
 
 from epss_spark.operators import dedup, sessionize
 from epss_spark.streaming.dedup_stream import (
+    _late_path,
     _read_committed,
     _write_epoch,
     autocompact_epoch,
     read_artifact,
+    read_late_counts,
 )
 
 
@@ -90,11 +92,15 @@ def process_funnel_batch(
             StructField("__epoch", LongType()),
         ]
     )
+    # persisted for the batch: the committed-state fold feeds the
+    # resumed fold init (inside funnel_fold_states), the new-state
+    # carry-over join, and the late filter — without the cache each one
+    # re-reads and re-folds every epoch dir of the store
     prior = dedup.keep_latest(
         _read_committed(spark, state_path, int(epoch_id), empty_schema=empty),
         key,
         "__epoch",
-    ).select(key, F.col("step").alias("__pstep"), F.col("us").alias("__pus"))
+    ).select(key, F.col("step").alias("__pstep"), F.col("us").alias("__pus")).persist()
 
     # only step-type events can advance the fold — filter before any
     # shuffle; keys whose batch events are all non-step still get a
@@ -120,6 +126,19 @@ def process_funnel_batch(
             F.lit(int(epoch_id)).alias("__epoch"),
         )
     )
+    try:
+        _run_funnel_writes(
+            spark, new_state, ev, prior, state_path, epoch_id, time,
+            track_late, compact_every, key,
+        )
+    finally:
+        prior.unpersist()
+
+
+def _run_funnel_writes(
+    spark, new_state, ev, prior, state_path, epoch_id, time,
+    track_late, compact_every, key,
+):
     _write_epoch(new_state, state_path, epoch_id)
     if track_late:
         late = (
@@ -151,10 +170,6 @@ def process_funnel_batch(
     )
 
 
-def _late_path(state_path: str) -> str:
-    return state_path.rstrip("/") + ".late"
-
-
 def late_counts(spark: SparkSession, state_path: str) -> DataFrame:
     """Out-of-order accounting for a funnel state store: one row per
     epoch that processed step-type events older than their key's
@@ -162,7 +177,7 @@ def late_counts(spark: SparkSession, state_path: str) -> DataFrame:
     All-zero rows mean the time-partitioned-per-key contract held;
     nonzero rows name the epochs where arrival-order folding may have
     undercounted conversions vs a batch re-run."""
-    return read_artifact(spark, _late_path(state_path)).orderBy("epoch")
+    return read_late_counts(spark, state_path)
 
 
 def funnel_snapshot(

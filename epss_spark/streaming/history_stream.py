@@ -25,9 +25,11 @@ Ordering contract: batches must arrive version-partitioned per key
 (monotone crawl sequence — the funnel stream's contract, for the same
 reason: closed intervals are immutable, so an older version cannot be
 retro-inserted without a rebuild). Late rows — version at or below the
-key's committed last_version — are DROPPED and counted per epoch into
-the `<dir>/open.late` sibling (read with `late_counts`): an SCD-2 store
-that silently reordered history would corrupt every closed interval.
+key's committed last_version, or a NULL version (unorderable, so it can
+never extend a monotone history) — are DROPPED and counted per epoch
+into the `<dir>/open.late` sibling (read with `late_counts`): an SCD-2
+store that silently reordered history would corrupt every closed
+interval.
 """
 
 from __future__ import annotations
@@ -37,10 +39,12 @@ from pyspark.sql import functions as F
 
 from epss_spark.operators import dedup
 from epss_spark.streaming.dedup_stream import (
+    _late_path,
     _read_committed,
     _write_epoch,
     autocompact_epoch,
     read_artifact,
+    read_late_counts,
 )
 
 
@@ -80,6 +84,10 @@ def process_history_batch(
             StructField("__epoch", LongType()),
         ]
     )
+    # persisted for the batch: the committed-state fold feeds three
+    # consumers (the pseudo-row splice, the run adjustment join, and the
+    # late filter) — without the cache each one re-reads and re-folds
+    # every epoch dir of the store
     prior = dedup.keep_latest(
         _read_committed(spark, open_path, int(epoch_id), empty_schema=empty),
         key,
@@ -90,7 +98,7 @@ def process_history_batch(
         F.col("valid_from").alias("__pfrom"),
         F.col("last_version").alias("__plast"),
         F.col("n_versions").alias("__pn"),
-    )
+    ).persist()
 
     snaps = batch_df.select(key, version_col, fp_col)
     if tiebreak_col is not None:
@@ -100,12 +108,17 @@ def process_history_batch(
             tiebreak_col,
         ).select(key, version_col, fp_col)
     joined = snaps.join(prior, key, "left")
-    fresh = joined.filter(
+    # __is_fresh is never NULL (a NULL version short-circuits the AND to
+    # False), so `late` is the EXACT complement of `fresh` — a NULL
+    # version is unorderable against the committed last_version, cannot
+    # extend a monotone history, and must be dropped AND counted; the
+    # previous two-predicate form let it fall through both filters
+    # uncounted (version > __plast and version <= __plast both NULL)
+    is_fresh = F.col(version_col).isNotNull() & (
         F.col("__plast").isNull() | (F.col(version_col) > F.col("__plast"))
-    ).select(key, version_col, fp_col)
-    late = joined.filter(
-        F.col("__plast").isNotNull() & (F.col(version_col) <= F.col("__plast"))
     )
+    fresh = joined.filter(is_fresh).select(key, version_col, fp_col)
+    late = joined.filter(~is_fresh)
     late_row = late.agg(
         F.count(F.lit(1)).alias("n_late_events"),
         F.countDistinct(key).alias("n_late_keys"),
@@ -145,15 +158,18 @@ def process_history_batch(
             F.lit(int(epoch_id)).alias("__epoch"),
         )
     )
-    _write_epoch(closed, runs_path, epoch_id)
-    _write_epoch(opened, open_path, epoch_id)
-    _write_epoch(late_row, open_path.rstrip("/") + ".late", epoch_id)
+    try:
+        _write_epoch(closed, runs_path, epoch_id)
+        _write_epoch(opened, open_path, epoch_id)
+        _write_epoch(late_row, _late_path(open_path), epoch_id)
+    finally:
+        prior.unpersist()
     autocompact_epoch(spark, runs_path, epoch_id, compact_every)
     autocompact_epoch(
         spark, open_path, epoch_id, compact_every,
         transform=lambda df: dedup.keep_latest(df, key, "__epoch"),
     )
-    autocompact_epoch(spark, open_path.rstrip("/") + ".late", epoch_id, compact_every)
+    autocompact_epoch(spark, _late_path(open_path), epoch_id, compact_every)
 
 
 def history_snapshot(
@@ -182,7 +198,7 @@ def late_counts(spark: SparkSession, history_dir: str) -> DataFrame:
     (epoch, n_late_events, n_late_keys), all-zero when the
     version-partitioned-per-key contract held."""
     _, open_path = _paths(history_dir)
-    return read_artifact(spark, open_path.rstrip("/") + ".late").orderBy("epoch")
+    return read_late_counts(spark, open_path)
 
 
 def start_history_maintenance(

@@ -2600,6 +2600,26 @@ def test_snapshot_history_hand_computed(spark):
     assert len(got) == 6
 
 
+def test_snapshot_history_null_versions_survive_tiebreak_dedup(spark):
+    """A key whose versions are all NULL keeps exactly one compacted row
+    when tiebreak dedup is on: the first row per key has lag(version) =
+    NULL, and a bare null-safe equality would mark it a duplicate of
+    nothing — silently deleting the key's entire history (round-9
+    review regression; the row_number guard prevents it)."""
+    from epss_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [("k", None, 1, "A"), ("k", None, 2, "A"), ("m", 1, 3, "B")],
+        "url string, version long, snap_id long, fp string",
+    )
+    got = sorted(
+        map(tuple, dedup.snapshot_history(df, "url", "version", "fp", "snap_id").collect())
+    )
+    # k's two NULL-version rows are (key, version) duplicates: the
+    # tiebreak keeps one (max snap_id), so one run of n_versions 1
+    assert got == [("k", "A", None, None, 1), ("m", "B", 1, None, 1)]
+
+
 def test_group_broadcast_guard_fallback_paths(spark):
     """The per-group broadcast guard (sessionize._broadcast_if_bounded):
     above the cap — or with max_broadcast_groups=None — value_outliers

@@ -2214,3 +2214,63 @@ def test_daily_change_counts_nanos_file_end_to_end(spark, tmp_path):
     assert sorted((str(r.date), r.event_type, r.n) for r in rows) == [
         ("2024-01-01", "click", 1), ("2024-01-01", "view", 1),
     ]
+
+
+def test_history_stream_null_version_dropped_and_counted(spark, tmp_path):
+    """A NULL version is unorderable against the committed last_version:
+    it must be DROPPED AND COUNTED as late — never silently vanish.
+    Two-sided filters (version > last / version <= last) both evaluate
+    to NULL and let the row fall through uncounted; the exact-complement
+    predicate closes that hole (round-9 review regression)."""
+    from epss_spark.streaming import history_stream
+
+    schema = "url string, version long, snap_id long, fp string"
+    hdir = str(tmp_path / "hist")
+    history_stream.process_history_batch(
+        spark.createDataFrame([("a", 1, 1, "A")], schema), 0, hdir,
+        "url", "version", "fp", tiebreak_col="snap_id",
+    )
+    want = sorted(map(tuple, history_stream.history_snapshot(
+        spark, hdir, "url").collect()))
+    # NULL-version snapshots for a committed key AND for a brand-new key
+    history_stream.process_history_batch(
+        spark.createDataFrame([("a", None, 2, "B"), ("z", None, 3, "Z")], schema),
+        1, hdir, "url", "version", "fp", tiebreak_col="snap_id",
+    )
+    got = sorted(map(tuple, history_stream.history_snapshot(
+        spark, hdir, "url").collect()))
+    assert got == want  # history unchanged — no row vanished INTO it either
+    lates = {r.epoch: (r.n_late_events, r.n_late_keys)
+             for r in history_stream.late_counts(spark, hdir).collect()}
+    assert lates[1] == (2, 2)
+
+
+def test_autocompact_crashed_fold_is_invisible_to_readers(spark, tmp_path):
+    """Crash-window regression (round-9 review): a first-ever compaction
+    dying after staging its full-state fold but before the swap must
+    leave every read unchanged. The fold is staged OUTSIDE the store —
+    with no marker anywhere, read_artifact falls back to a recursive
+    listing of the store dir, and a fold staged inside it would double
+    every row (BM25 df/tf/N corruption until the replay)."""
+    from epss_spark.streaming import dedup_stream
+
+    store = str(tmp_path / "store")
+    for e in range(3):
+        dedup_stream._write_epoch(
+            spark.createDataFrame([(e, f"d{e}")], "doc_id long, text string"),
+            store, e,
+        )
+    want = sorted(map(tuple, dedup_stream.read_artifact(spark, store).collect()))
+    assert len(want) == 3
+    # simulate the crash: the staged fold exists at the exact tmp path
+    # autocompact_epoch uses (marker inside, as staged pre-swap), but
+    # the swap never ran
+    full = dedup_stream.read_artifact(spark, store)
+    tmp = store.rstrip("/") + ".autocompact-2.tmp"
+    full.write.mode("overwrite").parquet(tmp)
+    (tmp_path / "store.autocompact-2.tmp" / "_COMPACTED").touch()
+    got = sorted(map(tuple, dedup_stream.read_artifact(spark, store).collect()))
+    assert got == want  # staged fold invisible to the serving read
+    got2 = sorted(map(tuple, dedup_stream._read_committed(
+        spark, store, 3, empty_schema="doc_id long, text string").collect()))
+    assert got2 == want  # and to the per-batch state read
