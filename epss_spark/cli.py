@@ -376,6 +376,21 @@ def build_parser() -> argparse.ArgumentParser:
     df_.add_argument("--id-col", default="doc_id")
     df_.add_argument("--text-col", default="text")
 
+    lc = sub.add_parser(
+        "late-counts",
+        help="per-epoch late-row accounting for a stream-maintained "
+        "state store (extension): reads the store's `.late` sibling "
+        "artifact (funnel / history maintenance streams) and prints "
+        "(epoch, n_late_events, n_late_keys); nonzero rows name the "
+        "epochs where the stream's ordering contract was violated",
+    )
+    lc.add_argument(
+        "--store",
+        required=True,
+        help="state-store path whose `.late` sibling to read (the "
+        "funnel state dir, or `<history_dir>/open` for a history store)",
+    )
+
     u = sub.add_parser("urls", help="print snapshot URLs (reference epss/cli.py:117-139)")
     _add_range_flags(u)
 
@@ -613,6 +628,22 @@ def main(argv: list[str] | None = None) -> int:
                   d.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
         print("diff: " + "  ".join(
             f"{s}={counts.get(s, 0)}" for s in ("added", "changed", "removed")))
+        return 0
+
+    if args.command == "late-counts":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.streaming.dedup_stream import read_late_counts
+
+        rows = read_late_counts(spark, args.store).collect()
+        total = 0
+        for r in rows:
+            print(
+                f"epoch={r.epoch} late_events={r.n_late_events} "
+                f"late_keys={r.n_late_keys}"
+            )
+            total += int(r.n_late_events)
+        print(f"late-counts: {len(rows)} epochs, {total} late events total")
         return 0
 
     if args.command == "bpe-train":

@@ -7,6 +7,7 @@ compacted, monitored corpus the rest of the engine consumes:
 
     strip_html (markup -> text, RE2-safe Catalyst chain)
     -> url_canonicalize + keep_latest (newest snapshot per canonical URL)
+    -> snapshot_history (SCD-2 audit runs next to the serving view)
     -> snapshot_diff vs the previous dump (added/changed/removed only)
     -> quality_funnel (per-gate retention, one corpus pass)
     -> token_divergence (per-slice drift vs the pooled corpus)
@@ -67,6 +68,18 @@ def main() -> None:
     crawl = crawl.withColumn("url", text.url_canonicalize("url"))
     latest = dedup.keep_latest(crawl, "url", "fetch_seq", tiebreak_col="doc_id")
     print(f"after keep_latest per canonical URL: {latest.count()}")
+
+    # 2b. SCD-2 history NEXT TO the serving view: one row per
+    #     unchanged-content run of each page ("when did this page last
+    #     change, how long did each revision live?") — same single key
+    #     exchange as the keep rule, half-open [valid_from, valid_to)
+    hist = dedup.snapshot_history(
+        crawl.withColumn("fp", F.md5(F.coalesce(F.col("text"), F.lit("")))),
+        "url", "fetch_seq", "fp", tiebreak_col="doc_id",
+    )
+    n_runs = hist.count()
+    n_open = hist.filter(F.col("valid_to").isNull()).count()
+    print(f"SCD-2 history: {n_runs} content runs ({n_open} open)")
 
     # 3. diff against the "previous dump" (here: the same corpus minus a
     #    slice, so some pages read as added/changed) — downstream stages

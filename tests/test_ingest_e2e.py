@@ -378,3 +378,29 @@ def test_download_snapshot_compressed_mode_returns_real_path(tmp_path):
     p2 = ingest.download_snapshot(str(tmp_path), "2024-01-02", fetch=fake_fetch,
                                   decompress=False)
     assert p2 == p and len(calls) == 1
+
+
+def test_cli_late_counts(spark, tmp_path, capsys):
+    """late-counts reads a maintenance stream's `.late` sibling artifact
+    and reports per-epoch out-of-order drops — the ops check for the
+    ordering contract, working on funnel and history stores alike."""
+    import epss_spark.cli as cli
+    from epss_spark.streaming import history_stream
+
+    schema = "url string, version long, snap_id long, fp string"
+    hdir = str(tmp_path / "hist")
+    history_stream.process_history_batch(
+        spark.createDataFrame([("a", 2, 1, "A")], schema), 0, hdir,
+        "url", "version", "fp", tiebreak_col="snap_id",
+    )
+    # a late version for a committed key — dropped and counted at epoch 1
+    history_stream.process_history_batch(
+        spark.createDataFrame([("a", 1, 2, "Z")], schema), 1, hdir,
+        "url", "version", "fp", tiebreak_col="snap_id",
+    )
+    rc = cli.main(["late-counts", "--store", hdir + "/open"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "epoch=0 late_events=0 late_keys=0" in out
+    assert "epoch=1 late_events=1 late_keys=1" in out
+    assert "2 epochs, 1 late events total" in out

@@ -2274,3 +2274,42 @@ def test_autocompact_crashed_fold_is_invisible_to_readers(spark, tmp_path):
     got2 = sorted(map(tuple, dedup_stream._read_committed(
         spark, store, 3, empty_schema="doc_id long, text string").collect()))
     assert got2 == want  # and to the per-batch state read
+
+
+def test_history_store_autocompact_bounds_and_equality(spark, tmp_path):
+    """Auto-compaction on the SCD-2 history stores: over 3N+ batches with
+    compact_every=N, (a) the open-store epoch-dir count stays bounded,
+    (b) history_snapshot is identical to an uncompacted run, and (c) a
+    successful compaction leaves no stray swap siblings (`.tmp`/`.old`)
+    next to either store."""
+    import os
+
+    from epss_spark.streaming import history_stream
+
+    schema = "url string, version long, snap_id long, fp string"
+    plain = str(tmp_path / "plain")
+    auto = str(tmp_path / "auto")
+    for e in range(10):
+        rows = [(f"u{u}", e + 1, e * 10 + u, f"fp{(e // 3) % 2}_{u}")
+                for u in range(e % 3 + 1)]
+        for hdir, every in ((plain, None), (auto, 3)):
+            history_stream.process_history_batch(
+                spark.createDataFrame(rows, schema), e, hdir,
+                "url", "version", "fp", tiebreak_col="snap_id",
+                compact_every=every,
+            )
+    want = sorted(map(tuple, history_stream.history_snapshot(
+        spark, plain, "url").collect()))
+    got = sorted(map(tuple, history_stream.history_snapshot(
+        spark, auto, "url").collect()))
+    assert got == want and len(want) > 0
+    n_epochs = len([d for d in os.listdir(auto + "/open")
+                    if d.startswith("epoch-")])
+    assert n_epochs <= 2 * 3 + 1
+    strays = [n for base in (str(tmp_path), auto, plain)
+              for n in os.listdir(base)
+              if ".autocompact-" in n or ".compact-" in n]
+    assert strays == []
+    # late accounting survives compaction of the .late artifact too
+    lates = {r.epoch for r in history_stream.late_counts(spark, auto).collect()}
+    assert lates == set(range(10))
