@@ -197,6 +197,44 @@ def snapshot_history(
     )
 
 
+def history_as_of(history: DataFrame, version) -> DataFrame:
+    """Point-in-time reconstruction from an SCD-2 interval table
+    (`snapshot_history` output): the rows whose half-open
+    [valid_from, valid_to) interval contains `version` — i.e. the
+    snapshot exactly as it stood at that version, WITHOUT re-reading
+    the raw changelog. The reason a 100 TB pipeline keeps the interval
+    table at all: the reference answers the same question by loading
+    the whole per-date file for the requested date
+    (epss/client.py:239-254 get_scores_by_date); here it is ONE
+    zero-shuffle filter over the compacted runs, partition/zone
+    prunable when the table is stored sorted by valid_from.
+
+    Keys whose history began after `version` drop out (valid_from >
+    version); NULL-valid_from runs (NULL-version histories) are
+    unorderable against any as-of point and are excluded."""
+    v = F.lit(version)
+    return history.filter(
+        (F.col("valid_from") <= v)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
+    )
+
+
+def history_changed_between(history: DataFrame, v_from, v_to) -> DataFrame:
+    """Revisions that APPEARED in the half-open version window
+    (v_from, v_to], straight from the SCD-2 interval table: every run
+    whose valid_from lands in the window is a content change observed
+    there (a key's first-ever run reads as its appearance). The
+    interval-table form of the reference's two-snapshot delta
+    (epss/client.py:453-475 get_changed_scores) — but computed from
+    the compacted runs with ONE zero-shuffle filter instead of loading
+    and anti-joining two full snapshots; at crawl scale the runs table
+    is orders of magnitude smaller than any snapshot pair."""
+    lo, hi = F.lit(v_from), F.lit(v_to)
+    return history.filter(
+        (F.col("valid_from") > lo) & (F.col("valid_from") <= hi)
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

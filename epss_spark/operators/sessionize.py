@@ -381,6 +381,47 @@ def event_funnel(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    time: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order path analysis: for every CONSECUTIVE pair of events
+    of the same key in (time, tiebreak) order, count the
+    (from_type, to_type) transition and its probability given the
+    from-state — the Markov transition table behind "what do users do
+    after X?" flow diagrams, and the companion the funnel tier reads
+    when a step's conversion drops (where did they go instead?).
+
+    Returns (from_type, to_type, n, prob[6dp]) with prob = n / total
+    transitions leaving from_type.
+
+    Scale shape: one lead() window over the key exchange (same
+    partitioning every operator in this module uses — windows stream +
+    spill, no per-key arrays), then a (from, to) count whose output is
+    bounded by |event types|^2 regardless of row count; the probability
+    window runs on that bounded aggregate. No joins, no collect."""
+    w = Window.partitionBy(key).orderBy(F.col(time).asc(), F.col(tiebreak).asc())
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wtot).cast("double"), 6
+        ).alias("prob"),
+    )
+
+
 def _broadcast_if_bounded(events_keys: DataFrame, max_groups: int | None):
     """Shared guard for the per-group broadcast joins in this module:
     probe the group count with ONE bounded aggregate job

@@ -239,9 +239,12 @@ def dedup_url_latest(spark, sf_dir):
     return dedup.keep_latest(snap, "url", "version", tiebreak_col="doc_id")
 
 
-@register(
-    "dedup_url_history",
-    """
+# Shared CTE chain for the SCD-2 crawl-history oracles: replays the
+# (url, version) tiebreak, the null-safe change flag, the running-sum run
+# ids, and the lead() interval close over the same synthetic re-fetch
+# stream dedup_url_latest compacts. The three consumers differ only in
+# their final filter (full table / as-of point / version window).
+_URL_HISTORY_CTES = """
     WITH snap AS (
       SELECT 'https://site.org/p/' || CAST(doc_id % 97 AS VARCHAR)
              || '?k=' || CAST(doc_id % 97 AS VARCHAR) AS url,
@@ -274,24 +277,19 @@ def dedup_url_latest(spark, sf_dir):
       SELECT url, grp, min(lang) AS lang, min(version) AS valid_from,
              CAST(count(*) AS BIGINT) AS n_versions
       FROM runs GROUP BY url, grp
+    ),
+    final AS (
+      SELECT url, lang, valid_from,
+             lead(valid_from) OVER (PARTITION BY url ORDER BY valid_from) AS valid_to,
+             n_versions
+      FROM agg
     )
-    SELECT url, lang, valid_from,
-           lead(valid_from) OVER (PARTITION BY url ORDER BY valid_from) AS valid_to,
-           n_versions
-    FROM agg
-    """,
-)
-def dedup_url_history(spark, sf_dir):
-    """SCD-2 crawl history (operators/dedup.py::snapshot_history): the
-    same synthetic re-fetch stream dedup_url_latest compacts to its
-    newest row is here compacted to one row per consecutive
-    unchanged-content RUN — (url, content class, valid_from, valid_to,
-    n_versions), half-open intervals, NULL valid_to marking the live
-    revision. `lang` stands in as the content fingerprint so runs are
-    nontrivial at every SF. The oracle replays the (url, version)
-    tiebreak, the null-safe change flag, the running-sum run ids, and
-    the lead() interval close; the engine plans it all inside ONE key
-    exchange."""
+"""
+
+
+def _url_history(spark, sf_dir):
+    """The synthetic crawl changelog compacted to SCD-2 runs — the Spark
+    side shared by the three dedup_url_history* queries."""
     docs = T(spark, sf_dir, "documents")
     page = (F.col("doc_id") % 97).cast("string")
     url = F.concat(
@@ -306,6 +304,64 @@ def dedup_url_history(spark, sf_dir):
     return dedup.snapshot_history(
         snap, "url", "version", "lang", tiebreak_col="doc_id"
     )
+
+
+@register(
+    "dedup_url_history",
+    _URL_HISTORY_CTES
+    + """
+    SELECT url, lang, valid_from, valid_to, n_versions FROM final
+    """,
+)
+def dedup_url_history(spark, sf_dir):
+    """SCD-2 crawl history (operators/dedup.py::snapshot_history): the
+    same synthetic re-fetch stream dedup_url_latest compacts to its
+    newest row is here compacted to one row per consecutive
+    unchanged-content RUN — (url, content class, valid_from, valid_to,
+    n_versions), half-open intervals, NULL valid_to marking the live
+    revision. `lang` stands in as the content fingerprint so runs are
+    nontrivial at every SF. The oracle replays the (url, version)
+    tiebreak, the null-safe change flag, the running-sum run ids, and
+    the lead() interval close; the engine plans it all inside ONE key
+    exchange."""
+    return _url_history(spark, sf_dir)
+
+
+@register(
+    "dedup_url_asof",
+    _URL_HISTORY_CTES
+    + """
+    SELECT url, lang, valid_from, valid_to, n_versions FROM final
+    WHERE valid_from <= 50 AND (valid_to IS NULL OR valid_to > 50)
+    """,
+)
+def dedup_url_asof(spark, sf_dir):
+    """Point-in-time reconstruction from the SCD-2 interval table
+    (operators/dedup.py::history_as_of): the crawl snapshot exactly as
+    it stood at version 50 — one zero-shuffle filter over the compacted
+    runs, the interval-table answer to the reference's
+    load-the-whole-date-file get_scores_by_date
+    (epss/client.py:239-254). The oracle replays the history CTE chain
+    and the half-open containment predicate."""
+    return dedup.history_as_of(_url_history(spark, sf_dir), 50)
+
+
+@register(
+    "dedup_url_history_delta",
+    _URL_HISTORY_CTES
+    + """
+    SELECT url, lang, valid_from, valid_to, n_versions FROM final
+    WHERE valid_from > 30 AND valid_from <= 70
+    """,
+)
+def dedup_url_history_delta(spark, sf_dir):
+    """Changed-revision extraction from the SCD-2 interval table
+    (operators/dedup.py::history_changed_between): every run that
+    APPEARED in versions (30, 70] — the interval-table form of the
+    reference's two-snapshot delta (epss/client.py:453-475
+    get_changed_scores), computed from the compacted runs with one
+    zero-shuffle filter instead of anti-joining two full snapshots."""
+    return dedup.history_changed_between(_url_history(spark, sf_dir), 30, 70)
 
 
 @register(
@@ -738,6 +794,39 @@ def event_retention_cohorts(spark, sf_dir):
     from epss_spark.operators import sessionize as sz
 
     return sz.retention_cohorts(T(spark, sf_dir, "events"))
+
+
+@register(
+    "event_transitions",
+    """
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE),
+                 6) AS prob
+    FROM c
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition table (operators/sessionize.py::
+    event_transitions): per consecutive same-user event pair in
+    (ts, event_id) order, the (from_type, to_type) count and the
+    probability given the from-state — the path-analysis companion the
+    funnel tier reads when a step's conversion drops. One lead() window
+    over the key exchange, then a count bounded by |types|^2; the
+    probability window runs on that bounded aggregate."""
+    from epss_spark.operators import sessionize as sz
+
+    return sz.event_transitions(T(spark, sf_dir, "events"))
 
 
 @register(

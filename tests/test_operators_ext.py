@@ -2732,3 +2732,57 @@ def test_simhash_bit_width_ceilings(spark):
         dedup.simhash(df, bits=64, hash_mode="xxhash64")
     # the widest supported fingerprint
     assert dedup.simhash(df, bits=63, hash_mode="xxhash64").count() == 1
+
+
+def test_history_as_of_and_changed_between(spark):
+    """Point-in-time reconstruction and windowed-change extraction from
+    an SCD-2 interval table: half-open containment for as-of (a run
+    whose valid_to EQUALS the as-of point is already superseded), runs
+    appearing in (v1, v2] for the delta, NULL-valid_from runs excluded
+    from as-of (unorderable)."""
+    from epss_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [
+            # url a: A [1,3) -> B [3,6) -> A [6, open)
+            ("a", "A", 1, 3, 2), ("a", "B", 3, 6, 1), ("a", "A", 6, None, 1),
+            # url b: appears at version 5
+            ("b", "X", 5, None, 1),
+            # url c: NULL-version history
+            ("c", "Z", None, None, 1),
+        ],
+        "url string, fp string, valid_from long, valid_to long, n_versions long",
+    )
+    asof3 = {(r.url, r.fp) for r in dedup.history_as_of(hist, 3).collect()}
+    assert asof3 == {("a", "B")}  # A's [1,3) run is closed AT 3; b not yet; c never
+    asof6 = {(r.url, r.fp) for r in dedup.history_as_of(hist, 6).collect()}
+    assert asof6 == {("a", "A"), ("b", "X")}
+    delta = {(r.url, r.valid_from)
+             for r in dedup.history_changed_between(hist, 2, 5).collect()}
+    assert delta == {("a", 3), ("b", 5)}  # run starts in (2, 5]; 6 excluded
+
+
+def test_event_transitions_hand_computed(spark):
+    """Markov transition counts: consecutive same-key pairs only, ordered
+    by (ts, tiebreak), per-from-state probabilities sum to 1."""
+    from epss_spark.operators import sessionize as sz
+
+    ev = spark.createDataFrame(
+        [
+            # u1: v -> c -> v ; u2: v -> v ; u3 single event (no pair)
+            (1, "u1", "2024-01-01 00:00:00", "v"),
+            (2, "u1", "2024-01-01 00:01:00", "c"),
+            (3, "u1", "2024-01-01 00:02:00", "v"),
+            (4, "u2", "2024-01-01 00:00:30", "v"),
+            (5, "u2", "2024-01-01 00:00:30", "v"),  # ts tie -> event_id order
+            (6, "u3", "2024-01-01 00:09:00", "c"),
+        ],
+        "event_id long, user_id string, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.from_type, r.to_type): (r.n, r.prob)
+           for r in sz.event_transitions(ev).collect()}
+    assert got == {
+        ("v", "c"): (1, 0.5),
+        ("v", "v"): (1, 0.5),
+        ("c", "v"): (1, 1.0),
+    }
