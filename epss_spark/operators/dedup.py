@@ -880,6 +880,141 @@ def _verify_pairs(
     )
 
 
+def prefix_block_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 24,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Prefix-blocking candidate generation: docs sharing their first
+    `prefix_len` characters become candidate near-dup pairs. The
+    cheapest blocker in the record-linkage family — no shingling, no
+    signatures, one groupBy on a fixed-width key — and the right one
+    when duplication is template-ish (boilerplate clones, re-crawls,
+    mirrored pages keep their openings). Complements MinHash-LSH, which
+    catches edits anywhere but prices a signature pass; compose either
+    blocker with a verify stage (`_verify_pairs` for Jaccard,
+    `edit_verified_pairs` for normalized edit distance).
+
+    Empty texts are excluded (an empty prefix would clique every empty
+    doc). Same scale shape as the LSH bucket expansion: one shuffle on
+    the block key, in-bucket pair expansion (quadratic per bucket by
+    definition of blocking), `max_bucket_size` guarding boilerplate
+    mega-buckets."""
+    blocked = docs.filter(F.length(text_col) > 0).select(
+        F.col(id_col), F.substring(F.col(text_col), 1, int(prefix_len)).alias("__blk")
+    )
+    buckets = (
+        blocked.groupBy("__blk")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform("ids", lambda y: F.struct(x.alias("a_id"), y.alias("b_id"))),
+            )
+        ),
+        lambda p: p["a_id"] < p["b_id"],
+    )
+    return (
+        buckets.select(F.explode_outer(pair_structs).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("p.a_id", "p.b_id")
+    )
+
+
+def edit_verified_pairs(
+    cand: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Normalized-edit-distance verification of candidate (a_id, b_id)
+    pairs from ANY blocking stage (prefix_block_pairs, minhash_lsh_pairs
+    candidates, simhash bands): keeps pairs with
+    1 - levenshtein(a, b) / max(len(a), len(b)) >= threshold, returning
+    (a_id, b_id, edit_sim[6dp]). The character-level complement of the
+    Jaccard verifier (`_verify_pairs`): shingle Jaccard is blind to
+    small in-word edits and local reorderings that edit distance prices
+    exactly, which is why record-linkage pipelines verify on edit
+    distance once a blocker has tamed the pair count.
+
+    Scale shape: two equi-joins pull the candidate ids' texts (AQE
+    broadcasts the candidate side while small), then a length pre-filter
+    runs BEFORE the O(len_a x len_b) levenshtein kernel: since
+    levenshtein >= |len_a - len_b|, any pair whose length gap exceeds
+    (1 - threshold) x max_len (+1 slack so float rounding can never
+    exclude a borderline survivor) provably fails the threshold and is
+    dropped for the price of two ints. Both the pre-filter and the
+    kernel are JVM codegen (F.levenshtein) — no Python crossing.
+    Duplicate candidates (a pair surfacing from several blocks) collapse
+    after the filter, where survivors are few."""
+    a_t = docs.select(F.col(id_col).alias("a_id"), F.col(text_col).alias("__a_t"))
+    b_t = docs.select(F.col(id_col).alias("b_id"), F.col(text_col).alias("__b_t"))
+    max_len = F.greatest(F.length("__a_t"), F.length("__b_t"))
+    len_gap = F.abs(F.length("__a_t") - F.length("__b_t"))
+    sim = F.round(
+        F.lit(1.0)
+        - F.levenshtein("__a_t", "__b_t").cast("double") / max_len.cast("double"),
+        6,
+    )
+    return (
+        cand.join(a_t, "a_id")
+        .join(b_t, "b_id")
+        .filter(
+            len_gap.cast("double")
+            <= (F.lit(1.0) - F.lit(float(threshold))) * max_len.cast("double") + F.lit(1.0)
+        )
+        .withColumn("edit_sim", sim)
+        .filter(F.col("edit_sim") >= F.lit(float(threshold)))
+        .select("a_id", "b_id", "edit_sim")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def history_lookup(
+    history: DataFrame,
+    probes: DataFrame,
+    key: str = "url",
+    point_col: str = "version",
+) -> DataFrame:
+    """Per-row point-in-interval lookup against an SCD-2 interval table
+    (`snapshot_history` output): each probe row (key, point) is joined
+    to the ONE history run whose half-open [valid_from, valid_to)
+    interval contains its point — "which revision was live when THIS
+    event happened", the generalization of `history_as_of` from one
+    global as-of version to a per-probe point. Probes whose point
+    precedes the key's first run (or whose key has no history) drop out
+    — inner semantics, auditable by comparing counts.
+
+    Scale shape: ONE equi-join on the key with the interval containment
+    as a join-side filter — the runs table is the compacted history
+    (orders of magnitude smaller than the changelog), so the join
+    broadcasts when the history is small and sort-merges on the key
+    otherwise; because intervals per key are disjoint by construction,
+    the join is at-most-one-match and never expands rows."""
+    p = probes.alias("p")
+    h = history.alias("h")
+    pt = F.col(f"p.{point_col}")
+    joined = p.join(
+        h,
+        (F.col(f"p.{key}") == F.col(f"h.{key}"))
+        & (F.col("h.valid_from") <= pt)
+        & (F.col("h.valid_to").isNull() | (F.col("h.valid_to") > pt)),
+        "inner",
+    )
+    return joined.select(
+        "p.*",
+        *[F.col(f"h.{c}").alias(c) for c in history.columns if c != key],
+    )
+
+
 def minhash_index(
     docs: DataFrame,
     id_col: str = "doc_id",

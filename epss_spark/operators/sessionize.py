@@ -422,6 +422,115 @@ def event_transitions(
     )
 
 
+def session_paths(
+    events: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    time: str = "ts",
+    tiebreak: str = "event_id",
+    gap_seconds: int = 1800,
+    sep: str = ">",
+) -> DataFrame:
+    """Common-journey mining: sessionize (gap rule), render each
+    session's ordered event-type sequence as one `sep`-joined path
+    string, and count how often each distinct path occurs — the
+    "what do whole sessions look like" rollup (event_transitions is its
+    memoryless first-order projection; this is the full-sequence view
+    product teams read as a Sankey / top-journeys table).
+
+    Returns (path, path_len, n_sessions).
+
+    Scale shape: the sessionize windows ride ONE key exchange; the
+    per-session path is an array_sort(collect_list) bounded by session
+    length — sessions are gap-bounded by construction, so unlike a
+    per-key collect this cannot absorb a bot's full history (a bot's
+    events split into many sessions; each array stays session-sized).
+    The final path count groups on the path string itself — hashed
+    keys, no skewed reducer unless one exact journey dominates, which
+    is the answer the query exists to surface."""
+    s = sessionize(events, key=key, time=time, gap_seconds=gap_seconds, tiebreak=tiebreak)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(time)).alias("us"),
+                F.col(tiebreak).alias("tb"),
+                F.col(type_col).alias("ty"),
+            )
+        )
+    )
+    per_session = s.groupBy(key, "session_id").agg(
+        F.array_join(F.transform(ordered, lambda x: x["ty"]), sep).alias("path"),
+        F.count(F.lit(1)).alias("path_len"),
+    )
+    return per_session.groupBy("path", "path_len").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
+def daily_burst_zscore(
+    events: DataFrame,
+    type_col: str = "event_type",
+    time: str = "ts",
+    window_days: int = 7,
+    min_days: int = 3,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Volume-anomaly detection over the event stream: per (event_type,
+    day), the z-score of today's count against the trailing
+    `window_days`-day mean/std (the current day EXCLUDED from its own
+    baseline), flagging days whose z >= z_thresh — the monitor that
+    catches ingestion bursts, bot storms, and logging regressions that
+    value_outliers (per-event robust stats) cannot see because every
+    individual event looks normal.
+
+    Returns (event_type, day, n, z[6dp], is_burst); days with fewer
+    than `min_days` prior days in the window emit NULL z (no baseline).
+
+    Cross-engine determinism: the baseline sums (count, sum, sum of
+    squares) are exact integers over a RANGE frame on epoch-day, and
+    mean/variance/z are derived from them in one fixed IEEE expression
+    — no streaming stddev aggregate, whose fold order differs per
+    engine. Scale shape: the daily rollup is one (type, day) groupBy;
+    the window runs over day-count rows (|types| x |days| — thousands,
+    not billions)."""
+    daily = (
+        events.select(F.col(type_col).alias("event_type"), F.col(time).cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("d", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-int(window_days), -1)
+    )
+    cnt = F.count("n").over(w)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    base = daily.select(
+        "event_type",
+        "day",
+        "n",
+        cnt.alias("__cnt"),
+        s1.alias("__s1"),
+        s2.alias("__s2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("__s1") / d("__cnt")
+    var = (d("__s2") - d("__s1") * d("__s1") / d("__cnt")) / (d("__cnt") - F.lit(1.0))
+    z = F.when(
+        (F.col("__cnt") >= int(min_days)) & (var > F.lit(0.0)),
+        F.round((d("n") - mean) / F.sqrt(var), 6),
+    )
+    return base.select(
+        "event_type",
+        "day",
+        "n",
+        z.alias("z"),
+        F.coalesce(z >= F.lit(float(z_thresh)), F.lit(False)).alias("is_burst"),
+    )
+
+
 def _broadcast_if_bounded(events_keys: DataFrame, max_groups: int | None):
     """Shared guard for the per-group broadcast joins in this module:
     probe the group count with ONE bounded aggregate job

@@ -365,6 +365,86 @@ def dedup_url_history_delta(spark, sf_dir):
 
 
 @register(
+    "dedup_history_lookup",
+    _URL_HISTORY_CTES
+    + """
+    , probes AS (
+      SELECT 'https://site.org/p/' || CAST(doc_id % 97 AS VARCHAR)
+             || '?k=' || CAST(doc_id % 97 AS VARCHAR) AS url,
+             doc_id AS probe_id, (doc_id * 31) % 101 AS version
+      FROM documents
+    )
+    SELECT p.url, p.probe_id, p.version,
+           f.lang, f.valid_from, f.valid_to, f.n_versions
+    FROM probes p JOIN final f ON p.url = f.url
+      AND f.valid_from <= p.version
+      AND (f.valid_to IS NULL OR f.valid_to > p.version)
+    """,
+)
+def dedup_history_lookup(spark, sf_dir):
+    """Per-row point-in-interval lookup (operators/dedup.py::
+    history_lookup): each probe (url, version) — a synthetic audit
+    stream asking "which revision was live when this request hit" —
+    joins to the ONE SCD-2 run containing its point. The
+    generalization of dedup_url_asof from a single global as-of
+    version to a per-probe point: one equi-join on url with the
+    interval containment as a join filter, at-most-one match per probe
+    because runs are disjoint by construction. The oracle replays the
+    history CTE chain plus the containment join."""
+    docs = T(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 97).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://Site.ORG:443/p/"), page,
+        F.lit("?utm_campaign=x&k="), page,
+    )
+    probes = docs.select(
+        text.url_canonicalize(url).alias("url"),
+        F.col("doc_id").alias("probe_id"),
+        ((F.col("doc_id") * 31) % 101).alias("version"),
+    )
+    return dedup.history_lookup(
+        _url_history(spark, sf_dir), probes, key="url", point_col="version"
+    )
+
+
+@register(
+    "dedup_edit_verified",
+    """
+    WITH b AS (
+      SELECT doc_id, text, substr(text, 1, 24) AS blk
+      FROM documents WHERE length(text) > 0
+    ),
+    cand AS (
+      SELECT a.doc_id AS a_id, c.doc_id AS b_id, a.text AS a_t, c.text AS b_t
+      FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    ),
+    scored AS (
+      SELECT a_id, b_id,
+             round(1.0 - CAST(levenshtein(a_t, b_t) AS DOUBLE)
+                   / CAST(greatest(length(a_t), length(b_t)) AS DOUBLE),
+                   6) AS edit_sim
+      FROM cand
+    )
+    SELECT a_id, b_id, edit_sim FROM scored WHERE edit_sim >= 0.9
+    """,
+)
+def dedup_edit_verified(spark, sf_dir):
+    """Prefix-blocked, edit-distance-verified near-dup pairs
+    (operators/dedup.py::prefix_block_pairs + edit_verified_pairs): the
+    record-linkage classic — block on the first 24 characters (one
+    groupBy on a fixed-width key, no shingling), then keep pairs whose
+    normalized Levenshtein similarity 1 - lev/max_len >= 0.9. The
+    character-level complement of the Jaccard verifier: exact on
+    in-word edits and local reorderings shingle Jaccard blurs. The
+    Spark side adds a length-gap pre-filter (levenshtein >= |len
+    difference|, so wide-gap pairs provably fail) that the oracle does
+    not need — it prunes work, never results."""
+    docs = T(spark, sf_dir, "documents")
+    cand = dedup.prefix_block_pairs(docs, prefix_len=24)
+    return dedup.edit_verified_pairs(cand, docs, threshold=0.9)
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -827,6 +907,99 @@ def event_transitions(spark, sf_dir):
     from epss_spark.operators import sessionize as sz
 
     return sz.event_transitions(T(spark, sf_dir, "events"))
+
+
+@register(
+    "event_session_paths",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                  THEN 1 ELSE 0 END AS st
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM m
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS path_len
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT path, path_len, COUNT(*) AS n_sessions
+    FROM per_session GROUP BY path, path_len
+    """,
+)
+def event_session_paths(spark, sf_dir):
+    """Common-journey mining (operators/sessionize.py::session_paths):
+    sessionize on the 1h gap rule, render each session's ordered
+    event-type sequence as one '>'-joined path, count distinct paths —
+    the full-sequence view whose memoryless projection is
+    event_transitions. Per-session arrays are gap-bounded (a bot's
+    history splits into many sessions), so no per-key materialization;
+    the oracle replays the sessionize CTEs plus an ordered string_agg."""
+    from epss_spark.operators import sessionize as sz
+
+    return sz.session_paths(
+        T(spark, sf_dir, "events"), gap_seconds=3600, tiebreak="event_id"
+    )
+
+
+@register(
+    "event_burst_zscore",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             CAST(ts AS DATE) - DATE '1970-01-01' AS d
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    base AS (
+      SELECT event_type, day, n,
+             COUNT(n) OVER w AS cnt,
+             CAST(SUM(n) OVER w AS BIGINT) AS s1,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_type, day, n,
+             CASE WHEN cnt >= 3 AND
+                       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0) > 0.0
+                  THEN round(
+                    (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+                    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                            / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)),
+                    6)
+             END AS z
+      FROM base
+    )
+    SELECT event_type, day, n, z,
+           COALESCE(z >= 3.0, FALSE) AS is_burst FROM scored
+    """,
+)
+def event_burst_zscore(spark, sf_dir):
+    """Volume-anomaly monitor (operators/sessionize.py::
+    daily_burst_zscore): per (event_type, day), the z-score of today's
+    count against the trailing 7-day mean/std (current day excluded),
+    flagging z >= 3 — catches ingestion bursts and bot storms that
+    per-event robust stats (event_value_outliers) cannot see. The
+    baseline sums are exact integers over a RANGE frame on epoch-day;
+    mean/variance/z derive from them in one fixed IEEE expression, so
+    both engines agree bit-for-bit — no streaming stddev aggregate."""
+    from epss_spark.operators import sessionize as sz
+
+    return sz.daily_burst_zscore(T(spark, sf_dir, "events"))
 
 
 @register(

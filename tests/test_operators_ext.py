@@ -2786,3 +2786,114 @@ def test_event_transitions_hand_computed(spark):
         ("v", "v"): (1, 0.5),
         ("c", "v"): (1, 1.0),
     }
+
+
+def test_prefix_block_edit_verified_hand_computed(spark):
+    """Prefix blocking + normalized-Levenshtein verification: pairs in
+    one block verify by 1 - lev/max_len; pairs blocked apart never
+    surface regardless of similarity; wide-length-gap pairs are pruned
+    by the pre-filter AND provably fail the threshold; empty texts are
+    excluded from blocking."""
+    from epss_spark.operators import dedup
+
+    base = "x" * 30
+    docs = spark.createDataFrame(
+        [
+            (1, base + "abcdefghij"),          # 40 chars
+            (2, base + "abcdefghiZ"),          # 1 sub vs doc 1 -> sim 0.975
+            (3, base),                          # 10-char gap vs doc 1
+            (4, "y" * 30 + "abcdefghij"),      # different block, near doc 1
+            (5, ""),                            # empty: excluded
+        ],
+        "doc_id long, text string",
+    )
+    cand = dedup.prefix_block_pairs(docs, prefix_len=24)
+    cand_pairs = {(r.a_id, r.b_id) for r in cand.collect()}
+    assert cand_pairs == {(1, 2), (1, 3), (2, 3)}  # 4 blocked apart, 5 excluded
+    got = {(r.a_id, r.b_id): r.edit_sim
+           for r in dedup.edit_verified_pairs(cand, docs, threshold=0.9).collect()}
+    # lev(1,2)=1, max_len 40 -> 0.975; (1,3) lev=10 -> 0.75 fails; (2,3) same
+    assert got == {(1, 2): 0.975}
+
+
+def test_history_lookup_hand_computed(spark):
+    """Point-in-interval lookup: each probe matches at most the one run
+    containing its point; probes before the key's first run or with an
+    unknown key drop out (inner semantics)."""
+    from epss_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [
+            ("a", "A", 1, 3, 2), ("a", "B", 3, 6, 1), ("a", "A", 6, None, 1),
+            ("b", "X", 5, None, 1),
+        ],
+        "url string, fp string, valid_from long, valid_to long, n_versions long",
+    )
+    probes = spark.createDataFrame(
+        [("a", 10, 2), ("a", 11, 3), ("a", 12, 99), ("b", 13, 4), ("z", 14, 1)],
+        "url string, probe_id long, version long",
+    )
+    got = {(r.probe_id): (r.url, r.fp) for r in
+           dedup.history_lookup(hist, probes, key="url", point_col="version").collect()}
+    # probe 11 at point 3: run [1,3) is closed AT 3 -> B; 13 predates b; z unknown
+    assert got == {10: ("a", "A"), 11: ("a", "B"), 12: ("a", "A")}
+
+
+def test_session_paths_hand_computed(spark):
+    """Gap sessionization splits paths; within-session order is
+    (ts, tiebreak); identical paths aggregate across users."""
+    from epss_spark.operators import sessionize as sz
+
+    ev = spark.createDataFrame(
+        [
+            # u1 session 1: v>c ; then a 2h gap -> session 2: v
+            (1, "u1", "2024-01-01 00:00:00", "v"),
+            (2, "u1", "2024-01-01 00:01:00", "c"),
+            (3, "u1", "2024-01-01 02:30:00", "v"),
+            # u2 one session: v>c (ts tie broken by event_id)
+            (4, "u2", "2024-01-01 00:00:30", "v"),
+            (5, "u2", "2024-01-01 00:00:30", "c"),
+        ],
+        "event_id long, user_id string, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.path): (r.path_len, r.n_sessions) for r in
+           sz.session_paths(ev, gap_seconds=3600).collect()}
+    assert got == {"v>c": (2, 2), "v": (1, 1)}
+
+
+def test_daily_burst_zscore_hand_computed(spark):
+    """Trailing-window z-score: the current day is excluded from its own
+    baseline, days with fewer than min_days prior days emit NULL z and
+    is_burst=False, zero-variance baselines emit NULL z, and a genuine
+    burst is flagged with the hand-computed z."""
+    import math
+
+    from epss_spark.operators import sessionize as sz
+
+    rows = []
+    eid = 0
+    # type "t": days 1..7 counts [8,10,12,9,11,10,10]; day 8 count 40
+    for day, cnt in zip(range(1, 9), [8, 10, 12, 9, 11, 10, 10, 40]):
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, "u", f"2024-01-{day:02d} 12:00:00", "t"))
+    # type "flat": constant 5/day -> var 0 -> z NULL even with full window
+    for day in range(1, 6):
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, "u", f"2024-01-{day:02d} 12:00:00", "flat"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.event_type, str(r.day)): (r.n, r.z, r.is_burst)
+           for r in sz.daily_burst_zscore(ev).collect()}
+    # day 1: no prior days; days 2-3: cnt < min_days=3 -> NULL z
+    assert got[("t", "2024-01-01")] == (8, None, False)
+    assert got[("t", "2024-01-03")] == (12, None, False)
+    # day 8 baseline = days 1..7: mean 10, var (710 - 4900/7)/6 = 5/3
+    z8 = math.floor((40 - 10) / math.sqrt(5 / 3) * 1e6 + 0.5) / 1e6
+    assert got[("t", "2024-01-08")] == (40, z8, True)
+    # day 4 baseline = [8,10,12]: mean 10, var 4, z = (9-10)/2 = -0.5
+    assert got[("t", "2024-01-04")] == (9, -0.5, False)
+    # constant series: variance 0 -> NULL z, never flagged
+    assert got[("flat", "2024-01-05")] == (5, None, False)
