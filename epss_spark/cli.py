@@ -363,6 +363,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="column whose equality defines 'unchanged'")
     hi.add_argument("--tiebreak-col", help="unique column for deterministic ties")
 
+    ao = sub.add_parser(
+        "asof",
+        help="query a compacted SCD-2 interval table (extension): "
+        "--at V reconstructs the snapshot as it stood at version V "
+        "(one zero-shuffle filter — never re-reads the changelog); "
+        "--changed-between LO HI lists runs that appeared in (LO, HI]",
+    )
+    ao.add_argument("--history", required=True,
+                    help="interval-table parquet (output of `history`)")
+    g = ao.add_mutually_exclusive_group(required=True)
+    g.add_argument("--at", help="as-of version (point-in-time snapshot)")
+    g.add_argument("--changed-between", nargs=2, metavar=("LO", "HI"),
+                   help="half-open version window (LO, HI]")
+    ao.add_argument("--output", help="write the result parquet here")
+
     df_ = sub.add_parser(
         "diff",
         help="corpus snapshot diff (extension): added/removed/changed "
@@ -609,6 +624,36 @@ def main(argv: list[str] | None = None) -> int:
         n_open = h.filter(F.col("valid_to").isNull()).count()
         print(f"history: {snaps.count()} snapshots -> {n_runs} runs "
               f"({n_open} open) -> {args.output}")
+        return 0
+
+    if args.command == "asof":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.operators import dedup as dedup_ops
+
+        hist = spark.read.parquet(args.history)
+
+        def _ver(s):
+            # version columns ship as ints or date-like strings; compare
+            # with the same type the table stores so pruning stays usable
+            try:
+                return int(s)
+            except ValueError:
+                return s
+
+        if args.at is not None:
+            out = dedup_ops.history_as_of(hist, _ver(args.at))
+            what = f"as of {args.at}"
+        else:
+            lo, hi_v = args.changed_between
+            out = dedup_ops.history_changed_between(hist, _ver(lo), _ver(hi_v))
+            what = f"changed in ({lo}, {hi_v}]"
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+        n = out.count()
+        dest = f" -> {args.output}" if args.output else ""
+        print(f"asof: {n} runs {what}{dest}")
         return 0
 
     if args.command == "diff":

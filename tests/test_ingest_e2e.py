@@ -307,6 +307,31 @@ def test_cli_history(spark, tmp_path, capsys):
     }
 
 
+def test_cli_asof(spark, tmp_path, capsys):
+    """asof queries a compacted interval table without re-reading the
+    changelog: --at reconstructs the point-in-time snapshot, and
+    --changed-between lists runs appearing in the half-open window."""
+    import epss_spark.cli as cli
+
+    hist = str(tmp_path / "hist")
+    spark.createDataFrame(
+        [
+            ("a", "A", 1, 3, 2), ("a", "B", 3, None, 1),
+            ("b", "X", 5, None, 1),
+        ],
+        "url string, fp string, valid_from long, valid_to long, n_versions long",
+    ).write.parquet(hist)
+    out = str(tmp_path / "at2")
+    rc = cli.main(["asof", "--history", hist, "--at", "2", "--output", out])
+    assert rc == 0
+    assert "asof: 1 runs as of 2" in capsys.readouterr().out
+    got = [(r.url, r.fp) for r in spark.read.parquet(out).collect()]
+    assert got == [("a", "A")]
+    rc = cli.main(["asof", "--history", hist, "--changed-between", "2", "5"])
+    assert rc == 0
+    assert "asof: 2 runs changed in (2, 5]" in capsys.readouterr().out
+
+
 def test_cli_analyze_card_and_divergence(spark, tmp_path, capsys):
     import epss_spark.cli as cli
 
