@@ -1044,6 +1044,34 @@ def vocab_stats(
     )
 
 
+def freq_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token frequency-of-frequencies (the Zipf/Heaps diagnostic view):
+    for each corpus-wide occurrence count `freq`, how many distinct
+    token types occur exactly that often, and how much token volume
+    they carry. The row at freq=1 is the hapax count — the single
+    number that moves first when OCR noise, mojibake, or tag soup
+    enters a corpus (junk mints unique types) — and the high-freq tail
+    exposes boilerplate. vocab_stats answers "how big"; the spectrum
+    answers "shaped like natural language, or like noise".
+
+    Returns (freq, n_types, n_tokens = freq x n_types) — all exact
+    integers, so the oracle comparison has no float surface at all.
+    Scale shape: one (token) count aggregate, then a count over the
+    per-type rows keyed by freq; output is bounded by the number of
+    DISTINCT frequencies (~O(sqrt(corpus tokens)) under Zipf), so the
+    second exchange is tiny. Map-side partial counts absorb stopword
+    skew in the first."""
+    tf = (
+        docs.select(F.explode_outer(tokens(text_col)).alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return tf.groupBy("freq").agg(F.count(F.lit(1)).alias("n_types")).select(
+        "freq", "n_types", (F.col("freq") * F.col("n_types")).alias("n_tokens")
+    )
+
+
 def _mojibake_table() -> list[tuple[str, str]]:
     """(mojibake, fixed) pairs for the classic crawl-corpus encoding bug:
     UTF-8 bytes misread as Windows-1252 ("café" -> "cafÃ©",

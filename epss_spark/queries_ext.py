@@ -3148,6 +3148,32 @@ def text_vocab_stats(spark, sf_dir):
 
 
 @register(
+    "text_freq_spectrum",
+    f"""
+    WITH base AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    tf AS (
+      SELECT tok, COUNT(*) AS freq
+      FROM (SELECT unnest(toks) AS tok FROM base)
+      GROUP BY tok
+    )
+    SELECT freq, COUNT(*) AS n_types,
+           freq * COUNT(*) AS n_tokens
+    FROM tf GROUP BY freq
+    """,
+)
+def text_freq_spectrum(spark, sf_dir):
+    """Token frequency-of-frequencies (operators/text.py::
+    freq_spectrum): per corpus-wide occurrence count, the number of
+    distinct token types at that count and the token volume they carry
+    — the Zipf/Heaps diagnostic whose freq=1 row (hapax count) moves
+    first when OCR noise or tag soup enters a corpus. All exact
+    integers: no float surface in the oracle comparison. Two count
+    aggregates; the second runs over per-type rows and outputs
+    O(distinct frequencies) rows."""
+    return text.freq_spectrum(T(spark, sf_dir, "documents"))
+
+
+@register(
     "search_tfidf_topk",
     f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),

@@ -2897,3 +2897,18 @@ def test_daily_burst_zscore_hand_computed(spark):
     assert got[("t", "2024-01-04")] == (9, -0.5, False)
     # constant series: variance 0 -> NULL z, never flagged
     assert got[("flat", "2024-01-05")] == (5, None, False)
+
+
+def test_freq_spectrum_hand_computed(spark):
+    """Frequency-of-frequencies: 'a' occurs 3x, 'b' 2x, 'c' and 'd' once
+    -> spectrum rows (3,1,3), (2,1,2), (1,2,2); normalization folds
+    case/punctuation before counting; empty docs contribute nothing."""
+    from epss_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "A a b."), (2, "a B c d"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.freq: (r.n_types, r.n_tokens)
+           for r in text_ops.freq_spectrum(docs).collect()}
+    assert got == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
