@@ -497,8 +497,22 @@ def daily_burst_zscore(
         events.select(F.col(type_col).alias("event_type"), F.col(time).cast("date").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("d", F.datediff("day", F.lit("1970-01-01")))
     )
+    return zscore_from_daily_counts(daily, window_days, min_days, z_thresh)
+
+
+def zscore_from_daily_counts(
+    daily: DataFrame,
+    window_days: int = 7,
+    min_days: int = 3,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """The z-scoring tail of `daily_burst_zscore`, factored out so the
+    streaming monitor (streaming/burst_stream.py) can score the SAME
+    expression over its maintained (event_type, day, n) count store —
+    stream == batch equality then follows from count additivity alone.
+    Input: one row per (event_type, day) with exact integer `n`."""
+    daily = daily.withColumn("d", F.datediff("day", F.lit("1970-01-01")))
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")

@@ -2313,3 +2313,106 @@ def test_history_store_autocompact_bounds_and_equality(spark, tmp_path):
     # late accounting survives compaction of the .late artifact too
     lates = {r.epoch for r in history_stream.late_counts(spark, auto).collect()}
     assert lates == set(range(10))
+
+
+def test_burst_stream_equals_batch_any_order(spark, tmp_path):
+    """The burst monitor's whole contract: per-day counts are additive
+    and commutative, so the streamed snapshot equals the batch
+    daily_burst_zscore over the union for ANY batch split — including
+    deliberately out-of-order delivery (late days interleaved) — with
+    no ordering contract and no late-tracking sibling. Also pins
+    crash-retry replay of the last epoch (delta overwrite, never
+    double-add)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import sessionize as sz
+    from epss_spark.streaming import burst_stream
+
+    rows, eid = [], 0
+    # type "t": days 1..7 flat-ish, day 8 bursts; type "q": two days
+    for day, cnt in zip(range(1, 9), [8, 10, 12, 9, 11, 10, 10, 40]):
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, f"u{eid % 5}",
+                         dt.datetime(2024, 1, day, 12, 0, 0), "t"))
+    for day in (2, 3):
+        for _ in range(4):
+            eid += 1
+            rows.append((eid, "u0", dt.datetime(2024, 1, day, 9, 0, 0), "q"))
+    # OUT-OF-ORDER split: batch 0 gets every third event, batch 1 the
+    # late half of day 8 plus early days, batch 2 the rest — days are
+    # smeared across all batches in no particular order
+    batches = [rows[0::3], rows[1::3][::-1], rows[2::3]]
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+
+    drop_dir = tmp_path / "bdrops"
+    drop_dir.mkdir()
+    for i, b in enumerate(batches):
+        staging = tmp_path / f"bstage_{i}"
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"b{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    state = str(tmp_path / "burst_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = burst_stream.start_burst_stream(
+        stream, state, str(tmp_path / "burst_ckpt")
+    )
+    q.awaitTermination(180)
+
+    alldf = spark.createDataFrame(rows, schema)
+    want = sorted(map(tuple, sz.daily_burst_zscore(alldf).collect()))
+    got = sorted(map(tuple, burst_stream.burst_snapshot(spark, state).collect()))
+    assert got == want
+    # the hand-known burst survived the streaming path
+    flagged = [r for r in got if r[4]]
+    assert [(r[0], str(r[1])) for r in flagged] == [("t", "2024-01-08")]
+
+    # crash-retry replay of the LAST epoch: the delta overwrites, counts
+    # never double
+    last = spark.createDataFrame(batches[-1], schema)
+    burst_stream.process_burst_batch(last, 2, state)
+    got = sorted(map(tuple, burst_stream.burst_snapshot(spark, state).collect()))
+    assert got == want
+
+
+def test_burst_autocompact_bounds_epochs_and_preserves_counts(spark, tmp_path):
+    """Additive-fold compaction: over 3N+ epochs with compact_every=N the
+    epoch-dir count stays bounded, the snapshot equals the uncompacted
+    run exactly (any double-add or dropped delta would shift n and z),
+    and replaying a compaction epoch changes nothing."""
+    import datetime as dt
+
+    from epss_spark.streaming import burst_stream
+
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    plain = str(tmp_path / "plainb")
+    auto = str(tmp_path / "autob")
+    batches = []
+    for e in range(10):
+        batches.append(spark.createDataFrame(
+            [(e * 100 + i, "u",
+              dt.datetime(2024, 1, (e % 9) + 1, 6 + i, 0, 0), "t")
+             for i in range(e % 3 + 1)],
+            schema,
+        ))
+    for e, b in enumerate(batches):
+        burst_stream.process_burst_batch(b, e, plain, compact_every=None)
+        burst_stream.process_burst_batch(b, e, auto, compact_every=3)
+    want = sorted(map(tuple, burst_stream.burst_snapshot(spark, plain).collect()))
+    got = sorted(map(tuple, burst_stream.burst_snapshot(spark, auto).collect()))
+    assert got == want
+    assert len(_epoch_dirs(plain)) == 10
+    assert len(_epoch_dirs(auto)) <= 2 * 3 + 1
+    burst_stream.process_burst_batch(batches[9], 9, auto, compact_every=3)
+    got = sorted(map(tuple, burst_stream.burst_snapshot(spark, auto).collect()))
+    assert got == want
