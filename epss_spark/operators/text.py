@@ -10,7 +10,7 @@ Python crossing is winnowing, which is an Arrow-batched mapInPandas.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -942,6 +942,136 @@ def nb_apply(
     if label_col:
         out.append((F.col("actual") == F.col("__m.lab")).alias("correct"))
     return best.select(*out)
+
+
+def pr_curve(
+    scored: DataFrame, label_col: str = "label", score_col: str = "score"
+) -> DataFrame:
+    """Threshold-sweep classifier evaluation: for every distinct score
+    value s — each a candidate decision threshold "predict positive when
+    score >= s" — the confusion counts and precision / recall / F1. THE
+    table a quality-gate owner reads before picking the cut: every gate
+    in this engine (NB scores, bigram-LM perplexity, stopword fraction,
+    Gopher signals) is a threshold on a score, and picking it blind
+    costs either yield or contamination.
+
+    Returns (score, tp, fp, fn, prec, rec, f1), floats rounded 6dp and
+    derived from exact integer counts in one fixed expression (F1 as
+    2TP/(2TP+FP+FN) — a single division, no chained float ops), so both
+    engines agree bit-for-bit. Empty-positive inputs yield NULL rec/f1.
+
+    Scale shape: one groupBy(score) aggregate over the scored rows, then
+    the cumulative window runs over DISTINCT scores only — the output
+    grain. The window is single-partition by construction (a global
+    sweep is a total order), so the CONTRACT is a bounded threshold
+    domain: quantize continuous scores first (integer millionths — the
+    registered query does exactly that), the same bounded-fetch rule the
+    funnel histogram documents. The positives total rides a broadcast
+    1-row aggregate, never a collect."""
+    lab = F.col(label_col).cast("long")
+    per = scored.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(lab).alias("__pos")
+    )
+    tot = scored.agg(F.sum(lab).alias("__P"))
+    w = (
+        Window.orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        score_col,
+        F.sum("__pos").over(w).alias("tp"),
+        (F.sum("__n").over(w) - F.sum("__pos").over(w)).alias("fp"),
+    ).crossJoin(F.broadcast(tot))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    fn = (F.col("__P") - F.col("tp")).alias("fn")
+    return cum.select(
+        score_col,
+        "tp",
+        "fp",
+        fn,
+        F.round(d("tp") / (d("tp") + d("fp")), 6).alias("prec"),
+        F.when(
+            F.col("__P") > 0, F.round(d("tp") / d("__P"), 6)
+        ).alias("rec"),
+        F.when(
+            F.col("__P") > 0,
+            F.round(
+                F.lit(2.0) * d("tp")
+                / (F.lit(2.0) * d("tp") + d("fp") + (d("__P") - d("tp"))),
+                6,
+            ),
+        ).alias("f1"),
+    )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    min_pmi: float = 0.0,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: word bigrams
+    whose observed frequency beats the independence expectation —
+    PMI = ln(c_ab * T * T / (c_a * c_b * B)) over corpus unigram counts
+    (c, total T) and bigram counts (c_ab, total B). High-PMI pairs are
+    multiword units ("machine learning", template phrases); the table
+    feeds tokenizer vocab decisions and boilerplate phrase lists. Output
+    is membership-filtered (count >= min_count AND pmi >= min_pmi), not
+    top-k-limited, so the result set is stable under float ties.
+
+    Returns (w1, w2, n_pair, pmi[6dp]).
+
+    Scale shape: two count aggregates (unigrams, bigrams) with map-side
+    partials absorbing stopword skew; the two totals ride broadcast
+    1-row aggregates; the unigram side joins the SURVIVING bigram rows
+    (already min_count-filtered) twice on the word key. The ln argument
+    is assembled from exact integers in one fixed expression — both
+    engines evaluate the identical double, and ln parity is already
+    pinned by the unigram-logprob oracle."""
+    toked = docs.select(tokens(text_col).alias("__toks"))
+    uni = (
+        toked.select(F.explode_outer("__toks").alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = (
+        toked.select(F.explode_outer(bigrams(F.col("__toks"))).alias("b"))
+        .where(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+        .select(
+            F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit(" "), F.lit(2)).alias("w2"),
+            "n_pair",
+        )
+    )
+    t_uni = uni.agg(F.sum("c").alias("__T"))
+    # total bigrams must count ALL bigrams, not just surviving ones
+    t_bg = (
+        toked.select(F.size(bigrams(F.col("__toks"))).alias("nb"))
+        .agg(F.sum("nb").alias("__B"))
+    )
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("__ca"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("__cb"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pmi = F.round(
+        F.log(
+            d("n_pair") * d("__T") * d("__T")
+            / (d("__ca") * d("__cb") * d("__B"))
+        ),
+        6,
+    )
+    return (
+        bg.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bg))
+        .withColumn("pmi", pmi)
+        .filter(F.col("pmi") >= F.lit(float(min_pmi)))
+        .select("w1", "w2", "n_pair", "pmi")
+    )
 
 
 def nb_classify(

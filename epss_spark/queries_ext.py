@@ -3174,6 +3174,105 @@ def text_freq_spectrum(spark, sf_dir):
 
 
 @register(
+    "text_pr_curve",
+    f"""
+    WITH base AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents),
+    sc AS (
+      SELECT CAST(lang = 'en' AS BIGINT) AS label,
+             CAST(floor(1000000.0
+               * CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / greatest(len(toks), 1)) AS BIGINT) AS score
+      FROM base
+    ),
+    per AS (
+      SELECT score, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos
+      FROM sc GROUP BY score
+    ),
+    tot AS (SELECT CAST(SUM(label) AS BIGINT) AS p FROM sc),
+    cum AS (
+      SELECT score,
+             CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+             CAST(SUM(n) OVER w - SUM(pos) OVER w AS BIGINT) AS fp
+      FROM per
+      WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT c.score, c.tp, c.fp, t.p - c.tp AS fn,
+           round(CAST(c.tp AS DOUBLE)
+                 / (CAST(c.tp AS DOUBLE) + CAST(c.fp AS DOUBLE)), 6) AS prec,
+           CASE WHEN t.p > 0 THEN
+             round(CAST(c.tp AS DOUBLE) / CAST(t.p AS DOUBLE), 6) END AS rec,
+           CASE WHEN t.p > 0 THEN
+             round(2.0 * CAST(c.tp AS DOUBLE)
+                   / (2.0 * CAST(c.tp AS DOUBLE) + CAST(c.fp AS DOUBLE)
+                      + (CAST(t.p AS DOUBLE) - CAST(c.tp AS DOUBLE))), 6) END AS f1
+    FROM cum c, tot t
+    """,
+)
+def text_pr_curve(spark, sf_dir):
+    """Threshold-sweep classifier evaluation (operators/text.py::
+    pr_curve) on a concrete gate: "is this document English" predicted
+    by stopword fraction (quantized to integer millionths — the
+    bounded-threshold-domain contract). One row per candidate
+    threshold with exact confusion counts and prec/rec/F1 from a
+    single fixed expression; the oracle replays the quantization, the
+    cumulative sweep and the arithmetic."""
+    docs = T(spark, sf_dir, "documents")
+    toked = docs.select(
+        (F.col("lang") == "en").alias("label"),
+        text.tokens("text").alias("__toks"),
+    )
+    n_tok = F.size("__toks")
+    n_stop = F.size(F.filter("__toks", lambda x: x.isin(*text.STOPWORDS_EN)))
+    scored = toked.select(
+        "label",
+        F.floor(
+            F.lit(1000000.0) * n_stop.cast("double") / F.greatest(n_tok, F.lit(1))
+        ).cast("long").alias("score"),
+    )
+    return text.pr_curve(scored)
+
+
+@register(
+    "text_pmi_bigrams",
+    f"""
+    WITH base AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+    ),
+    tu AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+    tb AS (SELECT CAST(SUM(greatest(len(toks) - 1, 0)) AS BIGINT) AS b FROM base),
+    bg AS (
+      SELECT b AS pair, COUNT(*) AS n_pair
+      FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS b
+            FROM base)
+      GROUP BY b HAVING COUNT(*) >= 5
+    ),
+    scored AS (
+      SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2,
+             n_pair,
+             round(ln(CAST(n_pair AS DOUBLE) * CAST(tu.t AS DOUBLE) * CAST(tu.t AS DOUBLE)
+                      / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)
+                         * CAST(tb.b AS DOUBLE))), 6) AS pmi
+      FROM bg, tu, tb
+      JOIN uni ca ON split_part(pair, ' ', 1) = ca.w
+      JOIN uni cb ON split_part(pair, ' ', 2) = cb.w
+    )
+    SELECT w1, w2, n_pair, pmi FROM scored WHERE pmi >= 0.0
+    """,
+)
+def text_pmi_bigrams(spark, sf_dir):
+    """Collocation mining by PMI (operators/text.py::pmi_bigrams):
+    bigrams beating the independence expectation, from corpus unigram
+    and bigram counts with broadcast 1-row totals. Membership-filtered
+    (count >= 5, pmi >= 0), never top-k-limited, so the result set is
+    stable under float ties; the ln argument is one fixed expression
+    over exact integers in both engines."""
+    return text.pmi_bigrams(T(spark, sf_dir, "documents"))
+
+
+@register(
     "search_tfidf_topk",
     f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),

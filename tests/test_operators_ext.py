@@ -2912,3 +2912,46 @@ def test_freq_spectrum_hand_computed(spark):
     got = {r.freq: (r.n_types, r.n_tokens)
            for r in text_ops.freq_spectrum(docs).collect()}
     assert got == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+
+
+def test_pr_curve_hand_computed(spark):
+    """Threshold sweep on a 6-row hand case: thresholds are the distinct
+    scores, predictions are score >= threshold, confusion counts and
+    prec/rec/F1 match the by-hand table."""
+    from epss_spark.operators import text as text_ops
+
+    # (label, score): positives at scores 9, 7, 3; negatives at 9, 5, 1
+    scored = spark.createDataFrame(
+        [(True, 9), (False, 9), (True, 7), (False, 5), (True, 3), (False, 1)],
+        "label boolean, score long",
+    )
+    got = {r.score: (r.tp, r.fp, r.fn, r.prec, r.rec, r.f1)
+           for r in text_ops.pr_curve(scored).collect()}
+    assert got[9] == (1, 1, 2, 0.5, round(1 / 3, 6), 0.4)
+    assert got[7] == (2, 1, 1, round(2 / 3, 6), round(2 / 3, 6), round(2 / 3, 6))
+    assert got[5] == (2, 2, 1, 0.5, round(2 / 3, 6), round(4 / 7, 6))
+    assert got[3] == (3, 2, 0, 0.6, 1.0, 0.75)
+    assert got[1] == (3, 3, 0, 0.5, 1.0, round(6 / 9, 6))
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    """PMI from hand counts: a corpus where 'big data' always co-occurs
+    scores ln(c_ab*T*T/(ca*cb*B)); bigrams under min_count or with
+    pmi < min_pmi drop out."""
+    import math
+
+    from epss_spark.operators import text as text_ops
+
+    # 4 docs of "big data"; fillers vary so their bigrams stay under
+    # min_count, and one repeated singleton depresses nothing
+    docs = spark.createDataFrame(
+        [(i, "big data") for i in range(4)]
+        + [(10, "x y z w"), (11, "y x w z"), (12, "z w x y"), (13, "w z y x")],
+        "doc_id long, text string",
+    )
+    got = {(r.w1, r.w2): (r.n_pair, r.pmi)
+           for r in text_ops.pmi_bigrams(docs, min_count=3, min_pmi=0.0).collect()}
+    # unigrams: big=4, data=4, T=24; bigrams: 'big data'=4, B=4+3*4=16;
+    # every filler bigram occurs at most twice (under min_count=3)
+    want_pmi = math.floor(math.log(4 * 24 * 24 / (4 * 4 * 16)) * 1e6 + 0.5) / 1e6
+    assert got == {("big", "data"): (4, want_pmi)}
