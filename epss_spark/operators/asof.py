@@ -24,12 +24,21 @@ def asof_join(
     right_time: str | None = None,
     right_values: list[str] | None = None,
     suffix: str = "_right",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right row with right_time <= left_time per key.
 
     Right-side duplicates at the same (key, time) are resolved by taking the
     last after an ascending sort of the remaining columns — deterministic.
-    """
+
+    `tolerance` (pandas merge_asof parity): maximum allowed staleness of
+    the matched right row — left rows whose nearest prior right row is
+    older than `left_time - tolerance` get NULLs instead. Microseconds
+    for timestamp columns, the column's own units otherwise. Costs
+    nothing structural: the matched right row is by construction the
+    NEAREST prior one, so tolerance is a post-fill null-out on the same
+    single window — no extra shuffle, and any older row is further away,
+    so there is never a fallback match to search for."""
     right_time = right_time or left_time
     right_values = right_values or [c for c in right.columns if c not in (key, right_time)]
 
@@ -40,11 +49,17 @@ def asof_join(
     # stitching together values that never co-occurred.)
     from pyspark.sql.types import MapType
 
+    # with tolerance the matched right row's own time rides in the fill
+    # struct (packed only in that mode, so tolerance-free plans — and
+    # their pinned shapes — are byte-identical to before)
+    r_fields = [F.col(c).alias(c) for c in right_values]
+    if tolerance is not None:
+        r_fields.append(F.col(right_time).alias("__rt"))
     r_tag = right.select(
         F.col(key),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.struct(*[F.col(c).alias(c) for c in right_values]).alias("__r"),
+        F.struct(*r_fields).alias("__r"),
     )
     r_type = r_tag.schema["__r"].dataType
     l_tag = (
@@ -74,6 +89,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("__r", F.last(F.col("__r"), ignorenulls=True).over(w))
+    if tolerance is not None:
+        lt, rt = F.col("__t"), F.col("__r").getField("__rt")
+        is_ts = dict(left.dtypes).get(left_time, "").startswith("timestamp")
+        gap = (
+            F.unix_micros(lt) - F.unix_micros(rt) if is_ts else lt - rt
+        )
+        filled = filled.withColumn(
+            "__r", F.when(gap <= F.lit(int(tolerance)), F.col("__r"))
+        )
     out = filled.filter(F.col("__is_left") == 1).drop("__is_left", "__t")
     for c in right_values:
         out = out.withColumn(f"{c}{suffix}" if c in left.columns else c, F.col("__r").getField(c))

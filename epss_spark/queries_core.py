@@ -376,6 +376,49 @@ def join_asof(spark, sf_dir):
     return out.select("event_id", "user_id", "ts", F.col("value").alias("last_purchase_value"))
 
 
+@register(
+    "join_asof_tolerance",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN p.ts >= c.ts - INTERVAL 6 HOUR THEN p.value END
+             AS recent_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    # As-of join with a staleness bound (pandas merge_asof `tolerance`
+    # parity): matches older than 6h are nulled out. Same single
+    # union+window shuffle as join_asof — tolerance is a post-fill
+    # null-out, because the matched row is by construction the NEAREST
+    # prior one (any other candidate is staler). Oracle: DuckDB native
+    # ASOF JOIN + the same staleness CASE.
+    ev = T(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purch = (
+        purch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(
+        clicks, purch, key="user_id", left_time="ts", right_values=["value"],
+        tolerance=6 * 3600 * 1_000_000,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value").alias("recent_purchase_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 aggregations
 # ---------------------------------------------------------------------------

@@ -2955,3 +2955,31 @@ def test_pmi_bigrams_hand_computed(spark):
     # every filler bigram occurs at most twice (under min_count=3)
     want_pmi = math.floor(math.log(4 * 24 * 24 / (4 * 4 * 16)) * 1e6 + 0.5) / 1e6
     assert got == {("big", "data"): (4, want_pmi)}
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof tolerance parity on numeric times: a match staler than
+    the bound is nulled, an exact-boundary gap (== tolerance) survives,
+    equal times match, and no-prior-row stays null. Timestamp columns
+    use the same path with a microsecond bound."""
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 100, "c"), (2, 5, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0)], "k long, t long, v double"
+    )
+    out = asof_join(
+        left, right, key="k", left_time="t", right_values=["v"], tolerance=5
+    )
+    got = {r.tag: r.v for r in out.collect()}
+    assert got == {
+        "a": 100.0,   # gap 0
+        "b": 150.0,   # gap 5 == tolerance: inclusive
+        "c": None,    # nearest prior (15) is 85 stale -> nulled
+        "d": None,    # no prior row at all
+    }
+    # tolerance must not change the no-tolerance result
+    base = asof_join(left, right, key="k", left_time="t", right_values=["v"])
+    got = {r.tag: r.v for r in base.collect()}
+    assert got == {"a": 100.0, "b": 150.0, "c": 150.0, "d": None}
