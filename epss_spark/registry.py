@@ -63,7 +63,16 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "text_bpe_segment",
     "text_winnow_fingerprint",
     "dedup_exact_docs",
-    "dedup_ngram_jaccard",
+    # round-9 late rotation: dedup_url_history — SCD-2 interval
+    # compaction (one row per unchanged-content run, half-open
+    # versions; a history/interval class nothing else on the surface
+    # represents, and a bench HEADLINE query, so the correctness
+    # artifact and the bench now cross-check the same kernel) — in
+    # place of dedup_ngram_jaccard, whose exact-Jaccard pair class
+    # stays driver-green inside dedup_minhash (its verification stage
+    # IS exact n-gram Jaccard over the same shingle arrays);
+    # dedup_ngram_jaccard stays oracle-checked in the pytest tier
+    "dedup_url_history",
     "dedup_minhash",
     # round-6 rotation (judge items 1-2): the round-5 headline features —
     # incremental LSH lookup and transitive-closure keep — surfaced in
@@ -114,7 +123,15 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding",
     "ann_cosine_topk",
-    "ann_lsh_bucketed",
+    # round-9 late rotation: event_burst_zscore — trailing-window
+    # volume-anomaly z-scores from exact integer sums (the monitoring
+    # class: nothing else on the surface watches the pipeline itself)
+    # — in place of ann_lsh_bucketed, whose ANN class stays
+    # driver-green via ann_cosine_topk (exact baseline) +
+    # ann_ivfpq_rerank (production two-stage); ann_lsh_bucketed stays
+    # oracle-checked in the pytest tier with its plan shape pinned in
+    # test_plans.py
+    "event_burst_zscore",
     # round-6 rotation: ann_pq_topk (compressed-domain ADC search — the
     # scan representation a 100 TB embedding store keeps; no surfaced
     # sibling covers product quantization) in place of window_running_sum
