@@ -203,14 +203,16 @@ def build_parser() -> argparse.ArgumentParser:
     an = sub.add_parser(
         "analyze",
         help="corpus analytics over a documents parquet (extension): "
-        "boilerplate n-grams, per-source vocabulary stats, or unigram-LM "
-        "typicality ranking",
+        "boilerplate n-grams, per-source vocabulary stats, unigram-LM "
+        "typicality ranking, dataset card, token divergence, frequency "
+        "spectrum (hapax/Zipf), or PMI collocations",
     )
     an.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
     an.add_argument(
         "--report",
         required=True,
-        choices=["top-ngrams", "vocab", "logprob", "card", "divergence"],
+        choices=["top-ngrams", "vocab", "logprob", "card", "divergence",
+                 "spectrum", "pmi"],
     )
     an.add_argument("--id-col", default="doc_id")
     an.add_argument("--text-col", default="text")
@@ -525,6 +527,15 @@ def main(argv: list[str] | None = None) -> int:
             out = text_ops.token_divergence(
                 docs, group_col=args.stratum_col, text_col=args.text_col
             ).orderBy(args.stratum_col)
+        elif args.report == "spectrum":
+            # hapax band first: the row that moves when junk enters
+            out = text_ops.freq_spectrum(docs, text_col=args.text_col).orderBy("freq")
+        elif args.report == "pmi":
+            from pyspark.sql import functions as F
+
+            out = text_ops.pmi_bigrams(docs, text_col=args.text_col).orderBy(
+                F.col("pmi").desc(), "w1", "w2"
+            )
         else:
             # least-typical docs first: the review queue for OCR/tag soup
             out = (

@@ -348,6 +348,19 @@ def test_cli_analyze_card_and_divergence(spark, tmp_path, capsys):
                    "--stratum-col", "lang"])
     out = capsys.readouterr().out
     assert rc == 0 and out.startswith("de  ") and "en  " in out
+    # spectrum: a=4 b=2 and x,y,z,w=1 -> (freq,n_types,n_tokens) rows
+    # ordered hapax band first
+    rc = cli.main(["analyze", "--input", docs, "--report", "spectrum"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert [tuple(line.split("  ")) for line in out.strip().splitlines()] == [
+        ("1", "4", "4"), ("2", "1", "2"), ("4", "1", "4"),
+    ]
+    # pmi: 'a b' occurs twice (min_count=5 filters everything here) ->
+    # empty report, exit 0
+    rc = cli.main(["analyze", "--input", docs, "--report", "pmi"])
+    out = capsys.readouterr().out
+    assert rc == 0 and out.strip() == ""
 
 
 def test_cli_nb_train_then_classify(spark, tmp_path, capsys):
