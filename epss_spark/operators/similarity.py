@@ -182,6 +182,46 @@ def cosine_topk(
     )
 
 
+def pair_cosine_histogram(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 1,
+    bins_per_unit: int = 20,
+) -> DataFrame:
+    """Distance-concentration diagnostic: the cosine distribution over a
+    deterministic O(n) pair sample (each id paired with id + stride),
+    bucketed to 1/bins_per_unit-wide bins — (bin_idx, n_pairs) with the
+    bin covering [bin_idx/bins_per_unit, (bin_idx+1)/bins_per_unit).
+    THE check to run before trusting any ANN recall number: a histogram
+    massed in a narrow band means pairwise distances concentrate (the
+    near-iid regime where every index degrades and low recall is
+    geometry, not a bug — the caveat PERF.md's recall ladder documents);
+    a spread or multimodal histogram means the space is clusterable and
+    index tuning is worth the effort.
+
+    Scale shape: one equi-join on the shifted id (a deterministic
+    sample, never an all-pairs product), one codegen cosine per pair,
+    one bounded groupBy (at most 2 x bins_per_unit + 1 buckets). The
+    bin index floors cos x bins_per_unit — an identical double
+    expression in both engines, so bucket membership is bit-stable."""
+    a = vectors.select(F.col(id_col).alias("__pid"), F.col(vec_col).alias("__a"))
+    b = vectors.select(
+        (F.col(id_col) - F.lit(int(stride))).alias("__pid"),
+        F.col(vec_col).alias("__b"),
+    )
+    pairs = a.join(b, "__pid").select(
+        cosine(F.col("__a"), F.col("__b")).alias("cos")
+    )
+    return (
+        pairs.select(
+            F.floor(F.col("cos") * F.lit(int(bins_per_unit))).cast("long").alias("bin_idx")
+        )
+        .groupBy("bin_idx")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def cosine_pairs_blocked(
     vectors: DataFrame,
     block_col: str,

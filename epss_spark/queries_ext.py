@@ -1255,6 +1255,31 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "ann_pair_histogram",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) AS cos
+      FROM q JOIN c ON c.vec_id = q.vec_id + 1
+    )
+    SELECT CAST(floor(cos * 20) AS BIGINT) AS bin_idx, COUNT(*) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def ann_pair_histogram(spark, sf_dir):
+    """Distance-concentration diagnostic (operators/similarity.py::
+    pair_cosine_histogram): the cosine distribution over the
+    deterministic (id, id+1) pair sample, bucketed to 0.05 bins. The
+    check to run BEFORE trusting an ANN recall number: concentration
+    means low recall is geometry, not a bug (the testdata caveat
+    PERF.md's recall ladder documents — this query makes that caveat
+    measurable in-engine instead of folklore). One equi-join on the
+    shifted id, one codegen cosine per pair, a <= 41-bucket groupBy."""
+    return similarity.pair_cosine_histogram(T(spark, sf_dir, "embeddings"))
+
+
+@register(
     "ann_threshold",
     f"""
     WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

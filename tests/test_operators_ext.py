@@ -2983,3 +2983,21 @@ def test_asof_join_tolerance(spark):
     base = asof_join(left, right, key="k", left_time="t", right_values=["v"])
     got = {r.tag: r.v for r in base.collect()}
     assert got == {"a": 100.0, "b": 150.0, "c": 150.0, "d": None}
+
+
+def test_pair_cosine_histogram_hand_computed(spark):
+    """Deterministic (id, id+stride) pair sample: orthogonal unit pair
+    lands in bin 0, identical pair (cos 1.0) in bin 20, opposite pair
+    (cos -1.0) in bin -20; the id gap between 3 and 10 yields no pair."""
+    from epss_spark.operators import similarity
+
+    e1, e2 = [1.0, 0.0], [0.0, 1.0]
+    emb = spark.createDataFrame(
+        [(1, e1), (2, e2), (3, e2), (10, e1), (11, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.bin_idx: r.n_pairs
+           for r in similarity.pair_cosine_histogram(emb).collect()}
+    # pairs: (1,2) cos 0 -> bin 0; (2,3) cos 1 -> bin 20; (10,11) cos -1
+    # -> bin -20; ids 3->4 and 11->12 have no partner
+    assert got == {0: 1, 20: 1, -20: 1}
