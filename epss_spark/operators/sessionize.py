@@ -430,6 +430,7 @@ def session_paths(
     tiebreak: str = "event_id",
     gap_seconds: int = 1800,
     sep: str = ">",
+    max_path_events: int | None = None,
 ) -> DataFrame:
     """Common-journey mining: sessionize (gap rule), render each
     session's ordered event-type sequence as one `sep`-joined path
@@ -438,16 +439,26 @@ def session_paths(
     memoryless first-order projection; this is the full-sequence view
     product teams read as a Sankey / top-journeys table).
 
-    Returns (path, path_len, n_sessions).
+    Returns (path, path_len, n_sessions); with a cap, path_len stays
+    the TRUE session length while `path` carries only the session's
+    first max_path_events steps — so capped journeys group by their
+    (prefix, true length) and remain countable, never silently merged
+    with genuinely short ones.
 
     Scale shape: the sessionize windows ride ONE key exchange; the
-    per-session path is an array_sort(collect_list) bounded by session
-    length — sessions are gap-bounded by construction, so unlike a
-    per-key collect this cannot absorb a bot's full history (a bot's
-    events split into many sessions; each array stays session-sized).
-    The final path count groups on the path string itself — hashed
-    keys, no skewed reducer unless one exact journey dominates, which
-    is the answer the query exists to surface."""
+    per-session array is bounded by session length for HUMAN traffic
+    (gap-bounded sessions), but a bot active continuously — never a
+    gap — forms ONE session spanning its entire history, and that
+    single array is the hot-key risk. `max_path_events` is the guard:
+    the per-session rank filter runs INSIDE the same window exchange
+    (rows past the cap drop before the collect), so with a cap no task
+    ever materializes more than max_path_events rows per session
+    regardless of bot size. Production deployments should set it
+    (journey reports beyond a few hundred steps are unreadable
+    anyway); the uncapped default keeps paths exact. The final path
+    count groups on the path string itself — hashed keys, no skewed
+    reducer unless one exact journey dominates, which is the answer
+    the query exists to surface."""
     s = sessionize(events, key=key, time=time, gap_seconds=gap_seconds, tiebreak=tiebreak)
     ordered = F.array_sort(
         F.collect_list(
@@ -458,10 +469,39 @@ def session_paths(
             )
         )
     )
-    per_session = s.groupBy(key, "session_id").agg(
-        F.array_join(F.transform(ordered, lambda x: x["ty"]), sep).alias("path"),
-        F.count(F.lit(1)).alias("path_len"),
-    )
+    if max_path_events is not None:
+        rn = F.row_number().over(
+            Window.partitionBy(key, "session_id").orderBy(
+                F.col(time).asc(), F.col(tiebreak).asc()
+            )
+        )
+        s = s.withColumn("__rn", rn)
+        per_session = s.groupBy(key, "session_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") <= int(max_path_events),
+                                F.struct(
+                                    F.unix_micros(F.col(time)).alias("us"),
+                                    F.col(tiebreak).alias("tb"),
+                                    F.col(type_col).alias("ty"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["ty"],
+                ),
+                sep,
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+    else:
+        per_session = s.groupBy(key, "session_id").agg(
+            F.array_join(F.transform(ordered, lambda x: x["ty"]), sep).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
     return per_session.groupBy("path", "path_len").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )

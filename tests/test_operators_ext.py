@@ -3001,3 +3001,33 @@ def test_pair_cosine_histogram_hand_computed(spark):
     # pairs: (1,2) cos 0 -> bin 0; (2,3) cos 1 -> bin 20; (10,11) cos -1
     # -> bin -20; ids 3->4 and 11->12 have no partner
     assert got == {0: 1, 20: 1, -20: 1}
+
+
+def test_session_paths_cap_prefix_and_true_length(spark):
+    """Hot-key guard: with max_path_events, a continuously-active bot's
+    single giant session emits only its first-N-steps prefix as the
+    path while path_len stays the TRUE session length — capped journeys
+    group by (prefix, true length) and never merge with genuinely short
+    ones. Uncapped output is unchanged for short sessions."""
+    import datetime as dt
+
+    from epss_spark.operators import sessionize as sz
+
+    rows = []
+    # bot: 50 events, one per minute — never a 30-min gap -> one session
+    for i in range(50):
+        rows.append((i, "bot", dt.datetime(2024, 1, 1, 0, i), "v" if i % 2 else "c"))
+    # human: two events
+    rows += [(100, "h", dt.datetime(2024, 1, 1, 1, 0), "c"),
+             (101, "h", dt.datetime(2024, 1, 1, 1, 1), "v")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    capped = {(r.path, r.path_len): r.n_sessions
+              for r in sz.session_paths(ev, max_path_events=3).collect()}
+    # bot path truncated to first 3 steps (c v c), true length 50
+    assert capped == {("c>v>c", 50): 1, ("c>v", 2): 1}
+    # uncapped: the bot path carries all 50 steps
+    full = {r.path_len: len(r.path.split(">"))
+            for r in sz.session_paths(ev).collect()}
+    assert full == {50: 50, 2: 2}
