@@ -470,12 +470,19 @@ def session_paths(
         )
     )
     if max_path_events is not None:
-        rn = F.row_number().over(
-            Window.partitionBy(key, "session_id").orderBy(
-                F.col(time).asc(), F.col(tiebreak).asc()
-            )
-        )
-        s = s.withColumn("__rn", rn)
+        # in-session rank WITHOUT a second exchange: row_number over the
+        # same (key)-partitioned (time, tiebreak) order the sessionize
+        # windows already sorted, minus the running-max row_number of
+        # the current session's start row — a (key, session_id) window
+        # would re-shuffle and re-sort (measured ~1.7x the uncapped
+        # pass); this form rides the existing exchange for free
+        wk = Window.partitionBy(key).orderBy(F.col(time).asc(), F.col(tiebreak).asc())
+        rk = F.row_number().over(wk)
+        s = s.withColumn("__rk", rk)
+        start_rk = F.max(
+            F.when(F.col("session_start") == 1, F.col("__rk"))
+        ).over(wk.rowsBetween(Window.unboundedPreceding, 0))
+        s = s.withColumn("__rn", F.col("__rk") - start_rk + 1)
         per_session = s.groupBy(key, "session_id").agg(
             F.array_join(
                 F.transform(
