@@ -546,3 +546,39 @@ def test_quality_funnel_single_case_projection(spark):
     p = plan(spark, "prep_quality_funnel")
     assert "parquet" not in p.lower()
     assert "Scan ExistingRDD" in p or "LocalTableScan" in p
+
+
+def test_history_lookup_plan_broadcasts_runs_no_expansion(spark):
+    # per-probe point-in-interval lookup: ONE equi-join on the key with
+    # the interval containment as a join-side filter; the compacted runs
+    # table broadcasts (orders of magnitude smaller than any changelog).
+    # A Cartesian/nested-loop would be the range-join trap this operator
+    # exists to avoid.
+    p = plan(spark, "dedup_history_lookup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_edit_verified_length_prefilter_before_levenshtein(spark):
+    # the O(len^2) levenshtein kernel must sit ABOVE the integer
+    # length-gap pre-filter in the plan: pairs that provably fail the
+    # threshold are dropped for the price of two ints, and the kernel
+    # stays JVM codegen (no Python crossing anywhere)
+    p = plan(spark, "dedup_edit_verified")
+    assert "EvalPython" not in p
+    assert "levenshtein" in p
+    # the filter containing the length-gap bound evaluates abs() on the
+    # lengths; it must appear in the same or an earlier section than the
+    # levenshtein projection
+    assert "abs(" in p
+
+
+def test_burst_zscore_plan_two_bounded_exchanges(spark):
+    # daily rollup (one hash aggregate of the events) + the trailing
+    # window over (type, day) rows: exactly two hash exchanges, and the
+    # window input is the bounded daily aggregate, never raw events
+    p = plan(spark, "event_burst_zscore")
+    assert "EvalPython" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
+    assert "Join" not in p
