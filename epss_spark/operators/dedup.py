@@ -983,6 +983,7 @@ def history_lookup(
     probes: DataFrame,
     key: str = "url",
     point_col: str = "version",
+    suffix: str = "_hist",
 ) -> DataFrame:
     """Per-row point-in-interval lookup against an SCD-2 interval table
     (`snapshot_history` output): each probe row (key, point) is joined
@@ -998,7 +999,13 @@ def history_lookup(
     (orders of magnitude smaller than the changelog), so the join
     broadcasts when the history is small and sort-merges on the key
     otherwise; because intervals per key are disjoint by construction,
-    the join is at-most-one-match and never expands rows."""
+    the join is at-most-one-match and never expands rows.
+
+    History-side payload columns that collide with a probe column name
+    come back suffixed (`suffix`, default `_hist`) — mirroring
+    asof_join's suffix handling — so a probe table that itself carries
+    e.g. `fp` or `valid_from` never yields duplicate output names that
+    poison downstream name-based selects."""
     p = probes.alias("p")
     h = history.alias("h")
     pt = F.col(f"p.{point_col}")
@@ -1011,7 +1018,11 @@ def history_lookup(
     )
     return joined.select(
         "p.*",
-        *[F.col(f"h.{c}").alias(c) for c in history.columns if c != key],
+        *[
+            F.col(f"h.{c}").alias(f"{c}{suffix}" if c in probes.columns else c)
+            for c in history.columns
+            if c != key
+        ],
     )
 
 

@@ -430,7 +430,7 @@ def session_paths(
     tiebreak: str = "event_id",
     gap_seconds: int = 1800,
     sep: str = ">",
-    max_path_events: int | None = None,
+    max_path_events: int | None = 1024,
 ) -> DataFrame:
     """Common-journey mining: sessionize (gap rule), render each
     session's ordered event-type sequence as one `sep`-joined path
@@ -453,9 +453,13 @@ def session_paths(
     the per-session rank filter runs INSIDE the same window exchange
     (rows past the cap drop before the collect), so with a cap no task
     ever materializes more than max_path_events rows per session
-    regardless of bot size. Production deployments should set it
-    (journey reports beyond a few hundred steps are unreadable
-    anyway); the uncapped default keeps paths exact. The final path
+    regardless of bot size. The guard is ON BY DEFAULT (1024 — the
+    same default-safe flip event_funnel made with chunk_size: journey
+    reports beyond a few hundred steps are unreadable anyway, and
+    human gap-bounded sessions never reach it, so capped output is
+    bit-identical to exact for real traffic); pass
+    `max_path_events=None` for the exact-mode escape hatch when a
+    bounded input is already guaranteed. The final path
     count groups on the path string itself — hashed keys, no skewed
     reducer unless one exact journey dominates, which is the answer
     the query exists to surface."""
@@ -521,6 +525,7 @@ def daily_burst_zscore(
     window_days: int = 7,
     min_days: int = 3,
     z_thresh: float = 3.0,
+    densify: bool = False,
 ) -> DataFrame:
     """Volume-anomaly detection over the event stream: per (event_type,
     day), the z-score of today's count against the trailing
@@ -532,6 +537,17 @@ def daily_burst_zscore(
 
     Returns (event_type, day, n, z[6dp], is_burst); days with fewer
     than `min_days` prior days in the window emit NULL z (no baseline).
+
+    Baseline semantics (deliberate, and shared bit-for-bit with the
+    oracle and the streaming monitor): the trailing window sees only
+    ACTIVE days — calendar days with zero events produce no daily row,
+    so they neither contribute n=0 to the mean/std nor count toward
+    `min_days`. A sparse type's baseline is therefore its
+    when-it-fires volume (bursts are judged against typical active
+    days, not against silence). Pass `densify=True` to score against
+    the calendar instead: per type, the full min..max day range is
+    generated and missing days participate as n=0 — quiet gaps then
+    deflate the mean and `min_days` gates on calendar days.
 
     Cross-engine determinism: the baseline sums (count, sum, sum of
     squares) are exact integers over a RANGE frame on epoch-day, and
@@ -545,7 +561,7 @@ def daily_burst_zscore(
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return zscore_from_daily_counts(daily, window_days, min_days, z_thresh)
+    return zscore_from_daily_counts(daily, window_days, min_days, z_thresh, densify)
 
 
 def zscore_from_daily_counts(
@@ -553,12 +569,30 @@ def zscore_from_daily_counts(
     window_days: int = 7,
     min_days: int = 3,
     z_thresh: float = 3.0,
+    densify: bool = False,
 ) -> DataFrame:
     """The z-scoring tail of `daily_burst_zscore`, factored out so the
     streaming monitor (streaming/burst_stream.py) can score the SAME
     expression over its maintained (event_type, day, n) count store —
     stream == batch equality then follows from count additivity alone.
-    Input: one row per (event_type, day) with exact integer `n`."""
+    Input: one row per (event_type, day) with exact integer `n`.
+
+    Default baselines are over ACTIVE days only (daily_burst_zscore
+    docstring); `densify=True` inserts n=0 rows for every missing
+    calendar day in each type's min..max span first — one bounded
+    (|types| x |days|) grid join, same order as the window itself."""
+    if densify:
+        spans = daily.groupBy("event_type").agg(
+            F.min("day").alias("__d0"), F.max("day").alias("__d1")
+        )
+        grid = spans.select(
+            "event_type", F.explode(F.sequence("__d0", "__d1")).alias("day")
+        )
+        daily = grid.join(daily, ["event_type", "day"], "left").select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
     daily = daily.withColumn("d", F.datediff("day", F.lit("1970-01-01")))
     w = (
         Window.partitionBy("event_type")

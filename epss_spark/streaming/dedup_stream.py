@@ -108,11 +108,24 @@ def _list_artifact(spark: SparkSession, path: str):
      [(epoch_int, epoch_dir_path, is_compacted), ...]) sorted by epoch;
     is_compacted = the epoch dir carries the _COMPACTED marker, i.e. its
     rows are the full folded store state and everything older (flat base
-    included) is subsumed."""
+    included) is subsumed.
+
+    RPC budget: exactly three filesystem calls regardless of epoch count
+    — exists + one listStatus + one globStatus over
+    `<path>/epoch-*/_COMPACTED`. (A per-epoch marker exists() probe —
+    the previous form — is up to compact_every extra HEAD round-trips
+    per artifact per micro-batch on object stores like S3.)"""
     jvm, fs = _hadoop_fs(spark, path)
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     if not fs.exists(hpath):
         return False, False, []
+    glob = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/" + _EPOCH_PREFIX + "*/" + _COMPACT_MARKER
+    )
+    marked = fs.globStatus(glob)
+    compacted_dirs = {
+        st.getPath().getParent().getName() for st in (marked or [])
+    }
     has_flat = False
     epochs = []
     for st in fs.listStatus(hpath):
@@ -123,10 +136,7 @@ def _list_artifact(spark: SparkSession, path: str):
                     e = int(name[len(_EPOCH_PREFIX):])
                 except ValueError:
                     continue
-                marker = jvm.org.apache.hadoop.fs.Path(
-                    st.getPath(), _COMPACT_MARKER
-                )
-                epochs.append((e, st.getPath().toString(), bool(fs.exists(marker))))
+                epochs.append((e, st.getPath().toString(), name in compacted_dirs))
         elif not name.startswith(("_", ".")):
             has_flat = True
     return True, has_flat, sorted(epochs)
@@ -163,20 +173,44 @@ def _read_committed(
     else:
         paths = ([path] if has_flat else []) + [p for _, p, _ in committed]
     if not paths:
-        if exists and epochs:
-            # exists-with-only-future-epochs is a replay reading an index
-            # no first attempt could have seen — impossible under one
-            # stream per dir; name the condition instead of falling
-            # through to an opaque 'Unable to infer schema' read
+        future = sorted(e for e, _, _ in epochs if e > before_epoch)
+        if future:
+            # epochs STRICTLY after the one being processed is a replay
+            # reading an index no first attempt could have seen —
+            # impossible under one stream per dir; name the condition
+            # instead of falling through to an opaque 'Unable to infer
+            # schema' read
             raise RuntimeError(
-                f"epoch-scoped artifact {path} holds only epochs >= "
-                f"{before_epoch} ({sorted(e for e, _, _ in epochs)}): epoch "
-                f"{before_epoch} cannot have produced them under one "
-                "maintenance stream per directory — two streams sharing "
-                "this directory, or a checkpoint reset against a "
-                "non-reset store?"
+                f"epoch-scoped artifact {path} holds epochs > "
+                f"{before_epoch} ({future}): epoch {before_epoch} cannot "
+                "have produced them under one maintenance stream per "
+                "directory — two streams sharing this directory, or a "
+                "checkpoint reset against a non-reset store?"
             )
+        # Remaining non-empty case: the store holds EXACTLY epoch
+        # `before_epoch` — the legitimate crash-replay of the store's
+        # first non-empty epoch (first attempt wrote epoch-N, the
+        # process died before the streaming checkpoint committed, the
+        # restart replays N). The surviving dir is this replay's OWN
+        # previous partial attempt, about to be overwritten by
+        # _write_epoch — NOT committed state — so with a bootstrap
+        # schema the correct read is the same empty frame the first
+        # attempt saw. (Raising here wedged the stream permanently:
+        # every retry re-raised. Pinned by the replay-of-first-epoch
+        # tests in tests/test_sinks_streaming.py.)
         if empty_schema is None:
+            if epochs:
+                # pre-built-index contract (minhash stream): the flat
+                # base should always pre-exist an epoch append — a
+                # store with only this epoch's own attempt lost it
+                raise RuntimeError(
+                    f"epoch-scoped artifact {path} holds only epoch "
+                    f"{before_epoch} (this replay's own in-flight "
+                    "attempt) and no flat base files, but the caller "
+                    "requires a pre-built index (empty_schema=None) — "
+                    "was the base index deleted out from under the "
+                    "maintenance stream?"
+                )
             return spark.read.parquet(path)
         return spark.createDataFrame([], empty_schema)
     return spark.read.parquet(*paths)

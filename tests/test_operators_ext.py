@@ -3031,3 +3031,103 @@ def test_session_paths_cap_prefix_and_true_length(spark):
     full = {r.path_len: len(r.path.split(">"))
             for r in sz.session_paths(ev).collect()}
     assert full == {50: 50, 2: 2}
+
+
+def test_keep_latest_map_payload_with_tiebreak(spark):
+    """The documented map-payload contract (dedup.py keep_latest): with a
+    tiebreak the ordering key excludes the payload, so MapType payload
+    columns — unorderable, which the no-tiebreak max(struct) path cannot
+    carry — compact correctly."""
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10, {"h": "old"}),
+            ("a", 3, 30, {"h": "new", "x": "1"}),
+            ("a", 3, 29, {"h": "tie-loser"}),
+            ("b", 2, 20, {"h": "only"}),
+        ],
+        "k string, v long, id long, headers map<string,string>",
+    )
+    got = {r.k: r for r in dedup.keep_latest(df, "k", "v", tiebreak_col="id").collect()}
+    assert got["a"].id == 30 and dict(got["a"].headers) == {"h": "new", "x": "1"}
+    assert got["b"].id == 20 and dict(got["b"].headers) == {"h": "only"}
+    assert dedup.keep_latest(df, "k", "v", tiebreak_col="id").columns == df.columns
+
+
+def test_history_lookup_suffixes_colliding_probe_columns(spark):
+    """A probe table that itself carries history-payload names (fp,
+    valid_from, ...) must not produce duplicate output columns: the
+    history side comes back suffixed _hist, probe columns win the bare
+    name (mirrors asof_join's suffix handling)."""
+    hist = spark.createDataFrame(
+        [("a", "A", 1, 5, 2), ("a", "B", 5, None, 1)],
+        "url string, fp string, valid_from long, valid_to long, n_versions long",
+    )
+    probes = spark.createDataFrame(
+        [("a", 10, 2, "probe-fp"), ("a", 11, 7, "probe-fp2")],
+        "url string, probe_id long, version long, fp string",
+    )
+    out = dedup.history_lookup(hist, probes, key="url", point_col="version")
+    assert len(out.columns) == len(set(out.columns))  # no ambiguous names
+    assert "fp_hist" in out.columns and "fp" in out.columns
+    got = {r.probe_id: (r.fp, r.fp_hist) for r in out.collect()}
+    assert got == {10: ("probe-fp", "A"), 11: ("probe-fp2", "B")}
+
+
+def test_daily_burst_zscore_densify_scores_against_calendar(spark):
+    """densify=True inserts n=0 rows for quiet calendar days, deflating a
+    sparse type's baseline (ADVICE round-9: default baselines are over
+    ACTIVE days only — pinned hand-computed here in both modes)."""
+    import math
+
+    from epss_spark.operators import sessionize as sz
+
+    rows = []
+    eid = 0
+    # type "s": active days 1,2,3 with counts 4,6,5; silent 4..7; day 8 count 6
+    for day, cnt in [(1, 4), (2, 6), (3, 5), (8, 6)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, "u", f"2024-01-{day:02d} 12:00:00", "s"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # default: baseline over active days [4,6,5] -> mean 5, var 1, z = 1.0
+    active = {str(r.day): (r.n, r.z) for r in sz.daily_burst_zscore(ev).collect()}
+    assert active["2024-01-08"] == (6, 1.0)
+    assert "2024-01-05" not in active  # quiet days emit no row
+    # densified: window for day 8 = [4,6,5,0,0,0,0]; quiet days get rows
+    dense = {str(r.day): (r.n, r.z) for r in
+             sz.daily_burst_zscore(ev, densify=True).collect()}
+    mean = 15 / 7
+    var = (77 - 15 * 15 / 7) / 6
+    z8 = math.floor((6 - mean) / math.sqrt(var) * 1e6 + 0.5) / 1e6
+    assert dense["2024-01-08"] == (6, z8)
+    # day 4 (inserted): baseline [4,6,5] -> z = (0-5)/1 = -5
+    assert dense["2024-01-04"] == (0, -5.0)
+    assert dense["2024-01-06"][0] == 0
+
+
+def test_session_paths_capped_default_equals_exact_mode(spark):
+    """Round-10 default flip: max_path_events=1024 is on by default; for
+    human-length (gap-bounded) sessions the capped plan's output is
+    bit-identical to exact mode (max_path_events=None), because no
+    session reaches the cap — the same default-safe contract
+    event_funnel's chunk_size carries."""
+    import datetime as dt
+
+    from epss_spark.operators import sessionize as sz
+
+    rows, eid = [], 0
+    for u in range(20):
+        for s in range(3):  # 3 sessions per user, 1..7 events each
+            base = dt.datetime(2024, 1, 1 + s, 0, 0)
+            for i in range(1 + (u + s) % 7):
+                eid += 1
+                rows.append((eid, f"u{u}", base + dt.timedelta(minutes=i),
+                             ["v", "c", "p"][(eid + i) % 3]))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    capped = sorted(map(tuple, sz.session_paths(ev).collect()))
+    exact = sorted(map(tuple, sz.session_paths(ev, max_path_events=None).collect()))
+    assert capped == exact and len(capped) > 0

@@ -2416,3 +2416,72 @@ def test_burst_autocompact_bounds_epochs_and_preserves_counts(spark, tmp_path):
     burst_stream.process_burst_batch(batches[9], 9, auto, compact_every=3)
     got = sorted(map(tuple, burst_stream.burst_snapshot(spark, auto).collect()))
     assert got == want
+
+
+def test_replay_of_first_epoch_bootstraps_instead_of_wedging(spark, tmp_path):
+    """ADVICE round-9 (medium): epoch 0 is written, the process dies
+    BEFORE the streaming checkpoint commits, and the restart replays
+    epoch 0 — _read_committed then sees a store holding only the
+    replay's own in-flight dir. That must bootstrap (it is about to be
+    overwritten with identical rows), not raise forever."""
+    import datetime as dt
+
+    from epss_spark.streaming import funnel_stream
+
+    D = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    steps = ["signup", "view"]
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, D, 1, "signup"), (1, D + dt.timedelta(hours=1), 2, "view"),
+         (2, D, 3, "signup")],
+        schema,
+    )
+    funnel_stream.process_funnel_batch(b0, 0, state, steps)
+    snap1 = [tuple(r) for r in
+             funnel_stream.funnel_snapshot(spark, state, steps).collect()]
+    # crash-replay of the very first epoch: previously raised RuntimeError
+    # on every retry, permanently wedging the stream
+    funnel_stream.process_funnel_batch(b0, 0, state, steps)
+    snap2 = [tuple(r) for r in
+             funnel_stream.funnel_snapshot(spark, state, steps).collect()]
+    assert snap2 == snap1
+    # and the stream continues normally afterwards
+    b1 = spark.createDataFrame([(2, D + dt.timedelta(hours=2), 4, "view")], schema)
+    funnel_stream.process_funnel_batch(b1, 1, state, steps)
+    got = {r.step: r.n_converted for r in
+           funnel_stream.funnel_snapshot(spark, state, steps).collect()}
+    assert got == {1: 2, 2: 2}
+
+
+def test_read_committed_genuinely_future_epochs_still_raise(spark, tmp_path):
+    """The two-streams / checkpoint-reset anomaly keeps its named error:
+    epochs STRICTLY greater than the one being processed cannot exist
+    under one maintenance stream per directory."""
+    import pytest as _pytest
+
+    from epss_spark.streaming import dedup_stream
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, 7)], "k long, __epoch long")
+    dedup_stream._write_epoch(df, path, 5)
+    with _pytest.raises(RuntimeError, match="epochs > 3"):
+        dedup_stream._read_committed(spark, path, 3, empty_schema="k long, __epoch long")
+    # the replayed-own-epoch case (epoch == before_epoch) bootstraps
+    got = dedup_stream._read_committed(spark, path, 5, empty_schema="k long, __epoch long")
+    assert got.count() == 0
+
+
+def test_read_committed_own_epoch_without_schema_names_missing_base(spark, tmp_path):
+    """empty_schema=None is the pre-built-index contract: a store holding
+    only the replay's own epoch and no flat base raises a NAMED error
+    (the base index was deleted), not an opaque schema-inference one."""
+    import pytest as _pytest
+
+    from epss_spark.streaming import dedup_stream
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, 0)], "k long, __epoch long")
+    dedup_stream._write_epoch(df, path, 0)
+    with _pytest.raises(RuntimeError, match="pre-built index"):
+        dedup_stream._read_committed(spark, path, 0)
