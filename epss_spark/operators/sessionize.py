@@ -411,6 +411,17 @@ def event_transitions(
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+    return transition_probs(counts)
+
+
+def transition_probs(counts: DataFrame) -> DataFrame:
+    """The probability tail of `event_transitions`, factored out so the
+    streaming monitor (streaming/transitions_stream.py) can score the
+    SAME expression over its maintained (from_type, to_type, n) count
+    store — stream == batch equality then follows from pair-count
+    additivity plus the adjacency contract. Input: one row per
+    (from_type, to_type) with exact integer `n`; the window runs over
+    the bounded |types|^2 aggregate."""
     wtot = Window.partitionBy("from_type")
     return counts.select(
         "from_type",

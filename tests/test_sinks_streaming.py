@@ -2485,3 +2485,155 @@ def test_read_committed_own_epoch_without_schema_names_missing_base(spark, tmp_p
     dedup_stream._write_epoch(df, path, 0)
     with _pytest.raises(RuntimeError, match="pre-built index"):
         dedup_stream._read_committed(spark, path, 0)
+
+
+def _transition_events():
+    """Shared fixture rows: 6 users x multi-type journeys over 3 hours,
+    with cross-batch adjacency at every hour boundary."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    types = ["view", "cart", "buy", "search"]
+    for u in range(6):
+        for h in range(3):
+            for i in range(2 + (u + h) % 3):
+                eid += 1
+                rows.append(
+                    (eid, f"u{u}", dt.datetime(2024, 1, 1, h, 5 * i + u),
+                     types[(eid + i) % 4])
+                )
+    rows.sort(key=lambda r: (r[2], r[0]))
+    return rows
+
+
+def test_transitions_stream_equals_batch_and_replay(spark, tmp_path):
+    """Stream == batch under the time-partitioned-per-key contract:
+    splitting each key's time-sorted sequence into hourly batches and
+    stitching boundary pairs from carried state reproduces the one-shot
+    event_transitions table exactly; replaying an epoch overwrites its
+    deltas (counts never double); in-order epochs report zero late."""
+    from epss_spark.operators import sessionize as sz
+    from epss_spark.streaming import transitions_stream as ts
+
+    rows = _transition_events()
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    state = str(tmp_path / "tstate")
+    batches = [
+        [r for r in rows if r[2].hour == h] for h in range(3)
+    ]
+    for e, b in enumerate(batches):
+        ts.process_transitions_batch(
+            spark.createDataFrame(b, schema), e, state
+        )
+    alldf = spark.createDataFrame(rows, schema)
+    want = sorted(map(tuple, sz.event_transitions(alldf).collect()))
+    got = sorted(map(tuple, ts.transitions_snapshot(spark, state).collect()))
+    assert got == want and len(got) > 4
+    # crash-retry replay of the middle epoch: identical recompute
+    ts.process_transitions_batch(spark.createDataFrame(batches[1], schema), 1, state)
+    got2 = sorted(map(tuple, ts.transitions_snapshot(spark, state).collect()))
+    assert got2 == want
+    late = {r.epoch: (r.n_late_events, r.n_late_keys)
+            for r in ts.late_counts(spark, state).collect()}
+    assert late == {0: (0, 0), 1: (0, 0), 2: (0, 0)}
+
+
+def test_transitions_stream_out_of_order_is_counted(spark, tmp_path):
+    """An epoch whose events are older than their key's carried last
+    event shows up in late_counts (arrival-order pairing may disagree
+    with a batch re-run — named, not silent), and the carried state
+    never regresses behind the newer event."""
+    import datetime as dt
+
+    from epss_spark.streaming import transitions_stream as ts
+
+    D = dt.datetime(2024, 1, 1)
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    state = str(tmp_path / "tstate")
+    b0 = spark.createDataFrame(
+        [(1, "u1", D + dt.timedelta(hours=5), "view"),
+         (2, "u2", D + dt.timedelta(hours=5), "view")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(3, "u1", D + dt.timedelta(hours=1), "cart"),   # late for u1
+         (4, "u2", D + dt.timedelta(hours=6), "buy")],   # fresh for u2
+        schema,
+    )
+    ts.process_transitions_batch(b0, 0, state)
+    ts.process_transitions_batch(b1, 1, state)
+    late = {r.epoch: (r.n_late_events, r.n_late_keys)
+            for r in ts.late_counts(spark, state).collect()}
+    assert late == {0: (0, 0), 1: (1, 1)}
+    # carried state kept the NEWER u1 event (hour 5 view), not the late cart
+    from epss_spark.operators import dedup
+    from epss_spark.streaming.dedup_stream import read_artifact
+
+    st = {r[0]: r.ty for r in dedup.keep_latest(
+        read_artifact(spark, state), "user_id", "__epoch").collect()}
+    assert st == {"u1": "view", "u2": "buy"}
+
+
+def test_transitions_autocompact_bounds_epochs_and_preserves_counts(spark, tmp_path):
+    """Additive-fold + keep-latest compaction for the two stores: over
+    3N+ epochs with compact_every=N the epoch-dir count stays bounded
+    and the snapshot equals an uncompacted run bit-for-bit."""
+    import os
+
+    from epss_spark.streaming import transitions_stream as ts
+
+    rows = _transition_events()
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    plain, auto = str(tmp_path / "plain"), str(tmp_path / "auto")
+    # 10 sequential single-slice batches (time-partitioned: rows sorted by ts)
+    n = len(rows)
+    slices = [rows[i * n // 10:(i + 1) * n // 10] for i in range(10)]
+    for e, b in enumerate(s for s in slices if s):
+        df = spark.createDataFrame(b, schema)
+        ts.process_transitions_batch(df, e, plain, compact_every=None)
+        ts.process_transitions_batch(df, e, auto, compact_every=3)
+    got_plain = sorted(map(tuple, ts.transitions_snapshot(spark, plain).collect()))
+    got_auto = sorted(map(tuple, ts.transitions_snapshot(spark, auto).collect()))
+    assert got_plain == got_auto and len(got_auto) > 4
+    n_epochs_plain = len([d for d in os.listdir(plain + ".counts") if d.startswith("epoch-")])
+    n_epochs_auto = len([d for d in os.listdir(auto + ".counts") if d.startswith("epoch-")])
+    assert n_epochs_plain == 10 and n_epochs_auto <= 5
+
+
+def test_transitions_stream_via_streaming_query(spark, tmp_path):
+    """start_transitions_stream end-to-end: hourly file drops consumed
+    one per trigger (availableNow), snapshot equals the batch table."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import sessionize as sz
+    from epss_spark.streaming import transitions_stream as ts
+
+    rows = _transition_events()
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    drop_dir = tmp_path / "tdrops"
+    drop_dir.mkdir()
+    for h in range(3):  # time-partitioned drops, oldest first
+        b = [r for r in rows if r[2].hour == h]
+        staging = tmp_path / f"tstage_{h}"
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"b{h}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + h, 1_000_000_000 + h))
+
+    state = str(tmp_path / "tq_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = ts.start_transitions_stream(stream, state, str(tmp_path / "tq_ckpt"))
+    q.awaitTermination(180)
+
+    alldf = spark.createDataFrame(rows, schema)
+    want = sorted(map(tuple, sz.event_transitions(alldf).collect()))
+    got = sorted(map(tuple, ts.transitions_snapshot(spark, state).collect()))
+    assert got == want
+    late = ts.late_counts(spark, state).collect()
+    assert all(r.n_late_events == 0 for r in late)
