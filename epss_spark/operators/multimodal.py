@@ -7,15 +7,18 @@ metadata propagation) is real and tested. Decoding is tiered:
 1. stdlib/numpy decoders, always available: 24-bit BMP, binary PPM, and
    8-bit non-interlaced PNG (zlib inflate + numpy unfilter) — decode_image
    / decode_png / nn_resize;
-2. an OPTIONAL-dependency adapter for compressed codecs: when Pillow is
-   importable on the executors, decode_image_any decodes JPEG/WEBP/etc.
-   through it (capability probed once per worker process, zero cost when
-   absent). Ship Pillow to workers the standard ways — cluster image,
-   `spark.submit.pyFiles`, conda/venv archives (DEPLOYMENT.md §codecs);
-3. without Pillow, compressed payloads pass through unchanged
-   (strict=True raises naming the missing dependency); audio/video
-   feature extraction's `decode_fn` defaults to a deterministic fake —
-   swap in torchaudio/pyav via `decode_fn` the same executor-side way.
+2. OPTIONAL-dependency adapters for compressed codecs, capability probed
+   once per worker process, zero cost when absent: when Pillow is
+   importable on the executors, decode_image_any decodes JPEG/WEBP/etc.;
+   when soundfile is importable, decode_audio_any decodes FLAC/OGG/MP3
+   on top of the always-available stdlib PCM WAV path. Ship the deps to
+   workers the standard ways — cluster image, `spark.submit.pyFiles`,
+   conda/venv archives (DEPLOYMENT.md §codecs);
+3. without the optional dep, compressed image payloads pass through
+   unchanged and compressed audio yields NULL features (strict=True
+   raises naming the missing dependency in both); video frame pixel
+   extraction's `decode_fn` defaults to a deterministic fake — swap in
+   pyav via `decode_fn` the same executor-side way.
 
 Design notes for 100 TB:
 - binary payloads ride in the same parquet row group as their metadata —
@@ -500,11 +503,62 @@ def decode_audio_wav(payload: bytes):
     return x, rate
 
 
-def audio_features(media: DataFrame) -> DataFrame:
-    """Real signal features for PCM WAV payloads (RMS, zero-crossing rate,
-    FFT spectral centroid), numpy over Arrow batches, no shuffle.
-    Non-WAV payloads yield NULL features (their metadata row remains, so
-    coverage accounting stays possible downstream)."""
+_SF_PROBE: list = []  # [] = unprobed; [None] = absent; [module] = usable
+
+
+def _optional_soundfile():
+    """Per-worker-process capability probe for the optional `soundfile`
+    dependency (the audio mirror of `_optional_pil`): one import attempt
+    per Python worker (module state is per-process and workers are
+    reused), so the absent case costs a single cached None check per
+    payload, not an ImportError per row."""
+    if not _SF_PROBE:
+        try:
+            import soundfile  # noqa: PLC0415
+
+            _SF_PROBE.append(soundfile)
+        except Exception:
+            _SF_PROBE.append(None)
+    return _SF_PROBE[0]
+
+
+def decode_audio_any(payload: bytes):
+    """Tiered audio decode: stdlib PCM WAV first (`decode_audio_wav`,
+    always available), then the optional soundfile adapter for
+    compressed/container codecs (FLAC/OGG/MP3/...) when it is importable
+    on this worker (`_optional_soundfile`; DEPLOYMENT.md §codecs).
+    Returns (mono float32 array in [-1, 1], sample_rate), or None when
+    no available tier can decode the payload — malformed media in a
+    100 TB corpus must degrade, not kill the stage. The audio mirror of
+    `decode_image_any`."""
+    decoded = decode_audio_wav(payload)
+    if decoded is not None:
+        return decoded
+    sf = _optional_soundfile()
+    if sf is None or not payload:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        x, rate = sf.read(io.BytesIO(payload), dtype="float32", always_2d=True)
+    except Exception:
+        return None
+    if x.size == 0:
+        return None
+    return np.ascontiguousarray(x.mean(axis=1, dtype=np.float32)), int(rate)
+
+
+def audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Real signal features (RMS, zero-crossing rate, FFT spectral
+    centroid), numpy over Arrow batches, no shuffle. Decodes through the
+    tiered adapter (`decode_audio_any`): PCM WAV always (stdlib `wave`),
+    compressed codecs (FLAC/OGG/MP3/...) when `soundfile` is importable
+    on the executors (DEPLOYMENT.md §codecs). Undecodable payloads yield
+    NULL features (their metadata row remains, so coverage accounting
+    stays possible downstream) — or raise when ``strict=True``, naming
+    the missing optional dependency (same contract as resize_images)."""
 
     def _extract(batches: Iterator) -> Iterator:
         import numpy as np
@@ -515,8 +569,22 @@ def audio_features(media: DataFrame) -> DataFrame:
                                    "zero_crossing_rate", "spectral_centroid_hz")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                decoded = decode_audio_wav(b) if b else None
+                decoded = decode_audio_any(b) if b else None
                 if decoded is None or len(decoded[0]) == 0:
+                    if strict and decoded is None:
+                        have_sf = _optional_soundfile() is not None
+                        raise NotImplementedError(
+                            "cannot decode audio payload: "
+                            + (
+                                "payload is malformed or an unsupported codec "
+                                "(soundfile is present on this worker)"
+                                if have_sf
+                                else "the stdlib decoder covers PCM WAV only; "
+                                "install soundfile on the executors "
+                                "(DEPLOYMENT.md §codecs) for FLAC/OGG/MP3/..."
+                            )
+                            + "; pass strict=False to emit NULL features instead"
+                        )
                     vals = (None, None, None, None, None)
                 else:
                     x, rate = decoded

@@ -2637,3 +2637,71 @@ def test_transitions_stream_via_streaming_query(spark, tmp_path):
     assert got == want
     late = ts.late_counts(spark, state).collect()
     assert all(r.n_late_events == 0 for r in late)
+
+
+def test_decode_audio_any_tiers(spark):
+    """The tiered audio codec adapter (audio mirror of decode_image_any):
+    stdlib PCM WAV decodes identically in every environment; a
+    compressed payload either decodes through the optional soundfile
+    tier (when importable) or degrades to None with a strict= error
+    that NAMES the missing dependency — no environment leaves the
+    behavior undefined."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    x = (0.5 * np.sin(2 * math.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    wav = buf.getvalue()
+    via_any = multimodal.decode_audio_any(wav)
+    via_wav = multimodal.decode_audio_wav(wav)
+    assert via_any[1] == via_wav[1] == rate
+    assert (via_any[0] == via_wav[0]).all()
+
+    mp3_magic = b"\xff\xfb" + b"\x00" * 64  # truncated MP3
+    rows = [(1, "audio", "audio/mp3", None, None, 1000, mp3_magic)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    if multimodal._optional_soundfile() is None:
+        assert multimodal.decode_audio_any(mp3_magic) is None
+        # strict path names the missing optional dependency
+        with pytest.raises(Exception, match="soundfile"):
+            multimodal.audio_features(media, strict=True).collect()
+        # non-strict: NULL features, row survives for coverage accounting
+        out = multimodal.audio_features(media).collect()[0]
+        assert out.media_id == 1 and out.rms is None
+    else:  # a malformed MP3 still degrades to None, never raises
+        assert multimodal.decode_audio_any(mp3_magic) is None
+
+
+def test_audio_features_flac_golden_with_soundfile(spark):
+    """Golden compressed-audio path through the SAME feature plumbing the
+    stdlib WAV path uses: with soundfile on the workers, a real FLAC
+    payload (lossless) yields the hand-known sine features under
+    strict=True. Skips cleanly without the optional dep."""
+    sf = pytest.importorskip("soundfile")
+    import io
+    import math
+
+    import numpy as np
+
+    rate, freq, amp = 8000, 440, 0.5
+    t = np.arange(rate) / rate
+    x = (amp * np.sin(2 * math.pi * freq * t)).astype(np.float32)
+    buf = io.BytesIO()
+    sf.write(buf, x, rate, format="FLAC")
+    rows = [(0, "audio", "audio/flac", None, None, 1000, buf.getvalue())]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.audio_features(media, strict=True).collect()[0]
+    assert out.sample_rate == rate and out.n_samples == rate
+    assert abs(out.rms - amp / math.sqrt(2)) < 0.01
+    assert abs(out.zero_crossing_rate - 2 * freq / rate) < 0.005
+    assert abs(out.spectral_centroid_hz - freq) < 30
