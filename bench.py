@@ -55,6 +55,13 @@ HEADLINE = [
     #                  first headline row)
     "dedup_url_history",  # SCD-2 interval compaction (lag + run-sum +
     #                       agg + lead in ONE key exchange)
+    # round 10 (headline now 24 queries; totals incomparable with r9 —
+    # compare per-query via query_pairs, after checking calibration_sec):
+    "event_session_paths",  # full-sequence journey mining (window-sort
+    #                         floor kernel; capped-by-default hot-key
+    #                         guard rides the key exchange)
+    "event_transitions",  # first-order Markov transition table (lead
+    #                       window + bounded |types|^2 aggregate)
 ]
 
 # Headline workload scale-up (PERF.md bench protocol, round 5): sf0.1
