@@ -28,15 +28,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP at the scan (pushdown on ts preserved; the session
         # timezone is pinned UTC, so the instant matches DuckDB's naive
         # reading). The NTZ cast below is a belt-and-braces fallback.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = load_events_file(spark, os.path.join(sf_dir, f"{name}.parquet"))
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events_file(spark: SparkSession, path: str, time_col: str = "ts") -> DataFrame:
+    """Path-based events loader (the CLI's input contract shares it with
+    load_table): normalize the timestamp column across the three forms
+    real event dumps ship in — TIMESTAMP(NANOS) (Spark's reader rejects;
+    read as long and truncate, bit-identical to DuckDB's TIMESTAMP_NS ->
+    TIMESTAMP conversion), TIMESTAMP(MICROS) without isAdjustedToUTC
+    (Spark 4 infers TIMESTAMP_NTZ, which unix_micros rejects; NTZ
+    inference disabled so micros arrive as plain TIMESTAMP at the scan,
+    pushdown on the column preserved), and plain TIMESTAMP. The NTZ cast
+    below is a belt-and-braces fallback; the session timezone is pinned
+    UTC, so the instant matches DuckDB's naive reading."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    df = spark.read.parquet(path)
+    if time_col in df.columns:
+        dt = df.schema[time_col].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn(
+                time_col, F.timestamp_micros(F.expr(f"`{time_col}` div 1000"))
+            )
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
