@@ -419,8 +419,10 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument(
         "--report",
         required=True,
-        choices=["sessions", "funnel", "transitions", "paths", "bursts"],
+        choices=["sessions", "funnel", "transitions", "paths", "ngrams", "bursts"],
     )
+    ev.add_argument("--n", type=int, default=3,
+                    help="gram length (ngrams report)")
     ev.add_argument("--output", help="write the full report parquet here")
     ev.add_argument("--key", default="user_id")
     ev.add_argument("--type-col", default="event_type")
@@ -750,6 +752,13 @@ def main(argv: list[str] | None = None) -> int:
                 gap_seconds=args.gap_seconds,
                 max_path_events=args.max_path_events or None,
             ).orderBy(F.col("n_sessions").desc(), "path_len", "path")
+        elif args.report == "ngrams":
+            out = sz.path_ngrams(
+                events, n=args.n, key=args.key, type_col=args.type_col,
+                time=args.time_col, tiebreak=args.tiebreak,
+                gap_seconds=args.gap_seconds,
+                max_path_events=args.max_path_events or None,
+            ).orderBy(F.col("n").desc(), "gram")
         else:
             out = sz.daily_burst_zscore(
                 events, type_col=args.type_col, time=args.time_col

@@ -474,15 +474,40 @@ def session_paths(
     count groups on the path string itself — hashed keys, no skewed
     reducer unless one exact journey dominates, which is the answer
     the query exists to surface."""
-    s = sessionize(events, key=key, time=time, gap_seconds=gap_seconds, tiebreak=tiebreak)
-    ordered = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.unix_micros(F.col(time)).alias("us"),
-                F.col(tiebreak).alias("tb"),
-                F.col(type_col).alias("ty"),
-            )
+    per_session = _session_seqs(
+        events, key, type_col, time, tiebreak, gap_seconds, max_path_events
+    )
+    return (
+        per_session.select(
+            F.array_join(F.col("seq"), sep).alias("path"), "path_len"
         )
+        .groupBy("path", "path_len")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
+def _session_seqs(
+    events: DataFrame,
+    key: str,
+    type_col: str,
+    time: str,
+    tiebreak: str,
+    gap_seconds: int,
+    max_path_events: int | None,
+) -> DataFrame:
+    """Shared sessionized-sequence builder for the full-sequence queries
+    (session_paths, path_ngrams): one row per (key, session_id) with
+    `seq` = the session's (time, tiebreak)-ordered event-type array —
+    truncated to the first max_path_events steps when capped — and
+    `path_len` = the TRUE session length. The cap's in-session rank
+    rides the sessionize windows' existing key exchange (session_paths
+    docstring for the mechanism and the measured cost of the
+    alternatives)."""
+    s = sessionize(events, key=key, time=time, gap_seconds=gap_seconds, tiebreak=tiebreak)
+    ev_struct = F.struct(
+        F.unix_micros(F.col(time)).alias("us"),
+        F.col(tiebreak).alias("tb"),
+        F.col(type_col).alias("ty"),
     )
     if max_path_events is not None:
         # in-session rank WITHOUT a second exchange: row_number over the
@@ -498,34 +523,65 @@ def session_paths(
             F.when(F.col("session_start") == 1, F.col("__rk"))
         ).over(wk.rowsBetween(Window.unboundedPreceding, 0))
         s = s.withColumn("__rn", F.col("__rk") - start_rk + 1)
-        per_session = s.groupBy(key, "session_id").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("__rn") <= int(max_path_events),
-                                F.struct(
-                                    F.unix_micros(F.col(time)).alias("us"),
-                                    F.col(tiebreak).alias("tb"),
-                                    F.col(type_col).alias("ty"),
-                                ),
-                            )
-                        )
-                    ),
-                    lambda x: x["ty"],
-                ),
-                sep,
-            ).alias("path"),
-            F.count(F.lit(1)).alias("path_len"),
+        collected = F.collect_list(
+            F.when(F.col("__rn") <= int(max_path_events), ev_struct)
         )
     else:
-        per_session = s.groupBy(key, "session_id").agg(
-            F.array_join(F.transform(ordered, lambda x: x["ty"]), sep).alias("path"),
-            F.count(F.lit(1)).alias("path_len"),
-        )
-    return per_session.groupBy("path", "path_len").agg(
-        F.count(F.lit(1)).alias("n_sessions")
+        collected = F.collect_list(ev_struct)
+    return s.groupBy(key, "session_id").agg(
+        F.transform(F.array_sort(collected), lambda x: x["ty"]).alias("seq"),
+        F.count(F.lit(1)).alias("path_len"),
+    )
+
+
+def path_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    time: str = "ts",
+    tiebreak: str = "event_id",
+    gap_seconds: int = 1800,
+    sep: str = ">",
+    max_path_events: int | None = 1024,
+) -> DataFrame:
+    """Journey n-gram mining: every length-`n` window of consecutive
+    event types WITHIN a session, counted corpus-wide — the class
+    between `event_transitions` (order-1 adjacency, session-blind) and
+    `session_paths` (whole sequences, sparse at scale): "what 3-step
+    motifs dominate?" is how funnels get DISCOVERED before
+    `event_funnel` measures one. N-grams never cross a session boundary
+    (the gap rule scopes behavior), unlike the raw lead() adjacency.
+
+    Returns (gram, n, n_sessions): occurrence count and the number of
+    distinct sessions containing the gram at least once.
+
+    Scale shape: the shared `_session_seqs` build (one key exchange,
+    hot-key-capped arrays — same `max_path_events` guard and default as
+    session_paths), then a per-session slide that emits at most
+    len(seq)-n+1 grams and an aggregate over gram strings — hashed
+    keys, output bounded by distinct-motif count, no joins."""
+    if n < 1:
+        raise ValueError(f"path_ngrams: n must be >= 1, got {n}")
+    per_session = _session_seqs(
+        events, key, type_col, time, tiebreak, gap_seconds, max_path_events
+    )
+    seq = F.col("seq")
+    grams = F.when(
+        F.size(seq) >= int(n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(seq) - int(n) + 1),
+            lambda i: F.array_join(F.slice(seq, i, int(n)), sep),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = per_session.select(
+        F.col(key), F.col("session_id"), F.explode(grams).alias("gram")
+    )
+    return exploded.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(
+            F.concat_ws("/", F.col(key).cast("string"), F.col("session_id").cast("string"))
+        ).alias("n_sessions"),
     )
 
 

@@ -955,6 +955,64 @@ def event_session_paths(spark, sf_dir):
 
 
 @register(
+    "event_path_ngrams",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                  THEN 1 ELSE 0 END AS st
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM m
+    ),
+    per AS (
+      SELECT user_id, session_id, list(event_type ORDER BY ts, event_id) AS seq
+      FROM s GROUP BY user_id, session_id
+    ),
+    g AS (
+      -- scalar generate_series (a LIST, empty when the session is
+      -- shorter than the gram) + unnest: the table-function form
+      -- rejects lateral column parameters
+      SELECT user_id, session_id,
+             array_to_string(list_slice(seq, i, i + 2), '>') AS gram
+      FROM (
+        SELECT user_id, session_id, seq,
+               unnest(generate_series(1, len(seq) - 2)) AS i
+        FROM per
+      )
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR) || '/'
+                || CAST(session_id AS VARCHAR)) AS BIGINT) AS n_sessions
+    FROM g GROUP BY gram
+    """,
+)
+def event_path_ngrams(spark, sf_dir):
+    """Journey trigram mining (operators/sessionize.py::path_ngrams):
+    every 3 consecutive event types WITHIN a session (1h gap rule),
+    counted corpus-wide with the number of distinct sessions containing
+    each motif — the funnel-DISCOVERY query between event_transitions
+    (order-1, session-blind) and event_session_paths (whole sequences).
+    Spark runs the hot-key-capped default (1024; sessions here are far
+    shorter, so output equals exact mode); the oracle replays the
+    sessionize CTEs plus a lateral n-gram slide."""
+    from epss_spark.operators import sessionize as sz
+
+    return sz.path_ngrams(
+        T(spark, sf_dir, "events"), n=3, gap_seconds=3600, tiebreak="event_id"
+    )
+
+
+@register(
     "event_burst_zscore",
     """
     WITH daily AS (

@@ -3131,3 +3131,45 @@ def test_session_paths_capped_default_equals_exact_mode(spark):
     capped = sorted(map(tuple, sz.session_paths(ev).collect()))
     exact = sorted(map(tuple, sz.session_paths(ev, max_path_events=None).collect()))
     assert capped == exact and len(capped) > 0
+
+
+def test_path_ngrams_hand_computed(spark):
+    """Journey n-grams never cross a session boundary (unlike the raw
+    lead() adjacency), count every in-session occurrence, and report
+    distinct containing sessions; sessions shorter than n contribute
+    nothing; n<1 is a usage error."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from epss_spark.operators import sessionize as sz
+
+    D = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1 session 1: v c v c  (bigrams v>c x2, c>v x1)
+        (1, "u1", D, "v"), (2, "u1", D + dt.timedelta(minutes=1), "c"),
+        (3, "u1", D + dt.timedelta(minutes=2), "v"),
+        (4, "u1", D + dt.timedelta(minutes=3), "c"),
+        # u1 session 2 (2h gap): v c  (v>c x1 — adjacency across the gap
+        # would ALSO pair c (s1 end) with v (s2 start); n-grams must not)
+        (5, "u1", D + dt.timedelta(hours=2), "v"),
+        (6, "u1", D + dt.timedelta(hours=2, minutes=1), "c"),
+        # u2: single event -> no bigrams
+        (7, "u2", D, "v"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    got = {r.gram: (r.n, r.n_sessions)
+           for r in sz.path_ngrams(ev, n=2, gap_seconds=3600).collect()}
+    assert got == {"v>c": (3, 2), "c>v": (1, 1)}
+    # trigrams: only session 1 is long enough
+    got3 = {r.gram: (r.n, r.n_sessions)
+            for r in sz.path_ngrams(ev, n=3, gap_seconds=3600).collect()}
+    assert got3 == {"v>c>v": (1, 1), "c>v>c": (1, 1)}
+    # the session-blind transition table DOES pair across the gap
+    trans = {(r.from_type, r.to_type): r.n
+             for r in sz.event_transitions(ev).collect()}
+    assert trans[("c", "v")] == 2  # in-session 1 + cross-gap 1
+    with _pytest.raises(ValueError, match="n must be"):
+        sz.path_ngrams(ev, n=0)
