@@ -2705,3 +2705,111 @@ def test_audio_features_flac_golden_with_soundfile(spark):
     assert abs(out.rms - amp / math.sqrt(2)) < 0.01
     assert abs(out.zero_crossing_rate - 2 * freq / rate) < 0.005
     assert abs(out.spectral_centroid_hz - freq) < 30
+
+
+def test_ngrams_stream_equals_batch_and_replay(spark, tmp_path):
+    """Stream == batch for journey-motif counts: grams ending at a batch
+    event are new, grams ending inside the carried suffix were counted
+    by the epoch that carried them — so hourly splits reproduce the
+    one-shot path_ngrams occurrence counts exactly, INCLUDING grams
+    spanning batch boundaries and a session gap falling ON a boundary.
+    Replay recomputes identical deltas; in-order epochs report zero
+    late; compaction preserves counts with bounded epoch dirs."""
+    import datetime as dt
+    import os
+
+    from epss_spark.operators import sessionize as sz
+    from epss_spark.streaming import ngrams_stream as ns
+
+    D = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # u1: one session spanning all three hours (events 10 min apart near
+    # the boundaries -> trigram windows cross both batch boundaries)
+    for h in range(3):
+        for m in (40, 50):
+            eid += 1
+            rows.append((eid, "u1", dt.datetime(2024, 1, 1, h, m),
+                         ["v", "c", "p"][eid % 3]))
+    # u2: a session GAP at the hour-1 boundary (65 min > the 60 min
+    # gap rule used throughout) -> the carried suffix must NOT form a
+    # cross-gap gram
+    rows += [(100, "u2", D + dt.timedelta(minutes=0), "v"),
+             (101, "u2", D + dt.timedelta(minutes=5), "c"),
+             (102, "u2", D + dt.timedelta(minutes=10), "p"),
+             (103, "u2", D + dt.timedelta(minutes=75), "v"),
+             (104, "u2", D + dt.timedelta(minutes=80), "c"),
+             (105, "u2", D + dt.timedelta(minutes=85), "p")]
+    rows.sort(key=lambda r: (r[2], r[0]))
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    state = str(tmp_path / "ngstate")
+    batches = [[r for r in rows if r[2].hour == h] for h in range(3)]
+    for e, b in enumerate(batches):
+        ns.process_ngrams_batch(
+            spark.createDataFrame(b, schema), e, state, n=3, gap_seconds=3600
+        )
+    alldf = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r.gram, r.n)
+        for r in sz.path_ngrams(alldf, n=3, gap_seconds=3600).collect()
+    )
+    got = sorted(map(tuple, ns.ngrams_snapshot(spark, state).collect()))
+    assert got == want and len(got) >= 3
+    # the boundary-spanning u1 grams exist (sanity that the test bites)
+    all_grams = dict(got)
+    assert sum(all_grams.values()) == sum(n for _, n in want)
+    # replay of the middle epoch: identical recompute, counts never double
+    ns.process_ngrams_batch(
+        spark.createDataFrame(batches[1], schema), 1, state, n=3, gap_seconds=3600
+    )
+    got2 = sorted(map(tuple, ns.ngrams_snapshot(spark, state).collect()))
+    assert got2 == want
+    late = {r.epoch: (r.n_late_events, r.n_late_keys)
+            for r in ns.late_counts(spark, state).collect()}
+    assert late == {0: (0, 0), 1: (0, 0), 2: (0, 0)}
+
+    # compaction: 6 single-slice epochs with compact_every=2 -> dirs
+    # bounded at ~2*every (GC clears below the PREVIOUS marker each
+    # pass), identical snapshot
+    auto = str(tmp_path / "ngauto")
+    # time-partitioned per key: split by global time order
+    srt = sorted(rows, key=lambda r: (r[2], r[0]))
+    slices = [srt[i * len(srt) // 6:(i + 1) * len(srt) // 6] for i in range(6)]
+    for e, b in enumerate(s_ for s_ in slices if s_):
+        ns.process_ngrams_batch(
+            spark.createDataFrame(b, schema), e, auto, n=3, gap_seconds=3600,
+            compact_every=2,
+        )
+    got3 = sorted(map(tuple, ns.ngrams_snapshot(spark, auto).collect()))
+    assert got3 == want
+    n_dirs = len([d for d in os.listdir(auto + ".counts") if d.startswith("epoch-")])
+    assert n_dirs <= 4
+
+
+def test_ngrams_stream_out_of_order_counted_and_bigram_case(spark, tmp_path):
+    """n=2 (the transitions-like case, but session-scoped): a late batch
+    shows up in late_counts; the carried suffix holds exactly one event
+    per key and never regresses."""
+    import datetime as dt
+
+    from epss_spark.streaming import ngrams_stream as ns
+
+    D = dt.datetime(2024, 1, 1)
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    state = str(tmp_path / "ng2")
+    b0 = spark.createDataFrame(
+        [(1, "u1", D + dt.timedelta(hours=5), "v"),
+         (2, "u2", D + dt.timedelta(hours=5), "v")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(3, "u1", D + dt.timedelta(hours=1), "c"),    # late for u1
+         (4, "u2", D + dt.timedelta(hours=5, minutes=1), "c")], schema
+    )
+    ns.process_ngrams_batch(b0, 0, state, n=2)
+    ns.process_ngrams_batch(b1, 1, state, n=2)
+    late = {r.epoch: (r.n_late_events, r.n_late_keys)
+            for r in ns.late_counts(spark, state).collect()}
+    assert late == {0: (0, 0), 1: (1, 1)}
+    got = dict(map(tuple, ns.ngrams_snapshot(spark, state).collect()))
+    # u2's in-order bigram formed; u1's late event sorted before the
+    # carried v (arrival-order pairing, flagged above, not silent)
+    assert got.get("v>c", 0) >= 1
