@@ -582,3 +582,16 @@ def test_burst_zscore_plan_two_bounded_exchanges(spark):
     assert "EvalPython" not in p
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
     assert "Join" not in p
+
+
+def test_path_ngrams_plan_two_exchanges_no_python(spark):
+    # journey n-gram mining: the capped _session_seqs build (three
+    # window nodes riding ONE user_id exchange) feeds the per-session
+    # slide; the first aggregate stage groups by (gram, key, session)
+    # — a SUPERSET of the key partitioning, so it reuses the same
+    # exchange — and only the final per-gram aggregate adds the second,
+    # motif-bounded exchange. Everything stays JVM codegen.
+    p = plan(spark, "event_path_ngrams")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert p.count("Window ") == 3
+    assert "EvalPython" not in p
