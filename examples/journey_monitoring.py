@@ -48,6 +48,34 @@ def main() -> None:
     for r in paths.orderBy(F.col("n_sessions").desc()).limit(5).collect():
         print(f"  {r.n_sessions:>6} sessions  {r.path}")
 
+    print("top 3-step motifs (in-session n-grams — funnel discovery):")
+    for r in (
+        sz.path_ngrams(ev, n=3, gap_seconds=3600)
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(5)
+        .collect()
+    ):
+        print(f"  {r.n:>6} occurrences in {r.n_sessions:>6} sessions  {r.gram}")
+
+    # the transition table as a stream: split the log into three
+    # TIME-PARTITIONED batches (the ordering contract) — carried per-key
+    # last events stitch the boundary pairs, so the snapshot must equal
+    # the one-shot table
+    from epss_spark.streaming import transitions_stream
+
+    with tempfile.TemporaryDirectory() as td:
+        state = os.path.join(td, "tstate")
+        rows = ev.orderBy("ts", "event_id").collect()
+        k = len(rows)
+        for epoch in range(3):
+            b = rows[epoch * k // 3:(epoch + 1) * k // 3]
+            transitions_stream.process_transitions_batch(
+                spark.createDataFrame(b, ev.schema), epoch, state
+            )
+        snap = transitions_stream.transitions_snapshot(spark, state)
+        same = sorted(map(tuple, snap.collect())) == sorted(map(tuple, tr.collect()))
+        print(f"streaming transition snapshot == batch table (boundary stitching): {same}")
+
     print("volume bursts (trailing 7-day z >= 3):")
     z = sz.daily_burst_zscore(ev)
     bursts = z.filter("is_burst").orderBy("event_type", "day").collect()
