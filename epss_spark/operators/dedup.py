@@ -385,13 +385,62 @@ def train_split(
     partitionings, and appends (a doc's split never changes when the
     corpus grows, unlike sample()/randomSplit). Pure projection, no
     shuffle, no RNG state."""
+    return docs.withColumn("split", _split_expr(F.col(id_col), weights, salt))
+
+
+def _split_expr(group_col, weights, salt: str):
+    """The shared hash-split expression: bucket by the first 15 hex chars
+    of md5(salt|group) — used by train_split (group = doc id) and
+    train_split_leakage_safe (group = near-dup component rep), so the
+    two agree exactly on singleton docs."""
     lo = int((1 << 60) * weights[0])
     mid = int((1 << 60) * (weights[0] + weights[1]))
-    h = _md5_60bit(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
-    split = (
+    h = _md5_60bit(F.concat(F.lit(f"{salt}|"), group_col.cast("string")))
+    return (
         F.when(h < lo, F.lit("train")).when(h < mid, F.lit("val")).otherwise(F.lit("test"))
     )
-    return docs.withColumn("split", split)
+
+
+def train_split_leakage_safe(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+    max_iterations: int = 20,
+    on_max_iterations: str = "raise",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: hash the near-dup
+    COMPONENT representative instead of the document id, so every
+    member of a connected component of the verified similar-pair graph
+    lands in the SAME split — eval can never contain a near-duplicate
+    of a training document, the contamination mode that per-doc
+    hashing (train_split) cannot prevent and that silently inflates
+    benchmark scores. Docs untouched by any pair are singleton
+    components hashed by their own id — BIT-IDENTICAL to train_split
+    for them, so switching split functions reassigns only the docs
+    that were leaking.
+
+    Returns docs + `split_group` (the component rep the hash keyed on —
+    the audit column) + `split`.
+
+    Scale shape: connected_components runs O(log diameter) rounds over
+    the PAIR set only (pairs << corpus after LSH blocking); the corpus
+    sees one left join against the component labels (AQE broadcasts
+    while the labeled-vertex set is small) and the same zero-shuffle
+    hash projection as train_split."""
+    cc = connected_components(
+        pairs, max_iterations=max_iterations, on_max_iterations=on_max_iterations
+    )
+    labeled = docs.join(
+        cc.select(F.col("id").alias(id_col), "component"), id_col, "left"
+    )
+    group = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        labeled.withColumn("split_group", group)
+        .withColumn("split", _split_expr(F.col("split_group"), weights, salt))
+        .drop("component")
+    )
 
 
 def dedup_corpus_near(

@@ -686,6 +686,51 @@ def sample_split(spark, sf_dir):
 
 
 @register(
+    "sample_split_leakage_safe",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    cc AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+    g AS (
+      SELECT d.doc_id, d.source, COALESCE(cc.component, d.doc_id) AS split_group
+      FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+    )
+    SELECT doc_id, source, split_group,
+           CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(split_group AS VARCHAR)), 1, 15)) AS BIGINT)
+                     < {_SPLIT_LO} THEN 'train'
+                WHEN CAST(('0x' || substr(md5('split|' || CAST(split_group AS VARCHAR)), 1, 15)) AS BIGINT)
+                     < {_SPLIT_MID} THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+    """,
+)
+def sample_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe split (operators/dedup.py::train_split_leakage_safe):
+    hash the near-dup COMPONENT representative — members of a connected
+    component of the verified LSH pair graph land in the same split, so
+    eval never contains a near-duplicate of a training doc; singletons
+    hash exactly as sample_split does. The oracle replays full-corpus
+    LSH + the recursive transitive closure (dedup_cc_keep's CTEs) and
+    the same md5 bucket CASE over the coalesced group."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+    )
+    return dedup.train_split_leakage_safe(
+        docs, pairs, weights=(0.8, 0.1, 0.1)
+    ).select("doc_id", "source", "split_group", "split")
+
+
+@register(
     "json_parse_typed",
     """
     SELECT event_type,

@@ -3173,3 +3173,26 @@ def test_path_ngrams_hand_computed(spark):
     assert trans[("c", "v")] == 2  # in-session 1 + cross-gap 1
     with _pytest.raises(ValueError, match="n must be"):
         sz.path_ngrams(ev, n=0)
+
+
+def test_train_split_leakage_safe_hand_computed(spark):
+    """Near-dup components share one split (no train/eval leakage);
+    singletons split exactly as train_split; the audit column names the
+    component rep the hash keyed on."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a_id long, b_id long"  # chain -> component {1,2,3}
+    )
+    got = {r.doc_id: (r.split_group, r.split)
+           for r in dedup.train_split_leakage_safe(docs, pairs).collect()}
+    # the whole chain hashes as component 1 -> identical split
+    assert got[1][0] == got[2][0] == got[3][0] == 1
+    assert got[1][1] == got[2][1] == got[3][1]
+    # singletons group as themselves and agree with per-doc train_split
+    plain = {r.doc_id: r.split for r in dedup.train_split(docs).collect()}
+    for d in (7, 9):
+        assert got[d][0] == d and got[d][1] == plain[d]
+    # and the chained docs take component 1's per-doc split
+    assert got[2][1] == plain[1]
