@@ -186,11 +186,16 @@ def build_parser() -> argparse.ArgumentParser:
     pp = sub.add_parser(
         "prep",
         help="training-data prep over a documents parquet (extension): "
-        "PII redaction, context-window chunking, or sequence packing",
+        "PII redaction, context-window chunking, sequence packing, "
+        "shard permutation, or train/val/test splits (plain hash or "
+        "near-dup leakage-safe)",
     )
     pp.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
     pp.add_argument("--output", required=True, help="output parquet")
-    pp.add_argument("--op", required=True, choices=["redact", "chunk", "pack", "shard"])
+    pp.add_argument(
+        "--op", required=True,
+        choices=["redact", "chunk", "pack", "shard", "split"],
+    )
     pp.add_argument("--id-col", default="doc_id")
     pp.add_argument("--text-col", default="text")
     pp.add_argument("--chunk-size", type=int, default=32, help="chunk: tokens per window")
@@ -198,7 +203,16 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--budget", type=int, default=128, help="pack: tokens per sequence")
     pp.add_argument("--n-buckets", type=int, default=32, help="pack: parallel pack buckets")
     pp.add_argument("--n-shards", type=int, default=32, help="shard: output shard count")
-    pp.add_argument("--salt", default="shard", help="shard: permutation salt")
+    pp.add_argument("--salt", default="shard", help="shard/split: permutation salt")
+    pp.add_argument(
+        "--weights", default="0.8,0.1,0.1",
+        help="split: train,val,test fractions",
+    )
+    pp.add_argument(
+        "--leakage-safe", action="store_true",
+        help="split: assign by near-dup LSH component instead of per-doc "
+        "hash — near-duplicates never straddle the split boundary",
+    )
 
     an = sub.add_parser(
         "analyze",
@@ -485,6 +499,22 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id_col,
                 text_col=args.text_col,
             )
+        elif args.op == "split":
+            from epss_spark.operators import dedup as dedup_ops
+
+            weights = tuple(float(w) for w in args.weights.split(","))
+            salt = args.salt if args.salt != "shard" else "split"
+            if args.leakage_safe:
+                pairs = dedup_ops.minhash_lsh_pairs(
+                    docs, id_col=args.id_col, text_col=args.text_col
+                )
+                out = dedup_ops.train_split_leakage_safe(
+                    docs, pairs, id_col=args.id_col, weights=weights, salt=salt
+                )
+            else:
+                out = dedup_ops.train_split(
+                    docs, id_col=args.id_col, weights=weights, salt=salt
+                )
         else:
             from epss_spark.operators import dedup as dedup_ops
 

@@ -502,3 +502,36 @@ def test_cli_events_reports(spark, tmp_path, capsys):
         rc = cli.main(["events", "--input", ev_path, "--report", report, "--k", "3"])
         assert rc == 0
         assert capsys.readouterr().out.strip()
+
+
+def test_cli_prep_split_ops(spark, tmp_path, capsys):
+    """prep --op split: plain hash split matches train_split;
+    --leakage-safe assigns by near-dup component (exact duplicate docs
+    share a split) and carries the split_group audit column."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import dedup
+
+    docs_path = str(tmp_path / "docs")
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 4) for i in (1, 2)]
+    rows += [(i, f"unique document number {i} with its own words entirely") for i in (5, 8, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(docs_path)
+
+    out_plain = str(tmp_path / "plain")
+    rc = cli.main(["prep", "--input", docs_path, "--output", out_plain, "--op", "split"])
+    assert rc == 0 and "5 docs -> 5 rows" in capsys.readouterr().out
+    plain = {r.doc_id: r.split for r in spark.read.parquet(out_plain).collect()}
+    want = {r.doc_id: r.split for r in dedup.train_split(docs).collect()}
+    assert plain == want
+
+    out_safe = str(tmp_path / "safe")
+    rc = cli.main(["prep", "--input", docs_path, "--output", out_safe,
+                   "--op", "split", "--leakage-safe"])
+    assert rc == 0
+    safe = {r.doc_id: (r.split_group, r.split)
+            for r in spark.read.parquet(out_safe).collect()}
+    # docs 1 and 2 are near-identical -> one component, one split
+    assert safe[1][0] == safe[2][0] and safe[1][1] == safe[2][1]
+    # singletons keep the per-doc assignment
+    for d in (5, 8, 9):
+        assert safe[d] == (d, want[d])
