@@ -182,8 +182,18 @@ DRIVER_SURFACE: tuple[str, ...] = (
     # round-6 rotation: search_bm25 is a NEW class (lexical retrieval —
     # no surfaced sibling exists) surfaced in place of scalar_strings,
     # whose §2.10 scalar class stays driver-green via scalar_round +
-    # json_parse_typed; the demoted entry stays oracle-checked in pytest
-    "search_bm25",
+    # json_parse_typed; the demoted entry stays oracle-checked in pytest.
+    # round-10 late rotation: sample_split_leakage_safe — split-
+    # integrity under near-duplication (component-keyed train/val/test
+    # assignment; the oracle replays full-corpus LSH + the recursive
+    # transitive closure + the md5 bucket CASE over the coalesced
+    # group), a NEW selection class nothing on the surface represents —
+    # in place of search_bm25, whose lexical-retrieval class stays
+    # driver-green via search_bm25_indexed (the oracle-fused BUILD +
+    # query superset); search_bm25 stays oracle-checked in the pytest
+    # tier with its zero-shuffle plan shape still pinned in
+    # test_plans.py
+    "sample_split_leakage_safe",
     # round-6 rotation: the new training-data-prep operators (PII
     # redaction, context-window chunking, greedy sequence packing with a
     # recursive-CTE oracle) surfaced in place of ann_ivf (ANN class held
