@@ -411,15 +411,17 @@ def build_parser() -> argparse.ArgumentParser:
         "late-counts",
         help="per-epoch late-row accounting for a stream-maintained "
         "state store (extension): reads the store's `.late` sibling "
-        "artifact (funnel / history maintenance streams) and prints "
-        "(epoch, n_late_events, n_late_keys); nonzero rows name the "
-        "epochs where the stream's ordering contract was violated",
+        "artifact (funnel / history / transitions / ngrams maintenance "
+        "streams) and prints (epoch, n_late_events, n_late_keys); "
+        "nonzero rows name the epochs where the stream's ordering "
+        "contract was violated",
     )
     lc.add_argument(
         "--store",
         required=True,
         help="state-store path whose `.late` sibling to read (the "
-        "funnel state dir, or `<history_dir>/open` for a history store)",
+        "funnel/transitions/ngrams state dir, or `<history_dir>/open` "
+        "for a history store)",
     )
 
     ev = sub.add_parser(

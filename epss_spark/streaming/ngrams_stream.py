@@ -184,8 +184,15 @@ def process_ngrams_batch(
         _write_epoch(delta, _counts_path(state_path), epoch_id)
         _write_epoch(new_state, state_path, epoch_id)
         if track_late:
+            # size guard: n=1 stores carry EMPTY suffixes (single-event
+            # grams need no cross-batch context) — element_at(-1) on an
+            # empty array throws, and an empty suffix has no ordering
+            # contract to violate anyway
             last_us = prior.select(
-                key, F.element_at("seq", -1)["us"].alias("__pus")
+                key,
+                F.when(
+                    F.size("seq") > 0, F.element_at("seq", -1)["us"]
+                ).alias("__pus"),
             ).filter(F.col("__pus").isNotNull())
             late = (
                 ev.join(last_us, key, "inner")

@@ -2813,3 +2813,30 @@ def test_ngrams_stream_out_of_order_counted_and_bigram_case(spark, tmp_path):
     # u2's in-order bigram formed; u1's late event sorted before the
     # carried v (arrival-order pairing, flagged above, not silent)
     assert got.get("v>c", 0) >= 1
+
+
+def test_ngrams_stream_n1_empty_suffix_edge(spark, tmp_path):
+    """n=1 (unigram counts): the carried suffix is EMPTY by design
+    (single-event grams need no cross-batch context) — the late probe
+    must not index into it (regression: element_at(-1) threw on the
+    empty array), and the snapshot equals the batch unigram counts."""
+    import datetime as dt
+
+    from epss_spark.operators import sessionize as sz
+    from epss_spark.streaming import ngrams_stream as ns
+
+    D = dt.datetime(2024, 1, 1)
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    rows = [(1, "u1", D, "v"), (2, "u1", D + dt.timedelta(minutes=1), "c"),
+            (3, "u2", D + dt.timedelta(minutes=2), "v")]
+    state = str(tmp_path / "n1")
+    ns.process_ngrams_batch(spark.createDataFrame(rows[:2], schema), 0, state, n=1)
+    ns.process_ngrams_batch(spark.createDataFrame(rows[2:], schema), 1, state, n=1)
+    got = sorted(map(tuple, ns.ngrams_snapshot(spark, state).collect()))
+    want = sorted(
+        (r.gram, r.n)
+        for r in sz.path_ngrams(spark.createDataFrame(rows, schema), n=1).collect()
+    )
+    assert got == want == [("c", 1), ("v", 2)]
+    late = {r.epoch: r.n_late_events for r in ns.late_counts(spark, state).collect()}
+    assert late == {0: 0, 1: 0}
