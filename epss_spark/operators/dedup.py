@@ -929,6 +929,74 @@ def _verify_pairs(
     )
 
 
+def decontaminate_near(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_mode: str = "md5",
+    shmap: DataFrame | None = None,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: drop every corpus doc
+    whose text is a verified near-duplicate (exact shingle Jaccard >=
+    threshold, LSH-blocked) of ANY eval/benchmark doc — completing the
+    contamination family's ladder: `contamination_bloom` catches exact
+    copies, `decontam_spans` catches verbatim substrings, and this
+    catches paraphrased/lightly-edited leakage that defeats both (the
+    contamination mode Lee et al. 2022 / GPT-3's dedup postmortem flag
+    as the score-inflating one). Unlike `minhash_lookup` the candidate
+    join is ASYMMETRIC — corpus bands against eval bands only — so
+    in-corpus near-dups are never collateral damage: deduplicate those
+    separately with the dedup tier.
+
+    Returns the cleaned corpus (same columns); ids may overlap between
+    the two frames (they are independent tables — matching is by
+    CONTENT, and identical content matches at Jaccard 1.0 regardless).
+
+    Scale shape: the eval set is benchmark-sized, so its band rows and
+    shingle arrays broadcast (AQE); the corpus is shingled ONCE, its
+    band rows equi-join the broadcast eval bands on (b, band_key) — the
+    corpus never shuffles and there is no in-corpus bucket expansion —
+    and verification pulls shingle arrays for candidate ids only. The
+    final drop is one left_anti on the (small) contaminated-id set.
+
+    Pass `shmap` (e.g. from `shingle_cache(corpus)`) to own the corpus
+    shingle persist lifecycle — same contract as minhash_lsh_pairs; the
+    default persists fire-and-forget."""
+    corpus_sh = shmap if shmap is not None else shingle_arrays(corpus, id_col, text_col).persist()
+    eval_sh = shingle_arrays(eval_docs, id_col, text_col)
+    c_bands = _band_rows(
+        corpus, id_col, text_col, num_hashes, bands, hash_mode, corpus_sh
+    )
+    e_bands = _band_rows(
+        eval_docs, id_col, text_col, num_hashes, bands, hash_mode, eval_sh
+    )
+    cand = (
+        c_bands.select(F.col(id_col).alias("__c_id"), "b", "band_key")
+        .join(
+            e_bands.select(F.col(id_col).alias("__e_id"), "b", "band_key"),
+            ["b", "band_key"],
+        )
+        .select("__c_id", "__e_id")
+        .dropDuplicates(["__c_id", "__e_id"])
+    )
+    c_side = corpus_sh.select(F.col(id_col).alias("__c_id"), F.col("shingles").alias("__c_sh"))
+    e_side = eval_sh.select(F.col(id_col).alias("__e_id"), F.col("shingles").alias("__e_sh"))
+    inter = F.size(F.array_intersect("__c_sh", "__e_sh"))
+    jac = inter.cast("double") / (F.size("__c_sh") + F.size("__e_sh") - inter)
+    contaminated = (
+        cand.join(c_side, "__c_id")
+        .join(e_side, "__e_id")
+        .filter(jac >= F.lit(float(threshold)))
+        .select(F.col("__c_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def prefix_block_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

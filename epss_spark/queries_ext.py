@@ -686,6 +686,44 @@ def sample_split(spark, sf_dir):
 
 
 @register(
+    "dedup_decontam_near",
+    f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL})
+    SELECT d.doc_id, d.source, d.n_chars FROM documents d
+    WHERE d.doc_id % 2 = 0 AND NOT EXISTS (
+      SELECT 1 FROM pairs p
+      WHERE (p.a_id = d.doc_id AND p.b_id % 2 = 1)
+         OR (p.b_id = d.doc_id AND p.a_id % 2 = 1)
+    )
+    """,
+)
+def dedup_decontam_near(spark, sf_dir):
+    """Near-dup benchmark decontamination (operators/dedup.py::
+    decontaminate_near): even-id docs are the training corpus, odd-id
+    docs stand in for the benchmark/eval set; every corpus doc with a
+    verified near-duplicate (LSH-blocked exact Jaccard >= 0.5) on the
+    eval side is dropped — paraphrase-level leakage the exact
+    (contamination_bloom) and substring (decontam_spans) tiers miss.
+    The asymmetric candidate join means in-corpus near-dups survive
+    untouched. Oracle: full-corpus LSH pairs restricted to mixed-parity
+    edges — band keys are per-doc content hashes, so the restriction is
+    exactly the asymmetric join."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    eval_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    # unpersisted shmap: registered-query DataFrames outlive this call
+    # (dedup_minhash_incremental precedent)
+    return dedup.decontaminate_near(
+        corpus,
+        eval_docs,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        threshold=0.5,
+        shmap=dedup.shingle_arrays(corpus),
+    ).select("doc_id", "source", "n_chars")
+
+
+@register(
     "sample_split_leakage_safe",
     f"""
     WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),

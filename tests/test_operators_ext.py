@@ -3196,3 +3196,33 @@ def test_train_split_leakage_safe_hand_computed(spark):
         assert got[d][0] == d and got[d][1] == plain[d]
     # and the chained docs take component 1's per-doc split
     assert got[2][1] == plain[1]
+
+
+def test_decontaminate_near_hand_computed(spark):
+    """Near-dup decontamination is asymmetric: corpus docs near-dup to an
+    EVAL doc drop; corpus docs near-dup only to EACH OTHER survive (they
+    are the dedup tier's business, not contamination); clean docs
+    survive; content matching ignores id overlap between the tables."""
+    # one-word edit over 80 distinct words -> shingle Jaccard 0.975,
+    # banding deterministic (md5 permutations are content-fixed): all
+    # 4 bands collide — verified, not hoped
+    words = [f"word{i}" for i in range(80)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                           # near-dup of eval doc 1 -> drop
+            (2, "completely different subject matter about databases and joins"),
+            (3, "an identical pair inside the corpus only version alpha " * 3),
+            (4, "an identical pair inside the corpus only version alpha " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(1, near), (9, "unrelated benchmark question")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.decontaminate_near(corpus, eval_docs).collect()
+    )
+    assert kept == [2, 3, 4]
