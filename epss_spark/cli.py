@@ -11,15 +11,18 @@ Usage:
     python -m epss_spark.cli urls [-a DATE] [-b DATE]
     python -m epss_spark.cli date-range [--version v3]
     python -m epss_spark.cli dedup --input DOCS --output KEPT
-        [--method exact|lines|minhash|incremental] [--threshold X]
+        [--method exact|lines|spans|minhash|incremental|semantic|decontam]
+        [--eval-input BENCH]   (decontam: drop near-dups of eval docs)
+        [--threshold X]
         [--policy greedy|components] [--max-bucket-size N]
         [--index-dir DIR --update-index]   (training-data extension)
     python -m epss_spark.cli dedup-index --input CORPUS --index-dir DIR
         (one-time LSH index build; nightly `dedup --method incremental`
         then runs in O(append))
     python -m epss_spark.cli prep --input DOCS --output OUT
-        --op redact|chunk|pack|shard [--chunk-size N --stride N]
+        --op redact|chunk|pack|shard|split [--chunk-size N --stride N]
         [--budget N --n-buckets N] [--n-shards N --salt S]
+        [--weights A,B,C --leakage-safe]   (split)
         (training-data extension)
     python -m epss_spark.cli analyze --input DOCS
         --report top-ngrams|vocab|logprob [-k N] [--output OUT]
@@ -107,7 +110,8 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument(
         "--method",
         default="minhash",
-        choices=["exact", "lines", "spans", "minhash", "incremental", "semantic"],
+        choices=["exact", "lines", "spans", "minhash", "incremental",
+                 "semantic", "decontam"],
     )
     dd.add_argument(
         "--threshold",
@@ -145,6 +149,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="after incremental dedup, append the survivors' band rows and "
         "shingles to --index-dir so tomorrow's batch sees them",
+    )
+    dd.add_argument(
+        "--eval-input",
+        help="benchmark/eval parquet for --method decontam: corpus docs "
+        "near-duplicating ANY eval doc are dropped (in-corpus near-dups "
+        "survive; dedup them with --method minhash separately)",
     )
     dd.add_argument(
         "--vec-col",
@@ -1003,12 +1013,14 @@ def main(argv: list[str] | None = None) -> int:
                 "--bands",
             },
             "semantic": {"--threshold", "--policy", "--n-lists", "--seed", "--vec-col"},
+            "decontam": {"--threshold", "--eval-input", "--num-hashes", "--bands"},
         }
         _SET = {
             "--threshold": args.threshold is not None,
             "--policy": args.policy != "greedy",
             "--max-bucket-size": args.max_bucket_size is not None,
             "--index-dir": bool(args.index_dir),
+            "--eval-input": bool(args.eval_input),
             "--update-index": args.update_index,
             "--num-hashes": args.num_hashes is not None,
             "--span-k": args.span_k != 8,
@@ -1049,6 +1061,25 @@ def main(argv: list[str] | None = None) -> int:
             print(f"kept {n_out}/{n_in} rows -> {args.output}")
             return 0
         threshold = 0.5 if args.threshold is None else args.threshold
+        if args.method == "decontam":
+            if not args.eval_input:
+                print("--method decontam requires --eval-input", file=sys.stderr)
+                return 2
+            eval_docs = spark.read.parquet(args.eval_input)
+            kept = dedup_ops.decontaminate_near(
+                docs,
+                eval_docs,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                num_hashes=args.num_hashes or 12,
+                bands=args.bands or 4,
+                threshold=threshold,
+            )
+            kept.write.mode("overwrite").parquet(args.output)
+            n_in = docs.count()
+            n_out = spark.read.parquet(args.output).count()
+            print(f"kept {n_out}/{n_in} rows -> {args.output}")
+            return 0
         if args.method == "incremental":
             import json as _json
 
