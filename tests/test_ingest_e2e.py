@@ -535,3 +535,31 @@ def test_cli_prep_split_ops(spark, tmp_path, capsys):
     # singletons keep the per-doc assignment
     for d in (5, 8, 9):
         assert safe[d] == (d, want[d])
+
+
+def test_cli_dedup_decontam_method(spark, tmp_path, capsys):
+    """dedup --method decontam drops corpus docs near-duplicating eval
+    docs and leaves in-corpus duplicates alone; missing --eval-input is
+    a usage error, not a traceback."""
+    import epss_spark.cli as cli
+
+    words = [f"word{i}" for i in range(80)]
+    base, near = " ".join(words), " ".join(words[:-1] + ["changed"])
+    corpus = str(tmp_path / "corpus")
+    evalp = str(tmp_path / "eval")
+    spark.createDataFrame(
+        [(2, base), (4, "in-corpus twin about other things " * 4),
+         (6, "in-corpus twin about other things " * 4)],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    spark.createDataFrame([(7, near)], "doc_id long, text string").write.parquet(evalp)
+
+    rc = cli.main(["dedup", "--input", corpus, "--output", str(tmp_path / "x"),
+                   "--method", "decontam"])
+    assert rc == 2 and "requires --eval-input" in capsys.readouterr().err
+
+    out = str(tmp_path / "kept")
+    rc = cli.main(["dedup", "--input", corpus, "--output", out,
+                   "--method", "decontam", "--eval-input", evalp])
+    assert rc == 0 and "kept 2/3 rows" in capsys.readouterr().out
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [4, 6]
