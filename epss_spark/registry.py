@@ -149,7 +149,16 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "event_transitions",
     "text_pr_curve",
     "text_ppl_buckets",
-    "dedup_simhash",
+    # round-10 late rotation: dedup_decontam_near — near-duplicate
+    # BENCHMARK decontamination (asymmetric corpus-bands x eval-bands
+    # join, mixed-parity-pairs oracle), giving the contamination/
+    # decontamination class its FIRST driver row (contamination_bloom
+    # and decontam_spans have always been pytest-tier) — in place of
+    # dedup_simhash, whose banded near-dup-pair class stays
+    # driver-green via dedup_minhash (same blocking architecture,
+    # Jaccard-banded instead of Hamming-banded); dedup_simhash stays
+    # oracle-checked in the pytest tier
+    "dedup_decontam_near",
     "dedup_embedding",
     "ann_cosine_topk",
     # round-9 late rotation: event_burst_zscore — trailing-window

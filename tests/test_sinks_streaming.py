@@ -2840,3 +2840,46 @@ def test_ngrams_stream_n1_empty_suffix_edge(spark, tmp_path):
     assert got == want == [("c", 1), ("v", 2)]
     late = {r.epoch: r.n_late_events for r in ns.late_counts(spark, state).collect()}
     assert late == {0: 0, 1: 0}
+
+
+def test_ngrams_stream_via_streaming_query(spark, tmp_path):
+    """start_ngrams_stream end-to-end: hourly file drops consumed one per
+    trigger (availableNow), snapshot equals the batch motif counts."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import sessionize as sz
+    from epss_spark.streaming import ngrams_stream as ns
+
+    rows = _transition_events()
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    drop_dir = tmp_path / "ngdrops"
+    drop_dir.mkdir()
+    for h in range(3):
+        b = [r for r in rows if r[2].hour == h]
+        staging = tmp_path / f"ngstage_{h}"
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"b{h}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + h, 1_000_000_000 + h))
+
+    state = str(tmp_path / "ngq_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = ns.start_ngrams_stream(
+        stream, state, str(tmp_path / "ngq_ckpt"), n=2, gap_seconds=3600
+    )
+    q.awaitTermination(180)
+
+    alldf = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r.gram, r.n)
+        for r in sz.path_ngrams(alldf, n=2, gap_seconds=3600).collect()
+    )
+    got = sorted(map(tuple, ns.ngrams_snapshot(spark, state).collect()))
+    assert got == want and len(got) > 4
