@@ -595,3 +595,15 @@ def test_path_ngrams_plan_two_exchanges_no_python(spark):
     assert p.count("Exchange hashpartitioning") == 2
     assert p.count("Window ") == 3
     assert "EvalPython" not in p
+
+
+def test_decontam_near_plan_no_cartesian_no_python(spark):
+    # the asymmetric candidate join must be an equi-join on
+    # (b, band_key) — never a Cartesian/nested-loop pairing of corpus
+    # against eval — and the whole pipeline (shingle, band, verify,
+    # anti-join) stays JVM codegen
+    p = plan(spark, "dedup_decontam_near")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
