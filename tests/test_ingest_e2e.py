@@ -498,6 +498,13 @@ def test_cli_events_reports(spark, tmp_path, capsys):
     rc = cli.main(["events", "--input", ev_path, "--report", "funnel"])
     assert rc == 2
 
+    rc = cli.main(["events", "--input", ev_path, "--report", "ngrams",
+                   "--n", "2", "--k", "10"])
+    assert rc == 0
+    nlines = {tuple(line.split("  ")) for line in
+              capsys.readouterr().out.strip().splitlines()}
+    assert ("signup>view", "2", "2") in nlines  # n, n_sessions
+
     for report in ("sessions", "bursts"):
         rc = cli.main(["events", "--input", ev_path, "--report", report, "--k", "3"])
         assert rc == 0

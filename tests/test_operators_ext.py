@@ -3226,3 +3226,15 @@ def test_decontaminate_near_hand_computed(spark):
         r.doc_id for r in dedup.decontaminate_near(corpus, eval_docs).collect()
     )
     assert kept == [2, 3, 4]
+
+
+def test_decontaminate_near_empty_eval_is_identity(spark):
+    """An empty benchmark set decontaminates nothing — the corpus passes
+    through bit-identically (no degenerate join behavior)."""
+    corpus = spark.createDataFrame(
+        [(1, "some document text here"), (2, "another entirely")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = sorted(map(tuple, dedup.decontaminate_near(corpus, empty).collect()))
+    assert got == sorted(map(tuple, corpus.collect()))
