@@ -123,7 +123,19 @@ def main() -> None:
             ).drop("n_tokens_kept")
             print(f"after span-excision decontamination: {clean.count()}")
 
-            # 4b. DSIR importance selection: score every surviving doc
+            # 4b (round-10). near-dup decontamination: paraphrase-level
+            #     benchmark overlap that BOTH rules above miss (no exact
+            #     fingerprint, no verbatim >=8-token span) — asymmetric
+            #     LSH join: the corpus's band rows equi-join the
+            #     benchmark's broadcast bands; in-corpus near-dups were
+            #     already the near-dup stage's business and stay put
+            # the surviving set is small and feeds every remaining
+            # stage — persist it so the span-excision lineage (tokenize
+            # + k-gram joins) is not re-executed per downstream action
+            clean = dedup.decontaminate_near(clean, bench).persist()
+            print(f"after near-dup decontamination: {clean.count()}")
+
+            # 4c. DSIR importance selection: score every surviving doc
             #     against a target-domain sample (here: the corpus's own
             #     English subset stands in for a trusted quality set) and
             #     keep a Gumbel-top-k importance sample. The weight model
@@ -154,10 +166,23 @@ def main() -> None:
             mixed = dedup.sample_token_budget(mixed, budgets)
             print(f"after temperature-budget mix (20k tokens @ a=0.7): {mixed.count()}")
 
-            # 6. train/val/test split: pure hash projection, no RNG state
-            split = dedup.train_split(mixed, weights=(0.8, 0.1, 0.1))
+            # 6. train/val/test split — LEAKAGE-SAFE (round-10): hash the
+            #    near-dup component representative (reusing the LSH pairs
+            #    from stage 3), so no eval doc is a near-duplicate of a
+            #    training doc; docs untouched by any pair split exactly as
+            #    the plain train_split would. NOTE: this pipeline already
+            #    hard-deduped near-dups (stage 3 keeps one per component),
+            #    so every survivor is a singleton here — the grouped path
+            #    earns its keep in pipelines that deliberately RETAIN
+            #    near-dups for diversity and still need clean eval splits
+            split = dedup.train_split_leakage_safe(
+                mixed, pairs, weights=(0.8, 0.1, 0.1)
+            )
+            n_grouped = split.filter(F.col("split_group") != F.col("doc_id")).count()
+            print(f"  split by component ({n_grouped} docs ride a group rep):")
             for row in split.groupBy("split").count().orderBy("split").collect():
                 print(f"  {row['split']}: {row['count']}")
+            split = split.drop("split_group")
 
             # 7. tokenizer-facing prep on the train split: PII scrub
             #    (zero-shuffle projection), then pack into fixed-budget
