@@ -213,7 +213,13 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--budget", type=int, default=128, help="pack: tokens per sequence")
     pp.add_argument("--n-buckets", type=int, default=32, help="pack: parallel pack buckets")
     pp.add_argument("--n-shards", type=int, default=32, help="shard: output shard count")
-    pp.add_argument("--salt", default="shard", help="shard/split: permutation salt")
+    pp.add_argument(
+        "--salt",
+        default=None,
+        help="shard/split: permutation salt (default: 'shard' for --op "
+        "shard, 'split' for --op split; an explicit value is always "
+        "honored)",
+    )
     pp.add_argument(
         "--weights", default="0.8,0.1,0.1",
         help="split: train,val,test fractions",
@@ -515,7 +521,9 @@ def main(argv: list[str] | None = None) -> int:
             from epss_spark.operators import dedup as dedup_ops
 
             weights = tuple(float(w) for w in args.weights.split(","))
-            salt = args.salt if args.salt != "shard" else "split"
+            # per-op default so a user explicitly passing --salt shard
+            # is honored (default=None, not a sentinel string)
+            salt = args.salt if args.salt is not None else "split"
             if args.leakage_safe:
                 pairs = dedup_ops.minhash_lsh_pairs(
                     docs, id_col=args.id_col, text_col=args.text_col
@@ -531,7 +539,10 @@ def main(argv: list[str] | None = None) -> int:
             from epss_spark.operators import dedup as dedup_ops
 
             out = dedup_ops.train_shards(
-                docs, n_shards=args.n_shards, id_col=args.id_col, salt=args.salt
+                docs,
+                n_shards=args.n_shards,
+                id_col=args.id_col,
+                salt=args.salt if args.salt is not None else "shard",
             )
         out.write.mode("overwrite").parquet(args.output)
         n_in = docs.count()

@@ -1029,7 +1029,11 @@ def event_session_paths(spark, sf_dir):
     the full-sequence view whose memoryless projection is
     event_transitions. Per-session arrays are gap-bounded (a bot's
     history splits into many sessions), so no per-key materialization;
-    the oracle replays the sessionize CTEs plus an ordered string_agg."""
+    the oracle replays the sessionize CTEs plus an ordered string_agg.
+    Spark runs the hot-key-capped default (max_path_events=1024); the
+    oracle is UNCAPPED, so parity depends on testdata session lengths
+    staying below the cap — asserted loudly in
+    tests/test_oracle_parity.py::test_testdata_sessions_below_path_cap."""
     from epss_spark.operators import sessionize as sz
 
     return sz.session_paths(
@@ -1086,8 +1090,9 @@ def event_path_ngrams(spark, sf_dir):
     each motif — the funnel-DISCOVERY query between event_transitions
     (order-1, session-blind) and event_session_paths (whole sequences).
     Spark runs the hot-key-capped default (1024; sessions here are far
-    shorter, so output equals exact mode); the oracle replays the
-    sessionize CTEs plus a lateral n-gram slide."""
+    shorter, so output equals exact mode — the cap headroom is asserted
+    in tests/test_oracle_parity.py::test_testdata_sessions_below_path_cap);
+    the oracle replays the sessionize CTEs plus a lateral n-gram slide."""
     from epss_spark.operators import sessionize as sz
 
     return sz.path_ngrams(

@@ -49,6 +49,7 @@ directory would collide on epoch dirs.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -86,6 +87,16 @@ def _epoch_dir(path: str, epoch_id: int) -> str:
     return os.path.join(path, f"{_EPOCH_PREFIX}{int(epoch_id)}")
 
 
+def _glob_escape(path: str) -> str:
+    """spark.read treats every path as a Hadoop glob pattern; a store
+    path containing metacharacters (* ? [ ] { }) would glob instead of
+    resolving literally — PATH_NOT_FOUND at best, a silent wrong match
+    at worst. Backslash-escape them (Hadoop GlobPattern escaping) so
+    reads see the literal directory. Writes and the Hadoop FileSystem
+    API take paths literally and need no escaping."""
+    return re.sub(r"([*?\[\]{}])", r"\\\1", path)
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     sc = spark.sparkContext
     jvm = sc._jvm
@@ -112,20 +123,30 @@ def _list_artifact(spark: SparkSession, path: str):
 
     RPC budget: exactly three filesystem calls regardless of epoch count
     — exists + one listStatus + one globStatus over
-    `<path>/epoch-*/_COMPACTED`. (A per-epoch marker exists() probe —
-    the previous form — is up to compact_every extra HEAD round-trips
-    per artifact per micro-batch on object stores like S3.)"""
+    `<path>/epoch-*/_COMPACTED`. (A per-epoch marker exists() probe is
+    up to compact_every extra HEAD round-trips per artifact per
+    micro-batch on object stores like S3.) Exception: when the base path
+    itself contains Hadoop glob metacharacters (* ? [ ] { }), globStatus
+    would interpret them and silently match nothing — every compacted
+    epoch would then read as a plain epoch and _read_committed would
+    double-count the folded state against the dirs it subsumes. Such
+    paths fall back to the metachar-safe per-epoch marker exists()
+    probes (correctness over the RPC budget; pinned in
+    tests/test_sinks_streaming.py)."""
     jvm, fs = _hadoop_fs(spark, path)
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     if not fs.exists(hpath):
         return False, False, []
-    glob = jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + "/" + _EPOCH_PREFIX + "*/" + _COMPACT_MARKER
-    )
-    marked = fs.globStatus(glob)
-    compacted_dirs = {
-        st.getPath().getParent().getName() for st in (marked or [])
-    }
+    globbable = not any(c in path for c in "*?[]{}")
+    compacted_dirs: set[str] = set()
+    if globbable:
+        glob = jvm.org.apache.hadoop.fs.Path(
+            path.rstrip("/") + "/" + _EPOCH_PREFIX + "*/" + _COMPACT_MARKER
+        )
+        marked = fs.globStatus(glob)
+        compacted_dirs = {
+            st.getPath().getParent().getName() for st in (marked or [])
+        }
     has_flat = False
     epochs = []
     for st in fs.listStatus(hpath):
@@ -136,7 +157,15 @@ def _list_artifact(spark: SparkSession, path: str):
                     e = int(name[len(_EPOCH_PREFIX):])
                 except ValueError:
                     continue
-                epochs.append((e, st.getPath().toString(), name in compacted_dirs))
+                if globbable:
+                    is_compacted = name in compacted_dirs
+                else:
+                    is_compacted = fs.exists(
+                        jvm.org.apache.hadoop.fs.Path(
+                            st.getPath(), _COMPACT_MARKER
+                        )
+                    )
+                epochs.append((e, st.getPath().toString(), is_compacted))
         elif not name.startswith(("_", ".")):
             has_flat = True
     return True, has_flat, sorted(epochs)
@@ -211,9 +240,9 @@ def _read_committed(
                     "was the base index deleted out from under the "
                     "maintenance stream?"
                 )
-            return spark.read.parquet(path)
+            return spark.read.parquet(_glob_escape(path))
         return spark.createDataFrame([], empty_schema)
-    return spark.read.parquet(*paths)
+    return spark.read.parquet(*[_glob_escape(p) for p in paths])
 
 
 def compact_artifact(
@@ -267,7 +296,7 @@ def compact_artifact(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
-    n = spark.read.parquet(tmp).count()
+    n = spark.read.parquet(_glob_escape(tmp)).count()
 
     # three-step swap so the serving path is readable at every instant:
     # park the old layout at `.compact-old`, rename the new one into
@@ -387,7 +416,7 @@ def autocompact_epoch(
         prior_paths = [p for e, p, _ in committed if e >= newest]
     else:
         prior_paths = ([path] if has_flat else []) + [p for _, p, _ in committed]
-    full = spark.read.parquet(*(prior_paths + [cur]))
+    full = spark.read.parquet(*[_glob_escape(p) for p in prior_paths + [cur]])
     if transform is not None:
         full = transform(full)
     # tmp lives OUTSIDE the store: read_artifact's recursive fallback
@@ -455,12 +484,16 @@ def read_artifact(spark: SparkSession, path: str) -> DataFrame:
     base and older dirs are subsumed state awaiting GC, not data."""
     exists, _, epochs = _list_artifact(spark, path)
     if exists and not epochs:
-        return spark.read.parquet(path)
+        return spark.read.parquet(_glob_escape(path))
     compacted = [e for e, _, c in epochs if c]
     if compacted:
         newest = max(compacted)
-        return spark.read.parquet(*[p for e, p, _ in epochs if e >= newest])
-    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+        return spark.read.parquet(
+            *[_glob_escape(p) for e, p, _ in epochs if e >= newest]
+        )
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        _glob_escape(path)
+    )
 
 
 def _late_path(state_path: str) -> str:

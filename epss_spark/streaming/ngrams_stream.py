@@ -99,11 +99,22 @@ def process_ngrams_batch(
     ty_t = batch_df.schema[type_col].dataType.simpleString()
     seq_t = f"array<struct<us:bigint,tb:{tb_t},ty:{ty_t}>>"
     empty = f"`{key}` {key_t}, seq {seq_t}, __epoch long"
-    prior = dedup.keep_latest(
-        _read_committed(spark, state_path, int(epoch_id), empty_schema=empty),
-        key,
-        "__epoch",
-    ).select(key, "seq").persist()
+    # restrict the carried state to keys TOUCHED by this batch
+    # (transitions_stream precedent): untouched keys' suffixes persist
+    # across epochs via the keep-latest read — re-exploding and
+    # rewriting them every epoch would make per-epoch state writes grow
+    # O(total keys) and bloat the store quadratically between
+    # compactions
+    prior = (
+        dedup.keep_latest(
+            _read_committed(spark, state_path, int(epoch_id), empty_schema=empty),
+            key,
+            "__epoch",
+        )
+        .join(batch_df.select(key).distinct(), key, "left_semi")
+        .select(key, "seq")
+        .persist()
+    )
 
     carried = prior.select(
         F.col(key), F.explode("seq").alias("__e")

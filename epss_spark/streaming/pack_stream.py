@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from epss_spark.operators import prep
 from epss_spark.streaming.dedup_stream import (  # noqa: F401  (same reader)
+    _glob_escape,
     _hadoop_fs,
     _list_artifact,
     _write_epoch,
@@ -65,9 +66,9 @@ def read_pack_state(
     if before_epoch is not None:
         epochs = [(e, p) for e, p in epochs if e < before_epoch]
     if epochs:
-        return spark.read.parquet(max(epochs)[1])
+        return spark.read.parquet(_glob_escape(max(epochs)[1]))
     if exists and has_flat:
-        return spark.read.parquet(state_dir)
+        return spark.read.parquet(_glob_escape(state_dir))
     return None
 
 

@@ -2883,3 +2883,87 @@ def test_ngrams_stream_via_streaming_query(spark, tmp_path):
     )
     got = sorted(map(tuple, ns.ngrams_snapshot(spark, state).collect()))
     assert got == want and len(got) > 4
+
+
+def test_ngrams_stream_state_writes_only_touched_keys(spark, tmp_path):
+    """Regression (round-11 ADVICE): the carried suffix store must be
+    restricted to the batch's keys BEFORE exploding — re-exploding and
+    rewriting every key ever seen made per-epoch state writes grow
+    O(total keys) (quadratic store bloat between compactions). Pins:
+    (a) an epoch's state dir holds rows ONLY for keys in that batch;
+    (b) an untouched key's suffix persists across epochs via the
+    keep-latest read, so a gram spanning a skipped epoch still forms."""
+    import datetime as dt
+
+    from epss_spark.operators import sessionize as sz
+    from epss_spark.streaming import ngrams_stream as ns
+
+    D = dt.datetime(2024, 1, 1)
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    # u1: events in epochs 0 and 2 only (10 min apart -> same session,
+    # its trigram spans the skipped epoch); u2: every epoch
+    rows = [
+        (1, "u1", D + dt.timedelta(minutes=0), "v"),
+        (2, "u2", D + dt.timedelta(minutes=1), "v"),
+        (3, "u1", D + dt.timedelta(minutes=2), "c"),
+        (4, "u2", D + dt.timedelta(minutes=3), "c"),
+        (5, "u2", D + dt.timedelta(minutes=4), "p"),
+        (6, "u1", D + dt.timedelta(minutes=10), "p"),
+        (7, "u2", D + dt.timedelta(minutes=11), "v"),
+    ]
+    batches = [rows[:3], rows[3:5], rows[5:]]
+    state = str(tmp_path / "ngtouch")
+    for e, b in enumerate(batches):
+        ns.process_ngrams_batch(
+            spark.createDataFrame(b, schema), e, state, n=3, gap_seconds=3600
+        )
+    # (a) epoch-1's batch touched only u2 -> its state dir has only u2
+    ep1 = spark.read.parquet(state + "/epoch-1")
+    assert sorted(r.user_id for r in ep1.collect()) == ["u2"]
+    # (b) stream == batch, including u1's v>c>p spanning epoch 1
+    alldf = spark.createDataFrame(rows, schema)
+    want = sorted(
+        (r.gram, r.n)
+        for r in sz.path_ngrams(alldf, n=3, gap_seconds=3600).collect()
+    )
+    got = sorted(map(tuple, ns.ngrams_snapshot(spark, state).collect()))
+    assert got == want
+    assert dict(got).get("v>c>p", 0) >= 2
+
+
+def test_epoch_store_glob_metachar_path(spark, tmp_path):
+    """Regression (round-11 ADVICE): a state path containing Hadoop glob
+    metacharacters ([ ] * ? { }) must behave identically to a clean
+    path — globStatus marker discovery silently matched nothing on such
+    paths, so every compacted epoch read as a plain epoch and
+    _read_committed double-counted the folded state against the
+    not-yet-GC'd dirs it subsumes. _list_artifact now falls back to
+    per-epoch marker probes and every spark.read site escapes the glob
+    chars. Runs the full transitions stream with in-stream compaction
+    under a metachar dir and pins snapshot == batch + marker
+    discovery."""
+    from epss_spark.operators import sessionize as sz
+    from epss_spark.streaming import dedup_stream, transitions_stream as trs
+
+    rows = _transition_events()
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    srt = sorted(rows, key=lambda r: (r[2], r[0]))
+    slices = [srt[i * len(srt) // 6:(i + 1) * len(srt) // 6] for i in range(6)]
+    state = str(tmp_path / "st[1]ate" / "trans{x}" / "s*t?")
+    for e, b in enumerate(s_ for s_ in slices if s_):
+        trs.process_transitions_batch(
+            spark.createDataFrame(b, schema), e, state, compact_every=2
+        )
+    # marker discovery: at least one committed epoch must read as
+    # compacted (the glob path matched nothing here before the fix)
+    _, _, epochs = dedup_stream._list_artifact(
+        spark, state + ".counts"
+    )
+    assert any(c for _, _, c in epochs), (
+        "no _COMPACTED marker discovered under a glob-metachar path"
+    )
+    want = sorted(
+        map(tuple, sz.event_transitions(spark.createDataFrame(rows, schema)).collect())
+    )
+    got = sorted(map(tuple, trs.transitions_snapshot(spark, state).collect()))
+    assert got == want
