@@ -25,7 +25,8 @@ Usage:
         [--weights A,B,C --leakage-safe]   (split)
         (training-data extension)
     python -m epss_spark.cli analyze --input DOCS
-        --report top-ngrams|vocab|logprob [-k N] [--output OUT]
+        --report top-ngrams|vocab|logprob|card|divergence|spectrum|pmi
+                 |contamination [--eval-input BENCH] [-k N] [--output OUT]
     python -m epss_spark.cli search --input DOCS --terms "a,b,c" [-k N]
     python -m epss_spark.cli bpe-train --input DOCS --output MERGES [--n-merges N]
     python -m epss_spark.cli bpe-apply --input DOCS --merges MERGES --output OUT
@@ -242,11 +243,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--report",
         required=True,
         choices=["top-ngrams", "vocab", "logprob", "card", "divergence",
-                 "spectrum", "pmi"],
+                 "spectrum", "pmi", "contamination"],
     )
     an.add_argument("--id-col", default="doc_id")
     an.add_argument("--text-col", default="text")
     an.add_argument("--stratum-col", default="source", help="vocab: grouping column")
+    an.add_argument(
+        "--eval-input",
+        help="contamination: benchmark parquet with (benchmark, doc_id, "
+        "text); without a benchmark column every row is one benchmark "
+        "named by the file",
+    )
     an.add_argument("-k", type=int, default=20, help="rows to show (every report is truncated to k; --output writes the full report)")
     an.add_argument("--output", help="also write the full report as parquet")
 
@@ -620,6 +627,26 @@ def main(argv: list[str] | None = None) -> int:
             out = text_ops.pmi_bigrams(docs, text_col=args.text_col).orderBy(
                 F.col("pmi").desc(), "w1", "w2"
             )
+        elif args.report == "contamination":
+            import os as _os
+
+            from pyspark.sql import functions as F
+
+            from epss_spark.operators import dedup as dedup_ops
+
+            if not args.eval_input:
+                print(
+                    "--report contamination requires --eval-input",
+                    file=sys.stderr,
+                )
+                return 2
+            eval_docs = spark.read.parquet(args.eval_input)
+            if "benchmark" not in eval_docs.columns:
+                name = _os.path.basename(args.eval_input.rstrip("/"))
+                eval_docs = eval_docs.withColumn("benchmark", F.lit(name))
+            out = dedup_ops.contamination_report(
+                docs, eval_docs, id_col=args.id_col, text_col=args.text_col
+            ).orderBy("benchmark", "method")
         else:
             # least-typical docs first: the review queue for OCR/tag soup
             out = (

@@ -997,6 +997,131 @@ def decontaminate_near(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def contamination_report(
+    corpus: DataFrame,
+    eval_sets: DataFrame,
+    bench_col: str = "benchmark",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_mode: str = "md5",
+    shmap: DataFrame | None = None,
+) -> DataFrame:
+    """Per-benchmark contamination AUDIT over the whole decontamination
+    ladder — the table a dataset card cites before anyone trains:
+    `eval_sets` carries (bench_col, id, text) for every benchmark; the
+    report has one row per (benchmark, method) with the number and rate
+    of corpus docs each tier flags:
+
+    - 'exact': normalized-text fingerprint equality (the dedup_exact
+      kernel) — verbatim copies of an eval doc;
+    - 'spans': the doc shares >= 1 leaked >= k-token span with the
+      benchmark (the GPT-3 13-gram rule's detection half — the docs
+      `decontaminate_spans` would edit);
+    - 'near': LSH-blocked, exact-Jaccard-verified near-duplicate of an
+      eval doc at `threshold` (the docs `decontaminate_near` would
+      drop — paraphrase leakage the other two tiers miss).
+
+    Zero-hit (benchmark, method) combinations are present with
+    n_contaminated = 0 — an audit that silently omits a clean benchmark
+    reads as "not checked". rate = n_contaminated / |corpus|, rounded
+    6dp (cross-engine float contract).
+
+    Scale shape: everything eval-sided is benchmark-sized and
+    broadcasts (fingerprints, span fps, band rows, shingle arrays); the
+    corpus is fingerprinted / tokenized / shingled once each, never
+    shuffles on its own grain, and each tier reduces to one bounded
+    (benchmark, method) aggregate. The corpus row count rides a
+    broadcast 1-row aggregate — no driver collect. Pass `shmap` (e.g.
+    from `shingle_cache(corpus)`) to own the corpus shingle persist
+    lifecycle; the default persists fire-and-forget."""
+    from epss_spark.operators.text import tokens
+
+    corpus_sh = (
+        shmap if shmap is not None else shingle_arrays(corpus, id_col, text_col).persist()
+    )
+    bench = F.col(bench_col).alias("benchmark")
+    cid = F.col(id_col).alias("__cid")
+
+    # exact: normalized-text fingerprint equality
+    c_fp = corpus.select(cid, F.md5(normalize(text_col)).alias("__fp"))
+    e_fp = eval_sets.select(bench, F.md5(normalize(text_col)).alias("__fp")).distinct()
+    exact_hits = c_fp.join(F.broadcast(e_fp), "__fp").select("benchmark", "__cid")
+
+    # spans: >= 1 shared >= k-token gram fingerprint (decontaminate_spans'
+    # detection stage, grouped by benchmark instead of editing)
+    e_toked = eval_sets.select(F.col(bench_col).alias("__b"), tokens(text_col).alias("__toks"))
+    _, e_grams = _span_rows(e_toked, k, "__b", "__toks")
+    e_fps = e_grams.select(F.col("__b").alias("benchmark"), "fp").distinct()
+    c_toked = corpus.select(id_col, tokens(text_col).alias("__toks"))
+    _, c_grams = _span_rows(c_toked, k, id_col, "__toks")
+    span_hits = (
+        c_grams.select(cid, "fp")
+        .join(F.broadcast(e_fps), "fp")
+        .select("benchmark", "__cid")
+    )
+
+    # near: decontaminate_near's asymmetric candidate join + exact-Jaccard
+    # verify, labeled by benchmark. Eval rows get a composite id
+    # (benchmark|id) so the same doc id appearing in two benchmarks stays
+    # two eval docs — deterministic, unlike a generated row id.
+    e_docs = eval_sets.withColumn(
+        "__eid", F.concat_ws("|", F.col(bench_col).cast("string"), F.col(id_col).cast("string"))
+    )
+    eval_sh = shingle_arrays(e_docs, "__eid", text_col)
+    c_bands = _band_rows(corpus, id_col, text_col, num_hashes, bands, hash_mode, corpus_sh)
+    e_bands = _band_rows(e_docs, "__eid", text_col, num_hashes, bands, hash_mode, eval_sh)
+    cand = (
+        c_bands.select(cid, "b", "band_key")
+        .join(e_bands.select("__eid", "b", "band_key"), ["b", "band_key"])
+        .select("__cid", "__eid")
+        .dropDuplicates(["__cid", "__eid"])
+    )
+    inter = F.size(F.array_intersect("__c_sh", "__e_sh"))
+    jac = inter.cast("double") / (F.size("__c_sh") + F.size("__e_sh") - inter)
+    near_hits = (
+        cand.join(
+            corpus_sh.select(cid, F.col("shingles").alias("__c_sh")), "__cid"
+        )
+        .join(eval_sh.select("__eid", F.col("shingles").alias("__e_sh")), "__eid")
+        .filter(jac >= F.lit(float(threshold)))
+        .join(
+            e_docs.select("__eid", bench).distinct(), "__eid"
+        )
+        .select("benchmark", "__cid")
+    )
+
+    hits = (
+        exact_hits.withColumn("method", F.lit("exact"))
+        .unionByName(span_hits.withColumn("method", F.lit("spans")))
+        .unionByName(near_hits.withColumn("method", F.lit("near")))
+    )
+    counts = hits.groupBy("benchmark", "method").agg(
+        F.countDistinct("__cid").alias("__n")
+    )
+    spark = corpus.sparkSession
+    grid = (
+        eval_sets.select(bench).distinct()
+        .crossJoin(spark.createDataFrame([("exact",), ("spans",), ("near",)], "method string"))
+    )
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        grid.join(counts, ["benchmark", "method"], "left")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "benchmark",
+            "method",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("__n"), F.lit(0)).cast("double") / F.col("__total"), 6
+            ).alias("rate"),
+        )
+    )
+
+
 def prefix_block_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -11,14 +11,15 @@ metadata propagation) is real and tested. Decoding is tiered:
    once per worker process, zero cost when absent: when Pillow is
    importable on the executors, decode_image_any decodes JPEG/WEBP/etc.;
    when soundfile is importable, decode_audio_any decodes FLAC/OGG/MP3
-   on top of the always-available stdlib PCM WAV path. Ship the deps to
-   workers the standard ways — cluster image, `spark.submit.pyFiles`,
-   conda/venv archives (DEPLOYMENT.md §codecs);
+   on top of the always-available stdlib PCM WAV path; when PyAV is
+   importable, decode_video_any samples frames from H.264/VP9/... in
+   mp4/webm/mkv on top of the always-available stdlib YUV4MPEG2 (.y4m)
+   path. Ship the deps to workers the standard ways — cluster image,
+   `spark.submit.pyFiles`, conda/venv archives (DEPLOYMENT.md §codecs);
 3. without the optional dep, compressed image payloads pass through
-   unchanged and compressed audio yields NULL features (strict=True
-   raises naming the missing dependency in both); video frame pixel
-   extraction's `decode_fn` defaults to a deterministic fake — swap in
-   pyav via `decode_fn` the same executor-side way.
+   unchanged, compressed audio yields NULL features, and compressed
+   video yields a NULL-frame row (strict=True raises naming the missing
+   dependency in all three).
 
 Design notes for 100 TB:
 - binary payloads ride in the same parquet row group as their metadata —
@@ -613,8 +614,9 @@ def audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: emits one metadata row per sampled
-    timestamp via an exploded sequence — pure Catalyst, no decode. The frame
-    pixel extraction itself would plug into extract_features."""
+    timestamp via an exploded sequence — pure Catalyst, no decode. The
+    decoded-pixels form is `extract_frames` (tiered codec adapter, same
+    contract as resize_images/audio_features)."""
     n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
     return (
         media.filter(F.col("kind") == "video")
@@ -623,4 +625,223 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.explode(F.sequence(F.lit(0), n_frames * every_ms, F.lit(every_ms))),
         )
         .select("media_id", "mime", "frame_ms")
+    )
+
+
+def decode_y4m_frames(payload: bytes, every_ms: int = 1000):
+    """Pure-stdlib+numpy decode of uncompressed YUV4MPEG2 (.y4m) video —
+    the video mirror of decode_image's BMP/PPM tier: a real public
+    container (mjpegtools) with a text header and raw planar frames, so
+    the always-available path exercises genuine pixel plumbing. Returns
+    [(frame_ms, HxWx3 uint8 RGB)] sampled at every_ms boundaries (the
+    FIRST frame at or after each k*every_ms), or None for non-Y4M /
+    malformed payloads. C420* (2x2 subsampled, nearest upsample) and
+    C444 colorspaces; BT.601 limited-range YCbCr -> RGB."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        nl = payload.index(b"\n")
+    except ValueError:
+        return None
+    w = h = 0
+    fps_num, fps_den = 25, 1  # Y4M default when F is absent
+    cspace = "420"
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:]
+        try:
+            if tag == "W":
+                w = int(val)
+            elif tag == "H":
+                h = int(val)
+            elif tag == "F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == "C":
+                cspace = val.decode("ascii", "replace")
+        except ValueError:
+            return None
+    if w <= 0 or h <= 0 or fps_num <= 0 or fps_den <= 0:
+        return None
+    if cspace.startswith("420"):
+        uv_w, uv_h = (w + 1) // 2, (h + 1) // 2
+    elif cspace.startswith("444"):
+        uv_w, uv_h = w, h
+    else:
+        return None  # 422/mono/alpha variants: not in the stdlib tier
+    y_sz, uv_sz = w * h, uv_w * uv_h
+
+    def to_rgb(buf: bytes):
+        y = np.frombuffer(buf, np.uint8, y_sz).reshape(h, w).astype(np.float32)
+        u = np.frombuffer(buf, np.uint8, uv_sz, y_sz).reshape(uv_h, uv_w)
+        v = np.frombuffer(buf, np.uint8, uv_sz, y_sz + uv_sz).reshape(uv_h, uv_w)
+        if uv_w != w:  # nearest-neighbor chroma upsample
+            u = u.repeat(2, 0)[:h].repeat(2, 1)[:, :w]
+            v = v.repeat(2, 0)[:h].repeat(2, 1)[:, :w]
+        u = u.astype(np.float32) - 128.0
+        v = v.astype(np.float32) - 128.0
+        c = 1.164 * (y - 16.0)
+        rgb = np.stack(
+            [c + 1.596 * v, c - 0.392 * u - 0.813 * v, c + 2.017 * u], axis=-1
+        )
+        return np.clip(rgb, 0.0, 255.0).astype(np.uint8)
+
+    frames, pos, idx, next_ms = [], nl + 1, 0, 0
+    while pos < len(payload):
+        line_end = payload.find(b"\n", pos)
+        if line_end < 0 or not payload.startswith(b"FRAME", pos):
+            return None  # truncated / corrupt frame header
+        data = line_end + 1
+        if data + y_sz + 2 * uv_sz > len(payload):
+            return None
+        frame_ms = (idx * 1000 * fps_den) // fps_num
+        if frame_ms >= next_ms:
+            frames.append((int(frame_ms), to_rgb(payload[data:])))
+            next_ms = (frame_ms // every_ms + 1) * every_ms
+        pos = data + y_sz + 2 * uv_sz
+        idx += 1
+    return frames
+
+
+_AV_PROBE: list = []  # [] = unprobed; [None] = absent; [module] = usable
+
+
+def _optional_av():
+    """Per-worker-process capability probe for the optional PyAV
+    dependency (the video mirror of `_optional_pil` /
+    `_optional_soundfile`): one import attempt per Python worker (module
+    state is per-process and workers are reused), so the absent case
+    costs a single cached None check per payload, not an ImportError per
+    row."""
+    if not _AV_PROBE:
+        try:
+            import av  # noqa: PLC0415
+
+            _AV_PROBE.append(av)
+        except Exception:
+            _AV_PROBE.append(None)
+    return _AV_PROBE[0]
+
+
+def decode_video_any(payload: bytes, every_ms: int = 1000):
+    """Tiered video frame decode: stdlib/numpy Y4M first
+    (`decode_y4m_frames`, always available), then the optional PyAV
+    adapter for compressed containers/codecs (H.264/VP9/AV1 in
+    mp4/webm/mkv/...) when it is importable on this worker
+    (`_optional_av`; DEPLOYMENT.md §codecs). Returns [(frame_ms, HxWx3
+    uint8 RGB)] sampled at every_ms boundaries (the FIRST frame at or
+    after each k*every_ms — identical rule in both tiers), or None when
+    no available tier can decode the payload — malformed media in a
+    100 TB corpus must degrade, not kill the stage."""
+    frames = decode_y4m_frames(payload, every_ms)
+    if frames is not None:
+        return frames
+    av = _optional_av()
+    if av is None or not payload:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        out, next_ms = [], 0
+        with av.open(io.BytesIO(payload)) as container:
+            vstreams = [s for s in container.streams if s.type == "video"]
+            if not vstreams:
+                return None
+            for frame in container.decode(vstreams[0]):
+                t = frame.time  # seconds, from pts * time_base
+                frame_ms = int(t * 1000) if t is not None else 0
+                if frame_ms >= next_ms:
+                    out.append(
+                        (
+                            frame_ms,
+                            np.asarray(frame.to_rgb().to_ndarray(), dtype=np.uint8),
+                        )
+                    )
+                    next_ms = (frame_ms // every_ms + 1) * every_ms
+        return out or None
+    except Exception:
+        return None
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ms", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def extract_frames(
+    media: DataFrame, every_ms: int = 1000, strict: bool = False
+) -> DataFrame:
+    """Decoded video frame sampling over Arrow batches — the pixels form
+    of `sample_frames`. Decodes through the tiered adapter
+    (`decode_video_any`): uncompressed YUV4MPEG2 always (stdlib+numpy),
+    compressed codecs (H.264/VP9/... in mp4/webm/mkv) when PyAV is
+    importable on the executors (DEPLOYMENT.md §codecs). Emits one row
+    per sampled frame with the pixels re-encoded as binary PPM (the same
+    currency resize_images emits, so the two operators compose). A
+    payload NO available tier can decode emits a single NULL-frame row
+    (the media_id remains, so coverage accounting stays possible
+    downstream) — or raises when ``strict=True``, naming the missing
+    optional dependency. Dedup-before-decode applies per batch
+    (identical payloads decode once). Scale shape: map-only, no shuffle;
+    frame fan-out happens inside the Arrow batch."""
+
+    def _frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            cache: dict[bytes, list] = {}
+            out = {c: [] for c in (
+                "media_id", "frame_ms", "width", "height", "mime", "payload"
+            )}
+            for row in pdf.itertuples(index=False):
+                b = bytes(row.payload) if row.payload is not None else b""
+                if b not in cache:
+                    frames = decode_video_any(b, every_ms) if b else None
+                    if frames is None and strict:
+                        have_av = _optional_av() is not None
+                        raise NotImplementedError(
+                            f"cannot decode video payload (mime={row.mime!r}): "
+                            + (
+                                "payload is malformed or an unsupported codec "
+                                "(PyAV is present on this worker)"
+                                if have_av
+                                else "the stdlib decoder covers uncompressed "
+                                "YUV4MPEG2 (.y4m) only; install PyAV on the "
+                                "executors (DEPLOYMENT.md §codecs) for "
+                                "H.264/VP9/mp4/webm/..."
+                            )
+                            + "; pass strict=False to emit a NULL-frame row instead"
+                        )
+                    cache[b] = frames
+                frames = cache[b]
+                if not frames:
+                    out["media_id"].append(row.media_id)
+                    for k in ("frame_ms", "width", "height", "mime", "payload"):
+                        out[k].append(None)
+                    continue
+                for frame_ms, arr in frames:
+                    out["media_id"].append(row.media_id)
+                    out["frame_ms"].append(frame_ms)
+                    out["height"].append(arr.shape[0])
+                    out["width"].append(arr.shape[1])
+                    out["mime"].append("image/x-portable-pixmap")
+                    out["payload"].append(encode_ppm(arr))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "mime", "payload")
+        .mapInPandas(_frames, schema=FRAMES_SCHEMA)
     )

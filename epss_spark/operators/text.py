@@ -525,7 +525,13 @@ def dataset_card(
     exact percentile — the cross-engine oracle contract; `approx=True`
     is the 100 TB mode: HLL++ approx_count_distinct (no distinct
     shuffle for fp/vocab) and percentile_approx (bounded sketch instead
-    of a full sort) — same row shape, ~1-2% error, engine-specific."""
+    of a full sort) — same row shape, ~1-2% error, engine-specific.
+
+    The qualitative companion a release also cites is the per-benchmark
+    contamination audit — `dedup.contamination_report(corpus,
+    eval_sets)` (exact/spans/near counts + rates per benchmark,
+    oracle-checked as `dedup_contamination_report`); publish the two
+    tables together."""
     from epss_spark.operators.layout import ensure_parallelism
 
     cd = F.approx_count_distinct if approx else F.count_distinct

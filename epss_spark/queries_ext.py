@@ -3228,6 +3228,93 @@ def dedup_decontam_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_contamination_report",
+    f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+    evals AS (
+      SELECT doc_id, 'bench' || CAST(doc_id % 2 AS VARCHAR) AS benchmark, text
+      FROM documents WHERE doc_id < 20
+    ),
+    total AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id >= 20),
+    cfp AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id >= 20),
+    efp AS (SELECT DISTINCT benchmark, md5({_NORM_SQL}) AS fp FROM evals),
+    exact_hits AS (
+      SELECT DISTINCT e.benchmark, c.doc_id FROM cfp c JOIN efp e USING (fp)
+    ),
+    btoked AS (SELECT benchmark, {_TOKS_SQL} AS toks FROM evals),
+    bfp AS (
+      SELECT DISTINCT benchmark,
+             unnest(list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+                    i -> md5(array_to_string(toks[i:i+{_SPAN_K}-1], ' ')))) AS fp
+      FROM btoked WHERE len(toks) >= {_SPAN_K}
+    ),
+    ttoked AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id >= 20),
+    tg AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+                    i -> md5(array_to_string(toks[i:i+{_SPAN_K}-1], ' ')))) AS fp
+      FROM ttoked WHERE len(toks) >= {_SPAN_K}
+    ),
+    span_hits AS (
+      SELECT DISTINCT b.benchmark, t.doc_id FROM tg t JOIN bfp b USING (fp)
+    ),
+    near_hits AS (
+      SELECT DISTINCT e.benchmark, p.b_id AS doc_id
+      FROM pairs p JOIN evals e ON e.doc_id = p.a_id
+      WHERE p.a_id < 20 AND p.b_id >= 20
+    ),
+    hits AS (
+      SELECT benchmark, doc_id, 'exact' AS method FROM exact_hits
+      UNION ALL SELECT benchmark, doc_id, 'spans' AS method FROM span_hits
+      UNION ALL SELECT benchmark, doc_id, 'near' AS method FROM near_hits
+    ),
+    counts AS (
+      SELECT benchmark, method, COUNT(DISTINCT doc_id) AS n
+      FROM hits GROUP BY benchmark, method
+    ),
+    grid AS (
+      SELECT DISTINCT e.benchmark, m.method
+      FROM evals e, (VALUES ('exact'), ('spans'), ('near')) m(method)
+    )
+    SELECT g.benchmark, g.method,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_contaminated,
+           round(CAST(COALESCE(c.n, 0) AS DOUBLE) / (SELECT n FROM total), 6) AS rate
+    FROM grid g LEFT JOIN counts c ON g.benchmark = c.benchmark AND g.method = c.method
+    """,
+)
+def dedup_contamination_report(spark, sf_dir):
+    """Per-benchmark contamination audit (operators/dedup.py::
+    contamination_report) — the dataset-card artifact over the full
+    decontamination ladder: docs 0-19 stand in for TWO benchmarks (id
+    parity), the rest are the training corpus; each (benchmark, method)
+    row reports how many corpus docs the exact (fingerprint), spans
+    (shared >= 8-token gram), and near (LSH + verified Jaccard >= 0.5)
+    tiers flag, with the rate over the corpus size (6dp). Zero rows
+    included — a clean benchmark must read as checked-and-clean. The
+    oracle replays all three kernels' CTEs (dedup_keep_docs,
+    dedup_decontam_spans, dedup_decontam_near precedents) and the near
+    tier reuses full-corpus LSH restricted to eval-corpus pairs (band
+    keys are content hashes, so the restriction equals the asymmetric
+    join)."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    eval_sets = docs.filter(F.col("doc_id") < 20).withColumn(
+        "benchmark", F.concat(F.lit("bench"), (F.col("doc_id") % 2).cast("string"))
+    )
+    # unpersisted shmap: registered-query DataFrames outlive this call
+    # (dedup_minhash_incremental precedent)
+    return dedup.contamination_report(
+        corpus,
+        eval_sets,
+        k=_SPAN_K,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        threshold=0.5,
+        shmap=dedup.shingle_arrays(corpus),
+    )
+
+
+@register(
     "dedup_lines_incremental",
     """
     WITH corpus_fp AS (

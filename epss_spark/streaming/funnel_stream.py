@@ -39,14 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from epss_spark.operators import dedup, sessionize
-from epss_spark.streaming.dedup_stream import (
-    _late_path,
-    _read_committed,
-    _write_epoch,
-    autocompact_epoch,
-    read_artifact,
-    read_late_counts,
+from epss_spark.streaming.carried_state import (
+    CarriedEpoch,
+    run_carried_epoch,
+    start_carried_stream,
 )
+from epss_spark.streaming.dedup_stream import read_artifact, read_late_counts
 
 
 def process_funnel_batch(
@@ -77,10 +75,11 @@ def process_funnel_batch(
     materializes more than `chunk_size` of its events in one task.
     `track_late` additionally commits this epoch's out-of-order count
     to the `<state_path>.late` sibling (module docstring) — one extra
-    bounded aggregate over the batch joined to the prior state."""
-    if batch_df.isEmpty():
-        return
-    spark = batch_df.sparkSession
+    bounded aggregate over the batch joined to the prior state. Store
+    layout, replay idempotency, late accounting, and compaction are the
+    shared carried-state shell (streaming/carried_state.py); this is a
+    state-only stream (delta=None — the snapshot aggregates the state
+    store directly)."""
     key_field = batch_df.schema[key]
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -92,81 +91,49 @@ def process_funnel_batch(
             StructField("__epoch", LongType()),
         ]
     )
-    # persisted for the batch: the committed-state fold feeds the
-    # resumed fold init (inside funnel_fold_states), the new-state
-    # carry-over join, and the late filter — without the cache each one
-    # re-reads and re-folds every epoch dir of the store
-    prior = dedup.keep_latest(
-        _read_committed(spark, state_path, int(epoch_id), empty_schema=empty),
-        key,
-        "__epoch",
-    ).select(key, F.col("step").alias("__pstep"), F.col("us").alias("__pus")).persist()
 
-    # only step-type events can advance the fold — filter before any
-    # shuffle; keys whose batch events are all non-step still get a
-    # state row (the snapshot's base count needs users-seen), carried
-    # over from the prior state or bootstrapped at step 0 below.
-    ev = batch_df.filter(F.col(type_col).isin(list(steps)))
-    states = sessionize.funnel_fold_states(
-        ev, steps, key, type_col, time, tiebreak, max_gap_seconds,
-        chunk_size=chunk_size, prior=prior,
-    )
-    all_keys = batch_df.select(key).distinct()
-    new_state = (
-        all_keys.join(states, key, "left")
-        .join(prior, key, "left")
-        .select(
-            key,
-            F.coalesce(F.col("step"), F.col("__pstep"), F.lit(0))
-            .cast("long")
-            .alias("step"),
-            F.coalesce(F.col("us"), F.col("__pus"), F.lit(0))
-            .cast("long")
-            .alias("us"),
-            F.lit(int(epoch_id)).alias("__epoch"),
+    def compute(prior_raw: DataFrame, batch: DataFrame) -> CarriedEpoch:
+        prior = prior_raw.select(
+            key, F.col("step").alias("__pstep"), F.col("us").alias("__pus")
         )
-    )
-    try:
-        _run_funnel_writes(
-            spark, new_state, ev, prior, state_path, epoch_id, time,
-            track_late, compact_every, key,
+        # only step-type events can advance the fold — filter before any
+        # shuffle; keys whose batch events are all non-step still get a
+        # state row (the snapshot's base count needs users-seen),
+        # carried over from the prior state or bootstrapped at step 0.
+        ev = batch.filter(F.col(type_col).isin(list(steps)))
+        states = sessionize.funnel_fold_states(
+            ev, steps, key, type_col, time, tiebreak, max_gap_seconds,
+            chunk_size=chunk_size, prior=prior,
         )
-    finally:
-        prior.unpersist()
-
-
-def _run_funnel_writes(
-    spark, new_state, ev, prior, state_path, epoch_id, time,
-    track_late, compact_every, key,
-):
-    _write_epoch(new_state, state_path, epoch_id)
-    if track_late:
-        late = (
-            ev.join(prior, key, "inner")
-            .filter(
-                (F.col("__pstep") > 0)
-                & (F.unix_micros(F.col(time)) < F.col("__pus"))
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n_late_events"),
-                F.countDistinct(key).alias("n_late_keys"),
-            )
+        all_keys = batch.select(key).distinct()
+        new_state = (
+            all_keys.join(states, key, "left")
+            .join(prior, key, "left")
             .select(
-                F.lit(int(epoch_id)).alias("epoch"),
-                "n_late_events",
-                "n_late_keys",
+                key,
+                F.coalesce(F.col("step"), F.col("__pstep"), F.lit(0))
+                .cast("long")
+                .alias("step"),
+                F.coalesce(F.col("us"), F.col("__pus"), F.lit(0))
+                .cast("long")
+                .alias("us"),
             )
         )
-        _write_epoch(late, _late_path(state_path), epoch_id)
-        autocompact_epoch(spark, _late_path(state_path), epoch_id, compact_every)
-    # the state store folds superseded per-key rows away (keep-latest
-    # fixpoint) so per-batch prior reads stay O(compact_every) epochs
-    autocompact_epoch(
-        spark,
-        state_path,
+        late_rows = ev.join(prior, key, "inner").filter(
+            (F.col("__pstep") > 0)
+            & (F.unix_micros(F.col(time)) < F.col("__pus"))
+        )
+        return CarriedEpoch(new_state=new_state, late_rows=late_rows)
+
+    run_carried_epoch(
+        batch_df,
         epoch_id,
-        compact_every,
-        transform=lambda df: dedup.keep_latest(df, key, "__epoch"),
+        state_path,
+        key,
+        empty,
+        compute,
+        track_late=track_late,
+        compact_every=compact_every,
     )
 
 
@@ -235,9 +202,6 @@ def start_funnel_stream(
             track_late=track_late, compact_every=compact_every,
         )
 
-    writer = events_stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return start_carried_stream(
+        events_stream, checkpoint_dir, process_batch, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

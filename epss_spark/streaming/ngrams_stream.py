@@ -44,19 +44,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from epss_spark.operators import dedup
-from epss_spark.streaming.dedup_stream import (
-    _late_path,
-    _read_committed,
-    _write_epoch,
-    autocompact_epoch,
-    read_artifact,
-    read_late_counts,
+from epss_spark.streaming.carried_state import (
+    CarriedEpoch,
+    counts_path as _counts_path,
+    run_carried_epoch,
+    start_carried_stream,
 )
-
-
-def _counts_path(state_path: str) -> str:
-    return state_path.rstrip("/") + ".counts"
+from epss_spark.streaming.dedup_stream import read_artifact, read_late_counts
 
 
 def _fold_counts(df: DataFrame) -> DataFrame:
@@ -86,168 +80,144 @@ def process_ngrams_batch(
     over (carried suffix union batch), count only grams ENDING at a
     batch event, append the additive delta and the advanced suffix
     epoch-scoped. Scale shape per batch: one key exchange shared by the
-    sessionize windows and the per-session aggregate (the carried rows
-    add at most n-1 rows per touched key), one bounded gram aggregate,
-    one keep-latest suffix aggregate — no store-wide scan."""
+    sessionize windows and the per-session aggregate (the shell
+    restricts the carried state to keys TOUCHED by this batch —
+    untouched keys' suffixes persist across epochs via the keep-latest
+    read, so per-epoch state writes are O(touched keys), never O(total
+    keys)), one bounded gram aggregate, one keep-latest suffix aggregate
+    — no store-wide scan. Store layout, replay idempotency, late
+    accounting, and compaction are the shared carried-state shell
+    (streaming/carried_state.py)."""
     if int(n) < 1:
         raise ValueError(f"process_ngrams_batch: n must be >= 1, got {n}")
-    if batch_df.isEmpty():
-        return
-    spark = batch_df.sparkSession
     key_t = batch_df.schema[key].dataType.simpleString()
     tb_t = batch_df.schema[tiebreak].dataType.simpleString()
     ty_t = batch_df.schema[type_col].dataType.simpleString()
     seq_t = f"array<struct<us:bigint,tb:{tb_t},ty:{ty_t}>>"
     empty = f"`{key}` {key_t}, seq {seq_t}, __epoch long"
-    # restrict the carried state to keys TOUCHED by this batch
-    # (transitions_stream precedent): untouched keys' suffixes persist
-    # across epochs via the keep-latest read — re-exploding and
-    # rewriting them every epoch would make per-epoch state writes grow
-    # O(total keys) and bloat the store quadratically between
-    # compactions
-    prior = (
-        dedup.keep_latest(
-            _read_committed(spark, state_path, int(epoch_id), empty_schema=empty),
+
+    def compute(prior: DataFrame, batch: DataFrame) -> CarriedEpoch:
+        carried = prior.select(
+            F.col(key), F.explode("seq").alias("__e")
+        ).select(
             key,
-            "__epoch",
+            F.col("__e.us").alias("us"),
+            F.col("__e.tb").alias("tb"),
+            F.col("__e.ty").alias("ty"),
+            F.lit(1).alias("__carried"),
         )
-        .join(batch_df.select(key).distinct(), key, "left_semi")
-        .select(key, "seq")
-        .persist()
-    )
+        ev = batch.select(
+            F.col(key),
+            F.unix_micros(F.col(time)).alias("us"),
+            F.col(tiebreak).alias("tb"),
+            F.col(type_col).alias("ty"),
+            F.lit(0).alias("__carried"),
+        )
+        allev = carried.unionByName(ev)
 
-    carried = prior.select(
-        F.col(key), F.explode("seq").alias("__e")
-    ).select(
-        key,
-        F.col("__e.us").alias("us"),
-        F.col("__e.tb").alias("tb"),
-        F.col("__e.ty").alias("ty"),
-        F.lit(1).alias("__carried"),
-    )
-    ev = batch_df.select(
-        F.col(key),
-        F.unix_micros(F.col(time)).alias("us"),
-        F.col(tiebreak).alias("tb"),
-        F.col(type_col).alias("ty"),
-        F.lit(0).alias("__carried"),
-    )
-    allev = carried.unionByName(ev)
-
-    # the batch operator's gap-sessionize, over integer micros (original
-    # timestamps ride in the carried suffix, so gaps inside the union
-    # are the TRUE gaps)
-    w = Window.partitionBy(key).orderBy(F.col("us").asc(), F.col("tb").asc())
-    prev_us = F.lag("us").over(w)
-    st = (
-        prev_us.isNull()
-        | ((F.col("us") - prev_us) > int(gap_seconds) * 1_000_000)
-    ).cast("int")
-    sid = F.sum(st).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    s = allev.withColumn("__sid", sid)
-    per_session = s.groupBy(key, "__sid").agg(
-        F.array_sort(
-            F.collect_list(F.struct("us", "tb", "ty", "__carried"))
-        ).alias("seq")
-    )
-    seq = F.col("seq")
-    idx = F.when(
-        F.size(seq) >= int(n), F.sequence(F.lit(1), F.size(seq) - int(n) + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = per_session.select(
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.array_join(
-                        F.transform(F.slice(seq, i, int(n)), lambda x: x["ty"]),
-                        sep,
-                    ).alias("gram"),
-                    # a gram is NEW iff its last element is a batch event
-                    F.element_at(seq, (i + int(n) - 1).cast("int"))["__carried"].alias(
-                        "__last_carried"
+        # the batch operator's gap-sessionize, over integer micros
+        # (original timestamps ride in the carried suffix, so gaps
+        # inside the union are the TRUE gaps)
+        w = Window.partitionBy(key).orderBy(F.col("us").asc(), F.col("tb").asc())
+        prev_us = F.lag("us").over(w)
+        st = (
+            prev_us.isNull()
+            | ((F.col("us") - prev_us) > int(gap_seconds) * 1_000_000)
+        ).cast("int")
+        sid = F.sum(st).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        s = allev.withColumn("__sid", sid)
+        per_session = s.groupBy(key, "__sid").agg(
+            F.array_sort(
+                F.collect_list(F.struct("us", "tb", "ty", "__carried"))
+            ).alias("seq")
+        )
+        seq = F.col("seq")
+        idx = F.when(
+            F.size(seq) >= int(n), F.sequence(F.lit(1), F.size(seq) - int(n) + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = per_session.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.array_join(
+                            F.transform(F.slice(seq, i, int(n)), lambda x: x["ty"]),
+                            sep,
+                        ).alias("gram"),
+                        # a gram is NEW iff its last element is a batch event
+                        F.element_at(seq, (i + int(n) - 1).cast("int"))[
+                            "__carried"
+                        ].alias("__last_carried"),
                     ),
-                ),
-            )
-        ).alias("g")
-    )
-    delta = (
-        grams.filter(F.col("g.__last_carried") == 0)
-        .groupBy(F.col("g.gram").alias("gram"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("__epoch", F.lit(int(epoch_id)))
-    )
-
-    # advanced suffix: the union's last n-1 events per key (n=1 keeps an
-    # empty suffix — single-event grams need no cross-batch context)
-    tail = F.array_sort(F.collect_list(F.struct("us", "tb", "ty")))
-    keep = int(n) - 1
-    new_seq = (
-        F.when(F.size(tail) > keep, F.slice(tail, -keep, keep)).otherwise(tail)
-        if keep > 0
-        else F.slice(tail, 1, 0)
-    )
-    new_state = allev.groupBy(key).agg(new_seq.alias("seq")).withColumn(
-        "__epoch", F.lit(int(epoch_id))
-    )
-
-    try:
-        _write_epoch(delta, _counts_path(state_path), epoch_id)
-        _write_epoch(new_state, state_path, epoch_id)
-        if track_late:
-            # size guard: n=1 stores carry EMPTY suffixes (single-event
-            # grams need no cross-batch context) — element_at(-1) on an
-            # empty array throws, and an empty suffix has no ordering
-            # contract to violate anyway
-            last_us = prior.select(
-                key,
-                F.when(
-                    F.size("seq") > 0, F.element_at("seq", -1)["us"]
-                ).alias("__pus"),
-            ).filter(F.col("__pus").isNotNull())
-            late = (
-                ev.join(last_us, key, "inner")
-                .filter(F.col("us") < F.col("__pus"))
-                .agg(
-                    F.count(F.lit(1)).alias("n_late_events"),
-                    F.countDistinct(key).alias("n_late_keys"),
                 )
-                .select(
-                    F.lit(int(epoch_id)).alias("epoch"),
-                    "n_late_events",
-                    "n_late_keys",
-                )
-            )
-            _write_epoch(late, _late_path(state_path), epoch_id)
-            autocompact_epoch(spark, _late_path(state_path), epoch_id, compact_every)
-        autocompact_epoch(
-            spark,
-            _counts_path(state_path),
-            epoch_id,
-            compact_every,
-            transform=_fold_counts,
+            ).alias("g")
         )
-        autocompact_epoch(
-            spark,
-            state_path,
-            epoch_id,
-            compact_every,
-            transform=lambda df: dedup.keep_latest(df, key, "__epoch"),
+        delta = (
+            grams.filter(F.col("g.__last_carried") == 0)
+            .groupBy(F.col("g.gram").alias("gram"))
+            .agg(F.count(F.lit(1)).alias("n"))
         )
-    finally:
-        prior.unpersist()
+
+        # advanced suffix: the union's last n-1 events per key (n=1
+        # keeps an empty suffix — single-event grams need no cross-batch
+        # context)
+        tail = F.array_sort(F.collect_list(F.struct("us", "tb", "ty")))
+        keep = int(n) - 1
+        new_seq = (
+            F.when(F.size(tail) > keep, F.slice(tail, -keep, keep)).otherwise(tail)
+            if keep > 0
+            else F.slice(tail, 1, 0)
+        )
+        new_state = allev.groupBy(key).agg(new_seq.alias("seq"))
+
+        # size guard: n=1 stores carry EMPTY suffixes (single-event
+        # grams need no cross-batch context) — element_at(-1) on an
+        # empty array throws, and an empty suffix has no ordering
+        # contract to violate anyway
+        last_us = prior.select(
+            key,
+            F.when(
+                F.size("seq") > 0, F.element_at("seq", -1)["us"]
+            ).alias("__pus"),
+        ).filter(F.col("__pus").isNotNull())
+        late_rows = ev.join(last_us, key, "inner").filter(
+            F.col("us") < F.col("__pus")
+        )
+        return CarriedEpoch(new_state=new_state, delta=delta, late_rows=late_rows)
+
+    run_carried_epoch(
+        batch_df,
+        epoch_id,
+        state_path,
+        key,
+        empty,
+        compute,
+        counts_fold=_fold_counts,
+        track_late=track_late,
+        compact_every=compact_every,
+    )
 
 
-def ngrams_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
+def ngrams_snapshot(
+    spark: SparkSession, state_path: str, include_n_sessions: bool = False
+) -> DataFrame:
     """Current motif counts from the store: (gram, n), identical to the
     batch path_ngrams occurrence counts over everything the stream has
     seen under the time-partitioned-per-key contract (module docstring
-    for why n_sessions is batch-only). Lazy: one additive aggregate."""
-    return (
+    for why n_sessions is batch-only). Lazy: one additive aggregate.
+
+    `include_n_sessions=True` appends an all-NULL `n_sessions` column
+    for drop-in schema compatibility with the batch operator — NULL,
+    not a number, so a consumer aggregating it gets NULL instead of a
+    silently wrong containment count (DEPLOYMENT §streams)."""
+    out = (
         read_artifact(spark, _counts_path(state_path))
         .groupBy("gram")
         .agg(F.sum("n").cast("long").alias("n"))
     )
+    if include_n_sessions:
+        out = out.withColumn("n_sessions", F.lit(None).cast("long"))
+    return out
 
 
 def late_counts(spark: SparkSession, state_path: str) -> DataFrame:
@@ -284,9 +254,6 @@ def start_ngrams_stream(
             compact_every=compact_every,
         )
 
-    writer = events_stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return start_carried_stream(
+        events_stream, checkpoint_dir, process_batch, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -42,20 +42,13 @@ from pyspark.sql import functions as F
 
 from epss_spark.operators import dedup
 from epss_spark.operators.sessionize import transition_probs
-from epss_spark.streaming.dedup_stream import (
-    _late_path,
-    _read_committed,
-    _write_epoch,
-    autocompact_epoch,
-    read_artifact,
-    read_late_counts,
+from epss_spark.streaming.carried_state import (
+    CarriedEpoch,
+    counts_path as _counts_path,
+    run_carried_epoch,
+    start_carried_stream,
 )
-
-
-def _counts_path(state_path: str) -> str:
-    """Sibling artifact holding the additive (from_type, to_type, n)
-    transition-count deltas next to the per-key carried-state store."""
-    return state_path.rstrip("/") + ".counts"
+from epss_spark.streaming.dedup_stream import read_artifact, read_late_counts
 
 
 def _fold_transition_counts(df: DataFrame) -> DataFrame:
@@ -88,113 +81,82 @@ def process_transitions_batch(
     BATCH's key exchange (the same partitioning the carried-state join
     and the new-state aggregate reuse), one bounded |types|^2 count, one
     join against the latest state of the touched keys — no store-wide
-    scan on the write path."""
-    if batch_df.isEmpty():
-        return
-    spark = batch_df.sparkSession
+    scan on the write path. Store layout, replay idempotency, late
+    accounting, and compaction are the shared carried-state shell
+    (streaming/carried_state.py)."""
     key_t = batch_df.schema[key].dataType.simpleString()
     tb_t = batch_df.schema[tiebreak].dataType.simpleString()
     ty_t = batch_df.schema[type_col].dataType.simpleString()
     empty = f"`{key}` {key_t}, us long, tb {tb_t}, ty {ty_t}, __epoch long"
-    prior = (
-        dedup.keep_latest(
-            _read_committed(spark, state_path, int(epoch_id), empty_schema=empty),
-            key,
-            "__epoch",
-        )
-        .select(
+
+    def compute(prior: DataFrame, batch: DataFrame) -> CarriedEpoch:
+        p = prior.select(
             key,
             F.col("us").alias("__pus"),
             F.col("tb").alias("__ptb"),
             F.col("ty").alias("__pty"),
         )
-        .persist()
-    )
-
-    ev = batch_df.select(
-        key,
-        F.unix_micros(F.col(time)).alias("us"),
-        F.col(tiebreak).alias("tb"),
-        F.col(type_col).alias("ty"),
-    )
-    w = Window.partitionBy(key).orderBy(F.col("us").asc(), F.col("tb").asc())
-    seq = ev.select(
-        key,
-        "us",
-        "tb",
-        "ty",
-        F.row_number().over(w).alias("__rn"),
-        F.lead("ty").over(w).alias("__next"),
-    )
-    within = seq.filter(F.col("__next").isNotNull()).select(
-        F.col("ty").alias("from_type"), F.col("__next").alias("to_type")
-    )
-    boundary = (
-        seq.filter(F.col("__rn") == 1)
-        .join(prior, key, "inner")
-        .select(
-            F.col("__pty").alias("from_type"), F.col("ty").alias("to_type")
+        ev = batch.select(
+            key,
+            F.unix_micros(F.col(time)).alias("us"),
+            F.col(tiebreak).alias("tb"),
+            F.col(type_col).alias("ty"),
         )
-    )
-    delta = (
-        within.unionByName(boundary)
-        .groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("__epoch", F.lit(int(epoch_id)))
-    )
-
-    # advanced carried state: latest (us, tb) event per batch key, never
-    # regressing behind the prior state even if this batch is late — the
-    # ordering key excludes the payload (keep_latest tiebreak form)
-    new_state = dedup.keep_latest(
-        ev.unionByName(
-            prior.join(ev.select(key).distinct(), key, "left_semi").select(
-                key,
-                F.col("__pus").alias("us"),
-                F.col("__ptb").alias("tb"),
-                F.col("__pty").alias("ty"),
+        w = Window.partitionBy(key).orderBy(F.col("us").asc(), F.col("tb").asc())
+        seq = ev.select(
+            key,
+            "us",
+            "tb",
+            "ty",
+            F.row_number().over(w).alias("__rn"),
+            F.lead("ty").over(w).alias("__next"),
+        )
+        within = seq.filter(F.col("__next").isNotNull()).select(
+            F.col("ty").alias("from_type"), F.col("__next").alias("to_type")
+        )
+        boundary = (
+            seq.filter(F.col("__rn") == 1)
+            .join(p, key, "inner")
+            .select(
+                F.col("__pty").alias("from_type"), F.col("ty").alias("to_type")
             )
-        ),
-        key,
-        "us",
-        tiebreak_col="tb",
-    ).withColumn("__epoch", F.lit(int(epoch_id)))
+        )
+        delta = (
+            within.unionByName(boundary)
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # advanced carried state: latest (us, tb) event per batch key,
+        # never regressing behind the prior state even if this batch is
+        # late — the ordering key excludes the payload (keep_latest
+        # tiebreak form); prior is already restricted to batch keys
+        new_state = dedup.keep_latest(
+            ev.unionByName(
+                p.select(
+                    key,
+                    F.col("__pus").alias("us"),
+                    F.col("__ptb").alias("tb"),
+                    F.col("__pty").alias("ty"),
+                )
+            ),
+            key,
+            "us",
+            tiebreak_col="tb",
+        )
+        late_rows = ev.join(p, key, "inner").filter(F.col("us") < F.col("__pus"))
+        return CarriedEpoch(new_state=new_state, delta=delta, late_rows=late_rows)
 
-    try:
-        _write_epoch(delta, _counts_path(state_path), epoch_id)
-        _write_epoch(new_state, state_path, epoch_id)
-        if track_late:
-            late = (
-                ev.join(prior, key, "inner")
-                .filter(F.col("us") < F.col("__pus"))
-                .agg(
-                    F.count(F.lit(1)).alias("n_late_events"),
-                    F.countDistinct(key).alias("n_late_keys"),
-                )
-                .select(
-                    F.lit(int(epoch_id)).alias("epoch"),
-                    "n_late_events",
-                    "n_late_keys",
-                )
-            )
-            _write_epoch(late, _late_path(state_path), epoch_id)
-            autocompact_epoch(spark, _late_path(state_path), epoch_id, compact_every)
-        autocompact_epoch(
-            spark,
-            _counts_path(state_path),
-            epoch_id,
-            compact_every,
-            transform=_fold_transition_counts,
-        )
-        autocompact_epoch(
-            spark,
-            state_path,
-            epoch_id,
-            compact_every,
-            transform=lambda df: dedup.keep_latest(df, key, "__epoch"),
-        )
-    finally:
-        prior.unpersist()
+    run_carried_epoch(
+        batch_df,
+        epoch_id,
+        state_path,
+        key,
+        empty,
+        compute,
+        counts_fold=_fold_transition_counts,
+        track_late=track_late,
+        compact_every=compact_every,
+    )
 
 
 def transitions_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
@@ -244,9 +206,6 @@ def start_transitions_stream(
             track_late=track_late, compact_every=compact_every,
         )
 
-    writer = events_stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return start_carried_stream(
+        events_stream, checkpoint_dir, process_batch, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

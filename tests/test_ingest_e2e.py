@@ -570,3 +570,49 @@ def test_cli_dedup_decontam_method(spark, tmp_path, capsys):
                    "--method", "decontam", "--eval-input", evalp])
     assert rc == 0 and "kept 2/3 rows" in capsys.readouterr().out
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [4, 6]
+
+
+def test_cli_analyze_contamination(spark, tmp_path, capsys):
+    """analyze --report contamination: the dataset-card audit over the
+    decontamination ladder. With a benchmark column in the eval parquet
+    the report groups by it; without one, every eval row becomes one
+    benchmark named after the file. Missing --eval-input is exit 2."""
+    import epss_spark.cli as cli
+
+    docs = str(tmp_path / "cdocs")
+    b0 = "the quick brown fox jumps over the lazy dog"
+    spark.createDataFrame(
+        [(100, b0), (101, "nothing in common with any benchmark at all")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    ev = str(tmp_path / "cbench")
+    spark.createDataFrame(
+        [("b0", 1, b0)], "benchmark string, doc_id long, text string"
+    ).write.parquet(ev)
+
+    rc = cli.main(["analyze", "--input", docs, "--report", "contamination"])
+    assert rc == 2
+    assert "requires --eval-input" in capsys.readouterr().err
+
+    out_pq = str(tmp_path / "creport")
+    rc = cli.main(["analyze", "--input", docs, "--report", "contamination",
+                   "--eval-input", ev, "--output", out_pq])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [tuple(line.split("  ")) for line in out.strip().splitlines()]
+    assert lines == [
+        ("b0", "exact", "1", "0.5"),
+        ("b0", "near", "1", "0.5"),
+        ("b0", "spans", "0", "0.0"),  # default k=13 > the 9-token doc
+    ]
+    assert spark.read.parquet(out_pq).count() == 3
+
+    # no benchmark column -> the file name becomes the benchmark
+    ev2 = str(tmp_path / "mybench")
+    spark.createDataFrame(
+        [(1, b0)], "doc_id long, text string"
+    ).write.parquet(ev2)
+    rc = cli.main(["analyze", "--input", docs, "--report", "contamination",
+                   "--eval-input", ev2])
+    out = capsys.readouterr().out
+    assert rc == 0 and all(line.startswith("mybench  ") for line in out.strip().splitlines())

@@ -3238,3 +3238,46 @@ def test_decontaminate_near_empty_eval_is_identity(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     got = sorted(map(tuple, dedup.decontaminate_near(corpus, empty).collect()))
     assert got == sorted(map(tuple, corpus.collect()))
+
+
+def test_contamination_report_hand_computed(spark):
+    """contamination_report (the dataset-card audit artifact): two
+    benchmarks, three corpus docs — the exact copy fires all three
+    tiers, the doc embedding the leaked span fires only the spans tier
+    (its shingle Jaccard vs the eval doc is 4/12 < 0.5 by hand), the
+    clean doc fires none, and the untouched benchmark still gets its
+    three ZERO rows (checked-and-clean, never omitted). Rates are
+    n/|corpus| at 6dp."""
+    from epss_spark.operators import dedup
+
+    b0 = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame(
+        [
+            (100, b0),  # exact copy -> exact + spans + near (jaccard 1.0)
+            (101, "prefix words the quick brown fox jumps over more trailing stuff"),
+            (102, "nothing in common with any benchmark at all"),
+        ],
+        "doc_id long, text string",
+    )
+    # same doc_id in both benchmarks: pins the composite eval-id path
+    eval_sets = spark.createDataFrame(
+        [
+            ("b0", 1, b0),
+            ("b1", 1, "completely different benchmark text here now"),
+        ],
+        "benchmark string, doc_id long, text string",
+    )
+    got = {
+        (r.benchmark, r.method): (r.n_contaminated, r.rate)
+        for r in dedup.contamination_report(
+            corpus, eval_sets, k=3, threshold=0.5
+        ).collect()
+    }
+    assert got == {
+        ("b0", "exact"): (1, 0.333333),
+        ("b0", "spans"): (2, 0.666667),
+        ("b0", "near"): (1, 0.333333),
+        ("b1", "exact"): (0, 0.0),
+        ("b1", "spans"): (0, 0.0),
+        ("b1", "near"): (0, 0.0),
+    }

@@ -2967,3 +2967,146 @@ def test_epoch_store_glob_metachar_path(spark, tmp_path):
     )
     got = sorted(map(tuple, trs.transitions_snapshot(spark, state).collect()))
     assert got == want
+
+
+def test_ngrams_snapshot_schema_compat_column(spark, tmp_path):
+    """Batch<->stream schema contract (DEPLOYMENT §streams): the stream
+    deliberately does not maintain n_sessions (unbounded state);
+    include_n_sessions=True appends an all-NULL long column so the
+    snapshot's column set matches batch path_ngrams exactly — NULL, not
+    a silently wrong count."""
+    import datetime as dt
+
+    from epss_spark.operators import sessionize as sz
+    from epss_spark.streaming import ngrams_stream as ns
+
+    D = dt.datetime(2024, 1, 1)
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    rows = [(1, "u1", D, "v"), (2, "u1", D + dt.timedelta(minutes=1), "c"),
+            (3, "u1", D + dt.timedelta(minutes=2), "p")]
+    state = str(tmp_path / "ngcompat")
+    ns.process_ngrams_batch(spark.createDataFrame(rows, schema), 0, state, n=3)
+    batch_cols = sz.path_ngrams(
+        spark.createDataFrame(rows, schema), n=3
+    ).columns
+    snap = ns.ngrams_snapshot(spark, state, include_n_sessions=True)
+    assert snap.columns == batch_cols == ["gram", "n", "n_sessions"]
+    got = snap.collect()
+    assert [(r.gram, r.n, r.n_sessions) for r in got] == [("v>c>p", 1, None)]
+    # default stays the honest two-column shape
+    assert ns.ngrams_snapshot(spark, state).columns == ["gram", "n"]
+
+
+def _y4m(w, h, y_frames, fps=(2, 1), cspace=b"C444"):
+    """Build an uncompressed YUV4MPEG2 payload: per frame, a flat Y plane
+    value list plus neutral chroma (U=V=128 -> grayscale, so expected RGB
+    is clip(1.164*(Y-16)) channel-identical by hand)."""
+    import numpy as np
+
+    if cspace == b"C444":
+        uv_n = w * h
+    else:  # C420
+        uv_n = ((w + 1) // 2) * ((h + 1) // 2)
+    hdr = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (w, h, fps[0], fps[1], cspace)
+    body = b""
+    for ys in y_frames:
+        y = np.asarray(ys, dtype=np.uint8).tobytes()
+        body += b"FRAME\n" + y + bytes([128]) * uv_n * 2
+    return hdr + body
+
+
+def test_decode_y4m_frames_golden_and_sampling():
+    """Stdlib video tier (video mirror of decode_image's BMP/PPM tier):
+    a hand-built 2x2 YUV4MPEG2 payload decodes to hand-known grayscale
+    RGB (BT.601 limited range: rgb = clip(1.164*(Y-16))), frames sampled
+    at every_ms boundaries (first frame at-or-after each k*every_ms),
+    and the C420 chroma upsample path round-trips the same values."""
+    from epss_spark.operators import multimodal
+
+    # 4 frames at 2 fps -> frame_ms 0, 500, 1000, 1500
+    y_frames = [[16] * 4, [128] * 4, [235] * 4, [60] * 4]
+    pay = _y4m(2, 2, y_frames)
+    got = multimodal.decode_y4m_frames(pay, every_ms=1000)
+    assert [(ms, arr[0, 0, 0]) for ms, arr in got] == [(0, 0), (1000, 254)]
+    assert got[0][1].shape == (2, 2, 3)
+    # every_ms below the frame period keeps every frame
+    all4 = multimodal.decode_y4m_frames(pay, every_ms=400)
+    assert [ms for ms, _ in all4] == [0, 500, 1000, 1500]
+    # grayscale: all three channels equal, frame 1 Y=128 -> 130
+    assert (all4[1][1] == 130).all()
+    # C420 subsampled chroma upsamples to the same grayscale values
+    got420 = multimodal.decode_y4m_frames(
+        _y4m(2, 2, y_frames, cspace=b"C420jpeg"), every_ms=1000
+    )
+    assert [(ms, arr[1, 1, 2]) for ms, arr in got420] == [(0, 0), (1000, 254)]
+    # malformed: truncated frame body degrades to None, never raises
+    assert multimodal.decode_y4m_frames(pay[:-3], every_ms=1000) is None
+    assert multimodal.decode_y4m_frames(b"\x00\x01", every_ms=1000) is None
+
+
+def test_extract_frames_tiers(spark):
+    """extract_frames end-to-end (tiered codec contract, third modality):
+    a Y4M payload emits PPM frame rows through Spark that decode_image
+    can read back; a compressed payload either decodes through the
+    optional PyAV tier (when importable) or degrades to a NULL-frame row
+    with a strict= error NAMING the missing dependency."""
+    from epss_spark.operators import multimodal
+
+    pay = _y4m(2, 2, [[16] * 4, [128] * 4, [235] * 4, [60] * 4])
+    rows = [(7, "video", "video/x-yuv4mpeg", 2, 2, 2000, pay),
+            (8, "image", "image/bmp", None, None, None, b"BM")]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = sorted(
+        multimodal.extract_frames(media, every_ms=1000, strict=True).collect(),
+        key=lambda r: r.frame_ms,
+    )
+    # kind filter: only the video row fans out
+    assert [(r.media_id, r.frame_ms, r.width, r.height) for r in out] == [
+        (7, 0, 2, 2), (7, 1000, 2, 2)
+    ]
+    arr = multimodal.decode_image(bytes(out[1].payload))
+    assert arr.shape == (2, 2, 3) and arr[0, 0, 0] == 254
+    assert out[0].mime == "image/x-portable-pixmap"
+
+    mp4_magic = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64  # truncated mp4
+    vrows = [(9, "video", "video/mp4", None, None, 1000, mp4_magic)]
+    vmedia = spark.createDataFrame(vrows, multimodal.MEDIA_SCHEMA)
+    if multimodal._optional_av() is None:
+        assert multimodal.decode_video_any(mp4_magic) is None
+        with pytest.raises(Exception, match="PyAV"):
+            multimodal.extract_frames(vmedia, strict=True).collect()
+        # non-strict: NULL-frame row survives for coverage accounting
+        nf = multimodal.extract_frames(vmedia).collect()
+        assert len(nf) == 1 and nf[0].media_id == 9 and nf[0].frame_ms is None
+    else:  # a malformed mp4 still degrades to None, never raises
+        assert multimodal.decode_video_any(mp4_magic) is None
+
+
+def test_extract_frames_mp4_golden_with_pyav(spark):
+    """Golden compressed-video path through the SAME frame plumbing the
+    stdlib Y4M path uses: with PyAV on the workers, a real H.264 mp4
+    yields sampled frames under strict=True. Skips cleanly without the
+    optional dep."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from epss_spark.operators import multimodal
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=2)
+        stream.width, stream.height, stream.pix_fmt = 32, 32, "yuv420p"
+        for i in range(4):
+            img = np.full((32, 32, 3), 40 * i, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    rows = [(11, "video", "video/mp4", 32, 32, 2000, buf.getvalue())]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_frames(media, every_ms=1000, strict=True).collect()
+    assert len(out) >= 2 and all(r.width == 32 and r.height == 32 for r in out)
+    assert multimodal.decode_image(bytes(out[0].payload)).shape == (32, 32, 3)
