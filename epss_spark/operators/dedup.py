@@ -1038,6 +1038,61 @@ def contamination_report(
     broadcast 1-row aggregate — no driver collect. Pass `shmap` (e.g.
     from `shingle_cache(corpus)`) to own the corpus shingle persist
     lifecycle; the default persists fire-and-forget."""
+    hits = _contamination_hits(
+        corpus, eval_sets, bench_col, id_col, text_col, k, num_hashes,
+        bands, threshold, hash_mode, shmap,
+    )
+    counts = hits.groupBy("benchmark", "method").agg(
+        F.countDistinct("__cid").alias("__n")
+    )
+    grid = _contamination_grid(eval_sets, bench_col)
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        grid.join(counts, ["benchmark", "method"], "left")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "benchmark",
+            "method",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("__n"), F.lit(0)).cast("double") / F.col("__total"), 6
+            ).alias("rate"),
+        )
+    )
+
+
+def _contamination_grid(eval_sets: DataFrame, bench_col: str = "benchmark") -> DataFrame:
+    """All (benchmark, method) combinations for the audit — zero rows
+    must be PRESENT (a silently omitted benchmark reads as unchecked)."""
+    return (
+        eval_sets.select(F.col(bench_col).alias("benchmark")).distinct()
+        .crossJoin(
+            eval_sets.sparkSession.createDataFrame(
+                [("exact",), ("spans",), ("near",)], "method string"
+            )
+        )
+    )
+
+
+def _contamination_hits(
+    corpus: DataFrame,
+    eval_sets: DataFrame,
+    bench_col: str = "benchmark",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    hash_mode: str = "md5",
+    shmap: DataFrame | None = None,
+) -> DataFrame:
+    """The audit's shared detection core: one (benchmark, __cid, method)
+    row per corpus doc each ladder tier flags (NOT distinct across
+    tiers; contamination_report and the streaming monitor aggregate it
+    their own way). Scale shape per contamination_report's docstring —
+    every eval-side artifact broadcasts, the corpus never shuffles on
+    its own grain."""
     from epss_spark.operators.text import tokens
 
     corpus_sh = (
@@ -1094,31 +1149,10 @@ def contamination_report(
         .select("benchmark", "__cid")
     )
 
-    hits = (
+    return (
         exact_hits.withColumn("method", F.lit("exact"))
         .unionByName(span_hits.withColumn("method", F.lit("spans")))
         .unionByName(near_hits.withColumn("method", F.lit("near")))
-    )
-    counts = hits.groupBy("benchmark", "method").agg(
-        F.countDistinct("__cid").alias("__n")
-    )
-    spark = corpus.sparkSession
-    grid = (
-        eval_sets.select(bench).distinct()
-        .crossJoin(spark.createDataFrame([("exact",), ("spans",), ("near",)], "method string"))
-    )
-    n_corpus = corpus.agg(F.count(F.lit(1)).alias("__total"))
-    return (
-        grid.join(counts, ["benchmark", "method"], "left")
-        .crossJoin(F.broadcast(n_corpus))
-        .select(
-            "benchmark",
-            "method",
-            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_contaminated"),
-            F.round(
-                F.coalesce(F.col("__n"), F.lit(0)).cast("double") / F.col("__total"), 6
-            ).alias("rate"),
-        )
     )
 
 

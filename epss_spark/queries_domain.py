@@ -380,3 +380,69 @@ def multimodal_features(spark, sf_dir):
 def multimodal_frames(spark, sf_dir):
     # video frame-sampling plumbing: pure Catalyst sequence+explode, no decode
     return multimodal.sample_frames(_media(spark, sf_dir), every_ms=1000)
+
+
+@register(
+    "multimodal_video_frames",
+    # Full oracle for REAL pixel decode: the Spark side assembles a
+    # 2-frame 2x2 YUV4MPEG2 payload per doc in-engine (header + FRAME
+    # markers + uniform Y planes derived from doc_id, neutral chroma),
+    # extract_frames decodes it through the stdlib video tier
+    # (operators/multimodal.py::decode_y4m_frames) and re-encodes each
+    # sampled frame as PPM. With U=V=128 the BT.601 conversion collapses
+    # to gray pixel = trunc(1.164*(Y-16)) on every channel — verified
+    # exhaustively against the float32 kernel for Y-16 in [0, 109]
+    # (tests pin it) — so DuckDB reproduces the exact 23-byte PPM and
+    # its md5 in closed form. Pixel values stay < 128 so chr() is one
+    # UTF-8 byte.
+    """
+    WITH f AS (
+      SELECT doc_id, 0 AS frame_ms, CAST(doc_id % 110 AS INT) AS k FROM documents
+      UNION ALL
+      SELECT doc_id, 500 AS frame_ms, CAST((doc_id * 7) % 110 AS INT) AS k
+      FROM documents
+    )
+    SELECT doc_id AS media_id, CAST(frame_ms AS BIGINT) AS frame_ms,
+           CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+           'image/x-portable-pixmap' AS mime,
+           md5('P6' || chr(10) || '2 2' || chr(10) || '255' || chr(10)
+               || repeat(chr(CAST(trunc(1.164 * k) AS INT)), 12)) AS frame_md5
+    FROM f
+    """,
+)
+def multimodal_video_frames(spark, sf_dir):
+    """Decoded video frame sampling with REAL pixels (operators/
+    multimodal.py::extract_frames over the always-available YUV4MPEG2
+    tier): every doc becomes a deterministic 2-frame uncompressed video
+    (frame rate 2 fps -> frames at 0 and 500 ms), frames are sampled at
+    every 500 ms, decoded BT.601 -> RGB, and re-encoded as PPM; the
+    projection hashes each frame payload so the oracle certifies the
+    decoded bytes, not just the plumbing (multimodal_frames covers the
+    metadata-only fan-out). Scale shape: map-only Arrow batches, no
+    shuffle, dedup-before-decode per batch."""
+    docs = T(spark, sf_dir, "documents")
+
+    def ybyte(col):
+        return F.unhex(F.lpad(F.hex(col + 16), 2, "0"))
+
+    def yplane(col):
+        b = ybyte(col)
+        return F.concat(b, b, b, b)
+
+    uv = F.lit(bytes([128]) * 8)
+    frame = F.lit(b"FRAME\n")
+    payload = F.concat(
+        F.lit(b"YUV4MPEG2 W2 H2 F2:1 Ip A1:1 C444\n"),
+        frame, yplane(F.col("doc_id") % 110), uv,
+        frame, yplane((F.col("doc_id") * 7) % 110), uv,
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/x-yuv4mpeg").alias("mime"),
+        payload.alias("payload"),
+    )
+    return multimodal.extract_frames(media, every_ms=500).select(
+        "media_id", "frame_ms", "width", "height", "mime",
+        F.md5("payload").alias("frame_md5"),
+    )

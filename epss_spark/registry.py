@@ -168,8 +168,17 @@ DRIVER_SURFACE: tuple[str, ...] = (
     # dedup_simhash, whose banded near-dup-pair class stays
     # driver-green via dedup_minhash (same blocking architecture,
     # Jaccard-banded instead of Hamming-banded); dedup_simhash stays
-    # oracle-checked in the pytest tier
-    "dedup_decontam_near",
+    # oracle-checked in the pytest tier.
+    # round-11 rotation: dedup_contamination_report — the per-benchmark
+    # contamination AUDIT over the whole ladder (exact fingerprint +
+    # leaked-span + LSH-verified-near counts and rates per benchmark,
+    # zero rows for clean benchmarks; the dataset-card artifact) — in
+    # place of dedup_decontam_near, whose near tier the report runs
+    # VERBATIM (same asymmetric band join + exact-Jaccard verify,
+    # grouped instead of anti-joined) while ALSO driver-checking the
+    # exact and spans tiers per benchmark for the first time;
+    # dedup_decontam_near stays oracle-checked in the pytest tier
+    "dedup_contamination_report",
     "dedup_embedding",
     "ann_cosine_topk",
     # round-9 late rotation: event_burst_zscore — trailing-window

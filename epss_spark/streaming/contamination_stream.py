@@ -1,0 +1,166 @@
+"""Continuous benchmark-contamination monitoring — the audit
+(operators/dedup.py::contamination_report) as a stream.
+
+A crawl pipeline lands new document files continuously; the contamination
+audit should not wait for a nightly full-corpus pass. Each micro-batch is
+checked against the FIXED eval sets (benchmarks are static, broadcast-
+sized) and the per-(benchmark, method) hit counts plus the batch doc
+count append as additive epoch-scoped deltas — the burst_stream additive
+family, no carried state at all: the eval set is the "state" and it never
+changes. `contamination_snapshot` sums the committed deltas back into the
+exact `contamination_report` row shape over everything the stream has
+seen.
+
+Input contract (same as the dedup document streams): each document id
+arrives EXACTLY once across the stream's lifetime (append-only drops of
+new crawl output). A re-delivered doc would double-count — replays are
+still safe (epoch-scoped overwrites, `_read_committed` discipline), the
+contract is about the SOURCE feeding each doc once. Under it, per-batch
+distinct-doc hit counts sum to the union's distinct-doc counts exactly,
+so snapshot == one-shot report (pinned in tests).
+
+Zero rows ride along: each epoch's delta is left-joined onto the full
+(benchmark, method) grid, so a clean benchmark is visible as
+checked-and-clean from the first epoch, and the totals row
+(`__all__`/`__docs__`) carries the denominator without a store-wide
+recount.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epss_spark.operators import dedup
+from epss_spark.streaming.dedup_stream import (
+    _write_epoch,
+    autocompact_epoch,
+    read_artifact,
+)
+
+# the denominator rides the same additive store under reserved labels —
+# one artifact, one fold, one read
+_TOTAL_BENCH = "__all__"
+_TOTAL_METHOD = "__docs__"
+
+
+def _fold_counts(df: DataFrame) -> DataFrame:
+    """Additive compaction transform (burst_stream precedent): one row
+    per (benchmark, method), max(__epoch) keeps folded rows attributed
+    to a committed epoch so the replay filter stays exact."""
+    return df.groupBy("benchmark", "method").agg(
+        F.sum("n").alias("n"), F.max("__epoch").alias("__epoch")
+    )
+
+
+def process_contamination_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    eval_sets: DataFrame,
+    bench_col: str = "benchmark",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    compact_every: int | None = 64,
+) -> None:
+    """One idempotent epoch: run the audit's detection core over the
+    batch against the static eval sets, append the (benchmark, method)
+    hit-count delta (zero rows included) plus the batch doc-count row
+    epoch-scoped. A foreachBatch replay overwrites `epoch-N/` with the
+    identical recomputed delta. Scale shape per batch: every eval-side
+    artifact broadcasts, the batch never shuffles on its own grain, one
+    bounded (benchmark, method) aggregate."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    hits = dedup._contamination_hits(
+        batch_df, eval_sets, bench_col, id_col, text_col,
+        k, num_hashes, bands, threshold,
+    )
+    counts = hits.groupBy("benchmark", "method").agg(
+        F.countDistinct("__cid").alias("n")
+    )
+    delta = (
+        dedup._contamination_grid(eval_sets, bench_col)
+        .join(counts, ["benchmark", "method"], "left")
+        .select(
+            "benchmark",
+            "method",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .unionByName(
+            batch_df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+                F.lit(_TOTAL_BENCH).alias("benchmark"),
+                F.lit(_TOTAL_METHOD).alias("method"),
+                "n",
+            )
+        )
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+    )
+    _write_epoch(delta, state_path, epoch_id)
+    autocompact_epoch(
+        spark, state_path, epoch_id, compact_every, transform=_fold_counts
+    )
+
+
+def contamination_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current audit table from the store: (benchmark, method,
+    n_contaminated, rate) — identical shape and, under the
+    each-doc-arrives-once contract, identical values to
+    `contamination_report` over everything the stream has seen. Lazy:
+    one additive aggregate plus the broadcast 1-row denominator."""
+    sums = read_artifact(spark, state_path).groupBy("benchmark", "method").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    is_total = (F.col("benchmark") == _TOTAL_BENCH) & (
+        F.col("method") == _TOTAL_METHOD
+    )
+    total = sums.filter(is_total).select(F.col("n").alias("__total"))
+    return (
+        sums.filter(~is_total)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "benchmark",
+            "method",
+            F.col("n").alias("n_contaminated"),
+            F.round(F.col("n").cast("double") / F.col("__total"), 6).alias("rate"),
+        )
+    )
+
+
+def start_contamination_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    eval_sets: DataFrame,
+    bench_col: str = "benchmark",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    compact_every: int | None = 64,
+    available_now: bool = True,
+):
+    """Continuous contamination monitoring over a document stream: per
+    micro-batch, append the batch's per-(benchmark, method) hit deltas;
+    read the live audit table any time with `contamination_snapshot`.
+    A rate step-change between epochs is the earliest signal a scrape
+    started swallowing an eval suite."""
+    from epss_spark.streaming.carried_state import start_carried_stream
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_contamination_batch(
+            batch_df, epoch_id, state_dir, eval_sets, bench_col, id_col,
+            text_col, k, num_hashes, bands, threshold,
+            compact_every=compact_every,
+        )
+
+    return start_carried_stream(
+        docs_stream, checkpoint_dir, process_batch, available_now
+    )

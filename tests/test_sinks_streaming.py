@@ -3110,3 +3110,138 @@ def test_extract_frames_mp4_golden_with_pyav(spark):
     out = multimodal.extract_frames(media, every_ms=1000, strict=True).collect()
     assert len(out) >= 2 and all(r.width == 32 and r.height == 32 for r in out)
     assert multimodal.decode_image(bytes(out[0].payload)).shape == (32, 32, 3)
+
+
+def test_contamination_stream_equals_batch_and_replay(spark, tmp_path):
+    """Stream == batch for the contamination audit: per-batch hit deltas
+    against the static eval sets sum to the one-shot
+    contamination_report over the union (each doc arrives once), zero
+    rows for the clean benchmark persist, a replayed epoch never
+    double-counts, and the additive store compacts to bounded dirs."""
+    import os
+
+    from epss_spark.operators import dedup
+    from epss_spark.streaming import contamination_stream as cs
+
+    b0 = "the quick brown fox jumps over the lazy dog"
+    eval_sets = spark.createDataFrame(
+        [("b0", 1, b0), ("b1", 1, "completely different benchmark text here now")],
+        "benchmark string, doc_id long, text string",
+    )
+    schema = "doc_id long, text string"
+    corpus_rows = [
+        (100, b0),                                                    # all tiers, b0
+        (101, "prefix words the quick brown fox jumps over more trailing stuff"),
+        (102, "nothing in common with any benchmark at all"),
+        (103, b0 + " extra tail words beyond the copied benchmark sentence"),
+        (104, "completely unrelated fourth batch document text"),
+    ]
+    batches = [corpus_rows[:2], corpus_rows[2:4], corpus_rows[4:]]
+    state = str(tmp_path / "contam")
+    for e, b in enumerate(batches):
+        cs.process_contamination_batch(
+            spark.createDataFrame(b, schema), e, state, eval_sets, k=3
+        )
+    want = sorted(
+        map(tuple, dedup.contamination_report(
+            spark.createDataFrame(corpus_rows, schema), eval_sets, k=3
+        ).collect())
+    )
+    got = sorted(map(tuple, cs.contamination_snapshot(spark, state).collect()))
+    assert got == want
+    # the clean benchmark is present as checked-and-clean
+    assert ("b1", "exact", 0, 0.0) in got
+    # and something actually fired (the test bites)
+    assert any(n > 0 for _, _, n, _ in got)
+
+    # replay of the middle epoch: identical recompute, counts never double
+    cs.process_contamination_batch(
+        spark.createDataFrame(batches[1], schema), 1, state, eval_sets, k=3
+    )
+    got2 = sorted(map(tuple, cs.contamination_snapshot(spark, state).collect()))
+    assert got2 == want
+
+    # compaction: 6 single-doc epochs, compact_every=2 -> bounded dirs,
+    # identical snapshot
+    auto = str(tmp_path / "contam_auto")
+    singles = [[r] for r in corpus_rows] + [[(105, "one more clean doc")]]
+    for e, b in enumerate(singles):
+        cs.process_contamination_batch(
+            spark.createDataFrame(b, schema), e, auto, eval_sets, k=3,
+            compact_every=2,
+        )
+    want6 = sorted(
+        map(tuple, dedup.contamination_report(
+            spark.createDataFrame([r for b in singles for r in b], schema),
+            eval_sets, k=3,
+        ).collect())
+    )
+    got6 = sorted(map(tuple, cs.contamination_snapshot(spark, auto).collect()))
+    assert got6 == want6
+    n_dirs = len([d for d in os.listdir(auto) if d.startswith("epoch-")])
+    assert n_dirs <= 4
+
+
+def test_contamination_stream_via_streaming_query(spark, tmp_path):
+    """start_contamination_stream end-to-end: file drops consumed one per
+    trigger (availableNow), snapshot equals the one-shot audit."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import dedup
+    from epss_spark.streaming import contamination_stream as cs
+
+    b0 = "the quick brown fox jumps over the lazy dog"
+    eval_sets = spark.createDataFrame(
+        [("b0", 1, b0)], "benchmark string, doc_id long, text string"
+    )
+    schema = "doc_id long, text string"
+    rows = [(100, b0), (101, "unrelated first words entirely"),
+            (102, "more unrelated second drop text")]
+    drop_dir = tmp_path / "cdrops"
+    drop_dir.mkdir()
+    for i, r in enumerate(rows):
+        staging = tmp_path / f"cstage_{i}"
+        spark.createDataFrame([r], schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"d{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    state = str(tmp_path / "cq_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = cs.start_contamination_stream(
+        stream, state, str(tmp_path / "cq_ckpt"), eval_sets, k=3
+    )
+    q.awaitTermination(180)
+
+    want = sorted(
+        map(tuple, dedup.contamination_report(
+            spark.createDataFrame(rows, schema), eval_sets, k=3
+        ).collect())
+    )
+    got = sorted(map(tuple, cs.contamination_snapshot(spark, state).collect()))
+    assert got == want
+    assert ("b0", "exact", 1, 0.333333) in got
+
+
+def test_y4m_decoder_matches_oracle_arithmetic():
+    """The multimodal_video_frames oracle's premise, pinned exhaustively:
+    with neutral chroma, the float32 BT.601 kernel's gray pixel equals
+    floor(1.164*(Y-16)) for EVERY Y the query generates (Y-16 in
+    [0, 109]) — if a numpy/dtype change ever shifts a truncation
+    boundary, this fails here instead of as an opaque oracle hash
+    mismatch."""
+    import math
+
+    from epss_spark.operators import multimodal
+
+    for k in range(110):
+        pay = _y4m(2, 2, [[k + 16] * 4], fps=(2, 1))
+        (_, arr), = multimodal.decode_y4m_frames(pay, every_ms=500)
+        assert (arr == math.floor(1.164 * k)).all(), (k, arr[0, 0])
