@@ -132,6 +132,41 @@ def contamination_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def contamination_trend(spark: SparkSession, state_path: str) -> DataFrame:
+    """Per-epoch contamination series: (epoch, benchmark, method, n,
+    n_docs, rate) — one row per audited (benchmark, method) per epoch,
+    each epoch's rate over ITS OWN batch. This is the monitoring read (a
+    step change names the drop where a scrape swallowed an eval suite);
+    `contamination_snapshot` is the cumulative audit.
+
+    Caveat, by construction: in-stream auto-compaction FOLDS epochs
+    (additive sum attributed to the newest committed epoch), so the
+    trend's resolution is per-epoch only for epochs newer than the last
+    compaction fold — older history appears as one merged row. Run the
+    monitor with `compact_every=None` (or mirror deltas to a long-term
+    store) when the full series matters more than bounded reads."""
+    df = read_artifact(spark, state_path)
+    is_total = (F.col("benchmark") == _TOTAL_BENCH) & (
+        F.col("method") == _TOTAL_METHOD
+    )
+    totals = df.filter(is_total).select(
+        F.col("__epoch").alias("epoch"), F.col("n").alias("n_docs")
+    )
+    return (
+        df.filter(~is_total)
+        .select(F.col("__epoch").alias("epoch"), "benchmark", "method", "n")
+        .join(totals, "epoch")
+        .select(
+            "epoch",
+            "benchmark",
+            "method",
+            "n",
+            "n_docs",
+            F.round(F.col("n").cast("double") / F.col("n_docs"), 6).alias("rate"),
+        )
+    )
+
+
 def start_contamination_stream(
     docs_stream: DataFrame,
     state_dir: str,

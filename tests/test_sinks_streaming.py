@@ -3245,3 +3245,35 @@ def test_y4m_decoder_matches_oracle_arithmetic():
         pay = _y4m(2, 2, [[k + 16] * 4], fps=(2, 1))
         (_, arr), = multimodal.decode_y4m_frames(pay, every_ms=500)
         assert (arr == math.floor(1.164 * k)).all(), (k, arr[0, 0])
+
+
+def test_contamination_trend_per_epoch(spark, tmp_path):
+    """contamination_trend: one row per (epoch, benchmark, method) with
+    each epoch's rate over its OWN batch — the step-change monitor. Run
+    uncompacted (the documented full-series mode)."""
+    from epss_spark.streaming import contamination_stream as cs
+
+    b0 = "the quick brown fox jumps over the lazy dog"
+    eval_sets = spark.createDataFrame(
+        [("b0", 1, b0)], "benchmark string, doc_id long, text string"
+    )
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "trend")
+    cs.process_contamination_batch(
+        spark.createDataFrame([(100, "clean words only here"),
+                               (101, "more clean words")], schema),
+        0, state, eval_sets, k=3, compact_every=None,
+    )
+    cs.process_contamination_batch(
+        spark.createDataFrame([(102, b0), (103, "still clean")], schema),
+        1, state, eval_sets, k=3, compact_every=None,
+    )
+    got = {
+        (r.epoch, r.method): (r.n, r.n_docs, r.rate)
+        for r in cs.contamination_trend(spark, state).collect()
+    }
+    # epoch 0: clean batch of 2; epoch 1: the exact copy lands -> 1/2
+    assert got[(0, "exact")] == (0, 2, 0.0)
+    assert got[(1, "exact")] == (1, 2, 0.5)
+    assert got[(1, "near")] == (1, 2, 0.5)
+    assert len(got) == 6  # 2 epochs x 3 methods, zero rows present
