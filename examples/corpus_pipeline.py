@@ -135,6 +135,22 @@ def main() -> None:
             clean = dedup.decontaminate_near(clean, bench).persist()
             print(f"after near-dup decontamination: {clean.count()}")
 
+            # 4b' (round-11). the audit artifact a dataset card cites:
+            #     per-benchmark residual contamination AFTER the ladder
+            #     ran — every (benchmark, method) row should now read 0
+            #     for exact/near (spans can stay nonzero: the span rule
+            #     EDITS leaks shorter than a whole doc, it does not
+            #     re-check the residue). One broadcast-sided plan, no
+            #     corpus-grain shuffle.
+            audit = dedup.contamination_report(
+                clean, bench.withColumn("benchmark", F.lit("holdout")), k=8
+            )
+            for r in audit.orderBy("benchmark", "method").collect():
+                print(
+                    f"  audit {r.benchmark}/{r.method}: "
+                    f"{r.n_contaminated} docs ({r.rate})"
+                )
+
             # 4c. DSIR importance selection: score every surviving doc
             #     against a target-domain sample (here: the corpus's own
             #     English subset stands in for a trusted quality set) and
