@@ -63,11 +63,12 @@ def stream_documents(
     max_files_per_trigger: int = 4,
 ) -> DataFrame:
     """readStream over a document-drop directory: new parquet files become
-    micro-batches."""
+    micro-batches. The path is glob-escaped — Structured Streaming's file
+    source globs like batch reads do (_glob_escape)."""
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
+        .parquet(_glob_escape(path))
     )
 
 

@@ -21,7 +21,12 @@ from epss_spark.functions.scalars import filename_date
 
 def stream_scores(spark: SparkSession, path: str, fmt: str = "csv") -> DataFrame:
     """readStream over a snapshot directory; date recovered from filenames
-    exactly as in the batch scan. One new file per day -> one micro-batch."""
+    exactly as in the batch scan. One new file per day -> one micro-batch.
+    The path is glob-escaped — Structured Streaming's file source globs
+    like batch reads do (dedup_stream._glob_escape)."""
+    from epss_spark.streaming.dedup_stream import _glob_escape
+
+    path = _glob_escape(path)
     if fmt == "csv":
         df = (
             spark.readStream.schema(RAW_SNAPSHOT_SCHEMA)
@@ -79,6 +84,9 @@ def daily_change_counts(spark: SparkSession, events_path: str) -> DataFrame:
     for k, v in _probe_confs.items():
         spark.conf.set(k, v)
     try:
+        from epss_spark.streaming.dedup_stream import _glob_escape
+
+        events_path = _glob_escape(events_path)
         ts_is_long = isinstance(
             spark.read.parquet(events_path).schema["ts"].dataType, LongType
         )

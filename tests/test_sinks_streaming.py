@@ -3277,3 +3277,35 @@ def test_contamination_trend_per_epoch(spark, tmp_path):
     assert got[(1, "exact")] == (1, 2, 0.5)
     assert got[(1, "near")] == (1, 2, 0.5)
     assert len(got) == 6  # 2 epochs x 3 methods, zero rows present
+
+
+def test_stream_documents_glob_metachar_path(spark, tmp_path):
+    """Structured Streaming's file source globs paths like batch reads —
+    stream_documents/stream_scores escape metacharacters so a '[0]'-
+    bearing drop directory streams its files instead of silently
+    matching nothing."""
+    import glob
+    import shutil
+
+    from epss_spark.streaming import dedup_stream
+
+    drop = tmp_path / "dr[0]ps"
+    drop.mkdir()
+    staging = tmp_path / "gstage"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(staging))
+    shutil.move(glob.glob(str(staging / "part-*.parquet"))[0], str(drop / "a.parquet"))
+
+    seen = []
+    stream = dedup_stream.stream_documents(spark, str(drop))
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, eid: seen.append(df.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "gckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(seen) == 2
