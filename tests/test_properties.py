@@ -714,3 +714,79 @@ def test_transitions_stream_equals_batch_random_splits(spark, tmp_path_factory, 
     want = sorted(map(tuple, sz.event_transitions(df).collect()))
     got = sorted(map(tuple, ts.transitions_snapshot(spark, state).collect()))
     assert got == want
+
+
+# --- round 11: Y4M decode + contamination-audit laws ----------------------
+
+_y4m_frames = st.lists(
+    st.lists(st.integers(min_value=16, max_value=235), min_size=4, max_size=4),
+    min_size=1,
+    max_size=4,
+)
+
+
+@_settings
+@given(frames=_y4m_frames, c420=st.booleans())
+def test_y4m_decode_pixel_law(frames, c420):
+    """For ANY uniform-chroma Y4M payload: decoded grayscale pixels equal
+    clip(trunc(1.164*(Y-16)), 0, 255) per frame, all channels identical,
+    frame count == input frames at every_ms below the frame period —
+    the closed form the multimodal_video_frames oracle relies on, over
+    the full legal Y range and both chroma layouts."""
+    import math
+
+    from epss_spark.operators import multimodal
+
+    uv_n = 1 if c420 else 4
+    hdr = b"YUV4MPEG2 W2 H2 F4:1 Ip A1:1 %s\n" % (b"C420jpeg" if c420 else b"C444")
+    body = b""
+    for ys in frames:
+        body += b"FRAME\n" + bytes(ys) + bytes([128]) * uv_n * 2
+    got = multimodal.decode_y4m_frames(hdr + body, every_ms=100)
+    assert len(got) == len(frames)
+    for (ms, arr), (i, ys) in zip(got, enumerate(frames)):
+        assert ms == i * 250
+        assert arr.shape == (2, 2, 3)
+        # channels identical under neutral chroma
+        assert (arr[:, :, 0] == arr[:, :, 1]).all()
+        assert (arr[:, :, 0] == arr[:, :, 2]).all()
+        if not c420:  # C444: every pixel keeps its own Y
+            flat = arr[:, :, 0].reshape(-1)
+            for px, y in zip(flat, ys):
+                assert px == min(255, math.floor(1.164 * (y - 16)))
+
+
+_docs_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=24), min_size=1, max_size=8
+)
+
+
+@_settings
+@given(texts=_docs_texts, bench_i=st.integers(min_value=0, max_value=7))
+def test_contamination_report_laws(spark, texts, bench_i):
+    """For ANY corpus and eval doc: rates are within [0, 1] with the
+    corpus size as the denominator; an exact-flagged doc is also
+    near-flagged whenever it has >= 1 shingle (identical text ->
+    identical signatures -> banded candidate at Jaccard 1.0); and the
+    grid always holds exactly 3 rows per benchmark."""
+    from epss_spark.operators import dedup
+
+    bench_text = texts[bench_i % len(texts)]
+    corpus = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    eval_sets = spark.createDataFrame(
+        [("b", 0, bench_text)], "benchmark string, doc_id long, text string"
+    )
+    rows = dedup.contamination_report(corpus, eval_sets, k=3).collect()
+    assert len(rows) == 3
+    by_method = {r.method: r for r in rows}
+    n = len(texts)
+    for r in rows:
+        assert 0 <= r.n_contaminated <= n
+        assert 0.0 <= r.rate <= 1.0
+        assert r.rate == round(r.n_contaminated / n, 6)
+    # exact implies near for shingle-bearing texts (>= 3 normalized tokens)
+    toks = [t for t in bench_text.lower().split() if t]
+    if len(toks) >= 3:
+        assert by_method["near"].n_contaminated >= by_method["exact"].n_contaminated
