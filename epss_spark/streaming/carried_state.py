@@ -19,6 +19,15 @@ module docstring's; the stream == batch equivalence pins in
 tests/test_sinks_streaming.py protect this shell through all three
 adapters.
 
+Deliberately NOT adapters: `history_stream` (its second artifact is an
+append-only CLOSED-RUNS fact table at `<dir>/runs` compacted verbatim —
+not an additive `.counts` store — and its late rule drops rows from the
+fold, not just counts them); `contamination_stream` and `burst_stream`
+(additive-only — no carried state at all, so the shell's prior
+read/semi-join would be dead weight); the dedup/BM25/ANN index
+maintenance streams (their "state" is the served index artifact itself,
+read via `_read_committed` at query grain, not a per-key fold).
+
 Scale shape per epoch (shared by construction): one keep-latest read of
 the store semi-joined to the batch's keys — per-epoch state writes are
 O(touched keys), never O(total keys) — plus whatever exchanges the
