@@ -607,3 +607,44 @@ def test_decontam_near_plan_no_cartesian_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_registry_wide_udf_free_invariant(spark):
+    """SURVEY §2.13 across the WHOLE registry, not just the 50-entry
+    driver surface (PLANS.json pins those): no registered query — all
+    166 — ever plans a row-at-a-time Python UDF, and Arrow-batched
+    Python appears ONLY in the kernels where no per-row built-in exists
+    (winnowing's rolling-hash window, greedy packing's bin fold, the
+    realistic-codebook PQ ADC kernels, multimodal decode). A new query
+    that silently plans BatchEvalPython — or drifts into Arrow without
+    being added here deliberately — fails with its name."""
+    ARROW_ALLOWED = {
+        "ann_ivfpq_topk_batched",
+        "ann_pq_topk_batched",
+        "dedup_winnow_pairs",
+        "multimodal_features",
+        "multimodal_video_frames",
+        "pack_efficiency",
+        "pack_materialize",
+        "pack_sequences",
+        "text_winnow_fingerprint",
+    }
+    allq = registry.get_all_queries()
+    # no stale allowlist entries
+    assert ARROW_ALLOWED <= set(allq), sorted(ARROW_ALLOWED - set(allq))
+    row_udf, arrow_unexpected = [], []
+    for name, fn in allq.items():
+        p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in p:
+            row_udf.append(name)
+        uses_arrow = (
+            "ArrowEvalPython" in p
+            or "FlatMapGroupsInPandas" in p
+            or "MapInPandas" in p
+        )
+        if uses_arrow and name not in ARROW_ALLOWED:
+            arrow_unexpected.append(name)
+    assert not row_udf, f"row-at-a-time Python UDFs planned: {row_udf}"
+    assert not arrow_unexpected, (
+        f"Arrow-batched Python outside the deliberate set: {arrow_unexpected}"
+    )
