@@ -67,6 +67,11 @@ HEADLINE = [
     "event_path_ngrams",  # session-scoped motif mining (driver-surfaced
     #                       this round; two-stage aggregate rides the
     #                       sessionize key exchange, 0.34x-linear at 10x)
+    # round 11 second addition (headline now 26 queries):
+    "cluster_kmeans",  # deterministic Lloyd k-means training + stats
+    #                    (2 exact-arithmetic updates + final assignment:
+    #                    3 codegen corpus scans, one k-row aggregate each,
+    #                    zero corpus-grain shuffle)
 ]
 
 # Headline workload scale-up (PERF.md bench protocol, round 5): sf0.1

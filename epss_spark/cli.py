@@ -288,6 +288,30 @@ def build_parser() -> argparse.ArgumentParser:
     sl.add_argument("--id-col", default="doc_id")
     sl.add_argument("--text-col", default="text")
 
+    cu = sub.add_parser(
+        "cluster",
+        help="deterministic Lloyd k-means over an embeddings parquet "
+        "(extension): train an exact-arithmetic centroid model, then write "
+        "per-cluster diagnostics (--op stats) or a cluster-balanced "
+        "curation sample (--op sample)",
+    )
+    cu.add_argument("--input", required=True, help="parquet with (vec_id, embedding)")
+    cu.add_argument("--output", required=True, help="output parquet")
+    cu.add_argument("--op", choices=["stats", "sample"], default="stats")
+    cu.add_argument("--k", type=int, default=8, help="clusters (ignored with --init-ids)")
+    cu.add_argument("--n-iter", type=int, default=2, help="Lloyd updates")
+    cu.add_argument("--dim", type=int, default=64, help="embedding dimensionality")
+    cu.add_argument(
+        "--init-ids",
+        help="comma-separated row ids whose embeddings seed the centroids "
+        "(deterministic, engine-portable); default: the k lowest ids",
+    )
+    cu.add_argument(
+        "--per-cluster", type=int, default=16, help="--op sample: max picks per cell"
+    )
+    cu.add_argument("--id-col", default="vec_id")
+    cu.add_argument("--vec-col", default="embedding")
+
     bp = sub.add_parser(
         "bpe-train",
         help="learn a BPE merge table from a documents parquet (extension): "
@@ -596,6 +620,46 @@ def main(argv: list[str] | None = None) -> int:
         n_out = spark.read.parquet(args.output).count()
         what = "sampled" if args.k is not None else "scored"
         print(f"select: {n_in} docs -> {n_out} {what} -> {args.output}")
+        return 0
+
+    if args.command == "cluster":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.operators import clustering as cl_ops
+
+        vecs = spark.read.parquet(args.input)
+        if args.init_ids:
+            init_ids = [int(x) for x in args.init_ids.split(",") if x.strip()]
+        else:
+            # deterministic default: the k lowest ids (a curated spread of
+            # ids — or a trained quantizer — is the production seed)
+            init_ids = [
+                r[args.id_col]
+                for r in vecs.select(args.id_col).orderBy(args.id_col).limit(args.k).collect()
+            ]
+        init = cl_ops.init_centroids_by_id(
+            vecs, init_ids, id_col=args.id_col, vec_col=args.vec_col
+        )
+        cents = cl_ops.kmeans_fit(
+            vecs, init, n_iter=args.n_iter, dim=args.dim, vec_col=args.vec_col
+        )
+        if args.op == "stats":
+            out = cl_ops.kmeans_stats(vecs, cents, vec_col=args.vec_col).orderBy("cluster_id")
+        else:
+            out = cl_ops.cluster_balanced_sample(
+                vecs,
+                cents,
+                per_cluster=args.per_cluster,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        n_in = vecs.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(
+            f"cluster {args.op}: {n_in} vectors, k={len(init_ids)}, "
+            f"{args.n_iter} iterations -> {n_out} rows -> {args.output}"
+        )
         return 0
 
     if args.command == "analyze":

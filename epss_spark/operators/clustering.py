@@ -1,0 +1,196 @@
+"""Deterministic Lloyd k-means over embedding columns, plus the
+cluster-balanced curation sampler that rides it.
+
+Reference scope: the reference engine (epss/client.py, epss/cli.py) has no
+clustering — this is part of the LLM-training-data extension tier. The
+cluster-then-balance stage is the DataComp / SemDeDup-style curation step:
+partition the corpus's embedding space with k-means, then draw a capped,
+deterministic per-cluster sample so no dense region dominates the training
+mix. `semantic_dedup` (operators/similarity.py) consumes the same centroid
+model for within-cluster near-dup removal; this module is where that model
+is *trained* with cross-engine-checkable arithmetic.
+
+Determinism contract (what makes a bit-exact DuckDB oracle possible — the
+harness compares floats with ==, not a tolerance):
+
+- init centroids are the embeddings of caller-fixed ids (a tiny
+  deterministic "sample"). At 100 TB you would instead seed from
+  train_ivf_centroids or a reservoir sample; the fixed-id form exists so
+  both engines share the initial model bit-for-bit.
+- each Lloyd update computes per-cluster per-dimension sums in EXACT
+  integer arithmetic: coordinates are quantized floor(x*Q + 0.5) -> BIGINT
+  (Q = 1e6), summed (integer addition is order-free, so shuffle order
+  cannot perturb the result), and the new coordinate is the fixed
+  two-division chain  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / Q  — the
+  identical IEEE op sequence in Spark-collected Python, and in DuckDB SQL.
+- distances are sequential left folds over the dimension index
+  (F.aggregate here, list_sum(list_transform(...)) in the oracle) so both
+  engines add in the same order; argmin ties break on the lowest cluster
+  index. Same kernel as similarity._centroid_assign / the ann_ivf oracle.
+- empty clusters keep their previous centroid (coalesce on the SQL side).
+
+Scale shape (the part that must survive 100 TB): assignment is a
+plan-time-constant codegen projection — zero shuffle, zero Python, the
+centroid model compiles into the expression tree exactly like ivf_topk's
+coarse quantizer. Each Lloyd iteration is ONE map-side-combinable groupBy
+producing k rows of (count + dim quantized sums); the state that crosses
+the wire is k*(dim+1) longs per partition, independent of corpus size, and
+the k-row model collects to the driver (bounded, it IS the model). n_iter
+is a small constant, so training cost is n_iter corpus scans with no
+corpus-grain shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000.0
+
+
+def _best_centroid(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    """struct(d, i) of the nearest centroid by squared L2 — d is the
+    sequential left-fold distance, i the argmin index (lowest wins ties
+    via struct ordering). Mirrors similarity._centroid_assign but keeps
+    the distance, which the stats aggregate needs."""
+    dists = []
+    for i, cent in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        diff = F.zip_with(vec, c, lambda a, b: a.cast("double") - b)
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*dists))
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    d2_col: str | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure codegen projection (the
+    centroids are plan-time constants — no join, no shuffle, no Python)."""
+    out = vectors.withColumn("__best", _best_centroid(F.col(vec_col), centroids))
+    out = out.withColumn(cluster_col, F.col("__best")["i"])
+    if d2_col is not None:
+        out = out.withColumn(d2_col, F.col("__best")["d"])
+    return out.drop("__best")
+
+
+def init_centroids_by_id(
+    vectors: DataFrame,
+    init_ids: Sequence[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Initial centroid model from fixed row ids — deterministic and
+    shareable verbatim with a SQL oracle. Raises if any id is absent
+    (a silent k-shrink would diverge the two engines)."""
+    rows = {
+        r[id_col]: [float(x) for x in r[vec_col]]
+        for r in vectors.filter(F.col(id_col).isin(list(init_ids))).collect()
+    }
+    missing = [i for i in init_ids if i not in rows]
+    if missing:
+        raise ValueError(f"init ids not found in vectors: {missing}")
+    return [rows[i] for i in init_ids]
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    n_iter: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    quant: float = QUANT,
+) -> list[list[float]]:
+    """n_iter Lloyd updates from the given initial model; returns the
+    refined centroids (Python floats — the model is driver-sized by
+    construction: k rows per iteration).
+
+    Exact-arithmetic update, per the module contract: quantized BIGINT
+    per-dimension sums (order-free), then s/n/quant in doubles. An empty
+    cluster keeps its previous centroid."""
+    k = len(centroids)
+    cents = [[float(x) for x in c] for c in centroids]
+    sums = [
+        F.sum(
+            F.floor(F.col(vec_col)[j].cast("double") * F.lit(quant) + F.lit(0.5)).cast("long")
+        ).alias(f"s{j}")
+        for j in range(dim)
+    ]
+    for _ in range(n_iter):
+        assigned = assign_clusters(vectors, cents, vec_col=vec_col)
+        rows = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
+        upd = {
+            int(r["cluster_id"]): [
+                float(r[f"s{j}"]) / float(r["n"]) / quant for j in range(dim)
+            ]
+            for r in rows
+        }
+        cents = [upd.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def kmeans_stats(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    quant: float = QUANT,
+) -> DataFrame:
+    """Per-cluster model diagnostics over the FINAL assignment:
+    (cluster_id, n_points, avg_d2, centroid_norm). avg_d2 goes through the
+    same quantize-sum-divide chain as the centroid update so it is
+    bit-identical cross-engine; centroid_norm is the sequential-fold L2
+    norm of the (driver-side) centroid, injected as a plan-time constant.
+    Empty clusters produce no row (consistent with a GROUP BY on the
+    oracle side). One map-side-combinable aggregate; k result rows."""
+    asg = assign_clusters(vectors, centroids, vec_col=vec_col, d2_col="__d2")
+    norms = []
+    for cent in centroids:
+        acc = 0.0
+        for v in cent:
+            acc += float(v) * float(v)
+        norms.append(math.sqrt(acc))
+    q = F.floor(F.col("__d2") * F.lit(quant) + F.lit(0.5)).cast("long")
+    stats = asg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points"), F.sum(q).alias("__qs")
+    )
+    stats = stats.withColumn(
+        "avg_d2",
+        F.col("__qs").cast("double") / F.col("n_points").cast("double") / F.lit(quant),
+    )
+    norm_arr = F.array(*[F.lit(x) for x in norms])
+    stats = stats.withColumn("centroid_norm", F.element_at(norm_arr, F.col("cluster_id") + 1))
+    return stats.select("cluster_id", "n_points", "avg_d2", "centroid_norm")
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    per_cluster: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced curation sample: at most per_cluster rows from each
+    k-means cell, picked by deterministic md5-of-id order (the same
+    engine-portable coin as train_split / shard assignment). Dense regions
+    stop dominating the mix; the pick is reproducible on any engine.
+
+    Scale shape: assignment is codegen (above); the per-cluster pick is one
+    window over cluster_id — k partitions. With tiny k and a huge corpus
+    the window key is coarse; for production-sized k (thousands) each cell
+    is its own partition and the sort is cheap. Returns
+    (id_col, cluster_id, pick_rank)."""
+    asg = assign_clusters(vectors, centroids, vec_col=vec_col)
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        asg.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= per_cluster)
+        .select(id_col, "cluster_id", "pick_rank")
+    )

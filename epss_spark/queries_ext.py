@@ -13,7 +13,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from epss_spark.operators import dedup, prep, retrieval, selection, similarity, sketches, text
+from epss_spark.operators import (
+    clustering,
+    dedup,
+    prep,
+    retrieval,
+    selection,
+    similarity,
+    sketches,
+    text,
+)
 from epss_spark.queries_core import T
 from epss_spark.registry import ORACLES, register
 
@@ -4490,3 +4499,125 @@ def ann_ivfpq_topk_batched(spark, sf_dir):
     books = similarity.sampled_pq_centroids(emb, _IVF_CENT_IDS, m=4)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivfpq_topk_batched(queries, emb, coarse, books, k=5, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Lloyd k-means + cluster-balanced curation sampling
+# (operators/clustering.py). The reference engine has no clustering; this is
+# the DataComp/SemDeDup-style cluster-then-balance curation stage. The
+# oracle unrolls the SAME two Lloyd iterations in chained CTEs: quantized
+# BIGINT per-dimension sums (order-free exact arithmetic), the identical
+# two-division centroid update, sequential-fold distances, lowest-index
+# argmin ties — so every float in the output matches bit-for-bit.
+
+_KM_IDS = [0, 61, 122, 183, 244, 305, 366, 427]
+_KM_VALUES = ", ".join(f"({i}, {cid})" for i, cid in enumerate(_KM_IDS))
+_KM_D2 = (
+    "list_sum(list_transform(range(1, 65), j -> "
+    "(CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE)) * "
+    "(CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))))"
+)
+
+
+def _km_iter(t: int, prev: str, nxt: str) -> str:
+    """One unrolled Lloyd iteration as SQL CTEs: assign to nearest `prev`
+    centroid, exact quantized per-dim means, empty clusters keep their
+    previous centroid (coalesce)."""
+    return f"""
+    a{t} AS (
+      SELECT vec_id, embedding, cl FROM (
+        SELECT e.vec_id, e.embedding, c.i AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    s{t} AS (
+      SELECT cl, j,
+             CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS n
+      FROM a{t}, range(1, 65) r(j)
+      GROUP BY cl, j
+    ),
+    u{t} AS (
+      SELECT cl AS i, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY j) AS cv
+      FROM s{t} GROUP BY cl
+    ),
+    {nxt} AS (
+      SELECT p.i, coalesce(u.cv, list_transform(p.cv, x -> CAST(x AS DOUBLE))) AS cv
+      FROM {prev} p LEFT JOIN u{t} u ON u.i = p.i
+    )"""
+
+
+_KM_CHAIN = f"""
+    c0 AS (
+      SELECT t.i, e.embedding AS cv
+      FROM (VALUES {_KM_VALUES}) t(i, cid)
+      JOIN embeddings e ON e.vec_id = t.cid
+    ),{_km_iter(1, "c0", "c1")},{_km_iter(2, "c1", "c2")}"""
+
+
+@register(
+    "cluster_kmeans",
+    f"""
+    WITH {_KM_CHAIN},
+    af AS (
+      SELECT vec_id, cl, d2 FROM (
+        SELECT e.vec_id, c.i AS cl, {_KM_D2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    g AS (
+      SELECT cl AS cluster_id, count(*) AS n_points,
+             CAST(sum(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+      FROM af GROUP BY cl
+    )
+    SELECT g.cluster_id, g.n_points,
+           CAST(qs AS DOUBLE) / CAST(n_points AS DOUBLE) / 1000000.0 AS avg_d2,
+           sqrt(list_sum(list_transform(c2.cv, x -> x * x))) AS centroid_norm
+    FROM g JOIN c2 ON c2.i = g.cluster_id
+    """,
+)
+def cluster_kmeans(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embedding corpus
+    (operators/clustering.py::kmeans_fit + kmeans_stats): k=8 centroids
+    seeded from fixed vec_ids, TWO exact-arithmetic Lloyd updates, then
+    per-cluster diagnostics (size, mean squared distance, centroid norm)
+    over the final assignment. Training is n_iter map-side-combinable
+    aggregates collecting only the k-row model; assignment is pure
+    codegen. The oracle re-runs both iterations CTE-for-CTE."""
+    emb = T(spark, sf_dir, "embeddings")
+    init = clustering.init_centroids_by_id(emb, _KM_IDS)
+    cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+    return clustering.kmeans_stats(emb, cents)
+
+
+@register(
+    "sample_cluster_balanced",
+    f"""
+    WITH {_KM_CHAIN},
+    af AS (
+      SELECT vec_id, cl FROM (
+        SELECT e.vec_id, c.i AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cl AS cluster_id, pr AS pick_rank FROM (
+      SELECT vec_id, cl,
+             row_number() OVER (PARTITION BY cl ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pr
+      FROM af
+    ) WHERE pr <= 16
+    """,
+)
+def sample_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced curation sample (operators/clustering.py::
+    cluster_balanced_sample): the k-means model trained by cluster_kmeans
+    partitions the embedding space; each cell yields at most 16 rows,
+    picked by the engine-portable md5-of-id coin — so dense regions
+    cannot dominate the curated mix (DataComp-style). Assignment is
+    codegen; the pick is one window over k partitions."""
+    emb = T(spark, sf_dir, "embeddings")
+    init = clustering.init_centroids_by_id(emb, _KM_IDS)
+    cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+    return clustering.cluster_balanced_sample(emb, cents, per_cluster=16)

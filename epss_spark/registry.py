@@ -79,7 +79,18 @@ DRIVER_SURFACE: tuple[str, ...] = (
     # place of ann_threshold + text_fingerprint, whose siblings
     # (ann_cosine_topk/ann_lsh_bucketed / dedup_exact_docs) keep their
     # classes driver-green; the demoted pair stays oracle-checked in pytest
-    "dedup_minhash_incremental",
+    # round-11 rotation: cluster_kmeans — deterministic Lloyd k-means over
+    # the embedding corpus (exact quantized-integer centroid updates, two
+    # unrolled iterations replayed CTE-for-CTE by the oracle) — a NEW
+    # class (iterative model training; dedup_embedding/ann_ivf only
+    # CONSUME fixed centroid models) in place of
+    # dedup_minhash_incremental, whose LSH kernel + index-append wrapper
+    # stays driver-green via dedup_minhash + the incremental family's
+    # pytest stream==batch pins; the demoted entry stays oracle-checked
+    # in the pytest tier. Its sibling sample_cluster_balanced (the
+    # cluster-then-balance curation pick over the same trained model)
+    # starts in the pytest-oracle tier.
+    "cluster_kmeans",
     "dedup_cc_keep",
     # round-6 rotation: dedup_lines (CCNet-style corpus-level line dedup —
     # a dedup subclass nothing else on the surface represents: line-grain
@@ -302,6 +313,9 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #     (SCD-2 query layer over the driver-green dedup_url_history build)
 #   join_asof_tolerance                    (merge_asof variant of the
 #     driver-green join_asof)
+#   sample_cluster_balanced                (round-11 newcomer; its
+#     clustering class is held driver-green by cluster_kmeans, which
+#     trains the very model this sampler consumes)
 # Everything else off-surface HAS been driver-green in some round and was
 # demoted in a documented swap above.
 

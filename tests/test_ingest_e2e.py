@@ -616,3 +616,49 @@ def test_cli_analyze_contamination(spark, tmp_path, capsys):
                    "--eval-input", ev2])
     out = capsys.readouterr().out
     assert rc == 0 and all(line.startswith("mybench  ") for line in out.strip().splitlines())
+
+
+def test_cli_cluster_stats_and_sample(spark, tmp_path, capsys):
+    """The clustering-tier CLI: train the deterministic k-means model on an
+    embeddings parquet, write per-cluster stats and a balanced sample, and
+    match the underlying operators exactly."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering as cl
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [10.0, 10.0]), (4, [11.0, 10.0]), (5, [10.0, 11.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    in_path = str(tmp_path / "vecs")
+    vecs.write.parquet(in_path)
+
+    stats_path = str(tmp_path / "stats")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", stats_path,
+        "--op", "stats", "--init-ids", "0,3", "--n-iter", "1", "--dim", "2",
+    ])
+    assert rc == 0
+    assert "k=2" in capsys.readouterr().out
+    got = {r.cluster_id: r for r in spark.read.parquet(stats_path).collect()}
+    init = cl.init_centroids_by_id(vecs, [0, 3])
+    cents = cl.kmeans_fit(vecs, init, n_iter=1, dim=2)
+    want = {r.cluster_id: r for r in cl.kmeans_stats(vecs, cents).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k].n_points == want[k].n_points
+        assert got[k].avg_d2 == want[k].avg_d2
+
+    sample_path = str(tmp_path / "sample")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", sample_path,
+        "--op", "sample", "--k", "2", "--n-iter", "1", "--dim", "2",
+        "--per-cluster", "2",
+    ])
+    assert rc == 0
+    picks = spark.read.parquet(sample_path).collect()
+    per = {}
+    for r in picks:
+        per.setdefault(r.cluster_id, []).append(r.pick_rank)
+    # default init (two lowest ids) still separates the two groups here
+    assert {c: sorted(v) for c, v in per.items()} == {0: [1, 2], 1: [1, 2]}

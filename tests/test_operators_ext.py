@@ -3281,3 +3281,102 @@ def test_contamination_report_hand_computed(spark):
         ("b1", "spans"): (0, 0.0),
         ("b1", "near"): (0, 0.0),
     }
+
+
+# --- deterministic k-means + cluster-balanced sampling (operators/clustering.py)
+
+
+@pytest.fixture(scope="module")
+def tiny_vecs(spark):
+    # 2-dim toy corpus: two tight groups around (0,0) and (10,10), plus a
+    # far-away init centroid at (100,100) that should capture nothing.
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [10.0, 10.0]),
+        (4, [11.0, 10.0]),
+        (5, [10.0, 11.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_assignment_tie_breaks_lowest_index(spark):
+    from epss_spark.operators import clustering
+
+    df = spark.createDataFrame([(0, [5.0, 5.0])], "vec_id long, embedding array<float>")
+    # equidistant from both centroids -> lowest cluster index wins
+    out = clustering.assign_clusters(df, [[0.0, 0.0], [10.0, 10.0]]).collect()
+    assert out[0]["cluster_id"] == 0
+
+
+def test_kmeans_fit_exact_means_and_empty_cluster_fallback(tiny_vecs):
+    from epss_spark.operators import clustering
+
+    init = [[0.0, 0.0], [10.0, 10.0], [100.0, 100.0]]
+    cents = clustering.kmeans_fit(tiny_vecs, init, n_iter=1, dim=2)
+    # exact arithmetic: means of {0,1,2} and {3,4,5} are representable
+    assert cents[0] == pytest.approx([1 / 3, 1 / 3], abs=1e-9)
+    assert cents[1] == pytest.approx([31 / 3, 31 / 3], abs=1e-9)
+    # the far centroid captured nothing and must keep its previous value
+    assert cents[2] == [100.0, 100.0]
+    # a second iteration is a fixed point here (assignment unchanged)
+    cents2 = clustering.kmeans_fit(tiny_vecs, init, n_iter=2, dim=2)
+    assert cents2 == cents
+
+
+def test_kmeans_stats_counts_and_norms(tiny_vecs):
+    from epss_spark.operators import clustering
+
+    init = [[0.0, 0.0], [10.0, 10.0], [100.0, 100.0]]
+    cents = clustering.kmeans_fit(tiny_vecs, init, n_iter=1, dim=2)
+    stats = {r["cluster_id"]: r for r in clustering.kmeans_stats(tiny_vecs, cents).collect()}
+    # empty cluster produces no row
+    assert sorted(stats) == [0, 1]
+    assert stats[0]["n_points"] == 3 and stats[1]["n_points"] == 3
+    # avg_d2 for cluster 0: distances to (1/3,1/3) are 2/9, 5/9, 5/9
+    # -> quantized-mean of [0.222222, 0.555556, 0.555556]
+    assert stats[0]["avg_d2"] == pytest.approx(4 / 9, abs=1e-5)
+    assert stats[0]["centroid_norm"] == pytest.approx((2 * (1 / 3) ** 2) ** 0.5, abs=1e-9)
+
+
+def test_kmeans_init_by_id_raises_on_missing(tiny_vecs):
+    from epss_spark.operators import clustering
+
+    with pytest.raises(ValueError, match="init ids not found"):
+        clustering.init_centroids_by_id(tiny_vecs, [0, 99])
+
+
+def test_cluster_balanced_sample_caps_and_is_deterministic(tiny_vecs):
+    from epss_spark.operators import clustering
+
+    cents = [[1 / 3, 1 / 3], [31 / 3, 31 / 3]]
+    got = clustering.cluster_balanced_sample(tiny_vecs, cents, per_cluster=2)
+    rows = {(r["vec_id"], r["cluster_id"], r["pick_rank"]) for r in got.collect()}
+    # exactly 2 per cluster, ranks 1..2, and the md5-of-id pick is stable
+    per = {}
+    for _, cl, pr in rows:
+        per.setdefault(cl, []).append(pr)
+    assert {cl: sorted(v) for cl, v in per.items()} == {0: [1, 2], 1: [1, 2]}
+    again = {(r["vec_id"], r["cluster_id"], r["pick_rank"]) for r in got.collect()}
+    assert again == rows
+
+
+def test_kmeans_fit_reduces_inertia_on_real_embeddings(spark):
+    # Lloyd monotonicity sanity on the actual testdata: total quantized
+    # inertia after 2 updates must not exceed the init model's.
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ids = [0, 61, 122, 183, 244, 305, 366, 427]
+    init = clustering.init_centroids_by_id(emb, ids)
+
+    def inertia(cents):
+        st = clustering.kmeans_stats(emb, cents)
+        return st.select(
+            F.sum(F.col("avg_d2") * F.col("n_points")).alias("i")
+        ).collect()[0]["i"]
+
+    trained = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+    assert inertia(trained) <= inertia(init)

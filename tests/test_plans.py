@@ -612,7 +612,7 @@ def test_decontam_near_plan_no_cartesian_no_python(spark):
 def test_registry_wide_udf_free_invariant(spark):
     """SURVEY §2.13 across the WHOLE registry, not just the 50-entry
     driver surface (PLANS.json pins those): no registered query — all
-    166 — ever plans a row-at-a-time Python UDF, and Arrow-batched
+    168 — ever plans a row-at-a-time Python UDF, and Arrow-batched
     Python appears ONLY in the kernels where no per-row built-in exists
     (winnowing's rolling-hash window, greedy packing's bin fold, the
     realistic-codebook PQ ADC kernels, multimodal decode). A new query
@@ -648,3 +648,41 @@ def test_registry_wide_udf_free_invariant(spark):
     assert not arrow_unexpected, (
         f"Arrow-batched Python outside the deliberate set: {arrow_unexpected}"
     )
+
+
+def test_kmeans_assignment_is_codegen_projection(spark):
+    # the centroid model compiles into the expression tree: nearest-
+    # centroid assignment must be a pure map-side projection — no join
+    # against a centroid table, no exchange, no Python. This is the
+    # property that makes the assignment free at 100 TB.
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = clustering.init_centroids_by_id(emb, [0, 61, 122, 183])
+    p = (
+        clustering.assign_clusters(emb, cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_cluster_kmeans_stats_single_aggregate_exchange(spark):
+    # the surfaced query's terminal job: one map-side-combinable hash
+    # aggregate over k clusters — exactly one exchange, k result rows,
+    # JVM-only (the training iterations are separate bounded k-row jobs)
+    p = plan(spark, "cluster_kmeans")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "EvalPython" not in p
+    assert "HashAggregate" in p
+
+
+def test_cluster_balanced_sample_single_window_exchange(spark):
+    # assignment is codegen; the per-cluster pick is ONE window over
+    # cluster_id (one exchange + its sort), nothing else, JVM-only
+    p = plan(spark, "sample_cluster_balanced")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "Window" in p
+    assert "EvalPython" not in p
