@@ -22,9 +22,11 @@ adapters.
 Deliberately NOT adapters: `history_stream` (its second artifact is an
 append-only CLOSED-RUNS fact table at `<dir>/runs` compacted verbatim —
 not an additive `.counts` store — and its late rule drops rows from the
-fold, not just counts them); `contamination_stream` and `burst_stream`
-(additive-only — no carried state at all, so the shell's prior
-read/semi-join would be dead weight); the dedup/BM25/ANN index
+fold, not just counts them); `contamination_stream`, `burst_stream`, and
+`kmeans_stream` (additive-only — no carried state at all, so the
+shell's prior read/semi-join would be dead weight; kmeans_stream's
+integer sums even commute across epochs, so it has no ordering
+contract and no `.late` sibling); the dedup/BM25/ANN index
 maintenance streams (their "state" is the served index artifact itself,
 read via `_read_committed` at query grain, not a per-key fold).
 

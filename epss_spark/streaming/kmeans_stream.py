@@ -1,0 +1,146 @@
+"""Continuous k-means model maintenance — the clustering tier
+(operators/clustering.py) as a stream.
+
+An embedding pipeline lands new vector files continuously; the centroid
+model should refresh without rescanning the corpus. Each micro-batch is
+assigned against the FROZEN reference centroids (plan-time constants — the
+same codegen projection as batch) and its per-cluster quantized sums
+(count + dim BIGINT coordinate sums) append as additive epoch-scoped
+deltas — the burst/contamination additive family, no carried state: the
+frozen model is the "state" and it never changes within a maintenance
+window. `kmeans_snapshot_centroids` folds the committed sums into the
+one-step-updated model, EXACTLY equal to
+`kmeans_fit(all_vectors_so_far, init=frozen, n_iter=1)` — integer sums
+are associative and commutative, so the equality is bit-exact, not
+approximate (pinned in tests). Promote the snapshot to the next window's
+frozen model to iterate Lloyd across windows.
+
+Ordering: this stream is DELIVERY-ORDER-INVARIANT — unlike the
+carried-state streams there is no per-key ordering contract and no
+`.late` sibling, because addition commutes. The input contract is the
+document streams': each vector id arrives EXACTLY once across the
+stream's lifetime (re-delivery would double-weight it; replays of an
+epoch remain safe via epoch-scoped overwrites).
+
+Scale shape per epoch: one codegen assignment pass over the batch, one
+map-side-combinable k-row aggregate, a k-row append. The store holds
+O(epochs/compact_every) k-row files; compaction is the additive fold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epss_spark.operators import clustering
+from epss_spark.streaming.dedup_stream import (
+    _write_epoch,
+    autocompact_epoch,
+    read_artifact,
+)
+
+
+def _sum_cols(dim: int) -> list[str]:
+    return [f"s{j}" for j in range(dim)]
+
+
+def _fold_sums(df: DataFrame) -> DataFrame:
+    """Additive compaction transform: one row per cluster, sums summed,
+    max(__epoch) keeps folded rows attributed to a committed epoch."""
+    dim_cols = [c for c in df.columns if c.startswith("s") and c[1:].isdigit()]
+    aggs = [F.sum("n").alias("n")] + [F.sum(c).alias(c) for c in dim_cols]
+    return df.groupBy("cluster_id").agg(*aggs, F.max("__epoch").alias("__epoch"))
+
+
+def process_kmeans_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    centroids: Sequence[Sequence[float]],
+    dim: int = 64,
+    vec_col: str = "embedding",
+    quant: float = clustering.QUANT,
+    compact_every: int | None = 64,
+) -> None:
+    """One idempotent epoch: assign the batch against the frozen
+    centroids, append the per-cluster (n, s0..s{dim-1}) quantized-sum
+    delta epoch-scoped. A foreachBatch replay overwrites `epoch-N/` with
+    the identical recomputed delta (the assignment is deterministic)."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    assigned = clustering.assign_clusters(batch_df, centroids, vec_col=vec_col)
+    sums = [
+        F.sum(
+            F.floor(F.col(vec_col)[j].cast("double") * F.lit(quant) + F.lit(0.5)).cast("long")
+        ).alias(f"s{j}")
+        for j in range(dim)
+    ]
+    delta = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+    )
+    _write_epoch(delta, state_path, epoch_id)
+    autocompact_epoch(spark, state_path, epoch_id, compact_every, transform=_fold_sums)
+
+
+def kmeans_sums_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
+    """Folded per-cluster quantized sums over everything the stream has
+    seen: (cluster_id, n, s0..s{dim-1}). Lazy; one additive aggregate
+    over the bounded store."""
+    df = read_artifact(spark, state_path)
+    dim_cols = [c for c in df.columns if c.startswith("s") and c[1:].isdigit()]
+    aggs = [F.sum("n").cast("long").alias("n")] + [
+        F.sum(c).cast("long").alias(c) for c in dim_cols
+    ]
+    return df.groupBy("cluster_id").agg(*aggs)
+
+
+def kmeans_snapshot_centroids(
+    spark: SparkSession,
+    state_path: str,
+    centroids: Sequence[Sequence[float]],
+    dim: int = 64,
+    quant: float = clustering.QUANT,
+) -> list[list[float]]:
+    """The one-step-updated model from the store: bit-identical to
+    `kmeans_fit(union_of_all_batches, init=centroids, n_iter=1)` under
+    the each-vector-arrives-once contract — the same float(s)/float(n)/Q
+    division chain, empty clusters keep the frozen centroid. k rows
+    collect (the model is driver-sized by construction)."""
+    rows = kmeans_sums_snapshot(spark, state_path).collect()
+    upd = {
+        int(r["cluster_id"]): [float(r[f"s{j}"]) / float(r["n"]) / quant for j in range(dim)]
+    for r in rows
+    }
+    cents = [[float(x) for x in c] for c in centroids]
+    return [upd.get(i, cents[i]) for i in range(len(cents))]
+
+
+def start_kmeans_stream(
+    vec_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    centroids: Sequence[Sequence[float]],
+    dim: int = 64,
+    vec_col: str = "embedding",
+    quant: float = clustering.QUANT,
+    compact_every: int | None = 64,
+    available_now: bool = True,
+):
+    """Continuous centroid-model maintenance over a vector stream: per
+    micro-batch, append the batch's per-cluster quantized-sum delta;
+    read the refreshed model any time with `kmeans_snapshot_centroids`
+    and promote it to the next maintenance window's frozen model."""
+    from epss_spark.streaming.carried_state import start_carried_stream
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_kmeans_batch(
+            batch_df, epoch_id, state_dir, centroids, dim, vec_col, quant,
+            compact_every=compact_every,
+        )
+
+    return start_carried_stream(vec_stream, checkpoint_dir, process_batch, available_now)

@@ -3309,3 +3309,105 @@ def test_stream_documents_glob_metachar_path(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sum(seen) == 2
+
+
+def test_kmeans_stream_equals_batch_replay_and_compaction(spark, tmp_path):
+    """Stream == batch for k-means model maintenance: per-batch quantized
+    sum deltas against the frozen centroids fold to EXACTLY
+    kmeans_fit(union, n_iter=1) — integer sums commute, so the equality
+    is bit-exact and delivery-order-invariant. Replayed epochs never
+    double-weight; the additive store compacts to bounded dirs; empty
+    clusters keep the frozen centroid."""
+    import os
+
+    from epss_spark.operators import clustering
+    from epss_spark.streaming import kmeans_stream as ks
+
+    schema = "vec_id long, embedding array<float>"
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [10.0, 10.0]), (4, [11.0, 10.0]), (5, [10.0, 11.0]),
+    ]
+    frozen = [[0.0, 0.0], [10.0, 10.0], [100.0, 100.0]]
+    batches = [rows[:2], rows[2:5], rows[5:]]
+    state = str(tmp_path / "km")
+    for e, b in enumerate(batches):
+        ks.process_kmeans_batch(
+            spark.createDataFrame(b, schema), e, state, frozen, dim=2
+        )
+    want = clustering.kmeans_fit(
+        spark.createDataFrame(rows, schema), frozen, n_iter=1, dim=2
+    )
+    got = ks.kmeans_snapshot_centroids(spark, state, frozen, dim=2)
+    assert got == want  # bit-exact, incl. the untouched frozen centroid
+    assert got[2] == [100.0, 100.0]
+
+    # replay of the middle epoch: identical recompute, sums never double
+    ks.process_kmeans_batch(
+        spark.createDataFrame(batches[1], schema), 1, state, frozen, dim=2
+    )
+    assert ks.kmeans_snapshot_centroids(spark, state, frozen, dim=2) == want
+
+    # order-invariance: the same batches delivered in reverse epoch order
+    state_rev = str(tmp_path / "km_rev")
+    for e, b in enumerate(reversed(batches)):
+        ks.process_kmeans_batch(
+            spark.createDataFrame(b, schema), e, state_rev, frozen, dim=2
+        )
+    assert ks.kmeans_snapshot_centroids(spark, state_rev, frozen, dim=2) == want
+
+    # compaction: 6 single-vector epochs, compact_every=2 -> bounded dirs,
+    # identical model
+    auto = str(tmp_path / "km_auto")
+    for e, r in enumerate(rows):
+        ks.process_kmeans_batch(
+            spark.createDataFrame([r], schema), e, auto, frozen, dim=2,
+            compact_every=2,
+        )
+    assert ks.kmeans_snapshot_centroids(spark, auto, frozen, dim=2) == want
+    n_dirs = len([d for d in os.listdir(auto) if d.startswith("epoch-")])
+    assert n_dirs <= 4
+
+
+def test_kmeans_stream_via_streaming_query(spark, tmp_path):
+    """start_kmeans_stream end-to-end: file drops consumed one per
+    trigger (availableNow), snapshot model equals the one-shot
+    kmeans_fit over everything streamed."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import clustering
+    from epss_spark.streaming import kmeans_stream as ks
+
+    schema = "vec_id long, embedding array<float>"
+    rows = [
+        (0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [10.0, 10.0]), (3, [12.0, 10.0]),
+    ]
+    drop_dir = tmp_path / "kdrops"
+    drop_dir.mkdir()
+    for i, r in enumerate(rows):
+        staging = tmp_path / f"kstage_{i}"
+        spark.createDataFrame([r], schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"d{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    frozen = [[0.0, 0.0], [10.0, 10.0]]
+    state = str(tmp_path / "kq_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = ks.start_kmeans_stream(
+        stream, state, str(tmp_path / "kq_ckpt"), frozen, dim=2
+    )
+    q.awaitTermination(180)
+
+    want = clustering.kmeans_fit(
+        spark.createDataFrame(rows, schema), frozen, n_iter=1, dim=2
+    )
+    assert ks.kmeans_snapshot_centroids(spark, state, frozen, dim=2) == want
+    assert want[0] == pytest.approx([1.0, 0.0], abs=1e-9)
