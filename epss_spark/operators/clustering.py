@@ -194,3 +194,51 @@ def cluster_balanced_sample(
         .filter(F.col("pick_rank") <= per_cluster)
         .select(id_col, "cluster_id", "pick_rank")
     )
+
+
+def cluster_label_purity(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster label purity — the standard external evaluation of a
+    clustering against a ground-truth (or weak-label) column: for each
+    cell, the majority label, its count, and purity = n_majority / n.
+    Ties break on the lowest label so the result is engine-portable.
+    Purity near 1/|labels| means the embedding space carries no signal
+    for that labeling (the testdata's near-iid embeddings are exactly
+    this case); rising purity across Lloyd iterations is the cheap
+    in-engine check that training is doing something.
+
+    Scale shape: assignment is codegen; then one (cluster, label)
+    aggregate and one k-row cluster aggregate — the label-count grid is
+    k*|labels| rows, broadcast-sized. The single division is the same
+    deterministic double op in the SQL oracle."""
+    asg = assign_clusters(vectors, centroids, vec_col=vec_col)
+    counts = asg.groupBy("cluster_id", label_col).agg(F.count(F.lit(1)).alias("n_label"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_label").desc(), F.col(label_col).asc()
+    )
+    major = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(label_col).alias("majority_label"),
+            F.col("n_label").alias("n_majority"),
+        )
+    )
+    totals = asg.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        totals.join(major, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_points",
+            "majority_label",
+            "n_majority",
+            (F.col("n_majority").cast("double") / F.col("n_points").cast("double")).alias(
+                "purity"
+            ),
+        )
+    )

@@ -4621,3 +4621,47 @@ def sample_cluster_balanced(spark, sf_dir):
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
     return clustering.cluster_balanced_sample(emb, cents, per_cluster=16)
+
+
+@register(
+    "cluster_purity",
+    f"""
+    WITH {_KM_CHAIN},
+    af AS (
+      SELECT vec_id, cl FROM (
+        SELECT e.vec_id, c.i AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    lc AS (
+      SELECT a.cl AS cluster_id, e.label, count(*) AS n_label
+      FROM af a JOIN embeddings e ON e.vec_id = a.vec_id
+      GROUP BY a.cl, e.label
+    ),
+    mj AS (
+      SELECT cluster_id, label AS majority_label, n_label AS n_majority FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_label DESC, label) AS rn
+        FROM lc
+      ) WHERE rn = 1
+    ),
+    tot AS (
+      SELECT cluster_id, CAST(sum(n_label) AS BIGINT) AS n_points
+      FROM lc GROUP BY cluster_id
+    )
+    SELECT t.cluster_id, t.n_points, m.majority_label, m.n_majority,
+           CAST(m.n_majority AS DOUBLE) / CAST(t.n_points AS DOUBLE) AS purity
+    FROM tot t JOIN mj m ON m.cluster_id = t.cluster_id
+    """,
+)
+def cluster_purity(spark, sf_dir):
+    """External clustering evaluation (operators/clustering.py::
+    cluster_label_purity): the cluster_kmeans model's final assignment
+    scored against the embeddings' label column — per cell, the majority
+    label, its count, and purity = n_majority / n_points (ties on the
+    lowest label). The oracle replays the full two-iteration training
+    chain, then the same label-count grid and single double division."""
+    emb = T(spark, sf_dir, "embeddings")
+    init = clustering.init_centroids_by_id(emb, _KM_IDS)
+    cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+    return clustering.cluster_label_purity(emb, cents)

@@ -313,9 +313,10 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #     (SCD-2 query layer over the driver-green dedup_url_history build)
 #   join_asof_tolerance                    (merge_asof variant of the
 #     driver-green join_asof)
-#   sample_cluster_balanced                (round-11 newcomer; its
+#   sample_cluster_balanced / cluster_purity  (round-11 newcomers; their
 #     clustering class is held driver-green by cluster_kmeans, which
-#     trains the very model this sampler consumes)
+#     trains the very model the sampler consumes and the purity
+#     evaluation scores)
 # Everything else off-surface HAS been driver-green in some round and was
 # demoted in a documented swap above.
 

@@ -3380,3 +3380,20 @@ def test_kmeans_fit_reduces_inertia_on_real_embeddings(spark):
 
     trained = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
     assert inertia(trained) <= inertia(init)
+
+
+def test_cluster_label_purity_majority_and_ties(spark):
+    from epss_spark.operators import clustering
+
+    rows = [
+        (0, [0.0, 0.0], 7), (1, [1.0, 0.0], 7), (2, [0.0, 1.0], 3),
+        (3, [10.0, 10.0], 5), (4, [11.0, 10.0], 9),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    got = {r.cluster_id: r for r in clustering.cluster_label_purity(df, cents).collect()}
+    # cluster 0: labels {7: 2, 3: 1} -> majority 7, purity 2/3
+    assert got[0].majority_label == 7 and got[0].n_majority == 2
+    assert got[0].purity == pytest.approx(2 / 3, abs=1e-12)
+    # cluster 1: tie {5: 1, 9: 1} -> lowest label wins
+    assert got[1].majority_label == 5 and got[1].purity == 0.5
