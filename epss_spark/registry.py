@@ -273,7 +273,13 @@ DRIVER_SURFACE: tuple[str, ...] = (
     "filter_date_window",
     "join_multi",
     "join_theta",
-    "join_asof",
+    # round-11 late rotation (rotation-debt item): join_asof_tolerance —
+    # the merge_asof variant with a max-staleness bound (the form a
+    # feature-store join actually runs) — in for its sibling join_asof,
+    # driver-green since round 5, which keeps the as-of class covered in
+    # the pytest tier. This retires the last never-driver-green entry in
+    # the joins family.
+    "join_asof_tolerance",
     "agg_groupby",
     "agg_rollup",
     # round-8 rotation: agg_qdigest_quantiles — the only sketch class
@@ -311,8 +317,9 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #     ann_ivfpq_rerank / ann_lsh_multiprobe_rerank)
 #   dedup_url_asof / dedup_history_lookup / dedup_url_history_delta
 #     (SCD-2 query layer over the driver-green dedup_url_history build)
-#   join_asof_tolerance                    (merge_asof variant of the
-#     driver-green join_asof)
+#   (join_asof_tolerance cleared from this list by the round-11 late
+#     rotation above — it now holds the as-of driver slot; join_asof,
+#     driver-green rounds 5-10, moved to the pytest tier)
 #   sample_cluster_balanced / cluster_purity  (round-11 newcomers; their
 #     clustering class is held driver-green by cluster_kmeans, which
 #     trains the very model the sampler consumes and the purity
