@@ -242,3 +242,39 @@ def cluster_label_purity(
             ),
         )
     )
+
+
+def farthest_first_init(
+    vectors: DataFrame,
+    k: int,
+    start_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Gonzalez farthest-first traversal init: seed with a fixed row,
+    then k-1 times pick the point farthest (squared L2) from its nearest
+    already-chosen center — ties on the lowest id. Fully deterministic
+    (no RNG), so both engines replay it exactly; it is the 2-approximation
+    for k-center and the cure for the kmeans_fit local optimum a
+    clumped init causes (tools/cluster_probe.py `worst` mode: all-one-
+    cluster seeds plateau at 0.625 purity; FF init from the same start
+    point recovers 1.0).
+
+    Scale shape: each of the k-1 steps is one codegen min-distance
+    projection over the corpus + a TakeOrdered(1) — no shuffle, the
+    chosen set stays driver-sized (it IS the model). k scans total; at
+    100 TB run it on a sample, like any init."""
+    seed = vectors.filter(F.col(id_col) == start_id).select(vec_col).collect()
+    if not seed:
+        raise ValueError(f"start id not found in vectors: {start_id}")
+    cents = [[float(x) for x in seed[0][vec_col]]]
+    for _ in range(k - 1):
+        best = _best_centroid(F.col(vec_col), cents)
+        pick = (
+            vectors.select(id_col, vec_col, best["d"].alias("__d"))
+            .orderBy(F.col("__d").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append([float(x) for x in pick[vec_col]])
+    return cents

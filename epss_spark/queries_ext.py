@@ -4665,3 +4665,67 @@ def cluster_purity(spark, sf_dir):
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
     return clustering.cluster_label_purity(emb, cents)
+
+
+# Farthest-first (Gonzalez) init, oracle-checked end-to-end: the oracle
+# replays all k-1 deterministic picks (min-distance-to-chosen, farthest
+# next, ties on lowest id) in unrolled CTEs, then the same per-cluster
+# stats as cluster_kmeans over the resulting model. No RNG anywhere, no
+# averaging — distances are sequential folds, so no quantization is even
+# needed for bit-exactness.
+_FF_K = 8
+_FF_STEPS = "".join(
+    f""",
+    d{t} AS (
+      SELECT e.vec_id, e.embedding, min({_KM_D2}) AS md
+      FROM embeddings e CROSS JOIN f{t} c
+      GROUP BY e.vec_id, e.embedding
+    ),
+    p{t} AS (
+      SELECT vec_id, embedding FROM d{t} ORDER BY md DESC, vec_id ASC LIMIT 1
+    ),
+    f{t + 1} AS (
+      SELECT i, cv FROM f{t}
+      UNION ALL
+      SELECT {t} AS i, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM p{t}
+    )"""
+    for t in range(1, _FF_K)
+)
+
+
+@register(
+    "cluster_ff_init",
+    f"""
+    WITH f1 AS (
+      SELECT 0 AS i, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id = 0
+    ){_FF_STEPS},
+    af AS (
+      SELECT vec_id, cl, d2 FROM (
+        SELECT e.vec_id, c.i AS cl, {_KM_D2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN f{_FF_K} c
+      ) WHERE rn = 1
+    ),
+    g AS (
+      SELECT cl AS cluster_id, count(*) AS n_points,
+             CAST(sum(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+      FROM af GROUP BY cl
+    )
+    SELECT g.cluster_id, g.n_points,
+           CAST(qs AS DOUBLE) / CAST(n_points AS DOUBLE) / 1000000.0 AS avg_d2,
+           sqrt(list_sum(list_transform(c.cv, x -> x * x))) AS centroid_norm
+    FROM g JOIN f{_FF_K} c ON c.i = g.cluster_id
+    """,
+)
+def cluster_ff_init(spark, sf_dir):
+    """Gonzalez farthest-first traversal init (operators/clustering.py::
+    farthest_first_init): k=8 deterministic picks from vec_id 0, scored
+    with the same per-cluster stats as cluster_kmeans. The k-center
+    2-approximation init that rescues kmeans_fit from the clumped-seed
+    local optimum (tools/cluster_probe.py); every pick is a codegen
+    min-distance projection + TakeOrdered(1), zero shuffle."""
+    emb = T(spark, sf_dir, "embeddings")
+    cents = clustering.farthest_first_init(emb, k=_FF_K, start_id=0)
+    return clustering.kmeans_stats(emb, cents)

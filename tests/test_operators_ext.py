@@ -3397,3 +3397,25 @@ def test_cluster_label_purity_majority_and_ties(spark):
     assert got[0].purity == pytest.approx(2 / 3, abs=1e-12)
     # cluster 1: tie {5: 1, 9: 1} -> lowest label wins
     assert got[1].majority_label == 5 and got[1].purity == 0.5
+
+
+def test_farthest_first_init_picks_extremes_and_raises_on_missing(spark):
+    from epss_spark.operators import clustering
+
+    # 1-d line: from 0.0 the farthest is 100; then the point farthest
+    # from BOTH ends is 40 (min-dist 40 vs 10/30 for the others)
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [40.0, 0.0]),
+            (3, [70.0, 0.0]), (4, [100.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = clustering.farthest_first_init(df, k=3, start_id=0)
+    assert got == [[0.0, 0.0], [100.0, 0.0], [40.0, 0.0]]
+
+    # tie (symmetric points) breaks on the lowest id: from 50, both 0 and
+    # 100 are 50 away -> id 0 wins
+    rows2 = [(0, [0.0, 0.0]), (5, [50.0, 0.0]), (9, [100.0, 0.0])]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    got2 = clustering.farthest_first_init(df2, k=2, start_id=5)
+    assert got2 == [[50.0, 0.0], [0.0, 0.0]]
+
+    with pytest.raises(ValueError, match="start id not found"):
+        clustering.farthest_first_init(df, k=2, start_id=77)
