@@ -307,6 +307,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(deterministic, engine-portable); default: the k lowest ids",
     )
     cu.add_argument(
+        "--init",
+        choices=["ids", "ff"],
+        default="ids",
+        help="seeding strategy: fixed ids (default) or farthest-first "
+        "traversal from the lowest id (deterministic Gonzalez — the "
+        "insurance against clumped seeds, see tools/cluster_probe.py)",
+    )
+    cu.add_argument(
         "--per-cluster", type=int, default=16, help="--op sample: max picks per cell"
     )
     cu.add_argument("--id-col", default="vec_id")
@@ -625,21 +633,34 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "cluster":
         spark = get_spark("epss-spark-cli")
         spark.sparkContext.setLogLevel("ERROR")
+        from pyspark.sql import functions as F
+
         from epss_spark.operators import clustering as cl_ops
 
         vecs = spark.read.parquet(args.input)
-        if args.init_ids:
+        if args.init == "ff":
+            start = vecs.agg(F.min(args.id_col).alias("m")).collect()[0]["m"]
+            init = cl_ops.farthest_first_init(
+                vecs, k=args.k, start_id=start,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            init_ids = list(range(args.k))  # only len() is reported below
+        elif args.init_ids:
             init_ids = [int(x) for x in args.init_ids.split(",") if x.strip()]
+            init = cl_ops.init_centroids_by_id(
+                vecs, init_ids, id_col=args.id_col, vec_col=args.vec_col
+            )
         else:
             # deterministic default: the k lowest ids (a curated spread of
-            # ids — or a trained quantizer — is the production seed)
+            # ids — or farthest-first / a trained quantizer — is the
+            # production seed)
             init_ids = [
                 r[args.id_col]
                 for r in vecs.select(args.id_col).orderBy(args.id_col).limit(args.k).collect()
             ]
-        init = cl_ops.init_centroids_by_id(
-            vecs, init_ids, id_col=args.id_col, vec_col=args.vec_col
-        )
+            init = cl_ops.init_centroids_by_id(
+                vecs, init_ids, id_col=args.id_col, vec_col=args.vec_col
+            )
         cents = cl_ops.kmeans_fit(
             vecs, init, n_iter=args.n_iter, dim=args.dim, vec_col=args.vec_col
         )

@@ -278,3 +278,37 @@ def farthest_first_init(
         )
         cents.append([float(x) for x in pick[vec_col]])
     return cents
+
+
+def cluster_distance_outliers(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    frac: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier detection for corpus cleaning: within each
+    k-means cell, flag the floor(frac * n) points FARTHEST from their
+    centroid — garbage documents, mislabeled media, and encoder failures
+    land far from every centroid, so the per-cluster distance tail is
+    the cheap first-pass junk filter (cut before the expensive prep
+    tiers run). Rank-based by design, not an interpolated percentile:
+    ranks over (d2 desc, id asc) are pure integer logic on
+    cross-engine-identical distances, so the flag set is bit-exact with
+    a SQL oracle — no quantile-interpolation arithmetic to match.
+
+    Scale shape: assignment is codegen; the ranking is one window over
+    cluster_id (same exchange profile as cluster_balanced_sample).
+    Returns (id_col, cluster_id, d2, dist_rank), farthest first."""
+    asg = assign_clusters(vectors, centroids, vec_col=vec_col, d2_col="d2")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("d2").desc(), F.col(id_col).asc())
+    wn = Window.partitionBy("cluster_id")
+    return (
+        asg.withColumn("dist_rank", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(
+            F.col("dist_rank")
+            <= F.floor(F.lit(float(frac)) * F.col("__n").cast("double")).cast("long")
+        )
+        .select(id_col, "cluster_id", "d2", "dist_rank")
+    )

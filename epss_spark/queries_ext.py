@@ -4729,3 +4729,36 @@ def cluster_ff_init(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     cents = clustering.farthest_first_init(emb, k=_FF_K, start_id=0)
     return clustering.kmeans_stats(emb, cents)
+
+
+@register(
+    "cluster_outliers",
+    f"""
+    WITH {_KM_CHAIN},
+    af AS (
+      SELECT vec_id, cl, d2 FROM (
+        SELECT e.vec_id, c.i AS cl, {_KM_D2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cl AS cluster_id, d2, dist_rank FROM (
+      SELECT vec_id, cl, d2,
+             row_number() OVER (PARTITION BY cl ORDER BY d2 DESC, vec_id ASC) AS dist_rank,
+             count(*) OVER (PARTITION BY cl) AS n
+      FROM af
+    ) WHERE dist_rank <= CAST(floor(0.05 * CAST(n AS DOUBLE)) AS BIGINT)
+    """,
+)
+def cluster_outliers(spark, sf_dir):
+    """Per-cluster distance-tail outlier flags (operators/clustering.py::
+    cluster_distance_outliers): the 5% of each k-means cell farthest
+    from its centroid — the embedding-space junk filter a curation
+    pipeline runs before the expensive prep tiers. Rank-based (integer
+    logic over cross-engine-identical distances), so the oracle needs no
+    quantile-interpolation matching; it replays training CTE-for-CTE and
+    the same two windows."""
+    emb = T(spark, sf_dir, "embeddings")
+    init = clustering.init_centroids_by_id(emb, _KM_IDS)
+    cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+    return clustering.cluster_distance_outliers(emb, cents, frac=0.05)

@@ -320,11 +320,12 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #   (join_asof_tolerance cleared from this list by the round-11 late
 #     rotation above — it now holds the as-of driver slot; join_asof,
 #     driver-green rounds 5-10, moved to the pytest tier)
-#   sample_cluster_balanced / cluster_purity / cluster_ff_init
+#   sample_cluster_balanced / cluster_purity / cluster_ff_init /
+#   cluster_outliers
 #     (round-11 newcomers; their clustering class is held driver-green
 #     by cluster_kmeans, which trains the very model the sampler
-#     consumes, the purity evaluation scores, and the FF traversal
-#     seeds)
+#     consumes, the purity evaluation scores, the FF traversal seeds,
+#     and the distance-tail junk filter thresholds)
 # Everything else off-surface HAS been driver-green in some round and was
 # demoted in a documented swap above.
 

@@ -662,3 +662,31 @@ def test_cli_cluster_stats_and_sample(spark, tmp_path, capsys):
         per.setdefault(r.cluster_id, []).append(r.pick_rank)
     # default init (two lowest ids) still separates the two groups here
     assert {c: sorted(v) for c, v in per.items()} == {0: [1, 2], 1: [1, 2]}
+
+
+def test_cli_cluster_ff_init(spark, tmp_path, capsys):
+    """cluster --init ff seeds via farthest-first traversal from the
+    lowest id and matches the operator chain exactly."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering as cl
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [10.0, 10.0]), (4, [11.0, 10.0]), (5, [10.0, 11.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    in_path = str(tmp_path / "ffvecs")
+    vecs.write.parquet(in_path)
+
+    out_path = str(tmp_path / "ffstats")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path,
+        "--op", "stats", "--init", "ff", "--k", "2", "--n-iter", "1",
+        "--dim", "2",
+    ])
+    assert rc == 0
+    init = cl.farthest_first_init(vecs, k=2, start_id=0)
+    cents = cl.kmeans_fit(vecs, init, n_iter=1, dim=2)
+    want = {r.cluster_id: r.avg_d2 for r in cl.kmeans_stats(vecs, cents).collect()}
+    got = {r.cluster_id: r.avg_d2 for r in spark.read.parquet(out_path).collect()}
+    assert got == want

@@ -3419,3 +3419,16 @@ def test_farthest_first_init_picks_extremes_and_raises_on_missing(spark):
 
     with pytest.raises(ValueError, match="start id not found"):
         clustering.farthest_first_init(df, k=2, start_id=77)
+
+
+def test_cluster_distance_outliers_rank_semantics(spark):
+    from epss_spark.operators import clustering
+
+    # one cell of 10 points at increasing distance from the centroid:
+    # frac=0.2 -> floor(0.2*10)=2 farthest flagged, farthest first
+    rows = [(i, [float(i), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = clustering.cluster_distance_outliers(df, [[0.0, 0.0]], frac=0.2).collect()
+    assert [(r.vec_id, r.dist_rank) for r in got] == [(9, 1), (8, 2)]
+    # frac below 1/n flags nothing (floor(0.05*10) = 0)
+    assert clustering.cluster_distance_outliers(df, [[0.0, 0.0]], frac=0.05).count() == 0
