@@ -107,6 +107,7 @@ def kmeans_fit(
     dim: int = 64,
     vec_col: str = "embedding",
     quant: float = QUANT,
+    weight_col: str | None = None,
 ) -> list[list[float]]:
     """n_iter Lloyd updates from the given initial model; returns the
     refined centroids (Python floats — the model is driver-sized by
@@ -114,18 +115,29 @@ def kmeans_fit(
 
     Exact-arithmetic update, per the module contract: quantized BIGINT
     per-dimension sums (order-free), then s/n/quant in doubles. An empty
-    cluster keeps its previous centroid."""
+    cluster keeps its previous centroid.
+
+    `weight_col` (integer, >= 1) makes the update WEIGHTED — each row
+    counts weight times: n -> sum(w), per-dim sum -> sum(w * qval). The
+    use case is clustering post-dedup representatives by their family
+    size, so removing near-duplicates doesn't erase the density signal
+    the centroids should follow. Integer weights times integer quantized
+    values stay integer, so the exactness contract is unchanged."""
     k = len(centroids)
     cents = [[float(x) for x in c] for c in centroids]
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     sums = [
         F.sum(
-            F.floor(F.col(vec_col)[j].cast("double") * F.lit(quant) + F.lit(0.5)).cast("long")
+            w
+            * F.floor(F.col(vec_col)[j].cast("double") * F.lit(quant) + F.lit(0.5)).cast(
+                "long"
+            )
         ).alias(f"s{j}")
         for j in range(dim)
     ]
     for _ in range(n_iter):
         assigned = assign_clusters(vectors, cents, vec_col=vec_col)
-        rows = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
+        rows = assigned.groupBy("cluster_id").agg(F.sum(w).alias("n"), *sums).collect()
         upd = {
             int(r["cluster_id"]): [
                 float(r[f"s{j}"]) / float(r["n"]) / quant for j in range(dim)

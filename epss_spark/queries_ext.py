@@ -4519,10 +4519,11 @@ _KM_D2 = (
 )
 
 
-def _km_iter(t: int, prev: str, nxt: str) -> str:
+def _km_iter(t: int, prev: str, nxt: str, weight: str = "1") -> str:
     """One unrolled Lloyd iteration as SQL CTEs: assign to nearest `prev`
-    centroid, exact quantized per-dim means, empty clusters keep their
-    previous centroid (coalesce)."""
+    centroid, exact quantized per-dim means (each row counted `weight`
+    times — integer, so exactness is unchanged), empty clusters keep
+    their previous centroid (coalesce)."""
     return f"""
     a{t} AS (
       SELECT vec_id, embedding, cl FROM (
@@ -4533,8 +4534,8 @@ def _km_iter(t: int, prev: str, nxt: str) -> str:
     ),
     s{t} AS (
       SELECT cl, j,
-             CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
-             count(*) AS n
+             CAST(sum(CAST(({weight}) AS BIGINT) * CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(({weight}) AS BIGINT)) AS BIGINT) AS n
       FROM a{t}, range(1, 65) r(j)
       GROUP BY cl, j
     ),
@@ -4762,3 +4763,51 @@ def cluster_outliers(spark, sf_dir):
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
     return clustering.cluster_distance_outliers(emb, cents, frac=0.05)
+
+
+_KMW_WEIGHT = "(vec_id % 5) + 1"
+_KMW_CHAIN = f"""
+    c0 AS (
+      SELECT t.i, e.embedding AS cv
+      FROM (VALUES {_KM_VALUES}) t(i, cid)
+      JOIN embeddings e ON e.vec_id = t.cid
+    ),{_km_iter(1, "c0", "c1", weight=_KMW_WEIGHT)},{_km_iter(2, "c1", "c2", weight=_KMW_WEIGHT)}"""
+
+
+@register(
+    "cluster_kmeans_weighted",
+    f"""
+    WITH {_KMW_CHAIN},
+    af AS (
+      SELECT vec_id, cl, d2 FROM (
+        SELECT e.vec_id, c.i AS cl, {_KM_D2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    g AS (
+      SELECT cl AS cluster_id, count(*) AS n_points,
+             CAST(sum(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+      FROM af GROUP BY cl
+    )
+    SELECT g.cluster_id, g.n_points,
+           CAST(qs AS DOUBLE) / CAST(n_points AS DOUBLE) / 1000000.0 AS avg_d2,
+           sqrt(list_sum(list_transform(c.cv, x -> x * x))) AS centroid_norm
+    FROM g JOIN c2 c ON c.i = g.cluster_id
+    """,
+)
+def cluster_kmeans_weighted(spark, sf_dir):
+    """WEIGHTED Lloyd training (operators/clustering.py::kmeans_fit with
+    weight_col): each vector counts weight times in the centroid update —
+    the post-dedup shape, where a representative carries its near-dup
+    family size so removing duplicates doesn't erase the density signal.
+    Weights here are the deterministic stand-in (vec_id % 5) + 1; integer
+    weights times integer quantized sums keep the update exact, and the
+    oracle replays both weighted iterations CTE-for-CTE. Output is the
+    same per-cluster stats shape as cluster_kmeans, over the weighted
+    model's final assignment."""
+    emb = T(spark, sf_dir, "embeddings")
+    weighted = emb.withColumn("__w", (F.col("vec_id") % 5 + 1).cast("long"))
+    init = clustering.init_centroids_by_id(emb, _KM_IDS)
+    cents = clustering.kmeans_fit(weighted, init, n_iter=2, dim=64, weight_col="__w")
+    return clustering.kmeans_stats(emb, cents)

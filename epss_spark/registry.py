@@ -321,9 +321,10 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #     rotation above — it now holds the as-of driver slot; join_asof,
 #     driver-green rounds 5-10, moved to the pytest tier)
 #   sample_cluster_balanced / cluster_purity / cluster_ff_init /
-#   cluster_outliers
+#   cluster_outliers / cluster_kmeans_weighted
 #     (round-11 newcomers; their clustering class is held driver-green
-#     by cluster_kmeans, which trains the very model the sampler
+#     by cluster_kmeans, which exercises the same trainer the weighted
+#     variant parameterizes and trains the very model the sampler
 #     consumes, the purity evaluation scores, the FF traversal seeds,
 #     and the distance-tail junk filter thresholds)
 # Everything else off-surface HAS been driver-green in some round and was

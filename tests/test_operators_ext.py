@@ -3432,3 +3432,25 @@ def test_cluster_distance_outliers_rank_semantics(spark):
     assert [(r.vec_id, r.dist_rank) for r in got] == [(9, 1), (8, 2)]
     # frac below 1/n flags nothing (floor(0.05*10) = 0)
     assert clustering.cluster_distance_outliers(df, [[0.0, 0.0]], frac=0.05).count() == 0
+
+
+def test_kmeans_fit_weighted_equals_replication(spark):
+    """The weighted update's semantics, pinned against its definition:
+    training with integer weights equals training on the row-replicated
+    corpus (each row repeated weight times) — bit-exact, since both are
+    the same integer sums."""
+    from epss_spark.operators import clustering
+
+    rows = [(0, [0.0, 0.0], 3), (1, [6.0, 0.0], 1), (2, [10.0, 10.0], 2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, w int")
+    replicated = spark.createDataFrame(
+        [(i * 10 + j, v) for i, (vid, v, w) in enumerate(rows) for j in range(w)],
+        "vec_id long, embedding array<float>",
+    )
+    init = [[0.0, 0.0], [10.0, 10.0]]
+    got = clustering.kmeans_fit(df, init, n_iter=2, dim=2, weight_col="w")
+    want = clustering.kmeans_fit(replicated, init, n_iter=2, dim=2)
+    assert got == want
+    # and the weight actually matters: unweighted diverges
+    unweighted = clustering.kmeans_fit(df, init, n_iter=2, dim=2)
+    assert unweighted != got
