@@ -324,3 +324,30 @@ def cluster_distance_outliers(
         )
         .select(id_col, "cluster_id", "d2", "dist_rank")
     )
+
+
+def assignment_drift(
+    vectors: DataFrame,
+    centroids_before: Sequence[Sequence[float]],
+    centroids_after: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Model-promotion safety check: the contingency table of cell moves
+    between two centroid models — (cluster_before, cluster_after, n).
+    Read the diagonal mass as agreement; a promotion that reshuffles
+    half the corpus invalidates downstream per-cell artifacts (balanced
+    picks, outlier flags, SemDeDup groups) and should trigger their
+    rebuild, while a near-diagonal table means the refresh is safe to
+    roll forward. This is the gate to run on a `kmeans_stream` snapshot
+    before promoting it over the frozen window model.
+
+    Scale shape: BOTH assignments ride one codegen projection over a
+    single corpus scan (two plan-time-constant argmins), then one
+    bounded aggregate — at most k_before * k_after result rows."""
+    before = _best_centroid(F.col(vec_col), centroids_before)["i"]
+    after = _best_centroid(F.col(vec_col), centroids_after)["i"]
+    return (
+        vectors.select(before.alias("cluster_before"), after.alias("cluster_after"))
+        .groupBy("cluster_before", "cluster_after")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

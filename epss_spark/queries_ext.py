@@ -4811,3 +4811,35 @@ def cluster_kmeans_weighted(spark, sf_dir):
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(weighted, init, n_iter=2, dim=64, weight_col="__w")
     return clustering.kmeans_stats(emb, cents)
+
+
+@register(
+    "cluster_drift",
+    f"""
+    WITH {_KM_CHAIN},
+    af AS (
+      SELECT vec_id, cl FROM (
+        SELECT e.vec_id, c.i AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    )
+    SELECT a1.cl AS cluster_before, af.cl AS cluster_after, count(*) AS n
+    FROM a1 JOIN af ON af.vec_id = a1.vec_id
+    GROUP BY a1.cl, af.cl
+    """,
+)
+def cluster_drift(spark, sf_dir):
+    """Assignment-drift contingency (operators/clustering.py::
+    assignment_drift): cell moves between the sampled-point init model
+    and the 2-iteration trained model — the matrix a deployment reads
+    before promoting a refreshed model over the frozen one (a
+    near-diagonal table = safe; a reshuffle = rebuild the per-cell
+    artifacts). The oracle reuses the training chain's OWN intermediate
+    (a1 is the init-model assignment) joined to the final assignment;
+    the Spark side computes both argmins in one projection over a
+    single corpus scan."""
+    emb = T(spark, sf_dir, "embeddings")
+    init = clustering.init_centroids_by_id(emb, _KM_IDS)
+    cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+    return clustering.assignment_drift(emb, init, cents)

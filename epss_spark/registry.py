@@ -321,7 +321,7 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #     rotation above — it now holds the as-of driver slot; join_asof,
 #     driver-green rounds 5-10, moved to the pytest tier)
 #   sample_cluster_balanced / cluster_purity / cluster_ff_init /
-#   cluster_outliers / cluster_kmeans_weighted
+#   cluster_outliers / cluster_kmeans_weighted / cluster_drift
 #     (round-11 newcomers; their clustering class is held driver-green
 #     by cluster_kmeans, which exercises the same trainer the weighted
 #     variant parameterizes and trains the very model the sampler

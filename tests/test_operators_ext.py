@@ -3454,3 +3454,19 @@ def test_kmeans_fit_weighted_equals_replication(spark):
     # and the weight actually matters: unweighted diverges
     unweighted = clustering.kmeans_fit(df, init, n_iter=2, dim=2)
     assert unweighted != got
+
+
+def test_assignment_drift_contingency(spark):
+    from epss_spark.operators import clustering
+
+    rows = [(0, [0.0, 0.0]), (1, [4.0, 0.0]), (2, [10.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    before = [[0.0, 0.0], [10.0, 0.0]]
+    after = [[0.0, 0.0], [3.0, 0.0]]  # cell 1's centroid moved left
+    got = {
+        (r.cluster_before, r.cluster_after): r.n
+        for r in clustering.assignment_drift(df, before, after).collect()
+    }
+    # id 0 stays in 0; id 1 moves 0 -> 1 (closer to 3.0 than 0.0);
+    # id 2 stays in 1
+    assert got == {(0, 0): 1, (0, 1): 1, (1, 1): 1}

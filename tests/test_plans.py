@@ -612,7 +612,7 @@ def test_decontam_near_plan_no_cartesian_no_python(spark):
 def test_registry_wide_udf_free_invariant(spark):
     """SURVEY §2.13 across the WHOLE registry, not just the 50-entry
     driver surface (PLANS.json pins those): no registered query — all
-    172 — ever plans a row-at-a-time Python UDF, and Arrow-batched
+    173 — ever plans a row-at-a-time Python UDF, and Arrow-batched
     Python appears ONLY in the kernels where no per-row built-in exists
     (winnowing's rolling-hash window, greedy packing's bin fold, the
     realistic-codebook PQ ADC kernels, multimodal decode). A new query
