@@ -47,8 +47,21 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 QUANT = 1_000_000.0
+
+# Above this many centroid cells (k * dim), nearest-centroid assignment
+# switches from the plan-time-constant codegen projection to the
+# Arrow-batched numpy kernel. The codegen form compiles k*dim literals
+# into the Catalyst expression tree — O(k*dim) plan size per query — which
+# is ideal at small k (zero Python, whole-stage codegen) but at production
+# k (thousands of cells) the tree is tens of MB, codegen falls back to
+# interpreted, and driver planning time dominates. 8192 keeps every small
+# model (k=8 x dim=64 = 512 cells — the oracle-checked shape) on the
+# codegen path and routes k>=129 at dim=64 through Arrow. Same dual-path
+# design as pq_topk / pq_topk_batched (operators/similarity.py).
+BATCHED_ASSIGN_CELLS = 8192
 
 
 def _best_centroid(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
@@ -65,15 +78,87 @@ def _best_centroid(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
     return F.array_min(F.array(*dists))
 
 
+def _assign_batched(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str,
+    cluster_col: str,
+    d2_col: str | None,
+) -> DataFrame:
+    """Large-k nearest-centroid assignment as an Arrow-batched numpy
+    kernel (mapInPandas): the (k x dim) centroid matrix ships once per
+    task inside the closure instead of as k*dim expression-tree literals,
+    so plan size is O(1) in the model. BIT-IDENTICAL to the codegen form
+    (pinned in tests/test_operators_ext.py): distances accumulate in a
+    sequential fold over the dimension index (`acc += d*d` per j — the
+    same IEEE sub/mul/add sequence per element as F.aggregate's left
+    fold), float32 inputs widen to float64 before subtraction (exact,
+    matching cast-then-subtract), and np.argmin's first-minimum rule IS
+    the lowest-index tie-break of the struct-ordering argmin. Map-only:
+    no shuffle, no state; every other column passes through untouched.
+    Contract: non-null, fixed-dimension vectors (same as kmeans_fit)."""
+    import numpy as np
+
+    cents = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    k, dim = cents.shape
+    out_fields = list(vectors.schema.fields) + [
+        StructField(cluster_col, IntegerType(), False)
+    ]
+    if d2_col is not None:
+        out_fields.append(StructField(d2_col, DoubleType(), False))
+    out_schema = StructType(out_fields)
+
+    def _kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            acc = np.zeros((len(pdf), k), dtype=np.float64)
+            for j in range(dim):  # sequential over dims: fold-order parity
+                d = x[:, j : j + 1] - cents[None, :, j]
+                acc += d * d
+            best = np.argmin(acc, axis=1)  # first min = lowest-index ties
+            out = pdf.copy()
+            out[cluster_col] = best.astype(np.int32)
+            if d2_col is not None:
+                out[d2_col] = acc[np.arange(len(pdf)), best]
+            yield out
+
+    return vectors.mapInPandas(_kernel, schema=out_schema)
+
+
 def assign_clusters(
     vectors: DataFrame,
     centroids: Sequence[Sequence[float]],
     vec_col: str = "embedding",
     cluster_col: str = "cluster_id",
     d2_col: str | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
-    """Nearest-centroid assignment as a pure codegen projection (the
-    centroids are plan-time constants — no join, no shuffle, no Python)."""
+    """Nearest-centroid assignment. Two physical forms, one contract:
+
+    - "codegen" (small k): a pure plan-time-constant projection — the
+      centroids compile into the expression tree; no join, no shuffle,
+      no Python, whole-stage codegen.
+    - "batched" (large k): the Arrow-batched numpy kernel — plan size
+      independent of k*dim; map-only, zero shuffle.
+
+    "auto" picks codegen at or below BATCHED_ASSIGN_CELLS centroid cells
+    and batched above it. The two forms are pinned bit-identical
+    (assignments AND distances), so the switch is invisible to every
+    caller — kmeans_fit / stats / sampler / outliers all inherit the
+    scale path."""
+    if impl == "auto":
+        k = len(centroids)
+        dim = len(centroids[0]) if k else 0
+        impl = "batched" if k * dim > BATCHED_ASSIGN_CELLS else "codegen"
+    if impl == "batched":
+        return _assign_batched(vectors, centroids, vec_col, cluster_col, d2_col)
+    if impl != "codegen":
+        raise ValueError(f"unknown assignment impl: {impl!r}")
     out = vectors.withColumn("__best", _best_centroid(F.col(vec_col), centroids))
     out = out.withColumn(cluster_col, F.col("__best")["i"])
     if d2_col is not None:
@@ -100,6 +185,62 @@ def init_centroids_by_id(
     return [rows[i] for i in init_ids]
 
 
+# Exact-arithmetic overflow bound: the per-cluster per-dimension BIGINT
+# sums of weight * floor(x*QUANT + 0.5) wrap silently past 2^63. They are
+# collected to the driver every iteration anyway, so check_model_sums
+# asserts each |s| < 2^62 (headroom for one more doubling) and each n > 0.
+# In corpus terms: n_cluster * |x| * weight * QUANT must stay below
+# 2^62 ≈ 4.6e18 — at |x| <= 1 and QUANT = 1e6 that is ~4.6e12 weighted
+# rows PER CLUSTER, unreachable at any tested scale but stated (and
+# enforced) so a future unit-scaled corpus fails loudly, not wrongly.
+SUM_GUARD = 1 << 62
+
+
+def check_model_sums(rows, dim: int, what: str = "kmeans_fit") -> None:
+    """Loud-failure guard on collected per-cluster model sums: every
+    per-dimension quantized sum must sit inside the SUM_GUARD headroom
+    band and every cluster count must be a positive integer. Driver-side
+    over k rows — free relative to the scan that produced them."""
+    for r in rows:
+        n = r["n"]
+        cid = r["cluster_id"]
+        if n is None or n <= 0:
+            raise ValueError(
+                f"{what}: cluster {cid} has non-positive weighted count {n!r} "
+                "(NULL or <1 weights in weight_col?)"
+            )
+        for j in range(dim):
+            s = r[f"s{j}"]
+            if s is None or abs(s) >= SUM_GUARD:
+                raise OverflowError(
+                    f"{what}: cluster {cid} dim {j} quantized sum {s!r} exceeds "
+                    f"the 2^62 exact-arithmetic bound — rescale the corpus or "
+                    "lower quant"
+                )
+
+
+def sample_vectors(
+    vectors: DataFrame,
+    frac: float,
+    id_col: str = "vec_id",
+    salt: str = "kmeans",
+) -> DataFrame:
+    """Deterministic, engine-portable row sample for model training: keep
+    a row iff its 60-bit md5(salt|id) coin falls below frac — the same
+    coin as train_split / cluster_balanced_sample, so the sample is
+    stable across runs, engines, partitionings, and corpus appends
+    (unlike DataFrame.sample / RNG seeds, which are partitioning-
+    dependent). Pure projection filter: no shuffle, pushes past the scan.
+    DuckDB replays it verbatim as
+    CAST('0x' || substr(md5(salt || '|' || CAST(id AS VARCHAR)), 1, 15)
+         AS BIGINT) < floor(frac * 2^60)."""
+    from epss_spark.operators.dedup import _md5_60bit
+
+    thresh = int((1 << 60) * frac)
+    h = _md5_60bit(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    return vectors.filter(h < F.lit(thresh))
+
+
 def kmeans_fit(
     vectors: DataFrame,
     centroids: Sequence[Sequence[float]],
@@ -108,6 +249,10 @@ def kmeans_fit(
     vec_col: str = "embedding",
     quant: float = QUANT,
     weight_col: str | None = None,
+    assign_impl: str = "auto",
+    sample_frac: float | None = None,
+    id_col: str = "vec_id",
+    sample_salt: str = "kmeans",
 ) -> list[list[float]]:
     """n_iter Lloyd updates from the given initial model; returns the
     refined centroids (Python floats — the model is driver-sized by
@@ -115,16 +260,33 @@ def kmeans_fit(
 
     Exact-arithmetic update, per the module contract: quantized BIGINT
     per-dimension sums (order-free), then s/n/quant in doubles. An empty
-    cluster keeps its previous centroid.
+    cluster keeps its previous centroid. Sums are driver-checked against
+    the 2^62 overflow bound (SUM_GUARD) every iteration.
 
     `weight_col` (integer, >= 1) makes the update WEIGHTED — each row
     counts weight times: n -> sum(w), per-dim sum -> sum(w * qval). The
     use case is clustering post-dedup representatives by their family
     size, so removing near-duplicates doesn't erase the density signal
     the centroids should follow. Integer weights times integer quantized
-    values stay integer, so the exactness contract is unchanged."""
+    values stay integer, so the exactness contract is unchanged. A NULL
+    or <1 weight raises (it would silently drop rows from n and the sums
+    or drive a cluster count non-positive).
+
+    `assign_impl` routes the per-iteration assignment: "auto" (default)
+    uses the codegen projection up to BATCHED_ASSIGN_CELLS centroid
+    cells and the bit-identical Arrow kernel above — so a production-k
+    fit (thousands of cells) never builds the O(k*dim) expression tree.
+
+    `sample_frac` trains on the deterministic md5-coin sample
+    (sample_vectors, keyed on `id_col` with `sample_salt`) instead of
+    the full corpus — the documented 100-TB shape: fit the model on a
+    reproducible sample, then assign the full corpus with the returned
+    centroids. The sample is engine-portable, so an oracle can replay
+    the exact same training set."""
     k = len(centroids)
     cents = [[float(x) for x in c] for c in centroids]
+    if sample_frac is not None:
+        vectors = sample_vectors(vectors, sample_frac, id_col=id_col, salt=sample_salt)
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     sums = [
         F.sum(
@@ -135,9 +297,21 @@ def kmeans_fit(
         ).alias(f"s{j}")
         for j in range(dim)
     ]
+    aggs = [F.sum(w).alias("n"), *sums]
+    if weight_col:
+        # free rider on the same aggregate: detect NULL / <1 weights so a
+        # bad weight column fails loudly instead of corrupting the model
+        bad = F.when(F.col(weight_col).isNull() | (w < 1), 1).otherwise(0)
+        aggs.append(F.max(bad).alias("__badw"))
     for _ in range(n_iter):
-        assigned = assign_clusters(vectors, cents, vec_col=vec_col)
-        rows = assigned.groupBy("cluster_id").agg(F.sum(w).alias("n"), *sums).collect()
+        assigned = assign_clusters(vectors, cents, vec_col=vec_col, impl=assign_impl)
+        rows = assigned.groupBy("cluster_id").agg(*aggs).collect()
+        if weight_col and any(r["__badw"] for r in rows):
+            raise ValueError(
+                f"kmeans_fit: weight_col {weight_col!r} contains NULL or <1 "
+                "values — weights must be integers >= 1"
+            )
+        check_model_sums(rows, dim)
         upd = {
             int(r["cluster_id"]): [
                 float(r[f"s{j}"]) / float(r["n"]) / quant for j in range(dim)
@@ -351,3 +525,19 @@ def assignment_drift(
         .groupBy("cluster_before", "cluster_after")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def drift_fraction(drift: DataFrame) -> float:
+    """Off-diagonal mass of an assignment_drift contingency table — the
+    single number the promotion gate thresholds on: the fraction of the
+    corpus whose cell changes under the candidate model. One aggregate
+    over the (<= k_before * k_after)-row table; exact integer counts,
+    one double division."""
+    row = drift.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.when(F.col("cluster_before") != F.col("cluster_after"), F.col("n")).otherwise(F.lit(0))).alias("moved"),
+    ).collect()[0]
+    total = int(row["total"] or 0)
+    if total == 0:
+        return 0.0
+    return float(int(row["moved"] or 0)) / float(total)

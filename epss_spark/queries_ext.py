@@ -4519,17 +4519,19 @@ _KM_D2 = (
 )
 
 
-def _km_iter(t: int, prev: str, nxt: str, weight: str = "1") -> str:
+def _km_iter(t: int, prev: str, nxt: str, weight: str = "1", src: str = "embeddings") -> str:
     """One unrolled Lloyd iteration as SQL CTEs: assign to nearest `prev`
     centroid, exact quantized per-dim means (each row counted `weight`
     times — integer, so exactness is unchanged), empty clusters keep
-    their previous centroid (coalesce)."""
+    their previous centroid (coalesce). `src` is the training relation —
+    the full corpus by default, or a deterministic md5-coin sample CTE
+    for the sampled-trainer oracle."""
     return f"""
     a{t} AS (
       SELECT vec_id, embedding, cl FROM (
         SELECT e.vec_id, e.embedding, c.i AS cl,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
-        FROM embeddings e CROSS JOIN {prev} c
+        FROM {src} e CROSS JOIN {prev} c
       ) WHERE rn = 1
     ),
     s{t} AS (
@@ -4843,3 +4845,57 @@ def cluster_drift(spark, sf_dir):
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
     return clustering.assignment_drift(emb, init, cents)
+
+
+_KMS_THRESH = int((1 << 60) * 0.5)
+_KMS_CHAIN = f"""
+    emb_s AS (
+      SELECT * FROM embeddings
+      WHERE CAST('0x' || substr(md5('kmeans|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) < {_KMS_THRESH}
+    ),
+    c0 AS (
+      SELECT t.i, e.embedding AS cv
+      FROM (VALUES {_KM_VALUES}) t(i, cid)
+      JOIN embeddings e ON e.vec_id = t.cid
+    ),{_km_iter(1, "c0", "c1", src="emb_s")},{_km_iter(2, "c1", "c2", src="emb_s")}"""
+
+
+@register(
+    "cluster_kmeans_sampled",
+    f"""
+    WITH {_KMS_CHAIN},
+    af AS (
+      SELECT vec_id, cl, d2 FROM (
+        SELECT e.vec_id, c.i AS cl, {_KM_D2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    g AS (
+      SELECT cl AS cluster_id, count(*) AS n_points,
+             CAST(sum(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+      FROM af GROUP BY cl
+    )
+    SELECT g.cluster_id, g.n_points,
+           CAST(qs AS DOUBLE) / CAST(n_points AS DOUBLE) / 1000000.0 AS avg_d2,
+           sqrt(list_sum(list_transform(c2.cv, x -> x * x))) AS centroid_norm
+    FROM g JOIN c2 ON c2.i = g.cluster_id
+    """,
+)
+def cluster_kmeans_sampled(spark, sf_dir):
+    """The production training shape as one first-class call
+    (operators/clustering.py::kmeans_fit with sample_frac +
+    sample_vectors): TRAIN the Lloyd model on the deterministic md5-coin
+    half-sample (engine-portable — stable across runs, partitionings,
+    and corpus appends, unlike RNG sampling), then ASSIGN and audit the
+    FULL corpus with the sampled-trained centroids. This is the 100-TB
+    recipe DEPLOYMENT.md prescribes — at scale the trainer's n_iter
+    scans touch only the sample while per-cluster stats still cover
+    everything. The oracle replays the identical coin
+    (CAST('0x' || substr(md5('kmeans|' || id), 1, 15) AS BIGINT) <
+    floor(frac * 2^60)) and both weighted iterations CTE-for-CTE over
+    the sampled relation, then the full-corpus assignment."""
+    emb = T(spark, sf_dir, "embeddings")
+    init = clustering.init_centroids_by_id(emb, _KM_IDS)
+    cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64, sample_frac=0.5)
+    return clustering.kmeans_stats(emb, cents)

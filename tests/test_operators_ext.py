@@ -3470,3 +3470,160 @@ def test_assignment_drift_contingency(spark):
     # id 0 stays in 0; id 1 moves 0 -> 1 (closer to 3.0 than 0.0);
     # id 2 stays in 1
     assert got == {(0, 0): 1, (0, 1): 1, (1, 1): 1}
+
+
+def test_assign_clusters_batched_bit_identical_to_codegen(spark):
+    """The large-k Arrow kernel vs the codegen projection, on the real
+    sf0.001 embeddings with a trained model: assignments AND d2 must be
+    exactly equal (==, no tolerance) — the dual-path contract that makes
+    the BATCHED_ASSIGN_CELLS auto-switch invisible to every caller."""
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    init = clustering.init_centroids_by_id(emb, [0, 61, 122, 183, 244, 305, 366, 427])
+    cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+    a = {
+        r.vec_id: (r.cluster_id, r.d2)
+        for r in clustering.assign_clusters(emb, cents, d2_col="d2", impl="codegen")
+        .select("vec_id", "cluster_id", "d2")
+        .collect()
+    }
+    b = {
+        r.vec_id: (r.cluster_id, r.d2)
+        for r in clustering.assign_clusters(emb, cents, d2_col="d2", impl="batched")
+        .select("vec_id", "cluster_id", "d2")
+        .collect()
+    }
+    assert len(a) == 500 and a == b
+
+
+def test_assign_clusters_batched_tie_breaks_lowest_index(spark):
+    from epss_spark.operators import clustering
+
+    df = spark.createDataFrame([(0, [5.0, 5.0])], "vec_id long, embedding array<float>")
+    out = clustering.assign_clusters(
+        df, [[0.0, 0.0], [10.0, 10.0]], impl="batched"
+    ).collect()
+    assert out[0]["cluster_id"] == 0
+
+
+def test_assign_clusters_auto_dispatch_threshold(spark):
+    """auto = codegen at or below BATCHED_ASSIGN_CELLS centroid cells,
+    the Arrow kernel above: the small-model plan must stay pure codegen
+    (no Python) and the large-model plan must be map-only Arrow with no
+    exchange and no O(k*dim) literal tree."""
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    small = [[0.0] * 64 for _ in range(8)]  # 512 cells
+    p_small = (
+        clustering.assign_clusters(emb, small)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in p_small and "EvalPython" not in p_small
+    big = [[float(i % 7)] * 64 for i in range(129)]  # 8256 cells > 8192
+    plan_big = clustering.assign_clusters(emb, big)._jdf.queryExecution()
+    p_big = plan_big.executedPlan().toString()
+    assert "MapInPandas" in p_big
+    assert "Exchange" not in p_big  # map-only: assignment never shuffles
+
+
+def test_kmeans_fit_batched_impl_bit_identical(spark):
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    init = clustering.init_centroids_by_id(emb, [0, 61, 122, 183])
+    c_expr = clustering.kmeans_fit(emb, init, n_iter=2, dim=64, assign_impl="codegen")
+    c_arrow = clustering.kmeans_fit(emb, init, n_iter=2, dim=64, assign_impl="batched")
+    assert c_expr == c_arrow
+
+
+def test_sample_vectors_deterministic_and_oracle_portable(spark):
+    """The md5-coin training sample: stable across runs, and DuckDB's
+    spelling of the same coin selects the exact same ids — the property
+    that makes cluster_kmeans_sampled oracle-checkable."""
+    import duckdb
+
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = sorted(r.vec_id for r in clustering.sample_vectors(emb, 0.5).select("vec_id").collect())
+    again = sorted(r.vec_id for r in clustering.sample_vectors(emb, 0.5).select("vec_id").collect())
+    assert got == again and 0 < len(got) < 500
+    thresh = int((1 << 60) * 0.5)
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            "SELECT vec_id FROM '/root/testdata/sf0.001/embeddings.parquet' "
+            "WHERE CAST('0x' || substr(md5('kmeans|' || CAST(vec_id AS VARCHAR)), 1, 15) "
+            f"AS BIGINT) < {thresh}"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_kmeans_fit_sampled_trains_on_the_coin_subset(spark):
+    """kmeans_fit(sample_frac=) == kmeans_fit on the pre-filtered
+    sample_vectors subset — the first-class spelling of the documented
+    'train on a sample, assign the full corpus' production shape."""
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    init = clustering.init_centroids_by_id(emb, [0, 61, 122, 183])
+    got = clustering.kmeans_fit(emb, init, n_iter=2, dim=64, sample_frac=0.5)
+    want = clustering.kmeans_fit(
+        clustering.sample_vectors(emb, 0.5), init, n_iter=2, dim=64
+    )
+    assert got == want
+    assert got != clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+
+
+def test_kmeans_fit_rejects_null_and_sub_one_weights(spark):
+    from epss_spark.operators import clustering
+
+    init = [[0.0, 0.0], [10.0, 10.0]]
+    bad_null = spark.createDataFrame(
+        [(0, [0.0, 0.0], 2), (1, [10.0, 10.0], None)],
+        "vec_id long, embedding array<float>, w int",
+    )
+    with pytest.raises(ValueError, match="NULL or <1"):
+        clustering.kmeans_fit(bad_null, init, n_iter=1, dim=2, weight_col="w")
+    bad_zero = spark.createDataFrame(
+        [(0, [0.0, 0.0], 0), (1, [10.0, 10.0], 1)],
+        "vec_id long, embedding array<float>, w int",
+    )
+    with pytest.raises(ValueError, match="NULL or <1"):
+        clustering.kmeans_fit(bad_zero, init, n_iter=1, dim=2, weight_col="w")
+
+
+def test_check_model_sums_overflow_and_count_guards():
+    """The 2^62 exact-arithmetic bound, exercised at the boundary with
+    synthetic collected rows (the real corpus cannot reach it — that is
+    the point of the guard being an assert, not a code path)."""
+    from epss_spark.operators.clustering import SUM_GUARD, check_model_sums
+
+    ok = [{"cluster_id": 0, "n": 3, "s0": SUM_GUARD - 1, "s1": -(SUM_GUARD - 1)}]
+    check_model_sums(ok, dim=2)  # at the last representable magnitude: fine
+    with pytest.raises(OverflowError, match="2\\^62"):
+        check_model_sums([{"cluster_id": 0, "n": 3, "s0": SUM_GUARD, "s1": 0}], dim=2)
+    with pytest.raises(OverflowError, match="2\\^62"):
+        check_model_sums([{"cluster_id": 1, "n": 3, "s0": 0, "s1": -SUM_GUARD}], dim=2)
+    with pytest.raises(ValueError, match="non-positive"):
+        check_model_sums([{"cluster_id": 0, "n": 0, "s0": 0, "s1": 0}], dim=2)
+
+
+def test_drift_fraction_off_diagonal_mass(spark):
+    from epss_spark.operators import clustering
+
+    rows = [(0, [0.0, 0.0]), (1, [4.0, 0.0]), (2, [10.0, 0.0]), (3, [9.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    before = [[0.0, 0.0], [10.0, 0.0]]
+    drift_none = clustering.assignment_drift(df, before, before)
+    assert clustering.drift_fraction(drift_none) == 0.0
+    after = [[0.0, 0.0], [3.0, 0.0]]  # id 1 moves cell 0 -> 1
+    moved = clustering.drift_fraction(clustering.assignment_drift(df, before, after))
+    assert moved == pytest.approx(0.25, abs=1e-12)
