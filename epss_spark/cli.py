@@ -293,11 +293,44 @@ def build_parser() -> argparse.ArgumentParser:
         help="deterministic Lloyd k-means over an embeddings parquet "
         "(extension): train an exact-arithmetic centroid model, then write "
         "per-cluster diagnostics (--op stats) or a cluster-balanced "
-        "curation sample (--op sample)",
+        "curation sample (--op sample); --op train persists the model "
+        "artifact, --op promote gates a kmeans_stream snapshot behind the "
+        "assignment-drift check before rolling it forward",
     )
     cu.add_argument("--input", required=True, help="parquet with (vec_id, embedding)")
     cu.add_argument("--output", required=True, help="output parquet")
-    cu.add_argument("--op", choices=["stats", "sample"], default="stats")
+    cu.add_argument("--op", choices=["stats", "sample", "train", "promote"], default="stats")
+    cu.add_argument(
+        "--centroids",
+        help="saved model parquet (from --op train): stats/sample APPLY it "
+        "instead of retraining; promote uses it as the frozen window model",
+    )
+    cu.add_argument(
+        "--state",
+        help="--op promote: kmeans_stream state dir holding the additive "
+        "quantized-sum deltas to fold into the candidate model",
+    )
+    cu.add_argument(
+        "--max-moved-frac",
+        type=float,
+        default=0.2,
+        help="--op promote: maximum fraction of vectors whose cell may "
+        "change under the candidate model; above it the promotion is "
+        "refused (exit 2) and per-cell artifacts need a rebuild",
+    )
+    cu.add_argument(
+        "--expected-n",
+        type=int,
+        help="--op promote: expected total vector count in the stream "
+        "store; a mismatch (duplicate or dropped deliveries) refuses the "
+        "promotion (exit 3)",
+    )
+    cu.add_argument(
+        "--sample-frac",
+        type=float,
+        help="train on the deterministic md5-coin sample of this fraction "
+        "(engine-portable; the 100-TB trainer shape)",
+    )
     cu.add_argument("--k", type=int, default=8, help="clusters (ignored with --init-ids)")
     cu.add_argument("--n-iter", type=int, default=2, help="Lloyd updates")
     cu.add_argument("--dim", type=int, default=64, help="embedding dimensionality")
@@ -638,7 +671,50 @@ def main(argv: list[str] | None = None) -> int:
         from epss_spark.operators import clustering as cl_ops
 
         vecs = spark.read.parquet(args.input)
-        if args.init == "ff":
+        if args.op == "promote":
+            # the drift-gated promotion cycle (DEPLOYMENT.md §promotion):
+            # fold the stream store into the candidate model, audit the
+            # delivery count, gate on assignment drift, then roll forward
+            from epss_spark.streaming import kmeans_stream as km_stream
+
+            if not args.centroids or not args.state:
+                print("cluster promote: --centroids and --state are required")
+                return 2
+            frozen = cl_ops.read_model(spark, args.centroids)
+            if args.expected_n is not None:
+                total = km_stream.kmeans_snapshot_total(spark, args.state)
+                if total != args.expected_n:
+                    print(
+                        f"cluster promote: REFUSED — store absorbed {total} "
+                        f"vectors, expected {args.expected_n} (duplicate or "
+                        "dropped deliveries); rebuild from batch"
+                    )
+                    return 3
+            candidate = km_stream.kmeans_snapshot_centroids(
+                spark, args.state, frozen, dim=args.dim
+            )
+            moved = cl_ops.drift_fraction(
+                cl_ops.assignment_drift(vecs, frozen, candidate, vec_col=args.vec_col)
+            )
+            if moved > args.max_moved_frac:
+                print(
+                    f"cluster promote: REFUSED — {moved:.4f} of vectors change "
+                    f"cells (> {args.max_moved_frac}); promote would invalidate "
+                    "per-cell artifacts — rebuild them, then retry"
+                )
+                return 2
+            cl_ops.write_model(spark, candidate, args.output)
+            print(
+                f"cluster promote: moved_frac={moved:.4f} <= "
+                f"{args.max_moved_frac} -> promoted {len(candidate)}-cell "
+                f"model -> {args.output}"
+            )
+            return 0
+        if args.centroids:
+            # apply a saved model: no retraining, assignment-only ops
+            cents = cl_ops.read_model(spark, args.centroids)
+            init_ids = list(range(len(cents)))
+        elif args.init == "ff":
             start = vecs.agg(F.min(args.id_col).alias("m")).collect()[0]["m"]
             init = cl_ops.farthest_first_init(
                 vecs, k=args.k, start_id=start,
@@ -661,9 +737,19 @@ def main(argv: list[str] | None = None) -> int:
             init = cl_ops.init_centroids_by_id(
                 vecs, init_ids, id_col=args.id_col, vec_col=args.vec_col
             )
-        cents = cl_ops.kmeans_fit(
-            vecs, init, n_iter=args.n_iter, dim=args.dim, vec_col=args.vec_col
-        )
+        if not args.centroids:
+            cents = cl_ops.kmeans_fit(
+                vecs, init, n_iter=args.n_iter, dim=args.dim, vec_col=args.vec_col,
+                sample_frac=args.sample_frac, id_col=args.id_col,
+            )
+        if args.op == "train":
+            cl_ops.write_model(spark, cents, args.output)
+            print(
+                f"cluster train: k={len(cents)}, {args.n_iter} iterations"
+                + (f", sample_frac={args.sample_frac}" if args.sample_frac else "")
+                + f" -> model -> {args.output}"
+            )
+            return 0
         if args.op == "stats":
             out = cl_ops.kmeans_stats(vecs, cents, vec_col=args.vec_col).orderBy("cluster_id")
         else:

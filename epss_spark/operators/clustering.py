@@ -322,6 +322,31 @@ def kmeans_fit(
     return cents
 
 
+def write_model(spark, centroids: Sequence[Sequence[float]], path: str) -> None:
+    """Persist a centroid model as the lifecycle artifact the CLI verbs
+    exchange: one parquet of (cluster_id, centroid array<double>), k
+    rows. Doubles round-trip parquet bit-exactly, so a model written by
+    `cluster --op train` and read back for `--op promote`'s drift gate
+    is the same model to the last bit."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    df = spark.createDataFrame(rows, "cluster_id int, centroid array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_model(spark, path: str) -> list[list[float]]:
+    """Read a write_model artifact back into the driver-side model form.
+    Raises if cluster ids are not the contiguous 0..k-1 range (a partial
+    or corrupted model must not silently shrink k)."""
+    rows = sorted(
+        ((int(r["cluster_id"]), [float(x) for x in r["centroid"]])
+         for r in spark.read.parquet(path).collect()),
+    )
+    ids = [i for i, _ in rows]
+    if ids != list(range(len(ids))) or not ids:
+        raise ValueError(f"model at {path}: cluster ids {ids} are not 0..k-1")
+    return [c for _, c in rows]
+
+
 def kmeans_stats(
     vectors: DataFrame,
     centroids: Sequence[Sequence[float]],

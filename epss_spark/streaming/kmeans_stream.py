@@ -99,6 +99,20 @@ def kmeans_sums_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     return df.groupBy("cluster_id").agg(*aggs)
 
 
+def kmeans_snapshot_total(spark: SparkSession, state_path: str) -> int:
+    """Total vector count the store has absorbed — the cheap audit for
+    the stream's exactly-once-per-vector-id input contract. A vector
+    re-delivered in a DIFFERENT epoch double-weights the model silently
+    (same-epoch replays are safe via the epoch-scoped overwrite), and
+    the additive k-row store cannot detect that from the inside; what it
+    CAN do is expose sum(n), which the promotion gate compares against
+    the corpus size the operator expects (DEPLOYMENT.md §promotion). A
+    mismatch means duplicate or dropped deliveries — rebuild from batch
+    instead of promoting. One aggregate over the bounded store."""
+    row = kmeans_sums_snapshot(spark, state_path).agg(F.sum("n").alias("t")).collect()[0]
+    return int(row["t"] or 0)
+
+
 def kmeans_snapshot_centroids(
     spark: SparkSession,
     state_path: str,
@@ -110,8 +124,10 @@ def kmeans_snapshot_centroids(
     `kmeans_fit(union_of_all_batches, init=centroids, n_iter=1)` under
     the each-vector-arrives-once contract — the same float(s)/float(n)/Q
     division chain, empty clusters keep the frozen centroid. k rows
-    collect (the model is driver-sized by construction)."""
+    collect (the model is driver-sized by construction); the collected
+    sums go through the same 2^62 overflow guard as kmeans_fit."""
     rows = kmeans_sums_snapshot(spark, state_path).collect()
+    clustering.check_model_sums(rows, dim, what="kmeans_snapshot_centroids")
     upd = {
         int(r["cluster_id"]): [float(r[f"s{j}"]) / float(r["n"]) / quant for j in range(dim)]
     for r in rows

@@ -3411,3 +3411,107 @@ def test_kmeans_stream_via_streaming_query(spark, tmp_path):
     )
     assert ks.kmeans_snapshot_centroids(spark, state, frozen, dim=2) == want
     assert want[0] == pytest.approx([1.0, 0.0], abs=1e-9)
+
+
+def test_kmeans_drift_gated_promotion_lifecycle(spark, tmp_path, capsys):
+    """The composed promotion contract DEPLOYMENT.md prescribes, driven
+    end-to-end through the CLI verbs: train a frozen window model
+    (`cluster --op train`), stream vector deltas against it
+    (kmeans_stream), then `cluster --op promote` folds the snapshot,
+    audits total deliveries, gates on assignment drift, and either rolls
+    the model forward or refuses. Each step pinned stream == batch."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering
+    from epss_spark.streaming import kmeans_stream as ks
+
+    schema = "vec_id long, embedding array<float>"
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [10.0, 10.0]), (4, [11.0, 10.0]), (5, [10.0, 11.0]),
+    ]
+    vecs = spark.createDataFrame(rows, schema)
+    in_path = str(tmp_path / "vecs")
+    vecs.write.parquet(in_path)
+
+    # 1. freeze a window model via the CLI train verb
+    model_path = str(tmp_path / "model_v1")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", model_path,
+        "--op", "train", "--init-ids", "0,3", "--n-iter", "1", "--dim", "2",
+    ])
+    assert rc == 0 and "model" in capsys.readouterr().out
+    frozen = clustering.read_model(spark, model_path)
+    init = clustering.init_centroids_by_id(vecs, [0, 3])
+    assert frozen == clustering.kmeans_fit(vecs, init, n_iter=1, dim=2)
+
+    # 2. the maintenance stream absorbs the corpus against the frozen model
+    state = str(tmp_path / "km_state")
+    for e, batch in enumerate([rows[:3], rows[3:]]):
+        ks.process_kmeans_batch(
+            spark.createDataFrame(batch, schema), e, state, frozen, dim=2
+        )
+    assert ks.kmeans_snapshot_total(spark, state) == len(rows)
+
+    # 3a. audit branch: wrong expected-n refuses with exit 3, no artifact
+    out_path = str(tmp_path / "model_v2")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "promote",
+        "--centroids", model_path, "--state", state, "--dim", "2",
+        "--expected-n", "7",
+    ])
+    assert rc == 3 and "expected 7" in capsys.readouterr().out
+    assert not (tmp_path / "model_v2").exists()
+
+    # 3b. drift branch: a zero tolerance refuses with exit 2 iff anything
+    # moved; here the one-step refresh is near-stationary, so first prove
+    # the gate computes the real fraction
+    snapshot = ks.kmeans_snapshot_centroids(spark, state, frozen, dim=2)
+    moved = clustering.drift_fraction(
+        clustering.assignment_drift(vecs, frozen, snapshot)
+    )
+    assert moved == 0.0  # both models split the two groups identically
+
+    # force a refusal: stream against a clumped frozen model whose
+    # one-step refresh genuinely reshuffles a cell — under
+    # [[0,0],[0.5,0]] vector 1 sits in cell 1 with the far group, and
+    # the refreshed cell-1 centroid (the 4-point mean (8, 7.75)) pulls
+    # it back to cell 0: moved_frac = 1/6 > 0.0 tolerance
+    clumped = [[0.0, 0.0], [0.5, 0.0]]
+    state2 = str(tmp_path / "km_state2")
+    for e, batch in enumerate([rows[:3], rows[3:]]):
+        ks.process_kmeans_batch(
+            spark.createDataFrame(batch, schema), e, state2, clumped, dim=2
+        )
+    clumped_model = str(tmp_path / "model_clumped")
+    clustering.write_model(spark, clumped, clumped_model)
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "promote",
+        "--centroids", clumped_model, "--state", state2, "--dim", "2",
+        "--max-moved-frac", "0.0",
+    ])
+    cap = capsys.readouterr().out
+    assert rc == 2 and "REFUSED" in cap and "rebuild" in cap
+    assert "0.1667" in cap  # the gate reports the real moved fraction
+    assert not (tmp_path / "model_v2").exists()
+
+    # 3c. happy path: correct audit count + default tolerance -> promoted
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "promote",
+        "--centroids", model_path, "--state", state, "--dim", "2",
+        "--expected-n", str(len(rows)),
+    ])
+    assert rc == 0 and "promoted" in capsys.readouterr().out
+    promoted = clustering.read_model(spark, out_path)
+    assert promoted == snapshot  # the artifact IS the snapshot fold
+    # and the snapshot fold is bit-identical to the one-step batch refresh
+    assert promoted == clustering.kmeans_fit(vecs, frozen, n_iter=1, dim=2)
+
+    # 4. the promoted model is consumable by the apply path (--centroids)
+    stats_path = str(tmp_path / "stats_v2")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", stats_path,
+        "--op", "stats", "--centroids", out_path, "--dim", "2",
+    ])
+    assert rc == 0
+    got = {r.cluster_id: r.n_points for r in spark.read.parquet(stats_path).collect()}
+    assert got == {0: 3, 1: 3}
