@@ -52,16 +52,32 @@ from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 QUANT = 1_000_000.0
 
 # Above this many centroid cells (k * dim), nearest-centroid assignment
-# switches from the plan-time-constant codegen projection to the
-# Arrow-batched numpy kernel. The codegen form compiles k*dim literals
-# into the Catalyst expression tree — O(k*dim) plan size per query — which
-# is ideal at small k (zero Python, whole-stage codegen) but at production
-# k (thousands of cells) the tree is tens of MB, codegen falls back to
-# interpreted, and driver planning time dominates. 8192 keeps every small
-# model (k=8 x dim=64 = 512 cells — the oracle-checked shape) on the
-# codegen path and routes k>=129 at dim=64 through Arrow. Same dual-path
-# design as pq_topk / pq_topk_batched (operators/similarity.py).
-BATCHED_ASSIGN_CELLS = 8192
+# switches from the plan-time-constant expression projection to the
+# Arrow-batched numpy kernel. The threshold is MEASURED, not guessed
+# (tools/assign_scale_probe.py: 100k rows x dim 64, 32 partitions,
+# quiet host, warm; first rung of each run carries session warmup):
+#
+#   k      expression    batched (steady)
+#   8      2.7 s         ~0.7 s
+#   16     2.1 s          0.70 s   3x
+#   32     3.4 s          0.66 s   5x
+#   64     6.4 s          0.62 s   10x
+#   128    16.2 s         ~0.8 s   20x
+#   1024   (~130 s est)   4.95 s   ~26x
+#   4096   —              15.7 s   (near-flat to here)
+#
+# The expression form's distance fold rides F.aggregate/F.zip_with —
+# higher-order functions Catalyst evaluates INTERPRETED per element, so
+# its per-row cost is O(k*dim) lambda dispatches, linear in k with a
+# large constant; on top of that the literal tree is O(k*dim) plan size.
+# 512 cells keeps the oracle-checked shape (k=8 x dim=64) on the
+# expression path — at that size the absolute gap is ~2 s per 100k rows
+# and the zero-Python plan fuses with JVM-only pipelines and avoids the
+# Arrow round-trip of every passthrough column; every larger model
+# routes through Arrow, where the kernel wins by 3-26x and stays
+# near-flat in k. Callers can force either form with impl=. Same
+# dual-path design as pq_topk / pq_topk_batched (operators/similarity.py).
+BATCHED_ASSIGN_CELLS = 512
 
 
 def _best_centroid(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
@@ -108,23 +124,38 @@ def _assign_batched(
         out_fields.append(StructField(d2_col, DoubleType(), False))
     out_schema = StructType(out_fields)
 
+    # cap the (rows x k) working set per inner chunk so huge k never
+    # allocates corpus-batch-sized distance matrices (4M cells ~ 32 MB
+    # of float64 per buffer, two buffers live)
+    chunk_rows = max(1, 4_000_000 // k)
+
     def _kernel(batches):
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
             x = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
                 dtype=np.float64,
             )
-            acc = np.zeros((len(pdf), k), dtype=np.float64)
-            for j in range(dim):  # sequential over dims: fold-order parity
-                d = x[:, j : j + 1] - cents[None, :, j]
-                acc += d * d
-            best = np.argmin(acc, axis=1)  # first min = lowest-index ties
+            best = np.empty(n, dtype=np.int64)
+            d2 = np.empty(n, dtype=np.float64)
+            for s in range(0, n, chunk_rows):
+                xs = x[s : s + chunk_rows]
+                m = len(xs)
+                acc = np.zeros((m, k), dtype=np.float64)
+                d = np.empty((m, k), dtype=np.float64)
+                for j in range(dim):  # sequential over dims: fold-order parity
+                    np.subtract(xs[:, j : j + 1], cents[None, :, j], out=d)
+                    np.multiply(d, d, out=d)
+                    np.add(acc, d, out=acc)
+                b = np.argmin(acc, axis=1)  # first min = lowest-index ties
+                best[s : s + m] = b
+                d2[s : s + m] = acc[np.arange(m), b]
             out = pdf.copy()
             out[cluster_col] = best.astype(np.int32)
             if d2_col is not None:
-                out[d2_col] = acc[np.arange(len(pdf)), best]
+                out[d2_col] = d2
             yield out
 
     return vectors.mapInPandas(_kernel, schema=out_schema)

@@ -17,6 +17,11 @@ from __future__ import annotations
 
 import pytest
 
+# Full-gate tier: this whole module is heavyweight (plan-rebuild / partitioning invariance sweeps, ~1.5 min).
+# The per-commit smoke tier deselects it: pytest -m "not slow".
+# The FULL suite (no -m) remains the green gate for every round.
+pytestmark = pytest.mark.slow
+
 from epss_spark import registry
 
 SF = "/root/testdata/sf0.001"

@@ -110,6 +110,8 @@ def test_every_demoted_query_has_an_oracle():
     assert not missing, f"demoted queries without oracle coverage: {missing}"
 
 
+@pytest.mark.slow  # 124 oracle differentials: the demoted-tier gate,
+# ~5 min total; on-demand equivalent: python tools/check_oracles.py
 @pytest.mark.parametrize("name", demoted_names())
 def test_demoted_query_matches_oracle(name, spark, duck):
     fn = registry.get_all_queries()[name]

@@ -420,6 +420,7 @@ def test_multiprobe_fans_out_queries_only(spark):
     assert "BatchEvalPython" not in p
 
 
+@pytest.mark.slow  # re-plans the full 50-query surface: ~35 s, full-gate tier
 def test_plan_inventory_matches_checked_in(spark):
     """Broad plan-regression net: the physical-plan shape (exchange /
     broadcast / top-k / Python-crossing counts) of EVERY driver-surface
@@ -609,6 +610,7 @@ def test_decontam_near_plan_no_cartesian_no_python(spark):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
 
 
+@pytest.mark.slow  # plans every registered query: ~90 s, full-gate tier
 def test_registry_wide_udf_free_invariant(spark):
     """SURVEY §2.13 across the WHOLE registry, not just the 50-entry
     driver surface (PLANS.json pins those): no registered query — all
@@ -667,6 +669,28 @@ def test_kmeans_assignment_is_codegen_projection(spark):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_kmeans_large_k_assignment_is_map_only_arrow(spark):
+    # above BATCHED_ASSIGN_CELLS the auto dispatch swaps the O(k*dim)
+    # literal tree for the Arrow kernel: the plan must be ONE MapInPandas
+    # over the scan — no exchange, no join, no O(k*dim) expression blowup
+    # (the property that keeps driver planning time flat at production k)
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    big = [[float((i + j) % 5) for j in range(64)] for i in range(200)]  # 12800 cells
+    p = (
+        clustering.assign_clusters(emb, big)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("MapInPandas") == 1
+    assert "Exchange" not in p
+    assert "Join" not in p
+    # the centroid matrix rides the task closure, not the plan: the plan
+    # string stays small instead of carrying 12800 literals
+    assert len(p) < 20_000
 
 
 def test_cluster_kmeans_stats_single_aggregate_exchange(spark):

@@ -9,6 +9,12 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+# Full-gate tier: this whole module is heavyweight (hypothesis fuzzing, ~4 min).
+# The per-commit smoke tier deselects it: pytest -m "not slow".
+# The FULL suite (no -m) remains the green gate for every round.
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

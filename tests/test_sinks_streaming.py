@@ -8,6 +8,11 @@ import json
 import os
 
 import pytest
+
+# Full-gate tier: this whole module is heavyweight (streaming e2e: real availableNow queries, epoch stores, ~8 min).
+# The per-commit smoke tier deselects it: pytest -m "not slow".
+# The FULL suite (no -m) remains the green gate for every round.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from epss_spark.operators import multimodal
