@@ -556,11 +556,69 @@ def cluster_distance_outliers(
     )
 
 
+def _drift_batched(
+    vectors: DataFrame,
+    centroids_before: Sequence[Sequence[float]],
+    centroids_after: Sequence[Sequence[float]],
+    vec_col: str,
+) -> DataFrame:
+    """Large-k drift projection: BOTH argmins in ONE Arrow pass over a
+    single corpus scan (the same one-scan property as the expression
+    form), each computed by the bit-identical chunked kernel fold.
+    Emits only the two assignment columns — the contingency aggregate
+    never needs the payload."""
+    import numpy as np
+
+    cb = np.asarray([[float(x) for x in c] for c in centroids_before], dtype=np.float64)
+    ca = np.asarray([[float(x) for x in c] for c in centroids_after], dtype=np.float64)
+    dim = cb.shape[1]
+    out_schema = StructType(
+        [
+            StructField("cluster_before", IntegerType(), False),
+            StructField("cluster_after", IntegerType(), False),
+        ]
+    )
+
+    def _argmin(xs, cents):
+        m, k = len(xs), cents.shape[0]
+        acc = np.zeros((m, k), dtype=np.float64)
+        d = np.empty((m, k), dtype=np.float64)
+        for j in range(dim):  # sequential over dims: fold-order parity
+            np.subtract(xs[:, j : j + 1], cents[None, :, j], out=d)
+            np.multiply(d, d, out=d)
+            np.add(acc, d, out=acc)
+        return np.argmin(acc, axis=1)  # first min = lowest-index ties
+
+    chunk_rows = max(1, 4_000_000 // max(cb.shape[0], ca.shape[0]))
+
+    def _kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            before = np.empty(n, dtype=np.int32)
+            after = np.empty(n, dtype=np.int32)
+            for s in range(0, n, chunk_rows):
+                xs = x[s : s + chunk_rows]
+                before[s : s + len(xs)] = _argmin(xs, cb)
+                after[s : s + len(xs)] = _argmin(xs, ca)
+            yield pd.DataFrame({"cluster_before": before, "cluster_after": after})
+
+    return vectors.select(vec_col).mapInPandas(_kernel, schema=out_schema)
+
+
 def assignment_drift(
     vectors: DataFrame,
     centroids_before: Sequence[Sequence[float]],
     centroids_after: Sequence[Sequence[float]],
     vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     """Model-promotion safety check: the contingency table of cell moves
     between two centroid models — (cluster_before, cluster_after, n).
@@ -571,9 +629,26 @@ def assignment_drift(
     roll forward. This is the gate to run on a `kmeans_stream` snapshot
     before promoting it over the frozen window model.
 
-    Scale shape: BOTH assignments ride one codegen projection over a
-    single corpus scan (two plan-time-constant argmins), then one
-    bounded aggregate — at most k_before * k_after result rows."""
+    Scale shape: BOTH assignments ride ONE projection over a single
+    corpus scan, then one bounded aggregate — at most k_before * k_after
+    result rows. Like assign_clusters, the projection has two pinned
+    bit-identical forms: the plan-time-constant expression argmins at
+    small k and the combined Arrow kernel above BATCHED_ASSIGN_CELLS
+    (so promote gates over production-k models never build the
+    O(k*dim) interpreted expression tree)."""
+    if impl == "auto":
+        cells = max(
+            len(centroids_before) * (len(centroids_before[0]) if centroids_before else 0),
+            len(centroids_after) * (len(centroids_after[0]) if centroids_after else 0),
+        )
+        impl = "batched" if cells > BATCHED_ASSIGN_CELLS else "codegen"
+    if impl == "batched":
+        pairs = _drift_batched(vectors, centroids_before, centroids_after, vec_col)
+        return pairs.groupBy("cluster_before", "cluster_after").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    if impl != "codegen":
+        raise ValueError(f"unknown assignment impl: {impl!r}")
     before = _best_centroid(F.col(vec_col), centroids_before)["i"]
     after = _best_centroid(F.col(vec_col), centroids_after)["i"]
     return (

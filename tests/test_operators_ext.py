@@ -3627,3 +3627,41 @@ def test_drift_fraction_off_diagonal_mass(spark):
     after = [[0.0, 0.0], [3.0, 0.0]]  # id 1 moves cell 0 -> 1
     moved = clustering.drift_fraction(clustering.assignment_drift(df, before, after))
     assert moved == pytest.approx(0.25, abs=1e-12)
+
+
+def test_assignment_drift_batched_bit_identical_and_map_only(spark):
+    """The combined large-k drift kernel vs the expression form, on the
+    real embeddings with two genuinely different models: identical
+    contingency tables, and the batched plan is one Arrow pass + the
+    single bounded aggregate (no second scan, no join)."""
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    init = clustering.init_centroids_by_id(emb, [0, 61, 122, 183, 244, 305, 366, 427])
+    trained = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+    want = {
+        (r.cluster_before, r.cluster_after): r.n
+        for r in clustering.assignment_drift(emb, init, trained, impl="codegen").collect()
+    }
+    got_df = clustering.assignment_drift(emb, init, trained, impl="batched")
+    got = {(r.cluster_before, r.cluster_after): r.n for r in got_df.collect()}
+    assert got == want and sum(got.values()) == 500
+    p = got_df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    assert final.count("MapInPandas") == 1
+    assert final.count("Scan parquet") == 1  # ONE corpus scan for both argmins
+    assert "Join" not in final
+    # auto dispatch: two k=8 models stay on the expression path; a large
+    # candidate model routes the whole gate through the kernel
+    p_small = (
+        clustering.assignment_drift(emb, init, trained)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in p_small
+    big = [[float((i + j) % 5) for j in range(64)] for i in range(64)]  # 4096 cells
+    p_big = (
+        clustering.assignment_drift(emb, init, big)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in p_big
