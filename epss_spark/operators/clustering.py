@@ -486,6 +486,50 @@ def cluster_label_purity(
     )
 
 
+def cluster_top_terms(
+    vectors: DataFrame,
+    docs: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    n_terms: int = 10,
+    min_term_len: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cluster interpretation — the "what IS this cell" report every
+    curation pipeline publishes next to its k-means model: for each
+    cluster, the n_terms most frequent normalized tokens of its member
+    documents (ties to the lexicographically lowest term, so the report
+    is engine-portable). min_term_len drops short function words — the
+    deterministic stand-in for a stopword list (no external resource,
+    identical in SQL). Output: (cluster_id, term, n, term_rank).
+
+    Scale shape: assignment is the dual-path projection (codegen /
+    Arrow); the doc join is id-to-id on the corpus grain — with docs
+    and embeddings bucketed by id it is co-located, and AQE handles
+    the rest at this scale. One tokenize pass, then the (cluster, term)
+    count aggregate (bounded by k x vocabulary, map-side combinable)
+    and one window over cluster_id for the top-N pick. No corpus-sized
+    state crosses anywhere after the explode's own aggregate."""
+    from epss_spark.operators.text import tokens
+
+    asg = assign_clusters(vectors, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("__vid"), "cluster_id"
+    )
+    joined = docs.join(asg, docs[doc_id_col] == F.col("__vid"))
+    terms = joined.select(
+        "cluster_id", F.explode(tokens(text_col)).alias("term")
+    ).filter(F.length("term") >= min_term_len)
+    counts = terms.groupBy("cluster_id", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= n_terms)
+        .select("cluster_id", "term", "n", "term_rank")
+    )
+
+
 def farthest_first_init(
     vectors: DataFrame,
     k: int,

@@ -4899,3 +4899,46 @@ def cluster_kmeans_sampled(spark, sf_dir):
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64, sample_frac=0.5)
     return clustering.kmeans_stats(emb, cents)
+
+
+@register(
+    "cluster_top_terms",
+    f"""
+    WITH {_KM_CHAIN},
+    af AS (
+      SELECT vec_id, cl FROM (
+        SELECT e.vec_id, c.i AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    tok AS (
+      SELECT af.cl AS cluster_id, unnest({_TOKS_SQL}) AS term
+      FROM documents d JOIN af ON af.vec_id = d.doc_id
+    ),
+    cnt AS (
+      SELECT cluster_id, term, count(*) AS n
+      FROM tok WHERE length(term) >= 4
+      GROUP BY cluster_id, term
+    )
+    SELECT cluster_id, term, n, term_rank FROM (
+      SELECT cluster_id, term, n,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, term ASC) AS term_rank
+      FROM cnt
+    ) WHERE term_rank <= 10
+    """,
+)
+def cluster_top_terms(spark, sf_dir):
+    """Cluster interpretation report (operators/clustering.py::
+    cluster_top_terms): the 10 most frequent >= 4-char normalized tokens
+    of each k-means cell's member documents — the dataset-card artifact
+    that tells an operator what a cell IS before capping or dropping it
+    (pairs with cluster_balanced_sample / cluster_distance_outliers,
+    which decide how MUCH of the cell survives). The oracle replays
+    training CTE-for-CTE, the same id join, the shared normalize/
+    tokenize fragment, and the same (count desc, term asc) tie rule."""
+    emb = T(spark, sf_dir, "embeddings")
+    docs = T(spark, sf_dir, "documents")
+    init = clustering.init_centroids_by_id(emb, _KM_IDS)
+    cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+    return clustering.cluster_top_terms(emb, docs, cents)

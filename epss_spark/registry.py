@@ -328,7 +328,8 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #     rotation above — it now holds the as-of driver slot; join_asof,
 #     driver-green rounds 5-10, moved to the pytest tier)
 #   sample_cluster_balanced / cluster_purity / cluster_ff_init /
-#   cluster_outliers / cluster_drift / cluster_kmeans_sampled
+#   cluster_outliers / cluster_drift / cluster_kmeans_sampled /
+#   cluster_top_terms
 #     (round-11/12 newcomers; their clustering class is held driver-green
 #     by cluster_kmeans_weighted — the round-12 surfaced trainer, whose
 #     weighted update strictly contains the unweighted one that trains

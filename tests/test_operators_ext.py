@@ -3665,3 +3665,36 @@ def test_assignment_drift_batched_bit_identical_and_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in p_big
+
+
+def test_cluster_top_terms_counts_ties_and_min_len(spark):
+    """The cluster-interpretation report: per-cell token counts over the
+    member documents, ties to the lexicographically lowest term, short
+    tokens dropped by the deterministic min-length stopword stand-in."""
+    from epss_spark.operators import clustering
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [10.0, 10.0])],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "Apple banana APPLE the"),   # cell 0: apple x2, banana x1
+            (1, "banana cherry of an"),      # cell 0: banana x1, cherry x1
+            (2, "delta delta echoes"),       # cell 1
+        ],
+        "doc_id long, text string",
+    )
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    got = {
+        (r.cluster_id, r.term_rank): (r.term, r.n)
+        for r in clustering.cluster_top_terms(vecs, docs, cents, n_terms=2).collect()
+    }
+    # cell 0: apple(2) first; banana(2) ... wait: banana appears in doc 0
+    # and doc 1 -> n=2, tie with apple(2) -> "apple" < "banana" wins rank 1
+    assert got[(0, 1)] == ("apple", 2)
+    assert got[(0, 2)] == ("banana", 2)
+    # "the"/"of"/"an" never appear (min_term_len=4); cell 1 top is delta(2)
+    assert got[(1, 1)] == ("delta", 2)
+    assert got[(1, 2)] == ("echoes", 1)
+    assert len(got) == 4
