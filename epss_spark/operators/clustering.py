@@ -486,6 +486,55 @@ def cluster_label_purity(
     )
 
 
+def kmeans_elbow(
+    vectors: DataFrame,
+    ks: Sequence[int],
+    init_ids: Sequence[int],
+    n_iter: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: float = QUANT,
+) -> DataFrame:
+    """Model selection by the elbow curve: for each candidate k, train
+    a model seeded from the FIRST k of one fixed id list (nested seeds —
+    the curve varies only k, not the init luck) and report the corpus's
+    total quantized inertia under the final assignment. Read the knee:
+    the k past which inertia stops dropping meaningfully is where more
+    cells stop buying structure. Output: (k, n_points, total_inertia),
+    one row per candidate.
+
+    Exactness: inertia is sum(floor(d2*quant+0.5)) — an order-free
+    BIGINT sum — divided once by quant, so the curve is bit-identical
+    cross-engine like every other model number here.
+
+    Scale shape: each candidate costs (n_iter + 1) assignment scans
+    (the dual-path projection) + k-row / 1-row collects; candidates run
+    sequentially and the result is a |ks|-row union of single-row
+    aggregates. Candidate count is a handful by construction — this is
+    a tuning report, not a sweep engine."""
+    if not ks:
+        raise ValueError("ks must be non-empty")
+    if max(ks) > len(init_ids):
+        raise ValueError(f"need at least max(ks)={max(ks)} init ids, got {len(init_ids)}")
+    out = None
+    for k in ks:
+        init = init_centroids_by_id(vectors, list(init_ids)[:k], id_col=id_col, vec_col=vec_col)
+        cents = kmeans_fit(vectors, init, n_iter=n_iter, dim=dim, vec_col=vec_col)
+        asg = assign_clusters(vectors, cents, vec_col=vec_col, d2_col="__d2")
+        q = F.floor(F.col("__d2") * F.lit(quant) + F.lit(0.5)).cast("long")
+        one = (
+            asg.agg(F.count(F.lit(1)).alias("n_points"), F.sum(q).alias("__qs"))
+            .select(
+                F.lit(int(k)).alias("k"),
+                "n_points",
+                (F.col("__qs").cast("double") / F.lit(quant)).alias("total_inertia"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
 def cluster_top_terms(
     vectors: DataFrame,
     docs: DataFrame,

@@ -4942,3 +4942,54 @@ def cluster_top_terms(spark, sf_dir):
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
     return clustering.cluster_top_terms(emb, docs, cents)
+
+
+_KM4_VALUES = ", ".join(f"({i}, {cid})" for i, cid in enumerate(_KM_IDS[:4]))
+# second training chain (k=4 nested seed prefix) with non-colliding CTE
+# names: d* for the centroid models, iteration indices 3/4 for a/s/u
+_ELBOW_CHAIN4 = f"""
+    d0 AS (
+      SELECT t.i, e.embedding AS cv
+      FROM (VALUES {_KM4_VALUES}) t(i, cid)
+      JOIN embeddings e ON e.vec_id = t.cid
+    ),{_km_iter(3, "d0", "d1")},{_km_iter(4, "d1", "d2")}"""
+
+
+@register(
+    "cluster_elbow",
+    f"""
+    WITH {_KM_CHAIN},{_ELBOW_CHAIN4},
+    af8 AS (
+      SELECT vec_id, d2 FROM (
+        SELECT e.vec_id, {_KM_D2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    af4 AS (
+      SELECT vec_id, d2 FROM (
+        SELECT e.vec_id, {_KM_D2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN d2 c
+      ) WHERE rn = 1
+    )
+    SELECT k, n_points, CAST(qs AS DOUBLE) / 1000000.0 AS total_inertia FROM (
+      SELECT 4 AS k, count(*) AS n_points,
+             CAST(sum(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+      FROM af4
+      UNION ALL
+      SELECT 8 AS k, count(*) AS n_points,
+             CAST(sum(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+      FROM af8
+    )
+    """,
+)
+def cluster_elbow(spark, sf_dir):
+    """Model-selection elbow curve (operators/clustering.py::
+    kmeans_elbow): total quantized inertia for k=4 and k=8 models, each
+    trained with two Lloyd updates from the SAME nested id-seed list
+    (the first k of _KM_IDS), so the curve varies only k. The oracle
+    replays BOTH training chains CTE-for-CTE (non-colliding CTE names)
+    and the same order-free integer inertia sums."""
+    emb = T(spark, sf_dir, "embeddings")
+    return clustering.kmeans_elbow(emb, ks=[4, 8], init_ids=_KM_IDS, n_iter=2, dim=64)

@@ -3698,3 +3698,38 @@ def test_cluster_top_terms_counts_ties_and_min_len(spark):
     assert got[(1, 1)] == ("delta", 2)
     assert got[(1, 2)] == ("echoes", 1)
     assert len(got) == 4
+
+
+def test_kmeans_elbow_curve_semantics(spark):
+    """The elbow report: one row per candidate k, n_points = corpus size
+    for every row (the whole corpus is scored under each model), inertia
+    non-increasing in k on separable data with nested seeds, and loud
+    failures for an empty ladder or too few seed ids."""
+    import pytest as _pytest
+
+    from epss_spark.operators import clustering
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]),
+        (2, [10.0, 10.0]), (3, [11.0, 10.0]),
+        (4, [20.0, 0.0]), (5, [21.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.k: r
+        for r in clustering.kmeans_elbow(
+            df, ks=[1, 2, 3], init_ids=[0, 2, 4], n_iter=2, dim=2
+        ).collect()
+    }
+    assert sorted(got) == [1, 2, 3]
+    assert all(got[k].n_points == 6 for k in got)
+    # three planted pairs: each extra (well-seeded) cell strictly helps
+    assert got[1].total_inertia > got[2].total_inertia > got[3].total_inertia
+    # k=3 with perfect per-pair seeds: inertia = 6 * 0.25 (each point
+    # 0.5 from its pair mean) — exact under the quantized sum
+    assert got[3].total_inertia == pytest.approx(1.5, abs=1e-6)
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        clustering.kmeans_elbow(df, ks=[], init_ids=[0])
+    with _pytest.raises(ValueError, match="init ids"):
+        clustering.kmeans_elbow(df, ks=[4], init_ids=[0, 2], dim=2)
