@@ -299,7 +299,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cu.add_argument("--input", required=True, help="parquet with (vec_id, embedding)")
     cu.add_argument("--output", required=True, help="output parquet")
-    cu.add_argument("--op", choices=["stats", "sample", "train", "promote"], default="stats")
+    cu.add_argument(
+        "--op",
+        choices=["stats", "sample", "train", "promote", "terms", "elbow"],
+        default="stats",
+    )
+    cu.add_argument(
+        "--docs",
+        help="--op terms: documents parquet (doc_id, text) to join against "
+        "the assignment for the per-cluster top-term report",
+    )
+    cu.add_argument(
+        "--n-terms", type=int, default=10, help="--op terms: terms per cluster"
+    )
+    cu.add_argument(
+        "--ks",
+        help="--op elbow: comma-separated candidate k ladder (each seeded "
+        "from the first k ids of the shared seed list), e.g. 4,8,16",
+    )
     cu.add_argument(
         "--centroids",
         help="saved model parquet (from --op train): stats/sample APPLY it "
@@ -710,6 +727,27 @@ def main(argv: list[str] | None = None) -> int:
                 f"model -> {args.output}"
             )
             return 0
+        if args.op == "elbow":
+            ks = sorted({int(x) for x in (args.ks or "4,8").split(",") if x.strip()})
+            if args.init_ids:
+                seed_ids = [int(x) for x in args.init_ids.split(",") if x.strip()]
+            else:
+                seed_ids = [
+                    r[args.id_col]
+                    for r in vecs.select(args.id_col)
+                    .orderBy(args.id_col)
+                    .limit(max(ks))
+                    .collect()
+                ]
+            out = cl_ops.kmeans_elbow(
+                vecs, ks=ks, init_ids=seed_ids, n_iter=args.n_iter,
+                dim=args.dim, vec_col=args.vec_col, id_col=args.id_col,
+            ).orderBy("k")
+            out.write.mode("overwrite").parquet(args.output)
+            rows = spark.read.parquet(args.output).orderBy("k").collect()
+            curve = ", ".join(f"k={r.k}: {r.total_inertia:.3f}" for r in rows)
+            print(f"cluster elbow: {curve} -> {args.output}")
+            return 0
         if args.centroids:
             # apply a saved model: no retraining, assignment-only ops
             cents = cl_ops.read_model(spark, args.centroids)
@@ -750,7 +788,16 @@ def main(argv: list[str] | None = None) -> int:
                 + f" -> model -> {args.output}"
             )
             return 0
-        if args.op == "stats":
+        if args.op == "terms":
+            if not args.docs:
+                print("cluster terms: --docs is required")
+                return 2
+            docs = spark.read.parquet(args.docs)
+            out = cl_ops.cluster_top_terms(
+                vecs, docs, cents, n_terms=args.n_terms,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+        elif args.op == "stats":
             out = cl_ops.kmeans_stats(vecs, cents, vec_col=args.vec_col).orderBy("cluster_id")
         else:
             out = cl_ops.cluster_balanced_sample(

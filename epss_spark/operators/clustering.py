@@ -349,7 +349,14 @@ def kmeans_fit(
             ]
             for r in rows
         }
-        cents = [upd.get(i, cents[i]) for i in range(k)]
+        nxt = [upd.get(i, cents[i]) for i in range(k)]
+        if nxt == cents:
+            # exact fixed point: the assignment, sums, and model of every
+            # further iteration are bit-identical, so stopping here
+            # returns the same centroids while skipping the remaining
+            # corpus scans (Lloyd converged; == on floats is exact)
+            return nxt
+        cents = nxt
     return cents
 
 

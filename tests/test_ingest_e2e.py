@@ -690,3 +690,59 @@ def test_cli_cluster_ff_init(spark, tmp_path, capsys):
     want = {r.cluster_id: r.avg_d2 for r in cl.kmeans_stats(vecs, cents).collect()}
     got = {r.cluster_id: r.avg_d2 for r in spark.read.parquet(out_path).collect()}
     assert got == want
+
+
+def test_cli_cluster_terms_and_elbow(spark, tmp_path, capsys):
+    """The round-12 report verbs: --op terms joins a saved model's
+    assignment to the documents for the per-cluster top-token report;
+    --op elbow writes the inertia-vs-k curve from nested seeds."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering as cl
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]),
+        (2, [10.0, 10.0]), (3, [11.0, 10.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha beta"), (1, "alpha gamma"),
+         (2, "omega omega"), (3, "omega sigma")],
+        "doc_id long, text string",
+    )
+    in_path = str(tmp_path / "vecs")
+    docs_path = str(tmp_path / "docs")
+    vecs.write.parquet(in_path)
+    docs.write.parquet(docs_path)
+    model_path = str(tmp_path / "model")
+    cl.write_model(spark, [[0.5, 0.0], [10.5, 10.0]], model_path)
+
+    terms_path = str(tmp_path / "terms")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", terms_path, "--op", "terms",
+        "--centroids", model_path, "--docs", docs_path, "--n-terms", "2", "--dim", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    got = {
+        (r.cluster_id, r.term_rank): (r.term, r.n)
+        for r in spark.read.parquet(terms_path).collect()
+    }
+    assert got[(0, 1)] == ("alpha", 3) and got[(1, 1)] == ("omega", 3)
+
+    # terms without --docs refuses
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", terms_path, "--op", "terms",
+        "--centroids", model_path, "--dim", "2",
+    ])
+    assert rc == 2 and "--docs" in capsys.readouterr().out
+
+    elbow_path = str(tmp_path / "elbow")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", elbow_path, "--op", "elbow",
+        "--ks", "1,2", "--n-iter", "1", "--dim", "2",
+    ])
+    assert rc == 0 and "k=1" in capsys.readouterr().out
+    curve = {r.k: r for r in spark.read.parquet(elbow_path).collect()}
+    assert sorted(curve) == [1, 2]
+    assert all(curve[k].n_points == 4 for k in curve)
+    assert curve[1].total_inertia > curve[2].total_inertia
