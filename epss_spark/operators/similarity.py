@@ -570,7 +570,13 @@ def semantic_dedup(
         centroids = train_ivf_centroids(vectors, n_lists, seed, vec_col)
     from epss_spark.operators.dedup import dedup_corpus_near
 
-    assigned = vectors.withColumn("__list", _centroid_assign(F.col(vec_col), centroids))
+    from epss_spark.operators.clustering import assign_clusters
+
+    # dual-path coarse assignment (clustering.assign_clusters): identical
+    # expression argmin at small k, the bit-identical Arrow kernel above
+    # BATCHED_ASSIGN_CELLS — production n_lists never builds the
+    # interpreted O(k*dim) HOF tree (PERF.md round-12 ladder)
+    assigned = assign_clusters(vectors, centroids, vec_col=vec_col, cluster_col="__list")
     pairs = cosine_pairs_blocked(assigned, "__list", threshold, id_col, vec_col)
     return dedup_corpus_near(vectors, pairs, id_col=id_col, policy=policy)
 
@@ -766,10 +772,14 @@ def ivf_topk(
     if centroids is None:
         centroids = train_ivf_centroids(candidates, n_lists, seed, vec_col)
 
-    c = candidates.select(
+    from epss_spark.operators.clustering import assign_clusters
+
+    # dual-path coarse assignment — see semantic_dedup; small k stays the
+    # plan-time-constant projection, large n_lists routes through Arrow
+    c = assign_clusters(candidates, centroids, vec_col=vec_col, cluster_col="list_id").select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
-        _centroid_assign(F.col(vec_col), centroids).alias("list_id"),
+        "list_id",
     )
     # per-query probe lists: n_probe nearest centroids, exploded to rows
     dists = []
@@ -1093,10 +1103,11 @@ def ivfpq_topk_batched(
     if index is None:
         if len(pq_centroids[0]) > 32:
             enc = pq_encode_batched(candidates, pq_centroids, id_col, vec_col)
-            asg = candidates.select(
-                F.col(id_col),
-                _centroid_assign(F.col(vec_col), coarse_centroids).alias("list_id"),
-            )
+            from epss_spark.operators.clustering import assign_clusters
+
+            asg = assign_clusters(
+                candidates, coarse_centroids, vec_col=vec_col, cluster_col="list_id"
+            ).select(F.col(id_col), "list_id")
             index = enc.join(asg, id_col)
         else:
             index = ivfpq_index(candidates, coarse_centroids, pq_centroids, id_col, vec_col)
@@ -1188,8 +1199,10 @@ def ivfpq_index(
             for mi in range(len(pq_centroids))
         ]
     )
-    return candidates.select(
-        F.col(id_col),
-        _centroid_assign(F.col(vec_col), coarse_centroids).alias("list_id"),
-        codes.alias("codes"),
-    )
+    from epss_spark.operators.clustering import assign_clusters
+
+    # coarse list via the dual-path assignment; PQ sub-codes stay
+    # expression-form here (the realistic-codebook path is pq_encode_batched)
+    return assign_clusters(
+        candidates, coarse_centroids, vec_col=vec_col, cluster_col="list_id"
+    ).select(F.col(id_col), "list_id", codes.alias("codes"))

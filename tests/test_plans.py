@@ -710,3 +710,29 @@ def test_cluster_balanced_sample_single_window_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert "Window" in p
     assert "EvalPython" not in p
+
+
+def test_ivf_coarse_assignment_large_nlists_is_arrow(spark):
+    # the IVF index build at production n_lists must not compile the
+    # interpreted O(k*dim) HOF tree: above BATCHED_ASSIGN_CELLS the
+    # coarse assignment routes through the bit-identical Arrow kernel
+    # (map-only, no exchange before the bucketed write)
+    from epss_spark.operators import similarity
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    small = [[float(i % 3)] * 64 for i in range(8)]     # 512 cells: codegen
+    big = [[float(i % 3)] * 64 for i in range(32)]      # 2048 cells: Arrow
+    sub = [[[0.0] * 16, [1.0] * 16] for _ in range(4)]  # tiny PQ codebooks
+    p_small = (
+        similarity.ivfpq_index(emb, small, sub)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in p_small
+    p_big = (
+        similarity.ivfpq_index(emb, big, sub)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = p_big.split("== Initial Plan ==")[0]
+    assert "MapInPandas" in final
+    assert "Exchange" not in final
