@@ -758,6 +758,55 @@ def assignment_drift(
     )
 
 
+def embedding_dim_drift(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    vec_col: str = "embedding",
+    quant: float = QUANT,
+) -> DataFrame:
+    """MODEL-FREE embedding drift between two corpus batches: the
+    per-dimension mean of each side and their delta — the monitor that
+    catches an encoder version bump, a preprocessing change, or a
+    content shift BEFORE any model-based gate (assignment_drift needs
+    centroids; this needs nothing). A near-zero delta vector means the
+    batches share an embedding distribution to first order; a step
+    change on many dimensions is the earliest signal the ANN index,
+    the k-means model, and every SemDeDup threshold are about to stop
+    matching the data. Output: (dim_idx 0-based, n_a, n_b, mean_a,
+    mean_b, delta), one row per dimension.
+
+    Exactness: per-dim means are the same quantized-BIGINT-sum /
+    two-division chain as the centroid update, and delta is one double
+    subtraction of those — bit-identical cross-engine.
+
+    Scale shape: one posexplode + ONE dim-keyed aggregate per side
+    (map-side combinable, `dim` result rows each) and a dim-row join —
+    nothing corpus-sized survives the aggregates."""
+
+    def dim_sums(df: DataFrame, tag: str) -> DataFrame:
+        expl = df.select(F.posexplode(F.col(vec_col)).alias("dim_idx", "__v"))
+        q = F.floor(F.col("__v").cast("double") * F.lit(quant) + F.lit(0.5)).cast("long")
+        return expl.groupBy("dim_idx").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"), F.sum(q).alias(f"__s_{tag}")
+        )
+
+    a = dim_sums(corpus_a, "a")
+    b = dim_sums(corpus_b, "b")
+    mean_a = F.col("__s_a").cast("double") / F.col("n_a").cast("double") / F.lit(quant)
+    mean_b = F.col("__s_b").cast("double") / F.col("n_b").cast("double") / F.lit(quant)
+    return (
+        a.join(b, "dim_idx")
+        .select(
+            "dim_idx",
+            "n_a",
+            "n_b",
+            mean_a.alias("mean_a"),
+            mean_b.alias("mean_b"),
+            (mean_b - mean_a).alias("delta"),
+        )
+    )
+
+
 def drift_fraction(drift: DataFrame) -> float:
     """Off-diagonal mass of an assignment_drift contingency table — the
     single number the promotion gate thresholds on: the fraction of the

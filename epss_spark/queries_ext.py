@@ -4993,3 +4993,42 @@ def cluster_elbow(spark, sf_dir):
     and the same order-free integer inertia sums."""
     emb = T(spark, sf_dir, "embeddings")
     return clustering.kmeans_elbow(emb, ks=[4, 8], init_ids=_KM_IDS, n_iter=2, dim=64)
+
+
+@register(
+    "embedding_dim_drift",
+    """
+    WITH sa AS (
+      SELECT CAST(j - 1 AS INTEGER) AS dim_idx, count(*) AS n_a,
+             CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM embeddings, range(1, 65) r(j) WHERE vec_id % 2 = 0
+      GROUP BY j
+    ),
+    sb AS (
+      SELECT CAST(j - 1 AS INTEGER) AS dim_idx, count(*) AS n_b,
+             CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM embeddings, range(1, 65) r(j) WHERE vec_id % 2 = 1
+      GROUP BY j
+    )
+    SELECT sa.dim_idx, n_a, n_b,
+           CAST(sa.s AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000000.0 AS mean_a,
+           CAST(sb.s AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000000.0 AS mean_b,
+           CAST(sb.s AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000000.0
+             - CAST(sa.s AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000000.0 AS delta
+    FROM sa JOIN sb ON sb.dim_idx = sa.dim_idx
+    """,
+)
+def embedding_dim_drift(spark, sf_dir):
+    """Model-free embedding distribution drift (operators/clustering.py::
+    embedding_dim_drift): per-dimension mean deltas between two batches
+    — here the deterministic even/odd vec_id split standing in for
+    yesterday's and today's embedding drops. The encoder-regression
+    monitor that needs no model: a step change across many dimensions
+    says the ANN index / k-means model / SemDeDup thresholds are about
+    to stop matching the data. Same quantized-sum exactness as the
+    centroid update; the oracle replays both sides' sums and the
+    identical division chains."""
+    emb = T(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return clustering.embedding_dim_drift(a, b)

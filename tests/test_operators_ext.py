@@ -3733,3 +3733,19 @@ def test_kmeans_elbow_curve_semantics(spark):
         clustering.kmeans_elbow(df, ks=[], init_ids=[0])
     with _pytest.raises(ValueError, match="init ids"):
         clustering.kmeans_elbow(df, ks=[4], init_ids=[0, 2], dim=2)
+
+
+def test_embedding_dim_drift_exact_means_and_delta(spark):
+    from epss_spark.operators import clustering
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [(2, [2.0, 5.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r.dim_idx: r for r in clustering.embedding_dim_drift(a, b).collect()}
+    assert sorted(got) == [0, 1]
+    assert (got[0].n_a, got[0].n_b) == (2, 1)
+    assert got[0].mean_a == 2.0 and got[0].mean_b == 2.0 and got[0].delta == 0.0
+    assert got[1].mean_a == 2.0 and got[1].mean_b == 5.0 and got[1].delta == 3.0
