@@ -783,19 +783,36 @@ def embedding_dim_drift(
     (map-side combinable, `dim` result rows each) and a dim-row join —
     nothing corpus-sized survives the aggregates."""
 
-    def dim_sums(df: DataFrame, tag: str) -> DataFrame:
-        expl = df.select(F.posexplode(F.col(vec_col)).alias("dim_idx", "__v"))
-        q = F.floor(F.col("__v").cast("double") * F.lit(quant) + F.lit(0.5)).cast("long")
-        return expl.groupBy("dim_idx").agg(
-            F.count(F.lit(1)).alias(f"n_{tag}"), F.sum(q).alias(f"__s_{tag}")
-        )
+    a = dim_quant_sums(corpus_a, "a", vec_col=vec_col, quant=quant)
+    b = dim_quant_sums(corpus_b, "b", vec_col=vec_col, quant=quant)
+    return drift_from_dim_sums(a, b, quant=quant)
 
-    a = dim_sums(corpus_a, "a")
-    b = dim_sums(corpus_b, "b")
+
+def dim_quant_sums(
+    df: DataFrame, tag: str, vec_col: str = "embedding", quant: float = QUANT
+) -> DataFrame:
+    """Per-dimension (count, quantized BIGINT sum) of an embedding
+    corpus: (dim_idx, n_<tag>, __s_<tag>). The additive building block
+    shared by embedding_dim_drift and its maintenance stream — integer
+    sums commute, so per-batch deltas fold to exactly the one-shot
+    aggregate."""
+    expl = df.select(F.posexplode(F.col(vec_col)).alias("dim_idx", "__v"))
+    q = F.floor(F.col("__v").cast("double") * F.lit(quant) + F.lit(0.5)).cast("long")
+    return expl.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).alias(f"n_{tag}"), F.sum(q).alias(f"__s_{tag}")
+    )
+
+
+def drift_from_dim_sums(
+    a_sums: DataFrame, b_sums: DataFrame, quant: float = QUANT
+) -> DataFrame:
+    """Assemble the drift report from two dim_quant_sums frames — the
+    same two-division mean chain and one double subtraction whether the
+    sums came from a one-shot aggregate or a folded stream store."""
     mean_a = F.col("__s_a").cast("double") / F.col("n_a").cast("double") / F.lit(quant)
     mean_b = F.col("__s_b").cast("double") / F.col("n_b").cast("double") / F.lit(quant)
     return (
-        a.join(b, "dim_idx")
+        a_sums.join(b_sums, "dim_idx")
         .select(
             "dim_idx",
             "n_a",

@@ -1,0 +1,140 @@
+"""Continuous embedding-distribution monitoring — embedding_dim_drift
+as a stream.
+
+The batch monitor (operators/clustering.py::embedding_dim_drift)
+compares per-dimension means of two corpora. The streaming form
+maintains the incoming side's (dim_idx, n, s) quantized-sum store
+incrementally: each micro-batch appends its OWN per-dimension sums as
+an epoch-scoped delta (pure function of the batch — no state read on
+the write path, so replay safety is free: a retried epoch overwrites
+`epoch-N/` with the identical recomputed delta), and the live report
+joins the folded store against a frozen REFERENCE corpus's sums with
+the identical mean/delta expressions.
+
+Like the burst and kmeans streams this is the additive family: integer
+sums commute, so delivery order, batch splits, and late arrivals are
+all irrelevant — the snapshot equals
+`embedding_dim_drift(reference, union_of_all_batches)` unconditionally
+(pinned in tests, including out-of-order delivery). No ordering
+contract, no `.late` sibling. Input contract is kmeans_stream's: each
+vector arrives EXACTLY once across the stream's lifetime (cross-epoch
+re-delivery double-counts; `dim_drift_total` exposes sum-n/dim for the
+same audit the k-means promotion gate runs).
+
+State size: `dim` rows per epoch, folded by the additive compaction
+transform every `compact_every` epochs — per-read state is O(dim +
+compact_every * dim) regardless of stream lifetime.
+
+Deployment use: freeze the reference sums from the corpus that built
+the current ANN index / k-means model; alert when the live snapshot's
+delta vector steps — the earliest signal an encoder bump or scraper
+regression is about to invalidate every embedding-space artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epss_spark.operators import clustering
+from epss_spark.streaming.dedup_stream import (
+    _write_epoch,
+    autocompact_epoch,
+    read_artifact,
+)
+
+
+def _fold_dim_sums(df: DataFrame) -> DataFrame:
+    """Additive compaction transform: one row per dimension, sums summed,
+    max(__epoch) keeps folded rows attributed to a committed epoch."""
+    return df.groupBy("dim_idx").agg(
+        F.sum("n_b").alias("n_b"),
+        F.sum("__s_b").alias("__s_b"),
+        F.max("__epoch").alias("__epoch"),
+    )
+
+
+def process_dim_drift_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    vec_col: str = "embedding",
+    quant: float = clustering.QUANT,
+    compact_every: int | None = 64,
+) -> None:
+    """One idempotent epoch: this batch's per-dimension (n, quantized
+    sum) delta, appended epoch-scoped. One aggregate of the batch, dim
+    result rows; no store read, no join."""
+    if batch_df.isEmpty():
+        return
+    delta = clustering.dim_quant_sums(
+        batch_df, "b", vec_col=vec_col, quant=quant
+    ).withColumn("__epoch", F.lit(int(epoch_id)))
+    _write_epoch(delta, state_path, epoch_id)
+    autocompact_epoch(
+        batch_df.sparkSession, state_path, epoch_id, compact_every,
+        transform=_fold_dim_sums,
+    )
+
+
+def dim_sums_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
+    """Folded per-dimension sums over everything the stream has seen:
+    (dim_idx, n_b, __s_b). Lazy; one additive aggregate over the
+    bounded store."""
+    return (
+        read_artifact(spark, state_path)
+        .groupBy("dim_idx")
+        .agg(F.sum("n_b").cast("long").alias("n_b"), F.sum("__s_b").cast("long").alias("__s_b"))
+    )
+
+
+def dim_drift_total(spark: SparkSession, state_path: str) -> int:
+    """Total vectors the store has absorbed (sum n over dims / dim) —
+    the exactly-once audit, same role as kmeans_snapshot_total: compare
+    against the corpus size you expect before trusting the report."""
+    row = dim_sums_snapshot(spark, state_path).agg(
+        F.sum("n_b").alias("t"), F.count(F.lit(1)).alias("d")
+    ).collect()[0]
+    total, dims = int(row["t"] or 0), int(row["d"] or 0)
+    return total // dims if dims else 0
+
+
+def drift_snapshot(
+    spark: SparkSession,
+    state_path: str,
+    reference: DataFrame,
+    vec_col: str = "embedding",
+    quant: float = clustering.QUANT,
+) -> DataFrame:
+    """The live drift report: frozen reference corpus vs everything the
+    stream has seen — bit-identical to
+    embedding_dim_drift(reference, union_of_all_batches), because the
+    store's integer sums fold to exactly the one-shot aggregate and the
+    final mean/delta expressions are shared (drift_from_dim_sums)."""
+    a = clustering.dim_quant_sums(reference, "a", vec_col=vec_col, quant=quant)
+    b = dim_sums_snapshot(spark, state_path)
+    return clustering.drift_from_dim_sums(a, b, quant=quant)
+
+
+def start_dim_drift_stream(
+    vec_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    quant: float = clustering.QUANT,
+    compact_every: int | None = 64,
+    available_now: bool = True,
+):
+    """Continuous embedding-distribution monitoring over a vector
+    stream: per micro-batch, append the batch's per-dimension
+    quantized-sum delta; read the live drift report any time with
+    `drift_snapshot` against the frozen reference."""
+    from epss_spark.streaming.carried_state import start_carried_stream
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_dim_drift_batch(
+            batch_df, epoch_id, state_dir, vec_col, quant,
+            compact_every=compact_every,
+        )
+
+    return start_carried_stream(vec_stream, checkpoint_dir, process_batch, available_now)

@@ -3520,3 +3520,104 @@ def test_kmeans_drift_gated_promotion_lifecycle(spark, tmp_path, capsys):
     assert rc == 0
     got = {r.cluster_id: r.n_points for r in spark.read.parquet(stats_path).collect()}
     assert got == {0: 3, 1: 3}
+
+
+def test_dim_drift_stream_equals_batch_replay_and_order(spark, tmp_path):
+    """Stream == batch for the embedding-distribution monitor: per-batch
+    per-dimension quantized-sum deltas fold to EXACTLY
+    embedding_dim_drift(reference, union) — additive integer sums, so
+    replay never double-counts and delivery order is irrelevant."""
+    from epss_spark.operators import clustering
+    from epss_spark.streaming import drift_stream as ds
+
+    schema = "vec_id long, embedding array<float>"
+    ref = spark.createDataFrame(
+        [(100, [1.0, 2.0]), (101, [3.0, 4.0])], schema
+    )
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.5]), (2, [2.0, 1.0]),
+        (3, [3.0, 1.5]), (4, [4.0, 2.0]),
+    ]
+    batches = [rows[:2], rows[2:4], rows[4:]]
+    state = str(tmp_path / "drift")
+    for e, b in enumerate(batches):
+        ds.process_dim_drift_batch(spark.createDataFrame(b, schema), e, state)
+    want = {
+        r.dim_idx: r
+        for r in clustering.embedding_dim_drift(
+            ref, spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    got = {r.dim_idx: r for r in ds.drift_snapshot(spark, state, ref).collect()}
+    assert got.keys() == want.keys() == {0, 1}
+    for d in want:
+        assert got[d] == want[d]  # bit-exact row equality
+    assert ds.dim_drift_total(spark, state) == 5
+
+    # replay of the middle epoch: identical recompute, sums never double
+    ds.process_dim_drift_batch(spark.createDataFrame(batches[1], schema), 1, state)
+    got2 = {r.dim_idx: r for r in ds.drift_snapshot(spark, state, ref).collect()}
+    assert got2 == got
+
+    # order-invariance: reversed delivery, same report
+    state_rev = str(tmp_path / "drift_rev")
+    for e, b in enumerate(reversed(batches)):
+        ds.process_dim_drift_batch(spark.createDataFrame(b, schema), e, state_rev)
+    got3 = {r.dim_idx: r for r in ds.drift_snapshot(spark, state_rev, ref).collect()}
+    assert got3 == got
+
+    # compaction: 5 single-vector epochs, compact_every=2 -> bounded
+    # dirs, identical report
+    import os
+
+    auto = str(tmp_path / "drift_auto")
+    for e, r in enumerate(rows):
+        ds.process_dim_drift_batch(
+            spark.createDataFrame([r], schema), e, auto, compact_every=2
+        )
+    got4 = {r.dim_idx: r for r in ds.drift_snapshot(spark, auto, ref).collect()}
+    assert got4 == got
+    assert len([d for d in os.listdir(auto) if d.startswith("epoch-")]) <= 4
+
+
+def test_dim_drift_stream_via_streaming_query(spark, tmp_path):
+    """start_dim_drift_stream end-to-end: file drops consumed one per
+    trigger (availableNow), snapshot report equals the one-shot batch
+    monitor over everything streamed."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import clustering
+    from epss_spark.streaming import drift_stream as ds
+
+    schema = "vec_id long, embedding array<float>"
+    rows = [(0, [0.0, 1.0]), (1, [2.0, 3.0]), (2, [4.0, 5.0])]
+    drop_dir = tmp_path / "ddrops"
+    drop_dir.mkdir()
+    for i, r in enumerate(rows):
+        staging = tmp_path / f"dstage_{i}"
+        spark.createDataFrame([r], schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"d{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    state = str(tmp_path / "dq_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = ds.start_dim_drift_stream(stream, state, str(tmp_path / "dq_ckpt"))
+    q.awaitTermination(180)
+
+    ref = spark.createDataFrame([(9, [1.0, 1.0])], schema)
+    want = {
+        r.dim_idx: r
+        for r in clustering.embedding_dim_drift(
+            ref, spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    got = {r.dim_idx: r for r in ds.drift_snapshot(spark, state, ref).collect()}
+    assert got == want and got[0].mean_b == 2.0
