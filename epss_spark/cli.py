@@ -243,7 +243,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--report",
         required=True,
         choices=["top-ngrams", "vocab", "logprob", "card", "divergence",
-                 "spectrum", "pmi", "contamination"],
+                 "spectrum", "pmi", "contamination", "dim-drift"],
     )
     an.add_argument("--id-col", default="doc_id")
     an.add_argument("--text-col", default="text")
@@ -254,6 +254,12 @@ def build_parser() -> argparse.ArgumentParser:
         "text); without a benchmark column every row is one benchmark "
         "named by the file",
     )
+    an.add_argument(
+        "--ref-input",
+        help="dim-drift: frozen reference embeddings parquet; --input is "
+        "the incoming batch (both need a vec column, see --vec-col)",
+    )
+    an.add_argument("--vec-col", default="embedding", help="dim-drift: vector column")
     an.add_argument("-k", type=int, default=20, help="rows to show (every report is truncated to k; --output writes the full report)")
     an.add_argument("--output", help="also write the full report as parquet")
 
@@ -845,6 +851,18 @@ def main(argv: list[str] | None = None) -> int:
             out = text_ops.pmi_bigrams(docs, text_col=args.text_col).orderBy(
                 F.col("pmi").desc(), "w1", "w2"
             )
+        elif args.report == "dim-drift":
+            from pyspark.sql import functions as F
+
+            from epss_spark.operators import clustering as cl_ops
+
+            if not args.ref_input:
+                print("--report dim-drift requires --ref-input", file=sys.stderr)
+                return 2
+            ref = spark.read.parquet(args.ref_input)
+            out = cl_ops.embedding_dim_drift(
+                ref, docs, vec_col=args.vec_col
+            ).orderBy(F.abs(F.col("delta")).desc(), "dim_idx")
         elif args.report == "contamination":
             import os as _os
 

@@ -746,3 +746,35 @@ def test_cli_cluster_terms_and_elbow(spark, tmp_path, capsys):
     assert sorted(curve) == [1, 2]
     assert all(curve[k].n_points == 4 for k in curve)
     assert curve[1].total_inertia > curve[2].total_inertia
+
+
+def test_cli_analyze_dim_drift(spark, tmp_path, capsys):
+    """analyze --report dim-drift: the encoder-regression monitor via the
+    CLI — incoming batch vs a frozen reference, biggest |delta| first."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering as cl
+
+    ref = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    new = spark.createDataFrame(
+        [(2, [2.0, 7.0]), (3, [2.0, 9.0])], "vec_id long, embedding array<float>"
+    )
+    ref_path = str(tmp_path / "ref")
+    new_path = str(tmp_path / "new")
+    out_path = str(tmp_path / "drift_report")
+    ref.write.parquet(ref_path)
+    new.write.parquet(new_path)
+    rc = cli.main([
+        "analyze", "--input", new_path, "--report", "dim-drift",
+        "--ref-input", ref_path, "--output", out_path,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    got = {r.dim_idx: r for r in spark.read.parquet(out_path).collect()}
+    want = {r.dim_idx: r for r in cl.embedding_dim_drift(ref, new).collect()}
+    assert got == want
+    assert got[1].delta == 6.0 and got[0].delta == 0.0
+
+    rc = cli.main(["analyze", "--input", new_path, "--report", "dim-drift"])
+    assert rc == 2
