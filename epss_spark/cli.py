@@ -307,8 +307,14 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--output", required=True, help="output parquet")
     cu.add_argument(
         "--op",
-        choices=["stats", "sample", "train", "promote", "terms", "elbow"],
+        choices=["stats", "sample", "train", "promote", "terms", "elbow", "outliers"],
         default="stats",
+    )
+    cu.add_argument(
+        "--frac",
+        type=float,
+        default=0.05,
+        help="--op outliers: per-cell distance-tail fraction to flag",
     )
     cu.add_argument(
         "--docs",
@@ -802,6 +808,11 @@ def main(argv: list[str] | None = None) -> int:
             out = cl_ops.cluster_top_terms(
                 vecs, docs, cents, n_terms=args.n_terms,
                 vec_col=args.vec_col, id_col=args.id_col,
+            )
+        elif args.op == "outliers":
+            out = cl_ops.cluster_distance_outliers(
+                vecs, cents, frac=args.frac,
+                id_col=args.id_col, vec_col=args.vec_col,
             )
         elif args.op == "stats":
             out = cl_ops.kmeans_stats(vecs, cents, vec_col=args.vec_col).orderBy("cluster_id")

@@ -778,3 +778,26 @@ def test_cli_analyze_dim_drift(spark, tmp_path, capsys):
 
     rc = cli.main(["analyze", "--input", new_path, "--report", "dim-drift"])
     assert rc == 2
+
+
+def test_cli_cluster_outliers(spark, tmp_path, capsys):
+    """cluster --op outliers: the per-cell distance-tail junk filter via
+    the CLI, applying a saved model."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering as cl
+
+    rows = [(i, [float(i), 0.0]) for i in range(10)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    in_path = str(tmp_path / "vecs")
+    vecs.write.parquet(in_path)
+    model_path = str(tmp_path / "model")
+    cl.write_model(spark, [[0.0, 0.0]], model_path)
+    out_path = str(tmp_path / "outliers")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "outliers",
+        "--centroids", model_path, "--frac", "0.2", "--dim", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    got = [(r.vec_id, r.dist_rank) for r in spark.read.parquet(out_path).collect()]
+    assert sorted(got) == [(8, 2), (9, 1)]
