@@ -418,6 +418,62 @@ def kmeans_stats(
     return stats.select("cluster_id", "n_points", "avg_d2", "centroid_norm")
 
 
+def cluster_silhouette(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    quant: float = QUANT,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette — the internal clustering
+    quality metric that, unlike inertia, is comparable ACROSS k: per
+    vector, a = d2 to its own centroid, b = d2 to the second-nearest,
+    s = (b - a) / max(a, b) in [0, 1] (0 when both distances are 0 —
+    the duplicate-of-centroid edge); report the per-cluster mean and
+    size. Read it with kmeans_elbow: inertia always falls with k, but
+    mean silhouette peaks where cells stop splitting real structure.
+    The true silhouette is O(n^2) pairwise; this standard centroid form
+    is one assignment-shaped projection — the only version that
+    survives 100 TB.
+
+    Exactness: a and b ride the same sequential-fold distances as
+    assignment (ties on lowest index), s is one subtraction + one
+    greatest + one division of bit-equal doubles, and the per-cluster
+    mean is the quantized-BIGINT-sum / two-division chain — bit-exact
+    cross-engine. Requires k >= 2.
+
+    Scale shape: one projection (the two smallest (d, i) structs via
+    array_sort of the plan-time-constant distance array) + ONE
+    map-side-combinable k-row aggregate."""
+    if len(centroids) < 2:
+        raise ValueError("cluster_silhouette needs at least 2 centroids")
+    dists = []
+    for i, cent in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        diff = F.zip_with(F.col(vec_col), c, lambda a, b: a.cast("double") - b)
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    two = F.slice(F.array_sort(F.array(*dists)), 1, 2)
+    a = two[0]["d"]
+    b = two[1]["d"]
+    s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    asg = vectors.select(
+        two[0]["i"].alias("cluster_id"),
+        F.floor(s * F.lit(quant) + F.lit(0.5)).cast("long").alias("__qs"),
+    )
+    out = asg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points"), F.sum("__qs").alias("__s")
+    )
+    return out.select(
+        "cluster_id",
+        "n_points",
+        (F.col("__s").cast("double") / F.col("n_points").cast("double") / F.lit(quant)).alias(
+            "avg_silhouette"
+        ),
+    )
+
+
 def cluster_balanced_sample(
     vectors: DataFrame,
     centroids: Sequence[Sequence[float]],

@@ -5032,3 +5032,44 @@ def embedding_dim_drift(spark, sf_dir):
     a = emb.filter(F.col("vec_id") % 2 == 0)
     b = emb.filter(F.col("vec_id") % 2 == 1)
     return clustering.embedding_dim_drift(a, b)
+
+
+@register(
+    "cluster_silhouette",
+    f"""
+    WITH {_KM_CHAIN},
+    r AS (
+      SELECT e.vec_id, c.i, {_KM_D2} AS d,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+      FROM embeddings e CROSS JOIN c2 c
+    ),
+    ab AS (
+      SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN i END) AS cluster_id,
+             max(CASE WHEN rn = 1 THEN d END) AS a,
+             max(CASE WHEN rn = 2 THEN d END) AS b
+      FROM r WHERE rn <= 2 GROUP BY vec_id
+    ),
+    q AS (
+      SELECT cluster_id,
+             CAST(floor((CASE WHEN greatest(a, b) = 0 THEN 0.0
+                              ELSE (b - a) / greatest(a, b) END) * 1000000.0 + 0.5) AS BIGINT) AS qs
+      FROM ab
+    )
+    SELECT cluster_id, count(*) AS n_points,
+           CAST(CAST(sum(qs) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS avg_silhouette
+    FROM q GROUP BY cluster_id
+    """,
+)
+def cluster_silhouette(spark, sf_dir):
+    """Simplified-silhouette model quality (operators/clustering.py::
+    cluster_silhouette): per-cluster mean of (b - a) / max(a, b) over
+    own-centroid vs second-nearest-centroid squared distances, for the
+    cluster_kmeans trained model — the across-k-comparable companion to
+    cluster_elbow's always-falling inertia. The oracle replays training
+    CTE-for-CTE, takes the two nearest centroids by the identical
+    (d, i) rank, and folds the same quantized silhouette sums."""
+    emb = T(spark, sf_dir, "embeddings")
+    init = clustering.init_centroids_by_id(emb, _KM_IDS)
+    cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+    return clustering.cluster_silhouette(emb, cents)

@@ -329,7 +329,8 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #     driver-green rounds 5-10, moved to the pytest tier)
 #   sample_cluster_balanced / cluster_purity / cluster_ff_init /
 #   cluster_outliers / cluster_drift / cluster_kmeans_sampled /
-#   cluster_top_terms / cluster_elbow / embedding_dim_drift
+#   cluster_top_terms / cluster_elbow / embedding_dim_drift /
+#   cluster_silhouette
 #     (round-11/12 newcomers; their clustering class is held driver-green
 #     by cluster_kmeans_weighted — the round-12 surfaced trainer, whose
 #     weighted update strictly contains the unweighted one that trains

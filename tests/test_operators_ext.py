@@ -3749,3 +3749,30 @@ def test_embedding_dim_drift_exact_means_and_delta(spark):
     assert (got[0].n_a, got[0].n_b) == (2, 1)
     assert got[0].mean_a == 2.0 and got[0].mean_b == 2.0 and got[0].delta == 0.0
     assert got[1].mean_a == 2.0 and got[1].mean_b == 5.0 and got[1].delta == 3.0
+
+
+def test_cluster_silhouette_semantics(spark):
+    """Simplified silhouette: tight well-separated cells score near 1, a
+    point ON its centroid with another centroid elsewhere scores 1, the
+    both-zero edge scores 0, and k < 2 raises."""
+    import pytest as _pytest
+
+    from epss_spark.operators import clustering
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    # vec 0 sits ON centroid 0 -> a=0, b=100 -> s=1
+    # vec 1 at (4,0): a=16, b=36 -> s=(36-16)/36 = 5/9
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [4.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r.cluster_id: r for r in clustering.cluster_silhouette(df, cents).collect()}
+    assert got[0].n_points == 2
+    assert got[0].avg_silhouette == pytest.approx((1.0 + 5 / 9) / 2, abs=1e-6)
+
+    # duplicate centroids: a=b=0 -> s defined as 0, no NaN
+    dup = spark.createDataFrame([(0, [5.0, 5.0])], "vec_id long, embedding array<float>")
+    got2 = clustering.cluster_silhouette(dup, [[5.0, 5.0], [5.0, 5.0]]).collect()
+    assert got2[0].avg_silhouette == 0.0
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        clustering.cluster_silhouette(df, [[0.0, 0.0]])

@@ -52,8 +52,8 @@ def test_registry_counts():
     """Pins the audit-trail numbers quoted in README.md (registered and
     off-surface query counts): if the registry grows or shrinks, update
     README.md and this test together."""
-    assert len(registry.get_all_queries()) == 177
-    assert len(demoted_names()) == 127
+    assert len(registry.get_all_queries()) == 178
+    assert len(demoted_names()) == 128
     # every registered query has a full DuckDB oracle — the README's
     # headline claim, verified, not asserted
     assert set(registry.get_all_oracles()) == set(registry.get_all_queries())
@@ -110,7 +110,7 @@ def test_every_demoted_query_has_an_oracle():
     assert not missing, f"demoted queries without oracle coverage: {missing}"
 
 
-@pytest.mark.slow  # 127 oracle differentials: the demoted-tier gate,
+@pytest.mark.slow  # 128 oracle differentials: the demoted-tier gate,
 # ~5 min total; on-demand equivalent: python tools/check_oracles.py
 @pytest.mark.parametrize("name", demoted_names())
 def test_demoted_query_matches_oracle(name, spark, duck):
