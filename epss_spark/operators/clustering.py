@@ -80,6 +80,25 @@ QUANT = 1_000_000.0
 BATCHED_ASSIGN_CELLS = 512
 
 
+def _replace_or_append(schema: StructType, new_fields: Sequence[StructField]) -> StructType:
+    """Output schema for the Arrow kernels with withColumn semantics: a
+    new field whose name already exists in the input REPLACES that field
+    in place (same position, new type/nullability); otherwise it appends.
+    Matches the codegen path's withColumn exactly — and matches what the
+    pandas `out[col] = value` assignment in the kernels already does —
+    so the auto dispatch cannot turn a working small-k call into a
+    duplicate-column failure at large k."""
+    fields = list(schema.fields)
+    names = {f.name: i for i, f in enumerate(fields)}
+    for nf in new_fields:
+        if nf.name in names:
+            fields[names[nf.name]] = nf
+        else:
+            names[nf.name] = len(fields)
+            fields.append(nf)
+    return StructType(fields)
+
+
 def _best_centroid(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
     """struct(d, i) of the nearest centroid by squared L2 — d is the
     sequential left-fold distance, i the argmin index (lowest wins ties
@@ -117,12 +136,10 @@ def _assign_batched(
 
     cents = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
     k, dim = cents.shape
-    out_fields = list(vectors.schema.fields) + [
-        StructField(cluster_col, IntegerType(), False)
-    ]
+    new_fields = [StructField(cluster_col, IntegerType(), False)]
     if d2_col is not None:
-        out_fields.append(StructField(d2_col, DoubleType(), False))
-    out_schema = StructType(out_fields)
+        new_fields.append(StructField(d2_col, DoubleType(), False))
+    out_schema = _replace_or_append(vectors.schema, new_fields)
 
     # cap the (rows x k) working set per inner chunk so huge k never
     # allocates corpus-batch-sized distance matrices (4M cells ~ 32 MB
@@ -231,7 +248,19 @@ def check_model_sums(rows, dim: int, what: str = "kmeans_fit") -> None:
     """Loud-failure guard on collected per-cluster model sums: every
     per-dimension quantized sum must sit inside the SUM_GUARD headroom
     band and every cluster count must be a positive integer. Driver-side
-    over k rows — free relative to the scan that produced them."""
+    over k rows — free relative to the scan that produced them.
+
+    Coverage limit (stated, not hidden): the guard sees only the FINAL
+    aggregated value, so it catches true magnitudes that land in the
+    [2^62, 2^63) headroom band; a true sum that already wrapped past
+    2^63 in the BIGINT aggregate can alias back inside (-2^62, 2^62)
+    and pass silently. If a corpus could plausibly exceed
+    ~2x the bound (n * weight * |x| * quant > 2^63 per cluster — around
+    1e13 unit-scaled weighted rows in one cell at quant=1e6), enforce
+    the a-priori driver-side bound instead: assert
+    n_max * w_max * x_max * quant < 2^62 from known corpus stats before
+    training, which makes wrap-around impossible rather than merely
+    detected in the headroom band."""
     for r in rows:
         n = r["n"]
         cid = r["cluster_id"]
@@ -418,11 +447,129 @@ def kmeans_stats(
     return stats.select("cluster_id", "n_points", "avg_d2", "centroid_norm")
 
 
+def _two_nearest_batched(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str,
+    cluster_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Large-k (nearest, second-nearest) distances as an Arrow-batched
+    numpy kernel — the silhouette counterpart of _assign_batched, same
+    chunked sequential-fold distance accumulation (bit-identical IEEE op
+    sequence per cell), same map-only / O(1)-plan-size shape.
+
+    Parity with the expression form's `array_sort(struct(d, i))[0..1]`:
+    np.argmin's first-minimum rule IS the lowest-index tie-break for the
+    nearest (cluster_col, a_col); the second-smallest DISTANCE is the
+    sorted array's second d whatever its index resolves to (the struct
+    sort orders by d first, so position 2 always carries the
+    second-smallest d, duplicates included) — computed here by masking
+    the argmin cell to +inf and taking the remaining row min, which is
+    that exact double untouched by any arithmetic. Passthrough columns
+    keep withColumn replace-or-append semantics."""
+    import numpy as np
+
+    cents = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    k, dim = cents.shape
+    out_schema = _replace_or_append(
+        vectors.schema,
+        [
+            StructField(cluster_col, IntegerType(), False),
+            StructField(a_col, DoubleType(), False),
+            StructField(b_col, DoubleType(), False),
+        ],
+    )
+    chunk_rows = max(1, 4_000_000 // k)
+
+    def _kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            best = np.empty(n, dtype=np.int64)
+            da = np.empty(n, dtype=np.float64)
+            db = np.empty(n, dtype=np.float64)
+            for s in range(0, n, chunk_rows):
+                xs = x[s : s + chunk_rows]
+                m = len(xs)
+                acc = np.zeros((m, k), dtype=np.float64)
+                d = np.empty((m, k), dtype=np.float64)
+                for j in range(dim):  # sequential over dims: fold-order parity
+                    np.subtract(xs[:, j : j + 1], cents[None, :, j], out=d)
+                    np.multiply(d, d, out=d)
+                    np.add(acc, d, out=acc)
+                rows_m = np.arange(m)
+                b = np.argmin(acc, axis=1)  # first min = lowest-index ties
+                best[s : s + m] = b
+                da[s : s + m] = acc[rows_m, b]
+                acc[rows_m, b] = np.inf
+                db[s : s + m] = np.min(acc, axis=1)  # 2nd-smallest d, dups incl.
+            out = pdf.copy()
+            out[cluster_col] = best.astype(np.int32)
+            out[a_col] = da
+            out[b_col] = db
+            yield out
+
+    return vectors.mapInPandas(_kernel, schema=out_schema)
+
+
+def two_nearest_distances(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    a_col: str = "d2_nearest",
+    b_col: str = "d2_second",
+    impl: str = "auto",
+) -> DataFrame:
+    """Per-row (nearest cluster, own-centroid d2, second-nearest d2) —
+    the projection cluster_silhouette aggregates, exposed because the
+    per-row form is itself the boundary-point report (rows with
+    d2_second ~ d2_nearest sit between cells and churn under
+    re-training). Two pinned bit-identical physical forms, dispatched
+    exactly like assign_clusters: the plan-time-constant expression
+    `array_sort(struct(d, i))` at or below BATCHED_ASSIGN_CELLS centroid
+    cells, the Arrow kernel above — so the across-k silhouette metric
+    never re-opens the interpreted-HOF cliff at production k. Requires
+    k >= 2; map-only either way (zero shuffle, zero state)."""
+    if len(centroids) < 2:
+        raise ValueError("two_nearest_distances needs at least 2 centroids")
+    if impl == "auto":
+        k = len(centroids)
+        dim = len(centroids[0]) if k else 0
+        impl = "batched" if k * dim > BATCHED_ASSIGN_CELLS else "codegen"
+    if impl == "batched":
+        return _two_nearest_batched(vectors, centroids, vec_col, cluster_col, a_col, b_col)
+    if impl != "codegen":
+        raise ValueError(f"unknown assignment impl: {impl!r}")
+    dists = []
+    for i, cent in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        diff = F.zip_with(F.col(vec_col), c, lambda a, b: a.cast("double") - b)
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    two = F.slice(F.array_sort(F.array(*dists)), 1, 2)
+    return (
+        vectors.withColumn("__two", two)
+        .withColumn(cluster_col, F.col("__two")[0]["i"])
+        .withColumn(a_col, F.col("__two")[0]["d"])
+        .withColumn(b_col, F.col("__two")[1]["d"])
+        .drop("__two")
+    )
+
+
 def cluster_silhouette(
     vectors: DataFrame,
     centroids: Sequence[Sequence[float]],
     vec_col: str = "embedding",
     quant: float = QUANT,
+    impl: str = "auto",
 ) -> DataFrame:
     """Simplified (centroid-based) silhouette — the internal clustering
     quality metric that, unlike inertia, is comparable ACROSS k: per
@@ -441,25 +588,21 @@ def cluster_silhouette(
     mean is the quantized-BIGINT-sum / two-division chain — bit-exact
     cross-engine. Requires k >= 2.
 
-    Scale shape: one projection (the two smallest (d, i) structs via
-    array_sort of the plan-time-constant distance array) + ONE
-    map-side-combinable k-row aggregate."""
-    if len(centroids) < 2:
-        raise ValueError("cluster_silhouette needs at least 2 centroids")
-    dists = []
-    for i, cent in enumerate(centroids):
-        c = F.array(*[F.lit(float(x)) for x in cent])
-        diff = F.zip_with(F.col(vec_col), c, lambda a, b: a.cast("double") - b)
-        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
-        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
-    two = F.slice(F.array_sort(F.array(*dists)), 1, 2)
-    a = two[0]["d"]
-    b = two[1]["d"]
+    Scale shape: one two-nearest projection (two_nearest_distances —
+    dual-path, so production-k models ride the near-flat Arrow kernel
+    instead of the O(k*dim) interpreted expression tree) + ONE
+    map-side-combinable k-row aggregate. `impl` forces a physical form,
+    "auto" dispatches at BATCHED_ASSIGN_CELLS like assign_clusters."""
+    rows = two_nearest_distances(
+        vectors.select(vec_col), centroids, vec_col=vec_col,
+        cluster_col="cluster_id", a_col="__a", b_col="__b", impl=impl,
+    )
+    a, b = F.col("__a"), F.col("__b")
     s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
         (b - a) / F.greatest(a, b)
     )
-    asg = vectors.select(
-        two[0]["i"].alias("cluster_id"),
+    asg = rows.select(
+        "cluster_id",
         F.floor(s * F.lit(quant) + F.lit(0.5)).cast("long").alias("__qs"),
     )
     out = asg.groupBy("cluster_id").agg(
@@ -583,7 +726,7 @@ def kmeans_elbow(
     out = None
     for k in ks:
         init = init_centroids_by_id(vectors, list(init_ids)[:k], id_col=id_col, vec_col=vec_col)
-        cents = kmeans_fit(vectors, init, n_iter=n_iter, dim=dim, vec_col=vec_col)
+        cents = kmeans_fit(vectors, init, n_iter=n_iter, dim=dim, vec_col=vec_col, quant=quant)
         asg = assign_clusters(vectors, cents, vec_col=vec_col, d2_col="__d2")
         q = F.floor(F.col("__d2") * F.lit(quant) + F.lit(0.5)).cast("long")
         one = (
@@ -648,6 +791,7 @@ def farthest_first_init(
     start_id: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> list[list[float]]:
     """Gonzalez farthest-first traversal init: seed with a fixed row,
     then k-1 times pick the point farthest (squared L2) from its nearest
@@ -658,18 +802,27 @@ def farthest_first_init(
     cluster seeds plateau at 0.625 purity; FF init from the same start
     point recovers 1.0).
 
-    Scale shape: each of the k-1 steps is one codegen min-distance
+    Scale shape: each of the k-1 steps is one min-distance-to-chosen-set
     projection over the corpus + a TakeOrdered(1) — no shuffle, the
-    chosen set stays driver-sized (it IS the model). k scans total; at
-    100 TB run it on a sample, like any init."""
+    chosen set stays driver-sized (it IS the model). The projection
+    rides assign_clusters' dual-path dispatch per pick: the growing
+    prefix stays on the codegen expression while chosen*dim cells are at
+    or below BATCHED_ASSIGN_CELLS and switches to the bit-identical
+    Arrow kernel above it, so a large-k traversal costs one near-flat
+    kernel pass per pick instead of an O(prefix*dim) interpreted fold
+    (picks are pinned identical across forms). k scans total; at 100 TB
+    run it on a sample, like any init."""
     seed = vectors.filter(F.col(id_col) == start_id).select(vec_col).collect()
     if not seed:
         raise ValueError(f"start id not found in vectors: {start_id}")
     cents = [[float(x) for x in seed[0][vec_col]]]
     for _ in range(k - 1):
-        best = _best_centroid(F.col(vec_col), cents)
+        scored = assign_clusters(
+            vectors.select(id_col, vec_col), cents, vec_col=vec_col,
+            cluster_col="__c", d2_col="__d", impl=impl,
+        )
         pick = (
-            vectors.select(id_col, vec_col, best["d"].alias("__d"))
+            scored.select(id_col, vec_col, "__d")
             .orderBy(F.col("__d").desc(), F.col(id_col).asc())
             .limit(1)
             .collect()[0]
@@ -821,23 +974,38 @@ def embedding_dim_drift(
     quant: float = QUANT,
 ) -> DataFrame:
     """MODEL-FREE embedding drift between two corpus batches: the
-    per-dimension mean of each side and their delta — the monitor that
-    catches an encoder version bump, a preprocessing change, or a
-    content shift BEFORE any model-based gate (assignment_drift needs
-    centroids; this needs nothing). A near-zero delta vector means the
-    batches share an embedding distribution to first order; a step
-    change on many dimensions is the earliest signal the ANN index,
-    the k-means model, and every SemDeDup threshold are about to stop
-    matching the data. Output: (dim_idx 0-based, n_a, n_b, mean_a,
-    mean_b, delta), one row per dimension.
+    per-dimension mean AND variance of each side and their deltas — the
+    monitor that catches an encoder version bump, a preprocessing
+    change, or a content shift BEFORE any model-based gate
+    (assignment_drift needs centroids; this needs nothing). A near-zero
+    delta vector means the batches share an embedding distribution to
+    second order; a step change on many dimensions is the earliest
+    signal the ANN index, the k-means model, and every SemDeDup
+    threshold are about to stop matching the data. The variance column
+    exists because a mean-only monitor is blind to the second failure
+    mode this operator guards against: an encoder regression that
+    preserves means but rescales the space (temperature / normalization
+    change) moves only the second moment. `effect_size` =
+    |delta| / sqrt(var_a) is the per-dimension normalized step (NULL
+    when the reference dimension is constant) — threshold on it instead
+    of raw delta so low-amplitude dimensions don't hide real steps.
+    Output: (dim_idx 0-based, n_a, n_b, mean_a, mean_b, delta, var_a,
+    var_b, var_delta, effect_size), one row per dimension.
 
-    Exactness: per-dim means are the same quantized-BIGINT-sum /
-    two-division chain as the centroid update, and delta is one double
-    subtraction of those — bit-identical cross-engine.
+    Exactness: per-dim means and E[x^2] are the same
+    quantized-BIGINT-sum / two-division chain as the centroid update
+    (the second moment quantizes x*x with the identical floor(.+0.5)
+    rounding); variance is greatest(E[x^2] - mean*mean, 0) — the clamp
+    absorbs the one-ULP negative a constant dimension's independent
+    quantizations can produce — and effect_size is one abs/sqrt/divide
+    of those doubles. sqrt and the arithmetic ops are IEEE
+    correctly-rounded, so every column stays bit-identical
+    cross-engine.
 
     Scale shape: one posexplode + ONE dim-keyed aggregate per side
-    (map-side combinable, `dim` result rows each) and a dim-row join —
-    nothing corpus-sized survives the aggregates."""
+    (map-side combinable, `dim` result rows each, now carrying one more
+    additive BIGINT per row) and a dim-row join — nothing corpus-sized
+    survives the aggregates."""
 
     a = dim_quant_sums(corpus_a, "a", vec_col=vec_col, quant=quant)
     b = dim_quant_sums(corpus_b, "b", vec_col=vec_col, quant=quant)
@@ -847,15 +1015,22 @@ def embedding_dim_drift(
 def dim_quant_sums(
     df: DataFrame, tag: str, vec_col: str = "embedding", quant: float = QUANT
 ) -> DataFrame:
-    """Per-dimension (count, quantized BIGINT sum) of an embedding
-    corpus: (dim_idx, n_<tag>, __s_<tag>). The additive building block
-    shared by embedding_dim_drift and its maintenance stream — integer
-    sums commute, so per-batch deltas fold to exactly the one-shot
-    aggregate."""
+    """Per-dimension (count, quantized BIGINT sum, quantized BIGINT
+    sum of squares) of an embedding corpus: (dim_idx, n_<tag>,
+    __s_<tag>, __s2_<tag>). The additive building block shared by
+    embedding_dim_drift and its maintenance stream — integer sums
+    commute, so per-batch deltas fold to exactly the one-shot
+    aggregate. The squared-value sum is the same machinery one column
+    over: floor(x*x*quant + 0.5) summed as BIGINT, giving the stream
+    the second moment for free."""
     expl = df.select(F.posexplode(F.col(vec_col)).alias("dim_idx", "__v"))
-    q = F.floor(F.col("__v").cast("double") * F.lit(quant) + F.lit(0.5)).cast("long")
+    v = F.col("__v").cast("double")
+    q = F.floor(v * F.lit(quant) + F.lit(0.5)).cast("long")
+    q2 = F.floor(v * v * F.lit(quant) + F.lit(0.5)).cast("long")
     return expl.groupBy("dim_idx").agg(
-        F.count(F.lit(1)).alias(f"n_{tag}"), F.sum(q).alias(f"__s_{tag}")
+        F.count(F.lit(1)).alias(f"n_{tag}"),
+        F.sum(q).alias(f"__s_{tag}"),
+        F.sum(q2).alias(f"__s2_{tag}"),
     )
 
 
@@ -863,10 +1038,20 @@ def drift_from_dim_sums(
     a_sums: DataFrame, b_sums: DataFrame, quant: float = QUANT
 ) -> DataFrame:
     """Assemble the drift report from two dim_quant_sums frames — the
-    same two-division mean chain and one double subtraction whether the
-    sums came from a one-shot aggregate or a folded stream store."""
+    same two-division mean / second-moment chains, variance clamp, and
+    effect-size division whether the sums came from a one-shot
+    aggregate or a folded stream store (the shared final expressions
+    are what keep stream == batch bit-identical)."""
     mean_a = F.col("__s_a").cast("double") / F.col("n_a").cast("double") / F.lit(quant)
     mean_b = F.col("__s_b").cast("double") / F.col("n_b").cast("double") / F.lit(quant)
+    ex2_a = F.col("__s2_a").cast("double") / F.col("n_a").cast("double") / F.lit(quant)
+    ex2_b = F.col("__s2_b").cast("double") / F.col("n_b").cast("double") / F.lit(quant)
+    var_a = F.greatest(ex2_a - mean_a * mean_a, F.lit(0.0))
+    var_b = F.greatest(ex2_b - mean_b * mean_b, F.lit(0.0))
+    delta = mean_b - mean_a
+    effect = F.when(var_a > 0.0, F.abs(delta) / F.sqrt(var_a)).otherwise(
+        F.lit(None).cast("double")
+    )
     return (
         a_sums.join(b_sums, "dim_idx")
         .select(
@@ -875,7 +1060,11 @@ def drift_from_dim_sums(
             "n_b",
             mean_a.alias("mean_a"),
             mean_b.alias("mean_b"),
-            (mean_b - mean_a).alias("delta"),
+            delta.alias("delta"),
+            var_a.alias("var_a"),
+            var_b.alias("var_b"),
+            (var_b - var_a).alias("var_delta"),
+            effect.alias("effect_size"),
         )
     )
 

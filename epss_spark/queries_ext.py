@@ -5000,34 +5000,53 @@ def cluster_elbow(spark, sf_dir):
     """
     WITH sa AS (
       SELECT CAST(j - 1 AS INTEGER) AS dim_idx, count(*) AS n_a,
-             CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+             CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2
       FROM embeddings, range(1, 65) r(j) WHERE vec_id % 2 = 0
       GROUP BY j
     ),
     sb AS (
       SELECT CAST(j - 1 AS INTEGER) AS dim_idx, count(*) AS n_b,
-             CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+             CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2
       FROM embeddings, range(1, 65) r(j) WHERE vec_id % 2 = 1
       GROUP BY j
+    ),
+    m AS (
+      SELECT sa.dim_idx, n_a, n_b,
+             CAST(sa.s AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000000.0 AS mean_a,
+             CAST(sb.s AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000000.0 AS mean_b,
+             CAST(sa.s2 AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000000.0 AS ex2_a,
+             CAST(sb.s2 AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000000.0 AS ex2_b
+      FROM sa JOIN sb ON sb.dim_idx = sa.dim_idx
+    ),
+    v AS (
+      SELECT dim_idx, n_a, n_b, mean_a, mean_b,
+             mean_b - mean_a AS delta,
+             greatest(ex2_a - mean_a * mean_a, 0.0) AS var_a,
+             greatest(ex2_b - mean_b * mean_b, 0.0) AS var_b
+      FROM m
     )
-    SELECT sa.dim_idx, n_a, n_b,
-           CAST(sa.s AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000000.0 AS mean_a,
-           CAST(sb.s AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000000.0 AS mean_b,
-           CAST(sb.s AS DOUBLE) / CAST(n_b AS DOUBLE) / 1000000.0
-             - CAST(sa.s AS DOUBLE) / CAST(n_a AS DOUBLE) / 1000000.0 AS delta
-    FROM sa JOIN sb ON sb.dim_idx = sa.dim_idx
+    SELECT dim_idx, n_a, n_b, mean_a, mean_b, delta, var_a, var_b,
+           var_b - var_a AS var_delta,
+           CASE WHEN var_a > 0.0 THEN abs(delta) / sqrt(var_a) END AS effect_size
+    FROM v
     """,
 )
 def embedding_dim_drift(spark, sf_dir):
     """Model-free embedding distribution drift (operators/clustering.py::
-    embedding_dim_drift): per-dimension mean deltas between two batches
-    — here the deterministic even/odd vec_id split standing in for
-    yesterday's and today's embedding drops. The encoder-regression
-    monitor that needs no model: a step change across many dimensions
-    says the ANN index / k-means model / SemDeDup thresholds are about
-    to stop matching the data. Same quantized-sum exactness as the
-    centroid update; the oracle replays both sides' sums and the
-    identical division chains."""
+    embedding_dim_drift): per-dimension mean AND variance deltas plus
+    the |delta|/sigma_ref effect size between two batches — here the
+    deterministic even/odd vec_id split standing in for yesterday's and
+    today's embedding drops. The encoder-regression monitor that needs
+    no model: a mean step across many dimensions, or a variance step
+    with flat means (a scale/temperature encoder change — the failure
+    mode a mean-only monitor cannot see), says the ANN index / k-means
+    model / SemDeDup thresholds are about to stop matching the data.
+    Same quantized-sum exactness as the centroid update, one more
+    additive BIGINT (sum of floor(x*x*quant + 0.5)) per dimension; the
+    oracle replays both sides' sums, the identical division chains, the
+    variance clamp, and the guarded abs/sqrt/divide effect size."""
     emb = T(spark, sf_dir, "embeddings")
     a = emb.filter(F.col("vec_id") % 2 == 0)
     b = emb.filter(F.col("vec_id") % 2 == 1)

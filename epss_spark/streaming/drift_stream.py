@@ -3,7 +3,7 @@ as a stream.
 
 The batch monitor (operators/clustering.py::embedding_dim_drift)
 compares per-dimension means of two corpora. The streaming form
-maintains the incoming side's (dim_idx, n, s) quantized-sum store
+maintains the incoming side's (dim_idx, n, s, s2) quantized-sum store
 incrementally: each micro-batch appends its OWN per-dimension sums as
 an epoch-scoped delta (pure function of the batch — no state read on
 the write path, so replay safety is free: a retried epoch overwrites
@@ -50,6 +50,7 @@ def _fold_dim_sums(df: DataFrame) -> DataFrame:
     return df.groupBy("dim_idx").agg(
         F.sum("n_b").alias("n_b"),
         F.sum("__s_b").alias("__s_b"),
+        F.sum("__s2_b").alias("__s2_b"),
         F.max("__epoch").alias("__epoch"),
     )
 
@@ -79,12 +80,16 @@ def process_dim_drift_batch(
 
 def dim_sums_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     """Folded per-dimension sums over everything the stream has seen:
-    (dim_idx, n_b, __s_b). Lazy; one additive aggregate over the
-    bounded store."""
+    (dim_idx, n_b, __s_b, __s2_b). Lazy; one additive aggregate over
+    the bounded store."""
     return (
         read_artifact(spark, state_path)
         .groupBy("dim_idx")
-        .agg(F.sum("n_b").cast("long").alias("n_b"), F.sum("__s_b").cast("long").alias("__s_b"))
+        .agg(
+            F.sum("n_b").cast("long").alias("n_b"),
+            F.sum("__s_b").cast("long").alias("__s_b"),
+            F.sum("__s2_b").cast("long").alias("__s2_b"),
+        )
     )
 
 

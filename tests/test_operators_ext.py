@@ -3522,11 +3522,118 @@ def test_assign_clusters_auto_dispatch_threshold(spark):
         clustering.assign_clusters(emb, small)._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" not in p_small and "EvalPython" not in p_small
-    big = [[float(i % 7)] * 64 for i in range(129)]  # 8256 cells > 8192
+    big = [[float(i % 7)] * 64 for i in range(129)]  # 8256 cells > BATCHED_ASSIGN_CELLS (512)
     plan_big = clustering.assign_clusters(emb, big)._jdf.queryExecution()
     p_big = plan_big.executedPlan().toString()
     assert "MapInPandas" in p_big
     assert "Exchange" not in p_big  # map-only: assignment never shuffles
+
+
+def test_two_nearest_batched_bit_identical_to_codegen(spark):
+    """The silhouette kernel's dual-path contract: per-row nearest
+    cluster (lowest-index ties), own-centroid d2, AND second-nearest d2
+    must be exactly equal (==, no tolerance) between the expression form
+    and the Arrow kernel — so cluster_silhouette's auto dispatch is
+    invisible at any k."""
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    init = clustering.init_centroids_by_id(emb, [0, 61, 122, 183, 244, 305, 366, 427])
+    cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+
+    def grab(impl):
+        return {
+            r.vec_id: (r.cluster_id, r.a, r.b)
+            for r in clustering.two_nearest_distances(
+                emb, cents, a_col="a", b_col="b", impl=impl
+            ).select("vec_id", "cluster_id", "a", "b").collect()
+        }
+
+    a, b = grab("codegen"), grab("batched")
+    assert len(a) == 500 and a == b
+    # and the aggregated operator is byte-identical across forms too
+    s_cg = {
+        r.cluster_id: (r.n_points, r.avg_silhouette)
+        for r in clustering.cluster_silhouette(emb, cents, impl="codegen").collect()
+    }
+    s_ba = {
+        r.cluster_id: (r.n_points, r.avg_silhouette)
+        for r in clustering.cluster_silhouette(emb, cents, impl="batched").collect()
+    }
+    assert s_cg == s_ba and len(s_cg) == 8
+
+
+def test_two_nearest_batched_duplicate_min_distance(spark):
+    """When the two nearest centroids are equidistant, the nearest index
+    is the LOWEST (argmin first-min rule == struct-ordering sort) and
+    the second-nearest distance equals the first — duplicates included,
+    exactly like array_sort's position 2."""
+    from epss_spark.operators import clustering
+
+    df = spark.createDataFrame([(0, [5.0, 0.0])], "vec_id long, embedding array<float>")
+    cents = [[0.0, 0.0], [10.0, 0.0], [5.0, 7.0]]
+    for impl in ("codegen", "batched"):
+        r = clustering.two_nearest_distances(
+            df, cents, a_col="a", b_col="b", impl=impl
+        ).collect()[0]
+        assert (r.cluster_id, r.a, r.b) == (0, 25.0, 25.0), impl
+
+
+def test_cluster_silhouette_auto_dispatch_threshold(spark):
+    """Silhouette rides the same measured threshold as assignment: pure
+    codegen (no Python) at or below BATCHED_ASSIGN_CELLS, map-only Arrow
+    with no O(k*dim) literal tree above it."""
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    small = [[float(i)] * 64 for i in range(8)]  # 512 cells
+    p_small = (
+        clustering.cluster_silhouette(emb, small)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in p_small and "EvalPython" not in p_small
+    big = [[float(i % 7) + i] * 64 for i in range(129)]  # 8256 cells > BATCHED_ASSIGN_CELLS (512)
+    p_big = (
+        clustering.cluster_silhouette(emb, big)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in p_big
+
+
+def test_assign_batched_replaces_existing_columns_like_withcolumn(spark):
+    """A pre-existing column named cluster_id/d2 is REPLACED in place by
+    the Arrow kernels (withColumn semantics), not duplicated — so the
+    auto dispatch can't turn a working small-k re-assignment call into a
+    large-k duplicate-column failure."""
+    from epss_spark.operators import clustering
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0], 99, -1.0), (1, [9.0, 0.0], 99, -1.0)],
+        "vec_id long, embedding array<float>, cluster_id int, d2 double",
+    )
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    got = {}
+    for impl in ("codegen", "batched"):
+        out = clustering.assign_clusters(df, cents, d2_col="d2", impl=impl)
+        assert out.columns == ["vec_id", "embedding", "cluster_id", "d2"], impl
+        got[impl] = {r.vec_id: (r.cluster_id, r.d2) for r in out.collect()}
+    assert got["codegen"] == got["batched"] == {0: (0, 0.0), 1: (1, 1.0)}
+
+
+def test_farthest_first_init_batched_identical_picks(spark):
+    """FF traversal picks are bit-identical whichever physical form the
+    per-pick min-distance projection takes — the growing chosen-set
+    prefix can ride the Arrow kernel at large k without changing the
+    model."""
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cg = clustering.farthest_first_init(emb, k=4, start_id=0, impl="codegen")
+    ba = clustering.farthest_first_init(emb, k=4, start_id=0, impl="batched")
+    assert cg == ba and len(cg) == 4
 
 
 def test_kmeans_fit_batched_impl_bit_identical(spark):
@@ -3749,6 +3856,31 @@ def test_embedding_dim_drift_exact_means_and_delta(spark):
     assert (got[0].n_a, got[0].n_b) == (2, 1)
     assert got[0].mean_a == 2.0 and got[0].mean_b == 2.0 and got[0].delta == 0.0
     assert got[1].mean_a == 2.0 and got[1].mean_b == 5.0 and got[1].delta == 3.0
+    # second moment: dim0 a={1,3} -> E[x^2]=5, var=1; b={2} -> var=0
+    assert got[0].var_a == 1.0 and got[0].var_b == 0.0 and got[0].var_delta == -1.0
+    assert got[0].effect_size == 0.0  # |delta|/sqrt(var_a) = 0/1
+    # dim1 a={2,2} is constant -> var_a=0 -> effect_size NULL, not inf
+    assert got[1].var_a == 0.0 and got[1].effect_size is None
+
+
+def test_embedding_dim_drift_catches_variance_only_shift(spark):
+    """The round-12 monitor blind spot, closed: an encoder regression
+    that preserves per-dimension means but rescales the space moves ONLY
+    the second moment — delta stays 0 while var_delta and the variance
+    columns step."""
+    from epss_spark.operators import clustering
+
+    a = spark.createDataFrame(
+        [(0, [1.0]), (1, [3.0])], "vec_id long, embedding array<float>"
+    )
+    # same mean (2.0), doubled spread around it: 2 +- 2 instead of 2 +- 1
+    b = spark.createDataFrame(
+        [(2, [0.0]), (3, [4.0])], "vec_id long, embedding array<float>"
+    )
+    r = clustering.embedding_dim_drift(a, b).collect()[0]
+    assert r.mean_a == 2.0 and r.mean_b == 2.0 and r.delta == 0.0
+    assert r.var_a == 1.0 and r.var_b == 4.0 and r.var_delta == 3.0
+    assert r.effect_size == 0.0  # mean-only monitors report exactly this: nothing
 
 
 def test_cluster_silhouette_semantics(spark):

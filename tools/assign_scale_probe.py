@@ -16,15 +16,27 @@ this probe measures COST only: wall time for a full assign+count over a
 replicated embedding corpus, per impl, per k. Expect codegen to win or
 tie through a few hundred cells' worth of k and degrade superlinearly
 past ~1k centroids while the batched kernel stays near-flat; the
-BATCHED_ASSIGN_CELLS auto threshold (8192 cells = k*dim) sits where the
-curves cross comfortably before the codegen cliff.
+BATCHED_ASSIGN_CELLS auto threshold (512 cells = k*dim, set from this
+probe's measured ladder) keeps only the oracle-checked small shapes on
+the expression path — every larger model crosses to the kernel well
+before the codegen cliff.
 
-Usage: python tools/assign_scale_probe.py [replicas] [k1,k2,...] [max_codegen_k]
+Round 13 adds `op`: the same ladder can price the OTHER centroid-model
+projections that ride the dual dispatch —
+  assign      nearest-centroid assignment + k-row count (default)
+  silhouette  cluster_silhouette's two-nearest projection + k-row mean
+              (the round-12 seam: before the Arrow two-nearest kernel,
+              this op had only the interpreted HOF fold at any k)
+  ff          farthest_first_init traversal to k picks (k corpus scans;
+              expect ~linear in k for BOTH forms — the probe prices the
+              per-scan constant, which is where the kernel wins)
+
+Usage: python tools/assign_scale_probe.py [replicas] [k1,k2,...] [max_codegen_k] [op]
 Defaults: 50 replicas of sf0.1 embeddings (100k rows), k ladder
-8,16,32,64,128. The expression rung is skipped above max_codegen_k
-(default 128) — past the cliff it only wastes probe time.
+8,16,32,64,128, op=assign. The expression rung is skipped above
+max_codegen_k (default 128) — past the cliff it only wastes probe time.
 Prints one JSON line:
-  {"rows": N, "dim": 64, "ladder": {"8": {"codegen_sec": s, "batched_sec": s}, ...}}
+  {"op": "...", "rows": N, "dim": 64, "ladder": {"8": {"codegen_sec": s, "batched_sec": s}, ...}}
 """
 
 from __future__ import annotations
@@ -56,6 +68,9 @@ def main() -> None:
         else [8, 16, 32, 64, 128]
     )
     max_codegen_k = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    op = sys.argv[4] if len(sys.argv) > 4 else "assign"
+    if op not in ("assign", "silhouette", "ff"):
+        raise SystemExit(f"unknown op: {op!r} (assign | silhouette | ff)")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("assign-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -67,20 +82,25 @@ def main() -> None:
     corpus = spark.read.parquet("/tmp/assign_probe_corpus")
     n = corpus.count()
 
-    def run(impl: str, cents) -> float:
+    def run(impl: str, k: int, cents) -> float:
         t0 = time.monotonic()
-        out = clustering.assign_clusters(corpus, cents, impl=impl)
-        out.groupBy("cluster_id").count().collect()
+        if op == "silhouette":
+            clustering.cluster_silhouette(corpus, cents, impl=impl).collect()
+        elif op == "ff":
+            clustering.farthest_first_init(corpus, k=k, start_id=0, impl=impl)
+        else:
+            out = clustering.assign_clusters(corpus, cents, impl=impl)
+            out.groupBy("cluster_id").count().collect()
         return round(time.monotonic() - t0, 3)
 
     out = {}
     for k in ladder:
         cents = synth_centroids(k)
-        row = {"batched_sec": run("batched", cents)}
+        row = {"batched_sec": run("batched", k, cents)}
         if k <= max_codegen_k:
-            row["codegen_sec"] = run("codegen", cents)
+            row["codegen_sec"] = run("codegen", k, cents)
         out[str(k)] = row
-    print(json.dumps({"rows": n, "dim": 64, "replicas": replicas, "ladder": out}))
+    print(json.dumps({"op": op, "rows": n, "dim": 64, "replicas": replicas, "ladder": out}))
     spark.stop()
 
 
