@@ -298,16 +298,21 @@ def build_parser() -> argparse.ArgumentParser:
         "cluster",
         help="deterministic Lloyd k-means over an embeddings parquet "
         "(extension): train an exact-arithmetic centroid model, then write "
-        "per-cluster diagnostics (--op stats) or a cluster-balanced "
-        "curation sample (--op sample); --op train persists the model "
-        "artifact, --op promote gates a kmeans_stream snapshot behind the "
-        "assignment-drift check before rolling it forward",
+        "per-cluster diagnostics (--op stats), model-quality scores "
+        "(--op silhouette / --op elbow — run both on one model to pick "
+        "k), or a cluster-balanced curation sample (--op sample); --op "
+        "train persists the model artifact, --op promote gates a "
+        "kmeans_stream snapshot behind the assignment-drift check "
+        "before rolling it forward",
     )
     cu.add_argument("--input", required=True, help="parquet with (vec_id, embedding)")
     cu.add_argument("--output", required=True, help="output parquet")
     cu.add_argument(
         "--op",
-        choices=["stats", "sample", "train", "promote", "terms", "elbow", "outliers"],
+        choices=[
+            "stats", "sample", "train", "promote", "terms", "elbow",
+            "outliers", "silhouette",
+        ],
         default="stats",
     )
     cu.add_argument(
@@ -707,7 +712,10 @@ def main(argv: list[str] | None = None) -> int:
             from epss_spark.streaming import kmeans_stream as km_stream
 
             if not args.centroids or not args.state:
-                print("cluster promote: --centroids and --state are required")
+                print(
+                    "cluster promote: --centroids and --state are required",
+                    file=sys.stderr,
+                )
                 return 2
             frozen = cl_ops.read_model(spark, args.centroids)
             if args.expected_n is not None:
@@ -794,15 +802,23 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.op == "train":
             cl_ops.write_model(spark, cents, args.output)
-            print(
-                f"cluster train: k={len(cents)}, {args.n_iter} iterations"
-                + (f", sample_frac={args.sample_frac}" if args.sample_frac else "")
-                + f" -> model -> {args.output}"
-            )
+            if args.centroids:
+                # nothing was fitted: the loaded artifact was re-saved
+                # verbatim — say that instead of implying a retrain
+                print(
+                    f"cluster train: copied saved model ({len(cents)} cells, "
+                    f"no fitting) {args.centroids} -> {args.output}"
+                )
+            else:
+                print(
+                    f"cluster train: k={len(cents)}, {args.n_iter} iterations"
+                    + (f", sample_frac={args.sample_frac}" if args.sample_frac else "")
+                    + f" -> model -> {args.output}"
+                )
             return 0
         if args.op == "terms":
             if not args.docs:
-                print("cluster terms: --docs is required")
+                print("cluster terms: --docs is required", file=sys.stderr)
                 return 2
             docs = spark.read.parquet(args.docs)
             out = cl_ops.cluster_top_terms(
@@ -816,6 +832,12 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.op == "stats":
             out = cl_ops.kmeans_stats(vecs, cents, vec_col=args.vec_col).orderBy("cluster_id")
+        elif args.op == "silhouette":
+            # the across-k-comparable companion to --op elbow: run both on
+            # the same model to pick k (DEPLOYMENT.md "picking k")
+            out = cl_ops.cluster_silhouette(
+                vecs, cents, vec_col=args.vec_col
+            ).orderBy("cluster_id")
         else:
             out = cl_ops.cluster_balanced_sample(
                 vecs,
@@ -871,9 +893,17 @@ def main(argv: list[str] | None = None) -> int:
                 print("--report dim-drift requires --ref-input", file=sys.stderr)
                 return 2
             ref = spark.read.parquet(args.ref_input)
+            # normalized mean step first (|delta|/sigma_ref), then raw
+            # |delta|: the variance-aware review order — a scale-only
+            # encoder regression surfaces via var_delta even when every
+            # effect_size is ~0
             out = cl_ops.embedding_dim_drift(
                 ref, docs, vec_col=args.vec_col
-            ).orderBy(F.abs(F.col("delta")).desc(), "dim_idx")
+            ).orderBy(
+                F.col("effect_size").desc_nulls_last(),
+                F.abs(F.col("delta")).desc(),
+                "dim_idx",
+            )
         elif args.report == "contamination":
             import os as _os
 

@@ -734,7 +734,7 @@ def test_cli_cluster_terms_and_elbow(spark, tmp_path, capsys):
         "cluster", "--input", in_path, "--output", terms_path, "--op", "terms",
         "--centroids", model_path, "--dim", "2",
     ])
-    assert rc == 2 and "--docs" in capsys.readouterr().out
+    assert rc == 2 and "--docs" in capsys.readouterr().err
 
     elbow_path = str(tmp_path / "elbow")
     rc = cli.main([
@@ -746,6 +746,72 @@ def test_cli_cluster_terms_and_elbow(spark, tmp_path, capsys):
     assert sorted(curve) == [1, 2]
     assert all(curve[k].n_points == 4 for k in curve)
     assert curve[1].total_inertia > curve[2].total_inertia
+
+
+def test_cli_cluster_pick_k_recipe(spark, tmp_path, capsys):
+    """The DEPLOYMENT.md "picking k" recipe end-to-end: train a model,
+    then run BOTH --op elbow (inertia curve) and --op silhouette
+    (across-k-comparable quality) against the same data/model — the two
+    companion metrics the docs tie together. Also pins the --op train
+    --centroids wording: re-saving a loaded model says 'copied', never
+    implies a retrain."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering as cl
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]),
+        (2, [10.0, 10.0]), (3, [11.0, 10.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    in_path = str(tmp_path / "vecs")
+    vecs.write.parquet(in_path)
+
+    # step 1: the elbow curve over candidate ks
+    elbow_path = str(tmp_path / "elbow")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", elbow_path, "--op", "elbow",
+        "--ks", "2,3", "--n-iter", "1", "--dim", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    # step 2: train the candidate model and score it with silhouette
+    model_path = str(tmp_path / "model")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", model_path, "--op", "train",
+        "--k", "2", "--n-iter", "2", "--dim", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    sil_path = str(tmp_path / "sil")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", sil_path,
+        "--op", "silhouette", "--centroids", model_path, "--dim", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    cents = cl.read_model(spark, model_path)
+    want = {
+        r.cluster_id: (r.n_points, r.avg_silhouette)
+        for r in cl.cluster_silhouette(vecs, cents).collect()
+    }
+    got = {
+        r.cluster_id: (r.n_points, r.avg_silhouette)
+        for r in spark.read.parquet(sil_path).collect()
+    }
+    assert got == want and len(got) == 2
+    # well-separated pairs: both cells score near 1
+    assert all(s > 0.9 for _, s in got.values())
+
+    # --op train --centroids: a copy, and the output says so
+    copy_path = str(tmp_path / "model_copy")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", copy_path, "--op", "train",
+        "--centroids", model_path, "--dim", "2",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "copied saved model" in out and "iterations" not in out
+    assert cl.read_model(spark, copy_path) == cents
 
 
 def test_cli_analyze_dim_drift(spark, tmp_path, capsys):
