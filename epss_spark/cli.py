@@ -360,6 +360,15 @@ def build_parser() -> argparse.ArgumentParser:
         "promotion (exit 3)",
     )
     cu.add_argument(
+        "--no-id-audit",
+        action="store_true",
+        help="--op promote: skip the id-checksum content audit (store's "
+        "per-id hash XOR vs --input's). Default is ON because --input "
+        "is also what the drift gate scans, so it must be the absorbed "
+        "corpus; pass this only for stores built with id_col=None "
+        "alongside --expected-n",
+    )
+    cu.add_argument(
         "--sample-frac",
         type=float,
         help="train on the deterministic md5-coin sample of this fraction "
@@ -727,6 +736,35 @@ def main(argv: list[str] | None = None) -> int:
                         "dropped deliveries); rebuild from batch"
                     )
                     return 3
+            if not args.no_id_audit:
+                # content audit: --input IS the corpus the store should
+                # have absorbed (the drift gate below scans the same
+                # frame), so its (count, id-hash XOR) must equal the
+                # store's — catching the count-neutral duplicate+drop
+                # failures --expected-n cannot
+                absorbed = km_stream.kmeans_snapshot_checksum(spark, args.state)
+                if absorbed is None:
+                    print(
+                        "cluster promote: id audit unavailable (store built "
+                        "with id_col=None) — relying on --expected-n only"
+                    )
+                elif args.id_col not in vecs.columns:
+                    print(
+                        f"cluster promote: id audit skipped — no {args.id_col!r} "
+                        "column in --input"
+                    )
+                else:
+                    expected = km_stream.corpus_id_checksum(vecs, id_col=args.id_col)
+                    if absorbed != expected:
+                        print(
+                            f"cluster promote: REFUSED — store id checksum "
+                            f"(n={absorbed[0]}, xor={absorbed[1]:#x}) != corpus "
+                            f"(n={expected[0]}, xor={expected[1]:#x}): the "
+                            "store does not hold exactly the --input corpus "
+                            "(duplicate or dropped deliveries); rebuild from "
+                            "batch"
+                        )
+                        return 3
             candidate = km_stream.kmeans_snapshot_centroids(
                 spark, args.state, frozen, dim=args.dim
             )

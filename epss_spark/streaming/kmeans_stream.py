@@ -20,7 +20,12 @@ carried-state streams there is no per-key ordering contract and no
 `.late` sibling, because addition commutes. The input contract is the
 document streams': each vector id arrives EXACTLY once across the
 stream's lifetime (re-delivery would double-weight it; replays of an
-epoch remain safe via epoch-scoped overwrites).
+epoch remain safe via epoch-scoped overwrites). The contract is
+AUDITED two ways before promotion: sum(n) against the expected corpus
+count (kmeans_snapshot_total) and, stronger, the order-free XOR of
+per-id 60-bit hashes against the corpus's own
+(corpus_id_checksum == kmeans_snapshot_checksum) — which also catches
+the count-neutral duplicate-plus-drop failures the count audit cannot.
 
 Scale shape per epoch: one codegen assignment pass over the batch, one
 map-side-combinable k-row aggregate, a k-row append. The store holds
@@ -48,9 +53,13 @@ def _sum_cols(dim: int) -> list[str]:
 
 def _fold_sums(df: DataFrame) -> DataFrame:
     """Additive compaction transform: one row per cluster, sums summed,
+    id checksums XORed (XOR is associative/commutative, so the fold
+    commutes with delivery order exactly like the integer sums),
     max(__epoch) keeps folded rows attributed to a committed epoch."""
     dim_cols = [c for c in df.columns if c.startswith("s") and c[1:].isdigit()]
     aggs = [F.sum("n").alias("n")] + [F.sum(c).alias(c) for c in dim_cols]
+    if "__xs" in df.columns:
+        aggs.append(F.bit_xor("__xs").alias("__xs"))
     return df.groupBy("cluster_id").agg(*aggs, F.max("__epoch").alias("__epoch"))
 
 
@@ -63,11 +72,21 @@ def process_kmeans_batch(
     vec_col: str = "embedding",
     quant: float = clustering.QUANT,
     compact_every: int | None = 64,
+    id_col: str | None = "vec_id",
 ) -> None:
     """One idempotent epoch: assign the batch against the frozen
-    centroids, append the per-cluster (n, s0..s{dim-1}) quantized-sum
-    delta epoch-scoped. A foreachBatch replay overwrites `epoch-N/` with
-    the identical recomputed delta (the assignment is deterministic)."""
+    centroids, append the per-cluster (n, s0..s{dim-1}, __xs)
+    quantized-sum delta epoch-scoped. A foreachBatch replay overwrites
+    `epoch-N/` with the identical recomputed delta (the assignment is
+    deterministic).
+
+    `__xs` is the per-cluster XOR of each row's 60-bit md5(id) — the
+    CONTENT half of the exactly-once audit (kmeans_snapshot_checksum):
+    XOR is order-free and cannot overflow, and together with the count
+    it detects duplicate/dropped deliveries that happen to cancel in
+    the count alone. Pass id_col=None only when the stream genuinely
+    has no stable id (the checksum audit is then unavailable and the
+    promote gate falls back to count-only)."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -78,9 +97,17 @@ def process_kmeans_batch(
         ).alias(f"s{j}")
         for j in range(dim)
     ]
+    aggs = [F.count(F.lit(1)).alias("n"), *sums]
+    if id_col is not None:
+        from epss_spark.operators.dedup import _md5_60bit
+
+        # id_col=None stores NO __xs column (the audit is unavailable,
+        # never silently zero) — a store's layout is fixed by its
+        # stream's configuration, so epochs stay union-compatible
+        aggs.append(F.bit_xor(_md5_60bit(F.col(id_col).cast("string"))).alias("__xs"))
     delta = (
         assigned.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        .agg(*aggs)
         .withColumn("__epoch", F.lit(int(epoch_id)))
     )
     _write_epoch(delta, state_path, epoch_id)
@@ -89,13 +116,15 @@ def process_kmeans_batch(
 
 def kmeans_sums_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     """Folded per-cluster quantized sums over everything the stream has
-    seen: (cluster_id, n, s0..s{dim-1}). Lazy; one additive aggregate
-    over the bounded store."""
+    seen: (cluster_id, n, s0..s{dim-1}[, __xs]). Lazy; one additive
+    aggregate over the bounded store."""
     df = read_artifact(spark, state_path)
     dim_cols = [c for c in df.columns if c.startswith("s") and c[1:].isdigit()]
     aggs = [F.sum("n").cast("long").alias("n")] + [
         F.sum(c).cast("long").alias(c) for c in dim_cols
     ]
+    if "__xs" in df.columns:
+        aggs.append(F.bit_xor("__xs").cast("long").alias("__xs"))
     return df.groupBy("cluster_id").agg(*aggs)
 
 
@@ -111,6 +140,44 @@ def kmeans_snapshot_total(spark: SparkSession, state_path: str) -> int:
     instead of promoting. One aggregate over the bounded store."""
     row = kmeans_sums_snapshot(spark, state_path).agg(F.sum("n").alias("t")).collect()[0]
     return int(row["t"] or 0)
+
+
+def corpus_id_checksum(vectors: DataFrame, id_col: str = "vec_id") -> tuple[int, int]:
+    """The EXPECTED side of the content audit: (count, XOR of 60-bit
+    md5(id)) over the corpus the stream should have absorbed — one
+    map-side-combinable aggregate, engine-portable (DuckDB spells it
+    bit_xor over the same CAST('0x' || substr(md5(...), 1, 15) AS
+    BIGINT) hash). Multiset-equality property: equal (count, xor) is
+    necessary for the stream store to hold exactly this corpus; a
+    duplicate delivery flips the count, and a duplicate PAIRED with a
+    drop (count-neutral — invisible to the count-only audit) still
+    flips the XOR unless the duplicated and dropped ids hash-cancel,
+    which for distinct 60-bit hashes requires an adversarial multiset,
+    not an infrastructure failure."""
+    from epss_spark.operators.dedup import _md5_60bit
+
+    row = vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(_md5_60bit(F.col(id_col).cast("string"))).alias("x"),
+    ).collect()[0]
+    return int(row["n"] or 0), int(row["x"] or 0)
+
+
+def kmeans_snapshot_checksum(spark: SparkSession, state_path: str) -> tuple[int, int] | None:
+    """The ABSORBED side of the content audit: (total n, XOR over
+    clusters of the per-cluster id checksums) from the store — compare
+    against corpus_id_checksum(corpus) before trusting a snapshot.
+    Returns None when the store was built with id_col=None (no __xs
+    column — the audit is explicitly unavailable, never silently
+    passing). Upgrades kmeans_snapshot_total's count-only audit: a
+    cross-epoch duplicate delivery paired with a dropped file keeps
+    sum(n) intact but cannot keep the XOR intact (see
+    corpus_id_checksum). One aggregate over the bounded store."""
+    snap = kmeans_sums_snapshot(spark, state_path)
+    if "__xs" not in snap.columns:
+        return None
+    row = snap.agg(F.sum("n").alias("t"), F.bit_xor("__xs").alias("x")).collect()[0]
+    return int(row["t"] or 0), int(row["x"] or 0)
 
 
 def kmeans_snapshot_centroids(
@@ -146,17 +213,19 @@ def start_kmeans_stream(
     quant: float = clustering.QUANT,
     compact_every: int | None = 64,
     available_now: bool = True,
+    id_col: str | None = "vec_id",
 ):
     """Continuous centroid-model maintenance over a vector stream: per
-    micro-batch, append the batch's per-cluster quantized-sum delta;
-    read the refreshed model any time with `kmeans_snapshot_centroids`
-    and promote it to the next maintenance window's frozen model."""
+    micro-batch, append the batch's per-cluster quantized-sum delta
+    (with the per-cluster id checksum for the content audit); read the
+    refreshed model any time with `kmeans_snapshot_centroids` and
+    promote it to the next maintenance window's frozen model."""
     from epss_spark.streaming.carried_state import start_carried_stream
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         process_kmeans_batch(
             batch_df, epoch_id, state_dir, centroids, dim, vec_col, quant,
-            compact_every=compact_every,
+            compact_every=compact_every, id_col=id_col,
         )
 
     return start_carried_stream(vec_stream, checkpoint_dir, process_batch, available_now)

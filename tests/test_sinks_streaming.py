@@ -3522,6 +3522,97 @@ def test_kmeans_drift_gated_promotion_lifecycle(spark, tmp_path, capsys):
     assert got == {0: 3, 1: 3}
 
 
+def test_kmeans_stream_id_checksum_audit(spark, tmp_path, capsys):
+    """The content half of the exactly-once audit: the store's
+    (count, XOR of per-id 60-bit hashes) must equal the corpus's. A
+    cross-epoch duplicate delivery PAIRED with a dropped row keeps
+    sum(n) intact — invisible to the count-only --expected-n audit —
+    but flips the XOR, and the promote gate refuses with exit 3. Also
+    pins engine-portability: DuckDB's bit_xor over the same md5 spelling
+    reproduces the corpus checksum bit-for-bit."""
+    import duckdb
+
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering
+    from epss_spark.streaming import kmeans_stream as ks
+
+    schema = "vec_id long, embedding array<float>"
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [10.0, 10.0]), (4, [11.0, 10.0]), (5, [10.0, 11.0]),
+    ]
+    vecs = spark.createDataFrame(rows, schema)
+    in_path = str(tmp_path / "vecs")
+    vecs.write.parquet(in_path)
+    frozen = [[0.0, 0.0], [10.0, 10.0]]
+    model_path = str(tmp_path / "model")
+    clustering.write_model(spark, frozen, model_path)
+
+    # clean store: absorbed checksum == corpus checksum, order-free
+    state = str(tmp_path / "km_clean")
+    for e, batch in enumerate([rows[:3], rows[3:]]):
+        ks.process_kmeans_batch(
+            spark.createDataFrame(batch, schema), e, state, frozen, dim=2
+        )
+    expected = ks.corpus_id_checksum(vecs)
+    assert ks.kmeans_snapshot_checksum(spark, state) == expected
+    assert expected[0] == 6 and expected[1] != 0
+    # DuckDB replays the same checksum (engine-portable audit)
+    want = duckdb.sql(
+        "SELECT count(*), bit_xor(CAST('0x' || substr(md5(CAST(vec_id AS "
+        f"VARCHAR)), 1, 15) AS BIGINT)) FROM '{in_path}/*.parquet'"
+    ).fetchone()
+    assert (int(want[0]), int(want[1])) == expected
+
+    # tampered store: epoch 1 re-delivers id 4 in place of id 5 —
+    # count-neutral (sum n still 6, so --expected-n PASSES) but the
+    # multiset differs; the XOR catches it
+    tampered_rows = rows[3:5] + [(4, [11.0, 10.0])]
+    state2 = str(tmp_path / "km_tampered")
+    for e, batch in enumerate([rows[:3], tampered_rows]):
+        ks.process_kmeans_batch(
+            spark.createDataFrame(batch, schema), e, state2, frozen, dim=2
+        )
+    assert ks.kmeans_snapshot_total(spark, state2) == 6  # count audit blind
+    assert ks.kmeans_snapshot_checksum(spark, state2) != expected
+
+    out_path = str(tmp_path / "model_v2")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "promote",
+        "--centroids", model_path, "--state", state2, "--dim", "2",
+        "--expected-n", "6",
+    ])
+    cap = capsys.readouterr().out
+    assert rc == 3 and "id checksum" in cap and "rebuild" in cap
+    assert not (tmp_path / "model_v2").exists()
+
+    # --no-id-audit: the documented escape hatch rolls it forward on
+    # count alone (the operator owns the risk)
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "promote",
+        "--centroids", model_path, "--state", state2, "--dim", "2",
+        "--expected-n", "6", "--no-id-audit",
+    ])
+    assert rc == 0 and "promoted" in capsys.readouterr().out
+
+    # id_col=None store: no __xs column, checksum explicitly unavailable,
+    # promote says so and relies on the count audit
+    state3 = str(tmp_path / "km_noid")
+    for e, batch in enumerate([rows[:3], rows[3:]]):
+        ks.process_kmeans_batch(
+            spark.createDataFrame(batch, schema), e, state3, frozen, dim=2,
+            id_col=None,
+        )
+    assert ks.kmeans_snapshot_checksum(spark, state3) is None
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "promote",
+        "--centroids", model_path, "--state", state3, "--dim", "2",
+        "--expected-n", "6",
+    ])
+    cap = capsys.readouterr().out
+    assert rc == 0 and "id audit unavailable" in cap and "promoted" in cap
+
+
 def test_dim_drift_stream_equals_batch_replay_and_order(spark, tmp_path):
     """Stream == batch for the embedding-distribution monitor: per-batch
     per-dimension quantized-sum deltas fold to EXACTLY
