@@ -311,7 +311,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--op",
         choices=[
             "stats", "sample", "train", "promote", "terms", "elbow",
-            "outliers", "silhouette",
+            "outliers", "silhouette", "assign", "boundary",
         ],
         default="stats",
     )
@@ -320,6 +320,13 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.05,
         help="--op outliers: per-cell distance-tail fraction to flag",
+    )
+    cu.add_argument(
+        "--margin",
+        type=float,
+        default=0.05,
+        help="--op boundary: squared-L2 margin below which a point counts "
+        "as boundary (calibrate from the corpus's margin quantiles)",
     )
     cu.add_argument(
         "--docs",
@@ -875,6 +882,18 @@ def main(argv: list[str] | None = None) -> int:
             # the same model to pick k (DEPLOYMENT.md "picking k")
             out = cl_ops.cluster_silhouette(
                 vecs, cents, vec_col=args.vec_col
+            ).orderBy("cluster_id")
+        elif args.op == "assign":
+            # the raw per-row assignment every per-cell artifact consumes:
+            # (id, cluster_id, d2), dual-path dispatched like everything else
+            out = cl_ops.assign_clusters(
+                vecs, cents, vec_col=args.vec_col, d2_col="d2"
+            ).select(args.id_col, "cluster_id", "d2")
+        elif args.op == "boundary":
+            # churn-risk report: per-cell count of points within --margin
+            # squared-L2 of the second-nearest centroid
+            out = cl_ops.cluster_boundary(
+                vecs, cents, threshold=args.margin, vec_col=args.vec_col
             ).orderBy("cluster_id")
         else:
             out = cl_ops.cluster_balanced_sample(

@@ -617,6 +617,61 @@ def cluster_silhouette(
     )
 
 
+def cluster_boundary(
+    vectors: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    threshold: float = 0.05,
+    vec_col: str = "embedding",
+    quant: float = QUANT,
+    impl: str = "auto",
+) -> DataFrame:
+    """Per-cluster boundary-mass report — the churn-risk companion to
+    cluster_silhouette: a point whose second-nearest centroid is almost
+    as close as its own (margin = b - a < threshold, squared-L2 units)
+    sits on a cell boundary and will flip cells under any model refresh,
+    invalidating per-cell artifacts (balanced picks, outlier flags,
+    SemDeDup groups). A cell with high boundary mass is over-split or
+    genuinely ambiguous; assignment_drift measures churn AFTER a refresh,
+    this predicts it BEFORE one. Output: (cluster_id, n_points,
+    n_boundary, avg_margin), one row per non-empty cell. `threshold`
+    is in the embedding space's squared-L2 units — calibrate it from
+    the corpus's own margin quantiles (the default fits unit-scale
+    embeddings; the testdata's median margin is ~0.06).
+
+    Exactness: a and b are the pinned two-nearest distances (dual-path,
+    so production k stays off the interpreted fold); margin is one
+    double subtraction, the boundary flag one comparison, and avg_margin
+    the quantized-BIGINT-sum / two-division chain — bit-exact
+    cross-engine. Requires k >= 2.
+
+    Scale shape: one two-nearest projection + ONE map-side-combinable
+    k-row aggregate (same exchange profile as cluster_silhouette)."""
+    rows = two_nearest_distances(
+        vectors.select(vec_col), centroids, vec_col=vec_col,
+        cluster_col="cluster_id", a_col="__a", b_col="__b", impl=impl,
+    )
+    margin = F.col("__b") - F.col("__a")
+    qm = F.floor(margin * F.lit(quant) + F.lit(0.5)).cast("long")
+    flagged = rows.select(
+        "cluster_id",
+        qm.alias("__qm"),
+        F.when(margin < F.lit(float(threshold)), 1).otherwise(0).alias("__bd"),
+    )
+    out = flagged.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("__bd").alias("n_boundary"),
+        F.sum("__qm").alias("__s"),
+    )
+    return out.select(
+        "cluster_id",
+        "n_points",
+        "n_boundary",
+        (F.col("__s").cast("double") / F.col("n_points").cast("double") / F.lit(quant)).alias(
+            "avg_margin"
+        ),
+    )
+
+
 def cluster_balanced_sample(
     vectors: DataFrame,
     centroids: Sequence[Sequence[float]],

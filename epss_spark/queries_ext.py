@@ -5092,3 +5092,46 @@ def cluster_silhouette(spark, sf_dir):
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
     return clustering.cluster_silhouette(emb, cents)
+
+
+@register(
+    "cluster_boundary",
+    f"""
+    WITH {_KM_CHAIN},
+    r AS (
+      SELECT e.vec_id, c.i, {_KM_D2} AS d,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+      FROM embeddings e CROSS JOIN c2 c
+    ),
+    ab AS (
+      SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN i END) AS cluster_id,
+             max(CASE WHEN rn = 1 THEN d END) AS a,
+             max(CASE WHEN rn = 2 THEN d END) AS b
+      FROM r WHERE rn <= 2 GROUP BY vec_id
+    ),
+    q AS (
+      SELECT cluster_id,
+             CAST(floor((b - a) * 1000000.0 + 0.5) AS BIGINT) AS qm,
+             CASE WHEN b - a < 0.05 THEN 1 ELSE 0 END AS bd
+      FROM ab
+    )
+    SELECT cluster_id, count(*) AS n_points,
+           CAST(sum(bd) AS BIGINT) AS n_boundary,
+           CAST(CAST(sum(qm) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS avg_margin
+    FROM q GROUP BY cluster_id
+    """,
+)
+def cluster_boundary(spark, sf_dir):
+    """Per-cluster boundary-mass churn-risk report (operators/
+    clustering.py::cluster_boundary): how many of each cell's points sit
+    within 0.05 squared-L2 margin of the SECOND-nearest centroid — the
+    points any model refresh will reshuffle, predicting
+    assignment_drift's churn BEFORE a refresh happens. Rides the same
+    dual-path two-nearest projection as cluster_silhouette; the oracle
+    replays training CTE-for-CTE, the (d, i)-ranked two-nearest pick,
+    the margin flag, and the quantized mean-margin fold."""
+    emb = T(spark, sf_dir, "embeddings")
+    init = clustering.init_centroids_by_id(emb, _KM_IDS)
+    cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+    return clustering.cluster_boundary(emb, cents, threshold=0.05)

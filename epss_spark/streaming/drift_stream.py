@@ -55,6 +55,16 @@ def _fold_dim_sums(df: DataFrame) -> DataFrame:
     )
 
 
+def _fold_ids(df: DataFrame) -> DataFrame:
+    """Additive compaction for the `.ids` audit sibling: counts summed,
+    checksums XORed (both order-free)."""
+    return df.groupBy().agg(
+        F.sum("n").alias("n"),
+        F.bit_xor("__xs").alias("__xs"),
+        F.max("__epoch").alias("__epoch"),
+    )
+
+
 def process_dim_drift_batch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -62,10 +72,18 @@ def process_dim_drift_batch(
     vec_col: str = "embedding",
     quant: float = clustering.QUANT,
     compact_every: int | None = 64,
+    id_col: str | None = "vec_id",
 ) -> None:
     """One idempotent epoch: this batch's per-dimension (n, quantized
-    sum) delta, appended epoch-scoped. One aggregate of the batch, dim
-    result rows; no store read, no join."""
+    sum, quantized sum-of-squares) delta, appended epoch-scoped. One
+    aggregate of the batch, dim result rows; no store read, no join.
+
+    With `id_col` set (default), a one-row (n, id-hash XOR) delta also
+    appends to the `<state_path>.ids` sibling — the content half of the
+    exactly-once audit (same design as kmeans_stream: order-free,
+    overflow-free, replay-safe via the epoch-scoped overwrite), read
+    back by dim_drift_checksum. id_col=None skips the sibling (the
+    audit is then explicitly unavailable)."""
     if batch_df.isEmpty():
         return
     delta = clustering.dim_quant_sums(
@@ -76,6 +94,18 @@ def process_dim_drift_batch(
         batch_df.sparkSession, state_path, epoch_id, compact_every,
         transform=_fold_dim_sums,
     )
+    if id_col is not None:
+        from epss_spark.operators.dedup import _md5_60bit
+
+        ids = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(_md5_60bit(F.col(id_col).cast("string"))).alias("__xs"),
+        ).withColumn("__epoch", F.lit(int(epoch_id)))
+        _write_epoch(ids, state_path + ".ids", epoch_id)
+        autocompact_epoch(
+            batch_df.sparkSession, state_path + ".ids", epoch_id, compact_every,
+            transform=_fold_ids,
+        )
 
 
 def dim_sums_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
@@ -95,13 +125,35 @@ def dim_sums_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
 
 def dim_drift_total(spark: SparkSession, state_path: str) -> int:
     """Total vectors the store has absorbed (sum n over dims / dim) —
-    the exactly-once audit, same role as kmeans_snapshot_total: compare
-    against the corpus size you expect before trusting the report."""
+    the COUNT half of the exactly-once audit, same role as
+    kmeans_snapshot_total: compare against the corpus size you expect
+    before trusting the report. dim_drift_checksum is the stronger
+    content half."""
     row = dim_sums_snapshot(spark, state_path).agg(
         F.sum("n_b").alias("t"), F.count(F.lit(1)).alias("d")
     ).collect()[0]
     total, dims = int(row["t"] or 0), int(row["d"] or 0)
     return total // dims if dims else 0
+
+
+def dim_drift_checksum(spark: SparkSession, state_path: str) -> tuple[int, int] | None:
+    """The CONTENT half of the exactly-once audit: (count, XOR of
+    per-id 60-bit hashes) folded from the `.ids` sibling — compare
+    against kmeans_stream.corpus_id_checksum(corpus) before trusting
+    the drift report; a mismatch means duplicate or dropped deliveries,
+    including the count-neutral duplicate+drop cases dim_drift_total
+    cannot see. Returns None when the stream ran with id_col=None (no
+    sibling store — the audit is explicitly unavailable)."""
+    from epss_spark.streaming.dedup_stream import _list_artifact
+
+    exists, _, _ = _list_artifact(spark, state_path + ".ids")
+    if not exists:
+        return None
+    df = read_artifact(spark, state_path + ".ids")
+    row = df.agg(
+        F.sum("n").cast("long").alias("n"), F.bit_xor("__xs").cast("long").alias("x")
+    ).collect()[0]
+    return int(row["n"] or 0), int(row["x"] or 0)
 
 
 def drift_snapshot(
@@ -129,17 +181,19 @@ def start_dim_drift_stream(
     quant: float = clustering.QUANT,
     compact_every: int | None = 64,
     available_now: bool = True,
+    id_col: str | None = "vec_id",
 ):
     """Continuous embedding-distribution monitoring over a vector
     stream: per micro-batch, append the batch's per-dimension
-    quantized-sum delta; read the live drift report any time with
-    `drift_snapshot` against the frozen reference."""
+    quantized-sum delta (plus the `.ids` audit sibling); read the live
+    drift report any time with `drift_snapshot` against the frozen
+    reference and audit it with dim_drift_checksum."""
     from epss_spark.streaming.carried_state import start_carried_stream
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         process_dim_drift_batch(
             batch_df, epoch_id, state_dir, vec_col, quant,
-            compact_every=compact_every,
+            compact_every=compact_every, id_col=id_col,
         )
 
     return start_carried_stream(vec_stream, checkpoint_dir, process_batch, available_now)

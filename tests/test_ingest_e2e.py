@@ -814,6 +814,42 @@ def test_cli_cluster_pick_k_recipe(spark, tmp_path, capsys):
     assert cl.read_model(spark, copy_path) == cents
 
 
+def test_cli_cluster_assign_and_boundary(spark, tmp_path, capsys):
+    """--op assign writes the raw per-row (id, cluster_id, d2) every
+    per-cell artifact consumes; --op boundary writes the churn-risk
+    report with the --margin threshold."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering as cl
+
+    rows = [(0, [0.0, 0.0]), (1, [4.9, 0.0]), (2, [10.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    in_path = str(tmp_path / "vecs")
+    vecs.write.parquet(in_path)
+    model_path = str(tmp_path / "model")
+    cl.write_model(spark, [[0.0, 0.0], [10.0, 0.0]], model_path)
+
+    asg_path = str(tmp_path / "assigned")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", asg_path, "--op", "assign",
+        "--centroids", model_path, "--dim", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    got = {r.vec_id: (r.cluster_id, r.d2) for r in spark.read.parquet(asg_path).collect()}
+    assert got == {0: (0, 0.0), 1: (0, 4.9 ** 2), 2: (1, 0.0)}
+
+    bd_path = str(tmp_path / "boundary")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", bd_path, "--op", "boundary",
+        "--centroids", model_path, "--dim", "2", "--margin", "3.0",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    bd = {r.cluster_id: (r.n_points, r.n_boundary) for r in spark.read.parquet(bd_path).collect()}
+    # vec 1 at (4.9, 0): margin 26.01 - 24.01 = 2.0 < 3.0 -> boundary
+    assert bd == {0: (2, 1), 1: (1, 0)}
+
+
 def test_cli_analyze_dim_drift(spark, tmp_path, capsys):
     """analyze --report dim-drift: the encoder-regression monitor via the
     CLI — incoming batch vs a frozen reference, biggest |delta| first."""

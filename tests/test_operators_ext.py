@@ -3908,3 +3908,28 @@ def test_cluster_silhouette_semantics(spark):
 
     with _pytest.raises(ValueError, match="at least 2"):
         clustering.cluster_silhouette(df, [[0.0, 0.0]])
+
+
+def test_cluster_boundary_semantics(spark):
+    """Boundary-mass report: a point near the midline between two cells
+    (small b - a margin) is flagged, a point deep inside its cell is
+    not, and avg_margin is the quantized mean of b - a."""
+    from epss_spark.operators import clustering
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    # vec 0 at (4.9, 0): a=24.01, b=26.01 -> margin 2.0 (boundary at thr 3)
+    # vec 1 at (0, 0):   a=0,     b=100   -> margin 100 (safe)
+    df = spark.createDataFrame(
+        [(0, [4.9, 0.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.cluster_id: r
+        for r in clustering.cluster_boundary(df, cents, threshold=3.0).collect()
+    }
+    r0 = got[0]
+    assert r0.n_points == 2 and r0.n_boundary == 1
+    assert r0.avg_margin == pytest.approx((2.0 + 100.0) / 2, abs=1e-6)
+    # forced-impl parity on the same data (small shape, both forms legal)
+    cg = clustering.cluster_boundary(df, cents, threshold=3.0, impl="codegen").collect()
+    ba = clustering.cluster_boundary(df, cents, threshold=3.0, impl="batched").collect()
+    assert sorted(map(tuple, cg)) == sorted(map(tuple, ba))

@@ -3671,6 +3671,58 @@ def test_dim_drift_stream_equals_batch_replay_and_order(spark, tmp_path):
     assert len([d for d in os.listdir(auto) if d.startswith("epoch-")]) <= 4
 
 
+def test_dim_drift_stream_id_checksum_audit(spark, tmp_path):
+    """The drift stream's content audit (same design as kmeans_stream):
+    the `.ids` sibling folds (count, XOR of per-id 60-bit hashes) and
+    must equal corpus_id_checksum over everything delivered. A
+    duplicate+drop tamper keeps dim_drift_total intact but flips the
+    checksum; id_col=None stores no sibling and the audit reports
+    unavailable."""
+    from epss_spark.streaming import drift_stream as ds
+    from epss_spark.streaming.kmeans_stream import corpus_id_checksum
+
+    schema = "vec_id long, embedding array<float>"
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.5]), (2, [2.0, 1.0]),
+        (3, [3.0, 1.5]), (4, [4.0, 2.0]),
+    ]
+    batches = [rows[:2], rows[2:4], rows[4:]]
+    state = str(tmp_path / "drift_ck")
+    for e, b in enumerate(batches):
+        ds.process_dim_drift_batch(spark.createDataFrame(b, schema), e, state)
+    expected = corpus_id_checksum(spark.createDataFrame(rows, schema))
+    assert ds.dim_drift_checksum(spark, state) == expected
+    assert ds.dim_drift_total(spark, state) == 5
+
+    # compaction of the sibling: single-row epochs, bounded dirs, same checksum
+    import os
+
+    auto = str(tmp_path / "drift_ck_auto")
+    for e, r in enumerate(rows):
+        ds.process_dim_drift_batch(
+            spark.createDataFrame([r], schema), e, auto, compact_every=2
+        )
+    assert ds.dim_drift_checksum(spark, auto) == expected
+    assert len([d for d in os.listdir(auto + ".ids") if d.startswith("epoch-")]) <= 4
+
+    # count-neutral tamper: epoch 2 re-delivers id 3 instead of id 4
+    state2 = str(tmp_path / "drift_ck_bad")
+    tampered = [rows[:2], rows[2:4], [(3, [3.0, 1.5])]]
+    for e, b in enumerate(tampered):
+        ds.process_dim_drift_batch(spark.createDataFrame(b, schema), e, state2)
+    assert ds.dim_drift_total(spark, state2) == 5  # count audit blind
+    assert ds.dim_drift_checksum(spark, state2) != expected
+
+    # id_col=None: no sibling store, audit explicitly unavailable
+    state3 = str(tmp_path / "drift_ck_noid")
+    for e, b in enumerate(batches):
+        ds.process_dim_drift_batch(
+            spark.createDataFrame(b, schema), e, state3, id_col=None
+        )
+    assert ds.dim_drift_checksum(spark, state3) is None
+    assert ds.dim_drift_total(spark, state3) == 5
+
+
 def test_dim_drift_stream_via_streaming_query(spark, tmp_path):
     """start_dim_drift_stream end-to-end: file drops consumed one per
     trigger (availableNow), snapshot report equals the one-shot batch
