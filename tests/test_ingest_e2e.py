@@ -836,7 +836,10 @@ def test_cli_cluster_assign_and_boundary(spark, tmp_path, capsys):
     assert rc == 0
     capsys.readouterr()
     got = {r.vec_id: (r.cluster_id, r.d2) for r in spark.read.parquet(asg_path).collect()}
-    assert got == {0: (0, 0.0), 1: (0, 4.9 ** 2), 2: (1, 0.0)}
+    assert {k: v[0] for k, v in got.items()} == {0: 0, 1: 0, 2: 1}
+    assert got[0][1] == 0.0 and got[2][1] == 0.0
+    # 4.9 is stored float32, so d2 is (widen(float32(4.9)))^2, not 4.9^2
+    assert got[1][1] == pytest.approx(24.01, abs=1e-5)
 
     bd_path = str(tmp_path / "boundary")
     rc = cli.main([
