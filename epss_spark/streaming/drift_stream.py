@@ -55,16 +55,6 @@ def _fold_dim_sums(df: DataFrame) -> DataFrame:
     )
 
 
-def _fold_ids(df: DataFrame) -> DataFrame:
-    """Additive compaction for the `.ids` audit sibling: counts summed,
-    checksums XORed (both order-free)."""
-    return df.groupBy().agg(
-        F.sum("n").alias("n"),
-        F.bit_xor("__xs").alias("__xs"),
-        F.max("__epoch").alias("__epoch"),
-    )
-
-
 def process_dim_drift_batch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -95,17 +85,9 @@ def process_dim_drift_batch(
         transform=_fold_dim_sums,
     )
     if id_col is not None:
-        from epss_spark.operators.dedup import _md5_60bit
+        from epss_spark.streaming.id_audit import write_id_audit_epoch
 
-        ids = batch_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(_md5_60bit(F.col(id_col).cast("string"))).alias("__xs"),
-        ).withColumn("__epoch", F.lit(int(epoch_id)))
-        _write_epoch(ids, state_path + ".ids", epoch_id)
-        autocompact_epoch(
-            batch_df.sparkSession, state_path + ".ids", epoch_id, compact_every,
-            transform=_fold_ids,
-        )
+        write_id_audit_epoch(batch_df, epoch_id, state_path, id_col, compact_every)
 
 
 def dim_sums_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
@@ -144,16 +126,9 @@ def dim_drift_checksum(spark: SparkSession, state_path: str) -> tuple[int, int] 
     including the count-neutral duplicate+drop cases dim_drift_total
     cannot see. Returns None when the stream ran with id_col=None (no
     sibling store — the audit is explicitly unavailable)."""
-    from epss_spark.streaming.dedup_stream import _list_artifact
+    from epss_spark.streaming.id_audit import read_id_checksum
 
-    exists, _, _ = _list_artifact(spark, state_path + ".ids")
-    if not exists:
-        return None
-    df = read_artifact(spark, state_path + ".ids")
-    row = df.agg(
-        F.sum("n").cast("long").alias("n"), F.bit_xor("__xs").cast("long").alias("x")
-    ).collect()[0]
-    return int(row["n"] or 0), int(row["x"] or 0)
+    return read_id_checksum(spark, state_path)
 
 
 def drift_snapshot(

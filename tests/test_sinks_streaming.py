@@ -3723,6 +3723,136 @@ def test_dim_drift_stream_id_checksum_audit(spark, tmp_path):
     assert ds.dim_drift_total(spark, state3) == 5
 
 
+def test_quality_stream_equals_batch_replay_and_order(spark, tmp_path):
+    """Stream == batch for the model-quality monitor: per-batch
+    per-cluster (n, silhouette sum, boundary count, margin sum) deltas
+    against the frozen model fold to EXACTLY the batch
+    cluster_silhouette + cluster_boundary reports over the union —
+    additive integers, so replay never double-counts and delivery order
+    is irrelevant. The `.ids` sibling carries the content audit."""
+    import os
+
+    from epss_spark.operators import clustering
+    from epss_spark.streaming import quality_stream as qs
+    from epss_spark.streaming.kmeans_stream import corpus_id_checksum
+
+    schema = "vec_id long, embedding array<float>"
+    frozen = [[0.0, 0.0], [10.0, 0.0]]
+    rows = [
+        (0, [0.0, 0.0]), (1, [4.9, 0.0]), (2, [2.0, 1.0]),
+        (3, [10.0, 0.5]), (4, [8.0, 0.0]), (5, [11.0, 1.0]),
+    ]
+    thr = 30.0  # squared-L2 margin; flags the mid-line points
+    batches = [rows[:2], rows[2:5], rows[5:]]
+    state = str(tmp_path / "qual")
+    for e, b in enumerate(batches):
+        qs.process_quality_batch(
+            spark.createDataFrame(b, schema), e, state, frozen, threshold=thr
+        )
+    union = spark.createDataFrame(rows, schema)
+    want_sil = {
+        r.cluster_id: (r.n_points, r.avg_silhouette)
+        for r in clustering.cluster_silhouette(union, frozen).collect()
+    }
+    want_bd = {
+        r.cluster_id: (r.n_points, r.n_boundary, r.avg_margin)
+        for r in clustering.cluster_boundary(union, frozen, threshold=thr).collect()
+    }
+    got = {r.cluster_id: r for r in qs.quality_snapshot(spark, state).collect()}
+    assert got.keys() == want_sil.keys() == want_bd.keys()
+    for c, r in got.items():
+        assert (r.n_points, r.avg_silhouette) == want_sil[c]  # bit-exact
+        assert (r.n_points, r.n_boundary, r.avg_margin) == want_bd[c]
+        assert r.boundary_frac == r.n_boundary / r.n_points
+    assert qs.quality_total(spark, state) == 6
+    assert qs.quality_checksum(spark, state) == corpus_id_checksum(union)
+
+    # replay of the middle epoch: identical recompute, sums never double
+    qs.process_quality_batch(
+        spark.createDataFrame(batches[1], schema), 1, state, frozen, threshold=thr
+    )
+    got2 = {r.cluster_id: r for r in qs.quality_snapshot(spark, state).collect()}
+    assert got2 == got
+
+    # order-invariance: reversed delivery, same report
+    state_rev = str(tmp_path / "qual_rev")
+    for e, b in enumerate(reversed(batches)):
+        qs.process_quality_batch(
+            spark.createDataFrame(b, schema), e, state_rev, frozen, threshold=thr
+        )
+    got3 = {r.cluster_id: r for r in qs.quality_snapshot(spark, state_rev).collect()}
+    assert got3 == got
+
+    # compaction: 6 single-vector epochs, compact_every=2 -> bounded
+    # dirs, identical report and checksum
+    auto = str(tmp_path / "qual_auto")
+    for e, r in enumerate(rows):
+        qs.process_quality_batch(
+            spark.createDataFrame([r], schema), e, auto, frozen, threshold=thr,
+            compact_every=2,
+        )
+    got4 = {r.cluster_id: r for r in qs.quality_snapshot(spark, auto).collect()}
+    assert got4 == got
+    assert qs.quality_checksum(spark, auto) == corpus_id_checksum(union)
+    assert len([d for d in os.listdir(auto) if d.startswith("epoch-")]) <= 4
+
+    # id_col=None: audit explicitly unavailable
+    state_noid = str(tmp_path / "qual_noid")
+    qs.process_quality_batch(
+        spark.createDataFrame(rows, schema), 0, state_noid, frozen,
+        threshold=thr, id_col=None,
+    )
+    assert qs.quality_checksum(spark, state_noid) is None
+
+
+def test_quality_stream_via_streaming_query(spark, tmp_path):
+    """start_quality_stream end-to-end: file drops consumed one per
+    trigger (availableNow), snapshot report equals the one-shot batch
+    operators over everything streamed."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import clustering
+    from epss_spark.streaming import quality_stream as qs
+
+    schema = "vec_id long, embedding array<float>"
+    rows = [(0, [0.0, 0.0]), (1, [4.0, 0.0]), (2, [10.0, 0.0]), (3, [7.0, 0.0])]
+    drop_dir = tmp_path / "qdrops"
+    drop_dir.mkdir()
+    for i, r in enumerate(rows):
+        staging = tmp_path / f"qstage_{i}"
+        spark.createDataFrame([r], schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"q{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    frozen = [[0.0, 0.0], [10.0, 0.0]]
+    state = str(tmp_path / "qq_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = qs.start_quality_stream(
+        stream, state, str(tmp_path / "qq_ckpt"), frozen, threshold=30.0
+    )
+    q.awaitTermination(180)
+
+    union = spark.createDataFrame(rows, schema)
+    want = {
+        r.cluster_id: (r.n_points, r.avg_silhouette)
+        for r in clustering.cluster_silhouette(union, frozen).collect()
+    }
+    got = {
+        r.cluster_id: (r.n_points, r.avg_silhouette)
+        for r in qs.quality_snapshot(spark, state).collect()
+    }
+    assert got == want
+    assert qs.quality_total(spark, state) == 4
+
+
 def test_dim_drift_stream_via_streaming_query(spark, tmp_path):
     """start_dim_drift_stream end-to-end: file drops consumed one per
     trigger (availableNow), snapshot report equals the one-shot batch
