@@ -737,10 +737,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.expected_n is not None:
                 total = km_stream.kmeans_snapshot_total(spark, args.state)
                 if total != args.expected_n:
+                    # refusal diagnostics go to stderr like every other
+                    # non-zero-exit path, so scripts capturing stderr on
+                    # failure see the reason
                     print(
                         f"cluster promote: REFUSED — store absorbed {total} "
                         f"vectors, expected {args.expected_n} (duplicate or "
-                        "dropped deliveries); rebuild from batch"
+                        "dropped deliveries); rebuild from batch",
+                        file=sys.stderr,
                     )
                     return 3
             if not args.no_id_audit:
@@ -749,17 +753,32 @@ def main(argv: list[str] | None = None) -> int:
                 # frame), so its (count, id-hash XOR) must equal the
                 # store's — catching the count-neutral duplicate+drop
                 # failures --expected-n cannot
-                absorbed = km_stream.kmeans_snapshot_checksum(spark, args.state)
+                try:
+                    absorbed = km_stream.kmeans_snapshot_checksum(spark, args.state)
+                except ValueError as e:
+                    # mixed pre/post-audit store: the checksum is
+                    # undefined — refuse rather than downgrade silently
+                    print(f"cluster promote: REFUSED — {e}", file=sys.stderr)
+                    return 3
                 if absorbed is None:
                     print(
                         "cluster promote: id audit unavailable (store built "
-                        "with id_col=None) — relying on --expected-n only"
+                        "with id_col=None) — relying on --expected-n only",
+                        file=sys.stderr,
                     )
                 elif args.id_col not in vecs.columns:
+                    # the store CARRIES the audit but --input can't answer
+                    # it: a typo'd --id-col must not quietly bypass the
+                    # content gate — that's what --no-id-audit is for
                     print(
-                        f"cluster promote: id audit skipped — no {args.id_col!r} "
-                        "column in --input"
+                        f"cluster promote: no {args.id_col!r} column in "
+                        f"--input (columns: {', '.join(vecs.columns)}) but "
+                        "the store carries the id audit — fix --id-col, or "
+                        "pass --no-id-audit to skip the content check "
+                        "explicitly",
+                        file=sys.stderr,
                     )
+                    return 2
                 else:
                     expected = km_stream.corpus_id_checksum(vecs, id_col=args.id_col)
                     if absorbed != expected:
@@ -769,7 +788,8 @@ def main(argv: list[str] | None = None) -> int:
                             f"(n={expected[0]}, xor={expected[1]:#x}): the "
                             "store does not hold exactly the --input corpus "
                             "(duplicate or dropped deliveries); rebuild from "
-                            "batch"
+                            "batch",
+                            file=sys.stderr,
                         )
                         return 3
             candidate = km_stream.kmeans_snapshot_centroids(
@@ -782,7 +802,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(
                     f"cluster promote: REFUSED — {moved:.4f} of vectors change "
                     f"cells (> {args.max_moved_frac}); promote would invalidate "
-                    "per-cell artifacts — rebuild them, then retry"
+                    "per-cell artifacts — rebuild them, then retry",
+                    file=sys.stderr,
                 )
                 return 2
             cl_ops.write_model(spark, candidate, args.output)
@@ -886,6 +907,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.op == "assign":
             # the raw per-row assignment every per-cell artifact consumes:
             # (id, cluster_id, d2), dual-path dispatched like everything else
+            if args.id_col not in vecs.columns:
+                print(
+                    f"cluster assign: no {args.id_col!r} column in --input "
+                    f"(columns: {', '.join(vecs.columns)}) — fix --id-col",
+                    file=sys.stderr,
+                )
+                return 2
             out = cl_ops.assign_clusters(
                 vecs, cents, vec_col=args.vec_col, d2_col="d2"
             ).select(args.id_col, "cluster_id", "d2")

@@ -555,12 +555,18 @@ def two_nearest_distances(
         d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
         dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
     two = F.slice(F.array_sort(F.array(*dists)), 1, 2)
+    # collision-checked staging name: the function is public, so a caller
+    # frame may legitimately carry any column — a fixed "__two" would be
+    # silently replaced by withColumn and then dropped
+    tmp = "__two"
+    while tmp in vectors.columns:
+        tmp += "_"
     return (
-        vectors.withColumn("__two", two)
-        .withColumn(cluster_col, F.col("__two")[0]["i"])
-        .withColumn(a_col, F.col("__two")[0]["d"])
-        .withColumn(b_col, F.col("__two")[1]["d"])
-        .drop("__two")
+        vectors.withColumn(tmp, two)
+        .withColumn(cluster_col, F.col(tmp)[0]["i"])
+        .withColumn(a_col, F.col(tmp)[0]["d"])
+        .withColumn(b_col, F.col(tmp)[1]["d"])
+        .drop(tmp)
     )
 
 

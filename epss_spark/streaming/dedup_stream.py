@@ -344,6 +344,7 @@ def autocompact_epoch(
     epoch_id: int,
     every: int | None,
     transform=None,
+    merge_schema: bool = False,
 ) -> bool:
     """In-stream compaction: call at the END of a foreachBatch epoch,
     after the epoch's own `_write_epoch`. Every `every` epochs it (a)
@@ -417,7 +418,13 @@ def autocompact_epoch(
         prior_paths = [p for e, p, _ in committed if e >= newest]
     else:
         prior_paths = ([path] if has_flat else []) + [p for _, p, _ in committed]
-    full = spark.read.parquet(*[_glob_escape(p) for p in prior_paths + [cur]])
+    # merge_schema: stores whose epochs may disagree on an optional
+    # column (kmeans __xs) must fold the union schema — a sampled schema
+    # would silently drop the column's data from the compacted state
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    full = reader.parquet(*[_glob_escape(p) for p in prior_paths + [cur]])
     if transform is not None:
         full = transform(full)
     # tmp lives OUTSIDE the store: read_artifact's recursive fallback
@@ -467,7 +474,9 @@ def autocompact_epoch(
     return True
 
 
-def read_artifact(spark: SparkSession, path: str) -> DataFrame:
+def read_artifact(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Read a stream-maintained artifact directory (accepted docs, index
     rows, BM25 postings/doc_stats): flat base files and all committed
     `epoch-N` subdirs together. Plain `spark.read.parquet(dir)` ignores
@@ -480,19 +489,30 @@ def read_artifact(spark: SparkSession, path: str) -> DataFrame:
     one directory: recursive lookup cannot recover partition columns
     (partitioned compaction is the end-of-stream serving layout).
 
+    `merge_schema=True` unions the epoch files' schemas instead of
+    sampling one file's — required by readers whose stores can hold
+    epochs with and without an optional column (e.g. a kmeans store
+    whose `__xs` audit column was added mid-lifetime): a sampled schema
+    would silently DROP the column from the epochs that have it, while
+    the merged read surfaces the old epochs as NULLs the reader can
+    refuse loudly (kmeans_snapshot_checksum).
+
     Compaction-aware: with a _COMPACTED epoch present (autocompact_epoch),
     the read is the newest such epoch plus every later epoch — the flat
     base and older dirs are subsumed state awaiting GC, not data."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     exists, _, epochs = _list_artifact(spark, path)
     if exists and not epochs:
-        return spark.read.parquet(_glob_escape(path))
+        return reader.parquet(_glob_escape(path))
     compacted = [e for e, _, c in epochs if c]
     if compacted:
         newest = max(compacted)
-        return spark.read.parquet(
+        return reader.parquet(
             *[_glob_escape(p) for e, p, _ in epochs if e >= newest]
         )
-    return spark.read.option("recursiveFileLookup", "true").parquet(
+    return reader.option("recursiveFileLookup", "true").parquet(
         _glob_escape(path)
     )
 

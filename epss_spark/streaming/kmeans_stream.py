@@ -55,11 +55,23 @@ def _fold_sums(df: DataFrame) -> DataFrame:
     """Additive compaction transform: one row per cluster, sums summed,
     id checksums XORed (XOR is associative/commutative, so the fold
     commutes with delivery order exactly like the integer sums),
-    max(__epoch) keeps folded rows attributed to a committed epoch."""
+    max(__epoch) keeps folded rows attributed to a committed epoch.
+
+    NULL-poisoning on __xs: a store that mixes pre-audit epochs
+    (no __xs — surfaced as NULLs by the schema-merged compaction read)
+    with audited ones must NOT fold to a partial checksum (bit_xor
+    skips NULLs), which would falsely refuse a healthy promotion —
+    instead any NULL in the group poisons the folded value to NULL, so
+    the evidence that the store predates the audit survives compaction
+    and kmeans_snapshot_checksum can refuse loudly."""
     dim_cols = [c for c in df.columns if c.startswith("s") and c[1:].isdigit()]
     aggs = [F.sum("n").alias("n")] + [F.sum(c).alias(c) for c in dim_cols]
     if "__xs" in df.columns:
-        aggs.append(F.bit_xor("__xs").alias("__xs"))
+        aggs.append(
+            F.when(F.max(F.col("__xs").isNull().cast("int")) == 1, F.lit(None).cast("long"))
+            .otherwise(F.bit_xor("__xs"))
+            .alias("__xs")
+        )
     return df.groupBy("cluster_id").agg(*aggs, F.max("__epoch").alias("__epoch"))
 
 
@@ -86,7 +98,16 @@ def process_kmeans_batch(
     it detects duplicate/dropped deliveries that happen to cancel in
     the count alone. Pass id_col=None only when the stream genuinely
     has no stable id (the checksum audit is then unavailable and the
-    promote gate falls back to count-only)."""
+    promote gate falls back to count-only).
+
+    Upgrade note: a store whose early epochs predate the __xs column
+    (created by an older build, then streamed into post-upgrade) holds
+    a MIXED layout. Reads and compaction handle it without data loss
+    (schema-merged, NULL-poisoned fold), but the checksum audit over
+    such a store is undefined and kmeans_snapshot_checksum REFUSES it —
+    rebuild the store from batch (or start a fresh state dir) to regain
+    the content audit, or stream with id_col=None to declare the store
+    permanently count-audited only."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -111,20 +132,37 @@ def process_kmeans_batch(
         .withColumn("__epoch", F.lit(int(epoch_id)))
     )
     _write_epoch(delta, state_path, epoch_id)
-    autocompact_epoch(spark, state_path, epoch_id, compact_every, transform=_fold_sums)
+    # merge_schema: a store upgraded mid-lifetime (pre-audit epochs
+    # without __xs) must fold the union schema, or compaction would
+    # silently drop the audited epochs' checksums (_fold_sums then
+    # NULL-poisons the mixed fold so the snapshot can refuse loudly)
+    autocompact_epoch(
+        spark, state_path, epoch_id, compact_every, transform=_fold_sums,
+        merge_schema=True,
+    )
 
 
 def kmeans_sums_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     """Folded per-cluster quantized sums over everything the stream has
     seen: (cluster_id, n, s0..s{dim-1}[, __xs]). Lazy; one additive
-    aggregate over the bounded store."""
-    df = read_artifact(spark, state_path)
+    aggregate over the bounded store. The read is schema-merged so a
+    mixed pre/post-audit store surfaces its old epochs as NULL __xs
+    (poisoned to NULL in the fold here too) instead of silently
+    dropping or partially-XORing the audit column; only the checksum
+    consumer refuses on that — the model sums themselves are unaffected
+    by the audit column's history."""
+    df = read_artifact(spark, state_path, merge_schema=True)
     dim_cols = [c for c in df.columns if c.startswith("s") and c[1:].isdigit()]
     aggs = [F.sum("n").cast("long").alias("n")] + [
         F.sum(c).cast("long").alias(c) for c in dim_cols
     ]
     if "__xs" in df.columns:
-        aggs.append(F.bit_xor("__xs").cast("long").alias("__xs"))
+        aggs.append(
+            F.when(F.max(F.col("__xs").isNull().cast("int")) == 1, F.lit(None).cast("long"))
+            .otherwise(F.bit_xor("__xs"))
+            .cast("long")
+            .alias("__xs")
+        )
     return df.groupBy("cluster_id").agg(*aggs)
 
 
@@ -169,14 +207,34 @@ def kmeans_snapshot_checksum(spark: SparkSession, state_path: str) -> tuple[int,
     against corpus_id_checksum(corpus) before trusting a snapshot.
     Returns None when the store was built with id_col=None (no __xs
     column — the audit is explicitly unavailable, never silently
-    passing). Upgrades kmeans_snapshot_total's count-only audit: a
-    cross-epoch duplicate delivery paired with a dropped file keeps
-    sum(n) intact but cannot keep the XOR intact (see
-    corpus_id_checksum). One aggregate over the bounded store."""
+    passing). RAISES ValueError when the store MIXES pre-audit and
+    audited epochs (schema-merged read surfaces the old epochs as NULL
+    __xs): a partial XOR over only the audited epochs would falsely
+    refuse a healthy store, and silently returning None would quietly
+    downgrade the gate — neither is acceptable, so the caller gets the
+    explicit "store predates the id audit" failure and the rebuild /
+    fresh-state-dir / id_col=None choices. Upgrades
+    kmeans_snapshot_total's count-only audit: a cross-epoch duplicate
+    delivery paired with a dropped file keeps sum(n) intact but cannot
+    keep the XOR intact (see corpus_id_checksum). One aggregate over
+    the bounded store."""
     snap = kmeans_sums_snapshot(spark, state_path)
     if "__xs" not in snap.columns:
         return None
-    row = snap.agg(F.sum("n").alias("t"), F.bit_xor("__xs").alias("x")).collect()[0]
+    row = snap.agg(
+        F.sum("n").alias("t"),
+        F.bit_xor("__xs").alias("x"),
+        F.max(F.col("__xs").isNull().cast("int")).alias("mixed"),
+    ).collect()[0]
+    if int(row["mixed"] or 0):
+        raise ValueError(
+            f"kmeans store at {state_path} mixes epochs with and without "
+            "the __xs id-audit column (store predates the id audit): the "
+            "content checksum is undefined over it — rebuild the store "
+            "from batch or start a fresh state dir to regain the audit, "
+            "or stream with id_col=None (count-only audit) / pass "
+            "--no-id-audit at promote"
+        )
     return int(row["t"] or 0), int(row["x"] or 0)
 
 

@@ -852,6 +852,15 @@ def test_cli_cluster_assign_and_boundary(spark, tmp_path, capsys):
     # vec 1 at (4.9, 0): margin 26.01 - 24.01 = 2.0 < 3.0 -> boundary
     assert bd == {0: (2, 1), 1: (1, 0)}
 
+    # a typo'd --id-col is a usage error (exit 2, stderr names the real
+    # columns), not a raw AnalysisException
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", asg_path, "--op", "assign",
+        "--centroids", model_path, "--dim", "2", "--id-col", "vec_idd",
+    ])
+    cap = capsys.readouterr()
+    assert rc == 2 and "vec_idd" in cap.err and "vec_id" in cap.err
+
 
 def test_cli_analyze_dim_drift(spark, tmp_path, capsys):
     """analyze --report dim-drift: the encoder-regression monitor via the

@@ -3580,6 +3580,26 @@ def test_two_nearest_batched_duplicate_min_distance(spark):
         assert (r.cluster_id, r.a, r.b) == (0, 25.0, 25.0), impl
 
 
+def test_two_nearest_passthrough_column_collision(spark):
+    """two_nearest_distances is public: a caller frame already carrying a
+    '__two' column (the codegen path's old fixed staging name) must pass
+    through untouched on BOTH physical forms — the staging column is
+    collision-checked, never silently clobbering caller data."""
+    from epss_spark.operators import clustering
+
+    df = spark.createDataFrame(
+        [(0, [5.0, 0.0], "keep-me")],
+        "vec_id long, embedding array<float>, __two string",
+    )
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    for impl in ("codegen", "batched"):
+        r = clustering.two_nearest_distances(
+            df, cents, a_col="a", b_col="b", impl=impl
+        ).collect()[0]
+        assert r["__two"] == "keep-me", impl
+        assert (r.cluster_id, r.a, r.b) == (0, 25.0, 25.0), impl
+
+
 def test_cluster_silhouette_auto_dispatch_threshold(spark):
     """Silhouette rides the same measured threshold as assignment: pure
     codegen (no Python) at or below BATCHED_ASSIGN_CELLS, map-only Arrow

@@ -3464,7 +3464,9 @@ def test_kmeans_drift_gated_promotion_lifecycle(spark, tmp_path, capsys):
         "--centroids", model_path, "--state", state, "--dim", "2",
         "--expected-n", "7",
     ])
-    assert rc == 3 and "expected 7" in capsys.readouterr().out
+    # refusal diagnostics land on stderr (scripts capture stderr on
+    # nonzero exit), the happy path stays on stdout
+    assert rc == 3 and "expected 7" in capsys.readouterr().err
     assert not (tmp_path / "model_v2").exists()
 
     # 3b. drift branch: a zero tolerance refuses with exit 2 iff anything
@@ -3494,7 +3496,7 @@ def test_kmeans_drift_gated_promotion_lifecycle(spark, tmp_path, capsys):
         "--centroids", clumped_model, "--state", state2, "--dim", "2",
         "--max-moved-frac", "0.0",
     ])
-    cap = capsys.readouterr().out
+    cap = capsys.readouterr().err
     assert rc == 2 and "REFUSED" in cap and "rebuild" in cap
     assert "0.1667" in cap  # the gate reports the real moved fraction
     assert not (tmp_path / "model_v2").exists()
@@ -3582,7 +3584,7 @@ def test_kmeans_stream_id_checksum_audit(spark, tmp_path, capsys):
         "--centroids", model_path, "--state", state2, "--dim", "2",
         "--expected-n", "6",
     ])
-    cap = capsys.readouterr().out
+    cap = capsys.readouterr().err
     assert rc == 3 and "id checksum" in cap and "rebuild" in cap
     assert not (tmp_path / "model_v2").exists()
 
@@ -3609,8 +3611,139 @@ def test_kmeans_stream_id_checksum_audit(spark, tmp_path, capsys):
         "--centroids", model_path, "--state", state3, "--dim", "2",
         "--expected-n", "6",
     ])
-    cap = capsys.readouterr().out
-    assert rc == 0 and "id audit unavailable" in cap and "promoted" in cap
+    cap = capsys.readouterr()
+    assert rc == 0 and "id audit unavailable" in cap.err and "promoted" in cap.out
+
+
+def test_kmeans_store_mixed_xs_refuses_checksum(spark, tmp_path, capsys):
+    """A store whose early epochs predate the __xs content-audit column
+    (written with id_col=None here, standing in for an older build's
+    layout) and whose later epochs carry it is MIXED: the model sums
+    stay valid and readable, but the content checksum over it is
+    undefined — a partial XOR (bit_xor skips NULLs) would falsely
+    refuse a healthy store, and a silent None would quietly downgrade
+    the gate. kmeans_snapshot_checksum raises the explicit 'predates
+    the id audit' error, the promote CLI surfaces it as a refusal
+    (exit 3, stderr), --no-id-audit remains the escape hatch, and the
+    schema-merged NULL-poisoned compaction PRESERVES the mixed-ness
+    evidence instead of losing the audited epochs' checksums."""
+    import epss_spark.cli as cli
+    import pytest
+    from epss_spark.operators import clustering
+    from epss_spark.streaming import kmeans_stream as ks
+
+    schema = "vec_id long, embedding array<float>"
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [10.0, 10.0]), (4, [11.0, 10.0]), (5, [10.0, 11.0]),
+    ]
+    vecs = spark.createDataFrame(rows, schema)
+    in_path = str(tmp_path / "vecs")
+    vecs.write.parquet(in_path)
+    frozen = [[0.0, 0.0], [10.0, 10.0]]
+    model_path = str(tmp_path / "model")
+    clustering.write_model(spark, frozen, model_path)
+
+    # epoch 0 pre-audit (no __xs), epoch 1 audited (__xs) -> mixed store
+    state = str(tmp_path / "km_mixed")
+    ks.process_kmeans_batch(
+        spark.createDataFrame(rows[:3], schema), 0, state, frozen, dim=2,
+        id_col=None,
+    )
+    ks.process_kmeans_batch(
+        spark.createDataFrame(rows[3:], schema), 1, state, frozen, dim=2
+    )
+    # the MODEL half of the store is unaffected by the audit column's
+    # history: count and fold still equal the batch refresh
+    assert ks.kmeans_snapshot_total(spark, state) == 6
+    assert ks.kmeans_snapshot_centroids(spark, state, frozen, dim=2) == \
+        clustering.kmeans_fit(vecs, frozen, n_iter=1, dim=2)
+    with pytest.raises(ValueError, match="predates the id audit"):
+        ks.kmeans_snapshot_checksum(spark, state)
+
+    out_path = str(tmp_path / "model_v2")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "promote",
+        "--centroids", model_path, "--state", state, "--dim", "2",
+    ])
+    cap = capsys.readouterr()
+    assert rc == 3 and "predates the id audit" in cap.err
+    assert not (tmp_path / "model_v2").exists()
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "promote",
+        "--centroids", model_path, "--state", state, "--dim", "2",
+        "--expected-n", "6", "--no-id-audit",
+    ])
+    assert rc == 0 and "promoted" in capsys.readouterr().out
+
+    # compaction preserves the evidence: epoch 2 lands on the every=2
+    # cadence, folding epochs 0-2 (schema-merged, NULL-poisoned) — the
+    # mixed store still refuses instead of reporting a partial checksum
+    state2 = str(tmp_path / "km_mixed_compact")
+    ks.process_kmeans_batch(
+        spark.createDataFrame(rows[:2], schema), 0, state2, frozen, dim=2,
+        id_col=None, compact_every=2,
+    )
+    ks.process_kmeans_batch(
+        spark.createDataFrame(rows[2:4], schema), 1, state2, frozen, dim=2,
+        compact_every=2,
+    )
+    ks.process_kmeans_batch(
+        spark.createDataFrame(rows[4:], schema), 2, state2, frozen, dim=2,
+        compact_every=2,
+    )
+    assert ks.kmeans_snapshot_total(spark, state2) == 6
+    with pytest.raises(ValueError, match="predates the id audit"):
+        ks.kmeans_snapshot_checksum(spark, state2)
+    # while a uniformly-audited store compacted on the same cadence
+    # still passes the audit bit-for-bit
+    state3 = str(tmp_path / "km_audited_compact")
+    for e, lo, hi in [(0, 0, 2), (1, 2, 4), (2, 4, 6)]:
+        ks.process_kmeans_batch(
+            spark.createDataFrame(rows[lo:hi], schema), e, state3, frozen,
+            dim=2, compact_every=2,
+        )
+    assert ks.kmeans_snapshot_checksum(spark, state3) == ks.corpus_id_checksum(vecs)
+
+
+def test_kmeans_promote_missing_id_col_is_usage_error(spark, tmp_path, capsys):
+    """A typo'd --id-col must not quietly bypass the content gate: when
+    the store CARRIES the __xs audit but --input lacks the id column,
+    promote is a usage error (exit 2, stderr names the columns and the
+    explicit --no-id-audit escape hatch) — unlike the id_col=None store,
+    where the audit is structurally unavailable and the count audit is
+    all there is."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering
+    from epss_spark.streaming import kmeans_stream as ks
+
+    schema = "vec_id long, embedding array<float>"
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [10.0, 10.0])]
+    vecs = spark.createDataFrame(rows, schema)
+    in_path = str(tmp_path / "vecs")
+    vecs.write.parquet(in_path)
+    frozen = [[0.0, 0.0], [10.0, 10.0]]
+    model_path = str(tmp_path / "model")
+    clustering.write_model(spark, frozen, model_path)
+    state = str(tmp_path / "km_state")
+    ks.process_kmeans_batch(vecs, 0, state, frozen, dim=2)
+
+    out_path = str(tmp_path / "model_v2")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "promote",
+        "--centroids", model_path, "--state", state, "--dim", "2",
+        "--id-col", "vec_idd",
+    ])
+    cap = capsys.readouterr()
+    assert rc == 2 and "vec_idd" in cap.err and "--no-id-audit" in cap.err
+    assert not (tmp_path / "model_v2").exists()
+    # the explicit escape hatch (plus the count audit) still works
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "promote",
+        "--centroids", model_path, "--state", state, "--dim", "2",
+        "--id-col", "vec_idd", "--no-id-audit", "--expected-n", "3",
+    ])
+    assert rc == 0 and "promoted" in capsys.readouterr().out
 
 
 def test_dim_drift_stream_equals_batch_replay_and_order(spark, tmp_path):
