@@ -292,6 +292,18 @@ def main() -> None:
             round_min = s if round_min is None else min(round_min, s)
         return round(round_min, 4)
 
+    # Warmup pair (round 14, the flagship-dispersion fix): ONE untimed
+    # round between the cold run and the gated rounds. Evidence for why:
+    # r12's four gated rounds read [1.646, 1.408, 1.395, 1.325] — the
+    # floor keeps dropping through round 4 because JIT/page-cache warmup
+    # extends past the cold run — while r13 drew only 3 rounds and its
+    # floor (1.625) never reached the warm plateau, moving the artifact
+    # 0.92x -> 1.12x on UNCHANGED code (VERDICT r13 item 1; PERF.md
+    # round-14 adjudication). The warmup round burns that transient
+    # before any gated round, so a 3-round artifact samples the plateau
+    # the old round 4 reached; it is recorded (not hidden) so the
+    # transient's size stays visible across rounds.
+    epss_warmup_sec = _epss_round()
     # min-of-3 floor (round-10 judge item 1) — the 2x contract is judged
     # on this number, and its r10 pair drifted +10% on unchanged code
     epss_pair = _pair_gate([_epss_round() for _ in range(3)], _epss_round)
@@ -479,6 +491,7 @@ def main() -> None:
                 else None,
                 "epss_pipeline_input_rows": epss_rows,
                 "epss_pipeline_cold_sec": round(epss_cold_sec, 4),
+                "epss_pipeline_warmup_sec": epss_warmup_sec,
                 "epss_pipeline_pair_sec": epss_pair,
                 "flagship_scaled_pair_sec": flagship_pair,
                 "epss_pipeline_sec": round(epss_sec, 4),

@@ -311,7 +311,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--op",
         choices=[
             "stats", "sample", "train", "promote", "terms", "elbow",
-            "outliers", "silhouette", "assign", "boundary",
+            "outliers", "silhouette", "assign", "boundary", "quality",
         ],
         default="stats",
     )
@@ -349,7 +349,9 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--state",
         help="--op promote: kmeans_stream state dir holding the additive "
-        "quantized-sum deltas to fold into the candidate model",
+        "quantized-sum deltas to fold into the candidate model; "
+        "--op quality: quality_stream state dir holding the additive "
+        "silhouette/boundary sums to snapshot",
     )
     cu.add_argument(
         "--max-moved-frac",
@@ -721,6 +723,78 @@ def main(argv: list[str] | None = None) -> int:
         from epss_spark.operators import clustering as cl_ops
 
         vecs = spark.read.parquet(args.input)
+        if args.op == "quality":
+            # read verb for the continuous model-quality stream
+            # (streaming/quality_stream.py): the live per-cluster
+            # silhouette/boundary report over everything the frozen
+            # model has served, gated behind the same exactly-once
+            # audits as promote — --input IS the corpus the stream
+            # should have absorbed, so a checksum mismatch means the
+            # numbers below describe a DIFFERENT multiset and the verb
+            # refuses rather than print them as if they were the
+            # corpus's (DEPLOYMENT.md §promotion: monitor -> gate ->
+            # promote)
+            from epss_spark.streaming import kmeans_stream as km_stream
+            from epss_spark.streaming import quality_stream as q_stream
+
+            if not args.state:
+                print("cluster quality: --state is required", file=sys.stderr)
+                return 2
+            total = q_stream.quality_total(spark, args.state)
+            if args.expected_n is not None and total != args.expected_n:
+                print(
+                    f"cluster quality: REFUSED — store absorbed {total} "
+                    f"vectors, expected {args.expected_n} (duplicate or "
+                    "dropped deliveries); rebuild from batch",
+                    file=sys.stderr,
+                )
+                return 3
+            if not args.no_id_audit:
+                absorbed = q_stream.quality_checksum(spark, args.state)
+                if absorbed is None:
+                    print(
+                        "cluster quality: id audit unavailable (stream ran "
+                        "with id_col=None) — relying on the count only",
+                        file=sys.stderr,
+                    )
+                elif args.id_col not in vecs.columns:
+                    print(
+                        f"cluster quality: no {args.id_col!r} column in "
+                        f"--input (columns: {', '.join(vecs.columns)}) but "
+                        "the store carries the id audit — fix --id-col, or "
+                        "pass --no-id-audit to skip the content check "
+                        "explicitly",
+                        file=sys.stderr,
+                    )
+                    return 2
+                else:
+                    expected = km_stream.corpus_id_checksum(vecs, id_col=args.id_col)
+                    if absorbed != expected:
+                        print(
+                            f"cluster quality: REFUSED — store id checksum "
+                            f"(n={absorbed[0]}, xor={absorbed[1]:#x}) != corpus "
+                            f"(n={expected[0]}, xor={expected[1]:#x}): the "
+                            "store does not hold exactly the --input corpus "
+                            "(duplicate or dropped deliveries); rebuild from "
+                            "batch",
+                            file=sys.stderr,
+                        )
+                        return 3
+            snap = q_stream.quality_snapshot(spark, args.state).orderBy("cluster_id")
+            snap.write.mode("overwrite").parquet(args.output)
+            rows = spark.read.parquet(args.output).orderBy("cluster_id").collect()
+            for r in rows:
+                print(
+                    f"cluster {r.cluster_id}: n={r.n_points} "
+                    f"silhouette={r.avg_silhouette:.6f} "
+                    f"boundary={r.n_boundary} ({r.boundary_frac:.4f}) "
+                    f"margin={r.avg_margin:.6f}"
+                )
+            print(
+                f"cluster quality: {total} vectors absorbed, "
+                f"{len(rows)} cells -> {args.output}"
+            )
+            return 0
         if args.op == "promote":
             # the drift-gated promotion cycle (DEPLOYMENT.md §promotion):
             # fold the stream store into the candidate model, audit the

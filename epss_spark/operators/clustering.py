@@ -853,6 +853,8 @@ def farthest_first_init(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "auto",
+    sample_frac: float | None = None,
+    sample_salt: str = "ffinit",
 ) -> list[list[float]]:
     """Gonzalez farthest-first traversal init: seed with a fixed row,
     then k-1 times pick the point farthest (squared L2) from its nearest
@@ -871,11 +873,25 @@ def farthest_first_init(
     or below BATCHED_ASSIGN_CELLS and switches to the bit-identical
     Arrow kernel above it, so a large-k traversal costs one near-flat
     kernel pass per pick instead of an O(prefix*dim) interpreted fold
-    (picks are pinned identical across forms). k scans total; at 100 TB
-    run it on a sample, like any init."""
+    (picks are pinned identical across forms). k scans total.
+
+    `sample_frac` makes the documented large-k recipe ("at 100 TB run
+    it on a sample") one argument instead of caller plumbing: every
+    pick scans only the deterministic md5-coin sample (sample_vectors,
+    keyed on `id_col` with `sample_salt` — the same engine-portable
+    coin as kmeans_fit's sampled trainer, so an oracle replays the
+    traversal exactly). The start row is looked up in the FULL frame —
+    a caller-fixed seed must not fail the coin — and k scans then touch
+    sample_frac of the corpus each instead of all of it. For true
+    production scale prefer kmeans_parallel_init: O(n_rounds) scans
+    instead of k."""
     seed = vectors.filter(F.col(id_col) == start_id).select(vec_col).collect()
     if not seed:
         raise ValueError(f"start id not found in vectors: {start_id}")
+    if sample_frac is not None:
+        vectors = sample_vectors(
+            vectors, sample_frac, id_col=id_col, salt=sample_salt
+        )
     cents = [[float(x) for x in seed[0][vec_col]]]
     for _ in range(k - 1):
         scored = assign_clusters(
@@ -890,6 +906,148 @@ def farthest_first_init(
         )
         cents.append([float(x) for x in pick[vec_col]])
     return cents
+
+
+def kmeans_parallel_init(
+    vectors: DataFrame,
+    k: int,
+    start_id: int,
+    n_rounds: int = 2,
+    oversample: float | None = None,
+    n_iter_local: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: float = QUANT,
+    salt: str = "kmpp",
+    impl: str = "auto",
+) -> list[list[float]]:
+    """k-means|| oversampled seeding (Bahmani et al. 2012,
+    arXiv:1203.6402) — the production-scale alternative to
+    farthest_first_init's k sequential corpus scans: O(n_rounds) scans
+    total (2-5 in practice), each sampling points with probability
+    proportional to their squared distance from the already-chosen set,
+    then ONE weighted Lloyd fit of the driver-sized oversampled
+    candidate set down to k centroids.
+
+    Engine-portable determinism (every stage is oracle-replayable):
+
+    - round r keeps row i iff  coin60(salt|r|id) <
+      floor(least(1.0, (qd2/qphi) * oversample) * 2^60), where qd2 =
+      floor(d2 * quant + 0.5) is the row's quantized min squared
+      distance to the current candidate set, qphi = sum(qd2) the exact
+      BIGINT round cost, and coin60 the shared md5 60-bit coin
+      (train_split / sample_vectors). The division chain
+      CAST(qd2 AS DOUBLE) / CAST(qphi AS DOUBLE) * oversample is the
+      identical IEEE op sequence in DuckDB SQL, so the sampled set is
+      bit-reproducible — no RNG, no partitioning dependence. A row
+      already in the candidate set has qd2 = 0, so threshold 0: it can
+      never be re-sampled (no dedup step needed).
+    - candidates append in (round, id asc) order — the candidate index
+      is deterministic.
+    - candidate weights are the corpus cell counts under the full
+      candidate set (ties to the lowest candidate index, as
+      everywhere); zero-weight candidates (possible only when a later
+      candidate exactly duplicates an earlier one) are dropped before
+      the fit, mirroring a GROUP-BY-backed oracle, and the local fit
+      seeds from the first k SURVIVING candidates (the start row + the
+      earliest round-1 picks, skipping dropped duplicates).
+    - the local fit is kmeans_fit(candidates, weight_col) — the
+      weighted exact-integer Lloyd update, on a candidate relation of
+      ~n_rounds * oversample rows (driver-sized by construction).
+
+    `oversample` is the expected per-round draw (l in the paper);
+    default 2k — the paper's guidance is l in [0.5k, 2k] with
+    n_rounds ~ 5 at most. Raises if fewer than k candidates survive
+    (raise oversample or n_rounds — with a degenerate corpus of < k
+    distinct points no init can produce k distinct cells anyway).
+
+    Scale shape: per round ONE assignment-shaped projection (the
+    dual-path dispatch — production candidate counts ride the Arrow
+    kernel), one map-side-combinable 1-row aggregate for qphi, and a
+    collect of ~oversample sampled rows; the weighted fit runs over a
+    broadcast-sized candidate frame. Total: 2 * n_rounds + 1 corpus
+    scans + n_iter_local candidate-set scans, independent of k — vs
+    farthest_first_init's k corpus scans."""
+    from epss_spark.operators.dedup import _md5_60bit
+
+    if oversample is None:
+        oversample = 2.0 * k
+    seed = vectors.filter(F.col(id_col) == start_id).select(vec_col).collect()
+    if not seed:
+        raise ValueError(f"start id not found in vectors: {start_id}")
+    cand = [[float(x) for x in seed[0][vec_col]]]
+    two60 = float(1 << 60)
+    for r in range(1, n_rounds + 1):
+        scored = assign_clusters(
+            vectors.select(id_col, vec_col), cand, vec_col=vec_col,
+            cluster_col="__c", d2_col="__d", impl=impl,
+        )
+        qd2 = F.floor(F.col("__d") * F.lit(quant) + F.lit(0.5)).cast("long")
+        scored = scored.select(id_col, vec_col, qd2.alias("__qd2"))
+        qphi = scored.agg(F.sum("__qd2").alias("s")).collect()[0]["s"]
+        if not qphi:
+            break  # every corpus point IS a candidate (zero cost): done
+        if qphi >= SUM_GUARD:
+            # same exact-arithmetic discipline as check_model_sums: the
+            # round cost must stay inside the BIGINT headroom band
+            # (n * d2_max * quant < 2^62) or the sampling probabilities
+            # silently corrupt — rescale the corpus or lower quant
+            raise OverflowError(
+                f"kmeans_parallel_init: round {r} quantized cost {qphi} "
+                "exceeds the 2^62 exact-arithmetic bound — rescale the "
+                "corpus or lower quant"
+            )
+        # threshold arithmetic in the exact oracle op order:
+        # (qd2 / qphi) * l, clamped, scaled to the coin's 2^60 range
+        thresh = F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.col("__qd2").cast("double") / F.lit(float(qphi)))
+                * F.lit(float(oversample)),
+            )
+            * F.lit(two60)
+        ).cast("long")
+        coin = _md5_60bit(
+            F.concat(F.lit(f"{salt}|{r}|"), F.col(id_col).cast("string"))
+        )
+        picked = (
+            scored.filter(coin < thresh)
+            .select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .collect()
+        )
+        cand.extend([float(x) for x in row[vec_col]] for row in picked)
+    if len(cand) < k:
+        raise ValueError(
+            f"kmeans_parallel_init: only {len(cand)} candidates after "
+            f"{n_rounds} rounds at oversample={oversample} — raise "
+            "oversample or n_rounds"
+        )
+    # weight candidates by their corpus cell mass, drop empty cells
+    # (duplicate candidates lose the tie to the lowest index)
+    counts = (
+        assign_clusters(vectors.select(vec_col), cand, vec_col=vec_col, impl=impl)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .collect()
+    )
+    w = {int(row["cluster_id"]): int(row["__w"]) for row in counts}
+    spark = vectors.sparkSession
+    cand_rows = [(i, cand[i], w[i]) for i in range(len(cand)) if i in w]
+    cand_df = spark.createDataFrame(
+        cand_rows, f"__i int, {vec_col} array<double>, __w long"
+    )
+    return kmeans_fit(
+        cand_df,
+        [c for _, c, _ in cand_rows[:k]],
+        n_iter=n_iter_local,
+        dim=dim,
+        vec_col=vec_col,
+        quant=quant,
+        weight_col="__w",
+        assign_impl=impl,
+    )
 
 
 def cluster_distance_outliers(

@@ -1009,6 +1009,12 @@ def contamination_report(
     threshold: float = 0.5,
     hash_mode: str = "md5",
     shmap: DataFrame | None = None,
+    corpus_vecs: DataFrame | None = None,
+    eval_vecs: DataFrame | None = None,
+    sem_centroids: list[list[float]] | None = None,
+    sem_threshold: float = 0.99,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-benchmark contamination AUDIT over the whole decontamination
     ladder — the table a dataset card cites before anyone trains:
@@ -1023,7 +1029,16 @@ def contamination_report(
       `decontaminate_spans` would edit);
     - 'near': LSH-blocked, exact-Jaccard-verified near-duplicate of an
       eval doc at `threshold` (the docs `decontaminate_near` would
-      drop — paraphrase leakage the other two tiers miss).
+      drop — paraphrase leakage the other two tiers miss);
+    - 'semantic' (optional — pass corpus_vecs + eval_vecs +
+      sem_centroids): embedding-cosine near-duplicate of an eval item
+      at `sem_threshold`, centroid-confined
+      (similarity.semantic_decontam_hits) — the full-rewording leakage
+      no lexical tier can see. `corpus_vecs` carries the corpus
+      embeddings keyed by the SAME ids as `corpus` (vec_id_col values
+      == id_col values); `eval_vecs` carries (bench_col, vec_id_col,
+      vec_col) for the eval items. Rows without an embedding are
+      invisible to this tier only (the lexical tiers still see them).
 
     Zero-hit (benchmark, method) combinations are present with
     n_contaminated = 0 — an audit that silently omits a clean benchmark
@@ -1042,10 +1057,42 @@ def contamination_report(
         corpus, eval_sets, bench_col, id_col, text_col, k, num_hashes,
         bands, threshold, hash_mode, shmap,
     )
+    methods = ["exact", "spans", "near"]
+    if corpus_vecs is not None or eval_vecs is not None or sem_centroids is not None:
+        if corpus_vecs is None or eval_vecs is None or sem_centroids is None:
+            raise ValueError(
+                "contamination_report: the semantic tier needs all of "
+                "corpus_vecs, eval_vecs, and sem_centroids"
+            )
+        from epss_spark.operators.similarity import semantic_decontam_hits
+
+        # composite eval id (benchmark|id), like the near tier: the same
+        # item id in two benchmarks stays two eval vectors
+        e_vecs = eval_vecs.select(
+            F.col(bench_col).alias("benchmark"),
+            F.concat_ws(
+                "|", F.col(bench_col).cast("string"), F.col(vec_id_col).cast("string")
+            ).alias("__eid"),
+            F.col(vec_col),
+        )
+        sem = semantic_decontam_hits(
+            corpus_vecs, e_vecs, sem_centroids, threshold=sem_threshold,
+            id_col=vec_id_col, vec_col=vec_col, eval_id_col="__eid",
+        )
+        sem_hits = (
+            sem.join(
+                F.broadcast(e_vecs.select("benchmark", F.col("__eid").alias("eval_id")).distinct()),
+                "eval_id",
+            )
+            .select("benchmark", F.col("corpus_id").alias("__cid"))
+            .withColumn("method", F.lit("semantic"))
+        )
+        hits = hits.unionByName(sem_hits)
+        methods.append("semantic")
     counts = hits.groupBy("benchmark", "method").agg(
         F.countDistinct("__cid").alias("__n")
     )
-    grid = _contamination_grid(eval_sets, bench_col)
+    grid = _contamination_grid(eval_sets, bench_col, methods)
     n_corpus = corpus.agg(F.count(F.lit(1)).alias("__total"))
     return (
         grid.join(counts, ["benchmark", "method"], "left")
@@ -1061,14 +1108,19 @@ def contamination_report(
     )
 
 
-def _contamination_grid(eval_sets: DataFrame, bench_col: str = "benchmark") -> DataFrame:
+def _contamination_grid(
+    eval_sets: DataFrame,
+    bench_col: str = "benchmark",
+    methods: list[str] | None = None,
+) -> DataFrame:
     """All (benchmark, method) combinations for the audit — zero rows
     must be PRESENT (a silently omitted benchmark reads as unchecked)."""
+    methods = methods or ["exact", "spans", "near"]
     return (
         eval_sets.select(F.col(bench_col).alias("benchmark")).distinct()
         .crossJoin(
             eval_sets.sparkSession.createDataFrame(
-                [("exact",), ("spans",), ("near",)], "method string"
+                [(m,) for m in methods], "method string"
             )
         )
     )

@@ -581,6 +581,89 @@ def semantic_dedup(
     return dedup_corpus_near(vectors, pairs, id_col=id_col, policy=policy)
 
 
+def semantic_decontam_hits(
+    corpus_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    impl: str = "auto",
+) -> DataFrame:
+    """SEMANTIC (embedding-space) benchmark-contamination detection —
+    the fourth rung of the decontamination ladder: `contamination_bloom`
+    catches exact copies, `decontaminate_spans` verbatim substrings,
+    `decontaminate_near` lexical paraphrase (shared shingles) — and this
+    catches the leakage all three miss: a full rewording of an eval item
+    that preserves meaning but not n-grams, visible only as embedding
+    cosine. Returns (corpus id, eval id, cos) for every corpus vector
+    whose cosine to ANY eval vector reaches `threshold`.
+
+    Scale shape — the asymmetric SemDeDup containment
+    (`semantic_dedup`'s architecture pointed across two frames): BOTH
+    sides take the dual-path nearest-centroid assignment
+    (clustering.assign_clusters — codegen at small k, the Arrow kernel
+    above BATCHED_ASSIGN_CELLS), the pair join is an equi-join on the
+    cell id with the benchmark-sized eval side BROADCAST, so the corpus
+    never shuffles and the quadratic scan is confined to
+    corpus-cell x eval-cell co-members. Like SemDeDup, a pair
+    straddling a cell boundary is out of scope by construction — at
+    production scale tighten that by unioning hits over two models (or
+    a coarser k), exactly as SemDeDup runs multiple shards.
+
+    Deterministic: the cosine is the shared sequential-fold dot/norm
+    rounded 6dp (the cross-engine float contract), assignment ties
+    break on the lowest centroid index."""
+    from epss_spark.operators.clustering import assign_clusters
+
+    eval_id_col = eval_id_col or id_col
+    c_asg = assign_clusters(
+        corpus_vecs.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("__cv")),
+        centroids, vec_col="__cv", cluster_col="__cell", impl=impl,
+    )
+    e_asg = assign_clusters(
+        eval_vecs.select(F.col(eval_id_col).alias("eval_id"), F.col(vec_col).alias("__ev")),
+        centroids, vec_col="__ev", cluster_col="__cell", impl=impl,
+    )
+    return (
+        c_asg.join(F.broadcast(e_asg), "__cell")
+        .select(
+            "corpus_id",
+            "eval_id",
+            cosine(F.col("__cv"), F.col("__ev")).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
+
+
+def decontaminate_semantic(
+    corpus_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    impl: str = "auto",
+) -> DataFrame:
+    """Drop every corpus vector that is a semantic near-duplicate
+    (cosine >= threshold, centroid-confined — see semantic_decontam_hits)
+    of ANY eval/benchmark vector; returns the cleaned corpus frame with
+    its columns unchanged. The editing half of the semantic rung, shaped
+    like decontaminate_near: detection broadcasts the eval side, the
+    final drop is one left_anti on the (small) contaminated-id set."""
+    hits = (
+        semantic_decontam_hits(
+            corpus_vecs, eval_vecs, centroids, threshold, id_col, vec_col,
+            eval_id_col, impl,
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus_vecs.join(hits, id_col, "left_anti")
+
+
 def _sub_d2(vec_slice: Column, cent: list[float]) -> Column:
     """Squared L2 distance between an embedding sub-slice and a constant
     sub-centroid — sequential left-fold, same summation order as the

@@ -3236,10 +3236,52 @@ def dedup_decontam_spans(spark, sf_dir):
     )
 
 
+# Shared clustering-oracle fragments (used from here down: the semantic
+# contamination tier and the whole cluster_* family): the fixed-id seed
+# list, its VALUES join, and the sequential-fold squared distance between
+# a corpus row aliased `e` and a centroid row aliased `c`.
+_KM_IDS = [0, 61, 122, 183, 244, 305, 366, 427]
+_KM_VALUES = ", ".join(f"({i}, {cid})" for i, cid in enumerate(_KM_IDS))
+_KM_D2 = (
+    "list_sum(list_transform(range(1, 65), j -> "
+    "(CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE)) * "
+    "(CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))))"
+)
+
+# Semantic contamination tier oracle fragments: both sides assigned to
+# the fixed-id centroid model (no training — the anchors only confine
+# the pair scan), then cosine >= threshold within shared cells.
+_SEM_CHAIN = f"""
+    semc AS (
+      SELECT t.i, e.embedding AS cv
+      FROM (VALUES {_KM_VALUES}) t(i, cid)
+      JOIN embeddings e ON e.vec_id = t.cid
+    ),
+    sem_ca AS (
+      SELECT vec_id, embedding, cl FROM (
+        SELECT e.vec_id, e.embedding, c.i AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN semc c WHERE e.vec_id >= 20
+      ) WHERE rn = 1
+    ),
+    sem_ea AS (
+      SELECT vec_id, 'bench' || CAST(vec_id % 2 AS VARCHAR) AS benchmark,
+             embedding, cl FROM (
+        SELECT e.vec_id, e.embedding, c.i AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN semc c WHERE e.vec_id < 20
+      ) WHERE rn = 1
+    )"""
+_SEM_HITS = f"""
+      SELECT DISTINCT c.benchmark, q.vec_id AS doc_id
+      FROM sem_ca q JOIN sem_ea c ON c.cl = q.cl
+      WHERE round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) >= 0.3"""
+
+
 @register(
     "dedup_contamination_report",
     f"""
-    WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+    WITH pairs AS ({_MINHASH_PAIRS_SQL}),{_SEM_CHAIN},
     evals AS (
       SELECT doc_id, 'bench' || CAST(doc_id % 2 AS VARCHAR) AS benchmark, text
       FROM documents WHERE doc_id < 20
@@ -3272,10 +3314,13 @@ def dedup_decontam_spans(spark, sf_dir):
       FROM pairs p JOIN evals e ON e.doc_id = p.a_id
       WHERE p.a_id < 20 AND p.b_id >= 20
     ),
+    sem_hits AS ({_SEM_HITS}
+    ),
     hits AS (
       SELECT benchmark, doc_id, 'exact' AS method FROM exact_hits
       UNION ALL SELECT benchmark, doc_id, 'spans' AS method FROM span_hits
       UNION ALL SELECT benchmark, doc_id, 'near' AS method FROM near_hits
+      UNION ALL SELECT benchmark, doc_id, 'semantic' AS method FROM sem_hits
     ),
     counts AS (
       SELECT benchmark, method, COUNT(DISTINCT doc_id) AS n
@@ -3283,7 +3328,7 @@ def dedup_decontam_spans(spark, sf_dir):
     ),
     grid AS (
       SELECT DISTINCT e.benchmark, m.method
-      FROM evals e, (VALUES ('exact'), ('spans'), ('near')) m(method)
+      FROM evals e, (VALUES ('exact'), ('spans'), ('near'), ('semantic')) m(method)
     )
     SELECT g.benchmark, g.method,
            CAST(COALESCE(c.n, 0) AS BIGINT) AS n_contaminated,
@@ -3297,19 +3342,28 @@ def dedup_contamination_report(spark, sf_dir):
     decontamination ladder: docs 0-19 stand in for TWO benchmarks (id
     parity), the rest are the training corpus; each (benchmark, method)
     row reports how many corpus docs the exact (fingerprint), spans
-    (shared >= 8-token gram), and near (LSH + verified Jaccard >= 0.5)
+    (shared >= 8-token gram), near (LSH + verified Jaccard >= 0.5), and
+    — round 14 — SEMANTIC (embedding cosine >= 0.3, centroid-confined,
+    similarity.semantic_decontam_hits over the same-id embeddings)
     tiers flag, with the rate over the corpus size (6dp). Zero rows
     included — a clean benchmark must read as checked-and-clean. The
-    oracle replays all three kernels' CTEs (dedup_keep_docs,
-    dedup_decontam_spans, dedup_decontam_near precedents) and the near
-    tier reuses full-corpus LSH restricted to eval-corpus pairs (band
-    keys are content hashes, so the restriction equals the asymmetric
-    join)."""
+    oracle replays all four kernels' CTEs (dedup_keep_docs,
+    dedup_decontam_spans, dedup_decontam_near precedents; the semantic
+    tier assigns both sides to the fixed-id anchor centroids and
+    cosines within shared cells) and the near tier reuses full-corpus
+    LSH restricted to eval-corpus pairs (band keys are content hashes,
+    so the restriction equals the asymmetric join)."""
     docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
     corpus = docs.filter(F.col("doc_id") >= 20)
     eval_sets = docs.filter(F.col("doc_id") < 20).withColumn(
         "benchmark", F.concat(F.lit("bench"), (F.col("doc_id") % 2).cast("string"))
     )
+    from epss_spark.operators import clustering
+
+    # fixed-id anchor centroids (no training: they only confine the
+    # semantic pair scan; the oracle replays them as a VALUES join)
+    anchors = clustering.init_centroids_by_id(emb, _KM_IDS)
     # unpersisted shmap: registered-query DataFrames outlive this call
     # (dedup_minhash_incremental precedent)
     return dedup.contamination_report(
@@ -3320,7 +3374,47 @@ def dedup_contamination_report(spark, sf_dir):
         bands=_BANDS,
         threshold=0.5,
         shmap=dedup.shingle_arrays(corpus),
+        corpus_vecs=emb.filter(F.col("vec_id") >= 20),
+        eval_vecs=emb.filter(F.col("vec_id") < 20).withColumn(
+            "benchmark", F.concat(F.lit("bench"), (F.col("vec_id") % 2).cast("string"))
+        ),
+        sem_centroids=anchors,
+        sem_threshold=0.3,
     )
+
+
+@register(
+    "dedup_decontam_semantic",
+    f"""
+    WITH {_SEM_CHAIN},
+    hits AS (
+      SELECT DISTINCT doc_id AS vec_id FROM ({_SEM_HITS})
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id >= 20 AND e.vec_id NOT IN (SELECT vec_id FROM hits)
+    """,
+)
+def dedup_decontam_semantic(spark, sf_dir):
+    """SEMANTIC benchmark decontamination (operators/similarity.py::
+    decontaminate_semantic) — the editing half of the ladder's fourth
+    rung: drop every corpus vector whose embedding cosine to ANY eval
+    item reaches 0.3, with the pair scan confined to shared cells of
+    the fixed-id anchor centroids and the benchmark-sized eval side
+    broadcast. Catches full rewordings of eval items that share no
+    shingle with them — invisible to the exact, spans, and lexical-near
+    tiers. The oracle replays both assignments (lowest-index ties), the
+    6dp sequential-fold cosine, and the anti-join."""
+    emb = T(spark, sf_dir, "embeddings")
+    from epss_spark.operators import clustering
+
+    anchors = clustering.init_centroids_by_id(emb, _KM_IDS)
+    cleaned = similarity.decontaminate_semantic(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        anchors,
+        threshold=0.3,
+    )
+    return cleaned.select("vec_id", "label")
 
 
 @register(
@@ -4510,13 +4604,9 @@ def ann_ivfpq_topk_batched(spark, sf_dir):
 # two-division centroid update, sequential-fold distances, lowest-index
 # argmin ties — so every float in the output matches bit-for-bit.
 
-_KM_IDS = [0, 61, 122, 183, 244, 305, 366, 427]
-_KM_VALUES = ", ".join(f"({i}, {cid})" for i, cid in enumerate(_KM_IDS))
-_KM_D2 = (
-    "list_sum(list_transform(range(1, 65), j -> "
-    "(CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE)) * "
-    "(CAST(e.embedding[j] AS DOUBLE) - CAST(c.cv[j] AS DOUBLE))))"
-)
+# _KM_IDS / _KM_VALUES / _KM_D2 are defined above the contamination
+# report section (the semantic tier's oracle uses the same fixed-id
+# centroid CTE and distance fragment).
 
 
 def _km_iter(t: int, prev: str, nxt: str, weight: str = "1", src: str = "embeddings") -> str:
@@ -4731,6 +4821,138 @@ def cluster_ff_init(spark, sf_dir):
     min-distance projection + TakeOrdered(1), zero shuffle."""
     emb = T(spark, sf_dir, "embeddings")
     cents = clustering.farthest_first_init(emb, k=_FF_K, start_id=0)
+    return clustering.kmeans_stats(emb, cents)
+
+
+# k-means|| (Bahmani et al. 2012) oracle: each oversampling round is one
+# min-distance scan + an exact-BIGINT round cost + the shared md5 coin
+# against a per-row probability threshold, all replayed verbatim; the
+# local fit is two weighted Lloyd iterations over the driver-sized
+# candidate set (weights = corpus cell counts under the full candidate
+# set). 2^60 and the oversample factor appear as exact double literals.
+_KMPP_L = "16.0"
+_KMPP_2POW60 = "1152921504606846976.0"
+
+
+def _kmpp_round(r: int, prev: str, nxt: str) -> str:
+    """One k-means|| oversampling round as SQL CTEs: quantized min-d2 to
+    the current candidate set, exact BIGINT round cost, the md5 coin vs
+    floor(least(1, (qd2/phi) * l) * 2^60), picks appended in id order
+    with consecutive candidate indices."""
+    return f"""
+    rd{r} AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(floor(min({_KM_D2}) * 1000000.0 + 0.5) AS BIGINT) AS qd2
+      FROM embeddings e CROSS JOIN {prev} c
+      GROUP BY e.vec_id, e.embedding
+    ),
+    rp{r} AS (
+      SELECT vec_id, embedding FROM rd{r}
+      WHERE CAST('0x' || substr(md5('kmpp|{r}|' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+          < CAST(floor(least(1.0, (CAST(qd2 AS DOUBLE) / (SELECT CAST(sum(qd2) AS DOUBLE) FROM rd{r})) * {_KMPP_L}) * {_KMPP_2POW60}) AS BIGINT)
+    ),
+    {nxt} AS (
+      SELECT i, cv FROM {prev}
+      UNION ALL
+      SELECT CAST((SELECT max(i) FROM {prev}) + row_number() OVER (ORDER BY vec_id) AS INTEGER) AS i,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM rp{r}
+    )"""
+
+
+def _kmpp_local_iter(t: int, prev: str, nxt: str) -> str:
+    """One weighted Lloyd iteration over the candidate relation `lw`
+    (vec_id = candidate index, embedding = cv, w = corpus cell count) —
+    _km_iter's exact arithmetic with the weight column carried through
+    the assignment instead of injected as an expression."""
+    return f"""
+    la{t} AS (
+      SELECT vec_id, embedding, w, cl FROM (
+        SELECT e.vec_id, e.embedding, e.w, c.i AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM lw e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    ls{t} AS (
+      SELECT cl, j,
+             CAST(sum(CAST(w AS BIGINT) * CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(w AS BIGINT)) AS BIGINT) AS n
+      FROM la{t}, range(1, 65) r(j)
+      GROUP BY cl, j
+    ),
+    lu{t} AS (
+      SELECT cl AS i, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY j) AS cv
+      FROM ls{t} GROUP BY cl
+    ),
+    {nxt} AS (
+      SELECT p.i, coalesce(u.cv, list_transform(p.cv, x -> CAST(x AS DOUBLE))) AS cv
+      FROM {prev} p LEFT JOIN lu{t} u ON u.i = p.i
+    )"""
+
+
+_KMPP_CHAIN = f"""
+    k0 AS (
+      SELECT 0 AS i, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id = 0
+    ),{_kmpp_round(1, "k0", "k1")},{_kmpp_round(2, "k1", "k2")},
+    wts AS (
+      SELECT cl AS i, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT e.vec_id, c.i AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN k2 c
+      ) WHERE rn = 1 GROUP BY cl
+    ),
+    lw AS (
+      SELECT k.i AS vec_id, k.cv AS embedding, w.w
+      FROM k2 k JOIN wts w ON w.i = k.i
+    ),
+    f0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS i,
+             embedding AS cv
+      FROM lw ORDER BY vec_id LIMIT 8
+    ),{_kmpp_local_iter(1, "f0", "f1")},{_kmpp_local_iter(2, "f1", "f2")}"""
+
+
+@register(
+    "cluster_kmpp_init",
+    f"""
+    WITH {_KMPP_CHAIN},
+    af AS (
+      SELECT vec_id, cl, d2 FROM (
+        SELECT e.vec_id, c.i AS cl, {_KM_D2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN f2 c
+      ) WHERE rn = 1
+    ),
+    g AS (
+      SELECT cl AS cluster_id, count(*) AS n_points,
+             CAST(sum(CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+      FROM af GROUP BY cl
+    )
+    SELECT g.cluster_id, g.n_points,
+           CAST(qs AS DOUBLE) / CAST(n_points AS DOUBLE) / 1000000.0 AS avg_d2,
+           sqrt(list_sum(list_transform(c.cv, x -> x * x))) AS centroid_norm
+    FROM g JOIN f2 c ON c.i = g.cluster_id
+    """,
+)
+def cluster_kmpp_init(spark, sf_dir):
+    """k-means|| oversampled seeding (operators/clustering.py::
+    kmeans_parallel_init, Bahmani et al. 2012): TWO oversampling rounds
+    from vec_id 0 — each round ONE corpus scan sampling points with
+    probability least(1, l * d2/phi) by the engine-portable md5 coin
+    (l = 16) — then a 2-iteration WEIGHTED Lloyd fit of the driver-sized
+    candidate set (weights = corpus cell counts) down to k = 8, scored
+    with the same per-cluster stats as cluster_ff_init. The
+    production-scale init: O(n_rounds) corpus scans total vs
+    farthest-first's k sequential scans. The oracle replays both
+    sampling rounds (quantized BIGINT round costs, the identical
+    division-multiply-clamp threshold chain, the shared coin spelling),
+    the weight assignment, and both weighted local iterations
+    CTE-for-CTE."""
+    emb = T(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_parallel_init(
+        emb, k=8, start_id=0, n_rounds=2, oversample=16.0, n_iter_local=2, dim=64
+    )
     return clustering.kmeans_stats(emb, cents)
 
 

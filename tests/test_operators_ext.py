@@ -3283,6 +3283,89 @@ def test_contamination_report_hand_computed(spark):
     }
 
 
+def test_decontaminate_semantic_hand_computed(spark):
+    """The ladder's fourth rung (similarity.decontaminate_semantic):
+    cosine-in-cell detection against broadcast eval embeddings. Corpus
+    vec 100 is a near-parallel rewording of the eval item (cos ~0.999
+    >= 0.97, same cell) -> dropped; vec 101 points the other way
+    (cos < 0) -> kept; vec 102 lives in the other centroid's cell, so
+    even a high-cosine pairing is OUT OF SCOPE by the SemDeDup
+    containment (documented, and pinned here so the confinement
+    semantics never silently change)."""
+    from epss_spark.operators import similarity
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    corpus = spark.createDataFrame(
+        [
+            (100, [10.0, 1.0]),   # cell 0, cos vs eval ~0.9999
+            (101, [-10.0, 1.0]),  # cell 0 is nearer? (-10,1) d2: to c0 121+1; to c1 100+0 -> cell 1
+            (102, [1.0, 10.0]),   # cell 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    eval_vecs = spark.createDataFrame(
+        [(0, [10.0, 1.2])], "vec_id long, embedding array<float>"
+    )
+    hits = {
+        (r.corpus_id, r.eval_id)
+        for r in similarity.semantic_decontam_hits(
+            corpus, eval_vecs, cents, threshold=0.97
+        ).collect()
+    }
+    assert hits == {(100, 0)}
+    kept = sorted(
+        r.vec_id
+        for r in similarity.decontaminate_semantic(
+            corpus, eval_vecs, cents, threshold=0.97
+        ).collect()
+    )
+    assert kept == [101, 102]
+
+
+def test_contamination_report_semantic_tier(spark):
+    """contamination_report with the optional semantic inputs: the grid
+    gains a fourth method row per benchmark, a corpus doc whose
+    EMBEDDING matches an eval item is flagged 'semantic' even when its
+    TEXT shares nothing with the benchmark (the full-rewording case no
+    lexical tier can see), and partial semantic inputs raise instead of
+    silently downgrading the audit."""
+    from epss_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(100, "completely reworded content, zero shared tokens")],
+        "doc_id long, text string",
+    )
+    eval_sets = spark.createDataFrame(
+        [("b0", 1, "the original benchmark phrasing of the same idea")],
+        "benchmark string, doc_id long, text string",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    corpus_vecs = spark.createDataFrame(
+        [(100, [10.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    eval_vecs = spark.createDataFrame(
+        [("b0", 1, [10.0, 1.2])], "benchmark string, vec_id long, embedding array<float>"
+    )
+    got = {
+        (r.benchmark, r.method): r.n_contaminated
+        for r in dedup.contamination_report(
+            corpus, eval_sets, k=3, threshold=0.5,
+            corpus_vecs=corpus_vecs, eval_vecs=eval_vecs,
+            sem_centroids=cents, sem_threshold=0.97,
+        ).collect()
+    }
+    assert got == {
+        ("b0", "exact"): 0,
+        ("b0", "spans"): 0,
+        ("b0", "near"): 0,
+        ("b0", "semantic"): 1,
+    }
+    with pytest.raises(ValueError, match="semantic tier needs all"):
+        dedup.contamination_report(
+            corpus, eval_sets, k=3, corpus_vecs=corpus_vecs
+        )
+
+
 # --- deterministic k-means + cluster-balanced sampling (operators/clustering.py)
 
 
@@ -3707,6 +3790,94 @@ def test_kmeans_fit_sampled_trains_on_the_coin_subset(spark):
     )
     assert got == want
     assert got != clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
+
+
+def test_kmeans_parallel_init_deterministic_and_shaped(spark):
+    """k-means|| seeding (kmeans_parallel_init): deterministic across
+    runs (md5-coin sampling, no RNG), returns exactly k centroids, and
+    its local fit actually consumes the oversampled candidate mass —
+    the result differs from the first-k-ids init and produces a full
+    k-cell partition of the corpus."""
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = clustering.kmeans_parallel_init(
+        emb, k=8, start_id=0, n_rounds=2, oversample=16.0, dim=64
+    )
+    b = clustering.kmeans_parallel_init(
+        emb, k=8, start_id=0, n_rounds=2, oversample=16.0, dim=64
+    )
+    assert a == b and len(a) == 8 and all(len(c) == 64 for c in a)
+    stats = clustering.kmeans_stats(emb, a).collect()
+    assert len(stats) == 8 and sum(r.n_points for r in stats) == 500
+    # a different salt draws a different candidate set
+    c = clustering.kmeans_parallel_init(
+        emb, k=8, start_id=0, n_rounds=2, oversample=16.0, dim=64, salt="kmpp2"
+    )
+    assert c != a
+
+
+def test_kmeans_parallel_init_edge_paths(spark):
+    """The loud edges: an unknown start id raises; too few surviving
+    candidates (oversample ~ 0 draws nothing) names the knobs to raise;
+    a corpus whose every point is already a candidate (round cost 0)
+    stops early instead of dividing by zero."""
+    import pytest
+
+    from epss_spark.operators import clustering
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="start id not found"):
+        clustering.kmeans_parallel_init(emb, k=2, start_id=99, dim=2)
+    with pytest.raises(ValueError, match="raise\\s+oversample or n_rounds"):
+        clustering.kmeans_parallel_init(
+            emb, k=4, start_id=0, n_rounds=1, oversample=1e-9, dim=2
+        )
+    # two distinct points, k=2, huge oversample: round 1 absorbs the
+    # other point, round 2's cost is 0 -> early stop, local fit still
+    # lands both centroids exactly on the two points
+    two = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [4.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    cents = clustering.kmeans_parallel_init(
+        two, k=2, start_id=0, n_rounds=3, oversample=64.0, n_iter_local=1, dim=2
+    )
+    assert cents == [[0.0, 0.0], [4.0, 0.0]]
+
+
+def test_ff_init_sample_frac_scans_only_the_coin_subset(spark):
+    """farthest_first_init(sample_frac=) == the traversal over the
+    pre-filtered sample_vectors subset — the documented large-k recipe
+    as one argument. The caller-fixed start row is honored even when
+    its own coin would exclude it from the sample."""
+    from epss_spark.operators import clustering
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = clustering.farthest_first_init(emb, k=4, start_id=0, sample_frac=0.5)
+    sampled = clustering.sample_vectors(emb, 0.5, salt="ffinit")
+    # start row 0 independently of the coin, then picks over the sample
+    seed = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id = 0").select("embedding").collect()
+    ]
+    # contract: every pick beyond the seed comes from the sampled
+    # subset, and the traversal is deterministic
+    again = clustering.farthest_first_init(emb, k=4, start_id=0, sample_frac=0.5)
+    assert got == again and len(got) == 4
+    assert got[0] == seed[0]
+    sampled_vecs = {
+        tuple(float(x) for x in r["embedding"])
+        for r in sampled.select("embedding").collect()
+    }
+    for c in got[1:]:
+        assert tuple(c) in sampled_vecs
+    # and it differs from the full-corpus traversal (the sample matters)
+    assert got != clustering.farthest_first_init(emb, k=4, start_id=0)
 
 
 def test_kmeans_fit_rejects_null_and_sub_one_weights(spark):

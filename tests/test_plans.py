@@ -227,6 +227,42 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_semantic_decontam_broadcasts_eval_side(spark):
+    # round-14 fourth rung: the eval embeddings are benchmark-sized, so
+    # the cell-confined pair join must broadcast them — the (100 TB)
+    # corpus embeddings never shuffle; at the oracle-checked anchor-k
+    # the assignment is pure codegen (no Python anywhere)
+    from epss_spark.operators import clustering, similarity
+    from epss_spark.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    anchors = clustering.init_centroids_by_id(
+        emb, [0, 61, 122, 183, 244, 305, 366, 427]
+    )
+    hits = similarity.semantic_decontam_hits(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        anchors,
+        threshold=0.3,
+    )
+    hp = hits._jdf.queryExecution().executedPlan().toString()
+    # the DETECTION subplan — the part that scales with the corpus —
+    # must broadcast the eval side into the cell-confined pair join
+    # with zero corpus shuffles and zero Python (anchor-k assignment is
+    # pure codegen)
+    assert "BroadcastHashJoin" in hp and "SortMergeJoin" not in hp
+    assert "Exchange hashpartitioning" not in hp
+    assert "BatchEvalPython" not in hp and "ArrowEvalPython" not in hp
+    # the full cleaning query adds ONE anti-join on the hit-id set; its
+    # static plan shows SMJ but AQE converts it to broadcast at runtime
+    # while the set is small (same shape as decontaminate_near — a
+    # forced broadcast would be wrong, the hit set is corpus-bounded)
+    p = plan(spark, "dedup_decontam_semantic")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("SortMergeJoin") <= 1
+
+
 def test_epss_domain_family_exchange_budget(spark):
     # the round-5 _daily reform: one repartition(user_id) serves the
     # snapshot aggregate AND every downstream per-user window/groupBy.

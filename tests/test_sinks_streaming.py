@@ -3986,6 +3986,89 @@ def test_quality_stream_via_streaming_query(spark, tmp_path):
     assert qs.quality_total(spark, state) == 4
 
 
+def test_cli_cluster_quality_verb(spark, tmp_path, capsys):
+    """cluster --op quality: the read verb for the continuous
+    model-quality stream — prints the live per-cluster
+    silhouette/boundary report (bit-equal to the batch operators over
+    the absorbed corpus) behind the same exactly-once audits as
+    promote: count mismatch and id-checksum mismatch REFUSE (exit 3,
+    stderr) instead of printing numbers that describe a different
+    multiset; a typo'd --id-col is a usage error; --no-id-audit stays
+    the explicit escape hatch."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering
+    from epss_spark.streaming import quality_stream as qs
+
+    schema = "vec_id long, embedding array<float>"
+    frozen = [[0.0, 0.0], [10.0, 0.0]]
+    rows = [
+        (0, [0.0, 0.0]), (1, [4.9, 0.0]), (2, [2.0, 1.0]),
+        (3, [10.0, 0.5]), (4, [8.0, 0.0]), (5, [11.0, 1.0]),
+    ]
+    thr = 30.0
+    state = str(tmp_path / "qual")
+    for e, b in enumerate([rows[:3], rows[3:]]):
+        qs.process_quality_batch(
+            spark.createDataFrame(b, schema), e, state, frozen, threshold=thr
+        )
+    union = spark.createDataFrame(rows, schema)
+    in_path = str(tmp_path / "vecs")
+    union.write.parquet(in_path)
+
+    out_path = str(tmp_path / "quality_report")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "quality",
+        "--state", state, "--expected-n", "6",
+    ])
+    cap = capsys.readouterr()
+    assert rc == 0 and "6 vectors absorbed" in cap.out and "silhouette=" in cap.out
+    got = {r.cluster_id: r for r in spark.read.parquet(out_path).collect()}
+    want_sil = {
+        r.cluster_id: (r.n_points, r.avg_silhouette)
+        for r in clustering.cluster_silhouette(union, frozen).collect()
+    }
+    want_bd = {
+        r.cluster_id: (r.n_points, r.n_boundary, r.avg_margin)
+        for r in clustering.cluster_boundary(union, frozen, threshold=thr).collect()
+    }
+    for c, r in got.items():
+        assert (r.n_points, r.avg_silhouette) == want_sil[c]
+        assert (r.n_points, r.n_boundary, r.avg_margin) == want_bd[c]
+
+    # --state is required
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "quality",
+    ])
+    assert rc == 2 and "--state is required" in capsys.readouterr().err
+    # wrong expected count refuses
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "quality",
+        "--state", state, "--expected-n", "7",
+    ])
+    assert rc == 3 and "expected 7" in capsys.readouterr().err
+    # content audit: an --input that is NOT the absorbed corpus refuses
+    tampered = str(tmp_path / "vecs_tampered")
+    spark.createDataFrame(rows[:5] + [(9, [1.0, 1.0])], schema).write.parquet(tampered)
+    rc = cli.main([
+        "cluster", "--input", tampered, "--output", out_path, "--op", "quality",
+        "--state", state,
+    ])
+    assert rc == 3 and "id checksum" in capsys.readouterr().err
+    # typo'd --id-col is a usage error naming the escape hatch
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", out_path, "--op", "quality",
+        "--state", state, "--id-col", "vec_idd",
+    ])
+    cap = capsys.readouterr()
+    assert rc == 2 and "vec_idd" in cap.err and "--no-id-audit" in cap.err
+    # the escape hatch reads the report without the content check
+    rc = cli.main([
+        "cluster", "--input", tampered, "--output", out_path, "--op", "quality",
+        "--state", state, "--no-id-audit",
+    ])
+    assert rc == 0 and "absorbed" in capsys.readouterr().out
+
+
 def test_dim_drift_stream_via_streaming_query(spark, tmp_path):
     """start_dim_drift_stream end-to-end: file drops consumed one per
     trigger (availableNow), snapshot report equals the one-shot batch

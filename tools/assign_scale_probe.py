@@ -30,6 +30,11 @@ projections that ride the dual dispatch —
   ff          farthest_first_init traversal to k picks (k corpus scans;
               expect ~linear in k for BOTH forms — the probe prices the
               per-scan constant, which is where the kernel wins)
+  kmpp        kmeans_parallel_init to k centroids (round-14: the
+              k-means|| oversampled init — 2 sampling rounds at
+              oversample 2k + the driver-sized weighted local fit;
+              expect near-FLAT in k, vs ff's linear k scans — this
+              probe row is the scalable-seeding argument measured)
 
 Usage: python tools/assign_scale_probe.py [replicas] [k1,k2,...] [max_codegen_k] [op]
 Defaults: 50 replicas of sf0.1 embeddings (100k rows), k ladder
@@ -69,8 +74,8 @@ def main() -> None:
     )
     max_codegen_k = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     op = sys.argv[4] if len(sys.argv) > 4 else "assign"
-    if op not in ("assign", "silhouette", "ff"):
-        raise SystemExit(f"unknown op: {op!r} (assign | silhouette | ff)")
+    if op not in ("assign", "silhouette", "ff", "kmpp"):
+        raise SystemExit(f"unknown op: {op!r} (assign | silhouette | ff | kmpp)")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("assign-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -88,6 +93,11 @@ def main() -> None:
             clustering.cluster_silhouette(corpus, cents, impl=impl).collect()
         elif op == "ff":
             clustering.farthest_first_init(corpus, k=k, start_id=0, impl=impl)
+        elif op == "kmpp":
+            clustering.kmeans_parallel_init(
+                corpus, k=k, start_id=0, n_rounds=2, oversample=2.0 * k,
+                n_iter_local=2, dim=64, impl=impl,
+            )
         else:
             out = clustering.assign_clusters(corpus, cents, impl=impl)
             out.groupBy("cluster_id").count().collect()
