@@ -255,6 +255,32 @@ def build_parser() -> argparse.ArgumentParser:
         "named by the file",
     )
     an.add_argument(
+        "--embeddings",
+        help="contamination: corpus embeddings parquet (vec ids == doc "
+        "ids) — with --eval-embeddings, adds the SEMANTIC method row "
+        "(embedding-cosine leakage the lexical tiers cannot see)",
+    )
+    an.add_argument(
+        "--eval-embeddings",
+        help="contamination: eval-item embeddings parquet (benchmark, "
+        "vec id, vector; without a benchmark column every row is one "
+        "benchmark named by the file)",
+    )
+    an.add_argument(
+        "--sem-threshold",
+        type=float,
+        default=0.99,
+        help="contamination: semantic-tier cosine threshold (calibrate "
+        "from pair_cosine_histogram on the corpus)",
+    )
+    an.add_argument(
+        "--sem-k",
+        type=int,
+        default=8,
+        help="contamination: anchor-centroid count for the semantic "
+        "tier's cell confinement (seeded from the k lowest vec ids)",
+    )
+    an.add_argument(
         "--ref-input",
         help="dim-drift: frozen reference embeddings parquet; --input is "
         "the incoming batch (both need a vec column, see --vec-col)",
@@ -393,11 +419,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cu.add_argument(
         "--init",
-        choices=["ids", "ff"],
+        choices=["ids", "ff", "kmpp"],
         default="ids",
-        help="seeding strategy: fixed ids (default) or farthest-first "
+        help="seeding strategy: fixed ids (default), farthest-first "
         "traversal from the lowest id (deterministic Gonzalez — the "
-        "insurance against clumped seeds, see tools/cluster_probe.py)",
+        "insurance against clumped seeds, see tools/cluster_probe.py; "
+        "k corpus scans), or kmpp (k-means|| oversampling from the "
+        "lowest id — O(rounds) scans total, the production-scale "
+        "seeding; near-flat in k where ff is linear, PERF.md round 14)",
     )
     cu.add_argument(
         "--per-cluster", type=int, default=16, help="--op sample: max picks per cell"
@@ -917,6 +946,14 @@ def main(argv: list[str] | None = None) -> int:
             init = cl_ops.farthest_first_init(
                 vecs, k=args.k, start_id=start,
                 id_col=args.id_col, vec_col=args.vec_col,
+                sample_frac=args.sample_frac,
+            )
+            init_ids = list(range(args.k))  # only len() is reported below
+        elif args.init == "kmpp":
+            start = vecs.agg(F.min(args.id_col).alias("m")).collect()[0]["m"]
+            init = cl_ops.kmeans_parallel_init(
+                vecs, k=args.k, start_id=start, dim=args.dim,
+                id_col=args.id_col, vec_col=args.vec_col,
             )
             init_ids = list(range(args.k))  # only len() is reported below
         elif args.init_ids:
@@ -1080,8 +1117,42 @@ def main(argv: list[str] | None = None) -> int:
             if "benchmark" not in eval_docs.columns:
                 name = _os.path.basename(args.eval_input.rstrip("/"))
                 eval_docs = eval_docs.withColumn("benchmark", F.lit(name))
+            sem = {}
+            if args.embeddings or args.eval_embeddings:
+                # the semantic tier is all-or-nothing: a report that
+                # quietly omitted it would read as checked-and-clean
+                if not (args.embeddings and args.eval_embeddings):
+                    print(
+                        "--report contamination: the semantic tier needs "
+                        "BOTH --embeddings and --eval-embeddings",
+                        file=sys.stderr,
+                    )
+                    return 2
+                from epss_spark.operators import clustering as cl_ops
+
+                corpus_vecs = spark.read.parquet(args.embeddings)
+                eval_vecs = spark.read.parquet(args.eval_embeddings)
+                if "benchmark" not in eval_vecs.columns:
+                    name = _os.path.basename(args.eval_embeddings.rstrip("/"))
+                    eval_vecs = eval_vecs.withColumn("benchmark", F.lit(name))
+                anchor_ids = [
+                    r["vec_id"]
+                    for r in corpus_vecs.select("vec_id")
+                    .orderBy("vec_id")
+                    .limit(args.sem_k)
+                    .collect()
+                ]
+                sem = {
+                    "corpus_vecs": corpus_vecs,
+                    "eval_vecs": eval_vecs,
+                    "sem_centroids": cl_ops.init_centroids_by_id(
+                        corpus_vecs, anchor_ids
+                    ),
+                    "sem_threshold": args.sem_threshold,
+                }
             out = dedup_ops.contamination_report(
-                docs, eval_docs, id_col=args.id_col, text_col=args.text_col
+                docs, eval_docs, id_col=args.id_col, text_col=args.text_col,
+                **sem,
             ).orderBy("benchmark", "method")
         else:
             # least-typical docs first: the review queue for OCR/tag soup

@@ -1035,6 +1035,17 @@ def kmeans_parallel_init(
     w = {int(row["cluster_id"]): int(row["__w"]) for row in counts}
     spark = vectors.sparkSession
     cand_rows = [(i, cand[i], w[i]) for i in range(len(cand)) if i in w]
+    if len(cand_rows) < k:
+        # only exact-duplicate candidates lose the lowest-index tie and
+        # drop out — a corpus with < k distinct points cannot seed k
+        # distinct cells, so fail loudly instead of returning a smaller
+        # model than asked for
+        raise ValueError(
+            f"kmeans_parallel_init: only {len(cand_rows)} distinct "
+            f"candidates survive weighting (duplicates dropped) — the "
+            "corpus may have fewer than k distinct points; raise "
+            "oversample or n_rounds"
+        )
     cand_df = spark.createDataFrame(
         cand_rows, f"__i int, {vec_col} array<double>, __w long"
     )

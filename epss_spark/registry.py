@@ -388,6 +388,17 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #     above — it now holds the model-quality driver slot;
 #     text_ppl_buckets, driver-green rounds 7-13, moved to the pytest
 #     tier)
+#   cluster_kmpp_init  (round-14 newcomer — k-means|| oversampled
+#     seeding; the clustering trainer/quality classes are held
+#     driver-green by cluster_kmeans_weighted + cluster_boundary, and
+#     the init family by cluster_kmeans_weighted's fixed-id seed chain;
+#     its sampling-round kernel is the same md5-coin + quantized-BIGINT
+#     machinery the surfaced trainers exercise)
+#   dedup_decontam_semantic  (round-14 newcomer — the editing half of
+#     the semantic contamination rung; its DETECTION kernel runs
+#     driver-green INSIDE dedup_contamination_report, whose surfaced
+#     oracle now replays the same cell-confined cosine CTEs — only the
+#     final anti-join is unique to this entry)
 # Everything else off-surface HAS been driver-green in some round and was
 # demoted in a documented swap above.
 

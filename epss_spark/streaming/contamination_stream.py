@@ -66,6 +66,10 @@ def process_contamination_batch(
     bands: int = 4,
     threshold: float = 0.5,
     compact_every: int | None = 64,
+    eval_vecs: DataFrame | None = None,
+    sem_centroids: list[list[float]] | None = None,
+    sem_threshold: float = 0.99,
+    vec_col: str = "embedding",
 ) -> None:
     """One idempotent epoch: run the audit's detection core over the
     batch against the static eval sets, append the (benchmark, method)
@@ -73,7 +77,21 @@ def process_contamination_batch(
     epoch-scoped. A foreachBatch replay overwrites `epoch-N/` with the
     identical recomputed delta. Scale shape per batch: every eval-side
     artifact broadcasts, the batch never shuffles on its own grain, one
-    bounded (benchmark, method) aggregate."""
+    bounded (benchmark, method) aggregate.
+
+    SEMANTIC tier (round 14, optional — pass eval_vecs + sem_centroids
+    when the crawl batches carry a `vec_col` embedding next to the
+    text): each batch doc's embedding is cosine-checked against the
+    static broadcast eval embeddings within shared anchor-centroid
+    cells (similarity.semantic_decontam_hits), adding a fourth
+    'semantic' method row per benchmark — the full-rewording leakage
+    the three lexical tiers cannot see, monitored continuously. A
+    doc's semantic flags depend only on ITS embedding plus the static
+    eval/centroid state, so per-batch distinct counts stay additive
+    exactly like the lexical tiers (snapshot == one-shot report with
+    the same semantic inputs, pinned in tests). eval_vecs carries
+    (bench_col, id, vec_col); both-or-neither of eval_vecs /
+    sem_centroids, like the batch report."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -81,11 +99,44 @@ def process_contamination_batch(
         batch_df, eval_sets, bench_col, id_col, text_col,
         k, num_hashes, bands, threshold,
     )
+    methods = ["exact", "spans", "near"]
+    if eval_vecs is not None or sem_centroids is not None:
+        if eval_vecs is None or sem_centroids is None:
+            raise ValueError(
+                "process_contamination_batch: the semantic tier needs "
+                "both eval_vecs and sem_centroids"
+            )
+        from epss_spark.operators.similarity import semantic_decontam_hits
+
+        e_vecs = eval_vecs.select(
+            F.col(bench_col).alias("benchmark"),
+            F.concat_ws(
+                "|", F.col(bench_col).cast("string"), F.col(id_col).cast("string")
+            ).alias("__eid"),
+            F.col(vec_col),
+        )
+        sem = semantic_decontam_hits(
+            batch_df.filter(F.col(vec_col).isNotNull()),
+            e_vecs, sem_centroids, threshold=sem_threshold,
+            id_col=id_col, vec_col=vec_col, eval_id_col="__eid",
+        )
+        sem_hits = (
+            sem.join(
+                F.broadcast(
+                    e_vecs.select("benchmark", F.col("__eid").alias("eval_id")).distinct()
+                ),
+                "eval_id",
+            )
+            .select("benchmark", F.col("corpus_id").alias("__cid"))
+            .withColumn("method", F.lit("semantic"))
+        )
+        hits = hits.unionByName(sem_hits)
+        methods.append("semantic")
     counts = hits.groupBy("benchmark", "method").agg(
         F.countDistinct("__cid").alias("n")
     )
     delta = (
-        dedup._contamination_grid(eval_sets, bench_col)
+        dedup._contamination_grid(eval_sets, bench_col, methods)
         .join(counts, ["benchmark", "method"], "left")
         .select(
             "benchmark",
@@ -181,12 +232,18 @@ def start_contamination_stream(
     threshold: float = 0.5,
     compact_every: int | None = 64,
     available_now: bool = True,
+    eval_vecs: DataFrame | None = None,
+    sem_centroids: list[list[float]] | None = None,
+    sem_threshold: float = 0.99,
+    vec_col: str = "embedding",
 ):
     """Continuous contamination monitoring over a document stream: per
     micro-batch, append the batch's per-(benchmark, method) hit deltas;
     read the live audit table any time with `contamination_snapshot`.
     A rate step-change between epochs is the earliest signal a scrape
-    started swallowing an eval suite."""
+    started swallowing an eval suite. Pass eval_vecs + sem_centroids
+    (and carry embeddings in the stream's `vec_col`) to monitor the
+    SEMANTIC rung continuously alongside the lexical three."""
     from epss_spark.streaming.carried_state import start_carried_stream
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -194,6 +251,8 @@ def start_contamination_stream(
             batch_df, epoch_id, state_dir, eval_sets, bench_col, id_col,
             text_col, k, num_hashes, bands, threshold,
             compact_every=compact_every,
+            eval_vecs=eval_vecs, sem_centroids=sem_centroids,
+            sem_threshold=sem_threshold, vec_col=vec_col,
         )
 
     return start_carried_stream(

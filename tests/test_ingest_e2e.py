@@ -618,6 +618,78 @@ def test_cli_analyze_contamination(spark, tmp_path, capsys):
     assert rc == 0 and all(line.startswith("mybench  ") for line in out.strip().splitlines())
 
 
+def test_cli_analyze_contamination_semantic_tier(spark, tmp_path, capsys):
+    """analyze --report contamination with --embeddings/--eval-embeddings:
+    the fourth (semantic) method row — a reworded doc sharing no token
+    with the benchmark is flagged by cosine; passing only one of the two
+    embedding inputs is exit 2 (the tier is all-or-nothing, so a report
+    can never quietly omit it)."""
+    import epss_spark.cli as cli
+
+    docs = str(tmp_path / "sdocs")
+    spark.createDataFrame(
+        [(100, "completely reworded content, zero shared tokens"),
+         (101, "unrelated filler document about other things")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    ev = str(tmp_path / "sbench")
+    spark.createDataFrame(
+        [("b0", 1, "the original benchmark phrasing of the same idea")],
+        "benchmark string, doc_id long, text string",
+    ).write.parquet(ev)
+    emb = str(tmp_path / "semb")
+    spark.createDataFrame(
+        [(100, [10.0, 1.0]), (101, [-1.0, 10.0])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(emb)
+    eemb = str(tmp_path / "sbench_emb")
+    spark.createDataFrame(
+        [("b0", 1, [10.0, 1.2])],
+        "benchmark string, vec_id long, embedding array<float>",
+    ).write.parquet(eemb)
+
+    rc = cli.main(["analyze", "--input", docs, "--report", "contamination",
+                   "--eval-input", ev, "--embeddings", emb])
+    assert rc == 2 and "BOTH --embeddings and --eval-embeddings" in capsys.readouterr().err
+
+    rc = cli.main(["analyze", "--input", docs, "--report", "contamination",
+                   "--eval-input", ev, "--embeddings", emb,
+                   "--eval-embeddings", eemb, "--sem-threshold", "0.97",
+                   "--sem-k", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [tuple(line.split("  ")) for line in out.strip().splitlines()]
+    assert ("b0", "semantic", "1", "0.5") in lines
+    assert len(lines) == 4  # exact/spans/near zero rows still present
+
+
+def test_cli_cluster_init_kmpp(spark, tmp_path, capsys):
+    """cluster --init kmpp: the k-means|| seeding strategy through the
+    CLI — the trained model equals kmeans_parallel_init from the lowest
+    id followed by the same kmeans_fit, exactly."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering as cl
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [10.0, 10.0]), (4, [11.0, 10.0]), (5, [10.0, 11.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    in_path = str(tmp_path / "vecs")
+    vecs.write.parquet(in_path)
+    model_path = str(tmp_path / "model_kmpp")
+    rc = cli.main([
+        "cluster", "--input", in_path, "--output", model_path,
+        "--op", "train", "--init", "kmpp", "--k", "2", "--n-iter", "1",
+        "--dim", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    init = cl.kmeans_parallel_init(vecs, k=2, start_id=0, dim=2)
+    want = cl.kmeans_fit(vecs, init, n_iter=1, dim=2)
+    assert cl.read_model(spark, model_path) == want
+
+
 def test_cli_cluster_stats_and_sample(spark, tmp_path, capsys):
     """The clustering-tier CLI: train the deterministic k-means model on an
     embeddings parquet, write per-cluster stats and a balanced sample, and

@@ -3187,6 +3187,61 @@ def test_contamination_stream_equals_batch_and_replay(spark, tmp_path):
     assert n_dirs <= 4
 
 
+def test_contamination_stream_semantic_tier(spark, tmp_path):
+    """The semantic rung monitored continuously: batches carrying an
+    embedding column are cosine-checked against the static broadcast
+    eval embeddings, the per-batch 'semantic' distinct counts sum to
+    the one-shot report's over the union (a doc's semantic flags depend
+    only on its own embedding + static state, so the additive argument
+    holds exactly like the lexical tiers), and partial semantic inputs
+    raise."""
+    import pytest
+
+    from epss_spark.operators import dedup
+    from epss_spark.streaming import contamination_stream as cs
+
+    eval_sets = spark.createDataFrame(
+        [("b0", 1, "the original benchmark phrasing of the same idea")],
+        "benchmark string, doc_id long, text string",
+    )
+    eval_vecs = spark.createDataFrame(
+        [("b0", 1, [10.0, 1.2])],
+        "benchmark string, doc_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    schema = "doc_id long, text string, embedding array<float>"
+    rows = [
+        (100, "completely reworded content, zero shared tokens", [10.0, 1.0]),
+        (101, "unrelated filler document about other things", [-1.0, 10.0]),
+        (102, "another reworded copy, still no shared tokens", [9.0, 1.1]),
+    ]
+    state = str(tmp_path / "contam_sem")
+    for e, b in enumerate([rows[:1], rows[1:]]):
+        cs.process_contamination_batch(
+            spark.createDataFrame(b, schema), e, state, eval_sets, k=3,
+            eval_vecs=eval_vecs, sem_centroids=cents, sem_threshold=0.97,
+        )
+    docs_union = spark.createDataFrame([(r[0], r[1]) for r in rows], "doc_id long, text string")
+    vecs_union = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows], "vec_id long, embedding array<float>"
+    )
+    want = sorted(map(tuple, dedup.contamination_report(
+        docs_union, eval_sets, k=3,
+        corpus_vecs=vecs_union, eval_vecs=eval_vecs.withColumnRenamed("doc_id", "vec_id"),
+        sem_centroids=cents, sem_threshold=0.97,
+    ).collect()))
+    got = sorted(map(tuple, cs.contamination_snapshot(spark, state).collect()))
+    assert got == want
+    sem_rows = [t for t in got if t[1] == "semantic"]
+    assert sem_rows and sem_rows[0][2] == 2  # docs 100 and 102 flagged
+
+    with pytest.raises(ValueError, match="semantic tier needs"):
+        cs.process_contamination_batch(
+            spark.createDataFrame(rows[:1], schema), 9, state, eval_sets, k=3,
+            eval_vecs=eval_vecs,
+        )
+
+
 def test_contamination_stream_via_streaming_query(spark, tmp_path):
     """start_contamination_stream end-to-end: file drops consumed one per
     trigger (availableNow), snapshot equals the one-shot audit."""
