@@ -664,6 +664,116 @@ def decontaminate_semantic(
     return corpus_vecs.join(hits, id_col, "left_anti")
 
 
+def semantic_index(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "auto",
+) -> DataFrame:
+    """Build the persistent index for INCREMENTAL semantic dedup: one
+    (cell, id, vector) row per corpus vector, the coarse assignment
+    materialized once so nightly batches never re-assign the corpus —
+    the embedding-space analog of `dedup.minhash_index` (the lexical
+    incremental family's missing sibling until round 14). Write it
+    bucketed by `cell` (layout.write_bucketed) so daily lookups join
+    co-located; the centroid model is the index's scheme and must be
+    FROZEN for the index's lifetime (a re-trained model re-cells the
+    space — rebuild the index with it, exactly like changing LSH
+    planes). Assignment rides the dual-path dispatch, so production-k
+    schemes never build the interpreted expression tree."""
+    from epss_spark.operators.clustering import assign_clusters
+
+    return assign_clusters(
+        vectors.select(F.col(id_col), F.col(vec_col)),
+        centroids, vec_col=vec_col, cluster_col="cell", impl=impl,
+    ).select("cell", id_col, vec_col)
+
+
+def semantic_lookup(
+    new_vecs: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "auto",
+) -> DataFrame:
+    """Incremental semantic near-dup detection: cosine >= threshold
+    pairs TOUCHING the new batch — new~indexed and new~new, never
+    indexed~indexed (those were reported when their batch arrived).
+    Returns (a_id, b_id, cos) with the batch side always `b_id` for
+    new~indexed pairs and a_id < b_id for new~new pairs. If an id
+    appears in BOTH the index and the batch (a re-embedded/re-crawled
+    vector), its stale index rows are anti-joined away up front, so its
+    pairs come from the NEW content only — same re-delivery contract as
+    `minhash_lookup`.
+
+    Scale shape: the index NEVER re-assigns and never shuffles on its
+    own grain — candidates come from an equi-join of the index rows
+    against the (daily-batch-sized, broadcast) new rows on the cell id,
+    plus bucket expansion over the new rows alone. Per-day exchange
+    volume is O(append). Pair scope is cell-confined like
+    `semantic_dedup` (a cross-cell near-dup is out of scope by the
+    SemDeDup containment, documented there)."""
+    from epss_spark.operators.clustering import assign_clusters
+
+    new_asg = assign_clusters(
+        new_vecs.select(F.col(id_col), F.col(vec_col)),
+        centroids, vec_col=vec_col, cluster_col="cell", impl=impl,
+    )
+    new_ids = new_asg.select(F.col(id_col).alias("__nid"))
+    idx_clean = index.join(
+        new_ids, index[id_col] == new_ids["__nid"], "left_anti"
+    )
+    new_side = new_asg.select(
+        "cell", F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv")
+    )
+    cross = (
+        idx_clean.select("cell", F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av"))
+        .join(F.broadcast(new_side), "cell")
+        .select("a_id", "b_id", cosine(F.col("__av"), F.col("__bv")).alias("cos"))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
+    within = cosine_pairs_blocked(
+        new_asg, "cell", threshold, id_col=id_col, vec_col=vec_col
+    )
+    return cross.unionByName(within)
+
+
+def dedup_batch_semantic(
+    new_vecs: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "auto",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental semantic dedup exercised the way a nightly job runs
+    it — the embedding-space analog of `dedup.dedup_batch_lines`: a
+    batch vector drops when it has (a) ANY indexed neighbor at
+    cosine >= threshold (corpus-first — the index is the canonical set,
+    regardless of id order) or (b) a SMALLER-ID in-batch neighbor
+    (`semantic_dedup`'s greedy policy within the batch). Returns
+    (kept_rows, new_index_rows): append the latter to the index and the
+    daily loop's cost stays O(batch x cell density) — the corpus never
+    re-assigns.
+
+    Under the append-only invariant (every batch id larger than every
+    indexed id — the natural shape of daily drops), kept ==
+    `semantic_dedup(index ∪ batch, policy='greedy')` restricted to the
+    batch (pinned in tests); with out-of-order ids the corpus-first
+    rule is deliberately stronger than greedy (an indexed near-dup
+    always wins, like the line/span indexes' content-first rule)."""
+    pairs = semantic_lookup(
+        new_vecs, index, centroids, threshold, id_col, vec_col, impl
+    )
+    drops = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    kept = new_vecs.join(drops, id_col, "left_anti")
+    return kept, semantic_index(kept, centroids, id_col, vec_col, impl)
+
+
 def _sub_d2(vec_slice: Column, cent: list[float]) -> Column:
     """Squared L2 distance between an embedding sub-slice and a constant
     sub-centroid — sequential left-fold, same summation order as the

@@ -3418,6 +3418,63 @@ def dedup_decontam_semantic(spark, sf_dir):
 
 
 @register(
+    "dedup_semantic_incremental",
+    f"""
+    WITH semc AS (
+      SELECT t.i, e.embedding AS cv
+      FROM (VALUES {_KM_VALUES}) t(i, cid)
+      JOIN embeddings e ON e.vec_id = t.cid
+    ),
+    ia AS (
+      SELECT vec_id, embedding, cl FROM (
+        SELECT e.vec_id, e.embedding, c.i AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN semc c WHERE e.vec_id % 2 = 0
+      ) WHERE rn = 1
+    ),
+    ba AS (
+      SELECT vec_id, embedding, cl FROM (
+        SELECT e.vec_id, e.embedding, c.i AS cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {_KM_D2}, c.i) AS rn
+        FROM embeddings e CROSS JOIN semc c WHERE e.vec_id % 2 = 1
+      ) WHERE rn = 1
+    ),
+    hits AS (
+      SELECT DISTINCT q.vec_id FROM ba q JOIN ia c ON c.cl = q.cl
+      WHERE round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) >= 0.3
+      UNION
+      SELECT DISTINCT q.vec_id FROM ba q JOIN ba c
+        ON c.cl = q.cl AND c.vec_id < q.vec_id
+      WHERE round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 6) >= 0.3
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id % 2 = 1 AND e.vec_id NOT IN (SELECT vec_id FROM hits)
+    """,
+)
+def dedup_semantic_incremental(spark, sf_dir):
+    """Incremental semantic dedup exercised the way a nightly job runs
+    it (operators/similarity.py::semantic_index/dedup_batch_semantic —
+    the embedding-space analog of the minhash/line/span incremental
+    indexes): even-id vectors are the indexed corpus (assignment
+    materialized ONCE, never re-computed), odd-id vectors the daily
+    batch; a batch vector drops on any indexed cell-mate at
+    cosine >= 0.3 (corpus-first) or a smaller-id in-batch cell-mate
+    (greedy), survivors keep their rows and their index rows append.
+    Per-day cost is O(batch x cell density) — the corpus never
+    re-assigns. The oracle replays both assignments, the cell-confined
+    6dp cosines, both drop rules, and the anti-join."""
+    emb = T(spark, sf_dir, "embeddings")
+    from epss_spark.operators import clustering
+
+    anchors = clustering.init_centroids_by_id(emb, _KM_IDS)
+    idx = similarity.semantic_index(emb.filter(F.col("vec_id") % 2 == 0), anchors)
+    kept, _appended = similarity.dedup_batch_semantic(
+        emb.filter(F.col("vec_id") % 2 == 1), idx, anchors, threshold=0.3
+    )
+    return kept.select("vec_id", "label")
+
+
+@register(
     "dedup_lines_incremental",
     """
     WITH corpus_fp AS (

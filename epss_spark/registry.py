@@ -399,6 +399,12 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #     driver-green INSIDE dedup_contamination_report, whose surfaced
 #     oracle now replays the same cell-confined cosine CTEs — only the
 #     final anti-join is unique to this entry)
+#   dedup_semantic_incremental  (round-14 newcomer — the embedding-space
+#     incremental index; its cell-confined cosine kernel is driver-green
+#     via dedup_embedding + dedup_contamination_report's semantic tier,
+#     and the incremental index-append architecture is pinned by the
+#     same pytest contracts as the demoted lexical sibling
+#     dedup_minhash_incremental)
 # Everything else off-surface HAS been driver-green in some round and was
 # demoted in a documented swap above.
 

@@ -3366,6 +3366,61 @@ def test_contamination_report_semantic_tier(spark):
         )
 
 
+def test_dedup_batch_semantic_incremental_contracts(spark):
+    """The embedding-space incremental index (semantic_index /
+    semantic_lookup / dedup_batch_semantic): under the append-only id
+    invariant the nightly form equals semantic_dedup(union, greedy)
+    restricted to the batch; indexed~indexed pairs are never reported;
+    and a re-delivered id's stale index rows are anti-joined away so its
+    pairs come from the NEW content only."""
+    from epss_spark.operators import similarity
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    schema = "vec_id long, embedding array<float>"
+    # index: two near-dup cell-0 vectors (0, 1) and a cell-1 vector (2)
+    corpus = spark.createDataFrame(
+        [(0, [10.0, 1.0]), (1, [10.0, 1.05]), (2, [1.0, 10.0])], schema
+    )
+    idx = similarity.semantic_index(corpus, cents)
+    assert {r.cell for r in idx.collect()} == {0, 1}
+    # batch: 10 dups index vec 0 (corpus-first drop), 11 is novel in
+    # cell 1, 12 dups 11 in-batch (greedy drop), 13 novel in cell 0
+    batch = spark.createDataFrame(
+        [(10, [10.0, 0.95]), (11, [3.0, 9.0]), (12, [3.05, 9.0]),
+         (13, [-10.0, 0.1])],
+        schema,
+    )
+    pairs = similarity.semantic_lookup(batch, idx, cents, threshold=0.99)
+    got_pairs = {(r.a_id, r.b_id) for r in pairs.collect()}
+    # never indexed~indexed: (0, 1) is a real near-dup pair but was the
+    # index's business when IT arrived
+    assert (0, 1) not in got_pairs and (1, 0) not in got_pairs
+    assert (0, 10) in got_pairs and (1, 10) in got_pairs and (11, 12) in got_pairs
+    kept, appended = similarity.dedup_batch_semantic(batch, idx, cents, threshold=0.99)
+    assert sorted(r.vec_id for r in kept.collect()) == [11, 13]
+    assert sorted(r.vec_id for r in appended.collect()) == [11, 13]
+    # append-only invariant: nightly == batch semantic_dedup on the
+    # union, restricted to batch ids
+    union = corpus.unionByName(batch)
+    whole = similarity.semantic_dedup(
+        union, centroids=cents, threshold=0.99, policy="greedy"
+    )
+    want = sorted(
+        r.vec_id for r in whole.collect() if r.vec_id >= 10
+    )
+    assert sorted(r.vec_id for r in kept.collect()) == want
+
+    # re-delivery: id 2 arrives again with NEW content near cell 0's
+    # index vectors — its stale cell-1 index row must not pair with
+    # anything, and its new content pairs against index vec 0
+    redel = spark.createDataFrame([(2, [10.0, 1.02])], schema)
+    pairs2 = {(r.a_id, r.b_id) for r in similarity.semantic_lookup(
+        redel, idx, cents, threshold=0.99
+    ).collect()}
+    assert (0, 2) in pairs2 and (1, 2) in pairs2
+    assert all(a != 2 for a, _ in pairs2)  # stale index rows gone
+
+
 # --- deterministic k-means + cluster-balanced sampling (operators/clustering.py)
 
 
