@@ -793,6 +793,90 @@ def start_incremental_span_dedup(
     return writer.start()
 
 
+def process_semantic_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    accepted_dir: str,
+    centroids,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = 64,
+    impl: str = "auto",
+) -> None:
+    """One idempotent epoch of the SEMANTIC dedup stream
+    (operators/similarity.py::dedup_batch_semantic — the embedding-space
+    sibling of the minhash/line/span maintenance batches): drop every
+    batch vector with a cosine >= threshold cell-mate in the index as of
+    epochs < epoch_id (corpus-first) or a smaller-id in-batch cell-mate
+    (greedy), commit the survivors to `accepted_dir` and their
+    (cell, id, vector) index rows to `index_path`. Replay-safe: a
+    retried epoch never sees its own first attempt's index rows, so the
+    kept set is identical. The centroid model is the index's scheme and
+    must stay FROZEN for the stream's lifetime (re-celling the space
+    means rebuilding the index — same contract as changing LSH
+    planes)."""
+    if batch_df.isEmpty():
+        return
+    from epss_spark.operators import similarity
+
+    spark = batch_df.sparkSession
+    idx = _read_committed(
+        spark, index_path, epoch_id,
+        empty_schema=f"cell int, {id_col} long, {vec_col} array<float>",
+    )
+    kept, new_rows = similarity.dedup_batch_semantic(
+        batch_df, idx, centroids, threshold, id_col, vec_col, impl
+    )
+    _write_epoch(kept, accepted_dir, epoch_id)
+    _write_epoch(new_rows, index_path, epoch_id)
+    for apath in (accepted_dir, index_path):
+        autocompact_epoch(spark, apath, epoch_id, compact_every)
+
+
+def start_incremental_semantic_dedup(
+    vec_stream: DataFrame,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    centroids,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = 64,
+    available_now: bool = True,
+    impl: str = "auto",
+):
+    """The embedding-space sibling of `start_incremental_dedup` /
+    `start_incremental_line_dedup`: per micro-batch, drop every vector
+    the on-disk (cell, id, vector) index already semantically covers,
+    commit survivors to `accepted_dir`, and append their index rows —
+    so batch N+1 cannot re-admit a near-duplicate of batch N. State is
+    the on-disk index (restartable, epoch-scoped, idempotent under
+    replay); the coarse assignment rides the dual-path dispatch, so a
+    production-k scheme never builds the interpreted expression tree.
+
+    Scale shape per batch: O(batch x cell density) — one broadcast-side
+    cell join of the batch against the index scan plus the in-batch
+    cell expansion; the accumulated corpus never re-assigns."""
+    index_path = os.path.join(index_dir, "semantic_cells")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        process_semantic_batch(
+            batch_df, epoch_id, index_path, accepted_dir, centroids,
+            threshold, id_col, vec_col, compact_every=compact_every,
+            impl=impl,
+        )
+
+    writer = vec_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def process_bm25_batch(
     batch_df: DataFrame,
     epoch_id: int,

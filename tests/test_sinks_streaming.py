@@ -1176,6 +1176,86 @@ def test_streaming_line_dedup_equals_sequential_batches(spark, tmp_path):
     assert 20 not in got
 
 
+def test_streaming_semantic_dedup_equals_sequential_batches(spark, tmp_path):
+    """Stream == sequential-batch contract for the embedding-space
+    incremental dedup: micro-batches through
+    start_incremental_semantic_dedup must accept exactly what chained
+    dedup_batch_semantic calls accept — later batches never re-admit a
+    semantic near-duplicate of anything already indexed, replays are
+    idempotent, and the self-building index bootstraps from empty."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import similarity
+    from epss_spark.streaming import dedup_stream
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    schema = "vec_id long, embedding array<float>"
+    batches = [
+        [(0, [10.0, 1.0]), (1, [1.0, 10.0])],
+        [(10, [10.0, 1.05]), (11, [-5.0, 8.0])],   # 10 dups 0; 11 novel
+        [(20, [-5.0, 8.1]), (21, [-5.1, 8.0])],    # 20 dups 11; 21 dups 11
+    ]
+    drop_dir = tmp_path / "vdrops"
+    drop_dir.mkdir()
+    for k, rows in enumerate(batches):
+        staging = tmp_path / f"vstage_{k}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"v{k}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + k, 1_000_000_000 + k))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = dedup_stream.start_incremental_semantic_dedup(
+        stream,
+        str(tmp_path / "vidx"),
+        str(tmp_path / "vaccepted"),
+        str(tmp_path / "vckpt"),
+        cents,
+        threshold=0.99,
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        r.vec_id
+        for r in dedup_stream.read_artifact(spark, str(tmp_path / "vaccepted")).collect()
+    )
+
+    # sequential-batch reference: chain dedup_batch_semantic by hand
+    idx = similarity.semantic_index(spark.createDataFrame([], schema), cents)
+    expected = []
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, schema)
+        kept, new_rows = similarity.dedup_batch_semantic(bdf, idx, cents, threshold=0.99)
+        expected.extend(r.vec_id for r in kept.collect())
+        idx = idx.unionByName(new_rows)
+    assert got == sorted(expected)
+    # spot-check the semantics, not just the equivalence
+    assert got == [0, 1, 11]
+    # the index holds exactly the accepted vectors' cells
+    idx_rows = dedup_stream.read_artifact(
+        spark, str(tmp_path / "vidx" / "semantic_cells")
+    ).collect()
+    assert sorted(r.vec_id for r in idx_rows) == [0, 1, 11]
+    # replay idempotency: re-running epoch 1's batch overwrites, never
+    # double-admits
+    dedup_stream.process_semantic_batch(
+        spark.createDataFrame(batches[1], schema), 1,
+        str(tmp_path / "vidx" / "semantic_cells"),
+        str(tmp_path / "vaccepted"), cents, threshold=0.99,
+    )
+    again = sorted(
+        r.vec_id
+        for r in dedup_stream.read_artifact(spark, str(tmp_path / "vaccepted")).collect()
+    )
+    assert again == got
+
+
 def test_cli_analyze_and_search(spark, tmp_path, capsys):
     from epss_spark.cli import main
 
