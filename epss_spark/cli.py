@@ -112,7 +112,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--method",
         default="minhash",
         choices=["exact", "lines", "spans", "minhash", "incremental",
-                 "semantic", "decontam"],
+                 "semantic", "semantic-incremental", "decontam"],
     )
     dd.add_argument(
         "--threshold",
@@ -143,13 +143,24 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--text-col", default="text")
     dd.add_argument(
         "--index-dir",
-        help="LSH index dir from `dedup-index` (required for --method incremental)",
+        help="index dir: the LSH index from `dedup-index` for --method "
+        "incremental, or the (cell, id, vector) index for --method "
+        "semantic-incremental (self-creating on first use with "
+        "--centroids; the model is stored inside and IS the scheme)",
     )
     dd.add_argument(
         "--update-index",
         action="store_true",
-        help="after incremental dedup, append the survivors' band rows and "
-        "shingles to --index-dir so tomorrow's batch sees them",
+        help="after incremental / semantic-incremental dedup, append the "
+        "survivors' index rows to --index-dir so tomorrow's batch sees "
+        "them",
+    )
+    dd.add_argument(
+        "--centroids",
+        help="semantic-incremental: saved centroid model parquet (from "
+        "`cluster --op train`) — required when the index dir does not "
+        "exist yet (it becomes the index's frozen scheme); forbidden to "
+        "disagree with an existing index's stored model",
     )
     dd.add_argument(
         "--eval-input",
@@ -1558,6 +1569,13 @@ def main(argv: list[str] | None = None) -> int:
                 "--bands",
             },
             "semantic": {"--threshold", "--policy", "--n-lists", "--seed", "--vec-col"},
+            "semantic-incremental": {
+                "--threshold",
+                "--index-dir",
+                "--update-index",
+                "--centroids",
+                "--vec-col",
+            },
             "decontam": {"--threshold", "--eval-input", "--num-hashes", "--bands"},
         }
         _SET = {
@@ -1573,6 +1591,7 @@ def main(argv: list[str] | None = None) -> int:
             "--n-lists": args.n_lists != 8,
             "--seed": args.seed != 42,
             "--vec-col": args.vec_col != "embedding",
+            "--centroids": bool(args.centroids),
         }
         ignored = [
             f for f, was_set in _SET.items()
@@ -1604,6 +1623,73 @@ def main(argv: list[str] | None = None) -> int:
             n_in = docs.count()
             n_out = spark.read.parquet(args.output).count()
             print(f"kept {n_out}/{n_in} rows -> {args.output}")
+            return 0
+        if args.method == "semantic-incremental":
+            from epss_spark.operators import clustering as cl_ops
+            from epss_spark.operators import similarity as sim_ops
+            from epss_spark.streaming.dedup_stream import read_artifact
+
+            if not args.index_dir:
+                print(
+                    "--method semantic-incremental requires --index-dir",
+                    file=sys.stderr,
+                )
+                return 2
+            cells_path = os.path.join(args.index_dir, "semantic_cells")
+            model_path = os.path.join(args.index_dir, "model")
+            thr = 0.99 if args.threshold is None else args.threshold
+            if os.path.exists(model_path):
+                cents = cl_ops.read_model(spark, model_path)
+                # the stored model IS the index's scheme: an explicit
+                # --centroids that disagrees means the caller is about
+                # to dedup against cells from a different space —
+                # silent no-dedup territory, so hard error (the
+                # --num-hashes mismatch rule's semantic analog)
+                if args.centroids:
+                    given = cl_ops.read_model(spark, args.centroids)
+                    if given != cents:
+                        print(
+                            f"--centroids {args.centroids} does not match "
+                            f"the index scheme at {model_path}; rebuild "
+                            "the index with the new model or drop the flag",
+                            file=sys.stderr,
+                        )
+                        return 2
+            elif args.centroids:
+                # first use: the model becomes the index's frozen scheme
+                cents = cl_ops.read_model(spark, args.centroids)
+                cl_ops.write_model(spark, cents, model_path)
+            else:
+                print(
+                    "--method semantic-incremental: the index dir has no "
+                    "stored model — pass --centroids (from `cluster --op "
+                    "train`) on first use",
+                    file=sys.stderr,
+                )
+                return 2
+            if os.path.exists(cells_path):
+                idx = read_artifact(spark, cells_path)
+            else:
+                idx = spark.createDataFrame(
+                    [], f"cell int, {args.id_col} long, {args.vec_col} array<float>"
+                )
+            kept, new_rows = sim_ops.dedup_batch_semantic(
+                docs, idx, cents, threshold=thr,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            kept.write.mode("overwrite").parquet(args.output)
+            if args.update_index:
+                # recompute from the committed output (same discipline as
+                # --method incremental: the append must reflect exactly
+                # what was written)
+                kept_out = spark.read.parquet(args.output)
+                sim_ops.semantic_index(
+                    kept_out, cents, id_col=args.id_col, vec_col=args.vec_col
+                ).write.mode("append").parquet(cells_path)
+            n_in = docs.count()
+            n_out = spark.read.parquet(args.output).count()
+            extra = " (index updated)" if args.update_index else ""
+            print(f"kept {n_out}/{n_in} batch rows -> {args.output}{extra}")
             return 0
         threshold = 0.5 if args.threshold is None else args.threshold
         if args.method == "decontam":

@@ -1176,6 +1176,67 @@ def test_streaming_line_dedup_equals_sequential_batches(spark, tmp_path):
     assert 20 not in got
 
 
+def test_cli_dedup_semantic_incremental(spark, tmp_path, capsys):
+    """dedup --method semantic-incremental: the nightly embedding-dedup
+    loop through the CLI — day 1 bootstraps the index (model becomes
+    the frozen scheme), day 2 is deduped against day 1's survivors; a
+    --centroids that disagrees with the stored scheme is a hard error,
+    and a missing model on first use is exit 2."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import clustering as cl
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    model_path = str(tmp_path / "model")
+    cl.write_model(spark, cents, model_path)
+    schema = "vec_id long, embedding array<float>"
+    day1 = str(tmp_path / "day1")
+    spark.createDataFrame(
+        [(0, [10.0, 1.0]), (1, [10.0, 1.05]), (2, [1.0, 10.0])], schema
+    ).write.parquet(day1)
+    day2 = str(tmp_path / "day2")
+    spark.createDataFrame(
+        [(10, [10.0, 0.95]), (11, [-5.0, 8.0])], schema
+    ).write.parquet(day2)
+    idx_dir = str(tmp_path / "sem_idx")
+
+    # first use without --centroids: exit 2, names the fix
+    rc = cli.main([
+        "dedup", "--method", "semantic-incremental", "--input", day1,
+        "--output", str(tmp_path / "o0"), "--index-dir", idx_dir,
+        "--id-col", "vec_id",
+    ])
+    assert rc == 2 and "--centroids" in capsys.readouterr().err
+
+    rc = cli.main([
+        "dedup", "--method", "semantic-incremental", "--input", day1,
+        "--output", str(tmp_path / "out1"), "--index-dir", idx_dir,
+        "--centroids", model_path, "--id-col", "vec_id", "--update-index",
+    ])
+    assert rc == 0 and "kept 2/3" in capsys.readouterr().out
+    kept1 = sorted(r.vec_id for r in spark.read.parquet(str(tmp_path / "out1")).collect())
+    assert kept1 == [0, 2]  # 1 is a greedy in-batch dup of 0
+
+    # day 2 needs no --centroids (the scheme is stored); 10 dups indexed 0
+    rc = cli.main([
+        "dedup", "--method", "semantic-incremental", "--input", day2,
+        "--output", str(tmp_path / "out2"), "--index-dir", idx_dir,
+        "--id-col", "vec_id", "--update-index",
+    ])
+    assert rc == 0 and "kept 1/2" in capsys.readouterr().out
+    kept2 = sorted(r.vec_id for r in spark.read.parquet(str(tmp_path / "out2")).collect())
+    assert kept2 == [11]
+
+    # a disagreeing scheme is a hard error
+    other_model = str(tmp_path / "model_other")
+    cl.write_model(spark, [[2.0, 0.0], [0.0, 2.0]], other_model)
+    rc = cli.main([
+        "dedup", "--method", "semantic-incremental", "--input", day2,
+        "--output", str(tmp_path / "out3"), "--index-dir", idx_dir,
+        "--centroids", other_model, "--id-col", "vec_id",
+    ])
+    assert rc == 2 and "does not match the index scheme" in capsys.readouterr().err
+
+
 def test_streaming_semantic_dedup_equals_sequential_batches(spark, tmp_path):
     """Stream == sequential-batch contract for the embedding-space
     incremental dedup: micro-batches through
