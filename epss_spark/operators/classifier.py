@@ -1,0 +1,320 @@
+"""In-engine supervised linear classifier over hashed bag-of-words
+features — the CCNet/fastText-shaped quality/language scorer (Wenzek et
+al. 2020 train a fastText classifier for both; Brown et al. 2020 App. A
+and Touvron et al. 2023 filter pre-training data with exactly this kind
+of cheap linear model distilled from a reference corpus or an expensive
+heuristic). The reference engine has no trainable model tier; this
+extends the deterministic-training discipline the k-means tier
+established (operators/clustering.py) from unsupervised to supervised.
+
+Determinism contract (the same one kmeans_fit proves out):
+
+  * features are md5-hashed token counts — the engine-portable 60-bit
+    md5 coin (operators/dedup.py::_md5_60bit) mod `dim`, so the DuckDB
+    oracle reproduces every bucket assignment;
+  * the link function is the exp-free rational sigmoid
+    p = 0.5 + 0.5 * (z / (1 + |z|)) — only +,*,/,abs, every one of
+    which is IEEE-exact and identically rounded on both engines
+    (exp/log are NOT correctly-rounded in general, so a textbook
+    logistic link would not replay bit-for-bit cross-engine);
+  * per-epoch gradients are quantized to BIGINT before summing
+    (floor(r*x_j*quant + 0.5)), so the one aggregate per epoch is
+    order-free exact integer arithmetic — shuffle order cannot perturb
+    the model, and partial (map-side) aggregation is always safe;
+  * weight updates run on the driver over the collected D+2 sums with a
+    fixed float(g)/float(n)/quant division chain, mirrored
+    operation-for-operation by the oracle's CTE replay.
+
+Scale shape (the 100-TB plan):
+
+  * featurize = two bounded exchanges (token explode -> (id, bucket)
+    count, then the per-doc dense fold), run ONCE and persistable as a
+    parquet artifact like the other index builds (DEPLOYMENT.md);
+  * each training epoch is ONE map-side-combinable aggregate over the
+    cached features collecting D+2 BIGINTs to the driver — the model
+    never lives in the cluster, epochs never shuffle the corpus;
+  * scoring is a map-only codegen projection (the weight vector embeds
+    as plan literals, exactly like the k-means centroid assignment).
+    Above ~512 dims the unrolled dot-product chain hits the janino
+    cliff — score with the Arrow kernel path (`impl="batched"`), which
+    accumulates the identical j-sequential fold per row.
+
+Gradient-sum overflow: |r| < 1 and x_j <= feature_scale, so each row
+contributes at most feature_scale*quant per dimension; with the default
+scale 8 and quant 1e6 the BIGINT sums stay inside 2^62 headroom up to
+~5e11 training rows. `linear_fit` enforces the bound per epoch the same
+way clustering.check_model_sums does.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField
+
+from epss_spark.operators.dedup import _md5_60bit
+from epss_spark.operators.text import tokens
+
+QUANT = 1_000_000.0
+SUM_GUARD = 2**62
+# dims above this would unroll a janino-hostile dot-product chain; the
+# batched Arrow kernel takes over (same threshold story as
+# clustering.BATCHED_ASSIGN_CELLS — there the cells are k*dim, here the
+# chain is one multiply-add per dim)
+BATCHED_SCORE_DIMS = 512
+
+
+def hashed_features(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    feature_scale: float = 8.0,
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(id, x: array<double>[dim], n_tokens) — the hashing-trick dense
+    feature vector: x_j = (count of tokens hashing to bucket j / doc
+    token count) * feature_scale. Zero-token docs keep a zero vector
+    (explode_outer retains them). `carry_cols` ride through the two
+    aggregations via first() — label columns, typically.
+
+    The scale factor conditions full-batch GD: raw tf values average
+    1/dim, which leaves gradients bias-dominated; scale ~ dim/8 puts
+    feature magnitudes near 1. It multiplies AFTER the tf division —
+    (c/dl)*scale — and the oracle must spell the same order.
+
+    Two exchanges total ((id, bucket) count, then the per-doc fold),
+    run once; training scans the result, so persist it (or write it as
+    a parquet artifact) before a multi-epoch fit."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    ex = docs.select(
+        id_col, *carry_cols, F.explode_outer(tokens(text_col)).alias("__tok")
+    )
+    jc = ex.select(
+        id_col,
+        *carry_cols,
+        F.when(
+            F.col("__tok").isNotNull(), (_md5_60bit(F.col("__tok")) % dim).cast("int")
+        ).alias("__j"),
+    )
+    cnt = jc.groupBy(id_col, "__j").agg(
+        F.count(F.lit(1)).alias("__c"),
+        *[F.first(c).alias(c) for c in carry_cols],
+    )
+    feat = cnt.groupBy(id_col).agg(
+        # collect_list skips NULLs, so zero-token docs (whose only row
+        # carries __j NULL) fold to an empty map
+        F.map_from_entries(
+            F.collect_list(F.when(F.col("__j").isNotNull(), F.struct("__j", "__c")))
+        ).alias("__m"),
+        F.coalesce(
+            F.sum(F.when(F.col("__j").isNotNull(), F.col("__c"))), F.lit(0)
+        ).alias("n_tokens"),
+        *[F.first(c).alias(c) for c in carry_cols],
+    )
+    x = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+            (
+                F.coalesce(F.element_at("__m", i), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            * F.lit(float(feature_scale))
+        ),
+    )
+    return feat.select(id_col, *carry_cols, x.alias("x"), F.col("n_tokens"))
+
+
+def _dot_chain(x_col: str, weights: Sequence[float], bias: float) -> Column:
+    """z = ((x[0]*w0 + x[1]*w1) + ...) + bias — the strict left-to-right
+    fold both the DuckDB oracle (list_sum(list_transform(...)) + b) and
+    the Arrow kernel reproduce term-for-term. Plan-time-constant
+    weights, pure codegen; callers above BATCHED_SCORE_DIMS must use
+    the batched path instead (janino chain limit)."""
+    acc: Column = F.col(x_col)[0] * F.lit(float(weights[0]))
+    for j in range(1, len(weights)):
+        acc = acc + F.col(x_col)[j] * F.lit(float(weights[j]))
+    return acc + F.lit(float(bias))
+
+
+def _sigmoid_rational(z: Column) -> Column:
+    """p = 0.5 + 0.5 * (z / (1 + |z|)) — the exp-free link. Monotone,
+    (0,1)-bounded, p(0)=0.5; every operation IEEE-exact on both
+    engines. The oracle spells `0.5 + 0.5 * (z / (1.0 + abs(z)))`."""
+    return F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
+
+
+def _score_batched(
+    df: DataFrame,
+    weights: Sequence[float],
+    bias: float,
+    x_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Large-dim scoring as an Arrow kernel (mapInPandas): the weight
+    vector ships once per task in the closure instead of as a
+    dim-term expression chain, so plan size is O(1) in the model and
+    the janino chain limit never applies. BIT-IDENTICAL to _dot_chain
+    + _sigmoid_rational (pinned in tests): the fold accumulates
+    `acc += x[:, j] * w[j]` sequentially over j — the same IEEE
+    mul/add sequence per element — then the identical rational link.
+    Map-only; every other column passes through."""
+    import numpy as np
+
+    w = np.asarray([float(v) for v in weights], dtype=np.float64)
+    b = float(bias)
+    dim = len(w)
+    # never .add() onto df.schema — PySpark hands back its CACHED
+    # StructType, and StructType.add mutates in place (the df would
+    # grow a phantom column); build a fresh one
+    in_schema = df.schema
+    if out_col in in_schema.fieldNames():
+        fields = [
+            StructField(out_col, DoubleType(), True) if f.name == out_col else f
+            for f in in_schema.fields
+        ]
+    else:
+        fields = list(in_schema.fields) + [StructField(out_col, DoubleType(), True)]
+    out_schema = type(in_schema)(fields)
+
+    def _kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[x_col]],
+                dtype=np.float64,
+            )
+            acc = np.zeros(n, dtype=np.float64)
+            tmp = np.empty(n, dtype=np.float64)
+            for j in range(dim):  # sequential over dims: fold-order parity
+                np.multiply(x[:, j], w[j], out=tmp)
+                np.add(acc, tmp, out=acc)
+            acc += b
+            p = 0.5 + 0.5 * (acc / (1.0 + np.abs(acc)))
+            out = pdf.copy()
+            out[out_col] = p
+            yield out
+
+    return df.mapInPandas(_kernel, schema=out_schema)
+
+
+def linear_score(
+    df: DataFrame,
+    weights: Sequence[float],
+    bias: float,
+    x_col: str = "x",
+    out_col: str = "score",
+    impl: str = "auto",
+) -> DataFrame:
+    """Apply a trained model: adds `out_col` = p(w.x + b). `impl`:
+    "expr" forces the codegen chain, "batched" the Arrow kernel,
+    "auto" dispatches on BATCHED_SCORE_DIMS — the dual-path contract
+    (bit-identical either way, pinned in tests)."""
+    if impl not in ("auto", "expr", "batched"):
+        raise ValueError(f"impl must be auto|expr|batched, got {impl!r}")
+    use_batched = impl == "batched" or (
+        impl == "auto" and len(weights) > BATCHED_SCORE_DIMS
+    )
+    if use_batched:
+        return _score_batched(df, weights, bias, x_col, out_col)
+    z = _dot_chain(x_col, weights, bias)
+    return df.withColumn(out_col, _sigmoid_rational(z))
+
+
+def linear_fit(
+    feats: DataFrame,
+    dim: int,
+    label_col: str = "y",
+    x_col: str = "x",
+    n_epochs: int = 10,
+    lr: float = 1.0,
+    quant: float = QUANT,
+) -> tuple[list[float], float]:
+    """Full-batch gradient descent on the rational-link logistic loss:
+    returns (weights, bias), both driver-resident. Labels must be
+    0/1. Each epoch is ONE map-side-combinable aggregate producing
+    dim+2 values (quantized BIGINT gradient sums + the count); the
+    update chain is w_j -= lr * (float(g_j)/float(n)/quant), exactly
+    the two-division spelling the oracle replays. Persist `feats`
+    before calling — every epoch scans it.
+
+    Raises on empty input, non-0/1 labels, and gradient sums outside
+    the 2^62 guard (see module docstring for the a-priori bound)."""
+    if n_epochs < 1:
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    if dim > BATCHED_SCORE_DIMS:
+        raise ValueError(
+            f"dim {dim} exceeds BATCHED_SCORE_DIMS ({BATCHED_SCORE_DIMS}): the "
+            "per-epoch gradient aggregate would unroll a janino-hostile "
+            "expression; train at lower dim or extend the batched-gradient path"
+        )
+    y = F.col(label_col).cast("double")
+    bad = feats.filter(y.isNull() | ((y != 0.0) & (y != 1.0))).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"linear_fit: label {label_col!r} must be 0/1 and non-null; "
+            f"found {bad[0][label_col]!r}"
+        )
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(n_epochs):
+        z = _dot_chain(x_col, w, b)
+        r = (_sigmoid_rational(z) - y).alias("__r")
+        staged = feats.select(F.col(x_col).alias("__x"), r)
+        agg = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("__r") * F.lit(quant) + F.lit(0.5)).cast("long")
+            ).alias("gb"),
+            *[
+                F.sum(
+                    F.floor(
+                        (F.col("__r") * F.col("__x")[j]) * F.lit(quant) + F.lit(0.5)
+                    ).cast("long")
+                ).alias(f"g{j}")
+                for j in range(dim)
+            ],
+        )
+        row = agg.collect()[0]
+        n = row["n"]
+        if not n:
+            raise ValueError("linear_fit: empty training input")
+        sums = [row["gb"], *[row[f"g{j}"] for j in range(dim)]]
+        for s in sums:
+            if abs(s) >= SUM_GUARD:
+                raise ValueError(
+                    f"linear_fit: quantized gradient sum {s} exceeds the 2^62 "
+                    "guard — lower quant or feature_scale (module docstring "
+                    "has the a-priori bound)"
+                )
+        w = [
+            w[j] - lr * (float(row[f"g{j}"]) / float(n) / quant) for j in range(dim)
+        ]
+        b = b - lr * (float(row["gb"]) / float(n) / quant)
+    return w, b
+
+
+def write_linear_model(spark, weights: Sequence[float], bias: float, path: str) -> None:
+    """Persist as (j, weight) parquet, bias at j = -1 — the same
+    driver-sized model-artifact shape as clustering.write_model."""
+    rows = [(-1, float(bias))] + [(j, float(v)) for j, v in enumerate(weights)]
+    spark.createDataFrame(rows, "j int, weight double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def read_linear_model(spark, path: str) -> tuple[list[float], float]:
+    rows = spark.read.parquet(path).collect()
+    by_j = {r.j: r.weight for r in rows}
+    bias = by_j.pop(-1)
+    dim = len(by_j)
+    if set(by_j) != set(range(dim)):
+        raise ValueError(
+            f"linear model at {path!r} is not contiguous 0..{dim - 1} + bias(-1)"
+        )
+    return [by_j[j] for j in range(dim)], bias

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from epss_spark.operators import (
+    classifier,
     clustering,
     dedup,
     prep,
@@ -5414,3 +5415,164 @@ def cluster_boundary(spark, sf_dir):
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
     return clustering.cluster_boundary(emb, cents, threshold=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Trainable linear classifier (operators/classifier.py) — the
+# CCNet/fastText-style quality scorer, trained IN-ENGINE with the same
+# deterministic discipline as the k-means tier: md5-hashed features, the
+# exp-free rational sigmoid (only IEEE-exact ops), quantized BIGINT
+# gradient sums, fixed division chains. The oracle replays every one of
+# the 10 full-batch GD epochs CTE-for-CTE (MATERIALIZED — each epoch's
+# weights feed three downstream CTEs, and without materialization the
+# chain re-expands exponentially). The training label distills the
+# stopword-saturation signal quality_filter gates on (stop_frac >= 0.06
+# splits the corpus ~52/48), the hashed-BoW-learnable shape of the
+# "distill an expensive heuristic into a cheap linear scorer" recipe.
+
+_CLF_DIM, _CLF_EPOCHS, _CLF_LR, _CLF_SCALE = 64, 10, 1.0, 8.0
+_CLF_HASH = f"CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {_CLF_DIM}"
+_CLF_STOPS = "('the','a','of','and','to','in','is','it')"
+
+
+def _clf_epoch(t: int) -> str:
+    """One unrolled GD epoch: z via the left-fold dot product (list_sum
+    matches the engine's sequential chain — the kmeans-proven parity),
+    the rational link, per-dimension quantized gradient sums, and the
+    float(g)/float(n)/quant update chain, operation-for-operation the
+    spelling of classifier.linear_fit."""
+    d1 = _CLF_DIM + 1
+    return f"""
+    clf_z{t} AS MATERIALIZED (
+      SELECT f.doc_id, f.y, f.x,
+             list_sum(list_transform(range(1, {d1}), j -> f.x[j] * w.wl[j])) + w.b AS z
+      FROM clf_feats f CROSS JOIN clf_w{t} w
+    ),
+    clf_r{t} AS MATERIALIZED (
+      SELECT doc_id, x, (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS r FROM clf_z{t}
+    ),
+    clf_g{t} AS MATERIALIZED (
+      SELECT j, CAST(sum(CAST(floor((r * x[j]) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
+      FROM clf_r{t}, range(1, {d1}) t(j) GROUP BY j
+    ),
+    clf_gb{t} AS MATERIALIZED (
+      SELECT CAST(sum(CAST(floor(r * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g,
+             count(*) AS n
+      FROM clf_r{t}
+    ),
+    clf_w{t + 1} AS MATERIALIZED (
+      SELECT (SELECT list(w.wl[j] - {_CLF_LR} * (CAST(g.g AS DOUBLE) / CAST(gb.n AS DOUBLE) / 1000000.0) ORDER BY j)
+              FROM clf_g{t} g CROSS JOIN clf_w{t} w CROSS JOIN clf_gb{t} gb) AS wl,
+             (SELECT w.b - {_CLF_LR} * (CAST(gb.g AS DOUBLE) / CAST(gb.n AS DOUBLE) / 1000000.0)
+              FROM clf_w{t} w CROSS JOIN clf_gb{t} gb) AS b
+    )"""
+
+
+_CLF_BASE = f"""
+    clf_tok AS MATERIALIZED (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ),
+    clf_cnt AS MATERIALIZED (
+      SELECT doc_id, {_CLF_HASH} AS j, count(*) AS c
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM clf_tok) GROUP BY doc_id, j
+    ),
+    clf_lab AS MATERIALIZED (
+      SELECT doc_id, len(tk) AS dl,
+             CASE WHEN CAST(len(list_filter(tk, x -> x IN {_CLF_STOPS})) AS DOUBLE)
+                       / greatest(len(tk), 1) >= 0.06
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM clf_tok
+    ),
+    clf_feats AS MATERIALIZED (
+      SELECT l.doc_id, l.y,
+             list_transform(range(0, {_CLF_DIM}), i ->
+               CASE WHEN l.dl = 0 THEN 0.0
+                    ELSE (CAST(coalesce(m.m[i][1], 0) AS DOUBLE) / CAST(l.dl AS DOUBLE)) * {_CLF_SCALE} END) AS x
+      FROM clf_lab l LEFT JOIN (
+        SELECT doc_id, map(list(j ORDER BY j), list(c ORDER BY j)) AS m
+        FROM clf_cnt GROUP BY doc_id
+      ) m ON m.doc_id = l.doc_id
+    ),
+    clf_w0 AS (SELECT list_transform(range(0, {_CLF_DIM}), i -> 0.0) AS wl, 0.0 AS b),
+    {",".join(_clf_epoch(i) for i in range(_CLF_EPOCHS))}"""
+
+
+def _clf_label_col():
+    """stop_frac >= 0.06 as a 0/1 double — mirrors clf_lab exactly:
+    CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)."""
+    tk = text.tokens("text")
+    n_stop = F.size(F.filter(tk, lambda x: x.isin(*text.STOPWORDS_EN)))
+    frac = n_stop.cast("double") / F.greatest(F.size(tk), F.lit(1))
+    return F.when(frac >= 0.06, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def _clf_train(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", _clf_label_col().alias("y")
+    )
+    feats = classifier.hashed_features(
+        docs, dim=_CLF_DIM, feature_scale=_CLF_SCALE, carry_cols=("y",)
+    ).persist()
+    try:
+        w, b = classifier.linear_fit(
+            feats, dim=_CLF_DIM, n_epochs=_CLF_EPOCHS, lr=_CLF_LR
+        )
+    finally:
+        feats.unpersist()
+    return docs, w, b
+
+
+@register(
+    "classify_linear_model",
+    f"""
+    WITH {_CLF_BASE}
+    SELECT -1 AS j, b AS weight FROM clf_w{_CLF_EPOCHS}
+    UNION ALL
+    SELECT j - 1 AS j, wl[j] AS weight FROM clf_w{_CLF_EPOCHS}, range(1, {_CLF_DIM + 1}) t(j)
+    """,
+)
+def classify_linear_model(spark, sf_dir):
+    """The trained model itself as the checkable artifact: dim+1 rows of
+    (j, weight), bias at j = -1 — every float the product of 10
+    oracle-replayed GD epochs (operators/classifier.py::linear_fit over
+    hashed_features). Training is 10 map-side-combinable aggregates
+    each collecting dim+2 BIGINTs; the corpus never shuffles after the
+    two featurize exchanges."""
+    _, w, b = _clf_train(spark, sf_dir)
+    rows = [(-1, float(b))] + [(j, float(v)) for j, v in enumerate(w)]
+    return spark.createDataFrame(rows, "j int, weight double")
+
+
+@register(
+    "classify_linear_quality",
+    f"""
+    WITH {_CLF_BASE},
+    clf_sc AS (
+      SELECT f.doc_id, f.y,
+             list_sum(list_transform(range(1, {_CLF_DIM + 1}), j -> f.x[j] * w.wl[j])) + w.b AS z
+      FROM clf_feats f CROSS JOIN clf_w{_CLF_EPOCHS} w
+    )
+    SELECT doc_id, CAST(y AS INT) AS label,
+           0.5 + 0.5 * (z / (1.0 + abs(z))) AS score,
+           CASE WHEN 0.5 + 0.5 * (z / (1.0 + abs(z))) >= 0.5 THEN 1 ELSE 0 END AS pred
+    FROM clf_sc
+    """,
+)
+def classify_linear_quality(spark, sf_dir):
+    """Train + apply in one pass (operators/classifier.py): every doc
+    scored by the distilled stopword-saturation model — (doc_id, label,
+    score, pred), scores bit-exact against the oracle's full GD replay.
+    Scoring is a map-only codegen projection (plan-literal weights, the
+    k-means-assignment pattern); above BATCHED_SCORE_DIMS the Arrow
+    kernel path takes over, pinned bit-identical in pytest."""
+    docs, w, b = _clf_train(spark, sf_dir)
+    feats = classifier.hashed_features(
+        docs, dim=_CLF_DIM, feature_scale=_CLF_SCALE, carry_cols=("y",)
+    )
+    scored = classifier.linear_score(feats, w, b)
+    return scored.select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        "score",
+        (F.col("score") >= 0.5).cast("int").alias("pred"),
+    )
