@@ -509,20 +509,46 @@ def build_parser() -> argparse.ArgumentParser:
     nt.add_argument("--text-col", default="text")
     nt.add_argument("--alpha", type=float, default=0.5, help="Lidstone smoothing")
 
+    lt = sub.add_parser(
+        "linear-train",
+        help="train the hashed linear (fastText-shaped) quality/gating "
+        "classifier with deterministic full-batch GD (extension): each "
+        "epoch is one map-side-combinable aggregate; writes the "
+        "(j, weight) model parquet with bias at -1 and feature_scale "
+        "at -2",
+    )
+    lt.add_argument("--input", required=True,
+                    help="labeled parquet (text + 0/1 label col)")
+    lt.add_argument("--output", required=True, help="model parquet path")
+    lt.add_argument("--label-col", required=True, help="0/1 label column")
+    lt.add_argument("--id-col", default="doc_id")
+    lt.add_argument("--text-col", default="text")
+    lt.add_argument("--dim", type=int, default=64, help="hashed feature buckets")
+    lt.add_argument("--epochs", type=int, default=10)
+    lt.add_argument("--lr", type=float, default=1.0)
+    lt.add_argument("--scale", type=float, default=8.0,
+                    help="feature scale (recorded in the model artifact)")
+
     cl = sub.add_parser(
         "classify",
-        help="classify a documents parquet against a frozen nb-train "
-        "model artifact (extension): one tokenize pass + one join "
-        "against the model grid; writes (id, predicted, score)",
+        help="classify a documents parquet against a frozen model "
+        "artifact (extension): an nb-train dir (model/ + prior/ grid "
+        "join) or a linear-train parquet (map-only scored projection), "
+        "autodetected; writes (id, predicted, score)",
     )
     cl.add_argument("--input", required=True, help="parquet with (doc_id, text, ...)")
-    cl.add_argument("--model", required=True, help="model dir from nb-train")
+    cl.add_argument("--model", required=True,
+                    help="model dir from nb-train or linear-train")
     cl.add_argument("--output", required=True, help="output parquet")
     cl.add_argument("--id-col", default="doc_id")
     cl.add_argument("--text-col", default="text")
     cl.add_argument(
         "--label-col",
         help="ground-truth column to carry through (adds actual/correct + prints accuracy)",
+    )
+    cl.add_argument(
+        "--threshold", type=float, default=0.5,
+        help="linear models only: predicted = score >= threshold",
     )
 
     cp = sub.add_parser(
@@ -1196,6 +1222,57 @@ def main(argv: list[str] | None = None) -> int:
         print(f"nb-train: {n_cls} classes, {n_rows} grid rows -> {args.output}")
         return 0
 
+    if args.command == "linear-train":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from pyspark.sql import functions as F
+
+        from epss_spark.operators import classifier as clf_ops
+
+        docs = spark.read.parquet(args.input)
+        for c in (args.id_col, args.text_col, args.label_col):
+            if c not in docs.columns:
+                print(
+                    f"linear-train: no {c!r} column in --input "
+                    f"(columns: {', '.join(docs.columns)})",
+                    file=sys.stderr,
+                )
+                return 2
+        labeled = docs.select(
+            args.id_col, args.text_col, F.col(args.label_col).alias("__y")
+        )
+        feats = clf_ops.hashed_features(
+            labeled,
+            dim=args.dim,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            feature_scale=args.scale,
+            carry_cols=("__y",),
+        ).persist()
+        try:
+            w, b = clf_ops.linear_fit(
+                feats, dim=args.dim, label_col="__y",
+                n_epochs=args.epochs, lr=args.lr,
+            )
+            scored = clf_ops.linear_score(feats, w, b)
+            acc = scored.agg(
+                F.avg(
+                    ((F.col("score") >= 0.5).cast("double") == F.col("__y"))
+                    .cast("double")
+                )
+            ).first()[0]
+        except ValueError as e:
+            print(f"linear-train: {e}", file=sys.stderr)
+            return 2
+        finally:
+            feats.unpersist()
+        clf_ops.write_linear_model(spark, w, b, args.output, feature_scale=args.scale)
+        print(
+            f"linear-train: dim {args.dim}, {args.epochs} epochs, "
+            f"train accuracy {acc:.4f} -> {args.output}"
+        )
+        return 0
+
     if args.command == "classify":
         spark = get_spark("epss-spark-cli")
         spark.sparkContext.setLogLevel("ERROR")
@@ -1206,11 +1283,53 @@ def main(argv: list[str] | None = None) -> int:
         from epss_spark.operators import text as text_ops
 
         docs = spark.read.parquet(args.input)
-        model = spark.read.parquet(_os.path.join(args.model, "model"))
-        prior = spark.read.parquet(_os.path.join(args.model, "prior"))
-        out = text_ops.nb_apply(
-            docs, model, prior, args.id_col, args.text_col, label_col=args.label_col
-        )
+        # autodetect the artifact family: nb-train writes a dir with
+        # model/ + prior/ children, linear-train a flat (j, weight) parquet
+        if _os.path.isdir(_os.path.join(args.model, "model")):
+            model = spark.read.parquet(_os.path.join(args.model, "model"))
+            prior = spark.read.parquet(_os.path.join(args.model, "prior"))
+            out = text_ops.nb_apply(
+                docs, model, prior, args.id_col, args.text_col,
+                label_col=args.label_col,
+            )
+        else:
+            from epss_spark.operators import classifier as clf_ops
+
+            w, b = clf_ops.read_linear_model(spark, args.model)
+            scale = clf_ops.read_linear_model_scale(spark, args.model)
+            if scale is None:
+                print(
+                    f"classify: linear model at {args.model!r} records no "
+                    "feature_scale (j = -2 row) — retrain with linear-train, "
+                    "which always records it",
+                    file=sys.stderr,
+                )
+                return 2
+            feats = clf_ops.hashed_features(
+                docs.select(args.id_col, args.text_col,
+                            *([args.label_col] if args.label_col else [])),
+                dim=len(w),
+                id_col=args.id_col,
+                text_col=args.text_col,
+                feature_scale=scale,
+                carry_cols=(args.label_col,) if args.label_col else (),
+            )
+            out = clf_ops.linear_score(feats, w, b).select(
+                args.id_col,
+                (F.col("score") >= args.threshold).cast("int").alias("predicted"),
+                "score",
+                *(
+                    [
+                        F.col(args.label_col).alias("actual"),
+                        (
+                            (F.col("score") >= args.threshold).cast("double")
+                            == F.col(args.label_col).cast("double")
+                        ).alias("correct"),
+                    ]
+                    if args.label_col
+                    else []
+                ),
+            )
         out.write.mode("overwrite").parquet(args.output)
         scored = spark.read.parquet(args.output)
         n = scored.count()

@@ -299,10 +299,21 @@ def linear_fit(
     return w, b
 
 
-def write_linear_model(spark, weights: Sequence[float], bias: float, path: str) -> None:
+def write_linear_model(
+    spark,
+    weights: Sequence[float],
+    bias: float,
+    path: str,
+    feature_scale: float | None = None,
+) -> None:
     """Persist as (j, weight) parquet, bias at j = -1 — the same
-    driver-sized model-artifact shape as clustering.write_model."""
+    driver-sized model-artifact shape as clustering.write_model. Pass
+    `feature_scale` to record the featurize-time scale at j = -2, so
+    scoring tools cannot silently apply the model to mismatched
+    features (the CLI refuses to guess)."""
     rows = [(-1, float(bias))] + [(j, float(v)) for j, v in enumerate(weights)]
+    if feature_scale is not None:
+        rows.insert(0, (-2, float(feature_scale)))
     spark.createDataFrame(rows, "j int, weight double").coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
@@ -311,6 +322,7 @@ def write_linear_model(spark, weights: Sequence[float], bias: float, path: str) 
 def read_linear_model(spark, path: str) -> tuple[list[float], float]:
     rows = spark.read.parquet(path).collect()
     by_j = {r.j: r.weight for r in rows}
+    by_j.pop(-2, None)  # optional feature_scale metadata row
     bias = by_j.pop(-1)
     dim = len(by_j)
     if set(by_j) != set(range(dim)):
@@ -318,3 +330,10 @@ def read_linear_model(spark, path: str) -> tuple[list[float], float]:
             f"linear model at {path!r} is not contiguous 0..{dim - 1} + bias(-1)"
         )
     return [by_j[j] for j in range(dim)], bias
+
+
+def read_linear_model_scale(spark, path: str) -> float | None:
+    """The feature_scale recorded at training time (j = -2), or None
+    for artifacts written without one."""
+    rows = spark.read.parquet(path).filter("j = -2").collect()
+    return float(rows[0].weight) if rows else None

@@ -987,3 +987,46 @@ def test_cli_cluster_outliers(spark, tmp_path, capsys):
     capsys.readouterr()
     got = [(r.vec_id, r.dist_rank) for r in spark.read.parquet(out_path).collect()]
     assert sorted(got) == [(8, 2), (9, 1)]
+
+
+def test_cli_linear_train_then_classify(spark, tmp_path, capsys):
+    """linear-train writes the GD model parquet (bias at -1,
+    feature_scale at -2); classify autodetects the flat artifact and
+    scores map-only — a perfectly separable token signal lands accuracy
+    1.0, and a scale-less artifact is refused, never silently misapplied."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import classifier as clf_ops
+
+    seed = str(tmp_path / "seed")
+    rows = [(i, "good clean prose here", 1.0) for i in range(20)]
+    rows += [(100 + i, "spam junk noise blob", 0.0) for i in range(20)]
+    spark.createDataFrame(rows, "doc_id long, text string, y double").write.parquet(seed)
+    model = str(tmp_path / "linmodel")
+    rc = cli.main([
+        "linear-train", "--input", seed, "--output", model,
+        "--label-col", "y", "--dim", "16", "--epochs", "12", "--lr", "2.0",
+    ])
+    out1 = capsys.readouterr().out
+    assert rc == 0 and "train accuracy 1.0000" in out1
+    assert clf_ops.read_linear_model_scale(spark, model) == 8.0
+
+    pred = str(tmp_path / "pred")
+    rc = cli.main(["classify", "--input", seed, "--model", model,
+                   "--output", pred, "--label-col", "y"])
+    assert rc == 0 and "accuracy 1.0000" in capsys.readouterr().out
+    got = spark.read.parquet(pred)
+    assert set(got.columns) == {"doc_id", "predicted", "score", "actual", "correct"}
+    assert got.filter("predicted = 1").count() == 20
+
+    # missing label column -> usage error on stderr
+    rc = cli.main(["linear-train", "--input", seed, "--output", model,
+                   "--label-col", "nope"])
+    err = capsys.readouterr().err
+    assert rc == 2 and "no 'nope' column" in err
+
+    # artifact without the scale row -> classify refuses
+    bare = str(tmp_path / "bare")
+    clf_ops.write_linear_model(spark, [0.1] * 16, 0.0, bare)
+    rc = cli.main(["classify", "--input", seed, "--model", bare, "--output", pred])
+    err = capsys.readouterr().err
+    assert rc == 2 and "records no" in err
