@@ -30,9 +30,12 @@ Scale shape (the 100-TB plan):
   * featurize = two bounded exchanges (token explode -> (id, bucket)
     count, then the per-doc dense fold), run ONCE and persistable as a
     parquet artifact like the other index builds (DEPLOYMENT.md);
-  * each training epoch is ONE map-side-combinable aggregate over the
-    cached features collecting D+2 BIGINTs to the driver — the model
-    never lives in the cluster, epochs never shuffle the corpus;
+  * each training epoch is ONE pass over the cached features
+    collecting D+2 BIGINTs to the driver — a map-side-combinable
+    codegen aggregate at small D, an Arrow kernel emitting per-batch
+    PARTIAL integer sums above BATCHED_SCORE_DIMS (bit-identical:
+    quantized sums commute) — the model never lives in the cluster,
+    epochs never shuffle the corpus;
   * scoring is a map-only codegen projection (the weight vector embeds
     as plan literals, exactly like the k-means centroid assignment).
     Above ~512 dims the unrolled dot-product chain hits the janino
@@ -234,24 +237,35 @@ def linear_fit(
     n_epochs: int = 10,
     lr: float = 1.0,
     quant: float = QUANT,
+    impl: str = "auto",
 ) -> tuple[list[float], float]:
     """Full-batch gradient descent on the rational-link logistic loss:
     returns (weights, bias), both driver-resident. Labels must be
-    0/1. Each epoch is ONE map-side-combinable aggregate producing
-    dim+2 values (quantized BIGINT gradient sums + the count); the
-    update chain is w_j -= lr * (float(g_j)/float(n)/quant), exactly
-    the two-division spelling the oracle replays. Persist `feats`
-    before calling — every epoch scans it.
+    0/1. Each epoch is ONE pass producing dim+2 values (quantized
+    BIGINT gradient sums + the count); the update chain is
+    w_j -= lr * (float(g_j)/float(n)/quant), exactly the two-division
+    spelling the oracle replays. Persist `feats` before calling —
+    every epoch scans it.
+
+    Dual-path like scoring: at or below BATCHED_SCORE_DIMS the epoch is
+    a codegen aggregate of dim+2 sums; above, an Arrow kernel emits one
+    row of PARTIAL integer sums per batch and the driver folds them in
+    Python ints — bit-identical by construction (quantized-BIGINT sums
+    commute, the per-row floor((r*x_j)*quant + 0.5) is the same IEEE
+    sequence in both forms; pinned in tests). `impl` = auto|expr|batched.
 
     Raises on empty input, non-0/1 labels, and gradient sums outside
     the 2^62 guard (see module docstring for the a-priori bound)."""
     if n_epochs < 1:
         raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
-    if dim > BATCHED_SCORE_DIMS:
+    if impl not in ("auto", "expr", "batched"):
+        raise ValueError(f"impl must be auto|expr|batched, got {impl!r}")
+    use_batched = impl == "batched" or (impl == "auto" and dim > BATCHED_SCORE_DIMS)
+    if impl == "expr" and dim > BATCHED_SCORE_DIMS:
         raise ValueError(
-            f"dim {dim} exceeds BATCHED_SCORE_DIMS ({BATCHED_SCORE_DIMS}): the "
-            "per-epoch gradient aggregate would unroll a janino-hostile "
-            "expression; train at lower dim or extend the batched-gradient path"
+            f"impl='expr' at dim {dim} would unroll a janino-hostile "
+            f"aggregate (> BATCHED_SCORE_DIMS = {BATCHED_SCORE_DIMS}); "
+            "use impl='auto'/'batched'"
         )
     y = F.col(label_col).cast("double")
     bad = feats.filter(y.isNull() | ((y != 0.0) & (y != 1.0))).limit(1).collect()
@@ -263,40 +277,115 @@ def linear_fit(
     w = [0.0] * dim
     b = 0.0
     for _ in range(n_epochs):
-        z = _dot_chain(x_col, w, b)
-        r = (_sigmoid_rational(z) - y).alias("__r")
-        staged = feats.select(F.col(x_col).alias("__x"), r)
-        agg = staged.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.floor(F.col("__r") * F.lit(quant) + F.lit(0.5)).cast("long")
-            ).alias("gb"),
-            *[
-                F.sum(
-                    F.floor(
-                        (F.col("__r") * F.col("__x")[j]) * F.lit(quant) + F.lit(0.5)
-                    ).cast("long")
-                ).alias(f"g{j}")
-                for j in range(dim)
-            ],
-        )
-        row = agg.collect()[0]
-        n = row["n"]
+        if use_batched:
+            n, gb, g = _gradient_batched(feats, w, b, x_col, label_col, quant)
+        else:
+            n, gb, g = _gradient_expr(feats, w, b, x_col, y, dim, quant)
         if not n:
             raise ValueError("linear_fit: empty training input")
-        sums = [row["gb"], *[row[f"g{j}"] for j in range(dim)]]
-        for s in sums:
+        for s in (gb, *g):
             if abs(s) >= SUM_GUARD:
                 raise ValueError(
                     f"linear_fit: quantized gradient sum {s} exceeds the 2^62 "
                     "guard — lower quant or feature_scale (module docstring "
                     "has the a-priori bound)"
                 )
-        w = [
-            w[j] - lr * (float(row[f"g{j}"]) / float(n) / quant) for j in range(dim)
-        ]
-        b = b - lr * (float(row["gb"]) / float(n) / quant)
+        w = [w[j] - lr * (float(g[j]) / float(n) / quant) for j in range(dim)]
+        b = b - lr * (float(gb) / float(n) / quant)
     return w, b
+
+
+def _gradient_expr(
+    feats: DataFrame,
+    w: Sequence[float],
+    b: float,
+    x_col: str,
+    y: Column,
+    dim: int,
+    quant: float,
+) -> tuple[int, int, list[int]]:
+    """One epoch's (n, bias-gradient, per-dim gradients) as a single
+    map-side-combinable codegen aggregate — dim+2 sum expressions."""
+    z = _dot_chain(x_col, w, b)
+    r = (_sigmoid_rational(z) - y).alias("__r")
+    staged = feats.select(F.col(x_col).alias("__x"), r)
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("__r") * F.lit(quant) + F.lit(0.5)).cast("long")).alias(
+            "gb"
+        ),
+        *[
+            F.sum(
+                F.floor(
+                    (F.col("__r") * F.col("__x")[j]) * F.lit(quant) + F.lit(0.5)
+                ).cast("long")
+            ).alias(f"g{j}")
+            for j in range(dim)
+        ],
+    )
+    row = agg.collect()[0]
+    return row["n"], row["gb"] or 0, [row[f"g{j}"] or 0 for j in range(dim)]
+
+
+def _gradient_batched(
+    feats: DataFrame,
+    w: Sequence[float],
+    b_: float,
+    x_col: str,
+    label_col: str,
+    quant: float,
+) -> tuple[int, int, list[int]]:
+    """One epoch's gradients as an Arrow kernel: each pandas batch emits
+    ONE row of partial integer sums (n, gb, g array<long>); the driver
+    folds the handful of partials in Python ints (exact, order-free —
+    integer sums commute, which is the whole point of quantizing before
+    summing). The weight vector ships in the closure, so plan size is
+    O(1) in dim. Per-row arithmetic is the same IEEE sequence as the
+    expression aggregate: the sequential z fold, the rational link,
+    floor((r*x_j)*quant + 0.5); int64 partials cannot wrap (a batch of
+    B rows is bounded by B*feature_scale*quant)."""
+    import numpy as np
+
+    wv = np.asarray([float(v) for v in w], dtype=np.float64)
+    bias = float(b_)
+    dim = len(wv)
+    staged = feats.select(F.col(x_col).alias("x"), F.col(label_col).cast("double").alias("y"))
+
+    def _kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = len(pdf)
+            if not m:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["x"]], dtype=np.float64
+            )
+            yv = pdf["y"].to_numpy(dtype=np.float64)
+            acc = np.zeros(m, dtype=np.float64)
+            tmp = np.empty(m, dtype=np.float64)
+            for j in range(dim):  # sequential over dims: fold-order parity
+                np.multiply(x[:, j], wv[j], out=tmp)
+                np.add(acc, tmp, out=acc)
+            acc += bias
+            r = (0.5 + 0.5 * (acc / (1.0 + np.abs(acc)))) - yv
+            g = np.empty(dim, dtype=np.int64)
+            for j in range(dim):
+                g[j] = np.floor((r * x[:, j]) * quant + 0.5).astype(np.int64).sum()
+            gb = int(np.floor(r * quant + 0.5).astype(np.int64).sum())
+            yield pd.DataFrame({"n": [m], "gb": [gb], "g": [g.tolist()]})
+
+    parts = staged.mapInPandas(
+        _kernel, schema="n long, gb long, g array<long>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    gb = sum(p["gb"] for p in parts)
+    g = [0] * dim
+    for p in parts:
+        pg = p["g"]
+        for j in range(dim):
+            g[j] += pg[j]
+    return n, gb, g
 
 
 def write_linear_model(

@@ -4271,10 +4271,48 @@ def test_classifier_fit_validations(spark):
     empty = good.filter("y > 5")
     with pytest.raises(ValueError, match="empty training input"):
         classifier.linear_fit(empty, dim=1, n_epochs=1)
-    with pytest.raises(ValueError, match="BATCHED_SCORE_DIMS"):
-        classifier.linear_fit(good, dim=600, n_epochs=1)
+    # dim > BATCHED_SCORE_DIMS trains via the Arrow path; FORCING the
+    # expression aggregate there is the refused combination
+    with pytest.raises(ValueError, match="janino-hostile"):
+        classifier.linear_fit(good, dim=600, n_epochs=1, impl="expr")
     with pytest.raises(ValueError, match="impl must be"):
         classifier.linear_score(good, [0.0], 0.0, impl="nope")
+    with pytest.raises(ValueError, match="impl must be"):
+        classifier.linear_fit(good, dim=1, n_epochs=1, impl="nope")
+
+
+def test_classifier_fit_dual_path_bit_identical(spark):
+    """linear_fit's Arrow partial-sum gradient path == the expression
+    aggregate, bit-for-bit across epochs (quantized BIGINT sums
+    commute; the per-row arithmetic is the same IEEE sequence), on a
+    multi-partition input so the batched form actually folds several
+    partials — and a large-dim fit runs end-to-end on the Arrow path."""
+    import random
+
+    from epss_spark.operators import classifier
+
+    rng = random.Random(11)
+    dim = 24
+    rows = [
+        ([rng.uniform(0, 2) for _ in range(dim)], float(rng.random() < 0.5))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "x array<double>, y double").repartition(8)
+    df.persist()
+    try:
+        we, be = classifier.linear_fit(df, dim=dim, n_epochs=4, impl="expr")
+        wb, bb = classifier.linear_fit(df, dim=dim, n_epochs=4, impl="batched")
+    finally:
+        df.unpersist()
+    assert we == wb and be == bb  # exact float equality
+    # large-dim end-to-end (auto -> batched): trains without a janino blowup
+    big_dim = classifier.BATCHED_SCORE_DIMS + 64
+    big = spark.createDataFrame(
+        [([1.0] * big_dim, 1.0), ([0.0] * big_dim, 0.0)] * 10,
+        "x array<double>, y double",
+    )
+    w, b = classifier.linear_fit(big, dim=big_dim, n_epochs=1)
+    assert len(w) == big_dim and all(v <= 0 or v > 0 for v in w)
 
 
 def test_classifier_model_io_roundtrip(spark, tmp_path):
