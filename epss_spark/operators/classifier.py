@@ -388,6 +388,54 @@ def _gradient_batched(
     return n, gb, g
 
 
+def score_histogram(
+    docs: DataFrame,
+    weights: Sequence[float],
+    bias: float,
+    feature_scale: float = 8.0,
+    n_buckets: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant: float = QUANT,
+    impl: str = "auto",
+) -> DataFrame:
+    """The frozen model's score DISTRIBUTION over a corpus: one row per
+    occupied score bucket — (bucket, n, avg_score), bucket =
+    least(floor(score * n_buckets), n_buckets - 1). The quality-gate
+    health report: a drifting distribution (mass sliding toward the
+    threshold, a new bimodal lobe) is the earliest sign the gate's
+    pass rate is about to move, before it does.
+
+    avg_score is the quantized-sum / two-division chain, so the report
+    is bit-exact cross-engine and the per-bucket sums are ADDITIVE —
+    the streaming twin (streaming/score_stream.py) folds per-batch
+    deltas to exactly this report. One featurize + one map-only score
+    + ONE n_buckets-row aggregate."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    feats = hashed_features(
+        docs, dim=len(weights), id_col=id_col, text_col=text_col,
+        feature_scale=feature_scale,
+    )
+    scored = linear_score(feats, weights, bias, impl=impl)
+    bucket = F.least(
+        F.floor(F.col("score") * F.lit(n_buckets)), F.lit(n_buckets - 1).cast("long")
+    ).cast("int")
+    q = F.floor(F.col("score") * F.lit(quant) + F.lit(0.5)).cast("long")
+    counts = (
+        scored.select(bucket.alias("bucket"), q.alias("__q"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__q").alias("__qs"))
+    )
+    return counts.select(
+        "bucket",
+        "n",
+        (
+            F.col("__qs").cast("double") / F.col("n").cast("double") / F.lit(quant)
+        ).alias("avg_score"),
+    )
+
+
 def write_linear_model(
     spark,
     weights: Sequence[float],

@@ -5576,3 +5576,34 @@ def classify_linear_quality(spark, sf_dir):
         "score",
         (F.col("score") >= 0.5).cast("int").alias("pred"),
     )
+
+
+@register(
+    "classify_score_histogram",
+    f"""
+    WITH {_CLF_BASE},
+    clf_sc AS (
+      SELECT f.doc_id,
+             list_sum(list_transform(range(1, {_CLF_DIM + 1}), j -> f.x[j] * w.wl[j])) + w.b AS z
+      FROM clf_feats f CROSS JOIN clf_w{_CLF_EPOCHS} w
+    ),
+    clf_h AS (
+      SELECT CAST(least(floor((0.5 + 0.5 * (z / (1.0 + abs(z)))) * 20), 19) AS INT) AS bucket,
+             CAST(floor((0.5 + 0.5 * (z / (1.0 + abs(z)))) * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM clf_sc
+    )
+    SELECT bucket, count(*) AS n,
+           CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS avg_score
+    FROM clf_h GROUP BY bucket
+    """,
+)
+def classify_score_histogram(spark, sf_dir):
+    """The trained model's score distribution over the corpus
+    (operators/classifier.py::score_histogram): one row per occupied
+    score bucket with additive (n, quantized score sum) — the
+    quality-gate health report whose streaming twin
+    (streaming/score_stream.py) folds per-drop deltas to this exact
+    output. Bucket and avg_score replay bit-exactly through the full
+    GD chain."""
+    docs, w, b = _clf_train(spark, sf_dir)
+    return classifier.score_histogram(docs, w, b, feature_scale=_CLF_SCALE)

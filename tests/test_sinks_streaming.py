@@ -4306,3 +4306,141 @@ def test_dim_drift_stream_via_streaming_query(spark, tmp_path):
     }
     got = {r.dim_idx: r for r in ds.drift_snapshot(spark, state, ref).collect()}
     assert got == want and got[0].mean_b == 2.0
+
+
+def test_score_stream_equals_batch_replay_and_order(spark, tmp_path):
+    """Stream == batch for the quality-gate score monitor: per-batch
+    per-bucket (n, quantized score sum) deltas against the frozen
+    linear model fold to EXACTLY the batch score_histogram over the
+    union — additive integers, so replay never double-counts and
+    delivery order is irrelevant. The `.ids` sibling carries the
+    content audit."""
+    import os
+
+    from epss_spark.operators import classifier
+    from epss_spark.streaming import score_stream as ss
+    from epss_spark.streaming.kmeans_stream import corpus_id_checksum
+
+    schema = "doc_id long, text string"
+    rows = [
+        (0, "good clean prose here today"), (1, "spam junk noise blob"),
+        (2, "the quick brown fox jumps"), (3, "aaa bbb ccc"),
+        (4, ""), (5, "mixed good junk text"),
+    ]
+    w = [((3 * j) % 17) / 17.0 - 0.5 for j in range(16)]
+    b = 0.125
+    batches = [rows[:2], rows[2:5], rows[5:]]
+    state = str(tmp_path / "scores")
+    for e, bt in enumerate(batches):
+        ss.process_score_batch(
+            spark.createDataFrame(bt, schema), e, state, w, b, n_buckets=10
+        )
+    union = spark.createDataFrame(rows, schema)
+    want = {
+        r.bucket: (r.n, r.avg_score)
+        for r in classifier.score_histogram(union, w, b, n_buckets=10).collect()
+    }
+    got = {
+        r.bucket: (r.n, r.avg_score)
+        for r in ss.score_snapshot(spark, state).collect()
+    }
+    assert got == want  # bit-exact
+    assert ss.score_total(spark, state) == 6
+    assert ss.score_checksum(spark, state) == corpus_id_checksum(union, id_col="doc_id")
+
+    # replay of the middle epoch: identical recompute, sums never double
+    ss.process_score_batch(
+        spark.createDataFrame(batches[1], schema), 1, state, w, b, n_buckets=10
+    )
+    got2 = {
+        r.bucket: (r.n, r.avg_score)
+        for r in ss.score_snapshot(spark, state).collect()
+    }
+    assert got2 == got
+
+    # order-invariance: reversed delivery, same report
+    state_rev = str(tmp_path / "scores_rev")
+    for e, bt in enumerate(reversed(batches)):
+        ss.process_score_batch(
+            spark.createDataFrame(bt, schema), e, state_rev, w, b, n_buckets=10
+        )
+    got3 = {
+        r.bucket: (r.n, r.avg_score)
+        for r in ss.score_snapshot(spark, state_rev).collect()
+    }
+    assert got3 == got
+
+    # compaction: 6 single-doc epochs, compact_every=2 -> bounded dirs,
+    # identical report and checksum
+    auto = str(tmp_path / "scores_auto")
+    for e, r in enumerate(rows):
+        ss.process_score_batch(
+            spark.createDataFrame([r], schema), e, auto, w, b, n_buckets=10,
+            compact_every=2,
+        )
+    got4 = {
+        r.bucket: (r.n, r.avg_score)
+        for r in ss.score_snapshot(spark, auto).collect()
+    }
+    assert got4 == got
+    assert ss.score_checksum(spark, auto) == corpus_id_checksum(union, id_col="doc_id")
+    assert len([d for d in os.listdir(auto) if d.startswith("epoch-")]) <= 4
+
+    # audit_id_col=None: audit explicitly unavailable
+    state_noid = str(tmp_path / "scores_noid")
+    ss.process_score_batch(
+        spark.createDataFrame(rows, schema), 0, state_noid, w, b,
+        n_buckets=10, audit_id_col=None,
+    )
+    assert ss.score_checksum(spark, state_noid) is None
+
+
+def test_score_stream_via_streaming_query(spark, tmp_path):
+    """start_score_stream end-to-end: file drops consumed one per
+    trigger (availableNow), snapshot distribution equals the one-shot
+    batch score_histogram over everything streamed."""
+    import glob
+    import os
+    import shutil
+
+    from epss_spark.operators import classifier
+    from epss_spark.streaming import score_stream as ss
+
+    schema = "doc_id long, text string"
+    rows = [
+        (0, "alpha beta gamma"), (1, "uno dos tres"),
+        (2, "alpha dos beta"), (3, "gamma tres uno"),
+    ]
+    drop_dir = tmp_path / "sdrops"
+    drop_dir.mkdir()
+    for i, r in enumerate(rows):
+        staging = tmp_path / f"sstage_{i}"
+        spark.createDataFrame([r], schema).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dest = str(drop_dir / f"s{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    w = [0.25] * 8
+    state = str(tmp_path / "ss_state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir))
+    )
+    q = ss.start_score_stream(
+        stream, state, str(tmp_path / "ss_ckpt"), w, -0.125, n_buckets=10
+    )
+    q.awaitTermination(180)
+
+    union = spark.createDataFrame(rows, schema)
+    want = {
+        r.bucket: (r.n, r.avg_score)
+        for r in classifier.score_histogram(union, w, -0.125, n_buckets=10).collect()
+    }
+    got = {
+        r.bucket: (r.n, r.avg_score)
+        for r in ss.score_snapshot(spark, state).collect()
+    }
+    assert got == want
+    assert ss.score_total(spark, state) == 4
