@@ -551,6 +551,32 @@ def build_parser() -> argparse.ArgumentParser:
         help="linear models only: predicted = score >= threshold",
     )
 
+    sd = sub.add_parser(
+        "score-dist",
+        help="read verb for the continuous quality-gate monitor "
+        "(streaming/score_stream.py): the live score distribution of "
+        "the frozen linear model over everything streamed, behind the "
+        "same count + id-checksum audits as cluster promote/quality",
+    )
+    sd.add_argument("--state", required=True, help="score_stream state dir")
+    sd.add_argument("--output", required=True, help="histogram parquet")
+    sd.add_argument(
+        "--input",
+        help="corpus parquet the stream should have absorbed (enables "
+        "the id-checksum audit)",
+    )
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--expected-n", type=int,
+                    help="refuse unless exactly this many docs were absorbed")
+    sd.add_argument("--no-id-audit", action="store_true",
+                    help="skip the content checksum explicitly")
+    sd.add_argument(
+        "--gate-bucket", type=int,
+        help="also print the pass fraction as the mass at bucket >= N "
+        "(bucket-grain is the store's resolution; bucket = "
+        "floor(score * n_buckets))",
+    )
+
     cp = sub.add_parser(
         "compact",
         help="keep-latest snapshot compaction (extension): one row per "
@@ -1338,6 +1364,74 @@ def main(argv: list[str] | None = None) -> int:
             acc = scored.agg(F.avg(F.col("correct").cast("double"))).first()[0]
             msg += f" (accuracy {acc:.4f})" if acc is not None else ""
         print(msg)
+        return 0
+
+    if args.command == "score-dist":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from epss_spark.streaming import kmeans_stream as km_stream
+        from epss_spark.streaming import score_stream as s_stream
+
+        total = s_stream.score_total(spark, args.state)
+        if args.expected_n is not None and total != args.expected_n:
+            print(
+                f"score-dist: REFUSED — store absorbed {total} docs, "
+                f"expected {args.expected_n} (duplicate or dropped "
+                "deliveries); rebuild from batch",
+                file=sys.stderr,
+            )
+            return 3
+        if not args.no_id_audit:
+            absorbed = s_stream.score_checksum(spark, args.state)
+            if absorbed is None:
+                print(
+                    "score-dist: id audit unavailable (stream ran with "
+                    "audit_id_col=None) — relying on the count only",
+                    file=sys.stderr,
+                )
+            elif not args.input:
+                print(
+                    "score-dist: the store carries the id audit but no "
+                    "--input corpus was given to audit against — pass "
+                    "--input, or --no-id-audit to skip the content check "
+                    "explicitly",
+                    file=sys.stderr,
+                )
+                return 2
+            else:
+                docs = spark.read.parquet(args.input)
+                if args.id_col not in docs.columns:
+                    print(
+                        f"score-dist: no {args.id_col!r} column in --input "
+                        f"(columns: {', '.join(docs.columns)}) but the store "
+                        "carries the id audit — fix --id-col, or pass "
+                        "--no-id-audit to skip the content check explicitly",
+                        file=sys.stderr,
+                    )
+                    return 2
+                expected = km_stream.corpus_id_checksum(docs, id_col=args.id_col)
+                if absorbed != expected:
+                    print(
+                        f"score-dist: REFUSED — store id checksum "
+                        f"(n={absorbed[0]}, xor={absorbed[1]:#x}) != corpus "
+                        f"(n={expected[0]}, xor={expected[1]:#x}): the store "
+                        "does not hold exactly the --input corpus (duplicate "
+                        "or dropped deliveries); rebuild from batch",
+                        file=sys.stderr,
+                    )
+                    return 3
+        snap = s_stream.score_snapshot(spark, args.state).orderBy("bucket")
+        snap.write.mode("overwrite").parquet(args.output)
+        rows = spark.read.parquet(args.output).orderBy("bucket").collect()
+        for r in rows:
+            print(f"bucket {r.bucket}: n={r.n} avg_score={r.avg_score:.6f}")
+        if args.gate_bucket is not None and total:
+            passed = sum(r.n for r in rows if r.bucket >= args.gate_bucket)
+            print(
+                f"score-dist: pass mass (bucket >= {args.gate_bucket}) = "
+                f"{passed}/{total} ({passed / total:.4f})"
+            )
+        print(f"score-dist: {total} docs absorbed, {len(rows)} buckets -> {args.output}")
         return 0
 
     if args.command == "compact":

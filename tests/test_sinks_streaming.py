@@ -4444,3 +4444,78 @@ def test_score_stream_via_streaming_query(spark, tmp_path):
     }
     assert got == want
     assert ss.score_total(spark, state) == 4
+
+
+def test_cli_score_dist_verb(spark, tmp_path, capsys):
+    """score-dist: the read verb for the continuous quality-gate
+    monitor — prints the live bucket histogram (bit-equal to the batch
+    score_histogram over the absorbed corpus) behind the same
+    exactly-once audits as cluster promote/quality: count mismatch and
+    id-checksum mismatch REFUSE (exit 3, stderr); a store carrying the
+    audit with no --input to check against is a usage error unless
+    --no-id-audit is explicit; --gate-bucket prints the pass mass."""
+    import epss_spark.cli as cli
+    from epss_spark.operators import classifier
+    from epss_spark.streaming import score_stream as ss
+
+    schema = "doc_id long, text string"
+    rows = [
+        (0, "good clean prose here today"), (1, "spam junk noise blob"),
+        (2, "the quick brown fox jumps"), (3, "aaa bbb ccc"),
+    ]
+    w = [((3 * j) % 17) / 17.0 - 0.5 for j in range(16)]
+    b = 0.125
+    state = str(tmp_path / "sd_state")
+    for e, bt in enumerate([rows[:2], rows[2:]]):
+        ss.process_score_batch(
+            spark.createDataFrame(bt, schema), e, state, w, b, n_buckets=10
+        )
+    union = spark.createDataFrame(rows, schema)
+    in_path = str(tmp_path / "docs")
+    union.write.parquet(in_path)
+    out_path = str(tmp_path / "hist")
+
+    rc = cli.main([
+        "score-dist", "--state", state, "--output", out_path,
+        "--input", in_path, "--expected-n", "4", "--gate-bucket", "5",
+    ])
+    cap = capsys.readouterr()
+    assert rc == 0 and "4 docs absorbed" in cap.out and "pass mass" in cap.out
+    got = {
+        r.bucket: (r.n, r.avg_score)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        r.bucket: (r.n, r.avg_score)
+        for r in classifier.score_histogram(union, w, b, n_buckets=10).collect()
+    }
+    assert got == want
+
+    # count mismatch refuses
+    rc = cli.main(["score-dist", "--state", state, "--output", out_path,
+                   "--input", in_path, "--expected-n", "7"])
+    cap = capsys.readouterr()
+    assert rc == 3 and "REFUSED" in cap.err and "expected 7" in cap.err
+
+    # checksum mismatch (corpus missing a doc) refuses
+    part = str(tmp_path / "partial")
+    spark.createDataFrame(rows[:3], schema).write.parquet(part)
+    rc = cli.main(["score-dist", "--state", state, "--output", out_path,
+                   "--input", part])
+    cap = capsys.readouterr()
+    assert rc == 3 and "id checksum" in cap.err
+
+    # audit-bearing store, no --input: usage error unless explicit skip
+    rc = cli.main(["score-dist", "--state", state, "--output", out_path])
+    cap = capsys.readouterr()
+    assert rc == 2 and "no --input corpus" in cap.err
+    rc = cli.main(["score-dist", "--state", state, "--output", out_path,
+                   "--no-id-audit"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "docs absorbed" in cap.out
+
+    # typo'd --id-col against an audit-bearing store: usage error
+    rc = cli.main(["score-dist", "--state", state, "--output", out_path,
+                   "--input", in_path, "--id-col", "nope"])
+    cap = capsys.readouterr()
+    assert rc == 2 and "no 'nope' column" in cap.err
