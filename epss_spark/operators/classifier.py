@@ -38,8 +38,9 @@ Scale shape (the 100-TB plan):
     epochs never shuffle the corpus;
   * scoring is a map-only codegen projection (the weight vector embeds
     as plan literals, exactly like the k-means centroid assignment).
-    Above ~512 dims the unrolled dot-product chain hits the janino
-    cliff — score with the Arrow kernel path (`impl="batched"`), which
+    The chain has a measured crossover at ~dim 128 and a HARD wall at
+    ~512 terms (plan construction overflows the JVM stack — see
+    BATCHED_SCORE_DIMS); above the threshold the Arrow kernel path
     accumulates the identical j-sequential fold per row.
 
 Gradient-sum overflow: |r| < 1 and x_j <= feature_scale, so each row
@@ -62,11 +63,15 @@ from epss_spark.operators.text import tokens
 
 QUANT = 1_000_000.0
 SUM_GUARD = 2**62
-# dims above this would unroll a janino-hostile dot-product chain; the
-# batched Arrow kernel takes over (same threshold story as
-# clustering.BATCHED_ASSIGN_CELLS — there the cells are k*dim, here the
-# chain is one multiply-add per dim)
-BATCHED_SCORE_DIMS = 512
+# dims above this route to the Arrow kernels. MEASURED
+# (tools/classifier_scale_probe.py, 100k rows): the expression chain
+# wins at dim 64 (1.9 s vs the kernel's warm ~1.4 s), ties near 128
+# (2.6 vs 1.4), loses 4x at 256 (5.9 vs 1.4) — and at 512 terms plan
+# CONSTRUCTION overflows the JVM stack (StackOverflowError in
+# withColumn: the deep left-leaning Add tree, not janino, is the hard
+# wall). So the cliff is a crash, not a slowdown; 128 keeps the
+# oracle-checked dim-64 shapes on the zero-Python plan with headroom.
+BATCHED_SCORE_DIMS = 128
 
 
 def hashed_features(

@@ -14,17 +14,20 @@ bit-identical in tests, so this probe measures COST only:
             D+2 sum expressions (plan grows with D), the kernel emits
             per-batch partial integer sums and folds them driver-side.
 
-Expect both expression forms roughly linear in D with a hard stop near
-the janino limit, and both Arrow forms near-flat until the D*rows
-arithmetic itself dominates. The BATCHED_SCORE_DIMS threshold (512) is
-set from this ladder.
+Expect both expression forms roughly linear in D with a HARD stop at
+~512 terms — plan construction of the deep left-leaning Add tree
+overflows the JVM stack (StackOverflowError in withColumn) before
+janino even sees it — and both Arrow forms near-flat until the D*rows
+arithmetic itself dominates. The BATCHED_SCORE_DIMS threshold (128)
+is set from this ladder's measured crossover; never raise
+max_expr_dim to 512, that rung crashes by construction.
 
 Features are synthesized directly (dense arrays, no tokenize) — the
 probe prices the model arithmetic, not featurize, which is a one-time
 build cost at any D.
 
 Usage: python tools/classifier_scale_probe.py [rows] [d1,d2,...] [max_expr_dim] [op]
-Defaults: 200_000 rows, ladder 64,256,512,1024,4096, max_expr_dim 512,
+Defaults: 200_000 rows, ladder 64,256,512,1024,4096, max_expr_dim 256,
 op=score. Prints one JSON line:
   {"op": "...", "rows": N, "ladder": {"64": {"expr_sec": s, "batched_sec": s}, ...}}
 """
@@ -55,7 +58,7 @@ def main() -> None:
         if len(sys.argv) > 2
         else [64, 256, 512, 1024, 4096]
     )
-    max_expr_dim = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    max_expr_dim = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     op = sys.argv[4] if len(sys.argv) > 4 else "score"
     if op not in ("score", "epoch"):
         raise SystemExit(f"unknown op: {op!r} (score | epoch)")
