@@ -31,11 +31,11 @@ Scale shape (the 100-TB plan):
     count, then the per-doc dense fold), run ONCE and persistable as a
     parquet artifact like the other index builds (DEPLOYMENT.md);
   * each training epoch is ONE pass over the cached features
-    collecting D+2 BIGINTs to the driver — a map-side-combinable
-    codegen aggregate at small D, an Arrow kernel emitting per-batch
-    PARTIAL integer sums above BATCHED_SCORE_DIMS (bit-identical:
-    quantized sums commute) — the model never lives in the cluster,
-    epochs never shuffle the corpus;
+    collecting D+2 BIGINTs to the driver — by default an Arrow kernel
+    emitting per-batch PARTIAL integer sums, folded in exact Python
+    ints (bit-identical to the codegen aggregate: quantized sums
+    commute; and measured faster at every D, see linear_fit) — the
+    model never lives in the cluster, epochs never shuffle the corpus;
   * scoring is a map-only codegen projection (the weight vector embeds
     as plan literals, exactly like the k-means centroid assignment).
     The chain has a measured crossover at ~dim 128 and a HARD wall at
@@ -252,12 +252,18 @@ def linear_fit(
     spelling the oracle replays. Persist `feats` before calling —
     every epoch scans it.
 
-    Dual-path like scoring: at or below BATCHED_SCORE_DIMS the epoch is
-    a codegen aggregate of dim+2 sums; above, an Arrow kernel emits one
-    row of PARTIAL integer sums per batch and the driver folds them in
-    Python ints — bit-identical by construction (quantized-BIGINT sums
+    Dual-path, but unlike scoring the Arrow form is the DEFAULT at
+    every dim: the kernel emits one row of PARTIAL integer sums per
+    batch and the driver folds them in Python ints — bit-identical to
+    the codegen aggregate by construction (quantized-BIGINT sums
     commute, the per-row floor((r*x_j)*quant + 0.5) is the same IEEE
-    sequence in both forms; pinned in tests). `impl` = auto|expr|batched.
+    sequence in both forms; pinned in tests) and MEASURED faster
+    everywhere (tools/classifier_scale_probe.py op=epoch, 100k rows:
+    3.5x at dim 64, 7.5x at 128 — the dim+2-sum expression aggregate
+    is heavy even at the oracle shape, and past BATCHED_SCORE_DIMS it
+    is the crash-prone form). `impl` = auto|expr|batched; "expr" stays
+    forceable at or below BATCHED_SCORE_DIMS for the dual-path pin and
+    oracle mirroring.
 
     Raises on empty input, non-0/1 labels, and gradient sums outside
     the 2^62 guard (see module docstring for the a-priori bound)."""
@@ -265,7 +271,7 @@ def linear_fit(
         raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
     if impl not in ("auto", "expr", "batched"):
         raise ValueError(f"impl must be auto|expr|batched, got {impl!r}")
-    use_batched = impl == "batched" or (impl == "auto" and dim > BATCHED_SCORE_DIMS)
+    use_batched = impl != "expr"
     if impl == "expr" and dim > BATCHED_SCORE_DIMS:
         raise ValueError(
             f"impl='expr' at dim {dim} would unroll a janino-hostile "

@@ -65,6 +65,15 @@ def main() -> None:
     spark = get_spark("classifier-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # session warmup so the first rung is not billed for JVM/Arrow
+    # first-call costs (the bench warmup-pair lesson)
+    warm = spark.createDataFrame(
+        [([0.5] * 8, 1.0), ([0.25] * 8, 0.0)], "x array<double>, y double"
+    )
+    classifier.linear_score(warm, [0.1] * 8, 0.0, impl="batched").collect()
+    classifier.linear_fit(warm, dim=8, n_epochs=1, impl="batched")
+    classifier.linear_fit(warm, dim=8, n_epochs=1, impl="expr")
+
     out = {}
     for dim in ladder:
         # deterministic synthetic features: (id % dim) one-ish-hot plus a
@@ -99,7 +108,14 @@ def main() -> None:
             return round(time.monotonic() - t0, 3)
 
         row = {"batched_sec": run("batched")}
-        if dim <= max_expr_dim:
+        # linear_fit refuses a forced expr aggregate above the dispatch
+        # threshold (the chain is a crash risk, not just slow)
+        expr_cap = (
+            min(max_expr_dim, classifier.BATCHED_SCORE_DIMS)
+            if op == "epoch"
+            else max_expr_dim
+        )
+        if dim <= expr_cap:
             row["expr_sec"] = run("expr")
         out[str(dim)] = row
         corpus.unpersist()
