@@ -405,6 +405,15 @@ DRIVER_SURFACE: tuple[str, ...] = (
 #     and the incremental index-append architecture is pinned by the
 #     same pytest contracts as the demoted lexical sibling
 #     dedup_minhash_incremental)
+#   classify_linear_model / classify_linear_quality /
+#   classify_score_histogram  (round-14 newcomers — the supervised
+#     linear tier, a NEW class with no driver row yet: hashed features,
+#     exp-free rational-sigmoid GD, quantized gradient sums. The
+#     natural round-15 rotation candidate is classify_linear_quality
+#     (train + score end-to-end, the strict superset of the other two's
+#     arithmetic); the md5-coin/quantized-BIGINT machinery it rides is
+#     driver-green via the clustering tier, but the supervised GD chain
+#     itself has only the pytest-oracle gate so far.)
 # Everything else off-surface HAS been driver-green in some round and was
 # demoted in a documented swap above.
 
