@@ -447,6 +447,62 @@ def score_histogram(
     )
 
 
+def calibration_report(
+    docs: DataFrame,
+    weights: Sequence[float],
+    bias: float,
+    label_col: str,
+    feature_scale: float = 8.0,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant: float = QUANT,
+    impl: str = "auto",
+) -> DataFrame:
+    """Reliability diagram for the frozen model: per score bucket,
+    (bucket, n, avg_score, frac_pos) — a well-calibrated scorer has
+    frac_pos tracking avg_score; divergence says the score is NOT a
+    probability at that mass and the gate threshold was tuned on a
+    fiction. The standard post-training evaluation (and the re-check
+    to run whenever score_stream shows the distribution moving).
+
+    Same additive-integer discipline as score_histogram (the label sum
+    is already an integer), so bit-exact cross-engine; one featurize +
+    one map-only score + ONE n_buckets-row aggregate."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    y = F.col(label_col).cast("double")
+    feats = hashed_features(
+        docs.select(id_col, text_col, y.alias("__y")),
+        dim=len(weights), id_col=id_col, text_col=text_col,
+        feature_scale=feature_scale, carry_cols=("__y",),
+    )
+    scored = linear_score(feats, weights, bias, impl=impl)
+    bucket = F.least(
+        F.floor(F.col("score") * F.lit(n_buckets)), F.lit(n_buckets - 1).cast("long")
+    ).cast("int")
+    q = F.floor(F.col("score") * F.lit(quant) + F.lit(0.5)).cast("long")
+    agg = (
+        scored.select(
+            bucket.alias("bucket"), q.alias("__q"),
+            F.col("__y").cast("long").alias("__pos"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__q").alias("__qs"),
+            F.sum("__pos").alias("__np"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        "bucket",
+        "n",
+        (F.col("__qs").cast("double") / n_d / F.lit(quant)).alias("avg_score"),
+        (F.col("__np").cast("double") / n_d).alias("frac_pos"),
+    )
+
+
 def write_linear_model(
     spark,
     weights: Sequence[float],

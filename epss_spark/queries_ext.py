@@ -5607,3 +5607,37 @@ def classify_score_histogram(spark, sf_dir):
     GD chain."""
     docs, w, b = _clf_train(spark, sf_dir)
     return classifier.score_histogram(docs, w, b, feature_scale=_CLF_SCALE)
+
+
+@register(
+    "classify_calibration",
+    f"""
+    WITH {_CLF_BASE},
+    clf_sc AS (
+      SELECT f.doc_id, f.y,
+             list_sum(list_transform(range(1, {_CLF_DIM + 1}), j -> f.x[j] * w.wl[j])) + w.b AS z
+      FROM clf_feats f CROSS JOIN clf_w{_CLF_EPOCHS} w
+    ),
+    clf_cal AS (
+      SELECT CAST(least(floor((0.5 + 0.5 * (z / (1.0 + abs(z)))) * 10), 9) AS INT) AS bucket,
+             CAST(floor((0.5 + 0.5 * (z / (1.0 + abs(z)))) * 1000000.0 + 0.5) AS BIGINT) AS q,
+             CAST(y AS BIGINT) AS pos
+      FROM clf_sc
+    )
+    SELECT bucket, count(*) AS n,
+           CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS avg_score,
+           CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+    FROM clf_cal GROUP BY bucket
+    """,
+)
+def classify_calibration(spark, sf_dir):
+    """Reliability diagram for the trained model
+    (operators/classifier.py::calibration_report): per score bucket the
+    achieved positive rate next to the mean score — the is-the-score-a-
+    probability check run after training and whenever score_stream
+    shows the distribution moving. Additive integers throughout (the
+    label sum is already an integer), bit-exact through the GD replay."""
+    docs, w, b = _clf_train(spark, sf_dir)
+    return classifier.calibration_report(
+        docs, w, b, label_col="y", feature_scale=_CLF_SCALE
+    )

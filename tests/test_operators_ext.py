@@ -4328,3 +4328,32 @@ def test_classifier_model_io_roundtrip(spark, tmp_path):
     broken.write.mode("overwrite").parquet(path + "2")
     with pytest.raises(ValueError, match="not contiguous"):
         classifier.read_linear_model(spark, path + "2")
+
+
+def test_classifier_calibration_report(spark):
+    """calibration_report on a hand-checkable corpus: bucket masses sum
+    to n, frac_pos is exact per bucket, and a perfectly separable
+    model's extreme buckets are pure."""
+    from epss_spark.operators import classifier
+
+    df = spark.createDataFrame(
+        [(i, "good clean prose here", 1.0) for i in range(10)]
+        + [(100 + i, "spam junk noise blob", 0.0) for i in range(10)],
+        "doc_id long, text string, y double",
+    )
+    feats = classifier.hashed_features(
+        df.select("doc_id", "text", "y"), dim=16, carry_cols=("y",)
+    ).persist()
+    try:
+        w, b = classifier.linear_fit(feats, dim=16, n_epochs=12, lr=2.0)
+    finally:
+        feats.unpersist()
+    rep = classifier.calibration_report(df, w, b, label_col="y").collect()
+    assert sum(r.n for r in rep) == 20
+    # separable corpus, trained to saturation: every occupied bucket is
+    # label-pure and sits on the right side of 0.5
+    for r in rep:
+        assert r.frac_pos in (0.0, 1.0)
+        assert (r.avg_score >= 0.5) == (r.frac_pos == 1.0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        classifier.calibration_report(df, w, b, label_col="y", n_buckets=0)
