@@ -5641,3 +5641,92 @@ def classify_calibration(spark, sf_dir):
     return classifier.calibration_report(
         docs, w, b, label_col="y", feature_scale=_CLF_SCALE
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics (operators/graph.py): deterministic weighted
+# PageRank via quantized message passing — per-edge contributions floor to
+# BIGINT before the per-node sum (shuffle-order-proof), the per-node update
+# is a fixed literal chain, and the oracle unrolls every iteration
+# CTE-for-CTE. The registry shape ranks the sf purchase network: customer
+# and supplier nodes, edges = distinct (customer, supplier) pairs weighted
+# by line count, both directions (a random surfer over co-purchases), so
+# no node dangles and the dangling term exercises its exact-zero path.
+
+_PR_ITERS, _PR_D = 3, 0.85
+
+
+def _pr_iter(t: int) -> str:
+    return f"""
+    pr_s{t} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             CAST(sum(CAST(floor(((r.rank * CAST(e.w AS DOUBLE)) / CAST(o.ow AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM pr_edges e
+      JOIN pr_ow o ON o.src = e.src
+      JOIN pr_r{t} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    pr_r{t + 1} AS MATERIALIZED (
+      SELECT n.node,
+             ((1.0e0 - {_PR_D}e0) / nn.nn + {_PR_D}e0 * (0.0e0 / 1000000.0e0) / nn.nn)
+             + {_PR_D}e0 * (CAST(coalesce(s.s, 0) AS DOUBLE) / 1000000.0) AS rank
+      FROM pr_nodes n
+      CROSS JOIN pr_n nn
+      LEFT JOIN pr_s{t} s ON s.node = n.node
+    )"""
+
+
+@register(
+    "graph_pagerank",
+    f"""
+    WITH pr_e0 AS MATERIALIZED (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+             's' || CAST(l_suppkey AS VARCHAR) AS s,
+             count(*) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    pr_edges AS MATERIALIZED (
+      SELECT c AS src, s AS dst, CAST(w AS BIGINT) AS w FROM pr_e0
+      UNION ALL
+      SELECT s AS src, c AS dst, CAST(w AS BIGINT) AS w FROM pr_e0
+    ),
+    pr_nodes AS MATERIALIZED (
+      SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges
+    ),
+    pr_n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM pr_nodes),
+    pr_ow AS MATERIALIZED (
+      SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM pr_edges GROUP BY src
+    ),
+    pr_r0 AS MATERIALIZED (
+      SELECT node, 1.0 / (SELECT nn FROM pr_n) AS rank FROM pr_nodes
+    ),
+    {",".join(_pr_iter(i) for i in range(_PR_ITERS))}
+    SELECT node, rank FROM pr_r{_PR_ITERS}
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank over the purchase network
+    (operators/graph.py::pagerank): who matters in the
+    customer-supplier graph after 3 synchronous iterations of
+    quantized message passing. Each iteration is one src-join + one
+    map-side-combinable per-dst BIGINT aggregate; static prep (nodes,
+    out-weights, dangling set) is one checkpointed pass; every rank
+    replays bit-for-bit through the oracle's unrolled CTEs."""
+    from epss_spark.operators import graph
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    base = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .groupBy("c", "s")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = base.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(base.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    return graph.pagerank(edges, n_iter=_PR_ITERS, damping=_PR_D, weight_col="w")

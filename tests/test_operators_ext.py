@@ -4357,3 +4357,70 @@ def test_classifier_calibration_report(spark):
         assert (r.avg_score >= 0.5) == (r.frac_pos == 1.0)
     with pytest.raises(ValueError, match="n_buckets"):
         classifier.calibration_report(df, w, b, label_col="y", n_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# operators/graph.py — deterministic PageRank
+
+
+def test_pagerank_hand_checkable_shapes(spark):
+    """Closed-form shapes: a symmetric 2-cycle splits rank evenly; a
+    pure chain with a dangling sink conserves total mass (the dangling
+    redistribution term); a high-weight edge pulls rank toward its
+    target."""
+    from epss_spark.operators import graph
+
+    # symmetric 2-cycle: a <-> b -> exact 0.5 each at every iteration
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in graph.pagerank(cyc, n_iter=5).collect()}
+    assert got["a"] == got["b"] == pytest.approx(0.5, abs=1e-5)
+
+    # chain with dangling sink: a -> b -> c, c dangles; mass conserved
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in graph.pagerank(chain, n_iter=10).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-4)
+    assert ranks["c"] > ranks["b"] > ranks["a"]  # downstream accumulates
+
+    # weighted pull: a sends 9/10 of its walk to c, 1/10 to b
+    wed = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 9), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    wr = {r.node: r.rank for r in graph.pagerank(wed, n_iter=10, weight_col="w").collect()}
+    assert wr["c"] > wr["b"]
+    assert sum(wr.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_determinism_and_validations(spark):
+    """Shuffle-order-proof: a repartitioned/reordered edge list yields
+    bit-identical ranks (the quantized-BIGINT message contract); bad
+    inputs fail loudly."""
+    from epss_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7, 1 + i % 3) for i in range(40)],
+        "src long, dst long, w long",
+    )
+    a = {r.node: r.rank for r in graph.pagerank(edges, n_iter=4, weight_col="w").collect()}
+    b = {
+        r.node: r.rank
+        for r in graph.pagerank(
+            edges.repartition(13).sortWithinPartitions("dst"), n_iter=4, weight_col="w"
+        ).collect()
+    }
+    assert a == b  # exact float equality
+
+    with pytest.raises(ValueError, match="n_iter"):
+        graph.pagerank(edges, n_iter=0)
+    with pytest.raises(ValueError, match="damping"):
+        graph.pagerank(edges, damping=1.5)
+    zero_w = spark.createDataFrame([("a", "b", 0)], "src string, dst string, w long")
+    with pytest.raises(ValueError, match="weights must be"):
+        graph.pagerank(zero_w, weight_col="w")
+    empty = edges.filter("src > 100")
+    with pytest.raises(ValueError, match="empty edge list"):
+        graph.pagerank(empty, n_iter=1)
