@@ -577,6 +577,23 @@ def build_parser() -> argparse.ArgumentParser:
         "floor(score * n_buckets))",
     )
 
+    gr = sub.add_parser(
+        "graph",
+        help="iterative graph analytics over an edge-list parquet "
+        "(extension): deterministic weighted PageRank — quantized "
+        "message passing, bit-reproducible under any partitioning; "
+        "writes (node, rank)",
+    )
+    gr.add_argument("--input", required=True, help="edge-list parquet")
+    gr.add_argument("--output", required=True, help="ranks parquet")
+    gr.add_argument("--src-col", default="src")
+    gr.add_argument("--dst-col", default="dst")
+    gr.add_argument("--weight-col", help="integer edge weight (default: unweighted)")
+    gr.add_argument("--iters", type=int, default=10)
+    gr.add_argument("--damping", type=float, default=0.85)
+    gr.add_argument("--top", type=int, default=10,
+                    help="print the top-N nodes by rank (0 = silent)")
+
     cp = sub.add_parser(
         "compact",
         help="keep-latest snapshot compaction (extension): one row per "
@@ -1432,6 +1449,42 @@ def main(argv: list[str] | None = None) -> int:
                 f"{passed}/{total} ({passed / total:.4f})"
             )
         print(f"score-dist: {total} docs absorbed, {len(rows)} buckets -> {args.output}")
+        return 0
+
+    if args.command == "graph":
+        spark = get_spark("epss-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        from pyspark.sql import functions as F
+
+        from epss_spark.operators import graph as graph_ops
+
+        edges = spark.read.parquet(args.input)
+        for c in (args.src_col, args.dst_col, *(
+            [args.weight_col] if args.weight_col else []
+        )):
+            if c not in edges.columns:
+                print(
+                    f"graph: no {c!r} column in --input "
+                    f"(columns: {', '.join(edges.columns)})",
+                    file=sys.stderr,
+                )
+                return 2
+        try:
+            ranks = graph_ops.pagerank(
+                edges, n_iter=args.iters, damping=args.damping,
+                src_col=args.src_col, dst_col=args.dst_col,
+                weight_col=args.weight_col,
+            )
+        except ValueError as e:
+            print(f"graph: {e}", file=sys.stderr)
+            return 2
+        ranks.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        n = out.count()
+        if args.top:
+            for r in out.orderBy(F.col("rank").desc(), "node").limit(args.top).collect():
+                print(f"  {r.node}: {r.rank:.6f}")
+        print(f"graph: pagerank over {n} nodes ({args.iters} iters) -> {args.output}")
         return 0
 
     if args.command == "compact":

@@ -1030,3 +1030,32 @@ def test_cli_linear_train_then_classify(spark, tmp_path, capsys):
     rc = cli.main(["classify", "--input", seed, "--model", bare, "--output", pred])
     err = capsys.readouterr().err
     assert rc == 2 and "records no" in err
+
+
+def test_cli_graph_pagerank(spark, tmp_path, capsys):
+    """graph: PageRank over an edge-list parquet — top-N print, ranks
+    parquet, and usage errors for missing columns / bad params."""
+    import epss_spark.cli as cli
+
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [("hub", "x", 1), ("x", "hub", 1), ("hub", "y", 1), ("y", "hub", 1),
+         ("x", "y", 1)],
+        "src string, dst string, w long",
+    ).write.parquet(edges)
+    out = str(tmp_path / "ranks")
+    rc = cli.main(["graph", "--input", edges, "--output", out,
+                   "--weight-col", "w", "--iters", "8", "--top", "2"])
+    cap = capsys.readouterr()
+    assert rc == 0 and "pagerank over 3 nodes" in cap.out
+    # the hub receives from both others: it must print first
+    assert cap.out.strip().startswith("hub:") or "  hub:" in cap.out.splitlines()[0]
+    ranks = {r.node: r.rank for r in spark.read.parquet(out).collect()}
+    assert ranks["hub"] == max(ranks.values())
+
+    rc = cli.main(["graph", "--input", edges, "--output", out,
+                   "--src-col", "nope"])
+    assert rc == 2 and "no 'nope' column" in capsys.readouterr().err
+    rc = cli.main(["graph", "--input", edges, "--output", out,
+                   "--damping", "2.0"])
+    assert rc == 2 and "damping" in capsys.readouterr().err
