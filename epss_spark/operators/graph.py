@@ -94,17 +94,24 @@ def pagerank(
     dangling = nodes.join(
         out_w.select(F.col("__src").alias("node")), "node", "left_anti"
     ).localCheckpoint(eager=True)
+    n_dangling = dangling.count()
     em = e.join(out_w, "__src").localCheckpoint(eager=True)
 
     d = float(damping)
     n_f = float(n_nodes)
     ranks = nodes.select("node", F.lit(1.0 / n_f).alias("rank"))
     for t in range(n_iter):
-        q_rank = F.floor(F.col("rank") * F.lit(quant) + F.lit(0.5)).cast("long")
-        dm_row = (
-            dangling.join(ranks, "node").agg(F.sum(q_rank).alias("dm")).collect()[0]
-        )
-        dm = int(dm_row["dm"] or 0)
+        if n_dangling:
+            q_rank = F.floor(F.col("rank") * F.lit(quant) + F.lit(0.5)).cast("long")
+            dm_row = (
+                dangling.join(ranks, "node").agg(F.sum(q_rank).alias("dm")).collect()[0]
+            )
+            dm = int(dm_row["dm"] or 0)
+        else:
+            # no dangling nodes (e.g. any bidirectional graph): skip the
+            # per-iteration driver action — dm = 0 exactly, and x + 0.0
+            # leaves the base term bit-identical to the general path
+            dm = 0
         if abs(dm) >= SUM_GUARD:
             raise ValueError("pagerank: dangling-mass sum exceeds the 2^62 guard")
         contrib = F.floor(
