@@ -50,18 +50,30 @@ def pagerank(
     weight_col: str | None = None,
     quant: float = QUANT,
     checkpoint_every: int = 8,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list: returns
     (node, rank) for every node appearing as src or dst, after
-    `n_iter` synchronous iterations from the uniform start. Unweighted
-    edges (weight_col=None) count 1 each; parallel edges accumulate.
-    Dangling mass (nodes with no out-edges) redistributes uniformly,
-    so total rank stays ~1 (up to the documented quantization grain).
+    `n_iter` synchronous iterations. Unweighted edges
+    (weight_col=None) count 1 each; parallel edges accumulate.
+    Dangling mass (nodes with no out-edges) redistributes through the
+    teleport vector, so total rank stays ~1 (up to the documented
+    quantization grain).
 
-    r_{t+1}(v) = ((1-d)/N + d*(dm_t/quant)/N) + d*(S_t(v)/quant)
-    where S_t(v) is the BIGINT sum of quantized weighted contributions
-    and dm_t the quantized dangling mass — every division and add in a
-    fixed order, mirrored by the oracle."""
+    Uniform (seeds=None):
+      r_{t+1}(v) = ((1-d)/N + d*(dm_t/quant)/N) + d*(S_t(v)/quant)
+    Personalized (Haveliwala 2002, topic-sensitive PageRank): `seeds`
+    is a one-column frame of trusted nodes; the walk teleports ONLY to
+    them, so rank measures proximity to the seed set — the
+    seed-expansion primitive curation recipes use to score sources by
+    closeness to a trusted whitelist:
+      r_{t+1}(v) = ((1-d) + d*(dm_t/quant)) * tele(v) + d*(S_t(v)/quant)
+    with tele(v) = 1/|S in graph| on seeds, 0 elsewhere. Seeds not in
+    the graph are ignored; an all-absent seed set raises. S_t(v) is
+    the BIGINT sum of quantized weighted contributions, dm_t the
+    quantized dangling mass — every division and add in a fixed order,
+    mirrored by the oracle."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if not (0.0 < damping < 1.0):
@@ -99,7 +111,28 @@ def pagerank(
 
     d = float(damping)
     n_f = float(n_nodes)
-    ranks = nodes.select("node", F.lit(1.0 / n_f).alias("rank"))
+    tele = None
+    if seeds is not None:
+        seed_nodes = (
+            seeds.select(F.col(seed_col).alias("node")).distinct().join(nodes, "node")
+            .localCheckpoint(eager=True)
+        )
+        n_seeds = seed_nodes.count()
+        if not n_seeds:
+            raise ValueError("pagerank: no seed node appears in the graph")
+        tele = (
+            nodes.join(seed_nodes.withColumn("__is", F.lit(1)), "node", "left")
+            .select(
+                "node",
+                F.when(F.col("__is").isNotNull(), F.lit(1.0 / float(n_seeds)))
+                .otherwise(F.lit(0.0))
+                .alias("__t"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ranks = tele.select("node", F.col("__t").alias("rank"))
+    else:
+        ranks = nodes.select("node", F.lit(1.0 / n_f).alias("rank"))
     for t in range(n_iter):
         if n_dangling:
             q_rank = F.floor(F.col("rank") * F.lit(quant) + F.lit(0.5)).cast("long")
@@ -125,14 +158,19 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__q").alias("__s"))
         )
-        base = (1.0 - d) / n_f + d * (float(dm) / quant) / n_f
-        ranks = nodes.join(sums, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(d) * (F.coalesce(F.col("__s"), F.lit(0)).cast("double") / F.lit(quant))
-            ).alias("rank"),
+        spread = F.lit(d) * (
+            F.coalesce(F.col("__s"), F.lit(0)).cast("double") / F.lit(quant)
         )
+        if tele is not None:
+            c1 = (1.0 - d) + d * (float(dm) / quant)
+            ranks = tele.join(sums, "node", "left").select(
+                "node", (F.lit(c1) * F.col("__t") + spread).alias("rank")
+            )
+        else:
+            base = (1.0 - d) / n_f + d * (float(dm) / quant) / n_f
+            ranks = nodes.join(sums, "node", "left").select(
+                "node", (F.lit(base) + spread).alias("rank")
+            )
         if checkpoint_every and (t + 1) % checkpoint_every == 0 and t + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -5730,3 +5730,99 @@ def graph_pagerank(spark, sf_dir):
         F.col("c").alias("src"), F.col("s").alias("dst"), "w"
     ).unionByName(base.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
     return graph.pagerank(edges, n_iter=_PR_ITERS, damping=_PR_D, weight_col="w")
+
+
+def _prs_iter(t: int) -> str:
+    """Seeded-iteration CTEs: the message sum is the same shape as the
+    uniform form; the update multiplies the dangling-augmented teleport
+    coefficient by each node's tele value instead of the uniform 1/N
+    (e-notation literals — DuckDB folds plain decimal literals in exact
+    DECIMAL, a one-ulp mismatch vs the engine's double chain)."""
+    return f"""
+    prs_s{t} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             CAST(sum(CAST(floor(((r.rank * CAST(e.w AS DOUBLE)) / CAST(o.ow AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM pr_edges e
+      JOIN pr_ow o ON o.src = e.src
+      JOIN prs_r{t} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    prs_r{t + 1} AS MATERIALIZED (
+      SELECT te.node,
+             ((1.0e0 - {_PR_D}e0) + {_PR_D}e0 * (0.0e0 / 1000000.0e0)) * te.t
+             + {_PR_D}e0 * (CAST(coalesce(s.s, 0) AS DOUBLE) / 1000000.0) AS rank
+      FROM pr_tele te
+      LEFT JOIN prs_s{t} s ON s.node = te.node
+    )"""
+
+
+@register(
+    "graph_pagerank_seeded",
+    f"""
+    WITH pr_e0 AS MATERIALIZED (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+             's' || CAST(l_suppkey AS VARCHAR) AS s,
+             count(*) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    pr_edges AS MATERIALIZED (
+      SELECT c AS src, s AS dst, CAST(w AS BIGINT) AS w FROM pr_e0
+      UNION ALL
+      SELECT s AS src, c AS dst, CAST(w AS BIGINT) AS w FROM pr_e0
+    ),
+    pr_nodes AS MATERIALIZED (
+      SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges
+    ),
+    pr_ow AS MATERIALIZED (
+      SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM pr_edges GROUP BY src
+    ),
+    pr_seedg AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_nationkey = 0
+    ),
+    pr_seed AS MATERIALIZED (
+      SELECT s.node FROM pr_seedg s JOIN pr_nodes n ON n.node = s.node
+    ),
+    pr_ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM pr_seed),
+    pr_tele AS MATERIALIZED (
+      SELECT n.node,
+             CASE WHEN sg.node IS NOT NULL THEN 1.0 / (SELECT ns FROM pr_ns)
+                  ELSE 0.0 END AS t
+      FROM pr_nodes n LEFT JOIN pr_seed sg ON sg.node = n.node
+    ),
+    prs_r0 AS MATERIALIZED (SELECT node, t AS rank FROM pr_tele),
+    {",".join(_prs_iter(i) for i in range(_PR_ITERS))}
+    SELECT node, rank FROM prs_r{_PR_ITERS}
+    """,
+)
+def graph_pagerank_seeded(spark, sf_dir):
+    """Personalized PageRank (operators/graph.py::pagerank(seeds=...)):
+    the walk teleports only to nation-0 customers, so rank measures
+    proximity to that trusted set over the purchase network — the
+    seed-expansion primitive (score sources by closeness to a
+    whitelist). Same quantized message passing, per-node teleport
+    column instead of the uniform base; every iteration unrolled."""
+    from epss_spark.operators import graph
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    cust = T(spark, sf_dir, "customer")
+    base = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .groupBy("c", "s")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = base.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(base.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    seeds = cust.filter(F.col("c_nationkey") == 0).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return graph.pagerank(
+        edges, n_iter=_PR_ITERS, damping=_PR_D, weight_col="w", seeds=seeds
+    )

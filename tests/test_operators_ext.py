@@ -4424,3 +4424,30 @@ def test_pagerank_determinism_and_validations(spark):
     empty = edges.filter("src > 100")
     with pytest.raises(ValueError, match="empty edge list"):
         graph.pagerank(empty, n_iter=1)
+
+
+def test_pagerank_seeded_personalization(spark):
+    """Personalized PageRank: teleporting only to a seed concentrates
+    rank near it; mass conserved; absent seeds raise; uniform path
+    untouched by the new parameter."""
+    from epss_spark.operators import graph
+
+    # path graph a - b - c - d (bidirectional): seed at a must rank a
+    # highest and d lowest; uniform must be symmetric (a==d, b==c)
+    e = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    pr = {r.node: r.rank for r in graph.pagerank(edges, n_iter=12, seeds=seeds).collect()}
+    assert pr["a"] > pr["b"] > pr["c"] > pr["d"]
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-4)
+    uni = {r.node: r.rank for r in graph.pagerank(edges, n_iter=12).collect()}
+    assert uni["a"] == uni["d"] and uni["b"] == uni["c"]
+
+    # seed absent from the graph: loud failure
+    ghost = spark.createDataFrame([("zz",)], "node string")
+    with pytest.raises(ValueError, match="no seed node"):
+        graph.pagerank(edges, n_iter=2, seeds=ghost)
+    # seeds outside + inside: the absent one is ignored, not an error
+    mixed = spark.createDataFrame([("zz",), ("a",)], "node string")
+    pm = {r.node: r.rank for r in graph.pagerank(edges, n_iter=12, seeds=mixed).collect()}
+    assert pm == pr  # tele mass all on 'a' either way
