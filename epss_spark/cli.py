@@ -593,6 +593,11 @@ def build_parser() -> argparse.ArgumentParser:
     gr.add_argument("--damping", type=float, default=0.85)
     gr.add_argument("--top", type=int, default=10,
                     help="print the top-N nodes by rank (0 = silent)")
+    gr.add_argument("--seeds",
+                    help="parquet of trusted seed nodes: personalized "
+                    "PageRank teleports only to them (rank = proximity "
+                    "to the seed set)")
+    gr.add_argument("--seed-col", default="node")
 
     cp = sub.add_parser(
         "compact",
@@ -1469,11 +1474,22 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
+        seeds = None
+        if args.seeds:
+            seeds = spark.read.parquet(args.seeds)
+            if args.seed_col not in seeds.columns:
+                print(
+                    f"graph: no {args.seed_col!r} column in --seeds "
+                    f"(columns: {', '.join(seeds.columns)})",
+                    file=sys.stderr,
+                )
+                return 2
         try:
             ranks = graph_ops.pagerank(
                 edges, n_iter=args.iters, damping=args.damping,
                 src_col=args.src_col, dst_col=args.dst_col,
-                weight_col=args.weight_col,
+                weight_col=args.weight_col, seeds=seeds,
+                seed_col=args.seed_col,
             )
         except ValueError as e:
             print(f"graph: {e}", file=sys.stderr)

@@ -1059,3 +1059,27 @@ def test_cli_graph_pagerank(spark, tmp_path, capsys):
     rc = cli.main(["graph", "--input", edges, "--output", out,
                    "--damping", "2.0"])
     assert rc == 2 and "damping" in capsys.readouterr().err
+
+
+def test_cli_graph_pagerank_seeded(spark, tmp_path, capsys):
+    """graph --seeds: personalized ranks concentrate on the seed; a
+    bad seed column is a usage error."""
+    import epss_spark.cli as cli
+
+    edges = str(tmp_path / "edges2")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    ).write.parquet(edges)
+    seeds = str(tmp_path / "seeds")
+    spark.createDataFrame([("a",)], "node string").write.parquet(seeds)
+    out = str(tmp_path / "ranks2")
+    rc = cli.main(["graph", "--input", edges, "--output", out,
+                   "--seeds", seeds, "--iters", "8", "--top", "0"])
+    assert rc == 0 and "pagerank over 3 nodes" in capsys.readouterr().out
+    ranks = {r.node: r.rank for r in spark.read.parquet(out).collect()}
+    assert ranks["a"] > ranks["b"] > ranks["c"]
+
+    rc = cli.main(["graph", "--input", edges, "--output", out,
+                   "--seeds", seeds, "--seed-col", "nope"])
+    assert rc == 2 and "no 'nope' column" in capsys.readouterr().err
