@@ -98,6 +98,12 @@ def hashed_features(
     a parquet artifact) before a multi-epoch fit."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    clash = {c for c in (id_col, *carry_cols)} & {"x", "n_tokens"}
+    if clash:
+        raise ValueError(
+            f"hashed_features: {sorted(clash)} collide with the output "
+            "columns ('x', 'n_tokens') — rename them before featurizing"
+        )
     ex = docs.select(
         id_col, *carry_cols, F.explode_outer(tokens(text_col)).alias("__tok")
     )

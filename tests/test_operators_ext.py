@@ -4451,3 +4451,16 @@ def test_pagerank_seeded_personalization(spark):
     mixed = spark.createDataFrame([("zz",), ("a",)], "node string")
     pm = {r.node: r.rank for r in graph.pagerank(edges, n_iter=12, seeds=mixed).collect()}
     assert pm == pr  # tele mass all on 'a' either way
+
+
+def test_classifier_featurize_output_collision_guard(spark):
+    """A carry/id column named like an output column would silently
+    produce a duplicate-name frame; the guard names the clash."""
+    from epss_spark.operators import classifier
+
+    df = spark.createDataFrame([(1, "a b", 0.5)], "doc_id long, text string, x double")
+    with pytest.raises(ValueError, match="collide with the output"):
+        classifier.hashed_features(df, dim=4, carry_cols=("x",))
+    df2 = spark.createDataFrame([(1, "a b")], "n_tokens long, text string")
+    with pytest.raises(ValueError, match="collide with the output"):
+        classifier.hashed_features(df2, dim=4, id_col="n_tokens")
