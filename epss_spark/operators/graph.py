@@ -174,3 +174,49 @@ def pagerank(
         if checkpoint_every and (t + 1) % checkpoint_every == 0 and t + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = 1024,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Bipartite-to-unipartite projection: undirected co-occurrence
+    edges (src, dst, w) where w counts the groups in which both items
+    appear — customers shared by two suppliers, sessions shared by two
+    pages, documents shared by two entities. The standard prep step
+    for item-item graphs (feed the result to `pagerank`).
+
+    Scale shape: distinct (group, item) is one keyed exchange; group
+    sizes ride the same key; the within-group self-join co-locates on
+    the group exchange. The quadratic hazard is a HOT GROUP — one
+    group of g items emits g*(g-1)/2 pairs — so groups larger than
+    `max_group_size` are DROPPED entirely (the LSH max_bucket_size /
+    session-paths cap discipline: a documented skew guard, not a
+    silent truncation — pass None for exact mode on data known
+    bounded). Emits src < dst once per pair; `min_weight` prunes the
+    long tail of single-co-occurrence edges before they hit the
+    downstream graph."""
+    if max_group_size is not None and max_group_size < 2:
+        raise ValueError(f"max_group_size must be >= 2 or None, got {max_group_size}")
+    if min_weight < 1:
+        raise ValueError(f"min_weight must be >= 1, got {min_weight}")
+    d = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i")).distinct()
+    if max_group_size is not None:
+        sizes = d.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+        d = d.join(
+            sizes.filter(F.col("__n") <= max_group_size).select("__g"), "__g"
+        )
+    a = d.select(F.col("__g"), F.col("__i").alias("src"))
+    b = d.select(F.col("__g"), F.col("__i").alias("dst"))
+    pairs = (
+        a.join(b, "__g")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    if min_weight > 1:
+        pairs = pairs.filter(F.col("w") >= min_weight)
+    return pairs

@@ -5826,3 +5826,43 @@ def graph_pagerank_seeded(spark, sf_dir):
     return graph.pagerank(
         edges, n_iter=_PR_ITERS, damping=_PR_D, weight_col="w", seeds=seeds
     )
+
+
+@register(
+    "graph_copurchase",
+    """
+    WITH cp_d AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS g, l_suppkey AS i
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    cp_sz AS MATERIALIZED (
+      SELECT g, count(*) AS n FROM cp_d GROUP BY g
+    ),
+    cp_k AS MATERIALIZED (
+      SELECT d.g, d.i FROM cp_d d JOIN cp_sz s ON s.g = d.g WHERE s.n <= 1024
+    )
+    SELECT a.i AS src, b.i AS dst, count(*) AS w
+    FROM cp_k a JOIN cp_k b ON a.g = b.g AND a.i < b.i
+    GROUP BY a.i, b.i
+    HAVING count(*) >= 2
+    """,
+)
+def graph_copurchase(spark, sf_dir):
+    """Bipartite-to-unipartite co-occurrence projection
+    (operators/graph.py::cooccurrence_edges): supplier pairs weighted
+    by shared customers over the purchase network, the prep step that
+    feeds an item-item graph to pagerank. The quadratic hazard is the
+    hot group (one g-item group emits g^2/2 pairs), so groups above
+    max_group_size drop entirely — the LSH max_bucket_size discipline;
+    min_weight prunes the single-co-occurrence tail. Distinct and
+    sizes ride one keyed exchange; the self-join co-locates on it."""
+    from epss_spark.operators import graph
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    pairs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("g"), F.col("l_suppkey").alias("i")
+    )
+    return graph.cooccurrence_edges(
+        pairs, group_col="g", item_col="i", max_group_size=1024, min_weight=2
+    )

@@ -4464,3 +4464,41 @@ def test_classifier_featurize_output_collision_guard(spark):
     df2 = spark.createDataFrame([(1, "a b")], "n_tokens long, text string")
     with pytest.raises(ValueError, match="collide with the output"):
         classifier.hashed_features(df2, dim=4, id_col="n_tokens")
+
+
+def test_cooccurrence_edges_cap_and_weights(spark):
+    """Hand-checkable projection: pair weights count shared groups;
+    the hot-group cap DROPS oversized groups entirely (skew guard, not
+    truncation); min_weight prunes; duplicate (group, item) rows
+    collapse before pairing."""
+    from epss_spark.operators import graph
+
+    rows = [
+        ("g1", "a"), ("g1", "b"), ("g1", "b"),  # dupe collapses
+        ("g2", "a"), ("g2", "b"), ("g2", "c"),
+        ("hot", "a"), ("hot", "b"), ("hot", "c"), ("hot", "d"),
+    ]
+    df = spark.createDataFrame(rows, "g string, i string")
+    got = {
+        (r.src, r.dst): r.w
+        for r in graph.cooccurrence_edges(df, "g", "i", max_group_size=3).collect()
+    }
+    # hot (4 items) dropped; a-b co-occur in g1+g2, a-c/b-c only in g2
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    pruned = {
+        (r.src, r.dst): r.w
+        for r in graph.cooccurrence_edges(
+            df, "g", "i", max_group_size=3, min_weight=2
+        ).collect()
+    }
+    assert pruned == {("a", "b"): 2}
+    # exact mode keeps the hot group
+    exact = {
+        (r.src, r.dst): r.w
+        for r in graph.cooccurrence_edges(df, "g", "i", max_group_size=None).collect()
+    }
+    assert exact[("a", "d")] == 1 and exact[("a", "b")] == 3
+    with pytest.raises(ValueError, match="max_group_size"):
+        graph.cooccurrence_edges(df, "g", "i", max_group_size=1)
+    with pytest.raises(ValueError, match="min_weight"):
+        graph.cooccurrence_edges(df, "g", "i", min_weight=0)
