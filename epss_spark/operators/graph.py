@@ -182,6 +182,7 @@ def cooccurrence_edges(
     item_col: str,
     max_group_size: int | None = 1024,
     min_weight: int = 1,
+    normalize: str | None = None,
 ) -> DataFrame:
     """Bipartite-to-unipartite projection: undirected co-occurrence
     edges (src, dst, w) where w counts the groups in which both items
@@ -198,11 +199,20 @@ def cooccurrence_edges(
     silent truncation — pass None for exact mode on data known
     bounded). Emits src < dst once per pair; `min_weight` prunes the
     long tail of single-co-occurrence edges before they hit the
-    downstream graph."""
+    downstream graph.
+
+    `normalize="jaccard"` adds a `jaccard` column = w / (deg(src) +
+    deg(dst) - w) over the CAPPED group universe — raw counts favor
+    globally popular items; Jaccard asks what fraction of either
+    item's groups are shared. One extra per-item degree aggregate
+    (rides the same distinct) + two pair-side joins; the single
+    division is IEEE-exact, so the column stays oracle-checkable."""
     if max_group_size is not None and max_group_size < 2:
         raise ValueError(f"max_group_size must be >= 2 or None, got {max_group_size}")
     if min_weight < 1:
         raise ValueError(f"min_weight must be >= 1, got {min_weight}")
+    if normalize not in (None, "jaccard"):
+        raise ValueError(f"normalize must be None or 'jaccard', got {normalize!r}")
     d = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i")).distinct()
     if max_group_size is not None:
         sizes = d.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
@@ -219,4 +229,19 @@ def cooccurrence_edges(
     )
     if min_weight > 1:
         pairs = pairs.filter(F.col("w") >= min_weight)
+    if normalize == "jaccard":
+        deg = d.groupBy("__i").agg(F.count(F.lit(1)).alias("__deg"))
+        pairs = (
+            pairs.join(deg.select(F.col("__i").alias("src"), F.col("__deg").alias("__da")), "src")
+            .join(deg.select(F.col("__i").alias("dst"), F.col("__deg").alias("__db")), "dst")
+            .select(
+                "src",
+                "dst",
+                "w",
+                (
+                    F.col("w").cast("double")
+                    / (F.col("__da") + F.col("__db") - F.col("w")).cast("double")
+                ).alias("jaccard"),
+            )
+        )
     return pairs

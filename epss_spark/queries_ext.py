@@ -5840,11 +5840,21 @@ def graph_pagerank_seeded(spark, sf_dir):
     ),
     cp_k AS MATERIALIZED (
       SELECT d.g, d.i FROM cp_d d JOIN cp_sz s ON s.g = d.g WHERE s.n <= 1024
+    ),
+    cp_deg AS MATERIALIZED (
+      SELECT i, count(*) AS deg FROM cp_k GROUP BY i
+    ),
+    cp_p AS MATERIALIZED (
+      SELECT a.i AS src, b.i AS dst, count(*) AS w
+      FROM cp_k a JOIN cp_k b ON a.g = b.g AND a.i < b.i
+      GROUP BY a.i, b.i
+      HAVING count(*) >= 2
     )
-    SELECT a.i AS src, b.i AS dst, count(*) AS w
-    FROM cp_k a JOIN cp_k b ON a.g = b.g AND a.i < b.i
-    GROUP BY a.i, b.i
-    HAVING count(*) >= 2
+    SELECT p.src, p.dst, p.w,
+           CAST(p.w AS DOUBLE) / CAST(da.deg + db.deg - p.w AS DOUBLE) AS jaccard
+    FROM cp_p p
+    JOIN cp_deg da ON da.i = p.src
+    JOIN cp_deg db ON db.i = p.dst
     """,
 )
 def graph_copurchase(spark, sf_dir):
@@ -5864,5 +5874,6 @@ def graph_copurchase(spark, sf_dir):
         F.col("o_custkey").alias("g"), F.col("l_suppkey").alias("i")
     )
     return graph.cooccurrence_edges(
-        pairs, group_col="g", item_col="i", max_group_size=1024, min_weight=2
+        pairs, group_col="g", item_col="i", max_group_size=1024, min_weight=2,
+        normalize="jaccard",
     )

@@ -4502,3 +4502,20 @@ def test_cooccurrence_edges_cap_and_weights(spark):
         graph.cooccurrence_edges(df, "g", "i", max_group_size=1)
     with pytest.raises(ValueError, match="min_weight"):
         graph.cooccurrence_edges(df, "g", "i", min_weight=0)
+
+
+def test_cooccurrence_jaccard_normalization(spark):
+    """normalize='jaccard': w / (deg_src + deg_dst - w) over the capped
+    universe — exact on a hand graph; invalid mode refused."""
+    from epss_spark.operators import graph
+
+    rows = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"), ("g3", "a")]
+    df = spark.createDataFrame(rows, "g string, i string")
+    got = {
+        (r.src, r.dst): (r.w, r.jaccard)
+        for r in graph.cooccurrence_edges(df, "g", "i", normalize="jaccard").collect()
+    }
+    # a in 3 groups, b in 2; shared 2 -> jaccard 2/(3+2-2)
+    assert got == {("a", "b"): (2, 2 / 3)}
+    with pytest.raises(ValueError, match="normalize"):
+        graph.cooccurrence_edges(df, "g", "i", normalize="cosine")
