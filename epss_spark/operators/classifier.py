@@ -509,6 +509,67 @@ def calibration_report(
     )
 
 
+def auc_report(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact ROC-AUC as ONE row (auc, n_pos, n_neg) — the
+    Mann-Whitney formulation over integer pair counts: AUC =
+    (#(pos > neg) + 0.5 * #(pos == neg)) / (n_pos * n_neg), kept
+    bit-exact by summing 2x the pair count as BIGINT
+    (2*n_pos*cum_neg_below + n_pos*n_neg_at per distinct score) and
+    dividing once at the end with a fixed chain.
+
+    Scale shape: the per-score collapse is one keyed aggregate; the
+    running negative count is a window over DISTINCT scores only —
+    cardinality bounded by the score grain (quantize scores upstream
+    if a continuous scorer must stay window-safe), never by row count.
+    Raises on degenerate inputs (no positives or no negatives — AUC is
+    undefined, not 0)."""
+    y = F.col(label_col).cast("double")
+    per_score = (
+        scored.select(F.col(score_col).alias("__sc"), y.alias("__y"))
+        .groupBy("__sc")
+        .agg(
+            F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0)).cast("long").alias("__np"),
+            F.sum(F.when(F.col("__y") == 0.0, 1).otherwise(0)).cast("long").alias("__nn"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wnd = Window.orderBy("__sc").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.select(
+        "__np",
+        "__nn",
+        F.coalesce(F.sum("__nn").over(wnd), F.lit(0)).cast("long").alias("__below"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.lit(2) * F.col("__np") * F.col("__below") + F.col("__np") * F.col("__nn")
+        ).cast("long").alias("__s2"),
+        F.sum("__np").cast("long").alias("n_pos"),
+        F.sum("__nn").cast("long").alias("n_neg"),
+    )
+    row = agg.collect()[0]
+    if not row["n_pos"] or not row["n_neg"]:
+        raise ValueError(
+            f"auc_report: need both classes (n_pos={row['n_pos']}, "
+            f"n_neg={row['n_neg']}) — AUC is undefined otherwise"
+        )
+    return scored.sparkSession.createDataFrame(
+        [
+            (
+                (float(row["__s2"]) / 2.0)
+                / (float(row["n_pos"]) * float(row["n_neg"])),
+                row["n_pos"],
+                row["n_neg"],
+            )
+        ],
+        "auc double, n_pos long, n_neg long",
+    )
+
+
 def write_linear_model(
     spark,
     weights: Sequence[float],

@@ -5877,3 +5877,48 @@ def graph_copurchase(spark, sf_dir):
         pairs, group_col="g", item_col="i", max_group_size=1024, min_weight=2,
         normalize="jaccard",
     )
+
+
+@register(
+    "classify_auc",
+    f"""
+    WITH {_CLF_BASE},
+    clf_sc AS (
+      SELECT f.doc_id, f.y,
+             list_sum(list_transform(range(1, {_CLF_DIM + 1}), j -> f.x[j] * w.wl[j])) + w.b AS z
+      FROM clf_feats f CROSS JOIN clf_w{_CLF_EPOCHS} w
+    ),
+    clf_ps AS MATERIALIZED (
+      SELECT 0.5 + 0.5 * (z / (1.0 + abs(z))) AS sc,
+             CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      FROM clf_sc GROUP BY 1
+    ),
+    clf_cum AS (
+      SELECT np, nn,
+             CAST(coalesce(sum(nn) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+      FROM clf_ps
+    ),
+    clf_agg AS (
+      SELECT CAST(sum(2 * np * below + np * nn) AS BIGINT) AS s2,
+             CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg
+      FROM clf_cum
+    )
+    SELECT (CAST(s2 AS DOUBLE) / 2.0) / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+           n_pos, n_neg
+    FROM clf_agg
+    """,
+)
+def classify_auc(spark, sf_dir):
+    """Exact ROC-AUC of the trained model
+    (operators/classifier.py::auc_report): the Mann-Whitney pair count
+    over integer aggregates — one keyed per-score collapse + a window
+    over DISTINCT scores only, never a row-grain global sort. The
+    third leg of the evaluation loop (accuracy in
+    classify_linear_quality, calibration in classify_calibration)."""
+    docs, w, b = _clf_train(spark, sf_dir)
+    feats = classifier.hashed_features(
+        docs, dim=_CLF_DIM, feature_scale=_CLF_SCALE, carry_cols=("y",)
+    )
+    scored = classifier.linear_score(feats, w, b)
+    return classifier.auc_report(scored, label_col="y")

@@ -4519,3 +4519,28 @@ def test_cooccurrence_jaccard_normalization(spark):
     assert got == {("a", "b"): (2, 2 / 3)}
     with pytest.raises(ValueError, match="normalize"):
         graph.cooccurrence_edges(df, "g", "i", normalize="cosine")
+
+
+def test_classifier_auc_closed_form(spark):
+    """AUC against hand-computed Mann-Whitney values, including the
+    tie (0.5 credit) and degenerate-class refusal."""
+    from epss_spark.operators import classifier
+
+    # scores: pos {0.9, 0.6}, neg {0.7, 0.2} -> pairs: (0.9 beats both)
+    # + (0.6 beats 0.2 only) = 3 of 4 -> AUC 0.75
+    df = spark.createDataFrame(
+        [(0.9, 1.0), (0.6, 1.0), (0.7, 0.0), (0.2, 0.0)], "score double, y double"
+    )
+    r = classifier.auc_report(df, "y").collect()[0]
+    assert (r.auc, r.n_pos, r.n_neg) == (0.75, 2, 2)
+
+    # tie at 0.5: pos {0.5}, neg {0.5, 0.1} -> 1 win + 0.5 tie of 2 = 0.75
+    t = spark.createDataFrame(
+        [(0.5, 1.0), (0.5, 0.0), (0.1, 0.0)], "score double, y double"
+    )
+    rt = classifier.auc_report(t, "y").collect()[0]
+    assert (rt.auc, rt.n_pos, rt.n_neg) == (0.75, 1, 2)
+
+    only_pos = spark.createDataFrame([(0.9, 1.0)], "score double, y double")
+    with pytest.raises(ValueError, match="need both classes"):
+        classifier.auc_report(only_pos, "y")

@@ -52,8 +52,8 @@ def test_registry_counts():
     """Pins the audit-trail numbers quoted in README.md (registered and
     off-surface query counts): if the registry grows or shrinks, update
     README.md and this test together."""
-    assert len(registry.get_all_queries()) == 189
-    assert len(demoted_names()) == 139
+    assert len(registry.get_all_queries()) == 190
+    assert len(demoted_names()) == 140
     # every registered query has a full DuckDB oracle — the README's
     # headline claim, verified, not asserted
     assert set(registry.get_all_oracles()) == set(registry.get_all_queries())
