@@ -4185,6 +4185,7 @@ def test_cluster_boundary_semantics(spark):
 # operators/classifier.py — the in-engine trainable linear classifier
 
 
+@pytest.mark.slow  # full registry-shape train/iterate at sf0.001
 def test_classifier_learns_stopword_signal(spark):
     """End-to-end sanity on the real corpus: 10 GD epochs of the hashed
     linear model reach well-above-chance train accuracy distilling the
@@ -4426,6 +4427,7 @@ def test_pagerank_determinism_and_validations(spark):
         graph.pagerank(empty, n_iter=1)
 
 
+@pytest.mark.slow  # full registry-shape train/iterate at sf0.001
 def test_pagerank_seeded_personalization(spark):
     """Personalized PageRank: teleporting only to a seed concentrates
     rank near it; mass conserved; absent seeds raise; uniform path
