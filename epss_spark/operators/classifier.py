@@ -81,6 +81,7 @@ def hashed_features(
     text_col: str = "text",
     feature_scale: float = 8.0,
     carry_cols: Sequence[str] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, x: array<double>[dim], n_tokens) — the hashing-trick dense
     feature vector: x_j = (count of tokens hashing to bucket j / doc
@@ -95,7 +96,15 @@ def hashed_features(
 
     Two exchanges total ((id, bucket) count, then the per-doc fold),
     run once; training scans the result, so persist it (or write it as
-    a parquet artifact) before a multi-epoch fit."""
+    a parquet artifact) before a multi-epoch fit.
+
+    `tokens_col` (optimization round 14): a caller that has ALREADY
+    tokenized `text_col` (e.g. to derive a label from the same token
+    array) can name that array<string> column and skip the second
+    regex/normalize pass here — the per-doc tokenize is the dominant
+    cost of featurize at bench scale (guide §2.3: don't compute things
+    twice before the exchange). Values are identical by construction
+    (the column must be `tokens(text_col)` of the same rows)."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     clash = {c for c in (id_col, *carry_cols)} & {"x", "n_tokens"}
@@ -104,8 +113,9 @@ def hashed_features(
             f"hashed_features: {sorted(clash)} collide with the output "
             "columns ('x', 'n_tokens') — rename them before featurizing"
         )
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
     ex = docs.select(
-        id_col, *carry_cols, F.explode_outer(tokens(text_col)).alias("__tok")
+        id_col, *carry_cols, F.explode_outer(toks).alias("__tok")
     )
     jc = ex.select(
         id_col,
@@ -386,9 +396,16 @@ def _gradient_batched(
                 np.add(acc, tmp, out=acc)
             acc += bias
             r = (0.5 + 0.5 * (acc / (1.0 + np.abs(acc)))) - yv
-            g = np.empty(dim, dtype=np.int64)
-            for j in range(dim):
-                g[j] = np.floor((r * x[:, j]) * quant + 0.5).astype(np.int64).sum()
+            # one 2-D pass over all dims (optimization r14): the
+            # elementwise chain floor((r*x_j)*quant + 0.5) is the same
+            # IEEE sequence as the former per-j loop (broadcasting is
+            # elementwise), and the per-column int64 sum is exact in
+            # any order — bit-identical partials, ~dim fewer passes
+            g = (
+                np.floor((r[:, None] * x) * quant + 0.5)
+                .astype(np.int64)
+                .sum(axis=0)
+            )
             gb = int(np.floor(r * quant + 0.5).astype(np.int64).sum())
             yield pd.DataFrame({"n": [m], "gb": [gb], "g": [g.tolist()]})
 

@@ -5497,28 +5497,53 @@ _CLF_BASE = f"""
     {",".join(_clf_epoch(i) for i in range(_CLF_EPOCHS))}"""
 
 
-def _clf_label_col():
+def _clf_label_col(tokens_col: str | None = None):
     """stop_frac >= 0.06 as a 0/1 double — mirrors clf_lab exactly:
-    CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)."""
-    tk = text.tokens("text")
+    CAST(n_stop AS DOUBLE) / greatest(n_tok, 1). With `tokens_col`,
+    reuses an already-computed tokens(text) array instead of
+    re-tokenizing (identical values — same expressions over the same
+    array)."""
+    tk = F.col(tokens_col) if tokens_col else text.tokens("text")
     n_stop = F.size(F.filter(tk, lambda x: x.isin(*text.STOPWORDS_EN)))
     frac = n_stop.cast("double") / F.greatest(F.size(tk), F.lit(1))
     return F.when(frac >= 0.06, F.lit(1.0)).otherwise(F.lit(0.0))
 
 
-def _clf_train(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents").select(
-        "doc_id", "text", _clf_label_col().alias("y")
+def _clf_train(spark, sf_dir, keep_feats: bool = False):
+    """Shared train chain for the classify_* tier. Optimization r14
+    (guide §2.3/§5): tokenize ONCE — the label and the feature buckets
+    both read the same `__tks` array (the double regex/normalize pass
+    was the dominant featurize cost at bench scale; subexpression
+    elimination dedups it within the one projection) — and with
+    `keep_feats=True` the PERSISTED featurize artifact is returned for
+    the caller's scoring pass instead of being unpersisted and
+    recomputed from raw text (the scoring re-featurize was a full
+    second scan+tokenize+2-exchange pass). Caller contract: the
+    returned feats stays persisted (driver-sized at every SF the
+    harness runs; the bench clears the cache between timed runs)."""
+    toked = T(spark, sf_dir, "documents").select(
+        "doc_id", text.tokens("text").alias("__tks")
+    )
+    docs = toked.select(
+        "doc_id", _clf_label_col("__tks").alias("y"), "__tks"
     )
     feats = classifier.hashed_features(
-        docs, dim=_CLF_DIM, feature_scale=_CLF_SCALE, carry_cols=("y",)
+        docs, dim=_CLF_DIM, feature_scale=_CLF_SCALE, carry_cols=("y",),
+        tokens_col="__tks",
     ).persist()
     try:
         w, b = classifier.linear_fit(
             feats, dim=_CLF_DIM, n_epochs=_CLF_EPOCHS, lr=_CLF_LR
         )
-    finally:
+    except Exception:
         feats.unpersist()
+        raise
+    if keep_feats:
+        return feats, w, b
+    feats.unpersist()
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", _clf_label_col().alias("y")
+    )
     return docs, w, b
 
 
@@ -5564,11 +5589,15 @@ def classify_linear_quality(spark, sf_dir):
     score, pred), scores bit-exact against the oracle's full GD replay.
     Scoring is a map-only codegen projection (plan-literal weights, the
     k-means-assignment pattern); above BATCHED_SCORE_DIMS the Arrow
-    kernel path takes over, pinned bit-identical in pytest."""
-    docs, w, b = _clf_train(spark, sf_dir)
-    feats = classifier.hashed_features(
-        docs, dim=_CLF_DIM, feature_scale=_CLF_SCALE, carry_cols=("y",)
-    )
+    kernel path takes over, pinned bit-identical in pytest.
+
+    Optimization r14: scoring reads the SAME persisted featurize
+    artifact training just scanned (keep_feats) instead of
+    re-tokenizing + re-aggregating the corpus from raw text — the
+    re-featurize was a full duplicate of the most expensive stage
+    (before/after plans in plans/r14/, numbers in
+    OPTIMIZATION_r14.md)."""
+    feats, w, b = _clf_train(spark, sf_dir, keep_feats=True)
     scored = classifier.linear_score(feats, w, b)
     return scored.select(
         "doc_id",
@@ -5916,9 +5945,6 @@ def classify_auc(spark, sf_dir):
     over DISTINCT scores only, never a row-grain global sort. The
     third leg of the evaluation loop (accuracy in
     classify_linear_quality, calibration in classify_calibration)."""
-    docs, w, b = _clf_train(spark, sf_dir)
-    feats = classifier.hashed_features(
-        docs, dim=_CLF_DIM, feature_scale=_CLF_SCALE, carry_cols=("y",)
-    )
+    feats, w, b = _clf_train(spark, sf_dir, keep_feats=True)
     scored = classifier.linear_score(feats, w, b)
     return classifier.auc_report(scored, label_col="y")
