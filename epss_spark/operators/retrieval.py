@@ -167,21 +167,25 @@ def bm25_index(
     bounded N/avgdl/df stats are computed at QUERY time, so they are
     always current).
 
-    Scale shape: one tokenize pass, explode to (id, term) and one hash
-    aggregate on (term, id) with map-side partials (hot terms collapse
-    per task); doc_stats is a pure projection of the same tokenize —
-    computed as its own scan branch (bounded columns, cheaper than
-    carrying dl through the explode)."""
+    Scale shape: ONE tokenize pass shared by both outputs (optimization
+    r14): the token frame is persisted (evictable MEMORY_AND_DISK) and
+    the postings explode + (term, id) hash aggregate AND the doc_stats
+    length projection both read it — the previous shape re-scanned and
+    re-tokenized the corpus for doc_stats as its own branch, which
+    doubled the dominant cost (the regex tokenize) every time both
+    artifacts are materialized together. Map-side partials on the
+    (term, id) aggregate still collapse hot terms per task."""
     from epss_spark.operators.layout import ensure_parallelism
 
     base = ensure_parallelism(docs)
+    toked = base.select(id_col, tokens(text_col).alias("__tks")).persist()
     postings = (
-        base.select(id_col, F.explode_outer(tokens(text_col)).alias("term"))
+        toked.select(id_col, F.explode_outer("__tks").alias("term"))
         .where(F.col("term").isNotNull())
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    doc_stats = base.select(id_col, F.size(tokens(text_col)).alias("dl"))
+    doc_stats = toked.select(id_col, F.size("__tks").alias("dl"))
     return postings, doc_stats
 
 
