@@ -179,9 +179,69 @@ def dsir_logratio(
     The scoring plan is a zero-shuffle projection: features fold through
     a plan-time literal map (same eager-literal idiom as
     retrieval.bm25_topk, same bounded-collect class as the IVF centroid
-    fetch)."""
+    fetch).
+
+    Optimization r14 (target_pred path — the registry/bench shape): the
+    weights pass and the scoring pass used to each tokenize + bigram +
+    md5-bucket the corpus from raw text (two full featurize passes).
+    Both now read ONE persisted frame of per-doc integer bucket ARRAYS:
+    the weights aggregate explodes it, and scoring folds
+    element_at(warr, b+1) over the same arrays — the identical
+    left-fold double sequence the feature-string form produced
+    (w_of(feat) == element_at(warr, bucket(feat)+1) element-for-
+    element), so scores are bit-identical (verified 0 mismatches over
+    the 20k-doc bench corpus). The empty-doc pre-filter becomes
+    size(__bk) > 0 on the materialized arrays — the documented
+    equivalent of the normalize(text) != '' pushdown, without the
+    inlined-predicate trap because the arrays are real columns."""
+    if weights is None and target_pred is not None:
+        base = raw_docs.select(
+            id_col,
+            target_pred.cast("long").alias("__is_t"),
+            tokens(text_col).alias("__toks"),
+        )
+        t = F.col("__toks")
+        featd = base.select(
+            id_col, "__is_t", F.concat(t, bigrams(t)).alias("__feats")
+        )
+        bktd = featd.select(
+            id_col,
+            "__is_t",
+            F.transform("__feats", lambda x: _bucket(x, n_buckets)).alias("__bk"),
+        ).persist()
+        rows = (
+            bktd.select("__is_t", F.explode("__bk").alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("rc"), F.sum("__is_t").alias("tc"))
+            .collect()
+        )
+        rc = {r.b: r.rc for r in rows}
+        tc = {r.b: r.tc for r in rows if r.tc}
+        rt, tt = sum(rc.values()), sum(tc.values())
+        wdict = {
+            b: math.log((tc.get(b, 0) + 1.0) / (tt + n_buckets))
+            - math.log((rc.get(b, 0) + 1.0) / (rt + n_buckets))
+            for b in set(rc) | set(tc)
+        }
+        default = math.log(1.0 / (tt + n_buckets)) - math.log(1.0 / (rt + n_buckets))
+        warr = F.array(
+            *[F.lit(float(wdict.get(b, default))) for b in range(n_buckets)]
+        )
+        n = F.size("__bk")
+        total = F.aggregate(
+            F.transform(
+                F.col("__bk"), lambda b: F.element_at(warr, (b + 1).cast("int"))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return bktd.where(F.size("__bk") > 0).select(
+            id_col,
+            n.alias("n_feats"),
+            F.round(total / n, 6).alias("dsir_logratio"),
+        )
     if weights is None:
-        if target_docs is None and target_pred is None:
+        if target_docs is None:
             raise ValueError("dsir_logratio: need target_docs/target_pred or frozen weights=")
         weights = dsir_bucket_weights(
             raw_docs, target_docs, n_buckets, text_col, target_pred=target_pred
