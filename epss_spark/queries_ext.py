@@ -4736,8 +4736,15 @@ def cluster_kmeans(spark, sf_dir):
     per-cluster diagnostics (size, mean squared distance, centroid norm)
     over the final assignment. Training is n_iter map-side-combinable
     aggregates collecting only the k-row model; assignment is pure
-    codegen. The oracle re-runs both iterations CTE-for-CTE."""
-    emb = T(spark, sf_dir, "embeddings")
+    codegen. The oracle re-runs both iterations CTE-for-CTE.
+
+    Optimization r14: the projected (vec_id, embedding) corpus is
+    persisted once — the init fetch, each Lloyd iteration, and the
+    final stats pass all scanned and array-decoded the parquet anew
+    (training is eager, so Spark cannot share the scans itself)."""
+    emb = (
+        T(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    )
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
     return clustering.kmeans_stats(emb, cents)
@@ -5088,7 +5095,9 @@ def cluster_kmeans_weighted(spark, sf_dir):
     oracle replays both weighted iterations CTE-for-CTE. Output is the
     same per-cluster stats shape as cluster_kmeans, over the weighted
     model's final assignment."""
-    emb = T(spark, sf_dir, "embeddings")
+    emb = (
+        T(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    )  # one scan for init + 2 weighted iterations + stats (r14, as cluster_kmeans)
     weighted = emb.withColumn("__w", (F.col("vec_id") % 5 + 1).cast("long"))
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(weighted, init, n_iter=2, dim=64, weight_col="__w")
