@@ -3948,8 +3948,13 @@ def ann_pq_topk(spark, sf_dir):
     fixed vec_ids as ann_ivf), queries scored against the COMPRESSED
     corpus via per-query distance tables. The scan-side representation a
     100 TB embedding store actually keeps (64x less I/O than raw floats).
-    No reference counterpart (epss/ has no vector ops); extension tier."""
-    emb = T(spark, sf_dir, "embeddings")
+    No reference counterpart (epss/ has no vector ops); extension tier.
+
+    Optimization r14: corpus persisted once (codebook-sample collect +
+    query filter + encode scan shared), as in ann_ivfpq_rerank."""
+    emb = (
+        T(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    )
     books = similarity.sampled_pq_centroids(emb, _IVF_CENT_IDS, m=4)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.pq_topk(queries, emb, books, k=5)
@@ -4621,8 +4626,15 @@ def ann_ivfpq_rerank(spark, sf_dir):
     the Jegou et al. 2011 two-stage pipeline that recovers the recall the
     24-bit codes lose (PERF.md round-8 recall table). The bounded
     shortlist broadcasts against the raw-vector point lookups; the
-    oracle replays ADC CTE-for-CTE and the exact-cosine window."""
-    emb = T(spark, sf_dir, "embeddings")
+    oracle replays ADC CTE-for-CTE and the exact-cosine window.
+
+    Optimization r14: the projected corpus is persisted once — the
+    centroid fetch, codebook sampling, inline index derivation, and the
+    rerank's raw-vector lookups each re-scanned the parquet otherwise
+    (two eager collects + two scan branches in the final action)."""
+    emb = (
+        T(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    )
     by_id = {
         r.vec_id: [float(x) for x in r.embedding]
         for r in emb.filter(F.col("vec_id").isin(_IVF_CENT_IDS)).collect()
