@@ -368,8 +368,21 @@ def event_funnel(
                 lambda acc: acc["step"],
             )
         reached_df = per_key.select(reached.alias("__r"))
-    hist = dict(reached_df.groupBy("__r").count().collect())
-    base = events.select(key).distinct().count()
+    # Optimization r14 (guide §2.6): the step-histogram fold and the
+    # distinct-key base count are independent eager jobs over different
+    # row sets — submit both from a 2-thread pool so the base count's
+    # tasks back-fill executors freed by the fold's straggler tail
+    # (sequential: fold + count; overlapped: ~max of the two). Results
+    # are unchanged — two exact, independent aggregates.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        hist_f = pool.submit(
+            lambda: dict(reached_df.groupBy("__r").count().collect())
+        )
+        base_f = pool.submit(lambda: events.select(key).distinct().count())
+        hist = hist_f.result()
+        base = base_f.result()
     rows, prev = [], base
     for i, s in enumerate(steps):
         n = sum(c for r, c in hist.items() if r >= i + 1)
