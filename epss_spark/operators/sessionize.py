@@ -417,10 +417,16 @@ def event_transitions(
     bounded by |event types|^2 regardless of row count; the probability
     window runs on that bounded aggregate. No joins, no collect."""
     w = Window.partitionBy(key).orderBy(F.col(time).asc(), F.col(tiebreak).asc())
-    pairs = events.select(
-        F.col(type_col).alias("from_type"),
-        F.lead(type_col).over(w).alias("to_type"),
-    ).filter(F.col("to_type").isNotNull())
+    # alias AFTER the window, not before: a pre-window alias ships the
+    # event-type string through the key exchange TWICE (once as itself for
+    # the lead(), once under the alias) — renaming on the post-window
+    # projection keeps the shuffle one string column narrower
+    pairs = (
+        events.select(key, time, tiebreak, type_col)
+        .select(F.col(type_col), F.lead(type_col).over(w).alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col(type_col).alias("from_type"), "to_type")
+    )
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )
