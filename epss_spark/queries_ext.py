@@ -3948,13 +3948,8 @@ def ann_pq_topk(spark, sf_dir):
     fixed vec_ids as ann_ivf), queries scored against the COMPRESSED
     corpus via per-query distance tables. The scan-side representation a
     100 TB embedding store actually keeps (64x less I/O than raw floats).
-    No reference counterpart (epss/ has no vector ops); extension tier.
-
-    Optimization r14: corpus persisted once (codebook-sample collect +
-    query filter + encode scan shared), as in ann_ivfpq_rerank."""
-    emb = (
-        T(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
-    )
+    No reference counterpart (epss/ has no vector ops); extension tier."""
+    emb = T(spark, sf_dir, "embeddings")
     books = similarity.sampled_pq_centroids(emb, _IVF_CENT_IDS, m=4)
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.pq_topk(queries, emb, books, k=5)
@@ -4626,15 +4621,8 @@ def ann_ivfpq_rerank(spark, sf_dir):
     the Jegou et al. 2011 two-stage pipeline that recovers the recall the
     24-bit codes lose (PERF.md round-8 recall table). The bounded
     shortlist broadcasts against the raw-vector point lookups; the
-    oracle replays ADC CTE-for-CTE and the exact-cosine window.
-
-    Optimization r14: the projected corpus is persisted once — the
-    centroid fetch, codebook sampling, inline index derivation, and the
-    rerank's raw-vector lookups each re-scanned the parquet otherwise
-    (two eager collects + two scan branches in the final action)."""
-    emb = (
-        T(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
-    )
+    oracle replays ADC CTE-for-CTE and the exact-cosine window."""
+    emb = T(spark, sf_dir, "embeddings")
     by_id = {
         r.vec_id: [float(x) for x in r.embedding]
         for r in emb.filter(F.col("vec_id").isin(_IVF_CENT_IDS)).collect()
@@ -4748,15 +4736,8 @@ def cluster_kmeans(spark, sf_dir):
     per-cluster diagnostics (size, mean squared distance, centroid norm)
     over the final assignment. Training is n_iter map-side-combinable
     aggregates collecting only the k-row model; assignment is pure
-    codegen. The oracle re-runs both iterations CTE-for-CTE.
-
-    Optimization r14: the projected (vec_id, embedding) corpus is
-    persisted once — the init fetch, each Lloyd iteration, and the
-    final stats pass all scanned and array-decoded the parquet anew
-    (training is eager, so Spark cannot share the scans itself)."""
-    emb = (
-        T(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
-    )
+    codegen. The oracle re-runs both iterations CTE-for-CTE."""
+    emb = T(spark, sf_dir, "embeddings")
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(emb, init, n_iter=2, dim=64)
     return clustering.kmeans_stats(emb, cents)
@@ -5107,9 +5088,7 @@ def cluster_kmeans_weighted(spark, sf_dir):
     oracle replays both weighted iterations CTE-for-CTE. Output is the
     same per-cluster stats shape as cluster_kmeans, over the weighted
     model's final assignment."""
-    emb = (
-        T(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
-    )  # one scan for init + 2 weighted iterations + stats (r14, as cluster_kmeans)
+    emb = T(spark, sf_dir, "embeddings")
     weighted = emb.withColumn("__w", (F.col("vec_id") % 5 + 1).cast("long"))
     init = clustering.init_centroids_by_id(emb, _KM_IDS)
     cents = clustering.kmeans_fit(weighted, init, n_iter=2, dim=64, weight_col="__w")
