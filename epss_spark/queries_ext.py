@@ -618,15 +618,18 @@ def dedup_minhash_incremental(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     idx_docs = docs.filter(F.col("doc_id") % 2 == 0)
     new_docs = docs.filter(F.col("doc_id") % 2 == 1)
-    # pass UNPERSISTED shingle frames: a registered query's DataFrame
-    # outlives this function, so the shmap=None fire-and-forget persist
-    # would leak executor storage per invocation in a long-lived session
-    # (the CLI/streaming/example callers scope it with shingle_cache)
+    # persisted shingle frames (optimization r14, dedup_spans' evictable
+    # fire-and-forget cache contract): each frame has multiple consumers
+    # (band rows + the verify join; new_shmap also feeds the re-crawl
+    # anti-join) and Spark does not dedupe common subplans, so the
+    # unpersisted form re-ran the normalize+shingle scan per consumer.
+    # Bench/driver clear caches between runs; long-lived sessions scope
+    # the lifecycle with shingle_cache (CLI/streaming callers do).
     idx_bands, idx_sh = dedup.minhash_index(
         idx_docs,
         num_hashes=_NUM_HASHES,
         bands=_BANDS,
-        shmap=dedup.shingle_arrays(idx_docs),
+        shmap=dedup.shingle_arrays(idx_docs).persist(),
     )
     return dedup.minhash_lookup(
         new_docs,
@@ -635,7 +638,7 @@ def dedup_minhash_incremental(spark, sf_dir):
         num_hashes=_NUM_HASHES,
         bands=_BANDS,
         threshold=0.5,
-        new_shmap=dedup.shingle_arrays(new_docs),
+        new_shmap=dedup.shingle_arrays(new_docs).persist(),
     )
 
 
@@ -721,15 +724,17 @@ def dedup_decontam_near(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     eval_docs = docs.filter(F.col("doc_id") % 2 == 1)
-    # unpersisted shmap: registered-query DataFrames outlive this call
-    # (dedup_minhash_incremental precedent)
+    # persisted shmap (optimization r14, dedup_spans' fire-and-forget
+    # cache contract): decontaminate_near reads the corpus shingles
+    # twice (band rows + verify join) — one shingle pass, both read the
+    # cache; bench/driver clear caches between runs.
     return dedup.decontaminate_near(
         corpus,
         eval_docs,
         num_hashes=_NUM_HASHES,
         bands=_BANDS,
         threshold=0.5,
-        shmap=dedup.shingle_arrays(corpus),
+        shmap=dedup.shingle_arrays(corpus).persist(),
     ).select("doc_id", "source", "n_chars")
 
 
@@ -3365,8 +3370,12 @@ def dedup_contamination_report(spark, sf_dir):
     # fixed-id anchor centroids (no training: they only confine the
     # semantic pair scan; the oracle replays them as a VALUES join)
     anchors = clustering.init_centroids_by_id(emb, _KM_IDS)
-    # unpersisted shmap: registered-query DataFrames outlive this call
-    # (dedup_minhash_incremental precedent)
+    # persisted shmap (optimization r14, same evictable fire-and-forget
+    # contract as dedup_spans' token cache): the near tier consumes the
+    # corpus shingle arrays TWICE (band rows + the Jaccard verify join),
+    # and Spark does not dedupe common subplans — unpersisted, the full
+    # normalize+shingle pass ran once per consumer. The bench/driver
+    # clear caches between runs, so nothing survives an invocation.
     return dedup.contamination_report(
         corpus,
         eval_sets,
@@ -3374,7 +3383,7 @@ def dedup_contamination_report(spark, sf_dir):
         num_hashes=_NUM_HASHES,
         bands=_BANDS,
         threshold=0.5,
-        shmap=dedup.shingle_arrays(corpus),
+        shmap=dedup.shingle_arrays(corpus).persist(),
         corpus_vecs=emb.filter(F.col("vec_id") >= 20),
         eval_vecs=emb.filter(F.col("vec_id") < 20).withColumn(
             "benchmark", F.concat(F.lit("bench"), (F.col("vec_id") % 2).cast("string"))
