@@ -1722,7 +1722,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         asg = emb.select(
             F.col(args.id_col),
-            similarity._centroid_assign(F.col(args.vec_col), coarse).alias("list_id"),
+            similarity._centroid_assign(
+                similarity._qcol(args.vec_col), coarse
+            ).alias("list_id"),
         )
         index = enc.join(asg, args.id_col)
         os.makedirs(args.output, exist_ok=True)

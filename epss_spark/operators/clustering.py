@@ -99,18 +99,22 @@ def _replace_or_append(schema: StructType, new_fields: Sequence[StructField]) ->
     return StructType(fields)
 
 
-def _best_centroid(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
+def _best_centroid(vec_col: str, centroids: Sequence[Sequence[float]]) -> Column:
     """struct(d, i) of the nearest centroid by squared L2 — d is the
     sequential left-fold distance, i the argmin index (lowest wins ties
     via struct ordering). Mirrors similarity._centroid_assign but keeps
-    the distance, which the stats aggregate needs."""
-    dists = []
-    for i, cent in enumerate(centroids):
-        c = F.array(*[F.lit(float(x)) for x in cent])
-        diff = F.zip_with(vec, c, lambda a, b: a.cast("double") - b)
-        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
-        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
-    return F.array_min(F.array(*dists))
+    the distance, which the stats aggregate needs. Takes the vector
+    COLUMN NAME and builds the whole expression as SQL text
+    (similarity._d2_sql): the identical parsed tree, without the
+    hundreds of py4j round-trips per centroid the Column-API form paid
+    at every plan build (optimization r14, guide §7.3)."""
+    from epss_spark.operators.similarity import _d2_sql, _qcol
+
+    structs = ", ".join(
+        f"named_struct('d', {_d2_sql(_qcol(vec_col), cent)}, 'i', {i})"
+        for i, cent in enumerate(centroids)
+    )
+    return F.expr(f"array_min(array({structs}))")
 
 
 def _assign_batched(
@@ -207,7 +211,7 @@ def assign_clusters(
         return _assign_batched(vectors, centroids, vec_col, cluster_col, d2_col)
     if impl != "codegen":
         raise ValueError(f"unknown assignment impl: {impl!r}")
-    out = vectors.withColumn("__best", _best_centroid(F.col(vec_col), centroids))
+    out = vectors.withColumn("__best", _best_centroid(vec_col, centroids))
     out = out.withColumn(cluster_col, F.col("__best")["i"])
     if d2_col is not None:
         out = out.withColumn(d2_col, F.col("__best")["d"])
@@ -348,12 +352,18 @@ def kmeans_fit(
     if sample_frac is not None:
         vectors = sample_vectors(vectors, sample_frac, id_col=id_col, salt=sample_salt)
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    # per-dim quantized sums as SQL text (similarity._d2_sql rationale):
+    # the identical sum(CAST(w) * CAST(floor(CAST(x) * quant + 0.5) AS
+    # BIGINT)) tree, built in O(dim) py4j calls instead of ~12x that
+    from epss_spark.operators.similarity import _dlit, _qcol
+
+    w_sql = (
+        f"CAST({_qcol(weight_col)} AS BIGINT)" if weight_col else "CAST(1 AS BIGINT)"
+    )
     sums = [
-        F.sum(
-            w
-            * F.floor(F.col(vec_col)[j].cast("double") * F.lit(quant) + F.lit(0.5)).cast(
-                "long"
-            )
+        F.expr(
+            f"sum({w_sql} * CAST(floor(CAST({_qcol(vec_col)}[{j}] AS DOUBLE) "
+            f"* {_dlit(quant)} + 0.5D) AS BIGINT))"
         ).alias(f"s{j}")
         for j in range(dim)
     ]
@@ -548,13 +558,15 @@ def two_nearest_distances(
         return _two_nearest_batched(vectors, centroids, vec_col, cluster_col, a_col, b_col)
     if impl != "codegen":
         raise ValueError(f"unknown assignment impl: {impl!r}")
-    dists = []
-    for i, cent in enumerate(centroids):
-        c = F.array(*[F.lit(float(x)) for x in cent])
-        diff = F.zip_with(F.col(vec_col), c, lambda a, b: a.cast("double") - b)
-        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
-        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
-    two = F.slice(F.array_sort(F.array(*dists)), 1, 2)
+    # one SQL-text expression (similarity._d2_sql rationale): identical
+    # struct/array_sort tree, O(1) py4j round-trips at plan build
+    from epss_spark.operators.similarity import _d2_sql, _qcol
+
+    structs = ", ".join(
+        f"named_struct('d', {_d2_sql(_qcol(vec_col), cent)}, 'i', {i})"
+        for i, cent in enumerate(centroids)
+    )
+    two = F.expr(f"slice(array_sort(array({structs})), 1, 2)")
     # collision-checked staging name: the function is public, so a caller
     # frame may legitimately carry any column — a fixed "__two" would be
     # silently replaced by withColumn and then dropped
@@ -1188,8 +1200,8 @@ def assignment_drift(
         )
     if impl != "codegen":
         raise ValueError(f"unknown assignment impl: {impl!r}")
-    before = _best_centroid(F.col(vec_col), centroids_before)["i"]
-    after = _best_centroid(F.col(vec_col), centroids_after)["i"]
+    before = _best_centroid(vec_col, centroids_before)["i"]
+    after = _best_centroid(vec_col, centroids_after)["i"]
     return (
         vectors.select(before.alias("cluster_before"), after.alias("cluster_after"))
         .groupBy("cluster_before", "cluster_after")

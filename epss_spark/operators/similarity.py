@@ -507,17 +507,62 @@ def lsh_multiprobe_rerank(
     )
 
 
-def _centroid_assign(vec: Column, centroids: list[list[float]]) -> Column:
+def _dlit(x: float) -> str:
+    """Double literal as Spark SQL text: repr() is the shortest
+    round-trip decimal, and the D suffix makes the parser produce the
+    exact same DoubleType literal as F.lit(float(x))."""
+    return repr(float(x)) + "D"
+
+
+def _qcol(name: str) -> str:
+    """Backtick-quote a column name for SQL-text expressions."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _d2_sql(vec_sql: str, cent: list[float]) -> str:
+    """Squared-L2 fold as SQL text — the exact op-for-op spelling of the
+    previous F.zip_with/F.aggregate Column form (CAST-then-subtract,
+    sequential left fold acc + v*v from 0.0D), so the parsed expression
+    tree and every IEEE intermediate are identical. Built as ONE string
+    because constructing the same tree through the Column API costs
+    hundreds of py4j round-trips PER CENTROID (optimization r14, guide
+    §7.3 driver-side planning: measured ~1.1 s -> ~0.02 s to build the
+    k=8 x dim=64 assignment expression; results pinned bit-identical)."""
+    arr = "array(" + ", ".join(_dlit(x) for x in cent) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (a, b) -> CAST(a AS DOUBLE) - b), "
+        "0.0D, (acc, v) -> acc + v * v)"
+    )
+
+
+def _probe_lists_sql(
+    vec_col: str, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """The n_probe nearest coarse-list ids for a query vector, as ONE
+    SQL-text expression: slice(array_sort(array(named_struct('d', d2,
+    'i', i), ...)), 1, n_probe) then transform to the ids — the exact
+    struct-ordering spelling the previous Column-API loop built, minus
+    its per-centroid py4j construction cost (_d2_sql)."""
+    structs = ", ".join(
+        f"named_struct('d', {_d2_sql(_qcol(vec_col), cent)}, 'i', {i})"
+        for i, cent in enumerate(centroids)
+    )
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {int(n_probe)}), s -> s.i)"
+    )
+
+
+def _centroid_assign(vec_sql: str, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by squared L2 distance. Plan-time
     constant centroids -> pure codegen expressions; argmin via array_min
-    over (distance, index) structs (struct ordering is field-order)."""
-    dists = []
-    for i, cent in enumerate(centroids):
-        c = F.array(*[F.lit(float(x)) for x in cent])
-        diff = F.zip_with(vec, c, lambda a, b: a.cast("double") - b)
-        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
-        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
-    return F.array_min(F.array(*dists))["i"]
+    over (distance, index) structs (struct ordering is field-order).
+    `vec_sql` is the vector expression as SQL TEXT (e.g. '`embedding`'
+    or 'slice(`embedding`, 1, 16)') — see _d2_sql for why text."""
+    structs = ", ".join(
+        f"named_struct('d', {_d2_sql(vec_sql, cent)}, 'i', {i})"
+        for i, cent in enumerate(centroids)
+    )
+    return F.expr(f"array_min(array({structs})).i")
 
 
 def train_ivf_centroids(
@@ -774,13 +819,13 @@ def dedup_batch_semantic(
     return kept, semantic_index(kept, centroids, id_col, vec_col, impl)
 
 
-def _sub_d2(vec_slice: Column, cent: list[float]) -> Column:
+def _sub_d2(vec_slice_sql: str, cent: list[float]) -> Column:
     """Squared L2 distance between an embedding sub-slice and a constant
     sub-centroid — sequential left-fold, same summation order as the
-    oracle's list_sum(list_transform(range(...)))."""
-    c = F.array(*[F.lit(float(x)) for x in cent])
-    diff = F.zip_with(vec_slice, c, lambda a, b: a.cast("double") - b)
-    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+    oracle's list_sum(list_transform(range(...))). Takes the slice as
+    SQL text (see _d2_sql: the Column-API construction cost hundreds of
+    py4j round-trips per sub-centroid at plan-build time)."""
+    return F.expr(_d2_sql(vec_slice_sql, cent))
 
 
 def train_pq_centroids(
@@ -870,7 +915,8 @@ def pq_encode(
     dim = m * sub
     guard = _dim_guard(F.col(vec_col), dim, "pq_encode")
     codes = [
-        _centroid_assign(F.slice(F.col(vec_col), mi * sub + 1, sub), centroids[mi]) + guard
+        _centroid_assign(f"slice({_qcol(vec_col)}, {mi * sub + 1}, {sub})", centroids[mi])
+        + guard
         for mi in range(m)
     ]
     return vectors.select(F.col(id_col), F.array(*codes).alias(out_col))
@@ -911,19 +957,19 @@ def pq_topk(
     if codes is None:
         codes = pq_encode(candidates, centroids, id_col=id_col, vec_col=vec_col)
     c = codes.select(F.col(id_col).alias("cand_id"), F.col("codes").alias("__codes"))
-    dtab = F.array(
-        *[
-            F.array(
-                *[
-                    _sub_d2(
-                        F.slice(F.col(vec_col), mi * len(centroids[0][0]) + 1, len(centroids[0][0])),
-                        cent,
-                    )
-                    for cent in centroids[mi]
-                ]
+    sub = len(centroids[0][0])
+    dtab = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                _d2_sql(f"slice({_qcol(vec_col)}, {mi * sub + 1}, {sub})", cent)
+                for cent in centroids[mi]
             )
+            + ")"
             for mi in range(m)
-        ]
+        )
+        + ")"
     )
     q = queries.select(F.col(id_col).alias("query_id"), dtab.alias("__dtab"))
     ad2 = F.lit(0.0)
@@ -975,20 +1021,16 @@ def ivf_topk(
         "list_id",
     )
     # per-query probe lists: n_probe nearest centroids, exploded to rows
-    dists = []
-    for i, cent in enumerate(centroids):
-        cc = F.array(*[F.lit(float(x)) for x in cent])
-        diff = F.zip_with(F.col(vec_col), cc, lambda a, b: a.cast("double") - b)
-        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
-        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
-    probe = F.slice(F.array_sort(F.array(*dists)), 1, n_probe)
+    # (one SQL-text expression — see _d2_sql for the construction-cost
+    # rationale; struct/array_sort/transform spelled exactly as before)
+    probe_ids = _probe_lists_sql(vec_col, centroids, n_probe)
     dim = len(centroids[0])
     q = (
         queries.where(_dim_guard(F.col(vec_col), dim, "ivf_topk") == 0)
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
-            F.explode(F.transform(probe, lambda s: s["i"])).alias("list_id"),
+            F.explode(probe_ids).alias("list_id"),
         )
     )
     scored = (
@@ -1038,28 +1080,25 @@ def ivfpq_topk(
         F.col(id_col).alias("cand_id"), "list_id", F.col("codes").alias("__codes")
     )
     sub = len(pq_centroids[0][0])
-    dtab = F.array(
-        *[
-            F.array(
-                *[
-                    _sub_d2(F.slice(F.col(vec_col), mi * sub + 1, sub), cent)
-                    for cent in pq_centroids[mi]
-                ]
+    # dtab + probe as SQL-text expressions (see _d2_sql): identical
+    # trees, ~two py4j calls instead of thousands at plan-build time
+    dtab = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                _d2_sql(f"slice({_qcol(vec_col)}, {mi * sub + 1}, {sub})", cent)
+                for cent in pq_centroids[mi]
             )
+            + ")"
             for mi in range(m)
-        ]
+        )
+        + ")"
     )
-    dists = []
-    for i, cent in enumerate(coarse_centroids):
-        cc = F.array(*[F.lit(float(x)) for x in cent])
-        diff = F.zip_with(F.col(vec_col), cc, lambda a, b: a.cast("double") - b)
-        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
-        dists.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
-    probe = F.slice(F.array_sort(F.array(*dists)), 1, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         dtab.alias("__dtab"),
-        F.explode(F.transform(probe, lambda s: s["i"])).alias("list_id"),
+        F.explode(_probe_lists_sql(vec_col, coarse_centroids, n_probe)).alias("list_id"),
     )
     ad2 = F.lit(0.0)
     for mi in range(m):
@@ -1387,7 +1426,9 @@ def ivfpq_index(
     guard = _dim_guard(F.col(vec_col), dim, "ivfpq_index")
     codes = F.array(
         *[
-            _centroid_assign(F.slice(F.col(vec_col), mi * sub + 1, sub), pq_centroids[mi])
+            _centroid_assign(
+                f"slice({_qcol(vec_col)}, {mi * sub + 1}, {sub})", pq_centroids[mi]
+            )
             + guard
             for mi in range(len(pq_centroids))
         ]
