@@ -277,14 +277,31 @@ def _dim_guard(vec: Column, dim: int, op: str) -> Column:
     ).otherwise(F.lit(0))
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def _dot_lit_sql(vec_sql: str, vals: list[float]) -> str:
+    """Dot product against a constant vector as SQL text — the exact
+    op-for-op spelling of _dot (CAST both sides, sequential left fold
+    acc + v from 0.0D); one string instead of ~140 py4j round-trips per
+    plane at plan-build time (same rationale as _d2_sql)."""
+    arr = "array(" + ", ".join(_dlit(x) for x in vals) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def lsh_bucket(vec_sql: str, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit i = (vec . plane_i >= 0). Plan-time constant
-    planes — the dot products are codegen'd expressions, no UDF."""
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        d = _dot(vec, F.array(*[F.lit(float(x)) for x in p]))
-        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    planes — the dot products are codegen'd expressions, no UDF. Takes
+    the vector expression as SQL TEXT (see _d2_sql for why); the summed
+    CASE terms are the same integer adds the Column chain built."""
+    if not planes:
+        return F.lit(0)
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_lit_sql(vec_sql, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return F.expr(terms)
 
 
 def lsh_topk(
@@ -310,14 +327,14 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        (lsh_bucket(F.col(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_topk")).alias(
+        (lsh_bucket(_qcol(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_topk")).alias(
             "bucket"
         ),
     )
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
-        (lsh_bucket(F.col(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_topk")).alias(
+        (lsh_bucket(_qcol(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_topk")).alias(
             "bucket"
         ),
     )
@@ -367,26 +384,27 @@ def lsh_multiprobe_topk(
         raise ValueError("n_probes must be in [1, n_planes + 1]")
     planes = _hyperplanes(dim, n_planes, seed)
     guard = _dim_guard(F.col(vec_col), dim, "lsh_multiprobe_topk")
-    dots = [
-        _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) for p in planes
-    ]
-    bucket = guard
-    for i, d in enumerate(dots):
-        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    # per-plane dots as SQL text (_dot_lit_sql rationale): each dot tree
+    # is spelled op-for-op like _dot; the integer bucket adds and the
+    # (|margin|, index, mask) struct array are value-identical to the
+    # previous Column-chain form
+    d_sqls = [_dot_lit_sql(_qcol(vec_col), p) for p in planes]
+    bucket = guard + F.expr(
+        " + ".join(
+            f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, d in enumerate(d_sqls)
+        )
+    )
     # the flip mask rides in the sorted struct (shiftleft needs a plan-
     # time int); sort is (|margin| asc, plane index asc) — ties to the
     # lower plane, mirrored by the oracle's ORDER BY m, j
-    margins = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    F.abs(d).alias("m"),
-                    F.lit(i).alias("i"),
-                    F.lit(1 << i).alias("mask"),
-                )
-                for i, d in enumerate(dots)
-            ]
+    margins = F.expr(
+        "array_sort(array("
+        + ", ".join(
+            f"named_struct('m', abs({d}), 'i', {i}, 'mask', {1 << i})"
+            for i, d in enumerate(d_sqls)
         )
+        + "))"
     )
     flips = F.transform(
         F.slice(margins, 1, n_probes - 1),
@@ -400,7 +418,7 @@ def lsh_multiprobe_topk(
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
-        (lsh_bucket(F.col(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_multiprobe_topk")).alias(
+        (lsh_bucket(_qcol(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_multiprobe_topk")).alias(
             "bucket"
         ),
     )
