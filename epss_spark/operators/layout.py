@@ -18,6 +18,8 @@ skew, not as a default speedup.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -123,3 +125,35 @@ def repartition_for_window(df: DataFrame, key: str, partitions: int | None = Non
     key reuse one exchange (Catalyst already collapses same-key windows;
     this pins the layout across cache/checkpoint boundaries too)."""
     return df.repartition(partitions, key) if partitions else df.repartition(key)
+
+
+@contextmanager
+def size_coalesced_shuffles(spark):
+    """Scope AQE's SIZE-based shuffle coalescing to a bounded-frame
+    iterative section (optimization r15, guide §2.2/§2.4).
+
+    The session default keeps `parallelismFirst=true` so big CPU-bound
+    shuffles (the flagship window) never collapse below cluster
+    parallelism — but that floor makes every shuffle in a bounded
+    iterative loop (connected-components labels, q-digest nodes, BPE
+    vocabulary rounds: frames of at most a few thousand rows) run at
+    >= defaultParallelism tasks PER ROUND, so the loops pay dozens of
+    task launches per iteration for microseconds of work. Inside this
+    scope AQE coalesces by size (advisory/minPartitionSize), which is
+    scale-adaptive by construction: a few-KB label frame becomes one
+    task at bench scale while a multi-GB frame at production scale
+    still gets size-proportional parallelism. The conf is read at
+    EXECUTION time, so the scope must cover the loop's eager actions
+    (localCheckpoint/first/count) — results are unaffected (partitioning
+    never changes what exact aggregates/joins compute), only task
+    counts."""
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = "true"
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)

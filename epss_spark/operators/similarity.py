@@ -528,8 +528,19 @@ def lsh_multiprobe_rerank(
 def _dlit(x: float) -> str:
     """Double literal as Spark SQL text: repr() is the shortest
     round-trip decimal, and the D suffix makes the parser produce the
-    exact same DoubleType literal as F.lit(float(x))."""
-    return repr(float(x)) + "D"
+    exact same DoubleType literal as F.lit(float(x)). Non-finite values
+    have no literal spelling ('nanD'/'infD' are parse errors), so they
+    are rendered as the CAST the parser does accept — the same
+    DoubleType NaN/Infinity constant F.lit(float(x)) built before the
+    SQL-text builders replaced the Column API (optimization r14)."""
+    x = float(x)
+    if x != x:  # NaN (never equal to itself)
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def _qcol(name: str) -> str:

@@ -359,6 +359,38 @@ def qdigest_build(
     vals = df.select(F.col(value_col).cast("long").alias("v")).where(
         F.col("v").isNotNull()
     )
+    if levels <= 16:
+        # bounded-domain fast path (optimization r15, guide §1.3 fewer
+        # passes): a valid input has <= 2^levels distinct values, so ONE
+        # corpus pass (groupBy(v) count, map-side partials) yields the
+        # leaf table AND the domain-check stats — the separate min/max/
+        # count action was a second full pass over the (often expensive,
+        # e.g. tokenize-derived) value column. The limit caps the
+        # collect for out-of-domain inputs: > 2^levels groups proves a
+        # domain violation before anything large reaches the driver.
+        grouped = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+        rows = grouped.limit((1 << levels) + 1).collect()
+        if len(rows) > (1 << levels):
+            raise ValueError(
+                f"more than {1 << levels} distinct values: input outside the "
+                f"q-digest domain [0, {1 << levels}); raise `levels` or "
+                "pre-scale the column"
+            )
+        if rows:
+            lo = min(int(r["v"]) for r in rows)
+            hi = max(int(r["v"]) for r in rows)
+            if lo < 0 or hi >= (1 << levels):
+                raise ValueError(
+                    f"values [{lo}, {hi}] outside the q-digest domain "
+                    f"[0, {1 << levels}); raise `levels` or pre-scale the column"
+                )
+        n = sum(int(r["cnt"]) for r in rows)
+        cnt = {(1 << levels) + int(r["v"]): int(r["cnt"]) for r in rows}
+        t = max(1, n // k)
+        return df.sparkSession.createDataFrame(
+            sorted(_qdigest_compress_local(cnt, t, levels).items()),
+            "node_id bigint, cnt bigint",
+        )
     stats = vals.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n")
     ).first()
@@ -373,13 +405,63 @@ def qdigest_build(
         .select((F.lit(1 << levels) + F.col("v")).alias("node_id"), "cnt")
     )
     t = max(1, int(stats["n"] or 0) // k)
-    return _qdigest_compress(leaves, t, levels)
+    # sketch-bounded iterative loop: size-based shuffle coalescing
+    # (optimization r15, layout.size_coalesced_shuffles) — every round's
+    # node frame is <= levels x distinct values (<= ~3k after
+    # compression), so the defaultParallelism floor made each of the
+    # `levels` checkpoint rounds pay ~32 tasks for KBs of data
+    from epss_spark.operators.layout import size_coalesced_shuffles
+
+    with size_coalesced_shuffles(df.sparkSession):
+        return _qdigest_compress(leaves, t, levels)
+
+
+def _qdigest_compress_local(cnt: dict, t: int, levels: int) -> dict:
+    """The driver-side exact replay of the distributed compression
+    rounds: identical family sums, <= t collapse, and pre-existing
+    parent handling, on a {node_id: cnt} dict (optimization r15; pinned
+    against the distributed loop by test)."""
+    for depth in range(levels, 0, -1):
+        lo, hi = 1 << depth, 1 << (depth + 1)
+        fams: dict = {}
+        for nid, c in list(cnt.items()):
+            if lo <= nid < hi:  # child at this depth -> its family
+                fams[nid // 2] = fams.get(nid // 2, 0) + c
+            elif lo // 2 <= nid < hi // 2:  # pre-existing parent
+                fams[nid] = fams.get(nid, 0) + c
+        for pid, total in fams.items():
+            if total <= t:
+                cnt.pop(2 * pid, None)
+                cnt.pop(2 * pid + 1, None)
+                cnt[pid] = total
+    return cnt
 
 
 def _qdigest_compress(nodes: DataFrame, t: int, levels: int) -> DataFrame:
     """Bottom-up q-digest compression: for depth = levels..1, collapse
     every family (parent + present children) with total count <= t into
-    the parent. Handles pre-existing parent nodes (the merge path)."""
+    the parent. Handles pre-existing parent nodes (the merge path).
+
+    Optimization r15 (guide §1.2 "the distributed algorithm"): for the
+    realistic sketch domain (levels <= 16, i.e. <= 65,536 leaf slots)
+    the node frame is BOUNDED at <= 2^(levels+1) rows by construction —
+    the same bounded-artifact class as the BPE merge table and the BM25
+    stats — so the `levels` rounds of joins + eager checkpoints (8
+    distributed jobs for a <= 511-row frame at the registry's levels=8)
+    are replaced by one bounded collect and an exact integer replay on
+    the driver; the distributed loop remains the >16-level path. The
+    replay is op-for-op the same arithmetic (family sums, <= t
+    collapse, parent handling), pinned identical by
+    tests/test_sketches.py::test_qdigest_compress_paths_identical."""
+    if levels <= 16:
+        cnt: dict[int, int] = {}
+        for r in nodes.collect():
+            nid = int(r["node_id"])
+            cnt[nid] = cnt.get(nid, 0) + int(r["cnt"])
+        return nodes.sparkSession.createDataFrame(
+            sorted(_qdigest_compress_local(cnt, t, levels).items()),
+            "node_id bigint, cnt bigint",
+        )
     for depth in range(levels, 0, -1):
         lo, hi = 1 << depth, 1 << (depth + 1)
         children = nodes.filter((F.col("node_id") >= lo) & (F.col("node_id") < hi))
@@ -436,7 +518,10 @@ def qdigest_merge(*sketches: DataFrame, levels: int = 8, k: int = 64) -> DataFra
         u = u.unionByName(s)
     summed = u.groupBy("node_id").agg(F.sum("cnt").alias("cnt"))
     n = summed.agg(F.sum("cnt")).first()[0] or 0
-    return _qdigest_compress(summed, max(1, int(n) // k), levels)
+    from epss_spark.operators.layout import size_coalesced_shuffles
+
+    with size_coalesced_shuffles(u.sparkSession):
+        return _qdigest_compress(summed, max(1, int(n) // k), levels)
 
 
 def qdigest_quantiles(

@@ -1321,27 +1321,37 @@ def bpe_merges(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(_bpe_spaced(F.col("w")).alias("s"), "cnt")
     )
-    cur = wf.localCheckpoint(eager=True)
+    # vocabulary-bounded iterative loop: size-based shuffle coalescing
+    # (optimization r15, layout.size_coalesced_shuffles) — each merge
+    # round is a pair-count aggregate over the bounded word table, so
+    # the defaultParallelism floor made every round pay ~32 tasks for a
+    # vocabulary that fits in one; size-based coalescing keeps the
+    # corpus-scan map side untouched and is size-proportional when the
+    # vocabulary is actually large
+    from epss_spark.operators.layout import size_coalesced_shuffles
+
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        top = (
-            cur.select(F.explode_outer(bigrams(_bpe_symbols(F.col("s")))).alias("pair"), "cnt")
-            .where(F.col("pair").isNotNull())
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("pair").asc())
-            .limit(1)
-            .first()
-        )
-        if top is None:
-            break
-        lhs, rhs = top["pair"].split(" ")
-        merges.append((rank, lhs, rhs, int(top["c"])))
-        cur = cur.withColumn(
-            "s", F.replace(F.col("s"), F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
-        )
-        if rank % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+    with size_coalesced_shuffles(docs.sparkSession):
+        cur = wf.localCheckpoint(eager=True)
+        for rank in range(1, n_merges + 1):
+            top = (
+                cur.select(F.explode_outer(bigrams(_bpe_symbols(F.col("s")))).alias("pair"), "cnt")
+                .where(F.col("pair").isNotNull())
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("pair").asc())
+                .limit(1)
+                .first()
+            )
+            if top is None:
+                break
+            lhs, rhs = top["pair"].split(" ")
+            merges.append((rank, lhs, rhs, int(top["c"])))
+            cur = cur.withColumn(
+                "s", F.replace(F.col("s"), F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+            )
+            if rank % checkpoint_every == 0:
+                cur = cur.localCheckpoint(eager=True)
     return docs.sparkSession.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_count bigint"
     )

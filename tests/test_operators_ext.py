@@ -4546,3 +4546,19 @@ def test_classifier_auc_closed_form(spark):
     only_pos = spark.createDataFrame([(0.9, 1.0)], "score double, y double")
     with pytest.raises(ValueError, match="need both classes"):
         classifier.auc_report(only_pos, "y")
+
+
+def test_dlit_non_finite_matches_lit(spark):
+    # guard regression (r15): _dlit must render NaN/Inf as the CAST form
+    # the SQL parser accepts, evaluating to the same DoubleType constant
+    # F.lit(float(x)) builds — not the unparseable 'nanD'/'infD'
+    from epss_spark.operators.similarity import _dlit
+
+    vals = [float("nan"), float("inf"), float("-inf"), 1.5, -0.0]
+    exprs = [F.expr(_dlit(v)).alias(f"c{i}") for i, v in enumerate(vals)]
+    row = spark.range(1).select(*exprs).collect()[0]
+    assert row.c0 != row.c0  # NaN
+    assert row.c1 == float("inf")
+    assert row.c2 == float("-inf")
+    assert row.c3 == 1.5
+    assert repr(row.c4) == "-0.0"
