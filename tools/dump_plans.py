@@ -1,5 +1,5 @@
 """Dump `.explain("formatted")` for driver-surface queries into
-plans/r14/<query>_<tag>.txt — the optimization round's before/after plan
+plans/r15/<query>_<tag>.txt — the optimization round's before/after plan
 evidence (guide §1: capture the plan shape for every query you touch).
 
     python tools/dump_plans.py before [query ...]   # default: all surface
@@ -18,7 +18,7 @@ from epss_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
 )
 
 
