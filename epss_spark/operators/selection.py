@@ -224,8 +224,15 @@ def dsir_logratio(
             for b in set(rc) | set(tc)
         }
         default = math.log(1.0 / (tt + n_buckets)) - math.log(1.0 / (rt + n_buckets))
-        warr = F.array(
-            *[F.lit(float(wdict.get(b, default))) for b in range(n_buckets)]
+        # ONE SQL-text array literal (optimization r15, guide §7.3 — the
+        # r14 _d2_sql pattern): the F.array(*[F.lit(w) ...]) spelling
+        # cost n_buckets+1 synchronous py4j round trips (~0.3 s of
+        # driver time at the registry's 1024 buckets) to build the
+        # SAME parsed literal
+        from epss_spark.operators.similarity import _dlit
+
+        warr = F.expr(
+            "array(" + ", ".join(_dlit(wdict.get(i, default)) for i in range(n_buckets)) + ")"
         )
         n = F.size("__bk")
         total = F.aggregate(
@@ -250,8 +257,11 @@ def dsir_logratio(
     # dense array literal indexed by bucket id — element_at is O(1) per
     # feature, unlike a literal-map lookup (GetMapValue linear-scans the
     # key array, an O(n_buckets) cost per feature)
-    warr = F.array(
-        *[F.lit(float(wdict.get(b, default))) for b in range(n_buckets)]
+    # SQL-text array literal — same rationale as the target_pred branch
+    from epss_spark.operators.similarity import _dlit
+
+    warr = F.expr(
+        "array(" + ", ".join(_dlit(wdict.get(i, default)) for i in range(n_buckets)) + ")"
     )
 
     def w_of(feat: Column) -> Column:

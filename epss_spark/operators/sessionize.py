@@ -108,12 +108,22 @@ def _funnel_chunk_tables(
     gap_us = (
         F.lit(int(max_gap_seconds) * 1_000_000) if max_gap_seconds is not None else None
     )
+    # step-type coding (optimization r15, guide §2.3 narrower types):
+    # `steps` IS an exact plan-time vocabulary, so the fold state never
+    # needs the type string — events code to their 1-based step index
+    # before the collect (ev is filtered to step types by contract, so
+    # the code is always 1..n; a contract-violating stray type codes to
+    # 0, which matches no step — exactly what the string compare did).
+    # The chunk buffer element narrows from (timestamp, long, string)
+    # to (timestamp, long, int) and the per-entry match becomes an
+    # integer equality instead of element_at + string compare.
+    code = F.array_position(steps_lit, F.col(type_col)).cast("int")
     # hash(key) partitioning from the caller's window satisfies (key,
     # chunk) clustering — no second exchange for this groupBy or the
     # per-key one
     agg_cols = [
         F.array_sort(
-            F.collect_list(F.struct(F.col(time), F.col(tiebreak), F.col(type_col)))
+            F.collect_list(F.struct(F.col(time), F.col(tiebreak), code.alias("__sc")))
         ).alias("__seq")
     ]
     if not full_tables:
@@ -140,9 +150,7 @@ def _funnel_chunk_tables(
         xus = F.unix_micros(x[time])
 
         def upd(e):
-            match = (e["step"] < n) & (
-                x[type_col] == F.element_at(steps_lit, (e["step"] + 1).cast("int"))
-            )
+            match = (e["step"] < n) & (x["__sc"].cast("long") == e["step"] + 1)
             first = (~e["started"]) & match
             adv = e["started"] & match
             if gap_us is not None:
