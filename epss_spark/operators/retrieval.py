@@ -178,7 +178,17 @@ def bm25_index(
     from epss_spark.operators.layout import ensure_parallelism
 
     base = ensure_parallelism(docs)
-    toked = base.select(id_col, tokens(text_col).alias("__tks")).persist()
+    # localCheckpoint, not persist (optimization r15): eager, so the one
+    # tokenize pass runs HERE — the lookup's single stats job then reads
+    # settled blocks instead of racing two stages into a lazy cache
+    # build (the r14 thread-overlap revert's lock lesson) — and
+    # context-cleaned when the returned plans are dropped, so a
+    # long-running caller (streaming process_bm25_batch built one cache
+    # per micro-batch) no longer accumulates dead MEMORY_AND_DISK
+    # entries (ADVICE r14).
+    toked = base.select(id_col, tokens(text_col).alias("__tks")).localCheckpoint(
+        eager=True
+    )
     postings = (
         toked.select(id_col, F.explode_outer("__tks").alias("term"))
         .where(F.col("term").isNotNull())
@@ -216,15 +226,37 @@ def bm25_lookup(
     so the score sums in the SAME IEEE order as bm25_topk; top-k is a
     TakeOrderedAndProject. No tokenize, no corpus-wide shuffle."""
     _validate_terms(query_terms)
-    stats = doc_stats.agg(
+    p = postings.filter(F.col("term").isin(list(query_terms)))
+    # ONE eager stats job (optimization r15, guide §2.6/§1.3): the 1-row
+    # N/avgdl aggregate and the <= |terms|-row df aggregate are
+    # independent exact aggregates over different frames — a union
+    # submits them as one job whose two leaf stages the scheduler runs
+    # together, instead of two serial jobs (the r14 thread-overlap
+    # attempt was reverted because both jobs raced to materialize the
+    # same token cache under block locks; a single job pays the cache
+    # build once in whichever stage gets there first and saves the
+    # second job's submission + scheduling round trip outright).
+    stats_row = doc_stats.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
-    ).first()
+    ).select(
+        F.lit(None).cast("string").alias("term"),
+        "__n",
+        "__avgdl",
+        F.lit(None).cast("long").alias("__df"),
+    )
+    df_rows_src = p.groupBy("term").agg(F.count(F.lit(1)).alias("__df")).select(
+        "term",
+        F.lit(None).cast("long").alias("__n"),
+        F.lit(None).cast("double").alias("__avgdl"),
+        "__df",
+    )
+    fetched = stats_row.unionByName(df_rows_src).collect()
+    stats = next(r for r in fetched if r["term"] is None)
+    df_rows = {r["term"]: r["__df"] for r in fetched if r["term"] is not None}
     if not stats["__n"] or stats["__avgdl"] is None:
         return doc_stats.select(id_col, F.lit(0.0).alias("score")).limit(0)
     n_lit = F.lit(int(stats["__n"]))
     avgdl_lit = F.lit(float(stats["__avgdl"]))
-    p = postings.filter(F.col("term").isin(list(query_terms)))
-    df_rows = {r["term"]: r["__df"] for r in p.groupBy("term").agg(F.count(F.lit(1)).alias("__df")).collect()}
     cand = p.join(doc_stats, id_col).groupBy(id_col).agg(
         F.min("dl").alias("__dl"),
         *[
