@@ -36,6 +36,17 @@ def cosine(a: Column, b: Column, dp: int = 6) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), dp)
 
 
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column, dp: int = 6) -> Column:
+    """cosine() with the norms HOISTED to pre-join projections
+    (optimization r15, guide §1.3 don't recompute): in a pairwise join,
+    inline _norm folds re-run once per PAIR — O(block) times per vector
+    in the blocked quadratic scan. The hoisted columns are the
+    identical _norm expression evaluated on the identical input, and
+    the division multiplies them in the same order, so every IEEE
+    intermediate — and the 6-dp round — is bit-identical."""
+    return F.round(_dot(a, b) / (na * nb), dp)
+
+
 def normalize_vectors(
     vectors: DataFrame, vec_col: str = "embedding", out_col: str | None = None, dp: int = 6
 ) -> DataFrame:
@@ -167,12 +178,24 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query (excluding self)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine_pre(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -232,15 +255,23 @@ def cosine_pairs_blocked(
     """All-pairs cosine >= threshold within each block (near-dup detection).
     The equi-join on the block key keeps the quadratic cost inside blocks."""
     a = vectors.select(
-        F.col(block_col).alias("__blk"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av")
+        F.col(block_col).alias("__blk"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av"),
+        _norm(F.col(vec_col)).alias("__an"),
     )
     b = vectors.select(
-        F.col(block_col).alias("__blk"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv")
+        F.col(block_col).alias("__blk"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv"),
+        _norm(F.col(vec_col)).alias("__bn"),
     )
     return (
         a.join(b, "__blk")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", cosine(F.col("__av"), F.col("__bv")).alias("cos"))
+        .select(
+            "a_id",
+            "b_id",
+            _cosine_pre(
+                F.col("__av"), F.col("__bv"), F.col("__an"), F.col("__bn")
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
@@ -327,6 +358,7 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
         (lsh_bucket(_qcol(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_topk")).alias(
             "bucket"
         ),
@@ -334,6 +366,7 @@ def lsh_topk(
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
         (lsh_bucket(_qcol(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_topk")).alias(
             "bucket"
         ),
@@ -341,7 +374,13 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine_pre(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -413,11 +452,13 @@ def lsh_multiprobe_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
         F.explode(F.concat(F.array(bucket), flips)).alias("bucket"),
     )
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
         (lsh_bucket(_qcol(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_multiprobe_topk")).alias(
             "bucket"
         ),
@@ -425,7 +466,13 @@ def lsh_multiprobe_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine_pre(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -700,12 +747,16 @@ def semantic_decontam_hits(
         eval_vecs.select(F.col(eval_id_col).alias("eval_id"), F.col(vec_col).alias("__ev")),
         centroids, vec_col="__ev", cluster_col="__cell", impl=impl,
     )
+    c_asg = c_asg.withColumn("__cn", _norm(F.col("__cv")))
+    e_asg = e_asg.withColumn("__en", _norm(F.col("__ev")))
     return (
         c_asg.join(F.broadcast(e_asg), "__cell")
         .select(
             "corpus_id",
             "eval_id",
-            cosine(F.col("__cv"), F.col("__ev")).alias("cos"),
+            _cosine_pre(
+                F.col("__cv"), F.col("__ev"), F.col("__cn"), F.col("__en")
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= F.lit(float(threshold)))
     )
@@ -801,12 +852,22 @@ def semantic_lookup(
         new_ids, index[id_col] == new_ids["__nid"], "left_anti"
     )
     new_side = new_asg.select(
-        "cell", F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv")
+        "cell", F.col(id_col).alias("b_id"), F.col(vec_col).alias("__bv"),
+        _norm(F.col(vec_col)).alias("__bn"),
     )
     cross = (
-        idx_clean.select("cell", F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av"))
+        idx_clean.select(
+            "cell", F.col(id_col).alias("a_id"), F.col(vec_col).alias("__av"),
+            _norm(F.col(vec_col)).alias("__an"),
+        )
         .join(F.broadcast(new_side), "cell")
-        .select("a_id", "b_id", cosine(F.col("__av"), F.col("__bv")).alias("cos"))
+        .select(
+            "a_id",
+            "b_id",
+            _cosine_pre(
+                F.col("__av"), F.col("__bv"), F.col("__an"), F.col("__bn")
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= F.lit(float(threshold)))
     )
     within = cosine_pairs_blocked(
@@ -1047,6 +1108,7 @@ def ivf_topk(
     c = assign_clusters(candidates, centroids, vec_col=vec_col, cluster_col="list_id").select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
         "list_id",
     )
     # per-query probe lists: n_probe nearest centroids, exploded to rows
@@ -1059,13 +1121,20 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
             F.explode(probe_ids).alias("list_id"),
         )
     )
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine_pre(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -1425,12 +1494,24 @@ def rerank_exact(
     a per-query top-k window over r rows; the raw corpus never shuffles
     and the compressed index is never rescanned."""
     sl = shortlist.select("query_id", "cand_id")
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    cv = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         cv.join(F.broadcast(sl), "cand_id")
         .join(F.broadcast(qv), "query_id")
-        .select("query_id", "cand_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine_pre(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
