@@ -1160,16 +1160,47 @@ def _contamination_hits(
     their own way). Scale shape per contamination_report's docstring —
     every eval-side artifact broadcasts, the corpus never shuffles on
     its own grain."""
-    from epss_spark.operators.text import tokens
+    from epss_spark.operators.layout import ensure_parallelism
+    from epss_spark.operators.text import shingles, tokens
 
+    # ONE corpus text pass (optimization r15, guide §1.3): the exact,
+    # spans, and near tiers each re-ran the normalize/tokenize regex
+    # pipeline over the full corpus (md5(normalize(text)), a second
+    # tokens(text), and the shingle build respectively). All three now
+    # derive from one eagerly checkpointed token frame:
+    #   - exact: md5(concat_ws(' ', __toks)) == md5(normalize(text)) for
+    #     every non-null text — normalize emits single-space-separated
+    #     trimmed tokens, so rejoining the token array reproduces it
+    #     character-for-character (NULL text keeps a NULL fingerprint
+    #     via the guard, matching md5(NULL));
+    #   - spans: the gram rows read the same frame;
+    #   - near: the shingle arrays are a zip_with over the cached
+    #     tokens, no regex.
+    # localCheckpoint (not persist): eager, and context-cleaned when the
+    # returned plans drop — the streaming monitor calls this per
+    # micro-batch and must not accumulate cache entries (ADVICE r14).
+    toked = (
+        ensure_parallelism(corpus)
+        .select(id_col, tokens(text_col).alias("__toks"))
+        .localCheckpoint(eager=True)
+    )
     corpus_sh = (
-        shmap if shmap is not None else shingle_arrays(corpus, id_col, text_col).persist()
+        shmap
+        if shmap is not None
+        else toked.select(
+            id_col, F.array_distinct(shingles(F.col("__toks"))).alias("shingles")
+        )
     )
     bench = F.col(bench_col).alias("benchmark")
     cid = F.col(id_col).alias("__cid")
 
     # exact: normalized-text fingerprint equality
-    c_fp = corpus.select(cid, F.md5(normalize(text_col)).alias("__fp"))
+    c_fp = toked.select(
+        cid,
+        F.when(
+            F.col("__toks").isNotNull(), F.md5(F.concat_ws(" ", "__toks"))
+        ).alias("__fp"),
+    )
     e_fp = eval_sets.select(bench, F.md5(normalize(text_col)).alias("__fp")).distinct()
     exact_hits = c_fp.join(F.broadcast(e_fp), "__fp").select("benchmark", "__cid")
 
@@ -1178,8 +1209,7 @@ def _contamination_hits(
     e_toked = eval_sets.select(F.col(bench_col).alias("__b"), tokens(text_col).alias("__toks"))
     _, e_grams = _span_rows(e_toked, k, "__b", "__toks")
     e_fps = e_grams.select(F.col("__b").alias("benchmark"), "fp").distinct()
-    c_toked = corpus.select(id_col, tokens(text_col).alias("__toks"))
-    _, c_grams = _span_rows(c_toked, k, id_col, "__toks")
+    _, c_grams = _span_rows(toked, k, id_col, "__toks")
     span_hits = (
         c_grams.select(cid, "fp")
         .join(F.broadcast(e_fps), "fp")

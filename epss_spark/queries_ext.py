@@ -3370,12 +3370,12 @@ def dedup_contamination_report(spark, sf_dir):
     # fixed-id anchor centroids (no training: they only confine the
     # semantic pair scan; the oracle replays them as a VALUES join)
     anchors = clustering.init_centroids_by_id(emb, _KM_IDS)
-    # persisted shmap (optimization r14, same evictable fire-and-forget
-    # contract as dedup_spans' token cache): the near tier consumes the
-    # corpus shingle arrays TWICE (band rows + the Jaccard verify join),
-    # and Spark does not dedupe common subplans — unpersisted, the full
-    # normalize+shingle pass ran once per consumer. The bench/driver
-    # clear caches between runs, so nothing survives an invocation.
+    # no caller shmap (optimization r15): the kernel now derives the
+    # exact fingerprints, span grams, AND shingle arrays from ONE
+    # eagerly checkpointed corpus token frame — a caller-built
+    # shingle_arrays persist would re-run the regex pass the shared
+    # frame exists to eliminate (and r14's fire-and-forget persist had
+    # no unpersist path, ADVICE r14).
     return dedup.contamination_report(
         corpus,
         eval_sets,
@@ -3383,7 +3383,6 @@ def dedup_contamination_report(spark, sf_dir):
         num_hashes=_NUM_HASHES,
         bands=_BANDS,
         threshold=0.5,
-        shmap=dedup.shingle_arrays(corpus).persist(),
         corpus_vecs=emb.filter(F.col("vec_id") >= 20),
         eval_vecs=emb.filter(F.col("vec_id") < 20).withColumn(
             "benchmark", F.concat(F.lit("bench"), (F.col("vec_id") % 2).cast("string"))
