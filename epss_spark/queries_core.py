@@ -568,6 +568,16 @@ def window_range_frame(spark, sf_dir):
     # NULL iff value is NULL, and sum skips NULLs in both forms.
     # Verified 0 mismatches over the 12.8M-row bench replica and the
     # DuckDB oracle (unchanged) at sf0.001/sf0.01.
+    #
+    # Magnitude precondition (ADVICE r14): the BIGINT cents sum is
+    # exact while |sum over any one frame| < 2^63 cents (~9.2e16 = ~92
+    # trillion in value units) — the events-table contract (bounded
+    # per-event values, one user's 30 days per frame) sits ~9 orders of
+    # magnitude under it. Inputs engineered to exceed it (e.g. rows at
+    # the DECIMAL(18,2) ceiling of 1e16 stacked >9 deep in one frame)
+    # would wrap non-ANSI instead of the old DECIMAL sum's visible
+    # NULL; if the table contract ever admits such magnitudes, revert
+    # to the DECIMAL(28,2) frame sum or add an ANSI try_sum guard.
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))

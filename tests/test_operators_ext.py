@@ -1779,6 +1779,7 @@ def test_dedup_batch_spans_index_update_closes_the_loop(spark):
     assert kept2.collect()[0].text == "m n"
 
 
+@pytest.mark.slow  # full-gate tier (r15: default tier must fit the driver window)
 def test_simhash_pairs_matches_brute_force(spark, docs):
     """Pigeonhole banding must find EXACTLY the brute-force Hamming
     pairs — the Manku et al. 100%-recall guarantee, on a corpus with
@@ -2286,6 +2287,7 @@ def test_truncate_normalize_and_mrl_energy(spark):
     assert got == round(pre / full, 6)
 
 
+@pytest.mark.slow  # full-gate tier (r15: default tier must fit the driver window)
 def test_lsh_multiprobe_rerank_two_stage(spark):
     """lsh_multiprobe_rerank contracts: (1) with shortlist_dims=None the
     composition is an order-preserving truncation of lsh_multiprobe_topk
@@ -2405,6 +2407,7 @@ def test_event_funnel_max_gap(spark):
     assert gapped == {1: 2, 2: 1}  # user 2's first view misses the window
 
 
+@pytest.mark.slow  # full-gate tier (r15: default tier must fit the driver window)
 def test_event_funnel_chunked_equals_monolithic(spark):
     """The hot-key-safe chunked prefix-fold (transition-table
     composition) is pinned bit-identical to the monolithic per-key
@@ -3322,6 +3325,7 @@ def test_decontaminate_semantic_hand_computed(spark):
     assert kept == [101, 102]
 
 
+@pytest.mark.slow  # full-gate tier (r15: default tier must fit the driver window)
 def test_contamination_report_semantic_tier(spark):
     """contamination_report with the optional semantic inputs: the grid
     gains a fourth method row per benchmark, a corpus doc whose
@@ -3366,6 +3370,7 @@ def test_contamination_report_semantic_tier(spark):
         )
 
 
+@pytest.mark.slow  # full-gate tier (r15: default tier must fit the driver window)
 def test_dedup_batch_semantic_incremental_contracts(spark):
     """The embedding-space incremental index (semantic_index /
     semantic_lookup / dedup_batch_semantic): under the append-only id
@@ -4364,6 +4369,7 @@ def test_classifier_calibration_report(spark):
 # operators/graph.py — deterministic PageRank
 
 
+@pytest.mark.slow  # full-gate tier (r15: default tier must fit the driver window)
 def test_pagerank_hand_checkable_shapes(spark):
     """Closed-form shapes: a symmetric 2-cycle splits rank evenly; a
     pure chain with a dangling sink conserves total mass (the dangling
