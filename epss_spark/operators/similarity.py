@@ -358,7 +358,6 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        _norm(F.col(vec_col)).alias("__qn"),
         (lsh_bucket(_qcol(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_topk")).alias(
             "bucket"
         ),
@@ -366,21 +365,20 @@ def lsh_topk(
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
         (lsh_bucket(_qcol(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_topk")).alias(
             "bucket"
         ),
     )
+    # no norm hoist here (optimization r15): the bucket join is
+    # SELECTIVE — a candidate scores only against queries sharing its
+    # bucket (usually < 1 match per row), so a pre-join norm for every
+    # corpus row costs MORE folds than the per-pair form; the hoist
+    # lives only in the expanding joins (cosine_pairs_blocked,
+    # cosine_topk, the cell-confined semantic scans)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            _cosine_pre(
-                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
-            ).alias("cos"),
-        )
+        .select("query_id", "cand_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -452,27 +450,20 @@ def lsh_multiprobe_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        _norm(F.col(vec_col)).alias("__qn"),
         F.explode(F.concat(F.array(bucket), flips)).alias("bucket"),
     )
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
         (lsh_bucket(_qcol(vec_col), planes) + _dim_guard(F.col(vec_col), dim, "lsh_multiprobe_topk")).alias(
             "bucket"
         ),
     )
+    # selective bucket join — no norm hoist (see lsh_topk)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            _cosine_pre(
-                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
-            ).alias("cos"),
-        )
+        .select("query_id", "cand_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -1108,7 +1099,6 @@ def ivf_topk(
     c = assign_clusters(candidates, centroids, vec_col=vec_col, cluster_col="list_id").select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
         "list_id",
     )
     # per-query probe lists: n_probe nearest centroids, exploded to rows
@@ -1121,20 +1111,15 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
-            _norm(F.col(vec_col)).alias("__qn"),
             F.explode(probe_ids).alias("list_id"),
         )
     )
+    # probe-list join: only probed lists' candidates score — no norm
+    # hoist (see lsh_topk)
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            _cosine_pre(
-                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
-            ).alias("cos"),
-        )
+        .select("query_id", "cand_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -1494,24 +1479,16 @@ def rerank_exact(
     a per-query top-k window over r rows; the raw corpus never shuffles
     and the compressed index is never rescanned."""
     sl = shortlist.select("query_id", "cand_id")
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
-        _norm(F.col(vec_col)).alias("__qn"),
-    )
-    cv = candidates.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
-    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cv"))
+    # shortlist semi-join: only the bounded shortlist rows ever score —
+    # a pre-join norm for the whole candidate store would fold norms
+    # for rows the join drops (measured +13% on ann_ivfpq_rerank before
+    # this was reverted; see OPTIMIZATION_r15.md change #8)
     scored = (
         cv.join(F.broadcast(sl), "cand_id")
         .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "cand_id",
-            _cosine_pre(
-                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
-            ).alias("cos"),
-        )
+        .select("query_id", "cand_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
